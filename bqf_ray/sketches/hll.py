@@ -1,0 +1,83 @@
+"""HyperLogLog — distinct-count sketch (Flajolet et al. 2007, with the
+standard small/large-range corrections).
+
+Published error bound: relative standard error ≈ 1.04 / sqrt(m), m = 2^p
+registers (tested in tests/test_sketch_bounds.py).  Merge = elementwise max
+of registers — trivially associative/commutative/idempotent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bqf_ray.sketches.base import MergeableSketch, register
+
+
+@register
+class HyperLogLog(MergeableSketch):
+    config_fields = ("p",)
+
+    def __init__(self, p: int = 14):
+        assert 4 <= p <= 20
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_batch(self, keys: np.ndarray, counts=None) -> None:
+        """counts are ignored — HLL counts distinct keys."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        idx = (keys >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (keys << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rho = 1 + count of leading zeros of the remaining 64-p bits
+        # clz via float trick is lossy for 64-bit; use a halving scan (6 steps)
+        rho = np.ones(len(keys), dtype=np.uint8)
+        x = rest
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = x < (np.uint64(1) << np.uint64(64 - shift))
+            rho = np.where(m, rho + np.uint8(shift), rho)
+            x = np.where(m, x << np.uint64(shift), x)
+        rho = np.minimum(rho, np.uint8(64 - self.p + 1))
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self.check_mergeable(other)
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if m == 16:
+            alpha = 0.673
+        elif m == 32:
+            alpha = 0.697
+        elif m == 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int32))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            v = int(np.count_nonzero(self.registers == 0))
+            if v:
+                return m * np.log(m / v)          # linear counting
+        if e > (1 / 30.0) * 2**64:
+            return -(2.0**64) * np.log(1.0 - e / 2.0**64)
+        return float(e)
+
+    def error_bound(self) -> float:
+        """Relative standard error (1 sigma)."""
+        return 1.04 / np.sqrt(self.m)
+
+    def _state_arrays(self):
+        return {"registers": self.registers}
+
+    def _config(self):
+        return {"p": self.p}
+
+    @classmethod
+    def _from_state(cls, config, arrays):
+        s = cls(p=int(config["p"]))
+        s.registers = arrays["registers"].astype(np.uint8)
+        return s
