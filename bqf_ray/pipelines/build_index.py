@@ -1,0 +1,141 @@
+"""Flagship pipeline: build a partitioned BQF token/shingle index over web
+pages, checkpoint it with lineage, and probe documents against it.
+
+Ray shape (SURVEY.md §3.1):
+    read_parquet(pages) ──map_batches(extract if needed)──
+    map_batches(tokenize+shingle+hash, pre-aggregated)──
+    shuffle on key%P ── map_groups(build shard sketch, write shard) ──
+    manifest
+Probe (§3.2): broadcast shards via ray.put → actor-pool map_batches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from bqf_ray.functions.tokenize import shingle_hashes, token_hashes
+from bqf_ray.sketches.bqf import BqfEc, fimpera_from_abundances
+from bqf_ray.stages.sketch_stage import (PartitionedSketch, build_partitioned)
+from bqf_ray.state.checkpoint import SketchCheckpoint
+
+
+def shingle_key_fn(text_col: str = "text", s: int = 1, seed: int = 0):
+    """KeyFn: batch → xxhash64 keys of every s-token shingle of text_col."""
+
+    def key_fn(batch: pa.Table):
+        th, offs = token_hashes(batch.column(text_col), seed=seed)
+        if s == 1:
+            return th, None
+        sh, _ = shingle_hashes(th, offs, s)
+        return sh, None
+
+    return key_fn
+
+
+def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
+                    num_partitions: int = 16, count_size: int = 8,
+                    q: int = 14, hash_bits: int = 64, seed: int = 0,
+                    checkpoint_dir: str | None = None,
+                    input_lineage: list[str] | None = None,
+                    batch_size: int | None = 2048) -> "BqfIndex":
+    """Build (or resume) the partitioned BQF index.
+
+    If ``checkpoint_dir`` holds a manifest for the same (config, lineage),
+    finished partitions are skipped — only missing shards recompute
+    (north-rule resumability).
+    """
+    config = {"s": s, "num_partitions": num_partitions, "q": q,
+              "count_size": count_size, "hash_bits": hash_bits, "seed": seed,
+              "text_col": text_col}
+    lineage = input_lineage or []
+    done: set[int] = set()
+    ckpt = None
+    if checkpoint_dir is not None:
+        done = SketchCheckpoint.resume_plan(checkpoint_dir, config, lineage)
+        ckpt = SketchCheckpoint(checkpoint_dir, config, lineage)
+        prev = SketchCheckpoint.load_manifest(checkpoint_dir)
+        if done and prev:
+            # carry forward finished partitions' manifest entries
+            for p, info in prev["partitions"].items():
+                if int(p) in done:
+                    ckpt.manifest.partitions[p] = info
+
+    factory = lambda: BqfEc(q=q, count_size=count_size, hash_bits=hash_bits)
+    blob_ds = build_partitioned(
+        pages_ds, shingle_key_fn(text_col, s, seed), factory,
+        num_partitions=num_partitions, batch_size=batch_size,
+        sink_dir=checkpoint_dir, skip_partitions=done or None)
+    meta = blob_ds.take_all()         # small: one metadata row per partition
+
+    shards: dict[int, object] = {}
+    if checkpoint_dir is not None:
+        for row in meta:
+            ckpt.manifest.partitions[str(int(row["part"]))] = {
+                "n_keys": int(row["n_keys"]), "bytes": int(row["bytes"]),
+                "fragments": lineage, "ts": 0.0,
+            }
+        ckpt.write_manifest()
+        shards = SketchCheckpoint.load_all(checkpoint_dir)
+    else:
+        from bqf_ray.sketches.base import MergeableSketch
+        for row in meta:
+            shards[int(row["part"])] = MergeableSketch.from_bytes(row["blob"])
+    return BqfIndex(PartitionedSketch(shards), config)
+
+
+class BqfIndex:
+    """Partitioned BQF + its config; probe-side entry points."""
+
+    def __init__(self, psketch: PartitionedSketch, config: dict):
+        self.psketch = psketch
+        self.config = config
+
+    @classmethod
+    def load(cls, checkpoint_dir: str) -> "BqfIndex":
+        m = SketchCheckpoint.load_manifest(checkpoint_dir)
+        assert m is not None
+        return cls(PartitionedSketch(SketchCheckpoint.load_all(checkpoint_dir)),
+                   m["config"])
+
+    def query_tokens(self, keys: np.ndarray) -> np.ndarray:
+        return self.psketch.query_batch(keys)
+
+    def probe_documents(self, docs_ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", z: int = 0,
+                        concurrency: int = 4):
+        """Documents → per-document fimpera stats vs the index
+        (reference query pipeline, /root/reference/src/abstract_bqf.cpp:
+        169-248).  Returns a Dataset with columns
+        (id, minimum, maximum, average, presence_ratio)."""
+        import ray
+
+        ref = ray.put(self.psketch)
+        s = self.config["s"]
+        seed = self.config["seed"]
+
+        class Probe:
+            def __init__(self):
+                self.sketch = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                th, offs = token_hashes(batch.column(text_col), seed=seed)
+                if s == 1:
+                    keys, koffs = th, offs
+                else:
+                    keys, koffs = shingle_hashes(th, offs, s)
+                ab = self.sketch.query_batch(keys)
+                mins, maxs, avgs, ratios = fimpera_from_abundances(
+                    ab, koffs, z)
+                return pa.table({
+                    id_col: batch.column(id_col),
+                    "minimum": pa.array(mins.astype(np.int64)),
+                    "maximum": pa.array(maxs.astype(np.int64)),
+                    "average": pa.array(avgs),
+                    "presence_ratio": pa.array(ratios),
+                })
+
+        return docs_ds.map_batches(Probe, batch_format="pyarrow",
+                                   batch_size=1024, concurrency=concurrency)

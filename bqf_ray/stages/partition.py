@@ -1,0 +1,102 @@
+"""Partitioning / skew helpers.
+
+The sketch-build shuffle keys on uniform token hashes, which is skew-free
+by construction.  Natural-key aggregations (per-host, per-lang — the skewed
+dimensions the pages table engineers in: one host ≈25%, one lang ≈70%) go
+through :func:`salted_aggregate`: a two-phase groupby where phase 1 groups
+on ``(key, salt)`` with ``salt = row_hash % S`` to split hot keys across S
+reducers, and phase 2 re-combines the S partials per key — standard salting
+(SURVEY.md §4 "Skew").  Correct for any commutative-associative aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from bqf_ray.functions.hashing import fmix64, xxhash64_array
+
+
+def add_salt(batch: pa.Table, key_col: str, num_salts: int = 16,
+             salt_col: str = "__salt") -> pa.Table:
+    """Append a salt column spreading each key's rows over ``num_salts``
+    sub-keys (deterministic per row position+key so retries are stable)."""
+    n = len(batch)
+    kh = xxhash64_array(batch.column(key_col))
+    row = np.arange(n, dtype=np.uint64)
+    salt = (fmix64(kh + row) % np.uint64(num_salts)).astype(np.int64)
+    return batch.append_column(salt_col, pa.array(salt))
+
+
+def salted_aggregate(ds, key_col: str, agg_cols: dict[str, str],
+                     num_salts: int = 16):
+    """Two-phase skew-safe aggregate.
+
+    ``agg_cols``: {column: "sum"|"count"|"min"|"max"} — commutative
+    aggregates only.  Returns a Dataset grouped by ``key_col`` with columns
+    named ``{agg}_{col}`` (count gets ``count_rows``).
+
+    Phase 1 shuffles on (key, salt) — a hot key's rows land on up to
+    ``num_salts`` different reducers; phase 2 shuffles only the S partial
+    rows per key.
+    """
+    import pyarrow.compute as pc
+
+    def phase1(batch: pa.Table) -> pa.Table:
+        batch = add_salt(batch, key_col, num_salts)
+        # local pre-aggregation before the wide shuffle
+        gb = batch.group_by([key_col, "__salt"])
+        aggs = []
+        for col, how in agg_cols.items():
+            if how == "count":
+                aggs.append((col, "count"))
+            else:
+                aggs.append((col, how))
+        return gb.aggregate(aggs)
+
+    def phase2(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by([key_col])
+        aggs = []
+        for col, how in agg_cols.items():
+            src = f"{col}_{'count' if how == 'count' else how}"
+            # partial counts/sums re-combine with sum; min/max with min/max
+            how2 = "sum" if how in ("count", "sum") else how
+            aggs.append((src, how2))
+        out = gb.aggregate(aggs)
+        # normalize names: pyarrow appends _sum/_min/... again
+        renames = {}
+        for col, how in agg_cols.items():
+            src = f"{col}_{'count' if how == 'count' else how}"
+            how2 = "sum" if how in ("count", "sum") else how
+            renames[f"{src}_{how2}"] = (f"count_rows" if how == "count"
+                                        else f"{how}_{col}")
+        cols = [renames.get(name, name) for name in out.column_names]
+        return out.rename_columns(cols)
+
+    phase1_ds = ds.map_batches(phase1, batch_format="pyarrow")
+    # wide shuffle 1: (key, salt) — hot keys split across reducers
+    partials = (phase1_ds.groupby([key_col, "__salt"])
+                .map_groups(lambda t: phase2_local(t), batch_format="pyarrow"))
+    # wide shuffle 2: tiny — ≤ num_salts rows per key
+    return (partials.groupby(key_col)
+            .map_groups(phase2, batch_format="pyarrow"))
+
+
+def phase2_local(batch: pa.Table) -> pa.Table:
+    """Combine one (key, salt) group's pre-aggregated partials into one row
+    (drops the salt column)."""
+    import pyarrow.compute as pc
+    cols = {}
+    for name in batch.column_names:
+        if name == "__salt":
+            continue
+        col = batch.column(name)
+        if name.endswith(("_sum", "_count")):
+            cols[name] = pa.array([pc.sum(col).as_py()], type=col.type)
+        elif name.endswith("_min"):
+            cols[name] = pa.array([pc.min(col).as_py()], type=col.type)
+        elif name.endswith("_max"):
+            cols[name] = pa.array([pc.max(col).as_py()], type=col.type)
+        else:  # the key column
+            cols[name] = col.slice(0, 1)
+    return pa.table(cols)

@@ -1,0 +1,243 @@
+"""Ray Data stages that turn any :class:`MergeableSketch` into a
+distributed UDAF.
+
+Three shapes (SURVEY.md §3.1 "Ray shape" / §7.3):
+
+1. **Partial + tree-reduce** (`build_sketch`): stateless ``map_batches``
+   emits one serialized partial sketch per input block, then
+   :func:`tree_merge` reduces them level-by-level with a
+   ``groupby(part_id // fanout)`` shuffle per level — the canonical
+   mergeable-UDAF plan.  Works for any sketch; network cost per level is
+   (#partials / fanout) × sketch_size.
+
+2. **Partitioned build** (`build_partitioned`): one hash-partition shuffle
+   on ``key % P`` co-locates every occurrence of a key, then one sketch is
+   built per partition (``groupby("__part").map_groups``).  Keys are
+   disjoint across shards, so the shard set IS the global sketch —
+   probes route by the same ``key % P``.  This is the shape for sketches
+   whose size grows with distinct keys (BQF), where a tree-merge of
+   overlapping partials would thrash.
+
+3. **Probe** (`ProbeStage`): broadcast the (shard) sketch blobs once via
+   ``ray.put``; an actor pool deserializes in ``__init__`` and serves
+   vectorized lookups per batch — the reference's query pipeline
+   (/root/reference/src/abstract_bqf.cpp:169-191) as a data-parallel stage.
+
+Hash-space partitioning by ``key % P`` is uniform for hashed tokens by
+construction, so no salting is needed HERE; salting applies to
+natural-key groupbys (see ``stages/partition.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from bqf_ray.sketches.base import MergeableSketch
+
+KeyFn = Callable[[pa.Table], tuple[np.ndarray, np.ndarray | None]]
+"""batch → (uint64 keys, optional counts). May emit any number of keys."""
+
+
+# ---------------------------------------------------------------------------
+# shape 1: partials + tree merge
+# ---------------------------------------------------------------------------
+
+def partial_sketches(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
+                     batch_size: int | None = 4096, label: str = "sketch"):
+    """Dataset → Dataset[(part_id: int64, blob: binary)] — one partial
+    sketch per input batch, built inside stateless tasks."""
+
+    def make_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = key_fn(batch)
+        sk = factory()
+        sk.update_batch(keys, counts)
+        return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+
+    return ds.map_batches(make_partial, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def _merge_block(batch: pa.Table) -> pa.Table:
+    blobs = batch.column("blob").to_pylist()
+    sk = MergeableSketch.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        sk.merge(MergeableSketch.from_bytes(b))
+    return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
+
+
+def tree_merge(blob_ds, fanout: int = 8):
+    """Tree-reduce a Dataset of sketch blobs to ONE sketch: each level
+    ``repartition(ceil(n/fanout))`` packs ~fanout blobs per block and a
+    whole-block ``map_batches`` merges them.  Depth = log_fanout(n); each
+    level moves only the partial blobs, never row data.  Returns the final
+    sketch object."""
+    ds = blob_ds
+    n = ds.count()
+    while n > 1:
+        levels = max(1, (n + fanout - 1) // fanout)
+        ds = (ds.repartition(levels)
+                .map_batches(_merge_block, batch_format="pyarrow",
+                             batch_size=None))
+        ds = ds.materialize()
+        n = ds.count()
+    rows = ds.take_all()
+    assert len(rows) == 1, f"tree_merge ended with {len(rows)} blobs"
+    return MergeableSketch.from_bytes(rows[0]["blob"])
+
+
+def build_sketch(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
+                 batch_size: int | None = 4096, fanout: int = 8
+                 ) -> MergeableSketch:
+    """read → partial per block → tree merge → one sketch."""
+    return tree_merge(partial_sketches(ds, key_fn, factory, batch_size),
+                      fanout=fanout)
+
+
+# ---------------------------------------------------------------------------
+# shape 2: partitioned build (disjoint key ranges)
+# ---------------------------------------------------------------------------
+
+def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
+                      num_partitions: int = 16, batch_size: int | None = 4096,
+                      sink_dir: str | None = None,
+                      skip_partitions: set[int] | None = None):
+    """One shuffle: route (key, count) rows by ``key % P``, build one sketch
+    per partition → Dataset[(part, blob, n_keys, bytes)].
+
+    Pre-aggregates (key, count) inside each map task before the shuffle so
+    the exchange carries per-batch-unique keys, not raw occurrences
+    (ray_guide 'Aggregation at scale').  With ``sink_dir`` set, shard blobs
+    are written from inside the build tasks (atomic + idempotent) and the
+    returned dataset carries metadata only — nothing big flows to the
+    driver.  ``skip_partitions`` drops already-checkpointed partitions
+    right after the pre-aggregation (resume path).
+    """
+    P = int(num_partitions)
+
+    def to_kv(batch: pa.Table) -> pa.Table:
+        keys, counts = key_fn(batch)
+        keys = np.asarray(keys, dtype=np.uint64)
+        if counts is None:
+            counts = np.ones(len(keys), dtype=np.uint64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        agg = np.zeros(len(uniq), dtype=np.uint64)
+        np.add.at(agg, inv, np.asarray(counts, dtype=np.uint64))
+        return pa.table({
+            "__part": pa.array((uniq % np.uint64(P)).astype(np.int64)),
+            "key": pa.array(uniq.astype(np.int64)),   # arrow-friendly signed view
+            "count": pa.array(agg.astype(np.int64)),
+        })
+
+    def build_group(batch: pa.Table) -> pa.Table:
+        part = int(batch.column("__part")[0].as_py())
+        keys = np.asarray(batch.column("key"), dtype=np.int64).astype(np.uint64)
+        counts = np.asarray(batch.column("count"), dtype=np.int64).astype(np.uint64)
+        sk = factory()
+        sk.update_batch(keys, counts)
+        blob = sk.to_bytes()
+        n_keys = len(np.unique(keys))
+        if sink_dir is not None:
+            # write the shard from inside the task (atomic, deterministic
+            # name → idempotent under retries); only metadata flows back
+            from bqf_ray.state.checkpoint import _atomic_write
+            import os
+            path = os.path.join(sink_dir, f"part-{part:05d}.sketch")
+            _atomic_write(path, blob)
+            return pa.table({
+                "part": pa.array([part], pa.int64()),
+                "blob": pa.array([b""], pa.binary()),
+                "n_keys": pa.array([n_keys], pa.int64()),
+                "bytes": pa.array([len(blob)], pa.int64()),
+            })
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "blob": pa.array([blob], pa.binary()),
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "bytes": pa.array([len(blob)], pa.int64()),
+        })
+
+    skip_fn = None
+    if skip_partitions:
+        skip = np.array(sorted(skip_partitions), dtype=np.int64)
+
+        def skip_fn(batch: pa.Table) -> pa.Table:
+            part = np.asarray(batch.column("__part"), dtype=np.int64)
+            keep = ~np.isin(part, skip)
+            return batch.filter(pa.array(keep))
+
+    kv = ds.map_batches(to_kv, batch_format="pyarrow", batch_size=batch_size)
+    if skip_fn is not None:
+        kv = kv.map_batches(skip_fn, batch_format="pyarrow")
+    return kv.groupby("__part").map_groups(build_group, batch_format="pyarrow")
+
+
+class PartitionedSketch:
+    """P shard sketches over disjoint key ranges (key % P routing)."""
+
+    def __init__(self, shards: dict[int, MergeableSketch]):
+        self.P = max(shards) + 1 if shards else 0
+        self.shards = shards
+
+    @classmethod
+    def from_dataset(cls, blob_ds) -> "PartitionedSketch":
+        shards = {}
+        for row in blob_ds.take_all():
+            shards[int(row["part"])] = MergeableSketch.from_bytes(row["blob"])
+        return cls(shards)
+
+    def query_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=np.uint64)
+        part = keys % np.uint64(self.P) if self.P else keys
+        for p, sk in self.shards.items():
+            m = part == p
+            if m.any():
+                out[m] = sk.query_batch(keys[m])
+        return out
+
+    def enumerate(self) -> tuple[np.ndarray, np.ndarray]:
+        ks, cs = [], []
+        for p in sorted(self.shards):
+            k, c = self.shards[p].enumerate()
+            ks.append(k)
+            cs.append(c)
+        return (np.concatenate(ks) if ks else np.empty(0, dtype=np.uint64),
+                np.concatenate(cs) if cs else np.empty(0, dtype=np.uint64))
+
+    @property
+    def elements_inside(self) -> int:
+        return sum(s.elements_inside for s in self.shards.values())
+
+
+# ---------------------------------------------------------------------------
+# shape 3: probe stage
+# ---------------------------------------------------------------------------
+
+class ProbeStage:
+    """Actor-pool ``map_batches`` stage: look up a key column against a
+    broadcast (partitioned) sketch; appends a ``count`` column.
+
+    Pass ``sketch_ref = ray.put(partitioned_or_plain_sketch)`` from the
+    driver — the blob ships to each actor ONCE (object-store broadcast),
+    never per batch.
+    """
+
+    def __init__(self, sketch_ref, key_fn: KeyFn | None = None,
+                 key_col: str = "key", out_col: str = "count"):
+        import ray
+        self.sketch = ray.get(sketch_ref)
+        self.key_fn = key_fn
+        self.key_col = key_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.key_fn is not None:
+            keys, _ = self.key_fn(batch)
+        else:
+            keys = np.asarray(batch.column(self.key_col), dtype=np.int64).astype(np.uint64)
+        counts = self.sketch.query_batch(keys)
+        return batch.append_column(self.out_col,
+                                   pa.array(counts.astype(np.int64)))

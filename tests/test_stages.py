@@ -1,0 +1,143 @@
+"""Ray-level tests: partial+tree-merge build, partitioned build, probe
+stage, salted aggregate, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bqf_ray.functions.tokenize import token_hashes
+from bqf_ray.pipelines.build_index import BqfIndex, build_bqf_index
+from bqf_ray.sketches.bqf import BqfEc
+from bqf_ray.sketches.hll import HyperLogLog
+from bqf_ray.sources.pages import generate_pages
+from bqf_ray.stages.sketch_stage import (PartitionedSketch, ProbeStage,
+                                         build_partitioned, build_sketch)
+from bqf_ray.state.checkpoint import SketchCheckpoint
+
+
+_token_key_fn = __import__("bqf_ray.pipelines.build_index", fromlist=["shingle_key_fn"]).shingle_key_fn("text", 1, 0)
+
+
+def _exact_token_counts(table: pa.Table, cap=255):
+    h, _ = token_hashes(table.column("text"))
+    uniq, cnt = np.unique(h, return_counts=True)
+    return uniq, np.minimum(cnt, cap)
+
+
+@pytest.fixture(scope="module")
+def pages_table():
+    return generate_pages(1200, seed=3)
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, pages_table):
+    import ray
+    return ray.data.from_arrow(pages_table).repartition(8)
+
+
+def test_build_sketch_tree_merge(ray_session, pages_ds, pages_table):
+    sk = build_sketch(pages_ds, _token_key_fn, lambda: HyperLogLog(p=12),
+                      batch_size=256, fanout=4)
+    uniq, _ = _exact_token_counts(pages_table)
+    est = sk.estimate()
+    assert abs(est - len(uniq)) / len(uniq) < 4 * sk.error_bound()
+
+
+def test_build_partitioned_bqf(ray_session, pages_ds, pages_table):
+    blob_ds = build_partitioned(
+        pages_ds, _token_key_fn, lambda: BqfEc(q=10, count_size=8),
+        num_partitions=8, batch_size=256)
+    ps = PartitionedSketch.from_dataset(blob_ds)
+    assert len(ps.shards) <= 8
+    uniq, exact = _exact_token_counts(pages_table)
+    got = ps.query_batch(uniq)
+    np.testing.assert_array_equal(got, exact)
+    # enumerate over shards covers exactly the distinct keys
+    ek, ec = ps.enumerate()
+    assert len(ek) == len(uniq)
+
+
+def test_probe_stage_broadcast(ray_session, pages_ds, pages_table):
+    import ray
+    blob_ds = build_partitioned(
+        pages_ds, _token_key_fn, lambda: BqfEc(q=10, count_size=8),
+        num_partitions=4, batch_size=256)
+    ps = PartitionedSketch.from_dataset(blob_ds)
+    ref = ray.put(ps)
+    uniq, exact = _exact_token_counts(pages_table)
+    probe_tbl = pa.table({"key": pa.array(uniq.astype(np.int64))})
+    out = (ray.data.from_arrow(probe_tbl).repartition(4)
+           .map_batches(ProbeStage, fn_constructor_args=(ref,),
+                        batch_format="pyarrow", batch_size=512, concurrency=2)
+           .to_pandas())
+    out = out.sort_values("key").reset_index(drop=True)
+    order = np.argsort(uniq.astype(np.int64))
+    np.testing.assert_array_equal(out["count"].to_numpy(),
+                                  exact[order].astype(np.int64))
+
+
+def test_checkpoint_resume_skips_done(ray_session, pages_ds, pages_table, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    lineage = ["pages:seed=3:n=1200"]
+    idx = build_bqf_index(pages_ds, num_partitions=6, q=10,
+                          checkpoint_dir=ckdir, input_lineage=lineage,
+                          batch_size=256)
+    uniq, exact = _exact_token_counts(pages_table)
+    np.testing.assert_array_equal(idx.query_tokens(uniq), exact)
+    m1 = SketchCheckpoint.load_manifest(ckdir)
+    assert len(m1["partitions"]) == len(idx.psketch.shards)
+
+    # delete two shards; resume must rebuild exactly those
+    for p in [0, 3]:
+        os.remove(os.path.join(ckdir, f"part-{p:05d}.sketch"))
+    done = SketchCheckpoint.resume_plan(ckdir, m1["config"], lineage)
+    assert 0 not in done and 3 not in done and len(done) == len(m1["partitions"]) - 2
+
+    idx2 = build_bqf_index(pages_ds, num_partitions=6, q=10,
+                           checkpoint_dir=ckdir, input_lineage=lineage,
+                           batch_size=256)
+    np.testing.assert_array_equal(idx2.query_tokens(uniq), exact)
+
+    # config change invalidates the checkpoint
+    assert SketchCheckpoint.resume_plan(
+        ckdir, {**m1["config"], "q": 11}, lineage) == set()
+    # lineage change invalidates too
+    assert SketchCheckpoint.resume_plan(
+        ckdir, m1["config"], ["other-input"]) == set()
+
+    # reload from disk alone
+    idx3 = BqfIndex.load(ckdir)
+    np.testing.assert_array_equal(idx3.query_tokens(uniq), exact)
+
+
+def test_probe_documents_fimpera(ray_session, pages_ds, pages_table):
+    import ray
+    idx = build_bqf_index(pages_ds, num_partitions=4, q=12, batch_size=512)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([pages_table["text"][0].as_py(),
+                          "zzqx1 zzqx2 zzqx3"]),
+    })
+    out = (idx.probe_documents(ray.data.from_arrow(docs), concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0's tokens all exist in the corpus → full presence
+    assert out.loc[0, "presence_ratio"] == 1.0
+    assert out.loc[0, "minimum"] >= 1
+    # absent tokens → zero presence
+    assert out.loc[1, "presence_ratio"] == 0.0
+    assert out.loc[1, "minimum"] == 0
+
+
+def test_salted_aggregate_matches_plain(ray_session, pages_ds, pages_table):
+    from bqf_ray.stages.partition import salted_aggregate
+    import pandas as pd
+    out = salted_aggregate(pages_ds.select_columns(["lang", "warc_ts"]),
+                           "lang", {"warc_ts": "count"}, num_salts=8).to_pandas()
+    exact = (pages_table.to_pandas().groupby("lang").size()
+             .rename("count_rows").reset_index())
+    merged = out.sort_values("lang").reset_index(drop=True)
+    exact = exact.sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged[["lang", "count_rows"]].astype({"count_rows": "int64"}), exact)
