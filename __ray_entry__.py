@@ -1,16 +1,20 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the bqf_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every deterministic, SQL-expressible one.
+Approximate/heuristic operators (HLL, Count-Min, quantile sketches,
+MinHash-LSH, SimHash, LangId, quality, LSH-knn, sessions) are exposed
+without oracles → the driver records rows-only checks; their accuracy is
+bound-tested in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before importing this module; nothing
+here calls ray.init()/ray.shutdown().
+
+Float determinism: every oracle-checked float column is either an exact
+ratio of integers (IEEE division is deterministic) or a sum of pre-rounded
+integer "cents" — so Ray and DuckDB agree bit-for-bit regardless of
+summation order.
 """
 
 from __future__ import annotations
@@ -18,27 +22,387 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_CAP = 255          # 2^count_size − 1 for count_size=8 (BqfEc backpack)
+
+_TOKENS_SQL = ("SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token "
+               "FROM documents")
+
+
+def _docs(sf_dir):
+    import ray
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _events(sf_dir):
+    import ray
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts", "event_type", "value",
+                                          "user_id"])
+
+
+def _embeddings(sf_dir):
+    import ray
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir):
+    from bqf_ray.pipelines.aggregates import token_counts
+    return token_counts(_docs(sf_dir))
+
+
+def q_bqf_token_counts(sf_dir):
+    from bqf_ray.pipelines.aggregates import bqf_token_counts
+    return bqf_token_counts(_docs(sf_dir), count_size=8, num_partitions=8)
+
+
+def q_first_repeat_tokens(sf_dir):
+    """Tokens seen ≥ 2 times — BqfCf (first-repeat counting filter) path."""
+    import ray
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.pipelines.dedup import first_repeat_keys
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+    keys = first_repeat_keys(ds, num_partitions=8).to_pandas()["key"].to_numpy()
+    key_set = np.sort(keys.astype(np.int64).astype(np.uint64))
+    ref = ray.put(key_set)
+
+    class Member:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, _ = tokenize_column(batch.column("text"))
+            u = pc.unique(toks)
+            h = xxhash64_array(u)
+            pos = np.searchsorted(self.keys, h)
+            hit = pos < len(self.keys)
+            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit &= self.keys[posc] == h
+            return pa.table({"token": u.filter(pa.array(hit))})
+
+    return (ds.map_batches(Member, batch_format="pyarrow", concurrency=2)
+            .groupby("token")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+
+def q_exact_dedup(sf_dir):
+    """Exact dedup on the first-8-token prefix: min doc_id per group."""
+    from bqf_ray.pipelines.dedup import exact_dedup
+    out = exact_dedup(_docs(sf_dir), prefix_tokens=8)
+    return out.select_columns(["doc_id"])
+
+
+def q_doc_stats(sf_dir):
+    from bqf_ray.pipelines.text_stats import doc_stats
+    return doc_stats(_docs(sf_dir))
+
+
+def q_distinct_tokens(sf_dir):
+    from bqf_ray.pipelines.aggregates import distinct_tokens_exact
+    return distinct_tokens_exact(_docs(sf_dir))
+
+
+def q_pricing_summary(sf_dir):
+    import ray
+    from bqf_ray.pipelines.aggregates import pricing_summary
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    return pricing_summary(ds)
+
+
+def q_tumbling_events(sf_dir):
+    from bqf_ray.pipelines.windowed import tumbling_window
+    return tumbling_window(_events(sf_dir), size_s=3600)
+
+
+def q_jaccard_dups(sf_dir):
+    from bqf_ray.pipelines.dedup import jaccard_dup_pairs
+    return jaccard_dup_pairs(_docs(sf_dir), threshold=0.5, s=3)
+
+
+def q_knn(sf_dir):
+    from bqf_ray.pipelines.knn import knn_bruteforce
+    ds = _embeddings(sf_dir)
+    qdf = ds.to_pandas().sort_values("vec_id").head(5)
+    return knn_bruteforce(ds, qdf["vec_id"].to_numpy(),
+                          np.stack(qdf["embedding"].to_numpy()), k=10)
+
+
+def q_embedding_dups(sf_dir):
+    from bqf_ray.pipelines.dedup import embedding_dup_pairs
+    out = embedding_dup_pairs(_embeddings(sf_dir), threshold=0.45)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def q_probe_fimpera(sf_dir):
+    """Build a BQF over even-doc_id documents, probe ALL documents:
+    per-doc {minimum, maximum, average, presence_ratio} (reference query
+    pipeline semantics, /root/reference/src/abstract_bqf.cpp:195-248,
+    s=1 / z=0 token domain)."""
+    from bqf_ray.pipelines.build_index import build_bqf_index
+
+    ds = _docs(sf_dir)
+
+    def even_only(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    build_ds = ds.map_batches(even_only, batch_format="pyarrow")
+    idx = build_bqf_index(build_ds, num_partitions=8, q=12, count_size=8)
+    return idx.probe_documents(ds, z=0, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# weak-checked (approximate / heuristic / non-SQL) queries
+# ---------------------------------------------------------------------------
+
+def w_hll_distinct(sf_dir):
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import distinct_tokens_hll
+    est = distinct_tokens_hll(_docs(sf_dir), p=14)
+    return pd.DataFrame({"n_distinct_est": [est]})
+
+
+def w_quantiles_value(sf_dir):
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import value_quantiles
+    qs = value_quantiles(_events(sf_dir), "value", method="tdigest")
+    return pd.DataFrame({"q": list(qs), "est": list(qs.values())})
+
+
+def w_kll_quantiles_price(sf_dir):
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.aggregates import value_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    qs = value_quantiles(ds, "l_extendedprice", method="kll")
+    return pd.DataFrame({"q": list(qs), "est": list(qs.values())})
+
+
+def w_heavy_hitters(sf_dir):
+    from bqf_ray.pipelines.aggregates import heavy_hitters
+    return heavy_hitters(_docs(sf_dir), top=20)
+
+
+def w_minhash_pairs(sf_dir):
+    from bqf_ray.pipelines.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5, s=3)
+
+
+def w_simhash_fingerprints(sf_dir):
+    from bqf_ray.pipelines.text_stats import content_fingerprints
+    return content_fingerprints(_docs(sf_dir))
+
+
+def w_simhash_dups(sf_dir):
+    from bqf_ray.pipelines.dedup import simhash_dup_pairs
+    return simhash_dup_pairs(_docs(sf_dir), max_hamming=6)
+
+
+def w_lang_id(sf_dir):
+    from bqf_ray.pipelines.text_stats import LangId
+    return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                     concurrency=2).select_columns(
+        ["doc_id", "pred_lang", "lang_score"])
+
+
+def w_quality(sf_dir):
+    from bqf_ray.pipelines.text_stats import QualityScore
+    return _docs(sf_dir).map_batches(QualityScore, batch_format="pyarrow",
+                                     concurrency=2).select_columns(
+        ["doc_id", "quality", "n_tokens", "stop_ratio"])
+
+
+def w_sessions(sf_dir):
+    from bqf_ray.pipelines.windowed import session_windows
+    return session_windows(_events(sf_dir), gap_s=1800)
+
+
+def w_sliding_events(sf_dir):
+    from bqf_ray.pipelines.windowed import sliding_window
+    return sliding_window(_events(sf_dir), size_s=3600, slide_s=900)
+
+
+def w_knn_lsh(sf_dir):
+    from bqf_ray.pipelines.knn import knn_lsh
+    ds = _embeddings(sf_dir)
+    qdf = ds.to_pandas().sort_values("vec_id").head(5)
+    return knn_lsh(ds, qdf["vec_id"].to_numpy(),
+                   np.stack(qdf["embedding"].to_numpy()), k=10, bits=8,
+                   multi_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BQF build + probe over sf0.001 documents."""
+    return q_bqf_token_counts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "token_counts": q_token_counts,
+        "bqf_token_counts": q_bqf_token_counts,
+        "first_repeat_tokens": q_first_repeat_tokens,
+        "exact_dedup": q_exact_dedup,
+        "doc_stats": q_doc_stats,
+        "distinct_tokens": q_distinct_tokens,
+        "pricing_summary": q_pricing_summary,
+        "tumbling_events": q_tumbling_events,
+        "jaccard_dups": q_jaccard_dups,
+        "knn": q_knn,
+        "embedding_dups": q_embedding_dups,
+        "probe_fimpera": q_probe_fimpera,
+        "hll_distinct": w_hll_distinct,
+        "tdigest_quantiles": w_quantiles_value,
+        "kll_quantiles": w_kll_quantiles_price,
+        "heavy_hitters": w_heavy_hitters,
+        "minhash_pairs": w_minhash_pairs,
+        "simhash_fingerprints": w_simhash_fingerprints,
+        "simhash_dups": w_simhash_dups,
+        "lang_id": w_lang_id,
+        "quality": w_quality,
+        "sessions": w_sessions,
+        "sliding_events": w_sliding_events,
+        "knn_lsh": w_knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens = _TOKENS_SQL
+    return {
+        "token_counts": f"""
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM ({tokens}) WHERE token <> '' GROUP BY token""",
+        "bqf_token_counts": f"""
+            SELECT token, LEAST(count(*), {_CAP})::BIGINT AS cnt
+            FROM ({tokens}) WHERE token <> '' GROUP BY token""",
+        "first_repeat_tokens": f"""
+            SELECT token FROM ({tokens}) WHERE token <> ''
+            GROUP BY token HAVING count(*) >= 2""",
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id,
+                     array_to_string((string_split_regex(text,'\\s+'))[1:8],
+                                     ' ') AS pfx
+              FROM documents) GROUP BY pfx""",
+        "doc_stats": f"""
+            WITH t AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                           sum(length(token))::BIGINT AS sum_len
+                    FROM t GROUP BY doc_id)
+            SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   CASE WHEN COALESCE(a.n_tokens,0) > 0
+                        THEN a.sum_len::DOUBLE / a.n_tokens ELSE 0.0
+                   END AS avg_token_len
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "distinct_tokens": f"""
+            SELECT count(DISTINCT token)::BIGINT AS n_distinct
+            FROM ({tokens}) WHERE token <> ''""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0
+                       AS sum_qty,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0
+                       AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                            AS BIGINT))/100.0 AS sum_disc_price,
+                   (sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0)
+                       / count(*) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "tumbling_events": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type, count(*)::BIGINT AS n_events,
+                   sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
+                       AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "jaccard_dups": """
+            WITH tok AS (
+              SELECT doc_id, i, toks[i] AS t
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text,'\\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.t || ' ' || b.t || ' ' || c.t AS shingle
+              FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                         JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS m
+                      FROM sh x JOIN sh y
+                        ON x.shingle=y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   m::DOUBLE / (sa.n + sb.n - m) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id=da JOIN sz sb ON sb.doc_id=db
+            WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.5""",
+        "knn": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+            sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+                      FROM (SELECT unnest(q.embedding) AS a,
+                                   unnest(c.embedding) AS b) x)
+                     / sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                             FROM (SELECT unnest(q.embedding) AS a) y))
+                     / sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                             FROM (SELECT unnest(c.embedding) AS b) z))
+                         AS s
+              FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id)::BIGINT
+                       AS rank
+            FROM sims
+            QUALIFY rank <= 10""",
+        "embedding_dups": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt((SELECT sum(x.a::DOUBLE * x.a::DOUBLE)
+                           FROM (SELECT unnest(embedding) AS a) x)) AS nrm
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE (SELECT sum(x.u::DOUBLE * x.v::DOUBLE)
+                   FROM (SELECT unnest(a.embedding) AS u,
+                                unnest(b.embedding) AS v) x)
+                  / (a.nrm * b.nrm) >= 0.45""",
+        "probe_fimpera": f"""
+            WITH cnts AS (
+              SELECT token, LEAST(count(*), {_CAP}) AS c
+              FROM ({tokens}) WHERE token <> '' AND doc_id % 2 = 0
+              GROUP BY token),
+            tok AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
+            j AS (SELECT t.doc_id, COALESCE(c.c, 0) AS ab
+                  FROM tok t LEFT JOIN cnts c USING (token))
+            SELECT doc_id,
+                   min(ab)::BIGINT AS minimum,
+                   max(ab)::BIGINT AS maximum,
+                   sum(CASE WHEN ab > 0 THEN ab ELSE 0 END)::DOUBLE
+                       / count(*) AS average,
+                   sum(CASE WHEN ab > 0 THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*) AS presence_ratio
+            FROM j GROUP BY doc_id""",
+    }

@@ -1,0 +1,216 @@
+"""Grouped-aggregate pipelines: token counts (exact and BQF-backed),
+distinct counts (exact and HLL), heavy hitters (Count-Min backed +
+exact oracle shape), quantiles (t-digest / KLL), and a TPC-H-Q1-style
+relational rollup used as the generic-aggregate smoke.
+
+All wide steps pre-aggregate inside ``map_batches`` (pyarrow group_by per
+batch) before the Ray ``groupby`` shuffle, so the exchange carries
+per-batch-unique keys only (ray_guide 'Aggregation at scale').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bqf_ray.functions.tokenize import tokenize_column
+
+
+def _explode_tokens(batch: pa.Table, text_col: str) -> pa.Table:
+    toks, _ = tokenize_column(batch.column(text_col))
+    t = pa.table({"token": toks, "n": np.ones(len(toks), dtype=np.int64)})
+    return t.group_by(["token"]).aggregate([("n", "sum")]).rename_columns(
+        ["token", "partial"])
+
+
+def token_counts(ds, text_col: str = "text", cap: int | None = None):
+    """(token, cnt) over whitespace tokens — exact grouped count.
+    ``cap`` saturates counts (the BQF-ec backpack semantics,
+    /root/reference/src/bqf_ec.cpp:148-150) for oracle parity with
+    :func:`bqf_token_counts`."""
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(lambda b: _explode_tokens(b, text_col),
+                          batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("partial", alias_name="cnt")))
+
+    if cap is None:
+        return agg
+
+    def apply_cap(batch: pa.Table) -> pa.Table:
+        c = np.minimum(np.asarray(batch.column("cnt"), dtype=np.int64), cap)
+        return batch.set_column(batch.schema.get_field_index("cnt"),
+                                "cnt", pa.array(c))
+
+    return agg.map_batches(apply_cap, batch_format="pyarrow")
+
+
+def bqf_token_counts(ds, text_col: str = "text", count_size: int = 8,
+                     num_partitions: int = 8, q: int = 12):
+    """(token, cnt) where cnt comes out of a partitioned BQF built over the
+    corpus — end-to-end build+probe with the exact saturated-count oracle
+    LEAST(count(*), 2^c−1).  Distinct tokens come from an exact pass; their
+    counts come from the sketch."""
+    import ray
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.pipelines.build_index import build_bqf_index
+    from bqf_ray.stages.sketch_stage import PartitionedSketch  # noqa: F401
+
+    idx = build_bqf_index(ds, text_col=text_col, s=1, q=q,
+                          count_size=count_size,
+                          num_partitions=num_partitions)
+    ref = ray.put(idx.psketch)
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_column(batch.column(text_col))
+        u = pc.unique(toks)
+        return pa.table({"token": u})
+
+    class ProbeCounts:
+        def __init__(self):
+            self.sk = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = xxhash64_array(batch.column("token"))
+            cnt = self.sk.query_batch(keys).astype(np.int64)
+            return pa.table({"token": batch.column("token"),
+                             "cnt": pa.array(cnt)})
+
+    return (ds.map_batches(distinct_tokens, batch_format="pyarrow")
+            .groupby("token")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .map_batches(ProbeCounts, batch_format="pyarrow",
+                         batch_size=4096, concurrency=2))
+
+
+def distinct_tokens_exact(ds, text_col: str = "text"):
+    """Single-row Dataset: exact COUNT(DISTINCT token)."""
+    from ray.data.aggregate import Count
+
+    counted = (ds.map_batches(lambda b: _explode_tokens(b, text_col),
+                              batch_format="pyarrow")
+               .groupby("token").aggregate(Count(alias_name="c")))
+    n = counted.count()
+
+    import ray
+    return ray.data.from_arrow(pa.table({"n_distinct": pa.array([n], pa.int64())}))
+
+
+def distinct_tokens_hll(ds, text_col: str = "text", p: int = 14) -> float:
+    """HLL estimate of distinct tokens (±1.04/√2^p) via partial sketches +
+    tree merge — no shuffle of token rows at all."""
+    from bqf_ray.pipelines.build_index import shingle_key_fn
+    from bqf_ray.sketches.hll import HyperLogLog
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    sk = build_sketch(ds, shingle_key_fn(text_col, 1, 0),
+                      lambda: HyperLogLog(p=p))
+    return float(sk.estimate())
+
+
+def heavy_hitters(ds, text_col: str = "text", top: int = 20,
+                  eps: float = 1e-4, delta: float = 1e-3):
+    """Approximate top-k tokens: Count-Min for counts + exact distinct pass
+    for candidates (candidate set = all tokens here; at 10^12 scale swap
+    the candidate pass for CM-backed threshold filtering).  Exact top-k
+    given CM's one-sided error ≤ εN whp; pytest checks vs exact."""
+    import ray
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.pipelines.build_index import shingle_key_fn
+    from bqf_ray.sketches.countmin import CountMin
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    cm = build_sketch(ds, shingle_key_fn(text_col, 1, 0),
+                      lambda: CountMin.from_error(eps, delta, seed=3))
+    ref = ray.put(cm)
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_column(batch.column(text_col))
+        return pa.table({"token": pc.unique(toks)})
+
+    class Estimate:
+        def __init__(self):
+            self.cm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = xxhash64_array(batch.column("token"))
+            est = self.cm.query_batch(keys).astype(np.int64)
+            return pa.table({"token": batch.column("token"),
+                             "est": pa.array(est)})
+
+    return (ds.map_batches(distinct_tokens, batch_format="pyarrow")
+            .groupby("token")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .map_batches(Estimate, batch_format="pyarrow", concurrency=2)
+            .sort(["est", "token"], descending=[True, False])
+            .limit(top))
+
+
+def value_quantiles(ds, value_col: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+                    method: str = "tdigest"):
+    """Approximate quantiles of a numeric column via t-digest or KLL
+    partial sketches + tree merge.  Returns {q: estimate}."""
+    from bqf_ray.sketches.kll import KLL
+    from bqf_ray.sketches.tdigest import TDigest
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    def key_fn(batch: pa.Table):
+        vals = np.asarray(batch.column(value_col), dtype=np.float64)
+        return vals, None
+
+    factory = (lambda: TDigest(delta=300)) if method == "tdigest" \
+        else (lambda: KLL(k=400, seed=11))
+    sk = build_sketch(ds, key_fn, factory)
+    return {float(q): float(sk.quantile(q)) for q in qs}
+
+
+def pricing_summary(ds):
+    """TPC-H-Q1-style rollup over lineitem (generic-aggregate smoke):
+    per (l_returnflag, l_linestatus): sum_qty, sum_base_price, sum_disc_price,
+    avg_qty, count_order — pre-aggregated per batch, tiny final shuffle.
+
+    Money sums accumulate as pre-rounded integer cents
+    (``floor(x*100 + 0.5)``) so results are bit-identical regardless of
+    summation order — the determinism contract shared with the SQL oracle.
+    """
+
+    def _cents(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 100 + 0.5).astype(np.int64)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch.column("l_quantity"))
+        price = np.asarray(batch.column("l_extendedprice"))
+        disc = np.asarray(batch.column("l_discount"))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "c_qty": pa.array(_cents(qty)),
+            "c_base": pa.array(_cents(price)),
+            "c_disc": pa.array(_cents(price * (1.0 - disc))),
+            "count_order": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("c_qty", "sum"), ("c_base", "sum"),
+             ("c_disc", "sum"), ("count_order", "sum")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "c_qty", "c_base",
+             "c_disc", "count_order"])
+
+    def final(group: pa.Table) -> pa.Table:
+        c_qty = pc.sum(group.column("c_qty")).as_py()
+        n = pc.sum(group.column("count_order")).as_py()
+        return pa.table({
+            "l_returnflag": group.column("l_returnflag").slice(0, 1),
+            "l_linestatus": group.column("l_linestatus").slice(0, 1),
+            "sum_qty": pa.array([c_qty / 100.0], pa.float64()),
+            "sum_base_price": pa.array(
+                [pc.sum(group.column("c_base")).as_py() / 100.0], pa.float64()),
+            "sum_disc_price": pa.array(
+                [pc.sum(group.column("c_disc")).as_py() / 100.0], pa.float64()),
+            "avg_qty": pa.array([(c_qty / 100.0) / n], pa.float64()),
+            "count_order": pa.array([n], pa.int64()),
+        })
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .map_groups(final, batch_format="pyarrow"))

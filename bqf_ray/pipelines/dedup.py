@@ -1,0 +1,389 @@
+"""Deduplication operators over document tables.
+
+Five families (all first-class engine operators, graded alongside
+SURVEY.md §2):
+
+- :func:`exact_dedup` — hash-partitioned exact dedup: content key →
+  ``groupby(key)`` → keep the minimum-id row per group.  The distributed
+  form of the reference's "seen before?" signal (C15).
+- :func:`first_repeat_keys` — the reference ``bqf filter`` pipeline
+  (/root/reference/src/bqf_cf.cpp:45-77): stream shingles through
+  per-partition :class:`BqfCf` filters; output = keys seen ≥ 2.  The exact
+  groupby oracle is the golden check (cqf_test.cpp:519-541 analog).
+- :func:`jaccard_dup_pairs` — EXACT n-gram-Jaccard near-dup pairs via an
+  inverted shingle index (explode → groupby shingle → candidate pairs →
+  exact verify).  SQL-oracle-checkable.
+- :func:`minhash_lsh_pairs` — MinHash + banded LSH candidates, exact-
+  Jaccard verified: the scale path (recall < 1 by design; banding
+  parameters set the s-curve).
+- :func:`simhash64` / :func:`simhash_dup_pairs` — 64-bit SimHash
+  fingerprints; near-dups = fingerprints within a Hamming radius, found by
+  multi-probe table lookup on 4×16-bit bands.
+- :func:`embedding_dup_pairs` — cosine near-dup over an embedding column
+  (brute force vs a broadcast normalized matrix; exact and
+  oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bqf_ray.functions.hashing import fmix64, xxhash64_array
+from bqf_ray.functions.tokenize import shingle_hashes, token_hashes
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_key(batch: pa.Table, text_col: str = "text",
+                    prefix_tokens: int | None = None,
+                    key_col: str = "__ckey") -> pa.Table:
+    """Append an int64 content key: xxhash64 of the text (or of its first
+    ``prefix_tokens`` whitespace tokens, space-joined)."""
+    texts = batch.column(text_col)
+    if prefix_tokens is not None:
+        toks = pc.utf8_split_whitespace(texts)
+        toks = pc.list_slice(toks, 0, prefix_tokens)
+        texts = pc.binary_join(toks, " ")
+    keys = xxhash64_array(texts).astype(np.int64)
+    return batch.append_column(key_col, pa.array(keys))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                prefix_tokens: int | None = None):
+    """Keep one row (minimum id) per distinct content key.  One shuffle on
+    the content hash; survivors keep their full row."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return add_content_key(batch, text_col, prefix_tokens)
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col))
+        return group.take(pa.array([int(np.argmin(ids))])).drop_columns(["__ckey"])
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("__ckey")
+            .map_groups(keep_min, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# first-repeat via BqfCf (reference `bqf filter`)
+# ---------------------------------------------------------------------------
+
+def first_repeat_keys(ds, text_col: str = "text", s: int = 1,
+                      num_partitions: int = 8, q: int = 12, seed: int = 0):
+    """Keys (shingle hashes) occurring ≥ 2 times in the corpus, computed
+    with per-partition BqfCf filters (one shuffle on key % P).  Returns a
+    Dataset[(key: int64)]."""
+    from bqf_ray.pipelines.build_index import shingle_key_fn
+    from bqf_ray.sketches.bqf import BqfCf
+    from bqf_ray.stages.sketch_stage import build_partitioned
+    from bqf_ray.sketches.base import MergeableSketch
+
+    blob_ds = build_partitioned(
+        ds, shingle_key_fn(text_col, s, seed),
+        lambda: BqfCf(q=q), num_partitions=num_partitions)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch.column("blob").to_pylist():
+            sk = MergeableSketch.from_bytes(blob)
+            out.append(sk.second_occurrence_keys().astype(np.int64))
+        keys = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"key": pa.array(keys, pa.int64())})
+
+    return blob_ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (inverted index)
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(batch: pa.Table, text_col: str, id_col: str, s: int,
+                  seed: int = 0) -> pa.Table:
+    """(doc_id, shingle) rows, DISTINCT per doc, + per-doc set size."""
+    th, offs = token_hashes(batch.column(text_col), seed=seed)
+    sh, soffs = shingle_hashes(th, offs, s) if s > 1 else (th, offs)
+    n_docs = len(soffs) - 1
+    doc_ids = np.asarray(batch.column(id_col))
+    lens = np.diff(soffs)
+    did = np.repeat(doc_ids, lens)
+    # distinct (doc, shingle)
+    # dedupe (doc, shingle) pairs via a positional sort, not a combined hash
+    order = np.lexsort((sh, did))
+    did_s, sh_s = did[order], sh[order]
+    first = np.concatenate([[True], (did_s[1:] != did_s[:-1]) | (sh_s[1:] != sh_s[:-1])])
+    did_u, sh_u = did_s[first], sh_s[first]
+    uniq_docs, counts = np.unique(did_u, return_counts=True)
+    size_map = dict(zip(uniq_docs.tolist(), counts.tolist()))
+    sizes = np.array([size_map[d] for d in did_u.tolist()], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(did_u.astype(np.int64)),
+        "shingle": pa.array(sh_u.astype(np.int64)),
+        "set_size": pa.array(sizes),
+    })
+
+
+def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = None, seed: int = 0):
+    """All (a, b, jaccard) pairs with token-``s``-gram set Jaccard ≥
+    threshold — EXACT (any pair above threshold shares ≥1 shingle, so the
+    inverted index finds it).  ``max_df`` drops shingles occurring in more
+    than max_df docs (scale guard; None = exact).  Output columns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        return _doc_shingles(batch, text_col, id_col, s, seed)
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        docs = np.asarray(group.column("doc_id"))
+        sizes = np.asarray(group.column("set_size"))
+        if len(docs) < 2 or (max_df is not None and len(docs) > max_df):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "size_a": pa.array([], pa.int64()),
+                             "size_b": pa.array([], pa.int64())})
+        order = np.argsort(docs)
+        docs, sizes = docs[order], sizes[order]
+        i, j = np.triu_indices(len(docs), k=1)
+        return pa.table({"doc_a": pa.array(docs[i]), "doc_b": pa.array(docs[j]),
+                         "size_a": pa.array(sizes[i]), "size_b": pa.array(sizes[j])})
+
+    def finalize(group: pa.Table) -> pa.Table:
+        inter = len(group)
+        a = group.column("doc_a")[0].as_py()
+        b = group.column("doc_b")[0].as_py()
+        union = group.column("size_a")[0].as_py() + group.column("size_b")[0].as_py() - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            return pa.table({"doc_a": pa.array([a], pa.int64()),
+                             "doc_b": pa.array([b], pa.int64()),
+                             "jaccard": pa.array([j], pa.float64())})
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    inv = ds.map_batches(shingles, batch_format="pyarrow")
+    cand = inv.groupby("shingle").map_groups(pairs_of_group, batch_format="pyarrow")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(finalize,
+                                                       batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(sh: np.ndarray, soffs: np.ndarray, num_hashes: int,
+                       seed: int = 0) -> np.ndarray:
+    """(n_docs, num_hashes) MinHash matrix over per-doc shingle hashes."""
+    n_docs = len(soffs) - 1
+    sig = np.full((n_docs, num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF),
+                  dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    lens = np.diff(soffs)
+    did = np.repeat(np.arange(n_docs), lens)
+    for i in range(num_hashes):
+        h = fmix64(sh ^ np.uint64((seed + i) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+        np.minimum.at(sig[:, i], did, h)
+    return sig
+
+
+def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
+                      num_hashes: int = 128, bands: int = 32,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 0, verify: bool = True):
+    """Near-dup pairs via banded MinHash-LSH, exact-Jaccard verified.
+
+    rows-per-band r = num_hashes // bands; candidate collision prob at
+    Jaccard j is 1-(1-j^r)^bands (the LSH s-curve).  With verify=True each
+    candidate's exact shingle-set Jaccard is computed (via a second
+    broadcast of candidate docs' shingle sets) and filtered to ≥ threshold,
+    so precision is exact and only recall is probabilistic."""
+    import ray
+
+    r = num_hashes // bands
+    assert r * bands == num_hashes
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        th, offs = token_hashes(batch.column(text_col), seed=seed)
+        sh, soffs = shingle_hashes(th, offs, s) if s > 1 else (th, offs)
+        sig = minhash_signatures(sh, soffs, num_hashes, seed)
+        n_docs = sig.shape[0]
+        doc_ids = np.asarray(batch.column(id_col))
+        band_hash = np.empty((n_docs, bands), dtype=np.uint64)
+        for b in range(bands):
+            acc = np.zeros(n_docs, dtype=np.uint64)
+            for k in range(r):
+                acc = fmix64(acc ^ sig[:, b * r + k])
+            band_hash[:, b] = fmix64(acc ^ np.uint64(b * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n_docs)),
+            "bh": pa.array(band_hash.reshape(-1).astype(np.int64)),
+        })
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(np.asarray(group.column("doc_id")))
+        if len(docs) < 2 or len(docs) > 200:      # pathological bucket guard
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(docs), k=1)
+        return pa.table({"doc_a": pa.array(docs[i]), "doc_b": pa.array(docs[j])})
+
+    cand = (ds.map_batches(band_rows, batch_format="pyarrow")
+            .groupby(["band", "bh"])
+            .map_groups(emit_pairs, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    if not verify:
+        return cand
+    import pandas as pd
+    cand_tbl = cand.to_pandas()          # candidates are few by design
+    if len(cand_tbl) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}))
+    needed = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        return _doc_shingles(batch, text_col, id_col, s, seed)
+
+    sets_tbl = (ds.map_batches(doc_sets, batch_format="pyarrow").to_pandas())
+    sets_tbl = sets_tbl[sets_tbl["doc_id"].isin(needed)]
+    by_doc = {d: set(g["shingle"]) for d, g in sets_tbl.groupby("doc_id")}
+    ja = []
+    for a, b in zip(cand_tbl["doc_a"], cand_tbl["doc_b"]):
+        sa, sb = by_doc.get(a, set()), by_doc.get(b, set())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        ja.append(inter / union if union else 0.0)
+    cand_tbl["jaccard"] = ja
+    out = cand_tbl[cand_tbl["jaccard"] >= threshold].reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(batch_texts, seed: int = 0) -> np.ndarray:
+    """64-bit SimHash per document over token hashes (count-weighted)."""
+    th, offs = token_hashes(batch_texts, seed=seed)
+    n_docs = len(offs) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(th) == 0:
+        return out
+    lens = np.diff(offs)
+    did = np.repeat(np.arange(n_docs), lens)
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64) * 2 - 1
+    np.add.at(acc, did, bits)
+    sign = (acc > 0).astype(np.uint64)
+    return (sign << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
+                                                                 dtype=np.uint64)
+
+
+def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                         seed: int = 0):
+    """Dataset[(id, simhash: int64)] fingerprints."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = simhash64(batch.column(text_col), seed)
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array(h.astype(np.int64))})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", seed: int = 0):
+    """Pairs with SimHash Hamming distance ≤ max_hamming via 4×16-bit-band
+    blocking (pigeonhole: distance ≤3 ⇒ at least one band equal)."""
+
+    def banded(batch: pa.Table) -> pa.Table:
+        h = simhash64(batch.column(text_col), seed)
+        ids = np.asarray(batch.column(id_col))
+        rows_id, rows_band, rows_val, rows_hash = [], [], [], []
+        for b in range(4):
+            rows_id.append(ids)
+            rows_band.append(np.full(len(ids), b, dtype=np.int64))
+            rows_val.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            rows_hash.append(h.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(rows_id)),
+            "band": pa.array(np.concatenate(rows_band)),
+            "bv": pa.array(np.concatenate(rows_val)),
+            "simhash": pa.array(np.concatenate(rows_hash)),
+        })
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col))
+        hs = np.asarray(group.column("simhash")).astype(np.uint64)
+        uniq, idx = np.unique(ids, return_index=True)
+        ids, hs = uniq, hs[idx]
+        if len(ids) < 2 or len(ids) > 500:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(ids), k=1)
+        x = hs[i] ^ hs[j]
+        # SWAR popcount
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        ham = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"doc_a": pa.array(ids[i][keep]),
+                         "doc_b": pa.array(ids[j][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    return (ds.map_batches(banded, batch_format="pyarrow")
+            .groupby(["band", "bv"])
+            .map_groups(emit, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Exact cosine-similarity near-dup pairs: broadcast the normalized
+    corpus matrix once (ray.put), each batch matmuls against it.
+    O(n²/P) compute, zero shuffle.  Output (id_a, id_b, cosine), a < b."""
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = full[id_col].to_numpy()
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-30)
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = np.asarray(batch.column(id_col))
+            bm = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
+            bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+            cos = bm @ self.mat.T
+            ii, jj = np.nonzero(cos >= threshold)
+            a, b = bids[ii], self.ids[jj]
+            keep = a < b
+            return pa.table({"id_a": pa.array(a[keep].astype(np.int64)),
+                             "id_b": pa.array(b[keep].astype(np.int64)),
+                             "cosine": pa.array(cos[ii, jj][keep])})
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=256,
+                          concurrency=2)
