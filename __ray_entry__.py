@@ -82,18 +82,16 @@ def q_first_repeat_tokens(sf_dir):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            toks, _ = tokenize_column(batch.column("text"))
-            u = pc.unique(toks)
-            h = xxhash64_array(u)
+            h = xxhash64_array(batch.column("token"))
             pos = np.searchsorted(self.keys, h)
             hit = pos < len(self.keys)
             posc = np.minimum(pos, max(len(self.keys) - 1, 0))
             hit &= self.keys[posc] == h
-            return pa.table({"token": u.filter(pa.array(hit))})
+            return batch.filter(pa.array(hit))
 
-    return (ds.map_batches(Member, batch_format="pyarrow", concurrency=2)
-            .groupby("token")
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    from bqf_ray.pipelines.aggregates import distinct_values
+    return (distinct_values(ds, "text")
+            .map_batches(Member, batch_format="pyarrow", concurrency=2))
 
 
 def q_exact_dedup(sf_dir):

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline sketch-build pipeline (pages → tokenize+hash →
+partitioned BQF build, the north-star docs/sec metric) plus every
+oracle-checked query over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+then print ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: run the headline pipeline in fresh processes at
+num_cpus=8 and num_cpus=32 on identical input and report both
+throughputs + scaling efficiency (the sandbox stand-in for the
+north-rule's N vs 4N cluster sizes); also refreshes the measured table in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DIR = "/tmp/bqf_bench"
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_token(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base if base else "sf?"
+
+
+def _pages_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return int(os.environ.get("GRAFT_BENCH_PAGES", docs * 8))
+
+
+def ensure_pages_parquet(n_rows: int) -> str:
+    """Materialize the deterministic pages table once (then benches measure
+    the pipeline, not generation); warm the page cache with one read."""
+    path = os.path.join(BENCH_DIR, f"pages_{n_rows}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import ray
+        from bqf_ray.sources.pages import pages_dataset
+        os.makedirs(path, exist_ok=True)
+        ds = pages_dataset(n_rows, seed=42, parallelism=max(NUM_CPUS, 4))
+        ds.write_parquet(path)
+        with open(done, "w") as f:
+            f.write(str(n_rows))
+    # warm OS cache
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            with open(os.path.join(path, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    return path
+
+
+def headline_build(pages_path: str, n_rows: int) -> float:
+    """The north-star pipeline: read pages parquet → extract stage is
+    identity here (text already materialized; ExtractText is benched in
+    tests) → tokenize+hash → one shuffle → partitioned BQF shards."""
+    import ray
+    from bqf_ray.pipelines.build_index import build_bqf_index
+
+    ds = ray.data.read_parquet(pages_path, columns=["url", "text"])
+    t0 = time.time()
+    idx = build_bqf_index(ds, text_col="text", s=1, q=16, count_size=8,
+                          num_partitions=max(NUM_CPUS, 8),
+                          batch_size=4096)
+    dt = time.time() - t0
+    assert idx.psketch.elements_inside > 0
+    return dt
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as em
+
+    out: dict[str, float] = {}
+    for name in sorted(em.oracle_sql()):
+        fn = em.queries()[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume the result (streams to completion)
+        try:
+            import ray.data
+            if isinstance(res, ray.data.Dataset):
+                for _ in res.iter_batches(batch_size=8192):
+                    pass
+            else:
+                _ = len(res)
+        except Exception:
+            raise
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    n_rows = _pages_rows(SF_DIR)
+    pages_path = ensure_pages_parquet(n_rows)
+    # one warmup read so we measure compute+shuffle, not first-touch I/O
+    ray.data.read_parquet(pages_path, columns=["url"]).count()
+    build_sec = headline_build(pages_path, n_rows)
+    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
+    result = {
+        "metric": "pages_bqf_sketch_build",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_token(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "bench_pages": n_rows,
+        "docs_per_sec": round(n_rows / build_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "cpus_low": lo, "cpus_high": hi,
+        "sec_low": t_lo, "sec_high": t_hi,
+        "docs_per_sec_low": r_lo["docs_per_sec"],
+        "docs_per_sec_high": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_pages": r_lo["bench_pages"],
+        "sf": r_lo["sf"],
+    }
+    _update_baseline_md(result)
+    return result
+
+
+def _update_baseline_md(r: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    marker = "<!-- scaling-результат -->"
+    marker = "<!-- measured-scaling -->"
+    section = (f"\n{marker}\n## Measured scaling (bench.py --scaling)\n\n"
+               f"| pages | cpus low | sec low | docs/s low | cpus high | "
+               f"sec high | docs/s high | efficiency |\n|---|---|---|---|---|---|---|---|\n"
+               f"| {r['bench_pages']} | {r['cpus_low']} | {r['sec_low']} | "
+               f"{r['docs_per_sec_low']} | {r['cpus_high']} | {r['sec_high']} | "
+               f"{r['docs_per_sec_high']} | **{r['scaling_efficiency']}** |\n")
+    try:
+        with open(path) as f:
+            content = f.read()
+        if marker in content:
+            content = content[:content.index(marker)].rstrip("\n") + "\n"
+        content += section
+        with open(path, "w") as f:
+            f.write(content)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(main_bench()))

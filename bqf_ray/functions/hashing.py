@@ -112,15 +112,21 @@ def _vround(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
 def _pad_rows(data: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
               pad_to: int) -> np.ndarray:
     """Gather variable-length rows out of a flat uint8 buffer into an
-    (n, pad_to) zero-padded matrix."""
+    (n, pad_to) zero-padded matrix.  Scatters only the Σlens real bytes
+    (1-D fancy indexing), never touching the padding — O(total bytes), not
+    O(n × pad_to)."""
     n = len(lens)
     out = np.zeros((n, pad_to), dtype=np.uint8)
     if n == 0 or pad_to == 0:
         return out
-    col = np.arange(pad_to, dtype=np.int64)
-    valid = col[None, :] < lens[:, None]
-    src = offsets[:, None] + col[None, :]
-    out[valid] = data[np.minimum(src, len(data) - 1)[valid]]
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    row_cum = np.concatenate([[0], np.cumsum(lens)])
+    within = np.arange(total, dtype=np.int64) - np.repeat(row_cum[:-1], lens)
+    src = np.repeat(offsets, lens) + within
+    dest = np.repeat(np.arange(n, dtype=np.int64) * pad_to, lens) + within
+    out.reshape(-1)[dest] = data[src]
     return out
 
 
@@ -245,19 +251,16 @@ def xxhash64_array(values, seed: int = 0, chunk_bytes: int = 1 << 26) -> np.ndar
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
-    # process rows in slices; pad each slice to its own max length
+    # process rows in fixed-size slices sized off the global max length so
+    # the padded matrix stays under chunk_bytes (vectorized — no per-row
+    # python loop)
+    budget = max(chunk_bytes, 1 << 16)
+    global_max = int(lens.max())
+    rows_per_chunk = int(max(256, min(n, budget // max(global_max, 32))))
     start = 0
     while start < n:
-        max_len = 0
-        end = start
-        budget = max(chunk_bytes, 64)
-        while end < n:
-            cand = max(max_len, int(lens[end]))
-            rows_count = end - start + 1
-            if rows_count * max(cand, 32) > budget and end > start:
-                break
-            max_len = cand
-            end += 1
+        end = min(n, start + rows_per_chunk)
+        max_len = int(lens[start:end].max()) if end > start else 1
         pad_to = ((max(max_len, 1) + 31) // 32) * 32
         padded = _pad_rows(data, offsets[start:end], lens[start:end], pad_to)
         out[start:end] = _xxh64_padded(padded, lens[start:end], seed)

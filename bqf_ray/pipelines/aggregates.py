@@ -62,11 +62,6 @@ def bqf_token_counts(ds, text_col: str = "text", count_size: int = 8,
                           num_partitions=num_partitions)
     ref = ray.put(idx.psketch)
 
-    def distinct_tokens(batch: pa.Table) -> pa.Table:
-        toks, _ = tokenize_column(batch.column(text_col))
-        u = pc.unique(toks)
-        return pa.table({"token": u})
-
     class ProbeCounts:
         def __init__(self):
             self.sk = ray.get(ref)
@@ -77,11 +72,23 @@ def bqf_token_counts(ds, text_col: str = "text", count_size: int = 8,
             return pa.table({"token": batch.column("token"),
                              "cnt": pa.array(cnt)})
 
-    return (ds.map_batches(distinct_tokens, batch_format="pyarrow")
-            .groupby("token")
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return (distinct_values(ds, text_col)
             .map_batches(ProbeCounts, batch_format="pyarrow",
                          batch_size=4096, concurrency=2))
+
+
+def distinct_values(ds, text_col: str = "text"):
+    """Dataset[(token)] — distinct whitespace tokens via per-batch unique +
+    one native (vectorized) groupby-count, no python-per-group work."""
+    from ray.data.aggregate import Count
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_column(batch.column(text_col))
+        return pa.table({"token": pc.unique(toks)})
+
+    return (ds.map_batches(uniq, batch_format="pyarrow")
+            .groupby("token").aggregate(Count(alias_name="__c"))
+            .drop_columns(["__c"]))
 
 
 def distinct_tokens_exact(ds, text_col: str = "text"):
@@ -125,10 +132,6 @@ def heavy_hitters(ds, text_col: str = "text", top: int = 20,
                       lambda: CountMin.from_error(eps, delta, seed=3))
     ref = ray.put(cm)
 
-    def distinct_tokens(batch: pa.Table) -> pa.Table:
-        toks, _ = tokenize_column(batch.column(text_col))
-        return pa.table({"token": pc.unique(toks)})
-
     class Estimate:
         def __init__(self):
             self.cm = ray.get(ref)
@@ -139,9 +142,7 @@ def heavy_hitters(ds, text_col: str = "text", top: int = 20,
             return pa.table({"token": batch.column("token"),
                              "est": pa.array(est)})
 
-    return (ds.map_batches(distinct_tokens, batch_format="pyarrow")
-            .groupby("token")
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return (distinct_values(ds, text_col)
             .map_batches(Estimate, batch_format="pyarrow", concurrency=2)
             .sort(["est", "token"], descending=[True, False])
             .limit(top))

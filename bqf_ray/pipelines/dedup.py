@@ -131,46 +131,121 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_df: int | None = None, seed: int = 0):
     """All (a, b, jaccard) pairs with token-``s``-gram set Jaccard ≥
-    threshold — EXACT (any pair above threshold shares ≥1 shingle, so the
-    inverted index finds it).  ``max_df`` drops shingles occurring in more
-    than max_df docs (scale guard; None = exact).  Output columns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    threshold — EXACT, via prefix filtering (Chaudhuri et al. 2006 /
+    ppjoin): with shingle sets sorted in a global hash order, any pair with
+    J ≥ t must collide within the first ``|S| − ⌈t·|S|⌉ + 1`` shingles of
+    each set, so only those prefixes are posted to the inverted index.
+    Candidates are exact-verified (vectorized set intersection) against a
+    broadcast of the full shingle sets; at 10^12-doc scale the broadcast
+    becomes a co-partitioned join on doc_id — documented tradeoff.
+    Output columns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    import ray
 
-    def shingles(batch: pa.Table) -> pa.Table:
-        return _doc_shingles(batch, text_col, id_col, s, seed)
+    B = 64          # candidate buckets: few Ray groups, vectorized inside
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
+    def prefix_postings(batch: pa.Table) -> pa.Table:
+        t = _doc_shingles(batch, text_col, id_col, s, seed)
+        docs = np.asarray(t.column("doc_id"))
+        sh = np.asarray(t.column("shingle"))
+        sizes = np.asarray(t.column("set_size"))
+        # sort by (doc, shingle): per-doc sets in ascending global hash order
+        order = np.lexsort((sh, docs))
+        docs, sh, sizes = docs[order], sh[order], sizes[order]
+        starts = np.concatenate([[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(docs)]]))
+        pref = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        within = np.arange(len(docs)) - np.repeat(starts, lens)
+        keep = within < np.repeat(pref, lens)
+        docs, sh, sizes = docs[keep], sh[keep], sizes[keep]
+        if max_df is not None:
+            u, c = np.unique(sh, return_counts=True)
+            hot = u[c > max_df]
+            m = ~np.isin(sh, hot)
+            docs, sh, sizes = docs[m], sh[m], sizes[m]
+        bucket = np.abs(sh % np.int64(B))
+        return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
+                         "shingle": pa.array(sh.astype(np.int64)),
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group.column("shingle"))
         docs = np.asarray(group.column("doc_id"))
-        sizes = np.asarray(group.column("set_size"))
-        if len(docs) < 2 or (max_df is not None and len(docs) > max_df):
+        order = np.lexsort((docs, sh))
+        sh, docs = sh[order], docs[order]
+        run_start = np.concatenate([[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1,
+                                    [len(sh)]])
+        out_a, out_b = [], []
+        for rs, re in zip(run_start[:-1], run_start[1:]):
+            L = re - rs
+            if L < 2:
+                continue
+            i, j = np.triu_indices(L, k=1)
+            out_a.append(docs[rs + i])
+            out_b.append(docs[rs + j])
+        if not out_a:
             return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "size_a": pa.array([], pa.int64()),
-                             "size_b": pa.array([], pa.int64())})
-        order = np.argsort(docs)
-        docs, sizes = docs[order], sizes[order]
-        i, j = np.triu_indices(len(docs), k=1)
-        return pa.table({"doc_a": pa.array(docs[i]), "doc_b": pa.array(docs[j]),
-                         "size_a": pa.array(sizes[i]), "size_b": pa.array(sizes[j])})
+                             "doc_b": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        key = a * np.int64(1 << 31) + b          # local dedupe
+        _, first = np.unique(key, return_index=True)
+        return pa.table({"doc_a": pa.array(a[first]),
+                         "doc_b": pa.array(b[first])})
 
-    def finalize(group: pa.Table) -> pa.Table:
-        inter = len(group)
-        a = group.column("doc_a")[0].as_py()
-        b = group.column("doc_b")[0].as_py()
-        union = group.column("size_a")[0].as_py() + group.column("size_b")[0].as_py() - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            return pa.table({"doc_a": pa.array([a], pa.int64()),
-                             "doc_b": pa.array([b], pa.int64()),
-                             "jaccard": pa.array([j], pa.float64())})
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    # broadcast the full sets for exact verification
+    sets_df = (ds.map_batches(
+        lambda b: _doc_shingles(b, text_col, id_col, s, seed),
+        batch_format="pyarrow").to_pandas())
+    sets_df = sets_df.sort_values(["doc_id", "shingle"])
+    doc_ids = sets_df["doc_id"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1])
+    uniq_docs = doc_ids[starts]
+    lens = np.diff(np.concatenate([starts, [len(doc_ids)]]))
+    flat = sets_df["shingle"].to_numpy()
+    ref = ray.put((uniq_docs, np.concatenate([starts, [len(doc_ids)]]), lens, flat))
 
-    inv = ds.map_batches(shingles, batch_format="pyarrow")
-    cand = inv.groupby("shingle").map_groups(pairs_of_group, batch_format="pyarrow")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(finalize,
-                                                       batch_format="pyarrow")
+    class Verify:
+        def __init__(self):
+            self.docs, self.offs, self.lens, self.flat = ray.get(ref)
+
+        def _set_of(self, doc_pos: int) -> np.ndarray:
+            return self.flat[self.offs[doc_pos]:self.offs[doc_pos + 1]]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("doc_a"))
+            b = np.asarray(batch.column("doc_b"))
+            if len(a) == 0:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "jaccard": pa.array([], pa.float64())})
+            pa_pos = np.searchsorted(self.docs, a)
+            pb_pos = np.searchsorted(self.docs, b)
+            jac = np.empty(len(a), dtype=np.float64)
+            for i in range(len(a)):          # per-pair sorted-set intersect
+                sa = self._set_of(pa_pos[i])
+                sb = self._set_of(pb_pos[i])
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                pos = np.searchsorted(sb, sa)
+                posc = np.minimum(pos, len(sb) - 1)
+                inter = int(np.count_nonzero(sb[posc] == sa))
+                union = len(sa) + len(sb) - inter
+                jac[i] = inter / union if union else 0.0
+            keep = jac >= threshold
+            return pa.table({"doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                             "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                             "jaccard": pa.array(jac[keep], pa.float64())})
+
+    from ray.data.aggregate import Max
+
+    cand = (ds.map_batches(prefix_postings, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs_of_bucket,
+                                          batch_format="pyarrow"))
+    verified = cand.map_batches(Verify, batch_format="pyarrow",
+                                batch_size=8192, concurrency=2)
+    # survivors are few — a final tiny dedupe
+    return (verified.groupby(["doc_a", "doc_b"])
+            .aggregate(Max("jaccard", alias_name="jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -235,11 +310,12 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
         i, j = np.triu_indices(len(docs), k=1)
         return pa.table({"doc_a": pa.array(docs[i]), "doc_b": pa.array(docs[j])})
 
+    from ray.data.aggregate import Count
     cand = (ds.map_batches(band_rows, batch_format="pyarrow")
             .groupby(["band", "bh"])
             .map_groups(emit_pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+            .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
     if not verify:
         return cand
     import pandas as pd
@@ -344,11 +420,12 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                          "doc_b": pa.array(ids[j][keep]),
                          "hamming": pa.array(ham[keep])})
 
+    from ray.data.aggregate import Min
     return (ds.map_batches(banded, batch_format="pyarrow")
             .groupby(["band", "bv"])
             .map_groups(emit, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+            .aggregate(Min("hamming", alias_name="hamming")))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,107 @@
+"""Quality tests for the approximate operators on the engineered pages
+corpus (known near-dups, known language skew): MinHash-LSH recall,
+SimHash, LangId accuracy, quality-score ordering, LSH-knn recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.dedup import (jaccard_dup_pairs, minhash_lsh_pairs,
+                                     simhash64, simhash_dup_pairs)
+from bqf_ray.pipelines.knn import knn_bruteforce, knn_lsh
+from bqf_ray.pipelines.text_stats import LangId, QualityScore
+from bqf_ray.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session):
+    import ray
+    t = generate_pages(1500, seed=21, dup_frac=0.08, near_dup_frac=0.08)
+    t = t.append_column("doc_id", pa.array(np.arange(len(t), dtype=np.int64)))
+    return t, ray.data.from_arrow(t).repartition(6)
+
+
+def test_minhash_lsh_recall_vs_exact(pages):
+    t, ds = pages
+    exact = jaccard_dup_pairs(ds, threshold=0.6, s=3).to_pandas()
+    lsh = minhash_lsh_pairs(ds, threshold=0.6, s=3, num_hashes=128,
+                            bands=32).to_pandas()
+    assert len(exact) > 20          # engineered dups exist
+    ex = set(zip(exact.doc_a, exact.doc_b))
+    got = set(zip(lsh.doc_a.astype(int), lsh.doc_b.astype(int)))
+    # all LSH survivors are verified-exact → precision 1.0
+    assert got <= ex
+    # banded LSH at r=4, b=32 has >99.9% collision prob at j≥0.6
+    recall = len(got & ex) / len(ex)
+    assert recall >= 0.95, recall
+
+
+def test_simhash_finds_near_dups(pages):
+    t, ds = pages
+    out = simhash_dup_pairs(ds, max_hamming=10).to_pandas()
+    exact = jaccard_dup_pairs(ds, threshold=0.8, s=1).to_pandas()
+    ex = set(zip(exact.doc_a, exact.doc_b))
+    got = set(zip(out.doc_a.astype(int), out.doc_b.astype(int)))
+    assert len(ex) > 10
+    # most token-level heavy-overlap pairs are within hamming 10
+    assert len(got & ex) / len(ex) > 0.6
+
+
+def test_simhash_is_locality_sensitive():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely unrelated content here " * 10
+    ha, hb, hc = (int(x) for x in simhash64(pa.array([a, b, c])))
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+
+
+def test_lang_id_accuracy_on_pages(pages, ray_session):
+    t, ds = pages
+    out = (ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+           .select_columns(["doc_id", "pred_lang"]).to_pandas())
+    truth = t.to_pandas()[["doc_id", "lang"]]
+    m = out.merge(truth, on="doc_id")
+    acc = (m.pred_lang == m.lang).mean()
+    assert acc > 0.9, acc
+
+
+def test_quality_score_orders_degenerate_docs(ray_session):
+    import ray
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog and runs to the hills "
+            "with a pack of hounds behind it for many miles onward",  # good
+            "x y z",                                                   # too short
+            "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa " * 30,            # junk tokens
+        ]),
+    })
+    out = (ray.data.from_arrow(docs)
+           .map_batches(QualityScore, batch_format="pyarrow", concurrency=1)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "quality"] > out.loc[1, "quality"]
+    assert out.loc[0, "quality"] > out.loc[2, "quality"]
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    import ray
+    rng = np.random.RandomState(5)
+    # clustered vectors so ANN has structure to find
+    centers = rng.normal(size=(20, 32))
+    vecs = (centers[rng.randint(0, 20, 2000)] +
+            0.1 * rng.normal(size=(2000, 32))).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(2000, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    qids = np.arange(5, dtype=np.int64)
+    qv = vecs[:5]
+    bf = knn_bruteforce(ds, qids, qv, k=10).to_pandas()
+    ann = knn_lsh(ds, qids, qv, k=10, bits=10, multi_probe=6).to_pandas()
+    recalls = []
+    for q in qids:
+        b = set(bf[bf.query_id == q].neighbor_id)
+        a = set(ann[ann.query_id == q].neighbor_id)
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6, recalls
