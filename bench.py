@@ -73,9 +73,10 @@ def headline_build(pages_path: str, n_rows: int) -> float:
 
     ds = ray.data.read_parquet(pages_path, columns=["url", "text"])
     t0 = time.time()
+    # num_partitions fixed (NOT a function of cpu count) so the scaling
+    # comparison runs the identical job at both parallelism levels
     idx = build_bqf_index(ds, text_col="text", s=1, q=16, count_size=8,
-                          num_partitions=max(NUM_CPUS, 8),
-                          batch_size=4096)
+                          num_partitions=32, batch_size=1024)
     dt = time.time() - t0
     assert idx.psketch.elements_inside > 0
     return dt
@@ -93,7 +94,7 @@ def run_queries() -> dict[str, float]:
         try:
             import ray.data
             if isinstance(res, ray.data.Dataset):
-                for _ in res.iter_batches(batch_size=8192):
+                for _ in res.iter_batches(batch_size=1024):
                     pass
             else:
                 _ = len(res)
@@ -108,8 +109,12 @@ def main_bench() -> dict:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     n_rows = _pages_rows(SF_DIR)
     pages_path = ensure_pages_parquet(n_rows)
-    # one warmup read so we measure compute+shuffle, not first-touch I/O
+    # warmups: OS page cache + Ray worker pool + shuffle machinery, so the
+    # timed run measures steady-state compute, not process spawn
     ray.data.read_parquet(pages_path, columns=["url"]).count()
+    from bqf_ray.pipelines.build_index import build_bqf_index as _bbi
+    _bbi(ray.data.read_parquet(pages_path, columns=["url", "text"]).limit(2048),
+         text_col="text", s=1, q=10, num_partitions=4, batch_size=1024)
     build_sec = headline_build(pages_path, n_rows)
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
     result = {
@@ -136,7 +141,16 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    scale_pages = os.environ.get("GRAFT_SCALING_PAGES", "1600000")
+    os.environ["GRAFT_BENCH_PAGES"] = scale_pages
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    # best-of-n per level: single-box wall times swing ±30% with page-cache
+    # and allocator state; the minimum is the cleanest estimate of the
+    # pipeline's true cost at each parallelism level
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     result = {
@@ -148,6 +162,8 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "bench_pages": r_lo["bench_pages"],
         "sf": r_lo["sf"],
+        "all_sec_low": [r["value"] for r in runs_lo],
+        "all_sec_high": [r["value"] for r in runs_hi],
     }
     _update_baseline_md(result)
     return result

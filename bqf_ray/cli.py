@@ -1,0 +1,213 @@
+"""CLI — Ray-Data forms of the reference's three tools
+(/root/reference/src/main.cpp:12-14: ``bqf build|query|filter``), plus
+``index``/``probe`` for the web-text domain.
+
+Examples:
+    python -m bqf_ray.cli build  -s 28 -q 14 -c 5 -i counted.parquet -o /tmp/idx
+    python -m bqf_ray.cli query  -b /tmp/idx -k 32 -s 28 -i queries.parquet -o out/
+    python -m bqf_ray.cli filter -k 21 -i reads.parquet -o out/ --mode text
+    python -m bqf_ray.cli index  -i pages.parquet -o /tmp/widx
+    python -m bqf_ray.cli probe  -b /tmp/widx -i docs.parquet -o out/
+
+Inputs are parquet (or newline text via --text-input, mirroring the
+reference's line-based files).  This module owns a Ray session (the driver
+contract in __ray_entry__ does NOT go through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _init_ray(args):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+        return True
+    return False
+
+
+def _read(args, default_cols=None):
+    import ray
+    if args.text_input:
+        ds = ray.data.read_text(args.input)
+        return ds
+    return ray.data.read_parquet(args.input)
+
+
+def cmd_build(args):
+    """``bqf build`` (main.cpp:30-103): counted s-mers → partitioned filter."""
+    import ray
+    from bqf_ray.pipelines.genomic import build_from_counted_smers
+    owned = _init_ray(args)
+    ds = _read(args)
+    if args.text_input:
+        # "<smer> <count>" lines (abstract_bqf.cpp:30-45)
+        import pyarrow as pa
+
+        def parse(batch: pa.Table) -> pa.Table:
+            smers, counts = [], []
+            for line in batch.column("text").to_pylist():
+                parts = line.split()
+                smers.append(parts[0])
+                counts.append(int(parts[1]) if len(parts) > 1 else 1)
+            return pa.table({"smer": pa.array(smers),
+                             "count": pa.array(counts, pa.int64())})
+
+        ds = ds.map_batches(parse, batch_format="pyarrow")
+    ps = build_from_counted_smers(
+        ds, s=args.smer_size, codec=args.codec, count_size=args.count_size,
+        q=args.quotient_size, num_partitions=args.partitions,
+        checkpoint_dir=args.output)
+    print(f"built {len(ps.shards)} shards, {ps.elements_inside} elements "
+          f"-> {args.output}", file=sys.stderr)
+    if owned:
+        ray.shutdown()
+
+
+def cmd_query(args):
+    """``bqf query`` (main.cpp:105-173): sequences → fimpera stats."""
+    import ray
+    from bqf_ray.pipelines.genomic import query_sequences
+    from bqf_ray.state.checkpoint import SketchCheckpoint
+    from bqf_ray.stages.sketch_stage import PartitionedSketch
+    import os
+    owned = _init_ray(args)
+    shards = {}
+    for f in sorted(os.listdir(args.bqf)):
+        if f.startswith("part-") and f.endswith(".sketch"):
+            part = int(f[5:10])
+            shards[part] = SketchCheckpoint.load_partition(args.bqf, part)
+    ps = PartitionedSketch(shards)
+    ds = _read(args)
+    if args.text_input:
+        import pyarrow as pa
+
+        def number(batch: pa.Table) -> pa.Table:
+            seqs = [s for s in batch.column("text").to_pylist()
+                    if s and not s.startswith(">")]
+            return pa.table({"query_id": pa.array(range(len(seqs)), pa.int64()),
+                             "seq": pa.array(seqs)})
+
+        ds = ds.map_batches(number, batch_format="pyarrow")
+    out = query_sequences(ds, ps, k=args.kmer_size, s=args.smer_size)
+    out.write_parquet(args.output)
+    print(f"wrote query results -> {args.output}", file=sys.stderr)
+    if owned:
+        ray.shutdown()
+
+
+def cmd_filter(args):
+    """``bqf filter`` (main.cpp:175-249): reads → k-mers seen ≥ 2."""
+    import ray
+    from bqf_ray.pipelines.genomic import filter_fastx
+    owned = _init_ray(args)
+    ds = _read(args)
+    if args.text_input:
+        import pyarrow as pa
+
+        def seqs(batch: pa.Table) -> pa.Table:
+            ss = [s for s in batch.column("text").to_pylist()
+                  if s and not s.startswith((">", "@", "+"))]
+            return pa.table({"seq": pa.array(ss)})
+
+        ds = ds.map_batches(seqs, batch_format="pyarrow")
+    out = filter_fastx(ds, k=args.kmer_size, mode=args.mode,
+                       q=args.quotient_size)
+    out.write_parquet(args.output)
+    print(f"wrote filtered kmers -> {args.output}", file=sys.stderr)
+    if owned:
+        ray.shutdown()
+
+
+def cmd_index(args):
+    """Web-text flagship: pages parquet → partitioned BQF token index."""
+    import ray
+    from bqf_ray.pipelines.build_index import build_bqf_index
+    owned = _init_ray(args)
+    ds = ray.data.read_parquet(args.input, columns=[args.text_col])
+    idx = build_bqf_index(ds, text_col=args.text_col, s=args.shingle,
+                          q=args.quotient_size, count_size=args.count_size,
+                          num_partitions=args.partitions,
+                          checkpoint_dir=args.output,
+                          input_lineage=[args.input])
+    print(f"indexed {idx.psketch.elements_inside} keys -> {args.output}",
+          file=sys.stderr)
+    if owned:
+        ray.shutdown()
+
+
+def cmd_probe(args):
+    """Probe documents against a web-text index → fimpera stats parquet."""
+    import ray
+    from bqf_ray.pipelines.build_index import BqfIndex
+    owned = _init_ray(args)
+    idx = BqfIndex.load(args.bqf)
+    ds = ray.data.read_parquet(args.input)
+    out = idx.probe_documents(ds, id_col=args.id_col, z=args.z)
+    out.write_parquet(args.output)
+    print(f"wrote probe results -> {args.output}", file=sys.stderr)
+    if owned:
+        ray.shutdown()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="bqf_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("-i", "--input", required=True)
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("-s", "--smer-size", type=int, required=True)
+    b.add_argument("-q", "--quotient-size", type=int, default=10)
+    b.add_argument("-c", "--count-size", type=int, default=5)
+    b.add_argument("--codec", choices=["ec", "oom"], default="ec")
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--text-input", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    qp = sub.add_parser("query")
+    qp.add_argument("-b", "--bqf", required=True)
+    qp.add_argument("-i", "--input", required=True)
+    qp.add_argument("-o", "--output", required=True)
+    qp.add_argument("-k", "--kmer-size", type=int, required=True)
+    qp.add_argument("-s", "--smer-size", type=int, required=True)
+    qp.add_argument("--text-input", action="store_true")
+    qp.set_defaults(fn=cmd_query)
+
+    f = sub.add_parser("filter")
+    f.add_argument("-i", "--input", required=True)
+    f.add_argument("-o", "--output", required=True)
+    f.add_argument("-k", "--kmer-size", type=int, required=True)
+    f.add_argument("-q", "--quotient-size", type=int, default=12)
+    f.add_argument("--mode", choices=["text", "binary"], default="text")
+    f.add_argument("--text-input", action="store_true")
+    f.set_defaults(fn=cmd_filter)
+
+    ix = sub.add_parser("index")
+    ix.add_argument("-i", "--input", required=True)
+    ix.add_argument("-o", "--output", required=True)
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--shingle", type=int, default=1)
+    ix.add_argument("-q", "--quotient-size", type=int, default=14)
+    ix.add_argument("-c", "--count-size", type=int, default=8)
+    ix.add_argument("--partitions", type=int, default=16)
+    ix.set_defaults(fn=cmd_index)
+
+    pr = sub.add_parser("probe")
+    pr.add_argument("-b", "--bqf", required=True)
+    pr.add_argument("-i", "--input", required=True)
+    pr.add_argument("-o", "--output", required=True)
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("-z", type=int, default=0)
+    pr.set_defaults(fn=cmd_probe)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,8 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
                     q: int = 14, hash_bits: int = 64, seed: int = 0,
                     checkpoint_dir: str | None = None,
                     input_lineage: list[str] | None = None,
-                    batch_size: int | None = 2048) -> "BqfIndex":
+                    batch_size: int | None = 2048,
+                    combine: bool = False) -> "BqfIndex":
     """Build (or resume) the partitioned BQF index.
 
     If ``checkpoint_dir`` holds a manifest for the same (config, lineage),
@@ -64,10 +65,15 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
                     ckpt.manifest.partitions[p] = info
 
     factory = lambda: BqfEc(q=q, count_size=count_size, hash_bits=hash_bits)
+    # combiner partials start tiny (q=8) and auto-resize — an empty q=16
+    # filter per (task, partition) would dominate otherwise
+    partial_factory = lambda: BqfEc(q=8, count_size=count_size,
+                                    hash_bits=hash_bits)
     blob_ds = build_partitioned(
         pages_ds, shingle_key_fn(text_col, s, seed), factory,
         num_partitions=num_partitions, batch_size=batch_size,
-        sink_dir=checkpoint_dir, skip_partitions=done or None)
+        sink_dir=checkpoint_dir, skip_partitions=done or None,
+        combine=combine, partial_factory=partial_factory)
     meta = blob_ds.take_all()         # small: one metadata row per partition
 
     shards: dict[int, object] = {}

@@ -53,6 +53,13 @@ class MergeableSketch(ABC):
     def merge(self, other: "MergeableSketch") -> "MergeableSketch":
         """Merge ``other`` into ``self`` (in place) and return ``self``."""
 
+    def merge_many(self, others) -> "MergeableSketch":
+        """Merge a list of sketches; subclasses override when a batched
+        merge is cheaper than pairwise."""
+        for o in others:
+            self.merge(o)
+        return self
+
     # --- serialization -----------------------------------------------------
 
     @abstractmethod
@@ -89,7 +96,13 @@ class MergeableSketch(ABC):
         (hlen,) = struct.unpack("<I", data[4:8])
         head = json.loads(data[8:8 + hlen].decode())
         cfg = head["config"]
-        cls = _REGISTRY[cfg.pop("__type__")]
+        tname = cfg.pop("__type__")
+        if tname not in _REGISTRY:
+            # fresh worker process: populate the registry
+            import importlib
+            for mod in ("bqf", "hll", "countmin", "bloom", "tdigest", "kll"):
+                importlib.import_module(f"bqf_ray.sketches.{mod}")
+        cls = _REGISTRY[tname]
         pos = 8 + hlen
         arrays = {}
         for k in sorted(head["arrays"]):

@@ -465,14 +465,20 @@ class _QuotientFilterKernel(MergeableSketch):
     # --- merge (engine-defined; absent in reference, SURVEY.md §2.4) -------
 
     def merge(self, other: "_QuotientFilterKernel") -> "_QuotientFilterKernel":
-        self.check_mergeable(other)
-        other._compact()
-        keys, stored = other._enumerate_built()
-        # raw-domain counts re-combine under the codec's order-invariant rule
-        self._pend_keys.append(keys)
-        self._pend_counts.append(self._to_raw(stored).astype(np.uint64))
-        self._pend_n += len(keys)
-        self.q = max(self.q, other.q)
+        return self.merge_many([other])
+
+    def merge_many(self, others) -> "_QuotientFilterKernel":
+        """Batched merge: buffer every input's enumeration and rebuild the
+        layout ONCE (pairwise merging would rebuild per input)."""
+        for other in others:
+            self.check_mergeable(other)
+            other._compact()
+            keys, stored = other._enumerate_built()
+            # raw-domain counts re-combine under the codec's order-invariant rule
+            self._pend_keys.append(keys)
+            self._pend_counts.append(self._to_raw(stored).astype(np.uint64))
+            self._pend_n += len(keys)
+            self.q = max(self.q, other.q)
         self._compact()
         return self
 

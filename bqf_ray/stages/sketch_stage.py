@@ -103,7 +103,9 @@ def build_sketch(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
 def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
                       num_partitions: int = 16, batch_size: int | None = 4096,
                       sink_dir: str | None = None,
-                      skip_partitions: set[int] | None = None):
+                      skip_partitions: set[int] | None = None,
+                      combine: bool = False,
+                      partial_factory: Callable[[], MergeableSketch] | None = None):
     """One shuffle: route (key, count) rows by ``key % P``, build one sketch
     per partition → Dataset[(part, blob, n_keys, bytes)].
 
@@ -159,6 +161,59 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
             "bytes": pa.array([len(blob)], pa.int64()),
         })
 
+    def to_partial_blobs(batch: pa.Table) -> pa.Table:
+        """Combiner form: build one PARTIAL sketch per (task, partition) so
+        the wide shuffle carries sketch blobs, not per-key rows — the
+        mergeable-UDAF combiner (ray_guide 'Aggregation at scale')."""
+        keys, counts = key_fn(batch)
+        keys = np.asarray(keys, dtype=np.uint64)
+        if counts is None:
+            counts = np.ones(len(keys), dtype=np.uint64)
+        else:
+            counts = np.asarray(counts, dtype=np.uint64)
+        part = (keys % np.uint64(P)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        keys, counts, part = keys[order], counts[order], part[order]
+        bounds = np.searchsorted(part, np.arange(P + 1))
+        parts_out, blobs_out = [], []
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if lo == hi or (skip_partitions and p in skip_partitions):
+                continue
+            sk = (partial_factory or factory)()
+            sk.update_batch(keys[lo:hi], counts[lo:hi])
+            parts_out.append(p)
+            blobs_out.append(sk.to_bytes())
+        return pa.table({"__part": pa.array(parts_out, pa.int64()),
+                         "blob": pa.array(blobs_out, pa.binary())})
+
+    def merge_group(batch: pa.Table) -> pa.Table:
+        part = int(batch.column("__part")[0].as_py())
+        blobs = batch.column("blob").to_pylist()
+        sk = MergeableSketch.from_bytes(blobs[0])
+        sk.merge_many([MergeableSketch.from_bytes(b) for b in blobs[1:]])
+        blob = sk.to_bytes()
+        n_keys = sk.elements_inside
+        size = len(blob)
+        if sink_dir is not None:
+            from bqf_ray.state.checkpoint import _atomic_write
+            import os
+            _atomic_write(os.path.join(sink_dir, f"part-{part:05d}.sketch"),
+                          blob)
+            blob = b""
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "blob": pa.array([blob], pa.binary()),
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "bytes": pa.array([size], pa.int64()),
+        })
+
+    if combine:
+        return (ds.map_batches(to_partial_blobs, batch_format="pyarrow",
+                               batch_size=batch_size)
+                .groupby("__part")
+                .map_groups(merge_group, batch_format="pyarrow"))
+
     skip_fn = None
     if skip_partitions:
         skip = np.array(sorted(skip_partitions), dtype=np.int64)
@@ -171,6 +226,10 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
     kv = ds.map_batches(to_kv, batch_format="pyarrow", batch_size=batch_size)
     if skip_fn is not None:
         kv = kv.map_batches(skip_fn, batch_format="pyarrow")
+    # coalesce the many small kv blocks before the sort shuffle — the sort's
+    # task count is O(blocks × reduce partitions), so hundreds of tiny map
+    # outputs would dominate wall time with scheduling overhead
+    kv = kv.repartition(min(P, 64))
     return kv.groupby("__part").map_groups(build_group, batch_format="pyarrow")
 
 
