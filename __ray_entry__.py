@@ -235,6 +235,49 @@ def w_sliding_events(sf_dir):
     return sliding_window(_events(sf_dir), size_s=3600, slide_s=900)
 
 
+def w_media_features(sf_dir):
+    """Multimodal plumbing: deterministic media table sized to the sf's
+    documents count → decode + feature-extract actor pools.  (Binary
+    payloads; real-codec boundary stubbed — see pipelines/multimodal.py.)"""
+    import pyarrow.parquet as pq
+    from bqf_ray.pipelines.multimodal import media_feature_pipeline
+    from bqf_ray.sources.media import media_dataset
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = media_dataset(n, seed=7, parallelism=4)
+    out = media_feature_pipeline(ds, concurrency=2)
+
+    def drop_features(batch):
+        import pyarrow as pa
+        import numpy as np
+        feats = batch.column("features")
+        dim = pa.array([len(f) for f in feats.to_pylist()], pa.int64())
+        return batch.drop_columns(["features"]).append_column("feature_dim", dim)
+
+    return out.map_batches(drop_features, batch_format="pyarrow")
+
+
+def w_frame_sample(sf_dir):
+    """Video frame sampling over the deterministic media table."""
+    import pyarrow.parquet as pq
+    from bqf_ray.pipelines.multimodal import SampleFrames
+    from bqf_ray.sources.media import media_dataset
+    import pyarrow as pa
+    n = min(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows, 2000)
+    ds = media_dataset(n, seed=7, parallelism=4)
+    out = ds.map_batches(SampleFrames, batch_format="pyarrow", batch_size=64,
+                         concurrency=2, num_cpus=0.5)
+
+    def meta_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_no": batch.column("frame_no"),
+            "frame_bytes": pc.binary_length(batch.column("frame")).cast(pa.int64()),
+        })
+
+    return out.map_batches(meta_only, batch_format="pyarrow")
+
+
 def w_knn_lsh(sf_dir):
     from bqf_ray.pipelines.knn import knn_lsh
     ds = _embeddings(sf_dir)
@@ -279,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": w_sessions,
         "sliding_events": w_sliding_events,
         "knn_lsh": w_knn_lsh,
+        "media_features": w_media_features,
+        "frame_sample": w_frame_sample,
     }
 
 

@@ -1,0 +1,173 @@
+"""Multimodal (image / audio / video) stages over opaque binary columns.
+
+The engineering contract for 100 TB multimodal pipelines:
+
+- media rides as a ``binary`` column + typed metadata; binary-heavy stages
+  stay in ``batch_format="pyarrow"`` (arrow binary round-trips, pandas
+  object dtype would copy);
+- decode / resize / feature-extract / frame-sample are ACTOR-POOL
+  ``map_batches`` stages (model/codec setup in ``__init__``, work per
+  batch), with small ``batch_size`` because rows are megabytes;
+- the codec boundary is explicit: this container has no PIL/ffmpeg, so
+  :func:`bqf_ray.sources.media.decode_header` understands only the
+  deterministic RAWM fake container and raises ``NotImplementedError`` for
+  real formats — swap real decoders in at that single point; every other
+  line (schemas, actor signatures, batch sizing, output layout) is real
+  and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from bqf_ray.sources.media import decode_header
+
+
+class DecodeMedia:
+    """payload → (width, height, n_frames, n_bytes) metadata + validity.
+
+    Stage contract: never throws on undecodable rows — emits ``ok=False``
+    (a 100 TB run must not die on one corrupt blob)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, frames, nbytes, ok = [], [], [], [], []
+        for blob in batch.column(self.payload_col).to_pylist():
+            try:
+                _, w, h, f, off = decode_header(blob)
+                widths.append(w)
+                heights.append(h)
+                frames.append(f)
+                nbytes.append(len(blob) - off)
+                ok.append(True)
+            except (NotImplementedError, Exception):
+                widths.append(0)
+                heights.append(0)
+                frames.append(0)
+                nbytes.append(len(blob) if blob is not None else 0)
+                ok.append(False)
+        return (batch.append_column("width", pa.array(widths, pa.int32()))
+                .append_column("height", pa.array(heights, pa.int32()))
+                .append_column("n_frames", pa.array(frames, pa.int32()))
+                .append_column("payload_bytes", pa.array(nbytes, pa.int64()))
+                .append_column("ok", pa.array(ok, pa.bool_())))
+
+
+class ResizeImages:
+    """Nearest-neighbor resize of RAWM image payloads to (out_w, out_h).
+
+    Deterministic pure-numpy resize (the real pipeline would call a codec
+    library here; the gather math is identical)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16,
+                 payload_col: str = "payload"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch.column(self.payload_col).to_pylist():
+            try:
+                kind, w, h, f, off = decode_header(blob)
+            except NotImplementedError:
+                out.append(None)
+                continue
+            if kind != 0:
+                out.append(None)
+                continue
+            img = np.frombuffer(blob, dtype=np.uint8,
+                                count=w * h, offset=off).reshape(h, w)
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            out.append(img[yi][:, xi].tobytes())
+        return batch.append_column("resized", pa.array(out, pa.binary()))
+
+
+class MediaFeatures:
+    """Deterministic feature vector per media row: 16-bin byte histogram +
+    moments, L2-normalized — the stand-in for model inference (batched,
+    state in __init__, float32 list column out)."""
+
+    DIM = 20
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+        self.bins = np.linspace(0, 256, 17)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob in batch.column(self.payload_col).to_pylist():
+            try:
+                _, w, h, f, off = decode_header(blob)
+                data = np.frombuffer(blob, dtype=np.uint8, offset=off
+                                     ).astype(np.float64)
+            except NotImplementedError:
+                feats.append([0.0] * self.DIM)
+                continue
+            hist, _ = np.histogram(data, bins=self.bins)
+            v = np.concatenate([
+                hist / max(len(data), 1),
+                [data.mean() / 255.0, data.std() / 255.0,
+                 float(w) / 4096.0, float(h) / 4096.0]])
+            n = np.linalg.norm(v)
+            feats.append((v / n if n else v).astype(np.float32).tolist())
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float32())))
+
+
+class SampleFrames:
+    """Video frame sampling: every ``stride``-th frame (up to max_frames)
+    exploded to one row per frame — flat_map semantics done batch-wise."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 4,
+                 payload_col: str = "payload", id_col: str = "media_id"):
+        self.stride = stride
+        self.max_frames = max_frames
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, frames_bin = [], [], []
+        mids = batch.column(self.id_col).to_pylist()
+        for mid, blob in zip(mids, batch.column(self.payload_col).to_pylist()):
+            try:
+                kind, w, h, f, off = decode_header(blob)
+            except NotImplementedError:
+                continue
+            if kind != 2:
+                continue
+            fsize = w * h
+            for j, fi in enumerate(range(0, f, self.stride)):
+                if j >= self.max_frames:
+                    break
+                ids.append(mid)
+                frame_no.append(fi)
+                frames_bin.append(blob[off + fi * fsize: off + (fi + 1) * fsize])
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame_no": pa.array(frame_no, pa.int32()),
+            "frame": pa.array(frames_bin, pa.binary()),
+        })
+
+
+def media_feature_pipeline(media_ds, concurrency: int = 2,
+                           batch_size: int = 64):
+    """decode → features for every media row (actor pools, small batches
+    because rows are binary-heavy).
+
+    Each actor reserves half a CPU: two chained pools that each grab a full
+    CPU per actor can reserve the whole node and starve the upstream read
+    (pool-sizing pitfall in the ray guide) — these stages are I/O-light
+    until real codecs go in."""
+    return (media_ds
+            .map_batches(DecodeMedia, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=concurrency,
+                         num_cpus=0.5)
+            .map_batches(MediaFeatures, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=concurrency,
+                         num_cpus=0.5)
+            .select_columns(["media_id", "kind", "width", "height",
+                             "n_frames", "ok", "features"]))
