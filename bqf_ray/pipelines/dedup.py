@@ -54,19 +54,42 @@ def add_content_key(batch: pa.Table, text_col: str = "text",
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 prefix_tokens: int | None = None):
-    """Keep one row (minimum id) per distinct content key.  One shuffle on
-    the content hash; survivors keep their full row."""
+    """Keep one row (minimum id) per distinct content key.
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        return add_content_key(batch, text_col, prefix_tokens)
+    Plan: per-batch local (key → min id) pre-aggregation, one NATIVE
+    ``groupby(key).min(id)`` shuffle over the partials (vectorized — no
+    python-per-group), then a broadcast semi-join of the surviving id set
+    back onto the full rows.  Two passes over the input but only ids move
+    through the shuffle."""
+    import ray
+    from ray.data.aggregate import Min
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col))
-        return group.take(pa.array([int(np.argmin(ids))])).drop_columns(["__ckey"])
+    def keyed_ids(batch: pa.Table) -> pa.Table:
+        b = add_content_key(batch, text_col, prefix_tokens)
+        t = pa.table({"__ckey": b.column("__ckey"), id_col: b.column(id_col)})
+        return t.group_by(["__ckey"]).aggregate([(id_col, "min")]) \
+                .rename_columns(["__ckey", id_col])
 
-    return (ds.map_batches(keyed, batch_format="pyarrow")
-            .groupby("__ckey")
-            .map_groups(keep_min, batch_format="pyarrow"))
+    survivors = (ds.map_batches(keyed_ids, batch_format="pyarrow")
+                 .groupby("__ckey")
+                 .aggregate(Min(id_col, alias_name="__keep")))
+    keep_ids = np.sort(np.asarray(survivors.to_pandas()["__keep"]))
+    ref = ray.put(keep_ids)
+
+    class KeepSurvivors:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col))
+            pos = np.searchsorted(self.ids, ids)
+            hit = pos < len(self.ids)
+            posc = np.minimum(pos, max(len(self.ids) - 1, 0))
+            hit &= self.ids[posc] == ids
+            return batch.filter(pa.array(hit))
+
+    return ds.map_batches(KeepSurvivors, batch_format="pyarrow",
+                          concurrency=2, num_cpus=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -77,9 +77,11 @@ class MergeableSketch(ABC):
         ...
 
     def to_bytes(self) -> bytes:
+        # arrays FIRST: materializing state may compact/grow and change
+        # config fields (e.g. the quotient filter's q under auto-resize)
+        arrays = self._state_arrays()
         cfg = dict(self._config())
         cfg["__type__"] = type(self).__name__
-        arrays = self._state_arrays()
         meta = {k: [str(v.dtype), list(v.shape)] for k, v in arrays.items()}
         head = json.dumps({"config": cfg, "arrays": meta}).encode()
         out = io.BytesIO()

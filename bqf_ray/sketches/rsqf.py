@@ -130,6 +130,16 @@ class _QuotientFilterKernel(MergeableSketch):
     def __init__(self, q: int = 10, hash_bits: int = 64, count_size: int = 0,
                  auto_resize: bool = True):
         assert 1 <= q < hash_bits <= 64
+        # one-uint64-per-slot layout: remainder + counter must fit a word.
+        # (q only grows capacity, so raising it is semantically safe.)
+        min_q = hash_bits + count_size - 64
+        if q < min_q:
+            if not auto_resize:
+                raise ValueError(
+                    f"slot width {hash_bits - q + count_size} > 64 bits: "
+                    f"need q >= {min_q} for hash_bits={hash_bits}, "
+                    f"count_size={count_size}")
+            q = min_q
         self.q = int(q)
         self.hash_bits = int(hash_bits)
         self.count_size = int(count_size)
@@ -540,3 +550,27 @@ class _QuotientFilterKernel(MergeableSketch):
         if self.elements_inside == 0:
             return 0.0
         return len(self.to_bytes()) * 8.0 / self.elements_inside
+
+    def debug_dump(self, max_slots: int = 128) -> str:
+        """Readable slot-layout render (C19 ``block2string`` analog,
+        /root/reference/src/rsqf.cpp:46-137): per-slot occupied/runend flags
+        + remainder/count values, for tests and interactive debugging."""
+        self._compact()
+        lines = [f"<{type(self).__name__} q={self.q} hash_bits={self.hash_bits}"
+                 f" c={self.count_size} elements={self.elements_inside}"
+                 f" extent={self._extent}>"]
+        cmask = (U64(1) << U64(self.count_size)) - U64(1)
+        lim = min(self._extent, max_slots)
+        occ = set(self._occ_quots.tolist())
+        ends = set(self._runend_pos.tolist())
+        for i in range(lim):
+            val = self._slots[i]
+            rem = val >> U64(self.count_size) if self.count_size else val
+            cnt = int(val & cmask) if self.count_size else ""
+            flags = (("occ" if i < (1 << self.q) and i in occ else "   ") +
+                     (" run" if i in ends else "    "))
+            lines.append(f"  slot {i:6d} [{flags}] rem={int(rem):>20d}"
+                         + (f" count={cnt}" if self.count_size else ""))
+        if self._extent > lim:
+            lines.append(f"  ... {self._extent - lim} more slots")
+        return "\n".join(lines)
