@@ -166,35 +166,63 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
 
     B = 64          # candidate buckets: few Ray groups, vectorized inside
 
-    def prefix_postings(batch: pa.Table) -> pa.Table:
-        t = _doc_shingles(batch, text_col, id_col, s, seed)
-        docs = np.asarray(t.column("doc_id"))
-        sh = np.asarray(t.column("shingle"))
-        sizes = np.asarray(t.column("set_size"))
-        # sort by (doc, shingle): per-doc sets in ascending global hash order
-        order = np.lexsort((sh, docs))
-        docs, sh, sizes = docs[order], sh[order], sizes[order]
-        starts = np.concatenate([[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
-        lens = np.diff(np.concatenate([starts, [len(docs)]]))
-        pref = lens - np.ceil(threshold * lens).astype(np.int64) + 1
-        within = np.arange(len(docs)) - np.repeat(starts, lens)
-        keep = within < np.repeat(pref, lens)
-        docs, sh, sizes = docs[keep], sh[keep], sizes[keep]
-        if max_df is not None:
-            u, c = np.unique(sh, return_counts=True)
-            hot = u[c > max_df]
-            m = ~np.isin(sh, hot)
-            docs, sh, sizes = docs[m], sh[m], sizes[m]
-        bucket = np.abs(sh % np.int64(B))
-        return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
-                         "shingle": pa.array(sh.astype(np.int64)),
-                         "bucket": pa.array(bucket.astype(np.int64))})
+    # one pass materializes the per-doc shingle sets (broadcast for exact
+    # verification below) and, from the same rows, the global document
+    # frequency per shingle.  Prefixes are taken in ascending-df order
+    # (ppjoin's canonical ordering): the rarest shingles go in the prefix,
+    # so random pairs rarely collide and the candidate set collapses to
+    # near-duplicates.  At 10^12-doc scale both broadcasts become
+    # co-partitioned joins on doc_id/shingle — documented tradeoff.
+    sets_df = (ds.map_batches(
+        lambda b: _doc_shingles(b, text_col, id_col, s, seed),
+        batch_format="pyarrow").to_pandas())
+    sets_df = sets_df.sort_values(["doc_id", "shingle"])
+    _all_sh = np.sort(sets_df["shingle"].to_numpy())
+    df_keys = _all_sh[np.concatenate([[True], _all_sh[1:] != _all_sh[:-1]])]
+    df_vals = np.diff(np.concatenate(
+        [np.flatnonzero(np.concatenate([[True], _all_sh[1:] != _all_sh[:-1]])),
+         [len(_all_sh)]])).astype(np.int64)
+    df_ref = ray.put((df_keys, df_vals))
+
+    class PrefixPostings:
+        def __init__(self):
+            self.df_keys, self.df_vals = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = _doc_shingles(batch, text_col, id_col, s, seed)
+            docs = np.asarray(t.column("doc_id"))
+            sh = np.asarray(t.column("shingle"))
+            df = self.df_vals[np.searchsorted(self.df_keys, sh)]
+            # per-doc order by (df, shingle): rarest first — the canonical
+            # global ordering shared by every task
+            order = np.lexsort((sh, df, docs))
+            docs, sh, df = docs[order], sh[order], df[order]
+            starts = np.concatenate([[0],
+                                     np.flatnonzero(docs[1:] != docs[:-1]) + 1])
+            lens = np.diff(np.concatenate([starts, [len(docs)]]))
+            pref = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+            within = np.arange(len(docs)) - np.repeat(starts, lens)
+            keep = within < np.repeat(pref, lens)
+            docs, sh, df = docs[keep], sh[keep], df[keep]
+            keep2 = df >= 2          # df=1 shingles can't produce a pair
+            if max_df is not None:
+                keep2 &= df <= max_df
+            docs, sh = docs[keep2], sh[keep2]
+            sizes = np.repeat(lens, lens)[keep][keep2]
+            bucket = np.abs(sh % np.int64(B))
+            return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
+                             "shingle": pa.array(sh.astype(np.int64)),
+                             "set_size": pa.array(sizes.astype(np.int64)),
+                             "bucket": pa.array(bucket.astype(np.int64))})
+
+    prefix_postings = PrefixPostings
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         sh = np.asarray(group.column("shingle"))
         docs = np.asarray(group.column("doc_id"))
+        sz = np.asarray(group.column("set_size"))
         order = np.lexsort((docs, sh))
-        sh, docs = sh[order], docs[order]
+        sh, docs, sz = sh[order], docs[order], sz[order]
         run_start = np.concatenate([[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1,
                                     [len(sh)]])
         out_a, out_b = [], []
@@ -203,8 +231,11 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
             if L < 2:
                 continue
             i, j = np.triu_indices(L, k=1)
-            out_a.append(docs[rs + i])
-            out_b.append(docs[rs + j])
+            sa, sb = sz[rs + i], sz[rs + j]
+            # ppjoin length filter: J >= t requires min|S| >= t * max|S|
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            out_a.append(docs[rs + i][ok])
+            out_b.append(docs[rs + j][ok])
         if not out_a:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
@@ -215,11 +246,7 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
         return pa.table({"doc_a": pa.array(a[first]),
                          "doc_b": pa.array(b[first])})
 
-    # broadcast the full sets for exact verification
-    sets_df = (ds.map_batches(
-        lambda b: _doc_shingles(b, text_col, id_col, s, seed),
-        batch_format="pyarrow").to_pandas())
-    sets_df = sets_df.sort_values(["doc_id", "shingle"])
+    # broadcast the full sets for exact verification (same sets_df pass)
     doc_ids = sets_df["doc_id"].to_numpy()
     starts = np.concatenate([[0], np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1])
     uniq_docs = doc_ids[starts]
@@ -243,17 +270,28 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
                                  "jaccard": pa.array([], pa.float64())})
             pa_pos = np.searchsorted(self.docs, a)
             pb_pos = np.searchsorted(self.docs, b)
-            jac = np.empty(len(a), dtype=np.float64)
-            for i in range(len(a)):          # per-pair sorted-set intersect
-                sa = self._set_of(pa_pos[i])
-                sb = self._set_of(pb_pos[i])
-                if len(sa) > len(sb):
-                    sa, sb = sb, sa
-                pos = np.searchsorted(sb, sa)
-                posc = np.minimum(pos, len(sb) - 1)
-                inter = int(np.count_nonzero(sb[posc] == sa))
-                union = len(sa) + len(sb) - inter
-                jac[i] = inter / union if union else 0.0
+            la = self.lens[pa_pos]
+            lb = self.lens[pb_pos]
+            # vectorized all-pairs intersection: tag each side's elements
+            # with the pair index, sort (pair, value), count adjacent dups
+            def gather(pos, ln):
+                tot = int(ln.sum())
+                within = np.arange(tot) - np.repeat(
+                    np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
+                src = np.repeat(self.offs[pos], ln) + within
+                return self.flat[src], np.repeat(np.arange(len(pos)), ln)
+            va, ta = gather(pa_pos, la)
+            vb, tb = gather(pb_pos, lb)
+            vals = np.concatenate([va, vb])
+            tags = np.concatenate([ta, tb])
+            order = np.lexsort((vals, tags))
+            vals, tags = vals[order], tags[order]
+            dup = (tags[1:] == tags[:-1]) & (vals[1:] == vals[:-1])
+            inter = np.zeros(len(a), dtype=np.int64)
+            if dup.any():
+                np.add.at(inter, tags[1:][dup], 1)
+            union = la + lb - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
             keep = jac >= threshold
             return pa.table({"doc_a": batch.column("doc_a").filter(pa.array(keep)),
                              "doc_b": batch.column("doc_b").filter(pa.array(keep)),
@@ -261,11 +299,13 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
 
     from ray.data.aggregate import Max
 
-    cand = (ds.map_batches(prefix_postings, batch_format="pyarrow")
+    cand = (ds.map_batches(prefix_postings, batch_format="pyarrow",
+                           concurrency=2, num_cpus=0.5)
             .groupby("bucket").map_groups(pairs_of_bucket,
                                           batch_format="pyarrow"))
     verified = cand.map_batches(Verify, batch_format="pyarrow",
-                                batch_size=8192, concurrency=2)
+                                batch_size=8192, concurrency=(1, 8),
+                                num_cpus=0.5)
     # survivors are few — a final tiny dedupe
     return (verified.groupby(["doc_a", "doc_b"])
             .aggregate(Max("jaccard", alias_name="jaccard")))
