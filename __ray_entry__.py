@@ -235,6 +235,15 @@ def w_sliding_events(sf_dir):
     return sliding_window(_events(sf_dir), size_s=3600, slide_s=900)
 
 
+def w_knn_ivf(sf_dir):
+    from bqf_ray.pipelines.knn import knn_ivf
+    ds = _embeddings(sf_dir)
+    qdf = ds.to_pandas().sort_values("vec_id").head(5)
+    return knn_ivf(ds, qdf["vec_id"].to_numpy(),
+                   np.stack(qdf["embedding"].to_numpy()), k=10,
+                   n_cells=32, nprobe=8)
+
+
 def w_media_features(sf_dir):
     """Multimodal plumbing: deterministic media table sized to the sf's
     documents count → decode + feature-extract actor pools.  (Binary
@@ -322,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": w_sessions,
         "sliding_events": w_sliding_events,
         "knn_lsh": w_knn_lsh,
+        "knn_ivf": w_knn_ivf,
         "media_features": w_media_features,
         "frame_sample": w_frame_sample,
     }

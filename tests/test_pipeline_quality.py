@@ -105,3 +105,25 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
         a = set(ann[ann.query_id == q].neighbor_id)
         recalls.append(len(a & b) / len(b))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    import ray
+    from bqf_ray.pipelines.knn import knn_ivf
+    rng = np.random.RandomState(8)
+    centers = rng.normal(size=(20, 32))
+    vecs = (centers[rng.randint(0, 20, 2000)] +
+            0.1 * rng.normal(size=(2000, 32))).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(2000, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    qids = np.arange(5, dtype=np.int64)
+    qv = vecs[:5]
+    bf = knn_bruteforce(ds, qids, qv, k=10).to_pandas()
+    ivf = knn_ivf(ds, qids, qv, k=10, n_cells=32, nprobe=6).to_pandas()
+    recalls = []
+    for q in qids:
+        b = set(bf[bf.query_id == q].neighbor_id)
+        a = set(ivf[ivf.query_id == q].neighbor_id)
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.8, recalls
