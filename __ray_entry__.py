@@ -163,6 +163,93 @@ def q_probe_fimpera(sf_dir):
     return idx.probe_documents(ds, z=0, concurrency=2)
 
 
+def q_nation_revenue(sf_dir):
+    """Broadcast dimension join: orders ⨝ customer ⨝ nation → revenue per
+    nation (cents-exact sums)."""
+    import ray
+    import duckdb
+    from bqf_ray.pipelines.relational import broadcast_join
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    dim = duckdb.connect().execute(
+        f"SELECT c_custkey, n_name FROM "
+        f"read_parquet('{sf_dir}/customer.parquet') c JOIN "
+        f"read_parquet('{sf_dir}/nation.parquet') n "
+        f"ON c.c_nationkey = n.n_nationkey").fetch_df()
+    dim = dim.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, dim, key="o_custkey")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(batch.column("o_totalprice")) * 100 + 0.5
+                         ).astype(np.int64)
+        t = pa.table({"n_name": batch.column("n_name"),
+                      "c": pa.array(cents),
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(["n_name"]).aggregate(
+            [("c", "sum"), ("n", "sum")]).rename_columns(["n_name", "c", "n"])
+
+    def final(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+        return pa.table({
+            "n_name": group.column("n_name").slice(0, 1),
+            "revenue": pa.array([pcc.sum(group.column("c")).as_py() / 100.0],
+                                pa.float64()),
+            "n_orders": pa.array([pcc.sum(group.column("n")).as_py()],
+                                 pa.int64()),
+        })
+
+    return (joined.map_batches(pre, batch_format="pyarrow")
+            .groupby("n_name").map_groups(final, batch_format="pyarrow"))
+
+
+def q_priority_revenue(sf_dir):
+    """Large-large partitioned hash join: lineitem ⨝ orders on orderkey →
+    disc-price revenue per order priority (cents-exact)."""
+    import ray
+    from bqf_ray.pipelines.relational import partitioned_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"))
+        disc = np.asarray(batch.column("l_discount"))
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "cents": pa.array(cents)})
+
+    li = li.map_batches(li_cents, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    joined = partitioned_hash_join(li, orders, key="o_orderkey",
+                                   num_buckets=16)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority_r"),
+                      "c": batch.column("cents"),
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(["o_orderpriority"]).aggregate(
+            [("c", "sum"), ("n", "sum")]).rename_columns(
+            ["o_orderpriority", "c", "n"])
+
+    def final(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+        return pa.table({
+            "o_orderpriority": group.column("o_orderpriority").slice(0, 1),
+            "revenue": pa.array([pcc.sum(group.column("c")).as_py() / 100.0],
+                                pa.float64()),
+            "n_items": pa.array([pcc.sum(group.column("n")).as_py()],
+                                pa.int64()),
+        })
+
+    return (joined.map_batches(pre, batch_format="pyarrow")
+            .groupby("o_orderpriority").map_groups(final,
+                                                   batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # weak-checked (approximate / heuristic / non-SQL) queries
 # ---------------------------------------------------------------------------
@@ -319,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
+        "nation_revenue": q_nation_revenue,
+        "priority_revenue": q_priority_revenue,
         "hll_distinct": w_hll_distinct,
         "tdigest_quantiles": w_quantiles_value,
         "kll_quantiles": w_kll_quantiles_price,
@@ -442,6 +531,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest(a.embedding) AS u,
                                 unnest(b.embedding) AS v) x)
                   / (a.nrm * b.nrm) >= 0.45""",
+        "nation_revenue": """
+            SELECT n.n_name,
+                   sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0
+                       AS revenue,
+                   count(*)::BIGINT AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "priority_revenue": """
+            SELECT o.o_orderpriority,
+                   sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100
+                                  + 0.5) AS BIGINT))/100.0 AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority""",
         "probe_fimpera": f"""
             WITH cnts AS (
               SELECT token, LEAST(count(*), {_CAP}) AS c

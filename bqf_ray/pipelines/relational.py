@@ -1,0 +1,103 @@
+"""Relational join patterns (ray_guide 'Joins and lookups').
+
+The reference has no joins (SURVEY.md §2.4), but a complete engine needs
+them for dimension enrichment and fact-fact matching:
+
+- :func:`broadcast_join` — small side (dimension table) shipped once via
+  ``ray.put``; each batch does a vectorized searchsorted/take lookup.  No
+  shuffle.
+- :func:`partitioned_hash_join` — both sides large: tag rows with
+  ``bucket = key % B``, union the two tagged datasets, one
+  ``groupby(bucket)`` shuffle, and join matching buckets pairwise inside
+  ``map_groups`` with pandas merge.  Salt hot keys upstream if a bucket
+  overflows (documented; hashed integer keys are uniform here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_df, key: str, how: str = "inner",
+                   concurrency: int = 2):
+    """Join a Dataset against a small pandas DataFrame on ``key``.
+
+    ``small_df`` must have unique keys.  Inner or left join."""
+    import pandas as pd
+    import ray
+
+    small_df = small_df.sort_values(key).reset_index(drop=True)
+    assert small_df[key].is_unique, "broadcast side must have unique keys"
+    ref = ray.put(small_df)
+
+    class Lookup:
+        def __init__(self):
+            self.small = ray.get(ref)
+            self.keys = self.small[key].to_numpy()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            left = batch.to_pandas()
+            lk = left[key].to_numpy()
+            pos = np.searchsorted(self.keys, lk)
+            hit = pos < len(self.keys)
+            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit &= self.keys[posc] == lk
+            if how == "inner":
+                left = left[hit].reset_index(drop=True)
+                posc = posc[hit]
+            right = self.small.iloc[posc].reset_index(drop=True) \
+                .drop(columns=[key])
+            if how == "left":
+                right[~hit] = None
+            return pa.Table.from_pandas(pd.concat([left, right], axis=1),
+                                        preserve_index=False)
+
+    return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=8192,
+                          concurrency=concurrency, num_cpus=0.5)
+
+
+def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
+                          suffix: str = "_r"):
+    """Inner join of two large Datasets on an integer ``key`` via explicit
+    bucket co-partitioning (one groupby shuffle over the union)."""
+    import pandas as pd
+
+    B = int(num_buckets)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(key), dtype=np.int64)
+            bucket = np.abs(k) % B
+            return (batch.append_column("__bucket", pa.array(bucket))
+                    .append_column("__side",
+                                   pa.array(np.full(len(batch), side,
+                                                    dtype=np.int8))))
+        return fn
+
+    # schemas differ → carry each side's columns; union aligns by name with
+    # nulls, so rename right columns (except key/bucket/side) upfront
+    right_cols = [c for c in right_ds.schema().names if c != key]
+
+    def rename_right(batch: pa.Table) -> pa.Table:
+        names = [c + suffix if c in right_cols else c
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    left_tagged = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right_tagged = (right_ds.map_batches(tag(1), batch_format="pyarrow")
+                    .map_batches(rename_right, batch_format="pyarrow"))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lt = group[group["__side"] == 0].dropna(axis=1, how="all")
+        rt = group[group["__side"] == 1].dropna(axis=1, how="all")
+        lt = lt.drop(columns=["__bucket", "__side"])
+        rt = rt.drop(columns=["__bucket", "__side"])
+        if len(lt) == 0 or len(rt) == 0:
+            return pd.DataFrame()
+        return lt.merge(rt, on=key, how="inner")
+
+    return (left_tagged.union(right_tagged)
+            .groupby("__bucket")
+            .map_groups(join_bucket, batch_format="pandas"))

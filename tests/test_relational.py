@@ -1,0 +1,57 @@
+"""Join primitives: broadcast dimension join and partitioned hash join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.relational import broadcast_join, partitioned_hash_join
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session):
+    import ray
+    rng = np.random.RandomState(4)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 200, 5000).astype(np.int64)),
+        "v": pa.array(rng.random_sample(5000)),
+    })
+    dim = pd.DataFrame({"k": np.arange(0, 150, dtype=np.int64),
+                        "name": [f"dim{i}" for i in range(150)]})
+    return ray.data.from_arrow(left).repartition(4), left.to_pandas(), dim
+
+
+def test_broadcast_inner_join(tables):
+    ds, left, dim = tables
+    out = broadcast_join(ds, dim, key="k").to_pandas()
+    exp = left.merge(dim, on="k", how="inner")
+    assert len(out) == len(exp)
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "name"]],
+                                  exp[["k", "v", "name"]])
+
+
+def test_broadcast_join_drops_unmatched(tables):
+    ds, left, dim = tables
+    out = broadcast_join(ds, dim, key="k").to_pandas()
+    assert out["k"].max() < 150          # keys ≥150 have no dim row
+    assert (left["k"] >= 150).sum() > 0  # …and such keys existed
+
+
+def test_partitioned_hash_join_matches_pandas(ray_session, tables):
+    import ray
+    ds, left, dim = tables
+    right = pa.table({
+        "k": pa.array(np.arange(0, 180, dtype=np.int64)),
+        "w": pa.array(np.arange(0, 180, dtype=np.int64) * 10),
+    })
+    right_ds = ray.data.from_arrow(right).repartition(3)
+    out = partitioned_hash_join(ds, right_ds, key="k",
+                                num_buckets=8).to_pandas()
+    exp = left.merge(right.to_pandas().rename(columns={"w": "w_r"}), on="k")
+    assert len(out) == len(exp)
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    exps = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["w_r"].to_numpy(),
+                                  exps["w_r"].to_numpy())
