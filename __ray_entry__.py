@@ -163,6 +163,28 @@ def q_probe_fimpera(sf_dir):
     return idx.probe_documents(ds, z=0, concurrency=2)
 
 
+def q_window_distinct_users(sf_dir):
+    """Exact distinct users per (hour window, event_type)."""
+    from bqf_ray.pipelines.windowed import windowed_distinct
+    return windowed_distinct(_events(sf_dir), size_s=3600, exact=True)
+
+
+def q_lang_counts_salted(sf_dir):
+    """Per-lang doc counts via the two-phase SALTED aggregate (lang is the
+    deliberately-skewed natural key)."""
+    import ray
+    from bqf_ray.stages.partition import salted_aggregate
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "doc_id"])
+    out = salted_aggregate(ds, "lang", {"doc_id": "count"}, num_salts=8)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["lang" if c == "lang" else "n_docs" for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_nation_revenue(sf_dir):
     """Broadcast dimension join: orders ⨝ customer ⨝ nation → revenue per
     nation (cents-exact sums)."""
@@ -331,6 +353,11 @@ def w_knn_ivf(sf_dir):
                    n_cells=32, nprobe=8)
 
 
+def w_window_distinct_hll(sf_dir):
+    from bqf_ray.pipelines.windowed import windowed_distinct
+    return windowed_distinct(_events(sf_dir), size_s=3600, exact=False)
+
+
 def w_media_features(sf_dir):
     """Multimodal plumbing: deterministic media table sized to the sf's
     documents count → decode + feature-extract actor pools.  (Binary
@@ -406,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
+        "window_distinct_users": q_window_distinct_users,
+        "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
         "hll_distinct": w_hll_distinct,
@@ -421,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_events": w_sliding_events,
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
+        "window_distinct_hll": w_window_distinct_hll,
         "media_features": w_media_features,
         "frame_sample": w_frame_sample,
     }
@@ -531,6 +561,14 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest(a.embedding) AS u,
                                 unnest(b.embedding) AS v) x)
                   / (a.nrm * b.nrm) >= 0.45""",
+        "window_distinct_users": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY 1, 2""",
+        "lang_counts": """
+            SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang""",
         "nation_revenue": """
             SELECT n.n_name,
                    sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0

@@ -64,22 +64,33 @@ def ensure_pages_parquet(n_rows: int) -> str:
     return path
 
 
-def headline_build(pages_path: str, n_rows: int) -> float:
-    """The north-star pipeline: read pages parquet → extract stage is
-    identity here (text already materialized; ExtractText is benched in
-    tests) → tokenize+hash → one shuffle → partitioned BQF shards."""
+def headline_build(pages_path: str, n_rows: int) -> tuple[float, dict]:
+    """The north-star pipeline end to end: read pages parquet (html) →
+    deterministic ExtractText → tokenize+hash → one shuffle →
+    partitioned BQF shards.  Returns (wall sec, space metrics)."""
     import ray
     from bqf_ray.pipelines.build_index import build_bqf_index
+    from bqf_ray.text.extract import ExtractText
 
-    ds = ray.data.read_parquet(pages_path, columns=["url", "text"])
+    ds = (ray.data.read_parquet(pages_path, columns=["url", "html"])
+          .map_batches(ExtractText(), batch_format="pyarrow",
+                       batch_size=1024))
     t0 = time.time()
     # num_partitions fixed (NOT a function of cpu count) so the scaling
     # comparison runs the identical job at both parallelism levels
-    idx = build_bqf_index(ds, text_col="text", s=1, q=16, count_size=8,
+    idx = build_bqf_index(ds, text_col="text", s=1, q=8, count_size=8,  # q auto-grows with shard cardinality
                           num_partitions=32, batch_size=1024)
     dt = time.time() - t0
     assert idx.psketch.elements_inside > 0
-    return dt
+    total_bytes = sum(len(sk.to_bytes())
+                      for sk in idx.psketch.shards.values())
+    space = {
+        "index_elements": idx.psketch.elements_inside,
+        "index_bytes": total_bytes,
+        "bits_per_element": round(
+            total_bytes * 8 / max(idx.psketch.elements_inside, 1), 1),
+    }
+    return dt, space
 
 
 def run_queries() -> dict[str, float]:
@@ -113,9 +124,11 @@ def main_bench() -> dict:
     # timed run measures steady-state compute, not process spawn
     ray.data.read_parquet(pages_path, columns=["url"]).count()
     from bqf_ray.pipelines.build_index import build_bqf_index as _bbi
-    _bbi(ray.data.read_parquet(pages_path, columns=["url", "text"]).limit(2048),
+    from bqf_ray.text.extract import ExtractText as _Ex
+    _bbi(ray.data.read_parquet(pages_path, columns=["url", "html"]).limit(2048)
+         .map_batches(_Ex(), batch_format="pyarrow", batch_size=1024),
          text_col="text", s=1, q=10, num_partitions=4, batch_size=1024)
-    build_sec = headline_build(pages_path, n_rows)
+    build_sec, space = headline_build(pages_path, n_rows)
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
     result = {
         "metric": "pages_bqf_sketch_build",
@@ -126,6 +139,7 @@ def main_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_pages": n_rows,
         "docs_per_sec": round(n_rows / build_sec, 1),
+        **space,
     }
     ray.shutdown()
     return result
