@@ -163,6 +163,24 @@ def q_probe_fimpera(sf_dir):
     return idx.probe_documents(ds, z=0, concurrency=2)
 
 
+def q_top_docs_per_lang(sf_dir):
+    """Top-3 documents by n_chars per lang (window-function shape:
+    rank-within-group with deterministic tie-break)."""
+    import ray
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def topk(group):
+        import pandas as pd
+        g = group.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
 def q_window_distinct_users(sf_dir):
     """Exact distinct users per (hour window, event_type)."""
     from bqf_ray.pipelines.windowed import windowed_distinct
@@ -433,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "window_distinct_users": q_window_distinct_users,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
@@ -561,6 +580,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest(a.embedding) AS u,
                                 unnest(b.embedding) AS v) x)
                   / (a.nrm * b.nrm) >= 0.45""",
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id)::BIGINT
+                       AS rk
+            FROM documents QUALIFY rk <= 3""",
         "window_distinct_users": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                    event_type,

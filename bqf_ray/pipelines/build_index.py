@@ -143,5 +143,8 @@ class BqfIndex:
                     "presence_ratio": pa.array(ratios),
                 })
 
+        # fractional CPUs: a probe pool that reserves every core starves the
+        # upstream read stage and the pipeline deadlocks on small sessions
         return docs_ds.map_batches(Probe, batch_format="pyarrow",
-                                   batch_size=1024, concurrency=concurrency)
+                                   batch_size=1024, concurrency=concurrency,
+                                   num_cpus=0.5)

@@ -58,6 +58,20 @@ def broadcast_join(ds, small_df, key: str, how: str = "inner",
                           concurrency=concurrency, num_cpus=0.5)
 
 
+def native_join(left_ds, right_ds, key: str, num_partitions: int = 16,
+                suffix: str = "_r"):
+    """Ray Data's built-in hash-partitioned join (available in this Ray
+    version; feature-gated because the API is young — the portable
+    fallback is :func:`partitioned_hash_join`)."""
+    if not hasattr(left_ds, "join"):
+        return partitioned_hash_join(left_ds, right_ds, key,
+                                     num_buckets=num_partitions,
+                                     suffix=suffix)
+    return left_ds.join(right_ds, join_type="inner",
+                        num_partitions=num_partitions, on=(key,),
+                        right_suffix=suffix)
+
+
 def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
                           suffix: str = "_r"):
     """Inner join of two large Datasets on an integer ``key`` via explicit

@@ -103,3 +103,21 @@ def test_cli_end_to_end(ray_session, counted_smers, tmp_path):
               "-k", str(s), "-s", str(s)])
     res = pq.read_table(qout).to_pandas()
     assert len(res) == 1 and "presence_ratio" in res.columns
+
+
+def test_cli_index_probe_webtext(ray_session, tmp_path):
+    """Drive the web-text CLI: index pages parquet, probe documents."""
+    import pyarrow.parquet as pq
+    from bqf_ray import cli
+    from bqf_ray.sources.pages import generate_pages
+    t = generate_pages(300, seed=6)
+    t = t.append_column("doc_id", pa.array(np.arange(len(t), dtype=np.int64)))
+    pin = str(tmp_path / "pages.parquet")
+    pq.write_table(t, pin)
+    idx_dir = str(tmp_path / "widx")
+    cli.main(["index", "-i", pin, "-o", idx_dir, "-q", "10"])
+    pout = str(tmp_path / "probe_out")
+    cli.main(["probe", "-b", idx_dir, "-i", pin, "-o", pout])
+    res = pq.read_table(pout).to_pandas()
+    assert len(res) == 300
+    assert (res["presence_ratio"] == 1.0).all()   # self-probe: all present

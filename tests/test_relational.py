@@ -55,3 +55,21 @@ def test_partitioned_hash_join_matches_pandas(ray_session, tables):
     exps = exp.sort_values(["k", "v"]).reset_index(drop=True)
     np.testing.assert_array_equal(got["w_r"].to_numpy(),
                                   exps["w_r"].to_numpy())
+
+
+def test_native_join_matches_manual(ray_session, tables):
+    import ray
+    from bqf_ray.pipelines.relational import native_join
+    ds, left, dim = tables
+    right = pa.table({
+        "k": pa.array(np.arange(0, 180, dtype=np.int64)),
+        "w": pa.array(np.arange(0, 180, dtype=np.int64) * 10),
+    })
+    right_ds = ray.data.from_arrow(right).repartition(3)
+    out = native_join(ds, right_ds, key="k", num_partitions=4).to_pandas()
+    exp = left.merge(right.to_pandas(), on="k")
+    assert len(out) == len(exp)
+    wcol = "w_r" if "w_r" in out.columns else "w"
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    exps = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got[wcol].to_numpy(), exps["w"].to_numpy())
