@@ -72,7 +72,7 @@ def headline_build(pages_path: str, n_rows: int) -> tuple[float, dict]:
     from bqf_ray.pipelines.build_index import build_bqf_index
     from bqf_ray.text.extract import ExtractText
 
-    ds = (ray.data.read_parquet(pages_path, columns=["url", "html"])
+    ds = (ray.data.read_parquet(pages_path, columns=["html"])  # prune: build needs only html→text
           .map_batches(ExtractText(), batch_format="pyarrow",
                        batch_size=1024))
     t0 = time.time()
@@ -125,7 +125,7 @@ def main_bench() -> dict:
     ray.data.read_parquet(pages_path, columns=["url"]).count()
     from bqf_ray.pipelines.build_index import build_bqf_index as _bbi
     from bqf_ray.text.extract import ExtractText as _Ex
-    _bbi(ray.data.read_parquet(pages_path, columns=["url", "html"]).limit(2048)
+    _bbi(ray.data.read_parquet(pages_path, columns=["html"]).limit(2048)
          .map_batches(_Ex(), batch_format="pyarrow", batch_size=1024),
          text_col="text", s=1, q=10, num_partitions=4, batch_size=1024)
     build_sec, space = headline_build(pages_path, n_rows)
@@ -186,7 +186,6 @@ def run_scaling() -> dict:
 def _update_baseline_md(r: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.md")
-    marker = "<!-- scaling-результат -->"
     marker = "<!-- measured-scaling -->"
     section = (f"\n{marker}\n## Measured scaling (bench.py --scaling)\n\n"
                f"| pages | cpus low | sec low | docs/s low | cpus high | "
