@@ -2,7 +2,7 @@ import sys, time, duckdb, numpy as np, pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import ray
-ray.init(address="local", num_cpus=16, include_dashboard=False)
+ray.init(address="local", num_cpus=int(__import__("os").environ.get("PAR_CPUS", "16")), include_dashboard=False)
 import __ray_entry__ as em
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
