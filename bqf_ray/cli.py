@@ -80,7 +80,9 @@ def cmd_query(args):
         if f.startswith("part-") and f.endswith(".sketch"):
             part = int(f[5:10])
             shards[part] = SketchCheckpoint.load_partition(args.bqf, part)
-    ps = PartitionedSketch(shards)
+    manifest = SketchCheckpoint.load_manifest(args.bqf)
+    num_parts = (manifest or {}).get("config", {}).get("num_partitions")
+    ps = PartitionedSketch(shards, num_parts)
     ds = _read(args)
     if args.text_input:
         import pyarrow as pa

@@ -97,6 +97,7 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
         for row in meta:
             ckpt.manifest.partitions[str(int(row["part"]))] = {
                 "n_keys": int(row["n_keys"]), "bytes": int(row["bytes"]),
+                "sha256": row.get("sha256"),
                 "fragments": lineage, "ts": 0.0,
             }
         ckpt.write_manifest()
@@ -105,7 +106,7 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
         from bqf_ray.sketches.base import MergeableSketch
         for row in meta:
             shards[int(row["part"])] = MergeableSketch.from_bytes(row["blob"])
-    return BqfIndex(PartitionedSketch(shards), config)
+    return BqfIndex(PartitionedSketch(shards, num_partitions), config)
 
 
 class BqfIndex:
@@ -119,7 +120,8 @@ class BqfIndex:
     def load(cls, checkpoint_dir: str) -> "BqfIndex":
         m = SketchCheckpoint.load_manifest(checkpoint_dir)
         assert m is not None
-        return cls(PartitionedSketch(SketchCheckpoint.load_all(checkpoint_dir)),
+        return cls(PartitionedSketch(SketchCheckpoint.load_all(checkpoint_dir),
+                                     m["config"]["num_partitions"]),
                    m["config"])
 
     def query_tokens(self, keys: np.ndarray) -> np.ndarray:

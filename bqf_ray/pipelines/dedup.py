@@ -241,10 +241,14 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
                              "doc_b": pa.array([], pa.int64())})
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        key = a * np.int64(1 << 31) + b          # local dedupe
-        _, first = np.unique(key, return_index=True)
-        return pa.table({"doc_a": pa.array(a[first]),
-                         "doc_b": pa.array(b[first])})
+        # local dedupe without a packed key (ids >= 2^31 would alias):
+        # lexsort (a, b), keep first of each run
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate([[True],
+                               (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep])})
 
     # broadcast the full sets for exact verification (same sets_df pass)
     doc_ids = sets_df["doc_id"].to_numpy()

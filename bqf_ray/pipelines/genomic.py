@@ -65,11 +65,22 @@ def build_from_counted_smers(ds, s: int, *, smer_col: str = "smer",
     if checkpoint_dir is not None:
         meta = blob_ds.take_all()        # blobs were written in-task
         from bqf_ray.state.checkpoint import SketchCheckpoint
+        config = {"tool": "build", "s": s, "codec": codec,
+                  "count_size": count_size, "q": q,
+                  "num_partitions": num_partitions}
+        ckpt = SketchCheckpoint(checkpoint_dir, config)
+        for r in meta:
+            ckpt.manifest.partitions[str(int(r["part"]))] = {
+                "n_keys": int(r["n_keys"]), "bytes": int(r["bytes"]),
+                "sha256": r.get("sha256"), "fragments": [], "ts": 0.0,
+            }
+        ckpt.write_manifest()
         return PartitionedSketch({
-            int(r["part"]): SketchCheckpoint.load_partition(checkpoint_dir,
-                                                            int(r["part"]))
-            for r in meta})
-    return PartitionedSketch.from_dataset(blob_ds)
+            int(r["part"]): SketchCheckpoint.load_partition(
+                checkpoint_dir, int(r["part"]),
+                ckpt.manifest.partitions[str(int(r["part"]))]["sha256"])
+            for r in meta}, num_partitions)
+    return PartitionedSketch.from_dataset(blob_ds, num_partitions)
 
 
 def query_sequences(ds, psketch: PartitionedSketch, *, k: int, s: int,

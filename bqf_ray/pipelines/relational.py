@@ -103,11 +103,15 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
     right_tagged = (right_ds.map_batches(tag(1), batch_format="pyarrow")
                     .map_batches(rename_right, batch_format="pyarrow"))
 
+    # select each side's columns from the schemas captured at tag time —
+    # inferring sides via dropna would silently drop a genuinely all-null
+    # column on one side within a bucket
+    left_cols = list(left_ds.schema().names)
+    right_cols_final = [key] + [c + suffix for c in right_cols]
+
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lt = group[group["__side"] == 0].dropna(axis=1, how="all")
-        rt = group[group["__side"] == 1].dropna(axis=1, how="all")
-        lt = lt.drop(columns=["__bucket", "__side"])
-        rt = rt.drop(columns=["__bucket", "__side"])
+        lt = group.loc[group["__side"] == 0, left_cols]
+        rt = group.loc[group["__side"] == 1, right_cols_final]
         if len(lt) == 0 or len(rt) == 0:
             return pd.DataFrame()
         return lt.merge(rt, on=key, how="inner")

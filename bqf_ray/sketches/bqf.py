@@ -67,7 +67,11 @@ class BqfOom(_QuotientFilterKernel):
 
     def __init__(self, q: int = 10, count_size: int = 5, hash_bits: int = 64,
                  auto_resize: bool = True):
-        assert count_size >= 1
+        # count_size <= 6 keeps the stored-exponent cap 2^c-1 <= 63, so the
+        # 1 << stored reconstruction in _to_raw/_report never overflows 64
+        # bits (a 2^63 count is unreachable anyway)
+        assert 1 <= count_size <= 6, \
+            "BqfOom requires count_size in [1, 6] (exponent cap <= 63)"
         super().__init__(q=q, hash_bits=hash_bits, count_size=count_size,
                          auto_resize=auto_resize)
 

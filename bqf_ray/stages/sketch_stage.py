@@ -141,6 +141,9 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
         sk.update_batch(keys, counts)
         blob = sk.to_bytes()
         n_keys = len(np.unique(keys))
+        import hashlib
+        size = len(blob)
+        sha = hashlib.sha256(blob).hexdigest()
         if sink_dir is not None:
             # write the shard from inside the task (atomic, deterministic
             # name → idempotent under retries); only metadata flows back
@@ -148,17 +151,13 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
             import os
             path = os.path.join(sink_dir, f"part-{part:05d}.sketch")
             _atomic_write(path, blob)
-            return pa.table({
-                "part": pa.array([part], pa.int64()),
-                "blob": pa.array([b""], pa.binary()),
-                "n_keys": pa.array([n_keys], pa.int64()),
-                "bytes": pa.array([len(blob)], pa.int64()),
-            })
+            blob = b""
         return pa.table({
             "part": pa.array([part], pa.int64()),
             "blob": pa.array([blob], pa.binary()),
             "n_keys": pa.array([n_keys], pa.int64()),
-            "bytes": pa.array([len(blob)], pa.int64()),
+            "bytes": pa.array([size], pa.int64()),
+            "sha256": pa.array([sha], pa.string()),
         })
 
     def to_partial_blobs(batch: pa.Table) -> pa.Table:
@@ -195,6 +194,8 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
         blob = sk.to_bytes()
         n_keys = sk.elements_inside
         size = len(blob)
+        import hashlib
+        sha = hashlib.sha256(blob).hexdigest()
         if sink_dir is not None:
             from bqf_ray.state.checkpoint import _atomic_write
             import os
@@ -206,6 +207,7 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
             "blob": pa.array([blob], pa.binary()),
             "n_keys": pa.array([n_keys], pa.int64()),
             "bytes": pa.array([size], pa.int64()),
+            "sha256": pa.array([sha], pa.string()),
         })
 
     if combine:
@@ -234,18 +236,30 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
 
 
 class PartitionedSketch:
-    """P shard sketches over disjoint key ranges (key % P routing)."""
+    """P shard sketches over disjoint key ranges (key % P routing).
 
-    def __init__(self, shards: dict[int, MergeableSketch]):
-        self.P = max(shards) + 1 if shards else 0
+    ``num_partitions`` must be the P the build used: the build's groupby
+    only emits partitions that received keys, so inferring P from the
+    populated shard dict is wrong whenever the highest-numbered partition
+    is empty (key%P would then misroute every probe).  Partitions absent
+    from ``shards`` are genuinely empty and report count 0."""
+
+    def __init__(self, shards: dict[int, MergeableSketch],
+                 num_partitions: int | None = None):
+        if num_partitions is None:
+            num_partitions = max(shards) + 1 if shards else 0
+        assert all(0 <= p < num_partitions for p in shards), \
+            f"shard ids {sorted(shards)} out of range for P={num_partitions}"
+        self.P = int(num_partitions)
         self.shards = shards
 
     @classmethod
-    def from_dataset(cls, blob_ds) -> "PartitionedSketch":
+    def from_dataset(cls, blob_ds,
+                     num_partitions: int | None = None) -> "PartitionedSketch":
         shards = {}
         for row in blob_ds.take_all():
             shards[int(row["part"])] = MergeableSketch.from_bytes(row["blob"])
-        return cls(shards)
+        return cls(shards, num_partitions)
 
     def query_batch(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)

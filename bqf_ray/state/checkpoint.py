@@ -74,6 +74,7 @@ class SketchCheckpoint:
         self.manifest.partitions[str(part)] = {
             "n_keys": int(n_keys),
             "bytes": len(blob),
+            "sha256": hashlib.sha256(blob).hexdigest(),
             "fragments": fragments or [],
             "ts": time.time(),
         }
@@ -113,18 +114,35 @@ class SketchCheckpoint:
         done = set()
         for part, info in m.get("partitions", {}).items():
             path = os.path.join(directory, f"part-{int(part):05d}.sketch")
-            if os.path.exists(path) and os.path.getsize(path) == info["bytes"]:
-                done.add(int(part))
+            if not (os.path.exists(path)
+                    and os.path.getsize(path) == info["bytes"]):
+                continue
+            if "sha256" in info:
+                # size alone accepts a corrupted same-size blob; content
+                # hash is the real completion check
+                with open(path, "rb") as f:
+                    if hashlib.sha256(f.read()).hexdigest() != info["sha256"]:
+                        continue
+            done.add(int(part))
         return done
 
     @classmethod
-    def load_partition(cls, directory: str, part: int) -> MergeableSketch:
+    def load_partition(cls, directory: str, part: int,
+                       expect_sha256: str | None = None) -> MergeableSketch:
         with open(os.path.join(directory, f"part-{part:05d}.sketch"), "rb") as f:
-            return MergeableSketch.from_bytes(f.read())
+            blob = f.read()
+        if expect_sha256 is not None:
+            got = hashlib.sha256(blob).hexdigest()
+            if got != expect_sha256:
+                raise IOError(
+                    f"checkpoint shard part-{part:05d} corrupted: "
+                    f"sha256 {got[:12]} != manifest {expect_sha256[:12]}")
+        return MergeableSketch.from_bytes(blob)
 
     @classmethod
     def load_all(cls, directory: str) -> dict[int, MergeableSketch]:
         m = cls.load_manifest(directory)
         assert m is not None, f"no manifest in {directory}"
-        return {int(p): cls.load_partition(directory, int(p))
-                for p in m["partitions"]}
+        return {int(p): cls.load_partition(directory, int(p),
+                                           info.get("sha256"))
+                for p, info in m["partitions"].items()}

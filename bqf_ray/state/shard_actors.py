@@ -100,7 +100,8 @@ class ShardedSketchService:
         from bqf_ray.stages.sketch_stage import PartitionedSketch
         blobs = self._ray.get([s.snapshot.remote() for s in self.shards])
         return PartitionedSketch({p: MergeableSketch.from_bytes(b)
-                                  for p, b in enumerate(blobs)})
+                                  for p, b in enumerate(blobs)},
+                                 num_partitions=len(blobs))
 
     def checkpoint(self, directory: str, config: dict,
                    input_lineage: list[str] | None = None) -> None:

@@ -244,3 +244,12 @@ def test_fimpera_aggregation():
     m2, x2, a2, r2 = fimpera_from_abundances(
         np.array([5], dtype=np.uint64), np.array([0, 1]), z=3)
     assert (m2[0], x2[0], a2[0], r2[0]) == (0, 0, 0.0, 0.0)
+
+
+def test_oom_rejects_overflowing_count_size():
+    """count_size >= 7 would let the stored exponent exceed 63 and the
+    1 << stored reconstruction overflow uint64 (ADVICE r1)."""
+    import pytest
+    with pytest.raises(AssertionError):
+        BqfOom(q=8, count_size=7)
+    BqfOom(q=8, count_size=6)          # cap 63: the largest legal config

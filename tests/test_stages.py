@@ -141,3 +141,54 @@ def test_salted_aggregate_matches_plain(ray_session, pages_ds, pages_table):
     exact = exact.sort_values("lang").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         merged[["lang", "count_rows"]].astype({"count_rows": "int64"}), exact)
+
+
+def test_partitioned_sketch_empty_top_partition():
+    """P must come from the build config, not max(shards)+1: with the
+    highest-numbered partition empty, inference would misroute EVERY key
+    (ADVICE r1).  No Ray needed — pure routing check."""
+    P = 8
+    # keys chosen so partitions 6 and 7 receive nothing
+    keys = np.array([0, 1, 2, 3, 4, 5, 8, 9, 13], dtype=np.uint64)
+    shards = {}
+    for p in range(P):
+        sub = keys[keys % P == p]
+        if len(sub) == 0:
+            continue
+        sk = BqfEc(q=8, count_size=8)
+        sk.update_batch(sub, np.ones(len(sub), dtype=np.uint64))
+        shards[p] = sk
+    assert max(shards) + 1 < P          # the trap the old inference fell into
+    ps = PartitionedSketch(shards, num_partitions=P)
+    assert ps.P == P
+    np.testing.assert_array_equal(ps.query_batch(keys),
+                                  np.ones(len(keys), dtype=np.uint64))
+    # keys routed to genuinely empty partitions report 0
+    absent = np.array([6, 7, 14, 15], dtype=np.uint64)
+    np.testing.assert_array_equal(ps.query_batch(absent),
+                                  np.zeros(len(absent), dtype=np.uint64))
+    with pytest.raises(AssertionError):
+        PartitionedSketch(shards, num_partitions=4)   # shard id out of range
+
+
+def test_checkpoint_detects_corrupted_shard(tmp_path):
+    """A same-size corrupted shard must fail the sha check on resume and
+    on manifest-driven load (ADVICE r1)."""
+    ckdir = str(tmp_path / "ck")
+    sk = BqfEc(q=8, count_size=8)
+    sk.update_batch(np.array([1, 2, 3], dtype=np.uint64),
+                    np.array([1, 1, 1], dtype=np.uint64))
+    ck = SketchCheckpoint(ckdir, {"q": 8}, ["frag0"])
+    ck.write_partition(0, sk.to_bytes(), 3)
+    ck.write_manifest()
+    assert SketchCheckpoint.resume_plan(ckdir, {"q": 8}, ["frag0"]) == {0}
+
+    # flip one byte in place (size unchanged)
+    path = os.path.join(ckdir, "part-00000.sketch")
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+
+    assert SketchCheckpoint.resume_plan(ckdir, {"q": 8}, ["frag0"]) == set()
+    with pytest.raises(IOError):
+        SketchCheckpoint.load_all(ckdir)
