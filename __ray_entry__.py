@@ -65,33 +65,26 @@ def q_bqf_token_counts(sf_dir):
 
 
 def q_first_repeat_tokens(sf_dir):
-    """Tokens seen ≥ 2 times — BqfCf (first-repeat counting filter) path."""
-    import ray
+    """Tokens seen ≥ 2 times — BqfCf (first-repeat counting filter) path.
+    The repeat-key set stays distributed: distinct tokens are semi-joined
+    against the BqfCf output via bucket co-partitioning (no driver
+    collect — at 10^12 docs the repeat set is corpus-sized)."""
     from bqf_ray.functions.hashing import xxhash64_array
-    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.pipelines.aggregates import distinct_values
     from bqf_ray.pipelines.dedup import first_repeat_keys
-    import pyarrow.compute as pc
+    from bqf_ray.pipelines.relational import semi_join
 
     ds = _docs(sf_dir)
-    keys = first_repeat_keys(ds, num_partitions=8).to_pandas()["key"].to_numpy()
-    key_set = np.sort(keys.astype(np.int64).astype(np.uint64))
-    ref = ray.put(key_set)
+    repeat_keys = first_repeat_keys(ds, num_partitions=8)
 
-    class Member:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def with_key(batch: pa.Table) -> pa.Table:
+        h = xxhash64_array(batch.column("token")).astype(np.int64)
+        return batch.append_column("__key", pa.array(h))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            h = xxhash64_array(batch.column("token"))
-            pos = np.searchsorted(self.keys, h)
-            hit = pos < len(self.keys)
-            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
-            hit &= self.keys[posc] == h
-            return batch.filter(pa.array(hit))
-
-    from bqf_ray.pipelines.aggregates import distinct_values
-    return (distinct_values(ds, "text")
-            .map_batches(Member, batch_format="pyarrow", concurrency=2))
+    tokens = distinct_values(ds, "text").map_batches(with_key,
+                                                     batch_format="pyarrow")
+    return (semi_join(tokens, repeat_keys, "__key", "key", num_buckets=16)
+            .drop_columns(["__key"]))
 
 
 def q_exact_dedup(sf_dir):

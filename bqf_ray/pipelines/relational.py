@@ -72,6 +72,54 @@ def native_join(left_ds, right_ds, key: str, num_partitions: int = 16,
                         right_suffix=suffix)
 
 
+def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
+              num_buckets: int = 32, anti: bool = False):
+    """Distributed semi-join: left rows whose integer ``left_key`` appears
+    in ``right_ds[right_key]`` (``anti=True`` inverts).  Both sides are
+    bucket-co-partitioned on ``key % B`` — ONE groupby shuffle, no driver
+    materialization of either side (r1 verdict: replaces the
+    collect-keys-then-broadcast pattern for large right sides).  The right
+    side ships only its key column."""
+    import pyarrow.compute as pc
+
+    B = int(num_buckets)
+    right_key = right_key or left_key
+    left_cols = list(left_ds.schema().names)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(left_key), dtype=np.int64)
+        return (batch.append_column("__jk", pa.array(k))
+                .append_column("__bucket", pa.array(k % np.int64(B)))
+                .append_column("__side", pa.array(
+                    np.zeros(len(batch), dtype=np.int8))))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(batch.column(right_key), dtype=np.int64))
+        return pa.table({
+            "__jk": pa.array(k),
+            "__bucket": pa.array(k % np.int64(B)),
+            "__side": pa.array(np.ones(len(k), dtype=np.int8)),
+        })
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        keys = np.asarray(group.column("__jk"))
+        rk = np.unique(keys[side == 1])
+        lmask = side == 0
+        hit = np.isin(keys[lmask], rk, assume_unique=False)
+        if anti:
+            hit = ~hit
+        keep = np.zeros(len(group), dtype=bool)
+        keep[np.flatnonzero(lmask)[hit]] = True
+        return group.filter(pa.array(keep)).select(left_cols)
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
+    return (left_tagged.union(right_tagged)
+            .groupby("__bucket")
+            .map_groups(filter_bucket, batch_format="pyarrow"))
+
+
 def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
                           suffix: str = "_r"):
     """Inner join of two large Datasets on an integer ``key`` via explicit

@@ -73,3 +73,23 @@ def test_native_join_matches_manual(ray_session, tables):
     got = out.sort_values(["k", "v"]).reset_index(drop=True)
     exps = exp.sort_values(["k", "v"]).reset_index(drop=True)
     np.testing.assert_array_equal(got[wcol].to_numpy(), exps["w"].to_numpy())
+
+
+def test_semi_join_and_anti(ray_session, tables):
+    import ray
+    from bqf_ray.pipelines.relational import semi_join
+    ds, left, _ = tables
+    wanted = pa.table({"kk": pa.array(np.array([2, 5, 7, 7, 999],
+                                               dtype=np.int64))})
+    right_ds = ray.data.from_arrow(wanted).repartition(2)
+    out = semi_join(ds, right_ds, "k", "kk", num_buckets=4).to_pandas()
+    exp = left[left["k"].isin([2, 5, 7])]
+    assert sorted(out.columns) == sorted(left.columns)   # helper cols gone
+    assert len(out) == len(exp)
+    np.testing.assert_array_equal(
+        np.sort(out["v"].to_numpy()), np.sort(exp["v"].to_numpy()))
+
+    anti = semi_join(ds, right_ds, "k", "kk", num_buckets=4,
+                     anti=True).to_pandas()
+    assert len(anti) == len(left) - len(exp)
+    assert not anti["k"].isin([2, 5, 7]).any()

@@ -24,8 +24,11 @@ def topd(res):
     if isinstance(res, pa.Table): return res.to_pandas()
     return res
 
+only = __import__("os").environ.get("PAR_ONLY")
+names = sorted(em.oracle_sql()) if not only else \
+    [n for n in sorted(em.oracle_sql()) if n in only.split(",")]
 fails = 0
-for name in sorted(em.oracle_sql()):
+for name in names:
     t0 = time.time()
     try:
         r = canon(topd(em.queries()[name](SF)))
