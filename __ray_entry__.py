@@ -30,6 +30,30 @@ _CAP = 255          # 2^count_size − 1 for count_size=8 (BqfEc backpack)
 _TOKENS_SQL = ("SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token "
                "FROM documents")
 
+_JACCARD_SQL = """
+    WITH tok AS (
+      SELECT doc_id, i, toks[i] AS t
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text,'\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.t || ' ' || b.t || ' ' || c.t AS shingle
+      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                 JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS m
+              FROM sh x JOIN sh y
+                ON x.shingle=y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           m::DOUBLE / (sa.n + sb.n - m) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id=da JOIN sz sb ON sb.doc_id=db
+    WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.5"""
+
 
 def _docs(sf_dir):
     import ray
@@ -518,29 +542,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
                        AS sum_value
             FROM events GROUP BY 1, 2""",
-        "jaccard_dups": """
-            WITH tok AS (
-              SELECT doc_id, i, toks[i] AS t
-              FROM (SELECT doc_id,
-                           list_filter(string_split_regex(text,'\\s+'),
-                                       x -> x <> '') AS toks
-                    FROM documents),
-                   LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
-            sh AS (
-              SELECT DISTINCT a.doc_id,
-                     a.t || ' ' || b.t || ' ' || c.t AS shingle
-              FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
-                         JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS m
-                      FROM sh x JOIN sh y
-                        ON x.shingle=y.shingle AND x.doc_id < y.doc_id
-                      GROUP BY 1, 2)
-            SELECT da AS doc_a, db AS doc_b,
-                   m::DOUBLE / (sa.n + sb.n - m) AS jaccard
-            FROM inter
-            JOIN sz sa ON sa.doc_id=da JOIN sz sb ON sb.doc_id=db
-            WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.5""",
+        # minhash_pairs: exact-verified LSH with (1-j^4)^32 ≈ 2e-14 miss
+        # probability at the corpus's minimum true-pair jaccard (0.89), so
+        # its output equals the exact jaccard pair set — same oracle
+        "minhash_pairs": _JACCARD_SQL,
+        "jaccard_dups": _JACCARD_SQL,
         "knn": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings
                        ORDER BY vec_id LIMIT 5),
