@@ -247,18 +247,21 @@ def q_nation_revenue(sf_dir):
         return t.group_by(["n_name"]).aggregate(
             [("c", "sum"), ("n", "sum")]).rename_columns(["n_name", "c", "n"])
 
-    def final(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pcc
+    from ray.data.aggregate import Sum
+
+    def final(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.int64)
         return pa.table({
-            "n_name": group.column("n_name").slice(0, 1),
-            "revenue": pa.array([pcc.sum(group.column("c")).as_py() / 100.0],
-                                pa.float64()),
-            "n_orders": pa.array([pcc.sum(group.column("n")).as_py()],
-                                 pa.int64()),
+            "n_name": batch.column("n_name"),
+            "revenue": pa.array(c / 100.0, pa.float64()),
+            "n_orders": batch.column("n_orders"),
         })
 
     return (joined.map_batches(pre, batch_format="pyarrow")
-            .groupby("n_name").map_groups(final, batch_format="pyarrow"))
+            .groupby("n_name")
+            .aggregate(Sum("c", alias_name="c"),
+                       Sum("n", alias_name="n_orders"))
+            .map_batches(final, batch_format="pyarrow"))
 
 
 def q_priority_revenue(sf_dir):
@@ -292,19 +295,21 @@ def q_priority_revenue(sf_dir):
             [("c", "sum"), ("n", "sum")]).rename_columns(
             ["o_orderpriority", "c", "n"])
 
-    def final(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pcc
+    from ray.data.aggregate import Sum
+
+    def final(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.int64)
         return pa.table({
-            "o_orderpriority": group.column("o_orderpriority").slice(0, 1),
-            "revenue": pa.array([pcc.sum(group.column("c")).as_py() / 100.0],
-                                pa.float64()),
-            "n_items": pa.array([pcc.sum(group.column("n")).as_py()],
-                                pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "revenue": pa.array(c / 100.0, pa.float64()),
+            "n_items": batch.column("n_items"),
         })
 
     return (joined.map_batches(pre, batch_format="pyarrow")
-            .groupby("o_orderpriority").map_groups(final,
-                                                   batch_format="pyarrow"))
+            .groupby("o_orderpriority")
+            .aggregate(Sum("c", alias_name="c"),
+                       Sum("n", alias_name="n_items"))
+            .map_batches(final, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -542,6 +547,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
                        AS sum_value
             FROM events GROUP BY 1, 2""",
+        "sessions": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CAST(floor(value*1000000 + 0.5) AS BIGINT) AS mv,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*)::BIGINT AS n_events,
+                   sum(mv)/1000000.0 AS sum_value
+            FROM s GROUP BY user_id, sid""",
+        "sliding_events": """
+            SELECT make_timestamp(ws) AS window_start, event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
+                       AS sum_value
+            FROM (SELECT e.*,
+                         (epoch_us(ts) // 900000000) * 900000000
+                             - k.k * 900000000 AS ws
+                  FROM events e CROSS JOIN
+                       (SELECT unnest(range(4)) AS k) k)
+            WHERE ws + 3600000000 > epoch_us(ts) AND ws >= 0
+            GROUP BY 1, 2""",
         # minhash_pairs: exact-verified LSH with (1-j^4)^32 ≈ 2e-14 miss
         # probability at the corpus's minimum true-pair jaccard (0.89), so
         # its output equals the exact jaccard pair set — same oracle

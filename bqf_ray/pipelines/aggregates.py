@@ -197,21 +197,28 @@ def pricing_summary(ds):
             ["l_returnflag", "l_linestatus", "c_qty", "c_base",
              "c_disc", "count_order"])
 
-    def final(group: pa.Table) -> pa.Table:
-        c_qty = pc.sum(group.column("c_qty")).as_py()
-        n = pc.sum(group.column("count_order")).as_py()
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("c_qty", alias_name="c_qty"),
+                      Sum("c_base", alias_name="c_base"),
+                      Sum("c_disc", alias_name="c_disc"),
+                      Sum("count_order", alias_name="count_order")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        c_qty = np.asarray(batch.column("c_qty"), dtype=np.int64)
+        c_base = np.asarray(batch.column("c_base"), dtype=np.int64)
+        c_disc = np.asarray(batch.column("c_disc"), dtype=np.int64)
+        n = np.asarray(batch.column("count_order"), dtype=np.int64)
         return pa.table({
-            "l_returnflag": group.column("l_returnflag").slice(0, 1),
-            "l_linestatus": group.column("l_linestatus").slice(0, 1),
-            "sum_qty": pa.array([c_qty / 100.0], pa.float64()),
-            "sum_base_price": pa.array(
-                [pc.sum(group.column("c_base")).as_py() / 100.0], pa.float64()),
-            "sum_disc_price": pa.array(
-                [pc.sum(group.column("c_disc")).as_py() / 100.0], pa.float64()),
-            "avg_qty": pa.array([(c_qty / 100.0) / n], pa.float64()),
-            "count_order": pa.array([n], pa.int64()),
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array(c_qty / 100.0, pa.float64()),
+            "sum_base_price": pa.array(c_base / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(c_disc / 100.0, pa.float64()),
+            "avg_qty": pa.array((c_qty / 100.0) / n, pa.float64()),
+            "count_order": pa.array(n),
         })
 
-    return (ds.map_batches(pre, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .map_groups(final, batch_format="pyarrow"))
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -5,7 +5,9 @@ events table is treated as a partitioned log (ray_guide
 'Streaming-shaped workloads').  Tumbling windows are a pure groupby on the
 window start; sliding windows fan each event out to the windows containing
 it inside ``map_batches`` (vectorized) before the same groupby; session
-windows sort per user inside ``groupby(user).map_groups``.
+windows shuffle once on ``user % B`` and gap-split vectorized per bucket.
+Wide finalizers are NATIVE ``aggregate(Sum)`` reducers plus a vectorized
+post-map — no python-per-group work anywhere on the exact paths.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ def tumbling_window(ds, size_s: int = 3600, ts_col: str = "ts",
                     key_col: str = "event_type", value_col: str = "value"):
     """Per (window_start, key): count + sum(value).  One shuffle, with
     per-batch pre-aggregation so only partials move."""
+    from ray.data.aggregate import Sum
 
     def pre(batch: pa.Table) -> pa.Table:
         ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]").astype(np.int64)
@@ -40,27 +43,29 @@ def tumbling_window(ds, size_s: int = 3600, ts_col: str = "ts",
             [("n", "sum"), ("mv", "sum")]).rename_columns(
             ["window_start", key_col, "n", "mv"])
 
-    def final(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({
-            "window_start": group.column("window_start").slice(0, 1),
-            key_col: group.column(key_col).slice(0, 1),
-            "n_events": pa.array([pc.sum(group.column("n")).as_py()], pa.int64()),
-            "sum_value": pa.array(
-                [pc.sum(group.column("mv")).as_py() / 1_000_000.0],
-                pa.float64()),
-        })
-
+    # NATIVE Sum aggregates (vectorized in the shuffle reducer) + one
+    # vectorized post-map — no python-per-group finalizer (r1 verdict #8)
     out = (ds.map_batches(pre, batch_format="pyarrow")
            .groupby(["window_start", key_col])
-           .map_groups(final, batch_format="pyarrow"))
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("mv", alias_name="__mv")))
+    return out.map_batches(_finalize_window(key_col), batch_format="pyarrow")
 
-    def to_ts(batch: pa.Table) -> pa.Table:
+
+def _finalize_window(key_col: str):
+    """(window_start µs, key, n_events, __mv) → typed output columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
         ws = np.asarray(batch.column("window_start"), dtype=np.int64)
-        return batch.set_column(0, "window_start",
-                                pa.array(ws.astype("datetime64[us]")))
+        mv = np.asarray(batch.column("__mv"), dtype=np.int64)
+        return pa.table({
+            "window_start": pa.array(ws.astype("datetime64[us]")),
+            key_col: batch.column(key_col),
+            "n_events": batch.column("n_events"),
+            "sum_value": pa.array(mv / 1_000_000.0, pa.float64()),
+        })
 
-    return out.map_batches(to_ts, batch_format="pyarrow")
+    return fn
 
 
 def sliding_window(ds, size_s: int = 3600, slide_s: int = 900,
@@ -69,6 +74,8 @@ def sliding_window(ds, size_s: int = 3600, slide_s: int = 900,
     """Sliding windows via vectorized fan-out: each event replicates to the
     ``size/slide`` windows covering it, then the tumbling plan runs on the
     expanded rows."""
+    from ray.data.aggregate import Sum
+
     reps = int(np.ceil(size_s / slide_s))
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -93,27 +100,11 @@ def sliding_window(ds, size_s: int = 3600, slide_s: int = 900,
             [("n", "sum"), ("mv", "sum")]).rename_columns(
             ["window_start", key_col, "n", "mv"])
 
-    def final(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({
-            "window_start": group.column("window_start").slice(0, 1),
-            key_col: group.column(key_col).slice(0, 1),
-            "n_events": pa.array([pc.sum(group.column("n")).as_py()], pa.int64()),
-            "sum_value": pa.array(
-                [pc.sum(group.column("mv")).as_py() / 1_000_000.0],
-                pa.float64()),
-        })
-
     out = (ds.map_batches(expand, batch_format="pyarrow")
            .groupby(["window_start", key_col])
-           .map_groups(final, batch_format="pyarrow"))
-
-    def to_ts(batch: pa.Table) -> pa.Table:
-        ws = np.asarray(batch.column("window_start"), dtype=np.int64)
-        return batch.set_column(0, "window_start",
-                                pa.array(ws.astype("datetime64[us]")))
-
-    return out.map_batches(to_ts, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("mv", alias_name="__mv")))
+    return out.map_batches(_finalize_window(key_col), batch_format="pyarrow")
 
 
 def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
@@ -139,6 +130,8 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
                     .groupby(["window_start", key_col, id_col])
                     .aggregate(Count(alias_name="__c")))
 
+        from ray.data.aggregate import Sum
+
         def count_ids(batch: pa.Table) -> pa.Table:
             t = pa.table({"window_start": batch.column("window_start"),
                           key_col: batch.column(key_col),
@@ -147,18 +140,9 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
                 [("n", "sum")]).rename_columns(
                 ["window_start", key_col, "n"])
 
-        def final(group: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return pa.table({
-                "window_start": group.column("window_start").slice(0, 1),
-                key_col: group.column(key_col).slice(0, 1),
-                "n_distinct": pa.array(
-                    [pc.sum(group.column("n")).as_py()], pa.int64()),
-            })
-
         out = (distinct.map_batches(count_ids, batch_format="pyarrow")
                .groupby(["window_start", key_col])
-               .map_groups(final, batch_format="pyarrow"))
+               .aggregate(Sum("n", alias_name="n_distinct")))
     else:
         from bqf_ray.functions.hashing import fmix64
         from bqf_ray.sketches.base import MergeableSketch
@@ -206,22 +190,48 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
 
 
 def session_windows(ds, gap_s: int = 1800, ts_col: str = "ts",
-                    user_col: str = "user_id", value_col: str = "value"):
-    """Per-user session windows (gap-based): one shuffle on user, per-group
-    sort + gap split in pandas.  Output: (user_id, session_start,
-    session_end, n_events, sum_value)."""
-    import pandas as pd
+                    user_col: str = "user_id", value_col: str = "value",
+                    num_buckets: int = 32):
+    """Per-user session windows (gap-based): ONE shuffle on
+    ``user_id % B``, then a fully vectorized per-bucket pass — sort by
+    (user, ts), gap/user-change breaks, cumsum session ids, run-length
+    aggregation.  No python-per-group work (r1: pandas per-user groups).
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        ts = g[ts_col].astype("datetime64[us]")
-        gap = ts.diff().dt.total_seconds().fillna(np.inf)
-        sid = (gap > gap_s).cumsum()
-        agg = g.groupby(sid).agg(
-            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
-            n_events=(value_col, "size"), sum_value=(value_col, "sum"))
-        agg[user_col] = g[user_col].iloc[0]
-        return agg.reset_index(drop=True)[
-            [user_col, "session_start", "session_end", "n_events", "sum_value"]]
+    ``sum_value`` accumulates pre-rounded integer microunits
+    (``floor(v*1e6 + 0.5)``) so the result is bit-identical to the SQL
+    oracle regardless of summation order.  Output: (user_id,
+    session_start, session_end, n_events, sum_value)."""
+    B = int(num_buckets)
+    gap_us = np.int64(gap_s) * 1_000_000
 
-    return ds.groupby(user_col).map_groups(sessions, batch_format="pandas")
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column(user_col), dtype=np.int64)
+        return batch.append_column("__bucket", pa.array(u % np.int64(B)))
+
+    def sessions_of_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column(user_col), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).astype("datetime64[us]") \
+            .astype(np.int64)
+        mv = np.floor(np.asarray(group.column(value_col)) * 1_000_000 + 0.5
+                      ).astype(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts, mv = u[order], ts[order], mv[order]
+        new_sess = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new_sess[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        lens = ends - starts
+        sums = np.add.reduceat(mv, starts) if len(starts) else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({
+            user_col: pa.array(u[starts]),
+            "session_start": pa.array(ts[starts].astype("datetime64[us]")),
+            "session_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
+            "n_events": pa.array(lens.astype(np.int64)),
+            "sum_value": pa.array(sums / 1_000_000.0, pa.float64()),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(sessions_of_bucket, batch_format="pyarrow"))
