@@ -317,27 +317,69 @@ def q_priority_revenue(sf_dir):
 # ---------------------------------------------------------------------------
 
 def w_hll_distinct(sf_dir):
+    """Error-vs-exact check: the HLL estimate must sit within 4σ
+    (σ = 1.04/√2^p) of the exact distinct count, which the oracle
+    recomputes — so the bound itself is driver-checked (r1 verdict #4)."""
     import pandas as pd
-    from bqf_ray.pipelines.aggregates import distinct_tokens_hll
+    from bqf_ray.pipelines.aggregates import (distinct_tokens_exact,
+                                              distinct_tokens_hll)
     est = distinct_tokens_hll(_docs(sf_dir), p=14)
-    return pd.DataFrame({"n_distinct_est": [est]})
+    exact = int(distinct_tokens_exact(_docs(sf_dir)).to_pandas()
+                ["n_distinct"].iloc[0])
+    rse = 1.04 / np.sqrt(2 ** 14)
+    ok = abs(est - exact) / max(exact, 1) <= 4 * rse
+    return pd.DataFrame({"n_distinct_exact": np.array([exact], dtype=np.int64),
+                         "within_bound": [bool(ok)]})
+
+
+def _rank_of_estimates(ds, value_col: str, ests: dict[float, float]):
+    """Exact rank of each estimate: one distributed counting pass
+    (count(v <= est) / N), estimates broadcast."""
+    import ray
+    qs = np.array(sorted(ests), dtype=np.float64)
+    ev = np.array([ests[q] for q in qs], dtype=np.float64)
+    ref = ray.put(ev)
+
+    class LeCounts:
+        def __init__(self):
+            self.ev = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column(value_col), dtype=np.float64)
+            le = (v[:, None] <= self.ev[None, :]).sum(axis=0).astype(np.int64)
+            return pa.table({"i": pa.array(np.arange(len(self.ev))),
+                             "le": pa.array(le),
+                             "n": pa.array(np.full(len(self.ev), len(v),
+                                                   dtype=np.int64))})
+
+    parts = (ds.map_batches(LeCounts, batch_format="pyarrow", concurrency=2)
+             .to_pandas())                  # tiny: len(qs) rows per block
+    agg = parts.groupby("i").sum()
+    return qs, (agg["le"] / agg["n"]).to_numpy()
+
+
+def _quantile_bound_check(ds, value_col: str, method: str, tol: float):
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import value_quantiles
+    ests = value_quantiles(ds, value_col, method=method)
+    qs, ranks = _rank_of_estimates(ds, value_col, ests)
+    ok = np.abs(ranks - qs) <= tol
+    return pd.DataFrame({"q": [f"{q:.2f}" for q in qs],
+                         "within_bound": [bool(b) for b in ok]})
 
 
 def w_quantiles_value(sf_dir):
-    import pandas as pd
-    from bqf_ray.pipelines.aggregates import value_quantiles
-    qs = value_quantiles(_events(sf_dir), "value", method="tdigest")
-    return pd.DataFrame({"q": list(qs), "est": list(qs.values())})
+    """t-digest rank-error check: |rank(est_q) - q| ≤ tol, with the exact
+    rank computed distributedly.  Oracle asserts every row passes."""
+    return _quantile_bound_check(_events(sf_dir), "value", "tdigest", 0.01)
 
 
 def w_kll_quantiles_price(sf_dir):
-    import pandas as pd
+    """KLL rank-error check over lineitem prices (same shape as tdigest)."""
     import ray
-    from bqf_ray.pipelines.aggregates import value_quantiles
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_extendedprice"])
-    qs = value_quantiles(ds, "l_extendedprice", method="kll")
-    return pd.DataFrame({"q": list(qs), "est": list(qs.values())})
+    return _quantile_bound_check(ds, "l_extendedprice", "kll", 0.02)
 
 
 def w_heavy_hitters(sf_dir):
@@ -394,8 +436,21 @@ def w_knn_ivf(sf_dir):
 
 
 def w_window_distinct_hll(sf_dir):
+    """Per-window HLL distinct vs the exact count: emits the exact value
+    plus a per-row bound flag (10% — small windows sit in HLL's
+    linear-counting regime at p=12), so the oracle checks the bound."""
     from bqf_ray.pipelines.windowed import windowed_distinct
-    return windowed_distinct(_events(sf_dir), size_s=3600, exact=False)
+    exact = (windowed_distinct(_events(sf_dir), size_s=3600, exact=True)
+             .to_pandas())
+    est = (windowed_distinct(_events(sf_dir), size_s=3600, exact=False)
+           .to_pandas())
+    m = exact.merge(est, on=["window_start", "event_type"])   # result-sized
+    err = (m["n_distinct_est"] - m["n_distinct"]).abs()
+    rel = err / m["n_distinct"].clip(lower=1)
+    # tiny windows (a handful of users) sit in the linear-counting regime
+    # where relative error is meaningless — allow ±3 absolute there
+    m["within_bound"] = (rel <= 0.10) | (err <= 3)
+    return m[["window_start", "event_type", "n_distinct", "within_bound"]]
 
 
 def w_media_features(sf_dir):
@@ -575,6 +630,31 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT unnest(range(4)) AS k) k)
             WHERE ws + 3600000000 > epoch_us(ts) AND ws >= 0
             GROUP BY 1, 2""",
+        # --- error-vs-exact rows for the approximate family: the query
+        # emits the exact value (oracle-recomputed) plus a within_bound
+        # flag the oracle asserts TRUE, so the published error bound is
+        # itself driver-checked (r1 verdict #4)
+        "hll_distinct": f"""
+            SELECT count(DISTINCT token)::BIGINT AS n_distinct_exact,
+                   TRUE AS within_bound
+            FROM ({tokens}) WHERE token <> ''""",
+        "tdigest_quantiles": """
+            SELECT unnest(['0.01','0.25','0.50','0.75','0.99']) AS q,
+                   TRUE AS within_bound""",
+        "kll_quantiles": """
+            SELECT unnest(['0.01','0.25','0.50','0.75','0.99']) AS q,
+                   TRUE AS within_bound""",
+        "heavy_hitters": f"""
+            SELECT token, cnt FROM (
+              SELECT token, count(*)::BIGINT AS cnt
+              FROM ({tokens}) WHERE token <> '' GROUP BY token)
+            ORDER BY cnt DESC, token LIMIT 20""",
+        "window_distinct_hll": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1, 2""",
         # minhash_pairs: exact-verified LSH with (1-j^4)^32 ≈ 2e-14 miss
         # probability at the corpus's minimum true-pair jaccard (0.89), so
         # its output equals the exact jaccard pair set — same oracle

@@ -117,34 +117,74 @@ def distinct_tokens_hll(ds, text_col: str = "text", p: int = 14) -> float:
 
 
 def heavy_hitters(ds, text_col: str = "text", top: int = 20,
-                  eps: float = 1e-4, delta: float = 1e-3):
-    """Approximate top-k tokens: Count-Min for counts + exact distinct pass
-    for candidates (candidate set = all tokens here; at 10^12 scale swap
-    the candidate pass for CM-backed threshold filtering).  Exact top-k
-    given CM's one-sided error ≤ εN whp; pytest checks vs exact."""
+                  eps: float = 1e-4, delta: float = 1e-3,
+                  candidate_factor: int = 3):
+    """EXACT top-k tokens at sketch cost: the textbook two-phase heavy-
+    hitter plan.  Phase 1 scores every distinct token against a Count-Min
+    sketch and keeps a ``candidate_factor×top`` candidate set via
+    PER-BLOCK top-k partials + one tiny merge (no global sort — r1
+    verdict #9).  Phase 2 exactly recounts ONLY the candidates in one
+    corpus pass (candidate list broadcast via ``ray.put``) and returns
+    the true top-k ordered by (cnt DESC, token) — so the output is
+    oracle-checkable whenever CM's one-sided ≤ εN error keeps the true
+    top-k inside the candidate buffer (holds whp; pytest-checked)."""
     import ray
+    from ray.data.aggregate import Sum
     from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.functions.tokenize import tokenize_column
     from bqf_ray.pipelines.build_index import shingle_key_fn
     from bqf_ray.sketches.countmin import CountMin
     from bqf_ray.stages.sketch_stage import build_sketch
 
+    k_cand = top * candidate_factor
     cm = build_sketch(ds, shingle_key_fn(text_col, 1, 0),
                       lambda: CountMin.from_error(eps, delta, seed=3))
     ref = ray.put(cm)
 
-    class Estimate:
+    class EstimateTopK:
         def __init__(self):
             self.cm = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = xxhash64_array(batch.column("token"))
             est = self.cm.query_batch(keys).astype(np.int64)
-            return pa.table({"token": batch.column("token"),
-                             "est": pa.array(est)})
+            toks = np.asarray(batch.column("token")).astype("U")
+            idx = np.lexsort((toks, -est))[:k_cand]
+            return pa.table({"token": batch.column("token").take(pa.array(idx)),
+                             "est": pa.array(est[idx])})
 
-    return (distinct_values(ds, text_col)
-            .map_batches(Estimate, batch_format="pyarrow", concurrency=2)
-            .sort(["est", "token"], descending=[True, False])
+    # per-block partials → repartition(1) → one more partial pass = global
+    # top-k_cand without sorting all distinct tokens
+    cand_rows = (distinct_values(ds, text_col)
+                 .map_batches(EstimateTopK, batch_format="pyarrow",
+                              concurrency=2)
+                 .repartition(1)
+                 .map_batches(EstimateTopK, batch_format="pyarrow",
+                              batch_size=None, concurrency=1)
+                 .take_all())
+    cand = sorted(r["token"] for r in cand_rows)
+    cand_ref = ray.put(np.array(cand))
+
+    class CountCandidates:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, _ = tokenize_column(batch.column(text_col))
+            arr = np.asarray(toks.to_pylist())
+            if len(arr) == 0:
+                return pa.table({"token": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            hit = np.isin(arr, self.cand)
+            uniq, cnt = np.unique(arr[hit], return_counts=True)
+            return pa.table({"token": pa.array(uniq),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+    exact = (ds.map_batches(CountCandidates, batch_format="pyarrow",
+                            concurrency=2)
+             .groupby("token").aggregate(Sum("n", alias_name="cnt")))
+    # final selection sorts only the candidate set (tiny)
+    return (exact.sort(["cnt", "token"], descending=[True, False])
             .limit(top))
 
 

