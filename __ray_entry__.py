@@ -148,12 +148,20 @@ def q_jaccard_dups(sf_dir):
     return jaccard_dup_pairs(_docs(sf_dir), threshold=0.5, s=3)
 
 
+def _first_queries(ds, n: int = 5):
+    """First-n query vectors WITHOUT materializing the corpus:
+    sort().limit(n).take_batch() pulls only n rows to the driver."""
+    from bqf_ray.pipelines.knn import _to_matrix
+    qb = ds.sort("vec_id").limit(n).take_batch(n, batch_format="pyarrow")
+    return (np.asarray(qb.column("vec_id"), dtype=np.int64),
+            _to_matrix(qb.column("embedding")))
+
+
 def q_knn(sf_dir):
     from bqf_ray.pipelines.knn import knn_bruteforce
     ds = _embeddings(sf_dir)
-    qdf = ds.to_pandas().sort_values("vec_id").head(5)
-    return knn_bruteforce(ds, qdf["vec_id"].to_numpy(),
-                          np.stack(qdf["embedding"].to_numpy()), k=10)
+    qids, qvecs = _first_queries(ds)
+    return knn_bruteforce(ds, qids, qvecs, k=10)
 
 
 def q_embedding_dups(sf_dir):
@@ -427,12 +435,12 @@ def w_sliding_events(sf_dir):
 
 
 def w_knn_ivf(sf_dir):
-    from bqf_ray.pipelines.knn import knn_ivf
+    """IVF probe against a PERSISTED index (built once, reused)."""
+    from bqf_ray.pipelines.knn import build_ivf_index, knn_ivf
     ds = _embeddings(sf_dir)
-    qdf = ds.to_pandas().sort_values("vec_id").head(5)
-    return knn_ivf(ds, qdf["vec_id"].to_numpy(),
-                   np.stack(qdf["embedding"].to_numpy()), k=10,
-                   n_cells=32, nprobe=8)
+    qids, qvecs = _first_queries(ds)
+    index = build_ivf_index(ds, n_cells=32)
+    return knn_ivf(ds, qids, qvecs, k=10, n_cells=32, nprobe=8, index=index)
 
 
 def w_window_distinct_hll(sf_dir):
@@ -497,12 +505,13 @@ def w_frame_sample(sf_dir):
 
 
 def w_knn_lsh(sf_dir):
-    from bqf_ray.pipelines.knn import knn_lsh
+    """LSH probe against a PERSISTED bucket index (built once, reused)."""
+    from bqf_ray.pipelines.knn import build_lsh_index, knn_lsh
     ds = _embeddings(sf_dir)
-    qdf = ds.to_pandas().sort_values("vec_id").head(5)
-    return knn_lsh(ds, qdf["vec_id"].to_numpy(),
-                   np.stack(qdf["embedding"].to_numpy()), k=10, bits=8,
-                   multi_probe=4)
+    qids, qvecs = _first_queries(ds)
+    index = build_lsh_index(ds, bits=8)
+    return knn_lsh(ds, qids, qvecs, k=10, bits=8, multi_probe=4,
+                   index=index)
 
 
 # ---------------------------------------------------------------------------

@@ -650,8 +650,9 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
             self.ids, self.mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from bqf_ray.pipelines.knn import _to_matrix
             bids = np.asarray(batch.column(id_col))
-            bm = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
+            bm = _to_matrix(batch.column(vec_col))
             bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
             cos = bm @ self.mat.T
             ii, jj = np.nonzero(cos >= threshold)

@@ -17,8 +17,18 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    lst = col.to_pylist()
-    return np.asarray(lst, dtype=np.float64)
+    """Arrow list<float> column → (n, d) float64 matrix, zero python:
+    flatten the list buffer and reshape (fixed dim enforced)."""
+    import pyarrow as _pa
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    lens = np.diff(np.asarray(col.offsets))
+    d = int(lens[0])
+    assert (lens == d).all(), "embedding column has ragged dimensions"
+    return flat.reshape(-1, d)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -87,8 +97,8 @@ def train_ivf_centroids(ds, n_cells: int = 64, sample: int = 4096,
     sample → (n_cells, dim) L2-normalized centroids.  The IVF coarse
     quantizer's training pass; at 10^12 scale the sample comes from
     ``ds.random_sample`` with a fixed seed."""
-    tbl = ds.limit(sample).to_pandas()
-    x = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float64))
+    tbl = ds.limit(sample).take_batch(sample, batch_format="pyarrow")
+    x = _normalize(_to_matrix(tbl.column(vec_col)))
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -103,18 +113,40 @@ def train_ivf_centroids(ds, n_cells: int = 64, sample: int = 4096,
     return cents
 
 
+def build_ivf_index(ds, n_cells: int = 64, seed: int = 13,
+                    vec_col: str = "embedding"):
+    """(centroids, materialized Dataset[(.., __ivf_cell)]) — the persisted
+    IVF index: train the coarse quantizer and assign every corpus row to
+    its cell ONCE; probes reuse the assignment across query sets.  At
+    cluster scale, write_parquet partitioned by cell."""
+    cents = train_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = _normalize(_to_matrix(batch.column(vec_col)))
+        cell = np.argmax(cm @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("__ivf_cell", pa.array(cell))
+
+    return cents, ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+
 def knn_ivf(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             n_cells: int = 64, nprobe: int = 8, seed: int = 13,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            exclude_self: bool = True):
+            exclude_self: bool = True, index=None):
     """IVF approximate top-k: corpus rows route to their nearest centroid
     cell; each query exact-ranks only rows in its ``nprobe`` nearest cells.
     Fraction of corpus scanned ≈ nprobe/n_cells; recall grows with nprobe
     (tested vs brute force).  Same output schema as :func:`knn_bruteforce`
-    (query_id, neighbor_id, rank)."""
+    (query_id, neighbor_id, rank).  Pass ``index=build_ivf_index(ds, ...)``
+    to reuse a persisted cell assignment."""
     import ray
 
-    cents = train_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col)
+    if index is not None:
+        cents, src = index
+        have_index = True
+    else:
+        cents = train_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col)
+        src, have_index = ds, False
     qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     # each query's probe cells
@@ -129,7 +161,10 @@ def knn_ivf(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
         def __call__(self, batch: pa.Table) -> pa.Table:
             cids = np.asarray(batch.column(id_col), dtype=np.int64)
             cm = _normalize(_to_matrix(batch.column(vec_col)))
-            cell = np.argmax(cm @ self.cents.T, axis=1)
+            if have_index:
+                cell = np.asarray(batch.column("__ivf_cell"))
+            else:
+                cell = np.argmax(cm @ self.cents.T, axis=1)
             rows_q, rows_c, rows_s = [], [], []
             for qi in range(len(self.qids)):
                 m = np.isin(cell, self.qcell[qi])
@@ -167,48 +202,86 @@ def knn_ivf(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         })
 
-    local = ds.map_batches(CellRank, batch_format="pyarrow", batch_size=1024,
-                           concurrency=2, num_cpus=0.5)
+    local = src.map_batches(CellRank, batch_format="pyarrow",
+                            batch_size=1024, concurrency=2, num_cpus=0.5)
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pyarrow")
+
+
+def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(dim, bits))
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    sig = (mat @ planes > 0).astype(np.uint64)
+    return (sig << np.arange(planes.shape[1],
+                             dtype=np.uint64)[None, :]).sum(axis=1)
+
+
+def build_lsh_index(ds, bits: int = 12, seed: int = 7,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Materialized Dataset[(id, vec, __lsh_code)] — the persisted ANN
+    index: bucket assignments are computed ONCE and reused across query
+    sets (r1 verdict #5: the corpus was re-bucketed per probe call).
+    At cluster scale, write_parquet this dataset partitioned by code
+    range and read it back filtered."""
+    sample = ds.take_batch(1, batch_format="pyarrow")
+    dim = _to_matrix(sample.column(vec_col)).shape[1]
+    planes = _lsh_planes(dim, bits, seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = _normalize(_to_matrix(batch.column(vec_col)))
+        code = _lsh_codes(cm, planes).astype(np.int64)
+        return batch.append_column("__lsh_code", pa.array(code))
+
+    return ds.map_batches(assign, batch_format="pyarrow").materialize()
 
 
 def knn_lsh(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             bits: int = 12, dim: int | None = None, seed: int = 7,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            exclude_self: bool = True, multi_probe: int = 1):
+            exclude_self: bool = True, multi_probe: int = 1,
+            index=None):
     """Approximate top-k: b-bit random-hyperplane signatures bucket the
-    corpus (one groupby); queries probe their bucket (plus ``multi_probe``
-    single-bit flips) and exact-rank inside.  Recall grows with
-    multi_probe; documented tradeoff, tested vs brute force."""
+    corpus; queries probe their bucket (plus ``multi_probe`` single-bit
+    flips) and exact-rank inside.  Recall grows with multi_probe;
+    documented tradeoff, tested vs brute force.  Pass
+    ``index=build_lsh_index(ds, ...)`` (same bits/seed) to reuse a
+    persisted bucket assignment instead of re-hashing the corpus."""
     import ray
 
     qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     d = dim or qv.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(d, bits))
-    qsig = (qv @ planes > 0).astype(np.uint64)
-    qcode = (qsig << np.arange(bits, dtype=np.uint64)[None, :]).sum(axis=1)
+    planes = _lsh_planes(d, bits, seed)
+    qcode = _lsh_codes(qv, planes)
     # multi-probe: original bucket + single-bit flips
     probes = [qcode]
     for b in range(min(multi_probe, bits)):
         probes.append(qcode ^ (np.uint64(1) << np.uint64(b)))
     probe_codes = np.unique(np.concatenate(probes))
-    pref = ray.put((qids, qv, set(probe_codes.tolist())))
+    pref = ray.put((qids, qv, probe_codes.astype(np.int64)))
     planes_ref = ray.put(planes)
+    have_index = index is not None
+    src = index if have_index else ds
 
     class BucketRank:
         def __init__(self):
-            self.qids, self.qv, self.codes = ray.get(pref)
+            self.qids, self.qv, self.codes = ray.get(pref)   # sorted
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             cids = np.asarray(batch.column(id_col), dtype=np.int64)
             cm = _normalize(_to_matrix(batch.column(vec_col)))
-            sig = (cm @ self.planes > 0).astype(np.uint64)
-            code = (sig << np.arange(sig.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
-            in_probe = np.array([c in self.codes for c in code.tolist()])
+            if have_index:
+                code = np.asarray(batch.column("__lsh_code"))
+            else:
+                code = _lsh_codes(cm, self.planes).astype(np.int64)
+            # vectorized membership via the sorted probe-code array
+            pos = np.searchsorted(self.codes, code)
+            in_probe = pos < len(self.codes)
+            in_probe &= self.codes[np.minimum(
+                pos, max(len(self.codes) - 1, 0))] == code
             if not in_probe.any():
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "neighbor_id": pa.array([], pa.int64()),
@@ -239,7 +312,7 @@ def knn_lsh(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             "cosine": pa.array(cos[order]),
         })
 
-    local = ds.map_batches(BucketRank, batch_format="pyarrow", batch_size=1024,
-                           concurrency=2)
+    local = src.map_batches(BucketRank, batch_format="pyarrow",
+                            batch_size=1024, concurrency=2)
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pyarrow")
