@@ -72,6 +72,33 @@ def hash_to_kmer(h: int, k: int) -> str:
     return decode(bfc_hash_64_inv(h, 2 * k), k)
 
 
+def encode_batch(col, s: int) -> np.ndarray:
+    """2-bit encode a pyarrow string column of fixed-length ``s`` DNA
+    strings — fully vectorized: the column's UTF-8 buffer is viewed as an
+    (n, s) byte matrix (equal lengths ⇒ contiguous) and folded with s
+    shift-ors.  Replaces the per-string python ``encode`` loop in the
+    counted-smer build path (r1 verdict #7)."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    if not ((offs[1:] - offs[:-1]) == s).all():
+        raise ValueError(f"smer length != s={s} in input")
+    mat = data[offs[0]:offs[0] + n * s].reshape(n, s)
+    codes = _ENC_LUT[mat]
+    if (codes == 255).any():
+        raise ValueError("invalid nucleotide in smer column")
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(s):
+        vals = (vals << np.uint64(2)) | codes[:, j].astype(np.uint64)
+    return vals
+
+
 def sequence_kmers(seq: str, k: int, canonical_form: bool = True) -> np.ndarray:
     """All k-mers of a sequence as encoded uint64s, rolling-window with
     reset on invalid characters (semantics of

@@ -26,10 +26,8 @@ from bqf_ray.stages.sketch_stage import PartitionedSketch, build_partitioned
 
 def _smer_key_fn(smer_col: str, count_col: str | None, s: int):
     def key_fn(batch: pa.Table):
-        smers = batch.column(smer_col).to_pylist()
-        from bqf_ray.functions.dna import encode
-        keys = np.array([bfc_hash_64(encode(m), 2 * s) for m in smers],
-                        dtype=np.uint64)
+        from bqf_ray.functions.dna import encode_batch
+        keys = bfc_hash_64(encode_batch(batch.column(smer_col), s), 2 * s)
         counts = (np.asarray(batch.column(count_col), dtype=np.int64)
                   .astype(np.uint64) if count_col else None)
         return keys, counts

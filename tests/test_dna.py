@@ -69,3 +69,22 @@ def test_first_repeat_golden_on_reads():
     got = set(f.second_occurrence_keys().tolist())
     assert got == expected
     assert len(expected) > 100  # overlapping reads ⇒ plenty of repeats
+
+
+def test_encode_batch_matches_scalar():
+    import pyarrow as pa
+    import pytest
+    from bqf_ray.functions.dna import encode, encode_batch
+    rng = np.random.RandomState(7)
+    smers = ["".join(rng.choice(list("ACGT"), 11)) for _ in range(500)]
+    col = pa.chunked_array([pa.array(smers[:200]), pa.array(smers[200:])])
+    got = encode_batch(col, 11)
+    exp = np.array([encode(m) for m in smers], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+    # sliced column (non-zero arrow offset)
+    sl = pa.array(smers).slice(100, 50)
+    np.testing.assert_array_equal(encode_batch(sl, 11), exp[100:150])
+    with pytest.raises(ValueError):
+        encode_batch(pa.array(["ACGTN" + "A" * 6]), 11)   # invalid char
+    with pytest.raises(ValueError):
+        encode_batch(pa.array(["ACG"]), 11)               # wrong length
