@@ -129,37 +129,82 @@ class BqfIndex:
 
     def probe_documents(self, docs_ds, *, text_col: str = "text",
                         id_col: str = "doc_id", z: int = 0,
-                        concurrency: int = 4):
+                        concurrency: int = 4, routed: bool = False,
+                        shard_num_cpus: float = 0.25):
         """Documents → per-document fimpera stats vs the index
         (reference query pipeline, /root/reference/src/abstract_bqf.cpp:
         169-248).  Returns a Dataset with columns
-        (id, minimum, maximum, average, presence_ratio)."""
+        (id, minimum, maximum, average, presence_ratio).
+
+        Two probe modes:
+
+        - ``routed=False`` (default): broadcast the whole PartitionedSketch
+          once via ``ray.put`` — right while the index ≪ node RAM.
+        - ``routed=True``: ONE actor per shard, each holding only its own
+          shard sketch; probe tasks route key slices by ``key % P`` and
+          fan out concurrent shard RPCs.  Per-actor memory is one shard
+          (index_size / P), so the index can exceed any single worker's
+          RAM — the 10^12-doc path (r1 verdict #6).  Keys landing on
+          empty partitions short-circuit to count 0 without an RPC.
+        """
         import ray
 
-        ref = ray.put(self.psketch)
         s = self.config["s"]
         seed = self.config["seed"]
+        P = self.psketch.P
+
+        def extract_keys(batch: pa.Table):
+            th, offs = token_hashes(batch.column(text_col), seed=seed)
+            if s == 1:
+                return th, offs
+            return shingle_hashes(th, offs, s)
+
+        def stats_table(batch: pa.Table, ab: np.ndarray,
+                        koffs: np.ndarray) -> pa.Table:
+            mins, maxs, avgs, ratios = fimpera_from_abundances(ab, koffs, z)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "minimum": pa.array(mins.astype(np.int64)),
+                "maximum": pa.array(maxs.astype(np.int64)),
+                "average": pa.array(avgs),
+                "presence_ratio": pa.array(ratios),
+            })
+
+        if routed:
+            from bqf_ray.state.shard_actors import _shard_actor_cls
+            actor_cls = _shard_actor_cls()
+            handles = {
+                p: actor_cls.options(num_cpus=shard_num_cpus).remote(
+                    sk.to_bytes())
+                for p, sk in self.psketch.shards.items()}
+
+            def routed_probe(batch: pa.Table) -> pa.Table:
+                keys, koffs = extract_keys(batch)
+                ab = np.zeros(len(keys), dtype=np.uint64)
+                part = keys % np.uint64(P) if P else keys
+                futs, masks = [], []
+                for p, h in handles.items():
+                    m = part == p
+                    if m.any():
+                        futs.append(h.query.remote(keys[m]))
+                        masks.append(m)
+                for m, res in zip(masks, ray.get(futs)):
+                    ab[m] = res
+                return stats_table(batch, ab, koffs)
+
+            return docs_ds.map_batches(routed_probe, batch_format="pyarrow",
+                                       batch_size=1024)
+
+        ref = ray.put(self.psketch)
 
         class Probe:
             def __init__(self):
                 self.sketch = ray.get(ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                th, offs = token_hashes(batch.column(text_col), seed=seed)
-                if s == 1:
-                    keys, koffs = th, offs
-                else:
-                    keys, koffs = shingle_hashes(th, offs, s)
+                keys, koffs = extract_keys(batch)
                 ab = self.sketch.query_batch(keys)
-                mins, maxs, avgs, ratios = fimpera_from_abundances(
-                    ab, koffs, z)
-                return pa.table({
-                    id_col: batch.column(id_col),
-                    "minimum": pa.array(mins.astype(np.int64)),
-                    "maximum": pa.array(maxs.astype(np.int64)),
-                    "average": pa.array(avgs),
-                    "presence_ratio": pa.array(ratios),
-                })
+                return stats_table(batch, ab, koffs)
 
         # fractional CPUs: a probe pool that reserves every core starves the
         # upstream read stage and the pipeline deadlocks on small sessions

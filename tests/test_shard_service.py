@@ -74,3 +74,29 @@ def test_first_repeat_live(ray_session):
         assert np.all(svc.query(a[300:]) == 0)
     finally:
         svc.shutdown()
+
+
+def test_routed_probe_matches_broadcast(ray_session):
+    """routed=True probes via one actor per shard (per-actor memory = one
+    shard, not the whole index) and must agree exactly with the
+    broadcast-sketch probe."""
+    import ray
+    from bqf_ray.pipelines.build_index import build_bqf_index
+    from bqf_ray.sources.pages import generate_pages
+
+    pages = generate_pages(600, seed=11)
+    ds = ray.data.from_arrow(pages).repartition(4)
+    idx = build_bqf_index(ds, num_partitions=4, q=10, batch_size=256)
+    # the sharded path only matters when the index is genuinely split:
+    # every actor holds strictly less than the whole index
+    sizes = [s.elements_inside for s in idx.psketch.shards.values()]
+    assert len(sizes) > 1
+    assert max(sizes) < sum(sizes)
+
+    docs = ray.data.from_arrow(pages).repartition(2)
+    broad = (idx.probe_documents(docs, id_col="url", concurrency=1)
+             .to_pandas().sort_values("url").reset_index(drop=True))
+    routed = (idx.probe_documents(docs, id_col="url", routed=True)
+              .to_pandas().sort_values("url").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(broad, routed)
