@@ -83,18 +83,26 @@ def cmd_query(args):
     manifest = SketchCheckpoint.load_manifest(args.bqf)
     num_parts = (manifest or {}).get("config", {}).get("num_partitions")
     ps = PartitionedSketch(shards, num_parts)
-    ds = _read(args)
-    if args.text_input:
-        import pyarrow as pa
+    id_col = "query_id"
+    if getattr(args, "fastx", False):
+        from bqf_ray.sources.fastx import read_fastx
+        ds = read_fastx(args.input)
+        id_col = "name"
+    else:
+        ds = _read(args)
+        if args.text_input:
+            import pyarrow as pa
 
-        def number(batch: pa.Table) -> pa.Table:
-            seqs = [s for s in batch.column("text").to_pylist()
-                    if s and not s.startswith(">")]
-            return pa.table({"query_id": pa.array(range(len(seqs)), pa.int64()),
-                             "seq": pa.array(seqs)})
+            def number(batch: pa.Table) -> pa.Table:
+                seqs = [s for s in batch.column("text").to_pylist()
+                        if s and not s.startswith(">")]
+                return pa.table({"query_id": pa.array(range(len(seqs)),
+                                                      pa.int64()),
+                                 "seq": pa.array(seqs)})
 
-        ds = ds.map_batches(number, batch_format="pyarrow")
-    out = query_sequences(ds, ps, k=args.kmer_size, s=args.smer_size)
+            ds = ds.map_batches(number, batch_format="pyarrow")
+    out = query_sequences(ds, ps, k=args.kmer_size, s=args.smer_size,
+                          id_col=id_col)
     out.write_parquet(args.output)
     print(f"wrote query results -> {args.output}", file=sys.stderr)
     if owned:
@@ -106,16 +114,20 @@ def cmd_filter(args):
     import ray
     from bqf_ray.pipelines.genomic import filter_fastx
     owned = _init_ray(args)
-    ds = _read(args)
-    if args.text_input:
-        import pyarrow as pa
+    if getattr(args, "fastx", False):
+        from bqf_ray.sources.fastx import read_fastx
+        ds = read_fastx(args.input)
+    else:
+        ds = _read(args)
+        if args.text_input:
+            import pyarrow as pa
 
-        def seqs(batch: pa.Table) -> pa.Table:
-            ss = [s for s in batch.column("text").to_pylist()
-                  if s and not s.startswith((">", "@", "+"))]
-            return pa.table({"seq": pa.array(ss)})
+            def seqs(batch: pa.Table) -> pa.Table:
+                ss = [s for s in batch.column("text").to_pylist()
+                      if s and not s.startswith((">", "@", "+"))]
+                return pa.table({"seq": pa.array(ss)})
 
-        ds = ds.map_batches(seqs, batch_format="pyarrow")
+            ds = ds.map_batches(seqs, batch_format="pyarrow")
     out = filter_fastx(ds, k=args.kmer_size, mode=args.mode,
                        q=args.quotient_size)
     out.write_parquet(args.output)
@@ -178,6 +190,8 @@ def main(argv=None):
     qp.add_argument("-k", "--kmer-size", type=int, required=True)
     qp.add_argument("-s", "--smer-size", type=int, required=True)
     qp.add_argument("--text-input", action="store_true")
+    qp.add_argument("--fastx", action="store_true",
+                    help="input is FASTA/FASTQ files (record-assembled)")
     qp.set_defaults(fn=cmd_query)
 
     f = sub.add_parser("filter")
@@ -185,8 +199,11 @@ def main(argv=None):
     f.add_argument("-o", "--output", required=True)
     f.add_argument("-k", "--kmer-size", type=int, required=True)
     f.add_argument("-q", "--quotient-size", type=int, default=12)
-    f.add_argument("--mode", choices=["text", "binary"], default="text")
+    f.add_argument("--mode", choices=["text", "binary", "stream"],
+                   default="text")
     f.add_argument("--text-input", action="store_true")
+    f.add_argument("--fastx", action="store_true",
+                   help="input is FASTA/FASTQ files (record-assembled)")
     f.set_defaults(fn=cmd_filter)
 
     ix = sub.add_parser("index")

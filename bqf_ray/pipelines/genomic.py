@@ -126,14 +126,55 @@ def filter_fastx(ds, k: int, *, seq_col: str = "seq", mode: str = "text",
                  num_partitions: int = 8, q: int = 12):
     """``bqf filter``: canonical k-mers occurring ≥ 2 times across all
     reads (the first-repeat stream's final content,
-    /root/reference/src/bqf_cf.cpp:56-77).  mode="text" → ACGT strings,
-    mode="binary" → uint64 2-bit codes."""
+    /root/reference/src/bqf_cf.cpp:56-77).
+
+    Output modes (reference bqf_cf.hpp:6-8):
+    - ``text``   → ACGT strings (batch: partitioned BqfCf build + extract)
+    - ``binary`` → uint64 2-bit codes (same plan)
+    - ``stream`` → k-mers are emitted AS their second occurrence arrives:
+      reads stream through ``map_batches`` tasks that route key slices to
+      per-shard BqfCf actors; each shard reports the keys that crossed
+      count 2 in that slice, in arrival order.  Emission order is
+      per-shard-stream (the reference's single-threaded global order is
+      not preserved across parallel tasks — documented deviation); the
+      emitted SET is identical to the batch modes."""
 
     def key_fn(batch: pa.Table):
         seqs = batch.column(seq_col).to_pylist()
         hs = [sequence_kmer_hashes(seq, k) for seq in seqs]
         keys = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
         return keys, None
+
+    def codes_table(keys: np.ndarray) -> pa.Table:
+        # invertible hash → recover the k-mer losslessly (zero-FP property)
+        codes = bfc_hash_64_inv(keys, 2 * k)
+        if mode == "binary":
+            return pa.table({"kmer_code": pa.array(codes.astype(np.int64))})
+        return pa.table({"kmer": pa.array([decode(int(c), k) for c in codes],
+                                          pa.string())})
+
+    if mode == "stream":
+        import ray
+        from bqf_ray.state.shard_actors import ShardedSketchService
+        service = ShardedSketchService(lambda: BqfCf(q=q, hash_bits=2 * k),
+                                       num_shards=num_partitions)
+        handles = service.shards
+        P = service.P
+
+        def stream_filter(batch: pa.Table) -> pa.Table:
+            keys, _ = key_fn(batch)
+            part = (keys % np.uint64(P)).astype(np.int64)
+            futs = []
+            for p in range(P):
+                m = part == p
+                if m.any():
+                    futs.append(handles[p].update_report_new.remote(keys[m]))
+            news = ray.get(futs)
+            out = np.concatenate(news) if news else \
+                np.empty(0, dtype=np.uint64)
+            return codes_table(out)
+
+        return ds.map_batches(stream_filter, batch_format="pyarrow")
 
     blob_ds = build_partitioned(ds, key_fn, lambda: BqfCf(q=q, hash_bits=2 * k),
                                 num_partitions=num_partitions)
@@ -144,11 +185,6 @@ def filter_fastx(ds, k: int, *, seq_col: str = "seq", mode: str = "text",
             sk = MergeableSketch.from_bytes(blob)
             out.append(sk.second_occurrence_keys())
         keys = np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
-        # invertible hash → recover the k-mer losslessly (zero-FP property)
-        codes = bfc_hash_64_inv(keys, 2 * k)
-        if mode == "binary":
-            return pa.table({"kmer_code": pa.array(codes.astype(np.int64))})
-        return pa.table({"kmer": pa.array([decode(int(c), k) for c in codes],
-                                          pa.string())})
+        return codes_table(keys)
 
     return blob_ds.map_batches(extract, batch_format="pyarrow")

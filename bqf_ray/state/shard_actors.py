@@ -39,6 +39,39 @@ def _shard_actor_cls():
         def query(self, keys: np.ndarray) -> np.ndarray:
             return self.sketch.query_batch(keys)
 
+        def update_report_new(self, keys: np.ndarray) -> np.ndarray:
+            """Insert a key stream slice; return the keys whose count
+            crossed 2 DURING this slice, in their emission order — the
+            reference filter tool's streaming output contract
+            (/root/reference/src/bqf_cf.cpp:56-77), scoped per shard."""
+            keys = np.asarray(keys, dtype=np.uint64)
+            if len(keys) == 0:
+                return keys
+            uniq, first_idx, inv, cnt = np.unique(
+                keys, return_index=True, return_inverse=True,
+                return_counts=True)
+            # "repeated" is codec-reported: BqfCf's backpack bit reports
+            # 1 once a key is seen >= 2 times (and 0 for both absent and
+            # seen-once); counting codecs report the count itself
+            from bqf_ray.sketches.bqf import BqfCf
+            thr = 1 if isinstance(self.sketch, BqfCf) else 2
+            before = self.sketch.query_batch(uniq) >= thr
+            self.sketch.update_batch(keys, None)
+            after = self.sketch.query_batch(uniq) >= thr
+            newly = after & ~before
+            # emission position within the slice: a key occurring >= 2
+            # times here crossed at (approximately) its second local
+            # occurrence, else at its first
+            pos = first_idx.copy()
+            need2 = np.flatnonzero(newly & (cnt >= 2))
+            if len(need2):
+                order = np.argsort(inv, kind="stable")
+                grp_starts = np.searchsorted(inv[order],
+                                             np.arange(len(uniq)))
+                pos[need2] = order[grp_starts[need2] + 1]
+            sel = np.flatnonzero(newly)
+            return uniq[sel][np.argsort(pos[sel], kind="stable")]
+
         def snapshot(self) -> bytes:
             return self.sketch.to_bytes()
 

@@ -1,0 +1,93 @@
+"""FASTA/FASTQ record assembly (SURVEY §2 S3) + the filter tool's
+stream output mode (S5) + CLI e2e over a real multi-line FASTA."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bqf_ray.sources.fastx import parse_fasta_bytes, parse_fastq_bytes
+
+FASTA = (b">read1 extra comment\n"
+         b"ACGTAC\nGTACGT\nACG\n"
+         b">read2\n"
+         b"TTTTGGGGCCCC\n"
+         b">empty\n"
+         b">read3\nACACACACAC\n")
+
+FASTQ = (b"@r1 desc\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+         b"@r2\nGGGGCCCCAAAA\n+r2\nJJJJJJJJJJJJ\n")
+
+
+def test_parse_fasta_multiline():
+    names, seqs = parse_fasta_bytes(FASTA)
+    assert names == ["read1", "read2", "empty", "read3"]
+    assert seqs == ["ACGTACGTACGTACG", "TTTTGGGGCCCC", "", "ACACACACAC"]
+    # \r\n tolerated
+    n2, s2 = parse_fasta_bytes(FASTA.replace(b"\n", b"\r\n"))
+    assert s2 == seqs
+
+
+def test_parse_fastq_records():
+    names, seqs, quals = parse_fastq_bytes(FASTQ)
+    assert names == ["r1", "r2"]
+    assert seqs == ["ACGTACGTACGT", "GGGGCCCCAAAA"]
+    assert quals == ["IIIIIIIIIIII", "JJJJJJJJJJJJ"]
+    with pytest.raises(ValueError):
+        parse_fastq_bytes(b"@r1\nACGT\n+\n")          # truncated
+    with pytest.raises(ValueError):
+        parse_fastq_bytes(b"@r1\nACGT\nX\nIIII\n")    # bad separator
+
+
+def test_read_fastx_dataset(ray_session, tmp_path):
+    from bqf_ray.sources.fastx import read_fastx
+    fa = tmp_path / "a.fasta"
+    fq = tmp_path / "b.fastq"
+    fa.write_bytes(FASTA)
+    fq.write_bytes(FASTQ)
+    out = read_fastx([str(fa), str(fq)]).to_pandas()
+    assert len(out) == 6
+    assert set(out["name"]) == {"read1", "read2", "empty", "read3",
+                                "r1", "r2"}
+    withq = read_fastx([str(fq)], include_quality=True).to_pandas()
+    assert list(withq["qual"]) == ["IIIIIIIIIIII", "JJJJJJJJJJJJ"]
+
+
+def test_filter_stream_mode_matches_batch(ray_session):
+    """stream mode must emit exactly the batch modes' k-mer SET."""
+    import ray
+    from bqf_ray.pipelines.genomic import filter_fastx
+    import pyarrow as pa
+
+    rng = np.random.RandomState(5)
+    reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(60)]
+    reads += reads[:20]            # guarantee repeats
+    ds = ray.data.from_arrow(pa.table({"seq": pa.array(reads)})) \
+        .repartition(4)
+    batch_out = set(filter_fastx(ds, k=11, mode="text", num_partitions=4)
+                    .to_pandas()["kmer"])
+    stream_out = filter_fastx(ds, k=11, mode="stream", num_partitions=4) \
+        .to_pandas()["kmer"]
+    assert len(stream_out) == len(set(stream_out))   # each emitted once
+    assert set(stream_out) == batch_out
+
+
+def test_cli_filter_fastx_e2e(ray_session, tmp_path):
+    """CLI over a real multi-line FASTA: k-mers spanning line breaks
+    within a record must be found (the line-oriented parse missed them)."""
+    from bqf_ray.cli import main
+    fa = tmp_path / "reads.fasta"
+    # one 24-char sequence split over 3 lines, repeated in a second record
+    seq = "ACGTACGTTTGGCCAAGGTTCCAA"
+    fa.write_bytes((">a\n" + seq[:8] + "\n" + seq[8:16] + "\n" + seq[16:]
+                    + "\n>b\n" + seq + "\n").encode())
+    outdir = str(tmp_path / "out")
+    main(["filter", "-i", str(fa), "-o", outdir, "-k", "21", "--fastx"])
+    import pyarrow.parquet as pq
+    import glob
+    kmers = set()
+    for f in glob.glob(os.path.join(outdir, "*.parquet")):
+        kmers |= set(pq.read_table(f).column("kmer").to_pylist())
+    from bqf_ray.functions.dna import sequence_kmers, decode
+    expected = {decode(int(c), 21) for c in sequence_kmers(seq, 21)}
+    assert kmers == expected and len(kmers) == 4
