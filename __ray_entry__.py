@@ -434,6 +434,17 @@ def w_sliding_events(sf_dir):
     return sliding_window(_events(sf_dir), size_s=3600, slide_s=900)
 
 
+def w_embedding_dups_blocked(sf_dir):
+    """LSH-blocked cosine near-dup — the scale path (exact precision,
+    probabilistic recall).  bits=4/tables=32 gives per-pair recall 0.998
+    at t=0.45 (1-(1-p^4)^32, p = 1-arccos(t)/π), so on these corpora the
+    output equals the exact O(n²) pair set and shares its oracle."""
+    from bqf_ray.pipelines.dedup import embedding_dup_pairs_blocked
+    out = embedding_dup_pairs_blocked(_embeddings(sf_dir), threshold=0.45,
+                                      bits=4, tables=32)
+    return out.select_columns(["id_a", "id_b"])
+
+
 def w_knn_ivf(sf_dir):
     """IVF probe against a PERSISTED index (built once, reused)."""
     from bqf_ray.pipelines.knn import build_ivf_index, knn_ivf
@@ -555,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_events": w_sliding_events,
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
+        "embedding_dups_blocked": w_embedding_dups_blocked,
         "window_distinct_hll": w_window_distinct_hll,
         "media_features": w_media_features,
         "frame_sample": w_frame_sample,
@@ -689,6 +701,18 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
             FROM sims
             QUALIFY rank <= 10""",
+        "embedding_dups_blocked": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt((SELECT sum(x.a::DOUBLE * x.a::DOUBLE)
+                           FROM (SELECT unnest(embedding) AS a) x)) AS nrm
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE (SELECT sum(x.u::DOUBLE * x.v::DOUBLE)
+                   FROM (SELECT unnest(a.embedding) AS u,
+                                unnest(b.embedding) AS v) x)
+                  / (a.nrm * b.nrm) >= 0.45""",
         "embedding_dups": """
             WITH n AS (
               SELECT vec_id, embedding,

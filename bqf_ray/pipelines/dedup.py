@@ -664,3 +664,86 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
 
     return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=256,
                           concurrency=2)
+
+
+def embedding_dup_pairs_blocked(ds, threshold: float = 0.9,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id", bits: int = 8,
+                                tables: int = 16, seed: int = 7):
+    """Scale path for cosine near-dup (r1 verdict: the exact broadcast
+    matmul is the oracle path only — O(n²) cannot leave small scale).
+
+    L random-hyperplane tables of b bits each block the corpus; rows
+    colliding in ANY table are exact-verified with an in-bucket matmul,
+    so precision is exact and only recall is probabilistic:
+    recall = 1 − (1 − p^b)^L with p = 1 − arccos(t)/π (p≈0.9 at t=0.95).
+    Data moved = L copies of each vector through one fused-key shuffle —
+    the standard multi-table LSH memory/recall tradeoff.
+    Output (id_a, id_b, cosine), a < b, deduped across tables."""
+    import ray
+    from ray.data.aggregate import Max
+    from bqf_ray.pipelines.knn import _normalize, _to_matrix
+
+    sample = ds.take_batch(1, batch_format="pyarrow")
+    dim = _to_matrix(sample.column(vec_col)).shape[1]
+    planes = np.random.RandomState(seed).normal(size=(tables, dim, bits))
+    pref = ray.put(planes)
+
+    class BlockCodes:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            m = _normalize(_to_matrix(batch.column(vec_col)))
+            n = len(ids)
+            codes = np.empty((tables, n), dtype=np.int64)
+            for t in range(tables):
+                sig = (m @ self.planes[t] > 0).astype(np.uint64)
+                code = (sig << np.arange(bits, dtype=np.uint64)[None, :]
+                        ).sum(axis=1)
+                codes[t] = (code + np.uint64(t << bits)).astype(np.int64)
+            flat_ids = np.tile(ids, tables)
+            reps = np.tile(m, (tables, 1))        # table-major, matches codes
+            d = m.shape[1]
+            offs = np.arange(n * tables + 1, dtype=np.int32) * np.int32(d)
+            vecs = pa.ListArray.from_arrays(pa.array(offs),
+                                            pa.array(reps.reshape(-1)))
+            return pa.table({"__bkey": pa.array(codes.reshape(-1)),
+                             id_col: pa.array(flat_ids),
+                             "vec": vecs})
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col))
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        uniq, idx = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return empty
+        if len(uniq) > 4096:
+            import sys
+            print(f"embedding_dup_pairs_blocked: dropping over-full bucket "
+                  f"({len(uniq)} vectors > 4096); raise bits",
+                  file=sys.stderr)
+            return empty
+        col = group.column("vec")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        d = len(flat) // len(ids)
+        m = flat.reshape(len(ids), d)[idx]
+        cos = m @ m.T
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pa.table({"id_a": pa.array(uniq[ii]),
+                         "id_b": pa.array(uniq[jj]),
+                         "cosine": pa.array(cos[ii, jj], pa.float64())})
+
+    return (ds.map_batches(BlockCodes, batch_format="pyarrow",
+                           concurrency=2)
+            .repartition(16)
+            .groupby("__bkey")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
+            .repartition(8)
+            .groupby(["id_a", "id_b"])
+            .aggregate(Max("cosine", alias_name="cosine")))

@@ -152,19 +152,21 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
             import pandas as pd
             ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]").astype(np.int64)
             ws = _window_start_us(ts, size_s)
-            keys = batch.column(key_col).to_pylist()
             ids = fmix64(np.asarray(batch.column(id_col)).astype(np.uint64))
-            df = pd.DataFrame({"w": ws, "k": keys})
-            rows_w, rows_k, rows_b = [], [], []
-            for (w, k), idx in df.groupby(["w", "k"]).groups.items():
-                h = HyperLogLog(p=hll_p)
-                h.update_batch(ids[np.asarray(idx)])
-                rows_w.append(w)
-                rows_k.append(k)
-                rows_b.append(h.to_bytes())
-            return pa.table({"window_start": pa.array(rows_w, pa.int64()),
-                             key_col: pa.array(rows_k, pa.string()),
-                             "blob": pa.array(rows_b, pa.binary())})
+            # one register-matrix scatter for ALL (window, key) groups —
+            # no python-per-group sketch building (r1 verdict #7 family)
+            kcodes, kuniq = pd.factorize(
+                np.asarray(batch.column(key_col)).astype("U"))
+            wcodes, wuniq = pd.factorize(ws)
+            packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
+            ug, ginv = np.unique(packed, return_inverse=True)
+            regs = HyperLogLog.grouped_registers(ids, ginv, len(ug), hll_p)
+            rows_b = [HyperLogLog.from_registers(regs[i]).to_bytes()
+                      for i in range(len(ug))]       # serialize only
+            return pa.table({
+                "window_start": pa.array(wuniq[ug // len(kuniq)], pa.int64()),
+                key_col: pa.array(kuniq[ug % len(kuniq)], pa.string()),
+                "blob": pa.array(rows_b, pa.binary())})
 
         def merge_final(group: pa.Table) -> pa.Table:
             blobs = group.column("blob").to_pylist()

@@ -13,6 +13,20 @@ import numpy as np
 from bqf_ray.sketches.base import MergeableSketch, register
 
 
+def _register_updates(keys: np.ndarray, p: int):
+    """(register index, rho) per key.  rho = 1 + leading zeros of the
+    remaining 64-p bits; clz via a lossless halving scan (float tricks
+    drop bits past 2^53)."""
+    idx = (keys >> np.uint64(64 - p)).astype(np.int64)
+    x = (keys << np.uint64(p)) | np.uint64((1 << p) - 1)
+    rho = np.ones(len(keys), dtype=np.uint8)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x < (np.uint64(1) << np.uint64(64 - shift))
+        rho = np.where(m, rho + np.uint8(shift), rho)
+        x = np.where(m, x << np.uint64(shift), x)
+    return idx, np.minimum(rho, np.uint8(64 - p + 1))
+
+
 @register
 class HyperLogLog(MergeableSketch):
     config_fields = ("p",)
@@ -28,18 +42,29 @@ class HyperLogLog(MergeableSketch):
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return
-        idx = (keys >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (keys << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rho = 1 + count of leading zeros of the remaining 64-p bits
-        # clz via float trick is lossy for 64-bit; use a halving scan (6 steps)
-        rho = np.ones(len(keys), dtype=np.uint8)
-        x = rest
-        for shift in (32, 16, 8, 4, 2, 1):
-            m = x < (np.uint64(1) << np.uint64(64 - shift))
-            rho = np.where(m, rho + np.uint8(shift), rho)
-            x = np.where(m, x << np.uint64(shift), x)
-        rho = np.minimum(rho, np.uint8(64 - self.p + 1))
+        idx, rho = _register_updates(keys, self.p)
         np.maximum.at(self.registers, idx, rho)
+
+    @classmethod
+    def grouped_registers(cls, keys: np.ndarray, gids: np.ndarray,
+                          n_groups: int, p: int = 12) -> np.ndarray:
+        """(n_groups, 2^p) register matrix for many HLLs at once — ONE
+        ``np.maximum.at`` over (group, register) pairs instead of a python
+        loop building a sketch per group (the windowed-distinct partial
+        path)."""
+        regs = np.zeros((n_groups, 1 << p), dtype=np.uint8)
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys):
+            idx, rho = _register_updates(keys, p)
+            np.maximum.at(regs, (np.asarray(gids, dtype=np.int64), idx), rho)
+        return regs
+
+    @classmethod
+    def from_registers(cls, row: np.ndarray) -> "HyperLogLog":
+        p = int(np.log2(len(row)))
+        s = cls(p=p)
+        s.registers = np.asarray(row, dtype=np.uint8).copy()
+        return s
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         self.check_mergeable(other)

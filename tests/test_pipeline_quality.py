@@ -127,3 +127,52 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
         a = set(ivf[ivf.query_id == q].neighbor_id)
         recalls.append(len(a & b) / len(b))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_embedding_blocked_recall_and_precision(ray_session):
+    """LSH-blocked cosine near-dup: precision exact (in-bucket exact
+    verify), recall >= 0.95 vs the exact O(n^2) path at t=0.9."""
+    import ray
+    import pyarrow as pa
+    from bqf_ray.pipelines.dedup import (embedding_dup_pairs,
+                                         embedding_dup_pairs_blocked)
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(60, 32))
+    rows, ids = [], []
+    vid = 0
+    for i in range(60):
+        for _ in range(3):                      # 3 noisy copies per family
+            v = base[i] + rng.normal(scale=0.05, size=32)
+            rows.append(v / np.linalg.norm(v))
+            ids.append(vid)
+            vid += 1
+    tbl = pa.table({
+        "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    blocked = embedding_dup_pairs_blocked(ds, threshold=0.9, bits=8,
+                                          tables=16).to_pandas()
+    # exact path emits (id_a,id_b); normalize both to sets
+    ex = set(zip(exact["id_a"], exact["id_b"]))
+    bl = set(zip(blocked["id_a"], blocked["id_b"]))
+    assert bl <= ex                    # exact precision
+    assert len(ex) > 50
+    assert len(bl & ex) / len(ex) >= 0.95
+
+
+def test_windowed_hll_grouped_registers_match_scalar():
+    """Grouped register scatter must equal per-group update_batch."""
+    from bqf_ray.sketches.hll import HyperLogLog
+    rng = np.random.RandomState(1)
+    keys = rng.randint(0, 2**63, size=5000).astype(np.uint64)
+    gids = rng.randint(0, 7, size=5000)
+    regs = HyperLogLog.grouped_registers(keys, gids, 7, p=10)
+    for g in range(7):
+        h = HyperLogLog(p=10)
+        h.update_batch(keys[gids == g])
+        np.testing.assert_array_equal(regs[g], h.registers)
+        assert abs(HyperLogLog.from_registers(regs[g]).estimate()
+                   - h.estimate()) < 1e-9
