@@ -454,6 +454,23 @@ def w_knn_ivf(sf_dir):
     return knn_ivf(ds, qids, qvecs, k=10, n_cells=32, nprobe=8, index=index)
 
 
+def w_knn_ivf_recall(sf_dir):
+    """Driver-checked ANN quality bound: recall@10 of the IVF probe vs
+    the exact brute-force pass, per query.  0.25 is a floor for the
+    near-uniform fixture embeddings (observed ≥ 0.4 at every sf);
+    clustered corpora sit far higher (pytest covers that regime)."""
+    import pandas as pd
+    exact = q_knn(sf_dir).to_pandas()
+    approx = w_knn_ivf(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = [(int(q), len(ex[q] & ap.get(q, set())) / len(ex[q]) >= 0.25)
+            for q in sorted(ex.index)]
+    return pd.DataFrame({"query_id": np.array([r[0] for r in rows],
+                                              dtype=np.int64),
+                         "recall_ok": [r[1] for r in rows]})
+
+
 def w_window_distinct_hll(sf_dir):
     """Per-window HLL distinct vs the exact count: emits the exact value
     plus a per-row bound flag (10% — small windows sit in HLL's
@@ -566,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_events": w_sliding_events,
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
+        "knn_ivf_recall": w_knn_ivf_recall,
         "embedding_dups_blocked": w_embedding_dups_blocked,
         "window_distinct_hll": w_window_distinct_hll,
         "media_features": w_media_features,
@@ -670,6 +688,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT token, count(*)::BIGINT AS cnt
               FROM ({tokens}) WHERE token <> '' GROUP BY token)
             ORDER BY cnt DESC, token LIMIT 20""",
+        "knn_ivf_recall": """
+            SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5""",
         "window_distinct_hll": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                    event_type,
@@ -736,6 +757,67 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events GROUP BY 1, 2""",
+        # lang_id / quality: deterministic heuristics over tiny lexicons —
+        # re-expressed in SQL (same op order ⇒ bit-identical doubles)
+        "lang_id": f"""
+            WITH tok AS (SELECT doc_id, token FROM ({tokens})
+                         WHERE token <> ''),
+            agg AS (SELECT doc_id, count(*) AS n,
+                sum(CASE WHEN token IN ('the','and','of','to','in','is',
+                    'that','for','with','on') THEN 1 ELSE 0 END) AS h_en,
+                sum(CASE WHEN token IN ('der','die','und','das','ist',
+                    'nicht','ein','mit','von','zu') THEN 1 ELSE 0 END) AS h_de,
+                sum(CASE WHEN token IN ('le','la','et','les','des','est',
+                    'une','dans','pour','que') THEN 1 ELSE 0 END) AS h_fr,
+                sum(CASE WHEN token IN ('el','la','de','que','los','una',
+                    'por','con','para','las') THEN 1 ELSE 0 END) AS h_es,
+                sum(CASE WHEN token IN ('de5','shi4','zai4','you3','wo3',
+                    'le5','bu4','ren2','zhe4','ta1') THEN 1 ELSE 0 END) AS h_zh
+                FROM tok GROUP BY doc_id),
+            sc AS (SELECT d.doc_id,
+                COALESCE(a.h_en, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1) AS s_en,
+                COALESCE(a.h_de, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1) AS s_de,
+                COALESCE(a.h_fr, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1) AS s_fr,
+                COALESCE(a.h_es, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1) AS s_es,
+                COALESCE(a.h_zh, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1) AS s_zh
+                FROM documents d LEFT JOIN agg a USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN best < 0.05 THEN 'und'
+                        WHEN s_en = best THEN 'en'
+                        WHEN s_de = best THEN 'de'
+                        WHEN s_fr = best THEN 'fr'
+                        WHEN s_es = best THEN 'es'
+                        ELSE 'zh' END AS pred_lang,
+                   best AS lang_score
+            FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best
+                  FROM sc)""",
+        "quality": f"""
+            WITH tok AS (SELECT doc_id, token FROM ({tokens})
+                         WHERE token <> ''),
+            agg AS (SELECT doc_id, count(*) AS n,
+                           sum(length(token))::BIGINT AS sum_len,
+                sum(CASE WHEN token IN ('the','and','of','to','in','is',
+                    'that','for','with','on') THEN 1 ELSE 0 END) AS hits
+                FROM tok GROUP BY doc_id),
+            x AS (SELECT d.doc_id,
+                COALESCE(a.n, 0)::BIGINT AS n_tokens,
+                CASE WHEN COALESCE(a.n,0) > 0
+                     THEN a.sum_len::DOUBLE / GREATEST(a.n, 1)
+                     ELSE 0.0 END AS mean_len,
+                COALESCE(a.hits, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1)
+                    AS stop_ratio
+                FROM documents d LEFT JOIN agg a USING (doc_id)),
+            s AS (SELECT doc_id, n_tokens, stop_ratio,
+                LEAST(GREATEST((n_tokens - 5) / 45.0, 0), 1)
+                  * (CASE WHEN n_tokens <= 2000 THEN 1.0
+                          ELSE GREATEST(0.2, 2000 / GREATEST(n_tokens,1))
+                     END) AS ls,
+                LEAST(GREATEST(1.0 - abs(mean_len - 6.0) / 6.0, 0), 1) AS tl,
+                LEAST(GREATEST(stop_ratio / 0.2, 0), 1) AS ss
+                FROM x)
+            SELECT doc_id, 0.4 * ls + 0.3 * tl + 0.3 * ss AS quality,
+                   n_tokens, stop_ratio
+            FROM s""",
         "lang_counts": """
             SELECT lang, count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang""",
