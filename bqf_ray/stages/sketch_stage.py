@@ -68,12 +68,14 @@ def _merge_block(batch: pa.Table) -> pa.Table:
     return pa.table({"blob": pa.array([sk.to_bytes()], pa.binary())})
 
 
-def tree_merge(blob_ds, fanout: int = 8):
+def tree_merge(blob_ds, fanout: int = 64):
     """Tree-reduce a Dataset of sketch blobs to ONE sketch: each level
     ``repartition(ceil(n/fanout))`` packs ~fanout blobs per block and a
     whole-block ``map_batches`` merges them.  Depth = log_fanout(n); each
     level moves only the partial blobs, never row data.  Returns the final
-    sketch object."""
+    sketch object.  fanout=64 keeps typical single-node runs to ONE merge
+    level (each level is a barrier + driver sync); fixed-size sketches
+    merge fast enough that wide fan-in is compute-cheap."""
     ds = blob_ds
     n = ds.count()
     while n > 1:
@@ -89,7 +91,7 @@ def tree_merge(blob_ds, fanout: int = 8):
 
 
 def build_sketch(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
-                 batch_size: int | None = 4096, fanout: int = 8
+                 batch_size: int | None = 4096, fanout: int = 64
                  ) -> MergeableSketch:
     """read → partial per block → tree merge → one sketch."""
     return tree_merge(partial_sketches(ds, key_fn, factory, batch_size),
