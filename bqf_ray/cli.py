@@ -161,8 +161,15 @@ def cmd_probe(args):
     idx = BqfIndex.load(args.bqf)
     ds = ray.data.read_parquet(args.input)
     out = idx.probe_documents(ds, id_col=args.id_col, z=args.z)
-    out.write_parquet(args.output)
-    print(f"wrote probe results -> {args.output}", file=sys.stderr)
+    if args.resumable_partitions:
+        from bqf_ray.state.output import resumable_write_parquet
+        meta = resumable_write_parquet(out, args.output, args.id_col,
+                                       num_buckets=args.resumable_partitions)
+        print(f"wrote {len(meta)} partitions (resumable) -> {args.output}",
+              file=sys.stderr)
+    else:
+        out.write_parquet(args.output)
+        print(f"wrote probe results -> {args.output}", file=sys.stderr)
     if owned:
         ray.shutdown()
 
@@ -222,6 +229,10 @@ def main(argv=None):
     pr.add_argument("-o", "--output", required=True)
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("-z", type=int, default=0)
+    pr.add_argument("--resumable-partitions", type=int, default=0,
+                    help="write a resumable partitioned sink with this "
+                         "many id-hash buckets (re-runs skip finished "
+                         "partitions)")
     pr.set_defaults(fn=cmd_probe)
 
     args = p.parse_args(argv)
