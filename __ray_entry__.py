@@ -188,6 +188,32 @@ def q_probe_fimpera(sf_dir):
     return idx.probe_documents(ds, z=0, concurrency=2)
 
 
+def q_asof_clicks(sf_dir):
+    """As-of join: each click event attached to the user's most recent
+    prior (or simultaneous) purchase — DuckDB ASOF JOIN semantics."""
+    import ray
+    from bqf_ray.pipelines.relational import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+
+    def of_type(t):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.equal(batch.column("event_type"), t)) \
+                .drop_columns(["event_type"])
+        return fn
+
+    clicks = ev.map_batches(of_type("click"), batch_format="pyarrow")
+    purchases = (ev.map_batches(of_type("purchase"), batch_format="pyarrow")
+                 .drop_columns(["event_id"]))
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    num_buckets=16, how="inner")
+    return out.select_columns(["event_id", "user_id", "ts", "value",
+                               "ts_r", "value_r"])
+
+
 def q_top_docs_per_lang(sf_dir):
     """Top-3 documents by n_chars per lang (window-function shape:
     rank-within-group with deterministic tie-break)."""
@@ -565,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
+        "asof_clicks": q_asof_clicks,
         "top_docs_per_lang": q_top_docs_per_lang,
         "window_distinct_users": q_window_distinct_users,
         "lang_counts": q_lang_counts_salted,
@@ -746,6 +773,14 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest(a.embedding) AS u,
                                 unnest(b.embedding) AS v) x)
                   / (a.nrm * b.nrm) >= 0.45""",
+        "asof_clicks": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_r, r.value AS value_r
+            FROM (SELECT event_id, ts, user_id, value FROM events
+                  WHERE event_type = 'click') l
+            ASOF JOIN (SELECT ts, user_id, value FROM events
+                       WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "top_docs_per_lang": """
             SELECT doc_id, lang, n_chars,
                    row_number() OVER (PARTITION BY lang

@@ -120,6 +120,94 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
             .map_groups(filter_bucket, batch_format="pyarrow"))
 
 
+def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
+              suffix: str = "_r", how: str = "inner"):
+    """As-of join (an operator Ray Data lacks): for every left row, attach
+    the single right row with the LARGEST ``on`` ≤ left.``on`` among rows
+    sharing ``by`` — DuckDB's ``ASOF JOIN ... ON l.by = r.by AND
+    l.on >= r.on`` semantics.
+
+    Plan: bucket-co-partition both sides on ``by % B`` (one groupby
+    shuffle), then a vectorized merge per bucket: lexsort the combined
+    rows by (by, on, side) with right rows first at ties, take a running
+    maximum of right-row positions, and validate the match is same-key.
+    Right-side ties on (by, on) resolve to the highest original row order
+    (deterministic; dedupe the right side first if that matters).
+    ``how="left"`` keeps unmatched left rows with null right columns."""
+    import pyarrow.compute as pc_  # noqa: F401
+
+    B = int(num_buckets)
+    left_cols = list(left_ds.schema().names)
+    right_cols = [c for c in right_ds.schema().names if c != by]
+
+    def to_i64(col) -> np.ndarray:
+        arr = np.asarray(col)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(by), dtype=np.int64)
+            return (batch.append_column("__bucket",
+                                        pa.array(k % np.int64(B)))
+                    .append_column("__side", pa.array(
+                        np.full(len(batch), side, dtype=np.int8))))
+        return fn
+
+    def rename_right(batch: pa.Table) -> pa.Table:
+        names = [c + suffix if c in right_cols else c
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    right_cols_final = [c + suffix for c in right_cols]
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        l_tbl = group.filter(pa.array(side == 0)).select(left_cols)
+        r_tbl = group.filter(pa.array(side == 1)).select(
+            [by] + right_cols_final)
+        nl, nr = len(l_tbl), len(r_tbl)
+        l_by = np.asarray(l_tbl.column(by), dtype=np.int64) if nl else \
+            np.empty(0, dtype=np.int64)
+        l_on = to_i64(l_tbl.column(on)) if nl else \
+            np.empty(0, dtype=np.int64)
+        r_by = np.asarray(r_tbl.column(by), dtype=np.int64) if nr else \
+            np.empty(0, dtype=np.int64)
+        r_on = to_i64(r_tbl.column(on + suffix)) if nr else \
+            np.empty(0, dtype=np.int64)
+        key = np.concatenate([r_by, l_by])
+        t = np.concatenate([r_on, l_on])
+        sd = np.concatenate([np.zeros(nr, dtype=np.int8),
+                             np.ones(nl, dtype=np.int8)])
+        src = np.concatenate([np.arange(nr), np.arange(nl)])
+        order = np.lexsort((sd, t, key))     # right before left at ties
+        key_s, sd_s, src_s = key[order], sd[order], src[order]
+        lastr = np.maximum.accumulate(
+            np.where(sd_s == 0, np.arange(len(order)), -1))
+        lpos = np.flatnonzero(sd_s == 1)
+        p = lastr[lpos]
+        valid = (p >= 0) & (key_s[np.maximum(p, 0)] == key_s[lpos])
+        l_rows = src_s[lpos]
+        r_rows = np.where(valid, src_s[np.maximum(p, 0)], -1)
+        if how == "inner":
+            l_rows, r_rows = l_rows[valid], r_rows[valid]
+            valid = np.ones(len(l_rows), dtype=bool)
+        out = l_tbl.take(pa.array(l_rows))
+        idx = pa.array([int(r) if v else None
+                        for r, v in zip(r_rows, valid)], pa.int64())
+        for c in right_cols_final:
+            out = out.append_column(c, r_tbl.column(c).take(idx))
+        return out
+
+    left_tagged = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right_tagged = (right_ds.map_batches(tag(1), batch_format="pyarrow")
+                    .map_batches(rename_right, batch_format="pyarrow"))
+    return (left_tagged.union(right_tagged)
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow"))
+
+
 def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
                           suffix: str = "_r"):
     """Inner join of two large Datasets on an integer ``key`` via explicit

@@ -93,3 +93,42 @@ def test_semi_join_and_anti(ray_session, tables):
                      anti=True).to_pandas()
     assert len(anti) == len(left) - len(exp)
     assert not anti["k"].isin([2, 5, 7]).any()
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.relational import asof_join
+    rng = np.random.RandomState(17)
+    nl, nr = 800, 300
+    left = pd.DataFrame({
+        "k": rng.randint(0, 40, nl).astype(np.int64),
+        "t": rng.randint(0, 10_000, nl).astype(np.int64),
+        "lv": rng.randint(0, 1_000_000, nl).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 45, nr).astype(np.int64),   # some keys missing
+        "t": rng.randint(0, 10_000, nr).astype(np.int64),
+        "rv": rng.randint(0, 1_000_000, nr).astype(np.int64),
+    }).drop_duplicates(["k", "t"])                      # deterministic ties
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    for how in ["inner", "left"]:
+        got = (asof_join(lds, rds, on="t", by="k", num_buckets=8, how=how)
+               .to_pandas().sort_values(["k", "t", "lv"])
+               .reset_index(drop=True))
+        exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                            on="t", by="k", direction="backward",
+                            suffixes=("", "_r"))
+        exp = exp.rename(columns={"rv": "rv_r"})
+        if how == "inner":
+            exp = exp[exp["rv_r"].notna()]
+        exp = (exp.sort_values(["k", "t", "lv"]).reset_index(drop=True))
+        assert len(got) == len(exp), how
+        np.testing.assert_array_equal(got["lv"].to_numpy(),
+                                      exp["lv"].to_numpy())
+        g = got["rv_r"].to_numpy(dtype=np.float64, na_value=np.nan)
+        e = exp["rv_r"].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(e))
+        np.testing.assert_array_equal(g[~np.isnan(g)], e[~np.isnan(e)])
