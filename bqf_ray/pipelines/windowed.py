@@ -144,9 +144,11 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
                .groupby(["window_start", key_col])
                .aggregate(Sum("n", alias_name="n_distinct")))
     else:
-        from bqf_ray.functions.hashing import fmix64
-        from bqf_ray.sketches.base import MergeableSketch
+        from bqf_ray.functions.hashing import fmix64, xxhash64_array
         from bqf_ray.sketches.hll import HyperLogLog
+
+        m_regs = 1 << hll_p
+        NB = 16                # merge buckets
 
         def partials(batch: pa.Table) -> pa.Table:
             import pandas as pd
@@ -154,34 +156,55 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
             ws = _window_start_us(ts, size_s)
             ids = fmix64(np.asarray(batch.column(id_col)).astype(np.uint64))
             # one register-matrix scatter for ALL (window, key) groups —
-            # no python-per-group sketch building (r1 verdict #7 family)
+            # no python-per-group sketch building; registers travel as a
+            # LIST column so the merge side stays vectorized too
             kcodes, kuniq = pd.factorize(
                 np.asarray(batch.column(key_col)).astype("U"))
             wcodes, wuniq = pd.factorize(ws)
             packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
             ug, ginv = np.unique(packed, return_inverse=True)
             regs = HyperLogLog.grouped_registers(ids, ginv, len(ug), hll_p)
-            rows_b = [HyperLogLog.from_registers(regs[i]).to_bytes()
-                      for i in range(len(ug))]       # serialize only
+            offs = np.arange(len(ug) + 1, dtype=np.int32) * np.int32(m_regs)
+            wvals = wuniq[ug // len(kuniq)]
+            # bucket on VALUES (window µs, key-string hash) — a local
+            # factorize code would scatter the same group across buckets
+            khash = xxhash64_array(kuniq.astype("U"))[ug % len(kuniq)]
+            bucket = ((wvals.astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15) ^ khash)
+                      % np.uint64(NB)).astype(np.int64)
+            return pa.table({
+                "window_start": pa.array(wvals, pa.int64()),
+                key_col: pa.array(kuniq[ug % len(kuniq)], pa.string()),
+                "regs": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(regs.reshape(-1))),
+                "__bucket": pa.array(bucket)})
+
+        def merge_bucket(group: pa.Table) -> pa.Table:
+            """All partials of a (window, key) share this bucket: one
+            scatter-max + one vectorized estimate — no python per group."""
+            import pandas as pd
+            ws = np.asarray(group.column("window_start"))
+            keys = np.asarray(group.column(key_col)).astype("U")
+            col = group.column("regs")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = np.asarray(col.flatten(), dtype=np.uint8)
+            mat = flat.reshape(len(group), m_regs)
+            kcodes, kuniq = pd.factorize(keys)
+            wcodes, wuniq = pd.factorize(ws)
+            packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
+            ug, ginv = np.unique(packed, return_inverse=True)
+            merged = np.zeros((len(ug), m_regs), dtype=np.uint8)
+            np.maximum.at(merged, ginv, mat)
+            est = HyperLogLog.estimate_matrix(merged)
             return pa.table({
                 "window_start": pa.array(wuniq[ug // len(kuniq)], pa.int64()),
                 key_col: pa.array(kuniq[ug % len(kuniq)], pa.string()),
-                "blob": pa.array(rows_b, pa.binary())})
-
-        def merge_final(group: pa.Table) -> pa.Table:
-            blobs = group.column("blob").to_pylist()
-            sk = MergeableSketch.from_bytes(blobs[0])
-            sk.merge_many([MergeableSketch.from_bytes(b) for b in blobs[1:]])
-            return pa.table({
-                "window_start": group.column("window_start").slice(0, 1),
-                key_col: group.column(key_col).slice(0, 1),
-                "n_distinct_est": pa.array([float(sk.estimate())],
-                                           pa.float64()),
-            })
+                "n_distinct_est": pa.array(est, pa.float64())})
 
         out = (ds.map_batches(partials, batch_format="pyarrow")
-               .groupby(["window_start", key_col])
-               .map_groups(merge_final, batch_format="pyarrow"))
+               .groupby("__bucket")
+               .map_groups(merge_bucket, batch_format="pyarrow"))
 
     def to_ts(batch: pa.Table) -> pa.Table:
         ws = np.asarray(batch.column("window_start"), dtype=np.int64)

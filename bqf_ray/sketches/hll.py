@@ -60,6 +60,31 @@ class HyperLogLog(MergeableSketch):
         return regs
 
     @classmethod
+    def estimate_matrix(cls, regs: np.ndarray) -> np.ndarray:
+        """Row-wise estimates for an (n, m) register matrix — the
+        vectorized form of :meth:`estimate` (same alpha + small/large
+        range corrections), so per-group finalizers need no python loop."""
+        regs = np.asarray(regs, dtype=np.uint8)
+        n, m = regs.shape
+        if m == 16:
+            alpha = 0.673
+        elif m == 32:
+            alpha = 0.697
+        elif m == 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -regs.astype(np.int32)).sum(axis=1)
+        e = alpha * m * m / inv
+        v = (regs == 0).sum(axis=1)
+        small = (e <= 2.5 * m) & (v > 0)
+        e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
+        big = e > (1 / 30.0) * 2**64
+        if big.any():
+            e = np.where(big, -(2.0**64) * np.log(1.0 - e / 2.0**64), e)
+        return e
+
+    @classmethod
     def from_registers(cls, row: np.ndarray) -> "HyperLogLog":
         p = int(np.log2(len(row)))
         s = cls(p=p)
