@@ -176,3 +176,58 @@ def test_windowed_hll_grouped_registers_match_scalar():
         np.testing.assert_array_equal(regs[g], h.registers)
         assert abs(HyperLogLog.from_registers(regs[g]).estimate()
                    - h.estimate()) < 1e-9
+
+
+def test_verify_pairs_random_corpora(ray_session):
+    """verify_pairs must equal brute-force jaccard for EVERY candidate
+    pair, across random overlap-heavy corpora (duplicated candidates
+    included — the dedupe path)."""
+    import itertools
+    import pyarrow as pa
+    import ray
+    from bqf_ray.pipelines.dedup import verify_pairs
+
+    for seed in [0, 1, 2]:
+        rng = np.random.RandomState(seed)
+        n_docs = 30
+        sets = {d: set(rng.choice(50, size=rng.randint(1, 20),
+                                  replace=False).tolist())
+                for d in range(n_docs)}
+        rows_d, rows_s = [], []
+        for d, s in sets.items():
+            for v in sorted(s):
+                rows_d.append(d)
+                rows_s.append(v)
+        sets_tbl = pa.table({
+            "doc_id": pa.array(np.array(rows_d, dtype=np.int64)),
+            "shingle": pa.array(np.array(rows_s, dtype=np.int64)),
+            "set_size": pa.array(np.array(
+                [len(sets[d]) for d in rows_d], dtype=np.int64)),
+        })
+        pairs = list(itertools.combinations(range(n_docs), 2))
+        # duplicate a third of the candidates on purpose
+        dup = [pairs[i] for i in rng.choice(len(pairs), len(pairs) // 3)]
+        all_pairs = pairs + dup
+        cand_tbl = pa.table({
+            "doc_a": pa.array(np.array([a for a, _ in all_pairs],
+                                       dtype=np.int64)),
+            "doc_b": pa.array(np.array([b for _, b in all_pairs],
+                                       dtype=np.int64)),
+        })
+        t = 0.3
+        got = verify_pairs(
+            ray.data.from_arrow(cand_tbl).repartition(3),
+            ray.data.from_arrow(sets_tbl).repartition(2),
+            t, num_buckets=8).to_pandas()
+        got_map = {(a, b): j for a, b, j in
+                   zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+        assert len(got_map) == len(got)          # no duplicate outputs
+        for a, b in pairs:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union
+            if j >= t:
+                assert (a, b) in got_map, (seed, a, b)
+                assert abs(got_map[(a, b)] - j) < 1e-12
+            else:
+                assert (a, b) not in got_map, (seed, a, b)
