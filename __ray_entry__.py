@@ -214,6 +214,30 @@ def q_asof_clicks(sf_dir):
                                "ts_r", "value_r"])
 
 
+def q_value_bands(sf_dir):
+    """Range join: events matched into value bands [5i, 5i+5), then a
+    grouped count per (band, event_type) — the banding primitive."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from bqf_ray.pipelines.relational import interval_join
+
+    bands = pd.DataFrame({"band": np.arange(8, dtype=np.int64),
+                          "lo": np.arange(8) * 5.0,
+                          "hi": (np.arange(8) + 1) * 5.0})
+    joined = interval_join(_events(sf_dir), bands, "value", "lo", "hi")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table({"band": batch.column("band_r"),
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(["band", "event_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["band", "event_type", "n"])
+
+    return (joined.map_batches(pre, batch_format="pyarrow")
+            .groupby(["band", "event_type"])
+            .aggregate(Sum("n", alias_name="n_events")))
+
+
 def q_top_docs_per_lang(sf_dir):
     """Top-3 documents by n_chars per lang (window-function shape:
     rank-within-group with deterministic tie-break)."""
@@ -592,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
         "asof_clicks": q_asof_clicks,
+        "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
         "window_distinct_users": q_window_distinct_users,
         "lang_counts": q_lang_counts_salted,
@@ -781,6 +806,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT ts, user_id, value FROM events
                        WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "value_bands": """
+            WITH bb AS (SELECT band, band*5.0 AS lo, band*5.0+5.0 AS hi
+                        FROM (SELECT unnest(range(8)) AS band))
+            SELECT bb.band::BIGINT AS band, e.event_type,
+                   count(*)::BIGINT AS n_events
+            FROM events e JOIN bb
+              ON e.value >= bb.lo AND e.value < bb.hi
+            GROUP BY 1, 2""",
         "top_docs_per_lang": """
             SELECT doc_id, lang, n_chars,
                    row_number() OVER (PARTITION BY lang

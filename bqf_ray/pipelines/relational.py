@@ -208,6 +208,63 @@ def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
             .map_groups(merge_bucket, batch_format="pyarrow"))
 
 
+def interval_join(left_ds, intervals_df, val: str, lo: str, hi: str,
+                  suffix: str = "_r", closed: str = "left",
+                  concurrency: int = 2):
+    """Range join: each left row matched to EVERY interval containing its
+    ``val`` (``lo <= v < hi``, or ``<= hi`` with ``closed="both"``) — the
+    banding/bucketing primitive Ray Data lacks.
+
+    The interval table is the SMALL side (a dimension table of bands /
+    ranges): broadcast once via ``ray.put``; each batch sorts its values
+    and takes two searchsorted slices per interval — O(R log n) per
+    batch, zero shuffle, output rows = matches (inner semantics).
+    Overlapping intervals yield one output row per (row, interval) pair.
+    For a LARGE keyed interval table, bucket both sides on the key and
+    apply this per bucket (compose with the semi_join tagging pattern)."""
+    import pandas as pd
+    import ray
+
+    iv = intervals_df.reset_index(drop=True)
+    lo_a = iv[lo].to_numpy()
+    hi_a = iv[hi].to_numpy()
+    ref = ray.put((lo_a, hi_a, iv.drop(columns=[lo, hi])))
+
+    class Stab:
+        def __init__(self):
+            self.lo, self.hi, self.meta = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column(val), dtype=np.float64)
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            side = "right" if closed == "both" else "left"
+            starts = np.searchsorted(vs, self.lo, "left")
+            ends = np.searchsorted(vs, self.hi, side)
+            cnt = np.maximum(ends - starts, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                out = batch.slice(0, 0)
+                for c in self.meta.columns:
+                    out = out.append_column(
+                        c + suffix,
+                        pa.array(pd.Series([], dtype=self.meta[c].dtype)))
+                return out
+            within = np.arange(tot) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+            rows = order[np.repeat(starts, cnt) + within]
+            iv_idx = np.repeat(np.arange(len(self.lo)), cnt)
+            out = batch.take(pa.array(rows))
+            for c in self.meta.columns:
+                out = out.append_column(
+                    c + suffix,
+                    pa.array(self.meta[c].to_numpy()[iv_idx]))
+            return out
+
+    return left_ds.map_batches(Stab, batch_format="pyarrow",
+                               concurrency=concurrency, num_cpus=0.5)
+
+
 def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
                           suffix: str = "_r"):
     """Inner join of two large Datasets on an integer ``key`` via explicit

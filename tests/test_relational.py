@@ -132,3 +132,37 @@ def test_asof_join_matches_pandas(ray_session):
         e = exp["rv_r"].to_numpy(dtype=np.float64, na_value=np.nan)
         np.testing.assert_array_equal(np.isnan(g), np.isnan(e))
         np.testing.assert_array_equal(g[~np.isnan(g)], e[~np.isnan(e)])
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.relational import interval_join
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame({
+        "id": np.arange(2000, dtype=np.int64),
+        "v": rng.uniform(0, 100, 2000),
+    })
+    iv = pd.DataFrame({
+        "band": np.arange(30, dtype=np.int64),
+        "lo": rng.uniform(0, 90, 30),
+    })
+    iv["hi"] = iv["lo"] + rng.uniform(1, 25, 30)     # overlapping bands
+    ds = ray.data.from_pandas(left).repartition(4)
+    got = (interval_join(ds, iv, "v", "lo", "hi")
+           .to_pandas().sort_values(["id", "band_r"]).reset_index(drop=True))
+    exp = (left.merge(iv, how="cross"))
+    exp = exp[(exp["v"] >= exp["lo"]) & (exp["v"] < exp["hi"])]
+    exp = (exp.rename(columns={"band": "band_r"})
+           .sort_values(["id", "band_r"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["id"].to_numpy(), exp["id"].to_numpy())
+    np.testing.assert_array_equal(got["band_r"].to_numpy(),
+                                  exp["band_r"].to_numpy())
+    # closed="both" includes the hi endpoint
+    iv2 = pd.DataFrame({"band": [0], "lo": [0.0], "hi": [100.0]})
+    left2 = pd.DataFrame({"id": [0], "v": [100.0]})
+    ds2 = ray.data.from_pandas(left2)
+    assert len(interval_join(ds2, iv2, "v", "lo", "hi").to_pandas()) == 0
+    assert len(interval_join(ds2, iv2, "v", "lo", "hi",
+                             closed="both").to_pandas()) == 1
