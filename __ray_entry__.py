@@ -498,6 +498,18 @@ def w_embedding_dups_blocked(sf_dir):
     return out.select_columns(["id_a", "id_b"])
 
 
+def w_curation_stats(sf_dir):
+    """End-to-end curation chain (lang/quality filter → exact dedup →
+    near-dup removal): per-stage survivor counts.  Deterministic, so the
+    whole composition is oracle-checked in one row set."""
+    import pandas as pd
+    from bqf_ray.pipelines.curate import curate_corpus
+    stats, _ = curate_corpus(_docs(sf_dir))
+    return pd.DataFrame({
+        "stage": [s for s, _ in stats],
+        "n_docs": np.array([n for _, n in stats], dtype=np.int64)})
+
+
 def w_knn_ivf(sf_dir):
     """IVF probe against a PERSISTED index (built once, reused)."""
     from bqf_ray.pipelines.knn import build_ivf_index, knn_ivf
@@ -639,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
         "knn_ivf_recall": w_knn_ivf_recall,
+        "curation_stats": w_curation_stats,
         "embedding_dups_blocked": w_embedding_dups_blocked,
         "window_distinct_hll": w_window_distinct_hll,
         "media_features": w_media_features,
@@ -809,6 +822,83 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT ts, user_id, value FROM events
                        WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "curation_stats": f"""
+            WITH tok AS (SELECT doc_id, token FROM ({tokens})
+                         WHERE token <> ''),
+            agg AS (SELECT doc_id, count(*) AS n,
+                           sum(length(token))::BIGINT AS sum_len,
+                sum(CASE WHEN token IN ('the','and','of','to','in','is',
+                    'that','for','with','on') THEN 1 ELSE 0 END) AS h_en,
+                sum(CASE WHEN token IN ('der','die','und','das','ist',
+                    'nicht','ein','mit','von','zu') THEN 1 ELSE 0 END) AS h_de,
+                sum(CASE WHEN token IN ('le','la','et','les','des','est',
+                    'une','dans','pour','que') THEN 1 ELSE 0 END) AS h_fr,
+                sum(CASE WHEN token IN ('el','la','de','que','los','una',
+                    'por','con','para','las') THEN 1 ELSE 0 END) AS h_es,
+                sum(CASE WHEN token IN ('de5','shi4','zai4','you3','wo3',
+                    'le5','bu4','ren2','zhe4','ta1') THEN 1 ELSE 0 END) AS h_zh
+                FROM tok GROUP BY doc_id),
+            sc AS (SELECT d.doc_id,
+                greatest(
+                  COALESCE(a.h_en,0)::DOUBLE / GREATEST(COALESCE(a.n,0),1),
+                  COALESCE(a.h_de,0)::DOUBLE / GREATEST(COALESCE(a.n,0),1),
+                  COALESCE(a.h_fr,0)::DOUBLE / GREATEST(COALESCE(a.n,0),1),
+                  COALESCE(a.h_es,0)::DOUBLE / GREATEST(COALESCE(a.n,0),1),
+                  COALESCE(a.h_zh,0)::DOUBLE / GREATEST(COALESCE(a.n,0),1)
+                ) AS best,
+                COALESCE(a.n, 0)::BIGINT AS n_tokens,
+                CASE WHEN COALESCE(a.n,0) > 0
+                     THEN a.sum_len::DOUBLE / GREATEST(a.n, 1)
+                     ELSE 0.0 END AS mean_len,
+                COALESCE(a.h_en, 0)::DOUBLE / GREATEST(COALESCE(a.n,0),1)
+                    AS stop_ratio
+                FROM documents d LEFT JOIN agg a USING (doc_id)),
+            q AS (SELECT doc_id, best,
+                0.4 * (LEAST(GREATEST((n_tokens - 5) / 45.0, 0), 1)
+                  * (CASE WHEN n_tokens <= 2000 THEN 1.0
+                          ELSE GREATEST(0.2, 2000 / GREATEST(n_tokens,1))
+                     END))
+                + 0.3 * LEAST(GREATEST(1.0 - abs(mean_len - 6.0) / 6.0,
+                                       0), 1)
+                + 0.3 * LEAST(GREATEST(stop_ratio / 0.2, 0), 1) AS quality
+                FROM sc),
+            keep1 AS (SELECT doc_id FROM q
+                      WHERE best >= 0.05 AND quality >= 0.5),
+            keep2 AS (SELECT min(doc_id) AS doc_id FROM (
+                SELECT d.doc_id,
+                       array_to_string(
+                         (string_split_regex(d.text,'\\s+'))[1:8], ' ')
+                           AS pfx
+                FROM documents d JOIN keep1 USING (doc_id))
+                GROUP BY pfx),
+            tokp AS (SELECT doc_id, i, toks[i] AS t
+                FROM (SELECT d.doc_id,
+                             list_filter(string_split_regex(d.text,'\\s+'),
+                                         x -> x <> '') AS toks
+                      FROM documents d JOIN keep2 USING (doc_id)),
+                     LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+            sh AS (SELECT DISTINCT a.doc_id,
+                          a.t || ' ' || b.t || ' ' || c.t AS shingle
+                   FROM tokp a
+                   JOIN tokp b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                   JOIN tokp c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+            szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            drops AS (SELECT DISTINCT y_id AS doc_id FROM (
+                SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+                       count(*) AS m
+                FROM sh x JOIN sh y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2) p
+                JOIN szs sa ON sa.doc_id = p.x_id
+                JOIN szs sb ON sb.doc_id = p.y_id
+                WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.8),
+            keep3 AS (SELECT doc_id FROM keep2
+                      WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+            SELECT 'input' AS stage, count(*)::BIGINT AS n_docs
+            FROM documents
+            UNION ALL SELECT 'lang_quality', count(*)::BIGINT FROM keep1
+            UNION ALL SELECT 'exact_dedup', count(*)::BIGINT FROM keep2
+            UNION ALL SELECT 'near_dedup', count(*)::BIGINT FROM keep3""",
         "value_bands": """
             WITH bb AS (SELECT band, band*5.0 AS lo, band*5.0+5.0 AS hi
                         FROM (SELECT unnest(range(8)) AS band))
