@@ -153,6 +153,21 @@ def cmd_index(args):
         ray.shutdown()
 
 
+def cmd_update(args):
+    """Incrementally maintain a checkpointed web-text index: add new
+    documents and/or retract removed ones (only touched shards rewrite)."""
+    import ray
+    from bqf_ray.pipelines.build_index import update_bqf_index
+    owned = _init_ray(args)
+    add = ray.data.read_parquet(args.add) if args.add else None
+    rem = ray.data.read_parquet(args.remove) if args.remove else None
+    idx = update_bqf_index(args.bqf, add_ds=add, remove_ds=rem)
+    print(f"index now holds {idx.psketch.elements_inside} keys "
+          f"-> {args.bqf}", file=sys.stderr)
+    if owned:
+        ray.shutdown()
+
+
 def cmd_probe(args):
     """Probe documents against a web-text index → fimpera stats parquet."""
     import ray
@@ -222,6 +237,14 @@ def main(argv=None):
     ix.add_argument("-c", "--count-size", type=int, default=8)
     ix.add_argument("--partitions", type=int, default=16)
     ix.set_defaults(fn=cmd_index)
+
+    up = sub.add_parser("update")
+    up.add_argument("-b", "--bqf", required=True)
+    up.add_argument("--add", default=None,
+                    help="parquet of documents to insert")
+    up.add_argument("--remove", default=None,
+                    help="parquet of documents to retract")
+    up.set_defaults(fn=cmd_update)
 
     pr = sub.add_parser("probe")
     pr.add_argument("-b", "--bqf", required=True)

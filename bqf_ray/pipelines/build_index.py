@@ -109,6 +109,104 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
     return BqfIndex(PartitionedSketch(shards, num_partitions), config)
 
 
+def update_bqf_index(checkpoint_dir: str, add_ds=None, remove_ds=None,
+                     ) -> "BqfIndex":
+    """Incrementally maintain a CHECKPOINTED index: apply new documents
+    (inserts) and retracted documents (decrement-or-delete, the
+    reference's remove semantics /root/reference/src/rsqf.cpp:294-377)
+    without rebuilding untouched state.
+
+    Plan: the same pre-aggregated (key, count) shuffle as the build, with
+    a sign column; ONE task per touched partition loads its shard blob
+    from the checkpoint, applies adds then removes, and rewrites the blob
+    atomically — partitions receiving no delta are never read or
+    written.  The manifest is refreshed with the new sizes/hashes.
+    Requires shared storage for the checkpoint dir (same assumption as
+    the checkpoint design itself).  Within one call, adds apply before
+    removes.  Caveat (shared with the reference): removing from a
+    SATURATED BqfEc counter is lossy."""
+    import hashlib
+    import os
+
+    m = SketchCheckpoint.load_manifest(checkpoint_dir)
+    assert m is not None, f"no manifest in {checkpoint_dir}"
+    config = m["config"]
+    P = int(config["num_partitions"])
+    key_fn = shingle_key_fn(config["text_col"], config["s"], config["seed"])
+
+    def to_kv(sign: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys, _ = key_fn(batch)
+            keys = np.asarray(keys, dtype=np.uint64)
+            uniq, cnt = np.unique(keys, return_counts=True)
+            return pa.table({
+                "__part": pa.array((uniq % np.uint64(P)).astype(np.int64)),
+                "key": pa.array(uniq.astype(np.int64)),
+                "count": pa.array(cnt.astype(np.int64)),
+                "sign": pa.array(np.full(len(uniq), sign, dtype=np.int8)),
+            })
+        return fn
+
+    parts = []
+    if add_ds is not None:
+        parts.append(add_ds.map_batches(to_kv(1), batch_format="pyarrow"))
+    if remove_ds is not None:
+        parts.append(remove_ds.map_batches(to_kv(-1), batch_format="pyarrow"))
+    if not parts:
+        return BqfIndex.load(checkpoint_dir)
+    kv = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+
+    def apply_delta(group: pa.Table) -> pa.Table:
+        part = int(group.column("__part")[0].as_py())
+        sign = np.asarray(group.column("sign"))
+        keys = np.asarray(group.column("key"), dtype=np.int64) \
+            .astype(np.uint64)
+        cnt = np.asarray(group.column("count"), dtype=np.int64) \
+            .astype(np.uint64)
+        path = os.path.join(checkpoint_dir, f"part-{part:05d}.sketch")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                from bqf_ray.sketches.base import MergeableSketch
+                sk = MergeableSketch.from_bytes(f.read())
+        else:
+            # a brand-new partition only receives adds
+            from bqf_ray.sketches.bqf import BqfEc
+            sk = BqfEc(q=int(config["q"]),
+                       count_size=int(config["count_size"]),
+                       hash_bits=int(config["hash_bits"]))
+        adds = sign == 1
+        if adds.any():
+            sk.update_batch(keys[adds], cnt[adds])
+        if (~adds).any():
+            sk.remove_batch(keys[~adds], cnt[~adds])
+        blob = sk.to_bytes()
+        from bqf_ray.state.checkpoint import _atomic_write
+        _atomic_write(path, blob)
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "n_keys": pa.array([sk.elements_inside], pa.int64()),
+            "bytes": pa.array([len(blob)], pa.int64()),
+            "sha256": pa.array([hashlib.sha256(blob).hexdigest()],
+                               pa.string()),
+        })
+
+    meta = (kv.repartition(min(P, 64))
+            .groupby("__part")
+            .map_groups(apply_delta, batch_format="pyarrow")
+            .take_all())                       # one row per touched shard
+
+    ckpt = SketchCheckpoint(checkpoint_dir, config,
+                            m.get("input_lineage", []))
+    ckpt.manifest.partitions = dict(m.get("partitions", {}))
+    for row in meta:
+        ckpt.manifest.partitions[str(int(row["part"]))] = {
+            "n_keys": int(row["n_keys"]), "bytes": int(row["bytes"]),
+            "sha256": row["sha256"], "fragments": [], "ts": 0.0,
+        }
+    ckpt.write_manifest()
+    return BqfIndex.load(checkpoint_dir)
+
+
 class BqfIndex:
     """Partitioned BQF + its config; probe-side entry points."""
 

@@ -192,3 +192,49 @@ def test_checkpoint_detects_corrupted_shard(tmp_path):
     assert SketchCheckpoint.resume_plan(ckdir, {"q": 8}, ["frag0"]) == set()
     with pytest.raises(IOError):
         SketchCheckpoint.load_all(ckdir)
+
+
+def test_update_bqf_index_incremental(ray_session, tmp_path):
+    """Incremental maintenance: build(A) + update(add=B) must equal
+    build(A∪B); then update(remove=B) restores build(A) exactly.
+    Untouched partitions must not be rewritten."""
+    import ray
+    from bqf_ray.pipelines.build_index import build_bqf_index, update_bqf_index
+    from bqf_ray.sources.pages import generate_pages
+
+    pages = generate_pages(800, seed=31)
+    a_tbl = pages.slice(0, 600)
+    b_tbl = pages.slice(600, 200)
+    A = ray.data.from_arrow(a_tbl).repartition(4)
+    B = ray.data.from_arrow(b_tbl).repartition(2)
+    AB = ray.data.from_arrow(pages).repartition(4)
+
+    d_ref = str(tmp_path / "ref")
+    d_inc = str(tmp_path / "inc")
+    # 16-bit counters: common tokens exceed the default 8-bit cap at this
+    # corpus size, and removing through a SATURATED counter is lossy by
+    # (documented, reference-shared) design
+    ref = build_bqf_index(AB, num_partitions=6, q=16, count_size=16,
+                          checkpoint_dir=d_ref, batch_size=256)
+    base = build_bqf_index(A, num_partitions=6, q=16, count_size=16,
+                           checkpoint_dir=d_inc, batch_size=256)
+    base_keys, base_cnts = base.psketch.enumerate()
+
+    upd = update_bqf_index(d_inc, add_ds=B)
+    uk, uc = upd.psketch.enumerate()
+    rk, rc = ref.psketch.enumerate()
+    uo, ro = np.argsort(uk), np.argsort(rk)
+    np.testing.assert_array_equal(uk[uo], rk[ro])
+    np.testing.assert_array_equal(uc[uo], rc[ro])
+
+    back = update_bqf_index(d_inc, remove_ds=B)
+    bk, bc = back.psketch.enumerate()
+    bo, ao = np.argsort(bk), np.argsort(base_keys)
+    np.testing.assert_array_equal(bk[bo], base_keys[ao])
+    np.testing.assert_array_equal(bc[bo], base_cnts[ao])
+
+    # manifest stays sha-consistent → resume_plan accepts every shard
+    m = SketchCheckpoint.load_manifest(d_inc)
+    done = SketchCheckpoint.resume_plan(d_inc, m["config"],
+                                        m["input_lineage"])
+    assert done == {int(p) for p in m["partitions"]}
