@@ -284,18 +284,20 @@ def q_lang_counts_salted(sf_dir):
 def q_nation_revenue(sf_dir):
     """Broadcast dimension join: orders ⨝ customer ⨝ nation → revenue per
     nation (cents-exact sums)."""
+    import pyarrow.parquet as pq
     import ray
-    import duckdb
     from bqf_ray.pipelines.relational import broadcast_join
-    import pyarrow.compute as pc
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
-    dim = duckdb.connect().execute(
-        f"SELECT c_custkey, n_name FROM "
-        f"read_parquet('{sf_dir}/customer.parquet') c JOIN "
-        f"read_parquet('{sf_dir}/nation.parquet') n "
-        f"ON c.c_nationkey = n.n_nationkey").fetch_df()
+    # dimension prep: two SMALL tables joined driver-side (pandas), then
+    # broadcast once — the classic star-schema plan
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")[["c_custkey", "n_name"]]
     dim = dim.rename(columns={"c_custkey": "o_custkey"})
     joined = broadcast_join(orders, dim, key="o_custkey")
 
