@@ -395,6 +395,26 @@ def w_hll_distinct(sf_dir):
                          "within_bound": [bool(ok)]})
 
 
+def w_bottomk_distinct(sf_dir):
+    """Bottom-k sample sketch as a distinct estimator, error-vs-exact
+    checked like hll_distinct (RSE 1/√(k−2), 4σ bound)."""
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import distinct_tokens_exact
+    from bqf_ray.pipelines.build_index import shingle_key_fn
+    from bqf_ray.sketches.sample import BottomK
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    sk = build_sketch(_docs(sf_dir), shingle_key_fn("text", 1, 0),
+                      lambda: BottomK(k=512, seed=9))
+    est = sk.estimate()
+    exact = int(distinct_tokens_exact(_docs(sf_dir)).to_pandas()
+                ["n_distinct"].iloc[0])
+    ok = abs(est - exact) / max(exact, 1) <= 4 * sk.error_bound()
+    return pd.DataFrame({"n_distinct_exact": np.array([exact],
+                                                      dtype=np.int64),
+                         "within_bound": [bool(ok)]})
+
+
 def _rank_of_estimates(ds, value_col: str, ests: dict[float, float]):
     """Exact rank of each estimate: one distributed counting pass
     (count(v <= est) / N), estimates broadcast."""
@@ -654,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": w_knn_ivf,
         "knn_ivf_recall": w_knn_ivf_recall,
         "curation_stats": w_curation_stats,
+        "bottomk_distinct": w_bottomk_distinct,
         "embedding_dups_blocked": w_embedding_dups_blocked,
         "window_distinct_hll": w_window_distinct_hll,
         "media_features": w_media_features,
@@ -744,6 +765,10 @@ def oracle_sql() -> dict[str, str]:
         # flag the oracle asserts TRUE, so the published error bound is
         # itself driver-checked (r1 verdict #4)
         "hll_distinct": f"""
+            SELECT count(DISTINCT token)::BIGINT AS n_distinct_exact,
+                   TRUE AS within_bound
+            FROM ({tokens}) WHERE token <> ''""",
+        "bottomk_distinct": f"""
             SELECT count(DISTINCT token)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound
             FROM ({tokens}) WHERE token <> ''""",

@@ -94,3 +94,48 @@ def test_tdigest_weighted():
     td = TDigest(delta=100)
     td.update_batch(np.array([1.0, 2.0, 3.0]), np.array([1, 98, 1]))
     assert abs(td.quantile(0.5) - 2.0) < 0.2
+
+
+def test_bottomk_exact_and_merge():
+    """Bottom-k must equal the brute-force k smallest hashes, regardless
+    of arrival order or merge tree; estimator within published bound."""
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.base import MergeableSketch
+    from bqf_ray.sketches.sample import BottomK
+
+    rng = np.random.RandomState(4)
+    keys = rng.randint(0, 2**63, size=20000).astype(np.uint64)
+    keys = np.concatenate([keys, keys[:5000]])          # duplicates
+    k = 256
+    exp_h = np.sort(fmix64(np.unique(keys)))[:k]
+
+    one = BottomK(k=k)
+    one.update_batch(keys)
+    np.testing.assert_array_equal(
+        np.sort(fmix64(one.sample())), exp_h)
+
+    # merged partials over shuffled thirds == single pass
+    rng.shuffle(keys)
+    parts = []
+    for chunk in np.array_split(keys, 7):
+        s = BottomK(k=k)
+        s.update_batch(chunk)
+        parts.append(s)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    np.testing.assert_array_equal(np.sort(fmix64(merged.sample())), exp_h)
+
+    # serde roundtrip
+    back = MergeableSketch.from_bytes(merged.to_bytes())
+    np.testing.assert_array_equal(back.sample(), merged.sample())
+
+    # distinct estimate within 4x the published RSE
+    est = merged.estimate()
+    true_n = len(np.unique(keys))
+    assert abs(est - true_n) / true_n < 4 * merged.error_bound()
+
+    # below-k regime is exact
+    small = BottomK(k=k)
+    small.update_batch(np.arange(100, dtype=np.uint64))
+    assert small.estimate() == 100.0
