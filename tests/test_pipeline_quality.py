@@ -268,3 +268,40 @@ def test_curate_corpus_end_to_end(ray_session, tmp_path):
     from bqf_ray.state.output import read_resumable_parquet
     assert read_resumable_parquet(out).count() == counts["near_dedup"]
     assert len(finished_partitions(out)) == 4
+
+
+def test_knn_lsh_multitable_beats_single(ray_session):
+    """Multi-table LSH must raise recall on UNSTRUCTURED data, where a
+    single table is near-useless; persisted index must agree with
+    on-the-fly hashing."""
+    import ray
+    from bqf_ray.pipelines.knn import build_lsh_index, knn_bruteforce, knn_lsh
+    rng = np.random.RandomState(12)
+    vecs = rng.normal(size=(1500, 24)).astype(np.float64)   # no clusters
+    tbl = pa.table({"vec_id": pa.array(np.arange(1500, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    qids = np.arange(5, dtype=np.int64)
+    qv = vecs[:5]
+    bf = knn_bruteforce(ds, qids, qv, k=10).to_pandas()
+    ex = bf.groupby("query_id")["neighbor_id"].apply(set)
+
+    def recall(df):
+        ap = df.groupby("query_id")["neighbor_id"].apply(set)
+        return np.mean([len(ex[q] & ap.get(q, set())) / len(ex[q])
+                        for q in qids])
+
+    single = recall(knn_lsh(ds, qids, qv, k=10, bits=6, multi_probe=2,
+                            tables=1).to_pandas())
+    multi = recall(knn_lsh(ds, qids, qv, k=10, bits=6, multi_probe=2,
+                           tables=8).to_pandas())
+    assert multi > single
+    assert multi >= 0.5, (single, multi)
+
+    idx = build_lsh_index(ds, bits=6, tables=8)
+    via_index = knn_lsh(ds, qids, qv, k=10, bits=6, multi_probe=2,
+                        tables=8, index=idx).to_pandas()
+    direct = knn_lsh(ds, qids, qv, k=10, bits=6, multi_probe=2,
+                     tables=8).to_pandas()
+    assert via_index.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(direct.sort_values(["query_id", "rank"]).reset_index(drop=True))
