@@ -137,7 +137,11 @@ def filter_fastx(ds, k: int, *, seq_col: str = "seq", mode: str = "text",
       count 2 in that slice, in arrival order.  Emission order is
       per-shard-stream (the reference's single-threaded global order is
       not preserved across parallel tasks — documented deviation); the
-      emitted SET is identical to the batch modes."""
+      emitted SET is identical to the batch modes.  Fault tolerance:
+      shard-actor state is in-memory only, so an actor death mid-stream
+      loses counts — the batch modes (stateless tasks + one shuffle) are
+      the fault-tolerant path; stream mode trades that for emission
+      latency, like the reference's stdout stream."""
 
     def key_fn(batch: pa.Table):
         seqs = batch.column(seq_col).to_pylist()

@@ -134,8 +134,6 @@ def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
     Right-side ties on (by, on) resolve to the highest original row order
     (deterministic; dedupe the right side first if that matters).
     ``how="left"`` keeps unmatched left rows with null right columns."""
-    import pyarrow.compute as pc_  # noqa: F401
-
     B = int(num_buckets)
     left_cols = list(left_ds.schema().names)
     right_cols = [c for c in right_ds.schema().names if c != by]
