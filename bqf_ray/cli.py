@@ -7,7 +7,8 @@ Examples:
     python -m bqf_ray.cli query  -b /tmp/idx -k 32 -s 28 -i queries.parquet -o out/
     python -m bqf_ray.cli filter -k 21 -i reads.parquet -o out/ --mode text
     python -m bqf_ray.cli index  -i pages.parquet -o /tmp/widx
-    python -m bqf_ray.cli probe  -b /tmp/widx -i docs.parquet -o out/
+    python -m bqf_ray.cli update -b /tmp/widx --add new.parquet --remove gone.parquet
+    python -m bqf_ray.cli probe  -b /tmp/widx -i docs.parquet -o out/ --resumable-partitions 64
 
 Inputs are parquet (or newline text via --text-input, mirroring the
 reference's line-based files).  This module owns a Ray session (the driver
