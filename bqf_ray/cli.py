@@ -76,12 +76,14 @@ def cmd_query(args):
     from bqf_ray.stages.sketch_stage import PartitionedSketch
     import os
     owned = _init_ray(args)
+    manifest = SketchCheckpoint.load_manifest(args.bqf)
+    parts_meta = (manifest or {}).get("partitions", {})
     shards = {}
     for f in sorted(os.listdir(args.bqf)):
         if f.startswith("part-") and f.endswith(".sketch"):
             part = int(f[5:10])
-            shards[part] = SketchCheckpoint.load_partition(args.bqf, part)
-    manifest = SketchCheckpoint.load_manifest(args.bqf)
+            shards[part] = SketchCheckpoint.load_partition(
+                args.bqf, part, parts_meta.get(str(part), {}).get("sha256"))
     num_parts = (manifest or {}).get("config", {}).get("num_partitions")
     ps = PartitionedSketch(shards, num_parts)
     id_col = "query_id"
