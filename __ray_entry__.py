@@ -499,6 +499,25 @@ def w_quality(sf_dir):
         ["doc_id", "quality", "n_tokens", "stop_ratio"])
 
 
+def q_decontaminate(sf_dir):
+    """Test-set decontamination: docs sharing a token 3-gram with the
+    benchmark slice (doc_id % 20 == 0), with distinct-overlap counts.
+    Broadcast-small-side plan (the benchmark IS small by construction)."""
+    from bqf_ray.pipelines.contamination import decontaminate
+
+    def _part(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = np.asarray(b.column("doc_id"))
+            m = (did % 20 == 0) if bench else (did % 20 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    docs = _docs(sf_dir)
+    corpus = docs.map_batches(_part(False), batch_format="pyarrow")
+    bench = docs.map_batches(_part(True), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=3)
+
+
 def w_sessions(sf_dir):
     from bqf_ray.pipelines.windowed import session_windows
     return session_windows(_events(sf_dir), gap_s=1800)
@@ -670,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
+        "decontaminate": q_decontaminate,
         "asof_clicks": q_asof_clicks,
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -719,6 +739,24 @@ def oracle_sql() -> dict[str, str]:
                      array_to_string((string_split_regex(text,'\\s+'))[1:8],
                                      ' ') AS pfx
               FROM documents) GROUP BY pfx""",
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') AS ts
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS gram
+              FROM toks, LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(ts)-2, 0))) AS i) u
+              WHERE doc_id % 20 = 0),
+            corpus AS (
+              SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+              FROM toks, LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(ts)-2, 0))) AS i) u
+              WHERE doc_id % 20 <> 0)
+            SELECT doc_id, count(DISTINCT gram)::BIGINT AS n_contaminated
+            FROM corpus WHERE gram IN (SELECT gram FROM bench)
+            GROUP BY doc_id""",
         "doc_stats": f"""
             WITH t AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
             agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
