@@ -133,9 +133,10 @@ def _doc_shingles(batch: pa.Table, text_col: str, id_col: str, s: int,
     did_s, sh_s = did[order], sh[order]
     first = np.concatenate([[True], (did_s[1:] != did_s[:-1]) | (sh_s[1:] != sh_s[:-1])])
     did_u, sh_u = did_s[first], sh_s[first]
-    uniq_docs, counts = np.unique(did_u, return_counts=True)
-    size_map = dict(zip(uniq_docs.tolist(), counts.tolist()))
-    sizes = np.array([size_map[d] for d in did_u.tolist()], dtype=np.int64)
+    # did_u is non-decreasing (lexsorted by doc first), so per-doc set
+    # sizes broadcast back as a run-length repeat — no Python loop
+    _, counts = np.unique(did_u, return_counts=True)
+    sizes = np.repeat(counts, counts).astype(np.int64)
     return pa.table({
         "doc_id": pa.array(did_u.astype(np.int64)),
         "shingle": pa.array(sh_u.astype(np.int64)),
@@ -144,7 +145,154 @@ def _doc_shingles(batch: pa.Table, text_col: str, id_col: str, s: int,
 
 
 def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", mode: str = "auto",
+                 broadcast_budget_bytes: int = 2 << 30):
+    """Exact-Jaccard verification of candidate pairs.  Two plans:
+
+    - ``broadcast`` — the (doc_id, shingle) table is materialized into the
+      object store and each verify actor assembles a sorted doc→shingles
+      index from the Arrow block refs in ``__init__`` (zero-copy reads,
+      nothing routed through the driver); candidate batches then verify
+      with ONE vectorized lexsort per batch.  No shuffle at all; per-actor
+      memory = the sets table (16 B/shingle ≈ 2% of corpus text bytes).
+    - ``copartition`` — the scale path (see :func:`_verify_copartition`):
+      candidate-proportional co-partitioned joins, nothing resident.
+
+    ``mode="auto"`` materializes the sets table and picks broadcast while
+    it fits ``broadcast_budget_bytes`` (default 2 GiB per actor — at that
+    size the shuffle plan's 2 sorts cost more than holding the table), so
+    small/medium corpora verify at in-memory speed and 100 TB corpora
+    fall back to the shuffle plan.  Callers that KNOW the corpus is huge
+    should pass ``mode="copartition"`` to skip the materialization probe.
+    """
+    if mode == "auto":
+        sets_ds = sets_ds.materialize()
+        size = sets_ds.size_bytes() or 0
+        mode = "broadcast" if size <= broadcast_budget_bytes else "copartition"
+    if mode == "broadcast":
+        return _verify_broadcast(cand_ds, sets_ds.materialize(), threshold,
+                                 id_col)
+    return _verify_copartition(cand_ds, sets_ds, threshold, num_buckets,
+                               id_col)
+
+
+def _verify_broadcast(cand_ds, sets_mat, threshold: float, id_col: str):
+    """Broadcast-index exact verification (see :func:`verify_pairs`)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    refs_handle = ray.put(sets_mat.to_arrow_refs())
+
+    class Verify:
+        """Holds the sets table as a sorted composite-key index:
+        ``comp[i] = (doc_rank << 32) | shingle_rank`` (lexsorted by
+        (doc, shingle), so ``comp`` is sorted).  A pair's intersection is
+        counted by probing the SMALLER set's values against the larger
+        doc's run with one global ``searchsorted`` over all pairs in the
+        batch — O(Σ min(|Sa|,|Sb|) · log) with no per-pair sort.  The
+        32-bit rank packing bounds the broadcast index at 2^32 docs and
+        2^32 distinct shingles — far beyond the broadcast budget anyway
+        (the copartition path has no such bound)."""
+
+        def __init__(self):
+            tables = ray.get(ray.get(refs_handle))
+            if tables:
+                d = np.concatenate([np.asarray(t.column(id_col),
+                                               dtype=np.int64)
+                                    for t in tables])
+                s = np.concatenate([np.asarray(t.column("shingle"),
+                                               dtype=np.int64)
+                                    for t in tables])
+            else:
+                d = np.empty(0, dtype=np.int64)
+                s = np.empty(0, dtype=np.int64)
+            order = np.lexsort((s, d))
+            d, s = d[order], s[order]
+            self.uids, starts = np.unique(d, return_index=True)
+            self.offs = np.concatenate([starts, [len(d)]]).astype(np.int64)
+            su = np.unique(s)
+            assert len(self.uids) < (1 << 32) and len(su) < (1 << 32)
+            doc_rank = (np.searchsorted(self.uids, d)
+                        if len(d) else np.empty(0, dtype=np.int64))
+            sh_rank = (np.searchsorted(su, s)
+                       if len(s) else np.empty(0, dtype=np.int64))
+            self.comp = ((doc_rank.astype(np.uint64) << np.uint64(32))
+                         | sh_rank.astype(np.uint64))
+            self.sh_rank = sh_rank.astype(np.uint64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+            b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+            empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "jaccard": pa.array([], pa.float64())})
+            if len(a) == 0:
+                return empty
+            ia = np.searchsorted(self.uids, a)
+            ib = np.searchsorted(self.uids, b)
+            # docs absent from the sets table have empty sets → J = 0
+            known = ((ia < len(self.uids)) & (ib < len(self.uids)))
+            iac = np.minimum(ia, max(len(self.uids) - 1, 0))
+            ibc = np.minimum(ib, max(len(self.uids) - 1, 0))
+            if len(self.uids):
+                known &= (self.uids[iac] == a) & (self.uids[ibc] == b)
+            if not known.any():
+                return empty
+            a, b, ia, ib = a[known], b[known], iac[known], ibc[known]
+            la = self.offs[ia + 1] - self.offs[ia]
+            lb = self.offs[ib + 1] - self.offs[ib]
+            # probe the smaller set against the larger doc's run
+            swap = la > lb
+            pia = np.where(swap, ib, ia)      # probe-side doc index
+            pib = np.where(swap, ia, ib)      # target-side doc index
+            lp = np.minimum(la, lb)
+            n_pairs = len(a)
+            oo = np.concatenate([[0], np.cumsum(lp)])
+            total = int(oo[-1])
+            within = np.arange(total) - np.repeat(oo[:-1], lp)
+            src = np.repeat(self.offs[pia], lp) + within
+            q = ((np.repeat(pib, lp).astype(np.uint64) << np.uint64(32))
+                 | self.sh_rank[src])
+            pos = np.searchsorted(self.comp, q)
+            hit = pos < len(self.comp)
+            hit &= self.comp[np.minimum(pos, max(len(self.comp) - 1, 0))] == q
+            inter = np.bincount(np.repeat(np.arange(n_pairs), lp)[hit],
+                                minlength=n_pairs).astype(np.int64)
+            union = la + lb - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = jac >= threshold
+            return pa.table({"doc_a": pa.array(a[keep]),
+                             "doc_b": pa.array(b[keep]),
+                             "jaccard": pa.array(jac[keep], pa.float64())})
+
+    # verify FIRST (idempotent and cheap per pair), dedupe the verified
+    # survivors: candidates arrive once per shared prefix shingle / LSH
+    # band, but the survivor set is orders of magnitude smaller than the
+    # candidate set, so the final keyed dedupe moves output-proportional
+    # data only (NOT coalesced to one block: at 10^12 docs the survivor
+    # set is itself large).  Verify batches also dedupe locally to avoid
+    # re-probing within a batch.
+    from ray.data.aggregate import Min
+    def local_dedupe(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        if len(a) == 0:
+            return batch
+        order = np.lexsort((b, a))
+        keep = np.concatenate([[True], (a[order][1:] != a[order][:-1])
+                               | (b[order][1:] != b[order][:-1])])
+        return batch.take(pa.array(np.sort(order[keep])))
+
+    verified = (cand_ds.map_batches(local_dedupe, batch_format="pyarrow")
+                .map_batches(Verify, batch_format="pyarrow",
+                             batch_size=8192, concurrency=(1, 8),
+                             num_cpus=1))
+    return (verified.groupby(["doc_a", "doc_b"])
+            .aggregate(Min("jaccard", alias_name="jaccard")))
+
+
+def _verify_copartition(cand_ds, sets_ds, threshold: float,
+                        num_buckets: int = 64, id_col: str = "doc_id"):
     """Exact-Jaccard verification of candidate pairs with NO driver
     materialization: two bucket-co-partitioned shuffles.
 
@@ -338,6 +486,18 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
 
     B = int(num_buckets)
 
+    # 0. the (doc_id, shingle, set_size) projection is computed ONCE and
+    #    materialized (16 B/shingle ≈ 2% of the corpus text bytes; the
+    #    object store spills if needed) — it feeds the df sketch, the
+    #    prefix pass AND verification, replacing three tokenization
+    #    passes over the raw corpus.  A doc's rows stay contiguous inside
+    #    one block (each _doc_shingles output is far below
+    #    target_max_block_size, so Ray never splits it), which the prefix
+    #    pass below relies on.
+    sets = ds.map_batches(
+        lambda b: _doc_shingles(b, text_col, id_col, s, seed),
+        batch_format="pyarrow").materialize()
+
     # 1. globally-CONSISTENT approximate document frequencies: a Count-Min
     #    over per-doc-distinct shingles, built from partial sketches + a
     #    tree merge (only sketch blobs cross the network) and broadcast
@@ -347,26 +507,22 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
     #    verified away) but no qualifying pair can be missed.  This keeps
     #    the prefix pass shuffle-free — at 10^12 docs the alternative is
     #    two corpus-sized row shuffles just to rank shingles.
-    def shingle_key_fn(batch: pa.Table):
-        t = _doc_shingles(batch, text_col, id_col, s, seed)
-        return np.asarray(t.column("shingle")).astype(np.uint64), None
-
-    # fanout=64: one partial per input block, single-level merge — the
-    # tree only pays extra levels when partial counts are huge
-    cm = build_sketch(ds, shingle_key_fn,
-                      lambda: CountMin.from_error(1e-4, 1e-3, seed=5),
-                      fanout=64)
+    cm = build_sketch(
+        sets,
+        lambda b: (np.asarray(b.column("shingle")).astype(np.uint64), None),
+        lambda: CountMin.from_error(1e-4, 1e-3, seed=5),
+        batch_size=None, fanout=64)
     cm_ref = ray.put(cm)
 
-    # 2. prefix postings, one shuffle-free pass: each batch holds whole
-    #    docs, so per-doc (df, shingle) ordering + prefix selection is a
-    #    single lexsort per batch
+    # 2. prefix postings, one shuffle-free pass over the materialized
+    #    sets (batch_size=None keeps each doc's rows in one batch), so
+    #    per-doc (df, shingle) ordering + prefix selection is a single
+    #    lexsort per batch
     class PrefixPostings:
         def __init__(self):
             self.cm = ray.get(cm_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            t = _doc_shingles(batch, text_col, id_col, s, seed)
+        def __call__(self, t: pa.Table) -> pa.Table:
             docs = np.asarray(t.column("doc_id"))
             sh = np.asarray(t.column("shingle"))
             df = self.cm.query_batch(sh.astype(np.uint64)).astype(np.int64)
@@ -379,32 +535,31 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
             within = np.arange(len(docs)) - np.repeat(starts, lens)
             keep = within < np.repeat(pref, lens)
             sizes = np.repeat(lens, lens)
-            docs, sh, df, sizes = (docs[keep], sh[keep], df[keep],
-                                   sizes[keep])
+            docs, sh, df, sizes, pos = (docs[keep], sh[keep], df[keep],
+                                        sizes[keep], within[keep])
             keep2 = df >= 2      # df=1 shingles can't produce a pair
             if max_df is not None:
                 keep2 &= df <= max_df
-            docs, sh, sizes = docs[keep2], sh[keep2], sizes[keep2]
+            docs, sh, sizes, pos = (docs[keep2], sh[keep2], sizes[keep2],
+                                    pos[keep2])
             bucket = np.abs(sh % np.int64(B))
             return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
                              "shingle": pa.array(sh.astype(np.int64)),
                              "set_size": pa.array(sizes.astype(np.int64)),
+                             "pos": pa.array(pos.astype(np.int64)),
                              "bucket": pa.array(bucket.astype(np.int64))})
 
-    postings = ds.map_batches(PrefixPostings, batch_format="pyarrow",
-                              concurrency=(1, 8), num_cpus=0.5)
-
-    # verification input: (doc_id, shingle, set_size) rows, consumed once
-    sets = ds.map_batches(
-        lambda b: _doc_shingles(b, text_col, id_col, s, seed),
-        batch_format="pyarrow")
+    postings = sets.map_batches(PrefixPostings, batch_format="pyarrow",
+                                batch_size=None, concurrency=(1, 8),
+                                num_cpus=0.5)
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         sh = np.asarray(group.column("shingle"))
         docs = np.asarray(group.column("doc_id"))
         sz = np.asarray(group.column("set_size"))
+        pos = np.asarray(group.column("pos"))
         order = np.lexsort((docs, sh))
-        sh, docs, sz = sh[order], docs[order], sz[order]
+        sh, docs, sz, pos = sh[order], docs[order], sz[order], pos[order]
         run_start = np.concatenate([[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1,
                                     [len(sh)]])
         out_a, out_b = [], []
@@ -416,6 +571,19 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
             sa, sb = sz[rs + i], sz[rs + j]
             # ppjoin length filter: J >= t requires min|S| >= t * max|S|
             ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            # ppjoin POSITIONAL filter: with both sets in the same global
+            # (df, shingle) order and this shingle at positions (pi, pj),
+            # |Sa ∩ Sb| <= min(pi, pj) + 1 + min(sa-1-pi, sb-1-pj); J >= t
+            # needs |∩| >= t/(1+t)·(sa+sb).  Any occurrence whose bound
+            # fails proves the pair can't qualify (exact upper bound), so
+            # pruning here never drops a true pair.  This is the filter
+            # that makes verification candidate counts tractable when a
+            # small vocabulary makes raw prefix collisions explode.
+            pi, pj = pos[rs + i], pos[rs + j]
+            ub = (np.minimum(pi, pj) + 1
+                  + np.minimum(sa - 1 - pi, sb - 1 - pj))
+            need = threshold * (sa + sb) / (1.0 + threshold)
+            ok &= ub >= need - 1e-9
             out_a.append(docs[rs + i][ok])
             out_b.append(docs[rs + j][ok])
         if not out_a:
@@ -434,11 +602,11 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
 
     # 4. candidate pairs per shingle-bucket.  Cross-bucket duplicates
     #    (same pair via several prefix shingles, ~6% extra rows) are NOT
-    #    deduped here — a 2-key groupby costs more than the duplication;
-    #    score_bucket drops them after the pair shuffle.
-    #    repartition first: see verify_pairs note on sort task fan-out
-    cand = (postings.repartition(16)
-            .groupby("bucket")
+    #    deduped here — verification is idempotent and verify_pairs
+    #    dedupes its (much smaller) survivor set.  The postings actor
+    #    pool already emits ≤16 blocks, so no pre-shuffle coalesce is
+    #    needed before the sort.
+    cand = (postings.groupby("bucket")
             .map_groups(pairs_of_bucket, batch_format="pyarrow"))
 
     # 5. exact verification — co-partitioned joins, candidate-proportional

@@ -178,10 +178,11 @@ def test_windowed_hll_grouped_registers_match_scalar():
                    - h.estimate()) < 1e-9
 
 
-def test_verify_pairs_random_corpora(ray_session):
+@pytest.mark.parametrize("mode", ["broadcast", "copartition"])
+def test_verify_pairs_random_corpora(ray_session, mode):
     """verify_pairs must equal brute-force jaccard for EVERY candidate
     pair, across random overlap-heavy corpora (duplicated candidates
-    included — the dedupe path)."""
+    included — the dedupe path), in BOTH execution modes."""
     import itertools
     import pyarrow as pa
     import ray
@@ -218,7 +219,7 @@ def test_verify_pairs_random_corpora(ray_session):
         got = verify_pairs(
             ray.data.from_arrow(cand_tbl).repartition(3),
             ray.data.from_arrow(sets_tbl).repartition(2),
-            t, num_buckets=8).to_pandas()
+            t, num_buckets=8, mode=mode).to_pandas()
         got_map = {(a, b): j for a, b, j in
                    zip(got["doc_a"], got["doc_b"], got["jaccard"])}
         assert len(got_map) == len(got)          # no duplicate outputs
