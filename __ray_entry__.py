@@ -518,6 +518,16 @@ def q_decontaminate(sf_dir):
     return decontaminate(corpus, bench, n=3)
 
 
+def q_repetition(sf_dir):
+    from bqf_ray.pipelines.text_stats import repetition_stats
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_distinctive_terms(sf_dir):
+    from bqf_ray.pipelines.text_stats import distinctive_terms
+    return distinctive_terms(_docs(sf_dir), top=3)
+
+
 def w_sessions(sf_dir):
     from bqf_ray.pipelines.windowed import session_windows
     return session_windows(_events(sf_dir), gap_s=1800)
@@ -690,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "probe_fimpera": q_probe_fimpera,
         "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "distinctive_terms": q_distinctive_terms,
         "asof_clicks": q_asof_clicks,
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -757,6 +769,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(DISTINCT gram)::BIGINT AS n_contaminated
             FROM corpus WHERE gram IN (SELECT gram FROM bench)
             GROUP BY doc_id""",
+        "repetition": f"""
+            WITH t AS (SELECT doc_id, token FROM ({tokens})
+                       WHERE token <> ''),
+            cnt AS (SELECT doc_id, token, count(*)::BIGINT AS c
+                    FROM t GROUP BY 1, 2),
+            agg AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+                           count(*)::BIGINT AS n_distinct,
+                           max(c)::BIGINT AS top_c
+                    FROM cnt GROUP BY 1),
+            toks AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '') AS ts
+                     FROM documents),
+            g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+                   FROM toks, LATERAL (SELECT unnest(generate_series(
+                            1, greatest(len(ts)-1, 0))) AS i) u),
+            c2 AS (SELECT doc_id, gram, count(*)::BIGINT AS c
+                   FROM g2 GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, max(c)::BIGINT AS top2_c,
+                          sum(c)::BIGINT AS n2
+                   FROM c2 GROUP BY 1)
+            SELECT a.doc_id,
+                   1.0 - a.n_distinct::DOUBLE / a.n_tok AS dup_token_frac,
+                   a.top_c::DOUBLE / a.n_tok AS top_token_frac,
+                   COALESCE(b.top2_c::DOUBLE / b.n2, 0.0) AS top_bigram_frac
+            FROM agg a LEFT JOIN a2 b USING (doc_id)""",
+        "distinctive_terms": f"""
+            WITH t AS (SELECT doc_id, token FROM ({tokens})
+                       WHERE token <> ''),
+            cnt AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                    FROM t GROUP BY 1, 2),
+            dfx AS (SELECT token, count(*)::BIGINT AS df
+                    FROM cnt GROUP BY 1),
+            r AS (SELECT c.doc_id, c.token, c.tf, d.df,
+                         row_number() OVER (PARTITION BY c.doc_id
+                             ORDER BY c.tf DESC, d.df ASC, c.token ASC)
+                             ::BIGINT AS rnk
+                  FROM cnt c JOIN dfx d USING (token))
+            SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""",
         "doc_stats": f"""
             WITH t AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
             agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,

@@ -196,6 +196,10 @@ def _verify_broadcast(cand_ds, sets_mat, threshold: float, id_col: str):
 
         def __init__(self):
             tables = ray.get(ray.get(refs_handle))
+            # groupby/map_groups upstreams can leave zero-column EMPTY
+            # blocks in a materialized dataset — skip them
+            tables = [t for t in tables
+                      if t.num_rows and id_col in t.schema.names]
             if tables:
                 d = np.concatenate([np.asarray(t.column(id_col),
                                                dtype=np.int64)

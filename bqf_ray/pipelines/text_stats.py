@@ -126,6 +126,145 @@ class QualityScore:
                      .append_column("stop_ratio", pa.array(stop_ratio)))
 
 
+def _per_doc_run_stats(did: np.ndarray, vals: np.ndarray, n_docs: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (n_distinct_values, max_value_count) over (doc, value)
+    rows, vectorized via one lexsort."""
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    top_c = np.zeros(n_docs, dtype=np.int64)
+    if len(did) == 0:
+        return n_distinct, top_c
+    order = np.lexsort((vals, did))
+    d, v = did[order], vals[order]
+    new = np.concatenate([[True], (d[1:] != d[:-1]) | (v[1:] != v[:-1])])
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.concatenate([starts, [len(d)]]))
+    run_doc = d[starts]
+    np.add.at(n_distinct, run_doc, 1)
+    np.maximum.at(top_c, run_doc, run_len)
+    return n_distinct, top_c
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 analogs for token streams): duplicate-token fraction,
+    top-token fraction, top-bigram fraction.  Docs with zero tokens are
+    dropped (no signal).  One vectorized pass, no shuffle —
+    SQL-oracle-checkable (exact integer ratios)."""
+    from bqf_ray.functions.tokenize import shingle_hashes, token_hashes
+
+    def stats(batch: pa.Table) -> pa.Table:
+        th, offs = token_hashes(batch.column(text_col))
+        n = len(batch)
+        n_tok = np.diff(offs).astype(np.int64)
+        did = np.repeat(np.arange(n), n_tok)
+        nd1, top1 = _per_doc_run_stats(did, th, n)
+        b2, o2 = shingle_hashes(th, offs, 2)
+        n2 = np.diff(o2).astype(np.int64)
+        did2 = np.repeat(np.arange(n), n2)
+        _, top2 = _per_doc_run_stats(did2, b2, n)
+        keep = n_tok > 0
+        nt = n_tok[keep]
+        dup_frac = 1.0 - nd1[keep] / nt
+        top_frac = top1[keep] / nt
+        n2k = n2[keep]
+        big_frac = np.where(n2k > 0, top2[keep] / np.maximum(n2k, 1), 0.0)
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "dup_token_frac": pa.array(dup_frac, pa.float64()),
+            "top_token_frac": pa.array(top_frac, pa.float64()),
+            "top_bigram_frac": pa.array(big_frac, pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def distinctive_terms(ds, top: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document top-``top`` distinctive terms, ranked by
+    (tf DESC, df ASC, token ASC) — an integer-exact tf-idf ordering
+    (highest in-doc frequency, rarest corpus-wide breaks ties), so the
+    output is SQL-oracle-checkable with no float scores.
+
+    Plan (two corpus-token-proportional shuffles, exact global df):
+
+    1. per-batch (doc_id, token, tf) rows, DISTINCT per doc, bucketed by
+       ``token_hash % B`` — every occurrence of a token lands in one
+       bucket, so df(token) = the bucket-local row count (rows are
+       per-doc-distinct).  df attaches in-bucket: no separate df pass.
+    2. re-bucket by ``doc_id % B``; per doc a vectorized lexsort ranks
+       terms and keeps the top ``top``.
+
+    Output (doc_id, token, tf, df, rnk)."""
+    from bqf_ray.functions.tokenize import tokenize_column
+
+    B = int(num_buckets)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        th = xxhash64_array(toks)
+        n = len(batch)
+        n_tok = np.diff(offs).astype(np.int64)
+        did = np.repeat(np.asarray(batch.column(id_col)), n_tok)
+        if len(th) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int64())})
+        order = np.lexsort((th, did))
+        d, h = did[order], th[order]
+        new = np.concatenate([[True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.concatenate([starts, [len(d)]]))
+        rep = pa.array(order[starts])           # first occurrence index
+        return pa.table({
+            id_col: pa.array(d[starts].astype(np.int64)),
+            "token": toks.take(rep),
+            "tf": pa.array(tf.astype(np.int64)),
+            "__bucket": pa.array(
+                (h[starts] % np.uint64(B)).astype(np.int64)),
+        })
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        h = xxhash64_array(group.column("token"))
+        u, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        out = group.drop_columns(["__bucket"])
+        out = out.append_column("df", pa.array(cnt[inv].astype(np.int64)))
+        d = np.asarray(group.column(id_col), dtype=np.int64)
+        return out.append_column("__dbucket", pa.array(d % np.int64(B)))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column(id_col), dtype=np.int64)
+        tf = np.asarray(group.column("tf"), dtype=np.int64)
+        df_ = np.asarray(group.column("df"), dtype=np.int64)
+        tok_col = group.column("token")
+        if isinstance(tok_col, pa.ChunkedArray):
+            tok_col = tok_col.combine_chunks()
+        tok = tok_col.to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((tok, df_, -tf, d))
+        ds_, = (d[order],)
+        new = np.concatenate([[True], ds_[1:] != ds_[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(ds_)]]))
+        rnk = np.arange(len(ds_)) - np.repeat(starts, lens) + 1
+        keep = rnk <= top
+        sel = order[keep]
+        return pa.table({
+            id_col: pa.array(d[sel]),
+            "token": group.column("token").take(pa.array(sel)),
+            "tf": pa.array(tf[sel]),
+            "df": pa.array(df_[sel]),
+            "rnk": pa.array(rnk[keep].astype(np.int64)),
+        })
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(attach_df, batch_format="pyarrow")
+            .groupby("__dbucket")
+            .map_groups(lambda g: rank_bucket(g.drop_columns(["__dbucket"])),
+                        batch_format="pyarrow"))
+
+
 def content_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, content_hash, simhash) — exact + fuzzy fingerprints per doc."""
     from bqf_ray.pipelines.dedup import simhash64

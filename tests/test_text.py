@@ -100,3 +100,27 @@ def test_char_ngrams():
     assert h[1] != h[2]
 
 
+
+
+def test_repetition_stats_ordering(ray_session):
+    import ray
+    import pyarrow as pa
+    import numpy as np
+    from bqf_ray.pipelines.text_stats import repetition_stats
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam spam spam",            # max repetition
+            "a b a b a b a b",                          # bigram repetition
+            "one two three four five six",              # no repetition
+            "",                                          # dropped (no tokens)
+        ])})
+    out = {int(r["doc_id"]): r for r in
+           repetition_stats(ray.data.from_arrow(docs)).take_all()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["dup_token_frac"] == 1 - 1 / 6
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] == 4 / 7           # 'a b' 4 of 7
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[3]["top_token_frac"] == 1 / 6
