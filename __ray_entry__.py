@@ -528,6 +528,23 @@ def q_distinctive_terms(sf_dir):
     return distinctive_terms(_docs(sf_dir), top=3)
 
 
+def q_pack_chunks(sf_dir):
+    """Concat-and-chunk sequence packing per (lang, 1000-doc shard):
+    per-pack doc/token counts.  The greedy strict-budget strategy is
+    pytest-verified (not SQL-expressible without recursion)."""
+    import ray
+    from bqf_ray.pipelines.pack import pack_sequences
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return pack_sequences(docs, budget=256, strategy="chunk",
+                          shard_size=1000)
+
+
+def q_scrub_pii(sf_dir):
+    from bqf_ray.pipelines.text_stats import scrub_pii
+    return scrub_pii(_docs(sf_dir))
+
+
 def w_sessions(sf_dir):
     from bqf_ray.pipelines.windowed import session_windows
     return session_windows(_events(sf_dir), gap_s=1800)
@@ -702,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "distinctive_terms": q_distinctive_terms,
+        "pack_chunks": q_pack_chunks,
+        "scrub_pii": q_scrub_pii,
         "asof_clicks": q_asof_clicks,
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -808,6 +827,39 @@ def oracle_sql() -> dict[str, str]:
                              ::BIGINT AS rnk
                   FROM cnt c JOIN dfx d USING (token))
             SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""",
+        "pack_chunks": """
+            WITH tc AS (
+              SELECT lang, doc_id, doc_id // 1000 AS shard,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> ''))::BIGINT AS nt
+              FROM documents),
+            c AS (
+              SELECT lang, shard, doc_id, nt,
+                     (sum(nt) OVER (PARTITION BY lang, shard
+                                    ORDER BY doc_id) - nt) AS cum0
+              FROM tc)
+            SELECT lang, shard, (cum0 // 256)::BIGINT AS pack_seq,
+                   count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+                   min(doc_id) AS first_doc
+            FROM c GROUP BY 1, 2, 3""",
+        "scrub_pii": """
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                '<IP>', 'g'),
+                '\\+?\\d[\\d\\-\\.\\(\\) ]{7,}\\d', '<PHONE>', 'g')
+                AS clean_text,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                AS n_email,
+              len(regexp_extract_all(text,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+                AS n_ipv4,
+              len(regexp_extract_all(text,
+                '\\+?\\d[\\d\\-\\.\\(\\) ]{7,}\\d'))::BIGINT AS n_phone
+            FROM documents""",
         "doc_stats": f"""
             WITH t AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
             agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,

@@ -265,6 +265,42 @@ def distinctive_terms(ds, top: int = 3, text_col: str = "text",
                         batch_format="pyarrow"))
 
 
+# PII patterns (RE2 syntax — pyarrow.compute and DuckDB both run RE2, so
+# the SQL oracle reproduces the scrub byte-for-byte).  Replacement order:
+# email → ipv4 → phone; occurrence counts are taken on the ORIGINAL text.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-\.\(\) ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact emails / IPv4 addresses / phone-like digit runs from the
+    text column (vectorized RE2 via ``pyarrow.compute``, zero Python per
+    row).  Output: (doc_id, clean_text, n_email, n_ipv4, n_phone)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        counts = {}
+        for name, pat, _ in PII_PATTERNS:
+            counts[name] = pc.count_substring_regex(texts, pat).cast(pa.int64())
+        clean = texts
+        for name, pat, repl in PII_PATTERNS:
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "clean_text": clean,
+            "n_email": counts["email"],
+            "n_ipv4": counts["ipv4"],
+            "n_phone": counts["phone"],
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def content_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, content_hash, simhash) — exact + fuzzy fingerprints per doc."""
     from bqf_ray.pipelines.dedup import simhash64

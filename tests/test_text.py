@@ -124,3 +124,24 @@ def test_repetition_stats_ordering(ray_session):
     assert out[2]["top_bigram_frac"] == 4 / 7           # 'a b' 4 of 7
     assert out[3]["dup_token_frac"] == 0.0
     assert out[3]["top_token_frac"] == 1 / 6
+
+
+def test_scrub_pii_redaction(ray_session):
+    import ray
+    import pyarrow as pa
+    from bqf_ray.pipelines.text_stats import scrub_pii
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail bob@example.com call +1 555-123-4567",
+            "hosts 10.0.0.1 192.168.1.255",
+            "clean document text",
+        ])})
+    out = {int(r["doc_id"]): r for r in
+           scrub_pii(ray.data.from_arrow(docs)).take_all()}
+    assert out[1]["clean_text"] == "mail <EMAIL> call <PHONE>"
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["clean_text"] == "hosts <IP> <IP>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["clean_text"] == "clean document text"
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
