@@ -545,6 +545,14 @@ def q_scrub_pii(sf_dir):
     return scrub_pii(_docs(sf_dir))
 
 
+def w_bpe_merges(sf_dir):
+    """BPE tokenizer-training merges (iterative algorithm — rows-only;
+    exactness vs a sequential reference implementation is pytest-checked
+    in tests/test_vocab.py)."""
+    from bqf_ray.pipelines.vocab import bpe_merges_table
+    return bpe_merges_table(_docs(sf_dir), num_merges=8)
+
+
 def w_sessions(sf_dir):
     from bqf_ray.pipelines.windowed import session_windows
     return session_windows(_events(sf_dir), gap_s=1800)
@@ -721,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": q_distinctive_terms,
         "pack_chunks": q_pack_chunks,
         "scrub_pii": q_scrub_pii,
+        "bpe_merges": w_bpe_merges,
         "asof_clicks": q_asof_clicks,
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,

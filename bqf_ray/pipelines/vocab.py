@@ -1,0 +1,153 @@
+"""Vocabulary building: byte-pair-encoding (BPE) merge training over a
+document corpus (Sennrich et al. 2016) — the tokenizer-training step of
+an LLM data pipeline.
+
+Shape: ONE corpus-sized pass reduces the corpus to its word-frequency
+table (groupby shuffle, corpus-token-proportional — the same plan as
+``token_counts``); the merge loop then iterates over that table, which
+is vocab-sized (millions of rows at web scale, not trillions), kept as a
+materialized Dataset of symbol sequences:
+
+    round k: map_batches emits per-batch weighted pair counts (partial
+    aggregation — each partial is at most the batch's distinct-pair
+    count) → the tiny partials merge on the driver → argmax pair
+    (deterministic tie-break: count DESC, then lexicographic) →
+    broadcast → map_batches rewrites the symbol sequences.
+
+Driver state is bounded by the distinct-pair count of the VOCAB (≈ a few
+× vocab size), never by the corpus.  Per round the vocab table moves
+once; ``num_merges`` rounds total.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def word_frequencies(ds, text_col: str = "text"):
+    """Corpus → Dataset[(word: string, count: int64)] — one pre-aggregated
+    groupby shuffle (the token_counts plan)."""
+    from ray.data.aggregate import Sum
+    from bqf_ray.functions.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_column(batch.column(text_col))
+        if len(toks) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        arr = toks.to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"word": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="count")))
+
+
+def _split_chars(batch: pa.Table) -> pa.Table:
+    words = batch.column("word").to_pylist()
+    counts = batch.column("count")
+    syms = pa.array([list(w) for w in words], pa.list_(pa.string()))
+    return pa.table({"syms": syms, "count": counts})
+
+
+def bpe_train(ds, num_merges: int = 20, text_col: str = "text",
+              min_pair_count: int = 2):
+    """Learn ``num_merges`` BPE merges from the corpus.  Returns a list of
+    (left, right, pair_count) in merge order.  Stops early when no pair
+    reaches ``min_pair_count``."""
+    import ray
+
+    vocab = (word_frequencies(ds, text_col)
+             .map_batches(_split_chars, batch_format="pyarrow")
+             .materialize())
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column("syms")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cnt = np.asarray(batch.column("count"), dtype=np.int64)
+        lens = np.asarray(col.value_lengths(), dtype=np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        # adjacent pairs within each word
+        n_pairs = np.maximum(lens - 1, 0)
+        wid = np.repeat(np.arange(len(lens)), n_pairs)
+        within = np.arange(int(n_pairs.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_pairs)[:-1]]), n_pairs)
+        li = offs[wid] + within
+        left, right = flat[li], flat[li + 1]
+        w = cnt[wid]
+        # integer pair codes (string-concat keys break on numpy's
+        # NUL-truncating unicode arrays)
+        lu, linv = np.unique(left, return_inverse=True)
+        ru, rinv = np.unique(right, return_inverse=True)
+        code = linv.astype(np.int64) * len(ru) + rinv
+        uniq, inv = np.unique(code, return_inverse=True)
+        agg = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(agg, inv, w)
+        return pa.table({
+            "left": pa.array(lu[uniq // len(ru)].tolist(), pa.string()),
+            "right": pa.array(ru[uniq % len(ru)].tolist(), pa.string()),
+            "n": pa.array(agg)})
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        totals: dict[tuple[str, str], int] = {}
+        for b in (vocab.map_batches(pair_counts, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            for left, right, n in zip(b.column("left").to_pylist(),
+                                      b.column("right").to_pylist(),
+                                      b.column("n").to_pylist()):
+                totals[(left, right)] = totals.get((left, right), 0) + n
+        if not totals:
+            break
+        best = max(totals.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        # deterministic: count DESC, then lexicographically SMALLEST pair
+        best = min((kv for kv in totals.items() if kv[1] == best[1]),
+                   key=lambda kv: kv[0])
+        (bl, br), bn = best
+        if bn < min_pair_count:
+            break
+        merges.append((bl, br, int(bn)))
+        merged_ref = ray.put((bl, br))
+
+        def apply_merge(batch: pa.Table) -> pa.Table:
+            l, r = ray.get(merged_ref)
+            col = batch.column("syms")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = []
+            for row in col.to_pylist():
+                i, new = 0, []
+                while i < len(row):
+                    if i + 1 < len(row) and row[i] == l and row[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(row[i])
+                        i += 1
+                out.append(new)
+            return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+                             "count": batch.column("count")})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+    return merges
+
+
+def bpe_merges_table(ds, num_merges: int = 20, text_col: str = "text"):
+    """Driver-facing form: Dataset[(rank, left, right, pair_count)]."""
+    import ray
+    merges = bpe_train(ds, num_merges=num_merges, text_col=text_col)
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    }))
