@@ -137,8 +137,11 @@ def heavy_hitters(ds, text_col: str = "text", top: int = 20,
     from bqf_ray.stages.sketch_stage import build_sketch
 
     k_cand = top * candidate_factor
+    # batch_size=None → one partial per block (each partial is a full
+    # w×d table, so fewer/larger batches cut partial count and merge work)
     cm = build_sketch(ds, shingle_key_fn(text_col, 1, 0),
-                      lambda: CountMin.from_error(eps, delta, seed=3))
+                      lambda: CountMin.from_error(eps, delta, seed=3),
+                      batch_size=None)
     ref = ray.put(cm)
 
     class EstimateTopK:
@@ -166,26 +169,43 @@ def heavy_hitters(ds, text_col: str = "text", top: int = 20,
     cand_ref = ray.put(np.array(cand))
 
     class CountCandidates:
+        """Membership via sorted candidate-HASH searchsorted (no string
+        comparisons in the corpus pass; the tiny hit set is counted by
+        string)."""
+
         def __init__(self):
             self.cand = ray.get(cand_ref)
+            self.cand_h = np.sort(xxhash64_array(self.cand.tolist()))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             toks, _ = tokenize_column(batch.column(text_col))
-            arr = np.asarray(toks.to_pylist())
-            if len(arr) == 0:
+            if len(toks) == 0:
                 return pa.table({"token": pa.array([], pa.string()),
                                  "n": pa.array([], pa.int64())})
-            hit = np.isin(arr, self.cand)
-            uniq, cnt = np.unique(arr[hit], return_counts=True)
-            return pa.table({"token": pa.array(uniq),
+            h = xxhash64_array(toks)
+            pos = np.searchsorted(self.cand_h, h)
+            hit = pos < len(self.cand_h)
+            hit &= self.cand_h[np.minimum(pos, len(self.cand_h) - 1)] == h
+            arr = toks.filter(pa.array(hit)).to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(arr, return_counts=True)
+            return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
                              "n": pa.array(cnt.astype(np.int64))})
 
     exact = (ds.map_batches(CountCandidates, batch_format="pyarrow",
                             concurrency=2)
              .groupby("token").aggregate(Sum("n", alias_name="cnt")))
-    # final selection sorts only the candidate set (tiny)
-    return (exact.sort(["cnt", "token"], descending=[True, False])
-            .limit(top))
+
+    # final selection: the exact table is candidate-bounded (≤ k_cand rows
+    # globally), so one local sort replaces a distributed sort+limit
+    def final_topk(batch: pa.Table) -> pa.Table:
+        cnt = np.asarray(batch.column("cnt"), dtype=np.int64)
+        tok = batch.column("token").to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((tok, -cnt))[:top]
+        return batch.take(pa.array(order))
+
+    return exact.repartition(1).map_batches(final_topk,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
 
 
 def value_quantiles(ds, value_col: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),

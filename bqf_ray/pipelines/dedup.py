@@ -720,11 +720,14 @@ def simhash64(batch_texts, seed: int = 0) -> np.ndarray:
     if len(th) == 0:
         return out
     lens = np.diff(offs)
-    did = np.repeat(np.arange(n_docs), lens)
-    acc = np.zeros((n_docs, 64), dtype=np.int64)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
             ).astype(np.int64) * 2 - 1
-    np.add.at(acc, did, bits)
+    # token rows are doc-major (offs is the doc partition), so the
+    # per-doc bit sums are one contiguous reduceat, not a scatter add
+    nz = lens > 0
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if nz.any():
+        acc[nz] = np.add.reduceat(bits, offs[:-1][nz], axis=0)
     sign = (acc > 0).astype(np.uint64)
     return (sign << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
                                                                  dtype=np.uint64)
