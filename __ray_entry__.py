@@ -553,6 +553,11 @@ def w_bpe_merges(sf_dir):
     return bpe_merges_table(_docs(sf_dir), num_merges=8)
 
 
+def q_embedding_stats(sf_dir):
+    from bqf_ray.pipelines.embeddings import embedding_stats
+    return embedding_stats(_embeddings(sf_dir))
+
+
 def w_sessions(sf_dir):
     from bqf_ray.pipelines.windowed import session_windows
     return session_windows(_events(sf_dir), gap_s=1800)
@@ -730,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": q_pack_chunks,
         "scrub_pii": q_scrub_pii,
         "bpe_merges": w_bpe_merges,
+        "embedding_stats": q_embedding_stats,
         "asof_clicks": q_asof_clicks,
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -869,6 +875,25 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(text,
                 '\\+?\\d[\\d\\-\\.\\(\\) ]{7,}\\d'))::BIGINT AS n_phone
             FROM documents""",
+        "embedding_stats": """
+            WITH e AS (
+              SELECT vec_id, len(embedding)::BIGINT AS dim,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> floor(
+                       CAST(x AS DOUBLE) * (127.0 / greatest(ma, 1e-30))
+                       + 0.5)) AS qs
+              FROM embeddings JOIN e USING (vec_id))
+            SELECT e.vec_id, e.dim, sqrt(e.ss) AS l2_norm, e.ma AS max_abs,
+                   list_sum(q.qs)::BIGINT AS q_sum,
+                   list_min(q.qs)::BIGINT AS q_min,
+                   list_max(q.qs)::BIGINT AS q_max
+            FROM e JOIN q USING (vec_id)""",
         "doc_stats": f"""
             WITH t AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
             agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
