@@ -90,22 +90,25 @@ def shingle_hashes(token_hash: np.ndarray, doc_offsets: np.ndarray, s: int,
 def sliding_window_min(values: np.ndarray, offsets: np.ndarray, w: int,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Per-document sliding-window minimum of width ``w`` (fimpera's
-    k-mer-from-s-mer min, /root/reference/src/abstract_bqf.cpp:236-246),
-    vectorized via ``sliding_window_view`` per document run."""
+    k-mer-from-s-mer min, /root/reference/src/abstract_bqf.cpp:236-246).
+
+    Fully vectorized: ONE global strided-view min over the concatenated
+    value array, then a gather of the window starts that lie inside a
+    document (windows crossing doc boundaries are simply never selected)
+    — no per-document Python loop."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     offsets = np.asarray(offsets, dtype=np.int64)
     lens = offsets[1:] - offsets[:-1]
     out_lens = np.maximum(lens - w + 1, 0)
     out_offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
-    out = np.empty(int(out_offsets[-1]), dtype=values.dtype)
-    for d in range(len(lens)):          # cheap: one strided view per doc
-        if out_lens[d] <= 0:
-            continue
-        seg = values[offsets[d]:offsets[d + 1]]
-        out[out_offsets[d]:out_offsets[d + 1]] = \
-            sliding_window_view(seg, w).min(axis=1)
-    return out, out_offsets
+    total = int(out_offsets[-1])
+    if total == 0 or len(values) < w:
+        return np.empty(0, dtype=values.dtype), out_offsets
+    allmin = sliding_window_view(values, w).min(axis=1)
+    within = np.arange(total) - np.repeat(out_offsets[:-1], out_lens)
+    starts = np.repeat(offsets[:-1], out_lens) + within
+    return allmin[starts], out_offsets
 
 
 def char_ngram_hashes(texts, n: int = 5, seed: int = 0,
