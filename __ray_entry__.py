@@ -558,6 +558,14 @@ def q_embedding_stats(sf_dir):
     return embedding_stats(_embeddings(sf_dir))
 
 
+def q_cap_per_source(sf_dir):
+    import ray
+    from bqf_ray.pipelines.text_stats import cap_per_key
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return cap_per_key(docs, key_col="source", max_rows=5)
+
+
 def w_sessions(sf_dir):
     from bqf_ray.pipelines.windowed import session_windows
     return session_windows(_events(sf_dir), gap_s=1800)
@@ -736,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": q_scrub_pii,
         "bpe_merges": w_bpe_merges,
         "embedding_stats": q_embedding_stats,
+        "cap_per_source": q_cap_per_source,
         "asof_clicks": q_asof_clicks,
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -894,6 +903,12 @@ def oracle_sql() -> dict[str, str]:
                    list_min(q.qs)::BIGINT AS q_min,
                    list_max(q.qs)::BIGINT AS q_max
             FROM e JOIN q USING (vec_id)""",
+        "cap_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 5""",
         "doc_stats": f"""
             WITH t AS (SELECT doc_id, token FROM ({tokens}) WHERE token <> ''),
             agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,

@@ -301,6 +301,41 @@ def scrub_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def cap_per_key(ds, key_col: str = "source", id_col: str = "doc_id",
+                max_rows: int = 5, num_buckets: int = 64):
+    """Domain/host capping (C4-style corpus balancing): keep at most
+    ``max_rows`` rows per ``key_col`` value, deterministically the lowest
+    ``id_col`` values.  One hash-bucket shuffle (every occurrence of a
+    key lands in one bucket), vectorized rank-per-run inside the bucket —
+    no global sort.  Hot keys cost only their in-bucket run length."""
+    B = int(num_buckets)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        h = xxhash64_array(batch.column(key_col))
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(B)).astype(np.int64)))
+
+    def cap(group: pa.Table) -> pa.Table:
+        kcol = group.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        k = kcol.to_numpy(zero_copy_only=False).astype("U")
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.lexsort((ids, k))
+        ks = k[order]
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(ks)]]))
+        rank = np.arange(len(ks)) - np.repeat(starts, lens)
+        keep_sorted = order[rank < max_rows]
+        return (group.take(pa.array(np.sort(keep_sorted)))
+                .drop_columns(["__bucket"]))
+
+    return (ds.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(cap, batch_format="pyarrow"))
+
+
 def content_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, content_hash, simhash) — exact + fuzzy fingerprints per doc."""
     from bqf_ray.pipelines.dedup import simhash64
