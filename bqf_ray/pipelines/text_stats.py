@@ -310,26 +310,31 @@ def cap_per_key(ds, key_col: str = "source", id_col: str = "doc_id",
     no global sort.  Hot keys cost only their in-bucket run length."""
     B = int(num_buckets)
 
-    def bucketed(batch: pa.Table) -> pa.Table:
-        h = xxhash64_array(batch.column(key_col))
-        return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(B)).astype(np.int64)))
-
-    def cap(group: pa.Table) -> pa.Table:
-        kcol = group.column(key_col)
+    def _local_cap(tbl: pa.Table) -> pa.Table:
+        kcol = tbl.column(key_col)
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
         k = kcol.to_numpy(zero_copy_only=False).astype("U")
-        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
         order = np.lexsort((ids, k))
         ks = k[order]
         new = np.concatenate([[True], ks[1:] != ks[:-1]])
         starts = np.flatnonzero(new)
         lens = np.diff(np.concatenate([starts, [len(ks)]]))
         rank = np.arange(len(ks)) - np.repeat(starts, lens)
-        keep_sorted = order[rank < max_rows]
-        return (group.take(pa.array(np.sort(keep_sorted)))
-                .drop_columns(["__bucket"]))
+        return tbl.take(pa.array(np.sort(order[rank < max_rows])))
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        # COMBINER: cap locally first, so a hot key ships at most
+        # max_rows rows per input batch instead of its full run —
+        # bounds the skew any single bucket can receive
+        batch = _local_cap(batch)
+        h = xxhash64_array(batch.column(key_col))
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(B)).astype(np.int64)))
+
+    def cap(group: pa.Table) -> pa.Table:
+        return _local_cap(group).drop_columns(["__bucket"])
 
     return (ds.map_batches(bucketed, batch_format="pyarrow")
             .groupby("__bucket")
