@@ -3,13 +3,14 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-31 of 37 queries.  The approximate family is oracle-checked through
+41 of 48 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
-(HLL 4σ, t-digest/KLL rank error, IVF recall floor), so the bound itself
-is driver-verified.  Only simhash (xxhash not SQL-computable), raw
-knn_lsh/knn_ivf neighbor lists (recall covered by ``knn_ivf_recall`` +
-pytest), and the media stubs run rows-only.
+(HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
+itself is driver-verified.  Only simhash (xxhash not SQL-computable),
+raw knn_lsh/knn_ivf neighbor lists (recall covered by the ``*_recall``
+rows + pytest), BPE merges (iterative; verified against a sequential
+reference in pytest), and the media stubs run rows-only.
 
 Ray is initialised by the driver before importing this module; nothing
 here calls ray.init()/ray.shutdown().
