@@ -571,25 +571,36 @@ def jaccard_dup_pairs(ds, threshold: float = 0.5, s: int = 3,
             L = re - rs
             if L < 2:
                 continue
-            i, j = np.triu_indices(L, k=1)
-            sa, sb = sz[rs + i], sz[rs + j]
-            # ppjoin length filter: J >= t requires min|S| >= t * max|S|
-            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
-            # ppjoin POSITIONAL filter: with both sets in the same global
-            # (df, shingle) order and this shingle at positions (pi, pj),
-            # |Sa ∩ Sb| <= min(pi, pj) + 1 + min(sa-1-pi, sb-1-pj); J >= t
-            # needs |∩| >= t/(1+t)·(sa+sb).  Any occurrence whose bound
-            # fails proves the pair can't qualify (exact upper bound), so
-            # pruning here never drops a true pair.  This is the filter
-            # that makes verification candidate counts tractable when a
-            # small vocabulary makes raw prefix collisions explode.
-            pi, pj = pos[rs + i], pos[rs + j]
-            ub = (np.minimum(pi, pj) + 1
-                  + np.minimum(sa - 1 - pi, sb - 1 - pj))
-            need = threshold * (sa + sb) / (1.0 + threshold)
-            ok &= ub >= need - 1e-9
-            out_a.append(docs[rs + i][ok])
-            out_b.append(docs[rs + j][ok])
+            # emit the L(L-1)/2 in-run pairs in row chunks so a hot
+            # shingle (L in the tens of thousands) stays memory-bounded
+            # instead of materializing one giant triu index pair
+            row_chunk = max(1, (1 << 22) // max(L, 1))
+            for ci in range(0, L - 1, row_chunk):
+                ce = min(ci + row_chunk, L - 1)
+                rows = np.arange(ci, ce)
+                cnt = L - 1 - rows
+                i = np.repeat(rows, cnt)
+                tot = int(cnt.sum())
+                j = (np.arange(tot)
+                     - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]),
+                                 cnt)) + i + 1
+                sa, sb = sz[rs + i], sz[rs + j]
+                # ppjoin length filter: J >= t requires min|S| >= t*max|S|
+                ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+                # ppjoin POSITIONAL filter: with both sets in the same
+                # global (df, shingle) order and this shingle at positions
+                # (pi, pj), |Sa ∩ Sb| <= min(pi,pj) + 1 +
+                # min(sa-1-pi, sb-1-pj); J >= t needs
+                # |∩| >= t/(1+t)·(sa+sb).  Any occurrence whose bound
+                # fails proves the pair can't qualify (exact upper bound),
+                # so pruning here never drops a true pair.
+                pi, pj = pos[rs + i], pos[rs + j]
+                ub = (np.minimum(pi, pj) + 1
+                      + np.minimum(sa - 1 - pi, sb - 1 - pj))
+                need = threshold * (sa + sb) / (1.0 + threshold)
+                ok &= ub >= need - 1e-9
+                out_a.append(docs[rs + i][ok])
+                out_b.append(docs[rs + j][ok])
         if not out_a:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})

@@ -1,0 +1,97 @@
+"""Throughput stress for the round-2 training-data operators at 10-100x
+the sf0.1 document count: decontamination, repetition stats, sequence
+packing, per-domain capping, distinctive terms.  Reuses the cached
+pages-derived docs table from stress_jaccard.  Run:
+python tools/stress_curation_ops.py [n_docs]."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import ray  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
+
+from bqf_ray.functions.hashing import xxhash64_array  # noqa: E402
+from bqf_ray.sources.pages import pages_dataset  # noqa: E402
+
+cache = f"/tmp/bqf_bench/docs_{N}"
+if not os.path.exists(os.path.join(cache, "_DONE")):
+    os.makedirs(cache, exist_ok=True)
+    ds = pages_dataset(N, seed=7, parallelism=CPUS)
+
+    def to_docs(batch):
+        ids = (xxhash64_array(batch.column("url"))
+               >> np.uint64(1)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": batch.column("text"),
+                         "lang": batch.column("lang"),
+                         "source": batch.column("url_host")
+                         if "url_host" in batch.schema.names
+                         else batch.column("lang")})
+    ds.map_batches(to_docs, batch_format="pyarrow").write_parquet(cache)
+    open(os.path.join(cache, "_DONE"), "w").write(str(N))
+
+
+def run(name, fn):
+    t0 = time.time()
+    n = fn()
+    dt = time.time() - t0
+    print(f"{name:22s} {dt:8.1f}s  {N/dt:10.0f} docs/s  ({n} rows)",
+          flush=True)
+
+
+docs = ray.data.read_parquet(cache, columns=["doc_id", "text"])
+docs_lang = ray.data.read_parquet(cache, columns=["doc_id", "text", "lang"])
+docs_src = ray.data.read_parquet(cache, columns=["doc_id", "source"])
+
+
+def _decon():
+    from bqf_ray.pipelines.contamination import decontaminate
+
+    def part(bench):
+        def f(b):
+            did = np.asarray(b.column("doc_id"))
+            m = (did % 100 == 0) if bench else (did % 100 != 0)
+            return b.filter(pa.array(m))
+        return f
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    out = decontaminate(corpus, bench, n=3)
+    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+
+
+def _rep():
+    from bqf_ray.pipelines.text_stats import repetition_stats
+    out = repetition_stats(docs)
+    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+
+
+def _pack():
+    from bqf_ray.pipelines.pack import pack_sequences
+    out = pack_sequences(docs_lang, budget=2048, strategy="greedy")
+    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+
+
+def _cap():
+    from bqf_ray.pipelines.text_stats import cap_per_key
+    out = cap_per_key(docs_src, key_col="source", max_rows=50)
+    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+
+
+def _terms():
+    from bqf_ray.pipelines.text_stats import distinctive_terms
+    out = distinctive_terms(docs, top=3)
+    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+
+
+run("decontaminate", _decon)
+run("repetition_stats", _rep)
+run("pack_sequences", _pack)
+run("cap_per_key", _cap)
+run("distinctive_terms", _terms)
+ray.shutdown()
