@@ -146,7 +146,8 @@ def _doc_shingles(batch: pa.Table, text_col: str, id_col: str, s: int,
 
 def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
                  id_col: str = "doc_id", mode: str = "auto",
-                 broadcast_budget_bytes: int = 2 << 30):
+                 broadcast_budget_bytes: int = 2 << 30,
+                 pre_dedupe: bool = False):
     """Exact-Jaccard verification of candidate pairs.  Two plans:
 
     - ``broadcast`` — the (doc_id, shingle) table is materialized into the
@@ -164,7 +165,19 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
     small/medium corpora verify at in-memory speed and 100 TB corpora
     fall back to the shuffle plan.  Callers that KNOW the corpus is huge
     should pass ``mode="copartition"`` to skip the materialization probe.
+
+    ``pre_dedupe=True`` inserts one global candidate-pair dedupe shuffle
+    BEFORE verification — worth its fixed cost when candidates arrive
+    heavily duplicated (MinHash emits one copy per colliding band, ~b×
+    redundancy on strong duplicate clusters); leave False when dupes are
+    rare (jaccard prefixes, ~6%), where verifying the few dupes is
+    cheaper than the extra shuffle.
     """
+    if pre_dedupe:
+        from ray.data.aggregate import Count
+        cand_ds = (cand_ds.groupby(["doc_a", "doc_b"])
+                   .aggregate(Count(alias_name="__c"))
+                   .drop_columns(["__c"]))
     if mode == "auto":
         sets_ds = sets_ds.materialize()
         size = sets_ds.size_bytes() or 0
@@ -176,53 +189,62 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
                                id_col)
 
 
+def _build_verify_index(refs: list, id_col: str):
+    """Build the sorted composite verification index from Arrow block
+    refs.  Runs ONCE in a Ray task; the returned numpy arrays live in the
+    object store and are shared ZERO-COPY by every verify actor (vs. each
+    actor re-sorting the whole sets table in __init__)."""
+    import ray
+    tables = ray.get(list(refs))
+    tables = [t for t in tables
+              if t.num_rows and id_col in t.schema.names]
+    if tables:
+        d = np.concatenate([np.asarray(t.column(id_col), dtype=np.int64)
+                            for t in tables])
+        s = np.concatenate([np.asarray(t.column("shingle"), dtype=np.int64)
+                            for t in tables])
+    else:
+        d = np.empty(0, dtype=np.int64)
+        s = np.empty(0, dtype=np.int64)
+    order = np.lexsort((s, d))
+    d, s = d[order], s[order]
+    uids, starts = np.unique(d, return_index=True)
+    offs = np.concatenate([starts, [len(d)]]).astype(np.int64)
+    su = np.unique(s)
+    assert len(uids) < (1 << 32) and len(su) < (1 << 32)
+    doc_rank = (np.searchsorted(uids, d)
+                if len(d) else np.empty(0, dtype=np.int64))
+    sh_rank = (np.searchsorted(su, s)
+               if len(s) else np.empty(0, dtype=np.int64))
+    comp = ((doc_rank.astype(np.uint64) << np.uint64(32))
+            | sh_rank.astype(np.uint64))
+    return uids, offs, comp, sh_rank.astype(np.uint64)
+
+
 def _verify_broadcast(cand_ds, sets_mat, threshold: float, id_col: str):
     """Broadcast-index exact verification (see :func:`verify_pairs`)."""
     import ray
-    from ray.data.aggregate import Count
 
-    refs_handle = ray.put(sets_mat.to_arrow_refs())
+    refs = sets_mat.to_arrow_refs()
+    index_ref = (ray.remote(num_cpus=1)(_build_verify_index)
+                 .remote(refs, id_col))
 
     class Verify:
-        """Holds the sets table as a sorted composite-key index:
+        """Probes pairs against a sorted composite-key index:
         ``comp[i] = (doc_rank << 32) | shingle_rank`` (lexsorted by
         (doc, shingle), so ``comp`` is sorted).  A pair's intersection is
         counted by probing the SMALLER set's values against the larger
         doc's run with one global ``searchsorted`` over all pairs in the
         batch — O(Σ min(|Sa|,|Sb|) · log) with no per-pair sort.  The
-        32-bit rank packing bounds the broadcast index at 2^32 docs and
-        2^32 distinct shingles — far beyond the broadcast budget anyway
-        (the copartition path has no such bound)."""
+        index is built once by ``_build_verify_index`` and read zero-copy
+        from the object store.  The 32-bit rank packing bounds the
+        broadcast index at 2^32 docs and 2^32 distinct shingles — far
+        beyond the broadcast budget anyway (the copartition path has no
+        such bound)."""
 
         def __init__(self):
-            tables = ray.get(ray.get(refs_handle))
-            # groupby/map_groups upstreams can leave zero-column EMPTY
-            # blocks in a materialized dataset — skip them
-            tables = [t for t in tables
-                      if t.num_rows and id_col in t.schema.names]
-            if tables:
-                d = np.concatenate([np.asarray(t.column(id_col),
-                                               dtype=np.int64)
-                                    for t in tables])
-                s = np.concatenate([np.asarray(t.column("shingle"),
-                                               dtype=np.int64)
-                                    for t in tables])
-            else:
-                d = np.empty(0, dtype=np.int64)
-                s = np.empty(0, dtype=np.int64)
-            order = np.lexsort((s, d))
-            d, s = d[order], s[order]
-            self.uids, starts = np.unique(d, return_index=True)
-            self.offs = np.concatenate([starts, [len(d)]]).astype(np.int64)
-            su = np.unique(s)
-            assert len(self.uids) < (1 << 32) and len(su) < (1 << 32)
-            doc_rank = (np.searchsorted(self.uids, d)
-                        if len(d) else np.empty(0, dtype=np.int64))
-            sh_rank = (np.searchsorted(su, s)
-                       if len(s) else np.empty(0, dtype=np.int64))
-            self.comp = ((doc_rank.astype(np.uint64) << np.uint64(32))
-                         | sh_rank.astype(np.uint64))
-            self.sh_rank = sh_rank.astype(np.uint64)
+            self.uids, self.offs, self.comp, self.sh_rank = \
+                ray.get(index_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             a = np.asarray(batch.column("doc_a"), dtype=np.int64)
@@ -689,23 +711,53 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
             "bh": pa.array(band_hash.reshape(-1).astype(np.int64)),
         })
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        docs = np.unique(np.asarray(group.column("doc_id")))
-        if len(docs) > 200:       # pathological bucket guard — never silent
-            import sys
-            print(f"minhash_lsh_pairs: dropping over-full LSH bucket "
-                  f"({len(docs)} docs > 200); raise r (rows/band) or dedupe "
-                  f"exact-duplicate docs first", file=sys.stderr)
-        if len(docs) < 2 or len(docs) > 200:
+    def emit_pairs_bucket(group: pa.Table) -> pa.Table:
+        """All pairs per band-hash RUN, one call per coarse bucket: a
+        fine-grained ``groupby(bh)`` would invoke a Python UDF once per
+        (band, value) group — millions of near-empty calls.  Here runs
+        are detected with one lexsort; singleton runs (the overwhelming
+        majority) are eliminated vectorized, and only genuine collision
+        runs (near-dup clusters) reach the per-run pair loop."""
+        bh = np.asarray(group.column("bh"))
+        docs = np.asarray(group.column("doc_id"))
+        order = np.lexsort((docs, bh))
+        b, d = bh[order], docs[order]
+        new = np.concatenate([[True], b[1:] != b[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(b)]]))
+        multi = lens >= 2
+        out_a, out_b = [], []
+        import sys
+        for rs, L in zip(starts[multi], lens[multi]):
+            u = np.unique(d[rs:rs + L])
+            if len(u) > 200:      # pathological bucket guard — never silent
+                print(f"minhash_lsh_pairs: dropping over-full LSH bucket "
+                      f"({len(u)} docs > 200); raise r (rows/band) or "
+                      f"dedupe exact-duplicate docs first", file=sys.stderr)
+            if len(u) < 2 or len(u) > 200:
+                continue
+            i, j = np.triu_indices(len(u), k=1)
+            out_a.append(u[i])
+            out_b.append(u[j])
+        if not out_a:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(docs), k=1)
-        return pa.table({"doc_a": pa.array(docs[i]), "doc_b": pa.array(docs[j])})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b))})
+
+    NB = 64
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        bh = np.asarray(batch.column("bh"))
+        return batch.append_column(
+            "__bucket", pa.array(np.abs(bh % np.int64(NB))))
 
     cand = (ds.map_batches(band_rows, batch_format="pyarrow")
+            .map_batches(tag_bucket, batch_format="pyarrow")
             .repartition(16)
-            .groupby("bh")
-            .map_groups(emit_pairs, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(lambda g: emit_pairs_bucket(
+                g.drop_columns(["__bucket"])), batch_format="pyarrow"))
     if not verify:
         # advertised output is distinct pairs — dedupe across bands here
         from ray.data.aggregate import Count
@@ -716,7 +768,8 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
     sets = ds.map_batches(
         lambda b: _doc_shingles(b, text_col, id_col, s, seed),
         batch_format="pyarrow")
-    return verify_pairs(cand, sets, threshold, num_buckets=num_buckets)
+    return verify_pairs(cand, sets, threshold, num_buckets=num_buckets,
+                        pre_dedupe=True)
 
 
 # ---------------------------------------------------------------------------
