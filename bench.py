@@ -115,6 +115,18 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _cold_touch_canary() -> float:
+    """First-touch bandwidth (MB/s) on a fresh 256 MB buffer.  On this
+    virtualized host, cold page faults can degrade 100-300x when the
+    hypervisor is memory-overcommitted (measured 7 MB/s vs 2000+ MB/s
+    warm), dominating every allocation-heavy stage.  Recording it with
+    each bench run lets timings be compared across runs honestly."""
+    import numpy as np
+    t0 = time.time()
+    np.ones(32_000_000, dtype=np.float64)
+    return round(256 / (time.time() - t0), 1)
+
+
 def main_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
@@ -139,6 +151,7 @@ def main_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_pages": n_rows,
         "docs_per_sec": round(n_rows / build_sec, 1),
+        "cold_touch_mb_s": _cold_touch_canary(),
         **space,
     }
     ray.shutdown()
