@@ -19,7 +19,7 @@ ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
 from bqf_ray.functions.hashing import xxhash64_array  # noqa: E402
 from bqf_ray.sources.pages import pages_dataset  # noqa: E402
 
-cache = f"/tmp/bqf_bench/docs_{N}"
+cache = f"/tmp/bqf_bench/docsfull_{N}"
 if not os.path.exists(os.path.join(cache, "_DONE")):
     os.makedirs(cache, exist_ok=True)
     ds = pages_dataset(N, seed=7, parallelism=CPUS)
@@ -27,12 +27,13 @@ if not os.path.exists(os.path.join(cache, "_DONE")):
     def to_docs(batch):
         ids = (xxhash64_array(batch.column("url"))
                >> np.uint64(1)).astype(np.int64)
+        import pyarrow.compute as pc
+        host = pc.replace_substring_regex(batch.column("url"),
+                                          r"^https?://([^/]+)/.*$", r"\1")
         return pa.table({"doc_id": pa.array(ids),
                          "text": batch.column("text"),
                          "lang": batch.column("lang"),
-                         "source": batch.column("url_host")
-                         if "url_host" in batch.schema.names
-                         else batch.column("lang")})
+                         "source": host})
     ds.map_batches(to_docs, batch_format="pyarrow").write_parquet(cache)
     open(os.path.join(cache, "_DONE"), "w").write(str(N))
 
@@ -62,31 +63,31 @@ def _decon():
     corpus = docs.map_batches(part(False), batch_format="pyarrow")
     bench = docs.map_batches(part(True), batch_format="pyarrow")
     out = decontaminate(corpus, bench, n=3)
-    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
 def _rep():
     from bqf_ray.pipelines.text_stats import repetition_stats
     out = repetition_stats(docs)
-    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
 def _pack():
     from bqf_ray.pipelines.pack import pack_sequences
     out = pack_sequences(docs_lang, budget=2048, strategy="greedy")
-    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
 def _cap():
     from bqf_ray.pipelines.text_stats import cap_per_key
     out = cap_per_key(docs_src, key_col="source", max_rows=50)
-    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
 def _terms():
     from bqf_ray.pipelines.text_stats import distinctive_terms
     out = distinctive_terms(docs, top=3)
-    return sum(len(b) for b in out.iter_batches(batch_size=4096))
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
 run("decontaminate", _decon)
