@@ -152,19 +152,34 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
 
         def partials(batch: pa.Table) -> pa.Table:
             import pandas as pd
+            from bqf_ray.sketches.hll import _register_updates
             ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]").astype(np.int64)
             ws = _window_start_us(ts, size_s)
             ids = fmix64(np.asarray(batch.column(id_col)).astype(np.uint64))
-            # one register-matrix scatter for ALL (window, key) groups —
-            # no python-per-group sketch building; registers travel as a
-            # LIST column so the merge side stays vectorized too
+            # SPARSE partials: only registers this batch touched cross the
+            # shuffle, as (reg_idx << 8 | rho) int32 entries — ≤ one entry
+            # per input row instead of a dense 2^p-byte vector per group.
+            # Max-merge over sparse entries is bit-identical to dense merge.
+            # (Worst case — a group touching all 2^p registers in one batch
+            # — costs 4·2^p bytes vs 2^p dense; the sparse side wins by
+            # orders of magnitude whenever rows-per-group-per-batch ≪ 2^p,
+            # which is the regime every batch-local partial lives in.)
             kcodes, kuniq = pd.factorize(
                 np.asarray(batch.column(key_col)).astype("U"))
             wcodes, wuniq = pd.factorize(ws)
             packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
             ug, ginv = np.unique(packed, return_inverse=True)
-            regs = HyperLogLog.grouped_registers(ids, ginv, len(ug), hll_p)
-            offs = np.arange(len(ug) + 1, dtype=np.int32) * np.int32(m_regs)
+            ridx, rho = _register_updates(ids, hll_p)
+            comp = ginv.astype(np.int64) * m_regs + ridx
+            order = np.lexsort((rho, comp))          # comp asc, rho asc
+            comp_s, rho_s = comp[order], rho[order]
+            last = np.r_[comp_s[1:] != comp_s[:-1], True]   # run max = last
+            comp_u, rho_u = comp_s[last], rho_s[last]
+            grp = comp_u // m_regs
+            entries = ((comp_u % m_regs).astype(np.int32) << np.int32(8)) \
+                | rho_u.astype(np.int32)
+            offs = np.r_[np.int32(0), np.cumsum(
+                np.bincount(grp, minlength=len(ug)), dtype=np.int32)]
             wvals = wuniq[ug // len(kuniq)]
             # bucket on VALUES (window µs, key-string hash) — a local
             # factorize code would scatter the same group across buckets
@@ -176,26 +191,29 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
                 "window_start": pa.array(wvals, pa.int64()),
                 key_col: pa.array(kuniq[ug % len(kuniq)], pa.string()),
                 "regs": pa.ListArray.from_arrays(
-                    pa.array(offs), pa.array(regs.reshape(-1))),
+                    pa.array(offs), pa.array(entries)),
                 "__bucket": pa.array(bucket)})
 
         def merge_bucket(group: pa.Table) -> pa.Table:
             """All partials of a (window, key) share this bucket: one
-            scatter-max + one vectorized estimate — no python per group."""
+            sparse scatter-max + one vectorized estimate — no python per
+            group."""
             import pandas as pd
             ws = np.asarray(group.column("window_start"))
             keys = np.asarray(group.column(key_col)).astype("U")
             col = group.column("regs")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            flat = np.asarray(col.flatten(), dtype=np.uint8)
-            mat = flat.reshape(len(group), m_regs)
+            ent = np.asarray(col.values, dtype=np.int64)
+            row_of = np.repeat(np.arange(len(group), dtype=np.int64),
+                               np.diff(np.asarray(col.offsets)))
             kcodes, kuniq = pd.factorize(keys)
             wcodes, wuniq = pd.factorize(ws)
             packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
             ug, ginv = np.unique(packed, return_inverse=True)
             merged = np.zeros((len(ug), m_regs), dtype=np.uint8)
-            np.maximum.at(merged, ginv, mat)
+            np.maximum.at(merged, (ginv[row_of], ent >> np.int64(8)),
+                          (ent & np.int64(0xFF)).astype(np.uint8))
             est = HyperLogLog.estimate_matrix(merged)
             return pa.table({
                 "window_start": pa.array(wuniq[ug // len(kuniq)], pa.int64()),
