@@ -256,8 +256,11 @@ class PartitionedSketch:
         self.shards = shards
 
     @classmethod
-    def from_dataset(cls, blob_ds,
-                     num_partitions: int | None = None) -> "PartitionedSketch":
+    def from_dataset(cls, blob_ds, num_partitions: int) -> "PartitionedSketch":
+        """``num_partitions`` is REQUIRED here: a build's groupby emits only
+        non-empty partitions, so P cannot be inferred from the blob rows
+        (an empty highest partition would silently shrink P and misroute
+        every key%P probe)."""
         shards = {}
         for row in blob_ds.take_all():
             shards[int(row["part"])] = MergeableSketch.from_bytes(row["blob"])

@@ -49,7 +49,7 @@ def test_build_partitioned_bqf(ray_session, pages_ds, pages_table):
     blob_ds = build_partitioned(
         pages_ds, _token_key_fn, lambda: BqfEc(q=10, count_size=8),
         num_partitions=8, batch_size=256)
-    ps = PartitionedSketch.from_dataset(blob_ds)
+    ps = PartitionedSketch.from_dataset(blob_ds, 8)
     assert len(ps.shards) <= 8
     uniq, exact = _exact_token_counts(pages_table)
     got = ps.query_batch(uniq)
@@ -64,7 +64,7 @@ def test_probe_stage_broadcast(ray_session, pages_ds, pages_table):
     blob_ds = build_partitioned(
         pages_ds, _token_key_fn, lambda: BqfEc(q=10, count_size=8),
         num_partitions=4, batch_size=256)
-    ps = PartitionedSketch.from_dataset(blob_ds)
+    ps = PartitionedSketch.from_dataset(blob_ds, 4)
     ref = ray.put(ps)
     uniq, exact = _exact_token_counts(pages_table)
     probe_tbl = pa.table({"key": pa.array(uniq.astype(np.int64))})
@@ -238,3 +238,30 @@ def test_update_bqf_index_incremental(ray_session, tmp_path):
     done = SketchCheckpoint.resume_plan(d_inc, m["config"],
                                         m["input_lineage"])
     assert done == {int(p) for p in m["partitions"]}
+
+
+def test_partitioned_empty_highest_partition(ray_session):
+    """Regression: P must come from the build config, not max(shards)+1.
+    Keys chosen so the highest-numbered partition receives nothing —
+    inferring P from populated shards would misroute EVERY probe."""
+    import ray
+    P = 8
+    keys = np.arange(0, 1600, dtype=np.uint64) * np.uint64(P) \
+        + (np.arange(1600, dtype=np.uint64) % np.uint64(P - 1))  # never part P-1
+    tbl = pa.table({"key": pa.array(keys.astype(np.int64))})
+
+    def key_fn(batch):
+        return (np.asarray(batch.column("key"), dtype=np.int64)
+                .astype(np.uint64), None)
+
+    blob_ds = build_partitioned(ray.data.from_arrow(tbl).repartition(4),
+                                key_fn, lambda: BqfEc(q=12, count_size=8),
+                                num_partitions=P, batch_size=256)
+    ps = PartitionedSketch.from_dataset(blob_ds, P)
+    assert ps.P == P and (P - 1) not in ps.shards
+    np.testing.assert_array_equal(ps.query_batch(keys),
+                                  np.ones(len(keys), dtype=np.uint64))
+    # absent keys that route to the empty partition report 0, not garbage
+    absent = np.arange(7, 8000, 8, dtype=np.uint64) * np.uint64(P) \
+        + np.uint64(P - 1)
+    assert (ps.query_batch(absent) == 0).all()

@@ -36,7 +36,7 @@ t0 = time.time()
 blob_ds = build_partitioned(keys_ds, key_fn,
                             lambda: BqfEc(q=16, count_size=4),
                             num_partitions=CPUS, batch_size=None)
-ps = PartitionedSketch.from_dataset(blob_ds)
+ps = PartitionedSketch.from_dataset(blob_ds, CPUS)
 dt = time.time() - t0
 total_bytes = sum(len(s.to_bytes()) for s in ps.shards.values())
 print(f"keys={N} build_sec={dt:.1f} keys_per_sec={N/dt:,.0f} "
