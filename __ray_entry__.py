@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-41 of 48 queries.  The approximate family is oracle-checked through
+42 of 49 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -529,6 +529,13 @@ def q_distinctive_terms(sf_dir):
     return distinctive_terms(_docs(sf_dir), top=3)
 
 
+def q_ngram_lm(sf_dir):
+    """CCNet-style bigram-LM quality score, self-trained on the corpus.
+    Integer micro-nat sums make the float column deterministic."""
+    from bqf_ray.pipelines.lm import ngram_lm_score
+    return ngram_lm_score(_docs(sf_dir))
+
+
 def q_pack_chunks(sf_dir):
     """Concat-and-chunk sequence packing per (lang, 1000-doc shard):
     per-pack doc/token counts.  The greedy strict-budget strategy is
@@ -740,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_fimpera": q_probe_fimpera,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "ngram_lm": q_ngram_lm,
         "distinctive_terms": q_distinctive_terms,
         "pack_chunks": q_pack_chunks,
         "scrub_pii": q_scrub_pii,
@@ -839,6 +847,38 @@ def oracle_sql() -> dict[str, str]:
                    a.top_c::DOUBLE / a.n_tok AS top_token_frac,
                    COALESCE(b.top2_c::DOUBLE / b.n2, 0.0) AS top_bigram_frac
             FROM agg a LEFT JOIN a2 b USING (doc_id)""",
+        "ngram_lm": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i] AS prev, ts[i+1] AS tok
+              FROM toks, LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(ts)-1, 0))) AS i) u),
+            cb AS (SELECT prev, tok, count(*)::BIGINT AS c
+                   FROM big GROUP BY 1, 2),
+            cp AS (SELECT prev, count(*)::BIGINT AS c FROM big GROUP BY 1),
+            v AS (SELECT count(DISTINCT t)::BIGINT AS nv
+                  FROM (SELECT unnest(ts) AS t FROM toks)),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(floor(ln((cb.c + 1.0) / (cp.c + v.nv)) * 1000000.0
+                                + 0.5) AS BIGINT) AS lpm
+              FROM big b
+              JOIN cb ON b.prev = cb.prev AND b.tok = cb.tok
+              JOIN cp ON b.prev = cp.prev CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS nb,
+                           sum(lpm)::BIGINT AS s
+                    FROM scored GROUP BY 1)
+            SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+                   COALESCE(a.nb, 0) AS n_bigrams,
+                   0::BIGINT AS oov_bigrams,
+                   COALESCE(a.s, 0) AS sum_lp_micro,
+                   CASE WHEN COALESCE(a.nb, 0) > 0
+                        THEN (a.s / 1000000.0) / a.nb ELSE 0.0
+                   END AS avg_logprob
+            FROM toks t LEFT JOIN agg a USING (doc_id)""",
         "distinctive_terms": f"""
             WITH t AS (SELECT doc_id, token FROM ({tokens})
                        WHERE token <> ''),
