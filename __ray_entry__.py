@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-42 of 49 queries.  The approximate family is oracle-checked through
+44 of 51 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -466,6 +466,71 @@ def w_kll_quantiles_price(sf_dir):
     return _quantile_bound_check(ds, "l_extendedprice", "kll", 0.02)
 
 
+def w_grouped_quantiles(sf_dir):
+    """Per-lang t-digest quantiles of document length: grouped sketch
+    partials + one blob-only groupby shuffle.  Rank-error checked per
+    (lang, q) — the exact per-group rank of each estimate is recomputed
+    distributedly, and the oracle asserts every row is within tol."""
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    est = grouped_quantiles(ds, "lang", "n_chars",
+                            qs=(0.25, 0.5, 0.75)).to_pandas()
+    ref = ray.put(est)
+
+    class GroupRank:
+        def __init__(self):
+            e = ray.get(ref)
+            self.langs = e["lang"].to_numpy()
+            self.ests = e["estimate"].to_numpy()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lang = batch.column("lang").to_numpy(zero_copy_only=False)
+            v = np.asarray(batch.column("n_chars"), dtype=np.float64)
+            le = np.empty(len(self.ests), dtype=np.int64)
+            n = np.empty(len(self.ests), dtype=np.int64)
+            for i, (g, e) in enumerate(zip(self.langs, self.ests)):
+                m = lang == g
+                le[i] = int((v[m] <= e).sum())
+                n[i] = int(m.sum())
+            return pa.table({"i": pa.array(np.arange(len(self.ests))),
+                             "le": pa.array(le), "n": pa.array(n)})
+
+    parts = (ds.map_batches(GroupRank, batch_format="pyarrow",
+                            concurrency=2).to_pandas())
+    agg = parts.groupby("i").sum()
+    ranks = (agg["le"] / agg["n"]).to_numpy()
+    qs = est["q"].astype(float).to_numpy()
+    ok = np.abs(ranks - qs) <= 0.02
+    return pd.DataFrame({"lang": est["lang"], "q": est["q"],
+                         "within_bound": [bool(b) for b in ok]})
+
+
+def w_range_partition(sf_dir):
+    """Sketch-driven range partitioner (sample-sort planner): KLL
+    boundaries over events.value, rows routed by searchsorted, balance
+    audited.  Emits per-partition within_bound (|frac − 1/P| ≤ tol) plus
+    the exact total row count — the oracle recomputes the total, so row
+    conservation through the routing stage is driver-verified."""
+    import pandas as pd
+    import ray
+    from bqf_ray.stages.partition import range_partition_counts
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    P = 8
+    _, counts = range_partition_counts(ds, "value", P, method="kll", k=1024)
+    total = int(counts.sum())
+    frac = counts / max(total, 1)
+    ok = np.abs(frac - 1.0 / P) <= 0.03
+    return pd.DataFrame({
+        "partition_id": np.arange(P, dtype=np.int64),
+        "within_bound": [bool(b) for b in ok],
+        "total_rows": np.full(P, total, dtype=np.int64),
+    })
+
+
 def w_heavy_hitters(sf_dir):
     from bqf_ray.pipelines.aggregates import heavy_hitters
     return heavy_hitters(_docs(sf_dir), top=20)
@@ -764,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": w_hll_distinct,
         "tdigest_quantiles": w_quantiles_value,
         "kll_quantiles": w_kll_quantiles_price,
+        "grouped_quantiles": w_grouped_quantiles,
+        "range_partition": w_range_partition,
         "heavy_hitters": w_heavy_hitters,
         "minhash_pairs": w_minhash_pairs,
         "simhash_fingerprints": w_simhash_fingerprints,
@@ -1028,6 +1095,14 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT unnest(['0.01','0.25','0.50','0.75','0.99']) AS q,
                    TRUE AS within_bound""",
+        "grouped_quantiles": """
+            SELECT lang, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT lang FROM documents)
+            CROSS JOIN (SELECT unnest(['0.25','0.50','0.75']) AS q)""",
+        "range_partition": """
+            SELECT i::BIGINT AS partition_id, TRUE AS within_bound,
+                   (SELECT count(*) FROM events)::BIGINT AS total_rows
+            FROM generate_series(0, 7) t(i)""",
         "heavy_hitters": f"""
             SELECT token, cnt FROM (
               SELECT token, count(*)::BIGINT AS cnt

@@ -226,6 +226,42 @@ def value_quantiles(ds, value_col: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
     return {float(q): float(sk.quantile(q)) for q in qs}
 
 
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      qs=(0.25, 0.5, 0.75), method: str = "tdigest"):
+    """Per-group approximate quantiles: grouped t-digest/KLL partials
+    (one fixed-size blob per (batch, group)) merged by ONE
+    ``groupby(group_col)`` blob-only shuffle — raw rows never cross the
+    exchange, so hot groups need no salting.  Returns
+    Dataset[(group_col, q: str, estimate: float64)]."""
+    from bqf_ray.sketches.base import MergeableSketch
+    from bqf_ray.sketches.kll import KLL
+    from bqf_ray.sketches.tdigest import TDigest
+    from bqf_ray.stages.sketch_stage import build_grouped
+
+    def vals(batch: pa.Table) -> np.ndarray:
+        return np.asarray(batch.column(value_col), dtype=np.float64)
+
+    factory = (lambda: TDigest(delta=300)) if method == "tdigest" \
+        else (lambda: KLL(k=400, seed=11))
+    blobs = build_grouped(ds, group_col, vals, factory)
+    qlist = [float(q) for q in qs]
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        groups, qcol, est = [], [], []
+        for g, blob in zip(batch.column(group_col).to_pylist(),
+                           batch.column("blob").to_pylist()):
+            sk = MergeableSketch.from_bytes(blob)
+            for q in qlist:
+                groups.append(g)
+                qcol.append(f"{q:.2f}")
+                est.append(float(sk.quantile(q)))
+        return pa.table({group_col: pa.array(groups),
+                         "q": pa.array(qcol, pa.string()),
+                         "estimate": pa.array(est, pa.float64())})
+
+    return blobs.map_batches(finalize, batch_format="pyarrow")
+
+
 def pricing_summary(ds):
     """TPC-H-Q1-style rollup over lineitem (generic-aggregate smoke):
     per (l_returnflag, l_linestatus): sum_qty, sum_base_price, sum_disc_price,

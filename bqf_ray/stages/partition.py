@@ -82,6 +82,70 @@ def salted_aggregate(ds, key_col: str, agg_cols: dict[str, str],
             .map_groups(phase2, batch_format="pyarrow"))
 
 
+def quantile_boundaries(ds, value_col: str, num_partitions: int,
+                        method: str = "kll", k: int = 1024,
+                        seed: int = 11) -> np.ndarray:
+    """``num_partitions − 1`` interior range boundaries from ONE sketch
+    pass (KLL or t-digest partials + tree merge) — the sample-sort planner.
+    Unlike Ray's built-in sort sampling this exposes the boundaries as a
+    reusable artifact: compute once, route many datasets/stages with the
+    same key ranges (the ONE-partitioning-key-reused-everywhere rule)."""
+    from bqf_ray.sketches.kll import KLL
+    from bqf_ray.sketches.tdigest import TDigest
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    def key_fn(batch: pa.Table):
+        return np.asarray(batch.column(value_col), dtype=np.float64), None
+
+    factory = (lambda: KLL(k=k, seed=seed)) if method == "kll" \
+        else (lambda: TDigest(delta=max(k, 100)))
+    sk = build_sketch(ds, key_fn, factory)
+    P = int(num_partitions)
+    return np.array([sk.quantile(i / P) for i in range(1, P)],
+                    dtype=np.float64)
+
+
+def assign_range_partition(ds, value_col: str, boundaries: np.ndarray,
+                           part_col: str = "__part"):
+    """Append ``part_col = searchsorted(boundaries, value)`` — the routing
+    half of a sample-sort/range-shuffle: rows with equal-range values get
+    the same partition id, partitions are value-ordered, and downstream
+    ``groupby(part_col)`` / partitioned writes see near-uniform sizes
+    (balance bounded by the sketch's rank error).  Boundaries are tiny and
+    ship inside the closure (one object-store copy per task, not per
+    batch)."""
+    b = np.asarray(boundaries, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(value_col), dtype=np.float64)
+        part = np.searchsorted(b, v, side="right").astype(np.int64)
+        return batch.append_column(part_col, pa.array(part))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def range_partition_counts(ds, value_col: str, num_partitions: int,
+                           method: str = "kll", k: int = 1024):
+    """Plan + route + audit in one call: returns
+    ``(boundaries, counts: np.ndarray[num_partitions])`` where counts come
+    from per-batch bincount partials summed on the driver (P-sized arrays
+    only — no row materialization)."""
+    P = int(num_partitions)
+    boundaries = quantile_boundaries(ds, value_col, P, method=method, k=k)
+    routed = assign_range_partition(ds, value_col, boundaries)
+
+    def count_parts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(np.asarray(batch.column("__part"), dtype=np.int64),
+                        minlength=P).astype(np.int64)
+        return pa.table({"part": pa.array(np.arange(P, dtype=np.int64)),
+                         "n": pa.array(c)})
+
+    parts = routed.map_batches(count_parts, batch_format="pyarrow").to_pandas()
+    counts = (parts.groupby("part")["n"].sum()
+              .reindex(range(P), fill_value=0).to_numpy())
+    return boundaries, counts
+
+
 def phase2_local(batch: pa.Table) -> pa.Table:
     """Combine one (key, salt) group's pre-aggregated partials into one row
     (drops the salt column)."""

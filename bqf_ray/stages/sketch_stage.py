@@ -237,6 +237,53 @@ def build_partitioned(ds, key_fn: KeyFn, factory: Callable[[], MergeableSketch],
     return kv.groupby("__part").map_groups(build_group, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# shape 4: grouped build (one merged sketch per group value)
+# ---------------------------------------------------------------------------
+
+def build_grouped(ds, group_col: str, value_fn, factory,
+                  batch_size: int | None = 4096):
+    """One merged sketch per distinct value of ``group_col`` — the grouped
+    mergeable-UDAF plan: a per-batch combiner builds one partial sketch per
+    (batch, group), then a single ``groupby(group_col)`` shuffle merges
+    blobs per group.  Returns Dataset[(group_col, blob: binary)].
+
+    ``value_fn(batch) -> np.ndarray`` must return one value per input ROW
+    (aligned with ``group_col``).
+
+    Scale note: raw rows never cross the exchange — shuffle volume is
+    n_blocks × groups_per_block × sketch_size.  A skewed (hot) group costs
+    nothing extra: each batch contributes one fixed-size partial for it no
+    matter how many of the batch's rows it owns, so no salting is needed.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(value_fn(batch))
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        blobs = []
+        for i in range(len(uniq)):
+            sk = factory()
+            sk.update_batch(vals[order[bounds[i]:bounds[i + 1]]])
+            blobs.append(sk.to_bytes())
+        return pa.table({group_col: pa.array(list(uniq)),
+                         "blob": pa.array(blobs, pa.binary())})
+
+    def merge_group(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("blob").to_pylist()
+        sk = MergeableSketch.from_bytes(blobs[0])
+        sk.merge_many([MergeableSketch.from_bytes(b) for b in blobs[1:]])
+        return pa.table({group_col: batch.column(group_col).slice(0, 1),
+                         "blob": pa.array([sk.to_bytes()], pa.binary())})
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .groupby(group_col)
+            .map_groups(merge_group, batch_format="pyarrow"))
+
+
 class PartitionedSketch:
     """P shard sketches over disjoint key ranges (key % P routing).
 
