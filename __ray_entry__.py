@@ -717,12 +717,10 @@ def w_window_distinct_hll(sf_dir):
     """Per-window HLL distinct vs the exact count: emits the exact value
     plus a per-row bound flag (10% — small windows sit in HLL's
     linear-counting regime at p=12), so the oracle checks the bound."""
-    from bqf_ray.pipelines.windowed import windowed_distinct
-    exact = (windowed_distinct(_events(sf_dir), size_s=3600, exact=True)
-             .to_pandas())
-    est = (windowed_distinct(_events(sf_dir), size_s=3600, exact=False)
-           .to_pandas())
-    m = exact.merge(est, on=["window_start", "event_type"])   # result-sized
+    from bqf_ray.pipelines.windowed import windowed_distinct_check
+    m = (windowed_distinct_check(_events(sf_dir), size_s=3600)
+         .to_pandas())            # ONE read + ONE bucketed shuffle;
+    # estimate bit-identical to windowed_distinct(exact=False) (pytest)
     err = (m["n_distinct_est"] - m["n_distinct"]).abs()
     rel = err / m["n_distinct"].clip(lower=1)
     # tiny windows (a handful of users) sit in the linear-counting regime

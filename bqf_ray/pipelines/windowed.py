@@ -182,10 +182,13 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
                 np.bincount(grp, minlength=len(ug)), dtype=np.int32)]
             wvals = wuniq[ug // len(kuniq)]
             # bucket on VALUES (window µs, key-string hash) — a local
-            # factorize code would scatter the same group across buckets
-            khash = xxhash64_array(kuniq.astype("U"))[ug % len(kuniq)]
-            bucket = ((wvals.astype(np.uint64)
-                       * np.uint64(0x9E3779B97F4A7C15) ^ khash)
+            # factorize code would scatter the same group across buckets.
+            # fmix64 AFTER combining: window starts are size_us-aligned so
+            # their low bits are all zero — a plain multiply-xor-mod keeps
+            # that alignment and collapses the buckets to one per key
+            bucket = (fmix64(wvals.astype(np.uint64)
+                             ^ xxhash64_array(kuniq.astype("U"))
+                             [ug % len(kuniq)])
                       % np.uint64(NB)).astype(np.int64)
             return pa.table({
                 "window_start": pa.array(wvals, pa.int64()),
@@ -211,10 +214,17 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
             wcodes, wuniq = pd.factorize(ws)
             packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
             ug, ginv = np.unique(packed, return_inverse=True)
-            merged = np.zeros((len(ug), m_regs), dtype=np.uint8)
-            np.maximum.at(merged, (ginv[row_of], ent >> np.int64(8)),
-                          (ent & np.int64(0xFF)).astype(np.uint8))
-            est = HyperLogLog.estimate_matrix(merged)
+            # stay SPARSE end-to-end: max-merge the (group, register)
+            # entries by sort + last-of-run, then estimate without ever
+            # allocating the (groups × 2^p) dense matrix (estimate_sparse
+            # docstring explains why dense is a trap here)
+            rho = (ent & np.int64(0xFF))
+            comp = ginv[row_of] * np.int64(m_regs) + (ent >> np.int64(8))
+            order = np.lexsort((rho, comp))
+            comp_s, rho_s = comp[order], rho[order]
+            last = np.r_[comp_s[1:] != comp_s[:-1], True]
+            est = HyperLogLog.estimate_sparse(comp_s[last] // m_regs,
+                                              rho_s[last], len(ug), hll_p)
             return pa.table({
                 "window_start": pa.array(wuniq[ug // len(kuniq)], pa.int64()),
                 key_col: pa.array(kuniq[ug % len(kuniq)], pa.string()),
@@ -230,6 +240,87 @@ def windowed_distinct(ds, size_s: int = 3600, ts_col: str = "ts",
                                 pa.array(ws.astype("datetime64[us]")))
 
     return out.map_batches(to_ts, batch_format="pyarrow")
+
+
+def windowed_distinct_check(ds, size_s: int = 3600, ts_col: str = "ts",
+                            key_col: str = "event_type",
+                            id_col: str = "user_id", hll_p: int = 12):
+    """Exact distinct AND the HLL estimate per (window, key) in ONE
+    bucketed shuffle — the bound-verification plan.
+
+    The pure approximate plan (:func:`windowed_distinct` with
+    ``exact=False``) ships only sparse register partials; verifying its
+    bound requires the exact count, which inherently means shipping ids.
+    Rather than running the exact and approximate pipelines separately
+    (two reads + three shuffles), this ships per-batch-DISTINCT
+    (window, key, id) triples once, bucketed by hash(window, key), and
+    computes both answers per group in the merge: exact via unique-pair
+    counting, estimate via a dense register scatter-max over the same
+    ids — bit-identical to the sparse-partial merge (register max is
+    indifferent to how updates are batched; property-tested).
+    """
+    import pandas as pd
+    from bqf_ray.functions.hashing import fmix64, xxhash64_array
+    from bqf_ray.sketches.hll import HyperLogLog, _register_updates
+
+    m_regs = 1 << hll_p
+    NB = 16
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column(ts_col)).astype(
+            "datetime64[us]").astype(np.int64)
+        ws = _window_start_us(ts, size_s)
+        keys = np.asarray(batch.column(key_col)).astype("U")
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        kcodes, kuniq = pd.factorize(keys)
+        # batch-local dedup of (window, key, id): only distinct triples
+        # cross the exchange
+        trip = np.stack([ws, kcodes.astype(np.int64), ids], axis=1)
+        trip = np.unique(trip, axis=0)
+        ws_u, kc_u, id_u = trip[:, 0], trip[:, 1], trip[:, 2]
+        # fmix64 AFTER xor: window starts are size_us-aligned (low bits
+        # zero), so unmixed mod-NB would collapse to one bucket per key
+        khash = xxhash64_array(kuniq.astype("U"))[kc_u]
+        bucket = (fmix64(ws_u.astype(np.uint64) ^ khash)
+                  % np.uint64(NB)).astype(np.int64)
+        return pa.table({
+            "window_start": pa.array(ws_u, pa.int64()),
+            key_col: pa.array(kuniq[kc_u], pa.string()),
+            id_col: pa.array(id_u, pa.int64()),
+            "__bucket": pa.array(bucket)})
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        ws = np.asarray(group.column("window_start"), dtype=np.int64)
+        keys = np.asarray(group.column(key_col)).astype("U")
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        kcodes, kuniq = pd.factorize(keys)
+        wcodes, wuniq = pd.factorize(ws)
+        packed = wcodes.astype(np.int64) * len(kuniq) + kcodes
+        # global dedup within the bucket
+        pair = np.stack([packed, ids], axis=1)
+        pair = np.unique(pair, axis=0)
+        gp, gid = pair[:, 0], pair[:, 1]
+        ug, ginv = np.unique(gp, return_inverse=True)
+        n_exact = np.bincount(ginv, minlength=len(ug)).astype(np.int64)
+        ridx, rho = _register_updates(fmix64(gid.astype(np.uint64)), hll_p)
+        # sparse max-merge + sparse estimate — same kernel as the
+        # approximate path, so the two stay bit-identical
+        comp = ginv * np.int64(m_regs) + ridx.astype(np.int64)
+        order = np.lexsort((rho, comp))
+        comp_s, rho_s = comp[order], rho[order].astype(np.int64)
+        last = np.r_[comp_s[1:] != comp_s[:-1], True]
+        est = HyperLogLog.estimate_sparse(comp_s[last] // m_regs,
+                                          rho_s[last], len(ug), hll_p)
+        return pa.table({
+            "window_start": pa.array(
+                wuniq[ug // len(kuniq)].astype("datetime64[us]")),
+            key_col: pa.array(kuniq[ug % len(kuniq)], pa.string()),
+            "n_distinct": pa.array(n_exact),
+            "n_distinct_est": pa.array(est, pa.float64())})
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow"))
 
 
 def session_windows(ds, gap_s: int = 1800, ts_col: str = "ts",

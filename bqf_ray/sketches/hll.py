@@ -85,6 +85,42 @@ class HyperLogLog(MergeableSketch):
         return e
 
     @classmethod
+    def estimate_sparse(cls, gidx: np.ndarray, rho: np.ndarray,
+                        n_groups: int, p: int) -> np.ndarray:
+        """Row-wise estimates from SPARSE register maxima: ``(gidx[i],
+        rho[i])`` lists each group's nonzero registers exactly once with
+        its max rho (dedupe before calling).  Never materializes the
+        (n_groups, 2^p) dense matrix — beyond the asymptotic win, dense
+        register matrices are multi-MB fresh allocations, exactly what
+        first-touch page-fault cost makes dominant on overcommitted hosts
+        (BASELINE.md measurement).  Same alpha and small/large-range
+        corrections as :meth:`estimate_matrix`; tiny float differences vs
+        the dense row sum are possible (different summation order), so a
+        pipeline must use one form consistently."""
+        m = 1 << p
+        if m == 16:
+            alpha = 0.673
+        elif m == 32:
+            alpha = 0.697
+        elif m == 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1 + 1.079 / m)
+        gidx = np.asarray(gidx, dtype=np.int64)
+        nnz = np.bincount(gidx, minlength=n_groups).astype(np.int64)
+        inv_nz = np.ldexp(1.0, -np.asarray(rho, dtype=np.int64))
+        inv = ((m - nnz).astype(np.float64)
+               + np.bincount(gidx, weights=inv_nz, minlength=n_groups))
+        e = alpha * m * m / inv
+        v = m - nnz
+        small = (e <= 2.5 * m) & (v > 0)
+        e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
+        big = e > (1 / 30.0) * 2**64
+        if big.any():
+            e = np.where(big, -(2.0**64) * np.log(1.0 - e / 2.0**64), e)
+        return e
+
+    @classmethod
     def from_registers(cls, row: np.ndarray) -> "HyperLogLog":
         p = int(np.log2(len(row)))
         s = cls(p=p)

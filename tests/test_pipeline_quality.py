@@ -178,6 +178,38 @@ def test_windowed_hll_grouped_registers_match_scalar():
                    - h.estimate()) < 1e-9
 
 
+def test_windowed_distinct_check_matches_both_paths(ray_session):
+    """The fused exact+HLL plan must reproduce the exact counts of
+    windowed_distinct(exact=True) and the BIT-IDENTICAL estimates of
+    windowed_distinct(exact=False) — register max is indifferent to how
+    updates are batched."""
+    import ray
+    from bqf_ray.pipelines.windowed import (windowed_distinct,
+                                            windowed_distinct_check)
+    rng = np.random.RandomState(4)
+    n = 20_000
+    ts = pa.array((np.int64(1_700_000_000_000_000)
+                   + rng.randint(0, 48 * 3600, n) * 1_000_000
+                   ).astype("datetime64[us]"))
+    tbl = pa.table({
+        "ts": ts,
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "user_id": pa.array(rng.zipf(1.5, n).astype(np.int64) % 2000),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    keys = ["window_start", "event_type"]
+    fused = (windowed_distinct_check(ds, 3600).to_pandas()
+             .sort_values(keys).reset_index(drop=True))
+    exact = (windowed_distinct(ds, 3600, exact=True).to_pandas()
+             .sort_values(keys).reset_index(drop=True))
+    est = (windowed_distinct(ds, 3600, exact=False).to_pandas()
+           .sort_values(keys).reset_index(drop=True))
+    assert (fused["n_distinct"].to_numpy()
+            == exact["n_distinct"].to_numpy()).all()
+    np.testing.assert_array_equal(fused["n_distinct_est"].to_numpy(),
+                                  est["n_distinct_est"].to_numpy())
+
+
 @pytest.mark.parametrize("mode", ["broadcast", "copartition"])
 def test_verify_pairs_random_corpora(ray_session, mode):
     """verify_pairs must equal brute-force jaccard for EVERY candidate
