@@ -542,13 +542,18 @@ def w_minhash_pairs(sf_dir):
 
 
 def w_simhash_fingerprints(sf_dir):
-    from bqf_ray.pipelines.text_stats import content_fingerprints
-    return content_fingerprints(_docs(sf_dir))
+    """md5-hashed SimHash: bit-exactly recomputable in ANSI SQL, so the
+    oracle checks every fingerprint (the xxh64 default stays the fast
+    path; the hash is pluggable and the fingerprint math identical)."""
+    from bqf_ray.pipelines.dedup import simhash_fingerprints
+    return simhash_fingerprints(_docs(sf_dir), algo="md5")
 
 
 def w_simhash_dups(sf_dir):
+    """max_hamming=3 keeps 4×16-band blocking EXACT (pigeonhole), so the
+    oracle's brute-force pair join must match bit-for-bit."""
     from bqf_ray.pipelines.dedup import simhash_dup_pairs
-    return simhash_dup_pairs(_docs(sf_dir), max_hamming=6)
+    return simhash_dup_pairs(_docs(sf_dir), max_hamming=3, algo="md5")
 
 
 def w_lang_id(sf_dir):
@@ -862,6 +867,62 @@ def oracle_sql() -> dict[str, str]:
         "first_repeat_tokens": f"""
             SELECT token FROM ({tokens}) WHERE token <> ''
             GROUP BY token HAVING count(*) >= 2""",
+        # SimHash is recomputed from scratch in SQL: md5-derived 64-bit
+        # token hash (identical to md5_hash64_array), count-weighted ±1
+        # per bit, sign of the sum — so every fingerprint is checked
+        # bit-for-bit, not just bounds.
+        "simhash_fingerprints": f"""
+            WITH tok AS (
+              SELECT doc_id, token, count(*)::BIGINT AS cnt
+              FROM ({tokens}) WHERE token <> '' GROUP BY 1, 2),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h, cnt
+              FROM tok),
+            bits AS (
+              SELECT doc_id, b.b AS bit,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1
+                              THEN cnt ELSE -cnt END) AS s
+              FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0
+                              THEN (1::UBIGINT << bit)
+                              ELSE 0::UBIGINT END) AS u
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(f.u, 0)::HUGEINT
+                        - CASE WHEN COALESCE(f.u, 0)
+                                    >= 9223372036854775808::UBIGINT
+                               THEN 18446744073709551616::HUGEINT
+                               ELSE 0::HUGEINT END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN fp f USING (doc_id)""",
+        "simhash_dups": f"""
+            WITH tok AS (
+              SELECT doc_id, token, count(*)::BIGINT AS cnt
+              FROM ({tokens}) WHERE token <> '' GROUP BY 1, 2),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h, cnt
+              FROM tok),
+            bits AS (
+              SELECT doc_id, b.b AS bit,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1
+                              THEN cnt ELSE -cnt END) AS s
+              FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0
+                              THEN (1::UBIGINT << bit)
+                              ELSE 0::UBIGINT END) AS u
+              FROM bits GROUP BY doc_id),
+            allfp AS (
+              SELECT d.doc_id, COALESCE(f.u, 0::UBIGINT) AS u
+              FROM documents d LEFT JOIN fp f USING (doc_id))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.u, b.u))::BIGINT AS hamming
+            FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.u, b.u)) <= 3""",
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM (
               SELECT doc_id,

@@ -268,6 +268,39 @@ def xxhash64_array(values, seed: int = 0, chunk_bytes: int = 1 << 26) -> np.ndar
     return out
 
 
+def md5_hash64_array(values) -> np.ndarray:
+    """64-bit hash = big-endian first 8 bytes of ``md5(utf8(value))``.
+
+    Chosen for CROSS-ENGINE reproducibility, not speed: any ANSI-SQL
+    engine computes the identical value as
+    ``('0x' || substr(md5(v), 1, 16))::UBIGINT``, which makes md5-based
+    fingerprints (e.g. SimHash) independently checkable outside this
+    engine.  Each DISTINCT value is hashed once (dictionary-encode in
+    Arrow C++, then a vocab-sized Python pass over the dictionary) and
+    gathered back, so the Python cost is O(unique), not O(rows).
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(list(values), type=pa.string())
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = pc.dictionary_encode(values)
+    dic = enc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(
+            (s if isinstance(s, bytes) else str(s).encode("utf-8"))
+            if s is not None else b"").digest()[:8], "big") for s in dic),
+        dtype=np.uint64, count=len(dic))
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    return uh[idx]
+
+
 # ---------------------------------------------------------------------------
 # MurmurHash3 x64 finalizer — integer mixer
 # ---------------------------------------------------------------------------

@@ -50,9 +50,20 @@ def tokenize_column(texts) -> tuple[np.ndarray, np.ndarray]:
     return flat_tokens, doc_offsets
 
 
-def token_hashes(texts, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """xxhash64 of every whitespace token; returns (hashes, doc_offsets)."""
+def token_hashes(texts, seed: int = 0, algo: str = "xxh64",
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hash of every whitespace token; returns (hashes, doc_offsets).
+
+    ``algo="xxh64"`` (default) is the fast vectorized path; ``"md5"``
+    (seed ignored) is bit-reproducible in ANSI SQL — see
+    :func:`bqf_ray.functions.hashing.md5_hash64_array`.
+    """
     toks, offs = tokenize_column(texts)
+    if algo == "md5":
+        from bqf_ray.functions.hashing import md5_hash64_array
+        return md5_hash64_array(toks), offs
+    if algo != "xxh64":
+        raise ValueError(f"unknown token hash algo {algo!r}")
     return xxhash64_array(toks, seed=seed), offs
 
 

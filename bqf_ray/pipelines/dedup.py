@@ -776,9 +776,13 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(batch_texts, seed: int = 0) -> np.ndarray:
-    """64-bit SimHash per document over token hashes (count-weighted)."""
-    th, offs = token_hashes(batch_texts, seed=seed)
+def simhash64(batch_texts, seed: int = 0, algo: str = "xxh64") -> np.ndarray:
+    """64-bit SimHash per document over token hashes (count-weighted).
+
+    ``algo="md5"`` swaps the token hash for the SQL-reproducible md5
+    variant, making the fingerprint itself recomputable by any ANSI-SQL
+    engine (the driver oracle does exactly that)."""
+    th, offs = token_hashes(batch_texts, seed=seed, algo=algo)
     n_docs = len(offs) - 1
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(th) == 0:
@@ -798,11 +802,11 @@ def simhash64(batch_texts, seed: int = 0) -> np.ndarray:
 
 
 def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
-                         seed: int = 0):
+                         seed: int = 0, algo: str = "xxh64"):
     """Dataset[(id, simhash: int64)] fingerprints."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        h = simhash64(batch.column(text_col), seed)
+        h = simhash64(batch.column(text_col), seed, algo=algo)
         return pa.table({id_col: batch.column(id_col),
                          "simhash": pa.array(h.astype(np.int64))})
 
@@ -810,12 +814,19 @@ def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id", seed: int = 0):
+                      id_col: str = "doc_id", seed: int = 0,
+                      algo: str = "xxh64"):
     """Pairs with SimHash Hamming distance ≤ max_hamming via 4×16-bit-band
-    blocking (pigeonhole: distance ≤3 ⇒ at least one band equal)."""
+    blocking (pigeonhole: distance ≤3 ⇒ at least one band equal — the
+    result is EXACT for ``max_hamming <= 3``; above 3 banding is a
+    recall heuristic).  Hot band buckets (many docs sharing a band
+    value) are enumerated in row chunks sized off the bucket, so pair
+    emission stays memory-bounded; the O(n²) compute per bucket is
+    inherent to exact banded SimHash (identical band values must all be
+    compared — salting cannot split them without losing pairs)."""
 
     def banded(batch: pa.Table) -> pa.Table:
-        h = simhash64(batch.column(text_col), seed)
+        h = simhash64(batch.column(text_col), seed, algo=algo)
         ids = np.asarray(batch.column(id_col))
         rows_id, rows_val, rows_hash = [], [], []
         for b in range(4):
@@ -830,31 +841,45 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             "simhash": pa.array(np.concatenate(rows_hash)),
         })
 
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        # SWAR popcount
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
     def emit(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col))
         hs = np.asarray(group.column("simhash")).astype(np.uint64)
         uniq, idx = np.unique(ids, return_index=True)
         ids, hs = uniq, hs[idx]
-        if len(ids) > 500:        # pathological bucket guard — never silent
-            import sys
-            print(f"simhash_dup_pairs: dropping over-full band bucket "
-                  f"({len(ids)} docs > 500); pairs in it are unreported",
-                  file=sys.stderr)
-        if len(ids) < 2 or len(ids) > 500:
+        n = len(ids)
+        if n < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(ids), k=1)
-        x = hs[i] ^ hs[j]
-        # SWAR popcount
-        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        ham = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
-        keep = ham <= max_hamming
-        return pa.table({"doc_a": pa.array(ids[i][keep]),
-                         "doc_b": pa.array(ids[j][keep]),
-                         "hamming": pa.array(ham[keep])})
+        # chunk the pair matrix by rows: each slice compares CH rows
+        # against all columns j > i, so peak memory is ~CH × n cells
+        # regardless of bucket size (no silent drop of hot buckets)
+        CH = max(1, (4 << 20) // max(n, 1))
+        out_a, out_b, out_h = [], [], []
+        for s in range(0, n - 1, CH):
+            e = min(s + CH, n - 1)
+            x = hs[s:e, None] ^ hs[None, :]
+            ham = _popcount(x)
+            ri, cj = np.nonzero(ham <= max_hamming)
+            gi = ri + s
+            upper = cj > gi
+            gi, cj = gi[upper], cj[upper]
+            out_a.append(ids[gi])
+            out_b.append(ids[cj])
+            out_h.append(ham[ri[upper], cj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        hm = np.concatenate(out_h) if out_h else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "hamming": pa.array(hm, pa.int64())})
 
     from ray.data.aggregate import Min
     return (ds.map_batches(banded, batch_format="pyarrow")

@@ -90,3 +90,57 @@ def test_xxh64_distribution_sanity():
     # top-bit balance within 2%
     frac = np.mean((keys >> np.uint64(63)).astype(np.float64))
     assert 0.47 < frac < 0.53
+
+
+def test_md5_hash64_matches_hashlib_and_sql():
+    """md5_hash64_array must equal big-endian first-8-bytes-of-md5 per
+    value AND DuckDB's ('0x' || substr(md5(v),1,16))::UBIGINT — the
+    cross-engine contract the simhash oracle relies on."""
+    import hashlib
+
+    import duckdb
+
+    from bqf_ray.functions.hashing import md5_hash64_array
+
+    vals = ["hello", "", "héllo wörld", "a" * 300, "hello"]  # dup on purpose
+    got = md5_hash64_array(pa.array(vals))
+    want = np.array([int.from_bytes(hashlib.md5(v.encode()).digest()[:8],
+                                    "big") for v in vals], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        sql = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,16))::UBIGINT", [v]).fetchone()[0]
+        assert int(sql) == int(g)
+
+
+def test_simhash_chunked_bucket_pairs_complete():
+    """Chunked pair emission inside a band bucket must equal the full
+    triu enumeration (no pairs lost for buckets larger than one chunk)."""
+    from bqf_ray.pipelines.dedup import simhash64
+
+    rng = np.random.RandomState(7)
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    texts = []
+    for i in range(300):
+        words = base.split()
+        # mutate a couple of words so hamming distances spread 0..64
+        for _ in range(rng.randint(0, 4)):
+            words[rng.randint(len(words))] = f"w{rng.randint(30)}"
+        texts.append(" ".join(words))
+    hs = simhash64(pa.array(texts), algo="md5")
+    # brute-force reference pairs at <=3
+    i, j = np.triu_indices(len(hs), k=1)
+    x = hs[i] ^ hs[j]
+    ham = np.array([bin(int(v)).count("1") for v in x])
+    want = {(a, b) for a, b, h in zip(i, j, ham) if h <= 3}
+
+    import ray
+
+    from bqf_ray.pipelines.dedup import simhash_dup_pairs
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    got = simhash_dup_pairs(ds, max_hamming=3, algo="md5").to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert got_pairs == want
