@@ -624,11 +624,46 @@ def q_scrub_pii(sf_dir):
 
 
 def w_bpe_merges(sf_dir):
-    """BPE tokenizer-training merges (iterative algorithm — rows-only;
-    exactness vs a sequential reference implementation is pytest-checked
-    in tests/test_vocab.py)."""
+    """BPE tokenizer-training merges.  Iterative, but still DuckDB-exact:
+    the oracle unrolls the 8 merge rounds as chained CTEs (see
+    _bpe_oracle_sql) and must reproduce every (rank, pair, count)."""
     from bqf_ray.pipelines.vocab import bpe_merges_table
     return bpe_merges_table(_docs(sf_dir), num_merges=8)
+
+
+def _bpe_oracle_sql(tokens_sql: str, rounds: int = 8) -> str:
+    """Generate the unrolled-CTE SQL equivalent of ``bpe_train``.
+
+    Per round: overlapping adjacent-pair counts weighted by word
+    frequency, best pair by (count DESC, pair lexicographic), then ONE
+    ``replace`` that is exactly greedy left-to-right thanks to the
+    double-space symbol separator — each match consumes only the INNER
+    halves of its two separators, so back-to-back occurrences (e.g. a
+    5-long same-char run) keep enough context to merge in the same pass,
+    matching ``apply_merge``'s skip-after-merge scan bit-for-bit
+    (adversarial chain test in tests/test_vocab.py)."""
+    parts = [f"""w0 AS (
+      SELECT regexp_replace(word, '(.)', '  \\1', 'g') || '  ' AS s, cnt
+      FROM (SELECT token AS word, count(*)::BIGINT AS cnt
+            FROM ({tokens_sql}) WHERE token <> '' GROUP BY token))"""]
+    for k in range(rounds):
+        parts.append(f"""p{k} AS (
+      SELECT syms[i.i] AS l, syms[i.i + 1] AS r, sum(cnt)::BIGINT AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt FROM w{k}) t,
+           LATERAL (SELECT unnest(generate_series(1, len(t.syms) - 1)) AS i) i
+      GROUP BY 1, 2)""")
+        parts.append(f"""b{k} AS (
+      SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1)""")
+        if k < rounds - 1:
+            parts.append(f"""w{k + 1} AS (
+      SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS s, cnt
+      FROM w{k}, b{k} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS rank, l AS left, r AS right, "
+        f"n AS pair_count FROM b{k}" for k in range(rounds))
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def q_embedding_stats(sf_dir):
@@ -867,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "first_repeat_tokens": f"""
             SELECT token FROM ({tokens}) WHERE token <> ''
             GROUP BY token HAVING count(*) >= 2""",
+        "bpe_merges": _bpe_oracle_sql(tokens, rounds=8),
         # SimHash is recomputed from scratch in SQL: md5-derived 64-bit
         # token hash (identical to md5_hash64_array), count-weighted ±1
         # per bit, sign of the sum — so every fingerprint is checked

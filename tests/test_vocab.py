@@ -67,3 +67,40 @@ def test_word_frequencies_exact(ray_session):
     out = {r["word"]: r["count"] for r in
            word_frequencies(ray.data.from_arrow(tbl)).take_all()}
     assert out == {"a": 2, "b": 2, "c": 1}
+
+
+def test_bpe_oracle_sql_matches_adversarial_chains(ray_session):
+    """The unrolled-CTE SQL oracle must reproduce bpe_train bit-for-bit
+    on words with long same-char runs — the case where a naive
+    space-separated replace diverges from the greedy skip-after-merge
+    scan (match parity across back-to-back occurrences)."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry", "/root/repo/__ray_entry__.py")
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+
+    from bqf_ray.pipelines.vocab import bpe_merges_table
+
+    rng = np.random.RandomState(3)
+    words = ["aaaaa", "aaaa", "aaaaaaa", "ababab", "aabb", "abab",
+             "xxyyxxyy", "zzzzzz", "a", "ab", "ba", "abcabc"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts)})
+    got = (bpe_merges_table(ray.data.from_arrow(tbl), num_merges=6)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    toks = ("SELECT doc_id, unnest(string_split_regex(text, '\\s+')) "
+            "AS token FROM documents")
+    want = (con.execute(em._bpe_oracle_sql(toks, rounds=6)).fetchdf()
+            .sort_values("rank").reset_index(drop=True))
+    assert len(got) == len(want)
+    for c in ["rank", "left", "right", "pair_count"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
