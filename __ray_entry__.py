@@ -385,11 +385,11 @@ def w_hll_distinct(sf_dir):
     (σ = 1.04/√2^p) of the exact distinct count, which the oracle
     recomputes — so the bound itself is driver-checked (r1 verdict #4)."""
     import pandas as pd
-    from bqf_ray.pipelines.aggregates import (distinct_tokens_exact,
-                                              distinct_tokens_hll)
-    est = distinct_tokens_hll(_docs(sf_dir), p=14)
-    exact = int(distinct_tokens_exact(_docs(sf_dir)).to_pandas()
-                ["n_distinct"].iloc[0])
+    from bqf_ray.pipelines.aggregates import distinct_tokens_check
+    from bqf_ray.sketches.hll import HyperLogLog
+    exact, sks = distinct_tokens_check(
+        _docs(sf_dir), {"hll": lambda: HyperLogLog(p=14)})
+    est = float(sks["hll"].estimate())
     rse = 1.04 / np.sqrt(2 ** 14)
     ok = abs(est - exact) / max(exact, 1) <= 4 * rse
     return pd.DataFrame({"n_distinct_exact": np.array([exact], dtype=np.int64),
@@ -400,16 +400,13 @@ def w_bottomk_distinct(sf_dir):
     """Bottom-k sample sketch as a distinct estimator, error-vs-exact
     checked like hll_distinct (RSE 1/√(k−2), 4σ bound)."""
     import pandas as pd
-    from bqf_ray.pipelines.aggregates import distinct_tokens_exact
-    from bqf_ray.pipelines.build_index import shingle_key_fn
+    from bqf_ray.pipelines.aggregates import distinct_tokens_check
     from bqf_ray.sketches.sample import BottomK
-    from bqf_ray.stages.sketch_stage import build_sketch
 
-    sk = build_sketch(_docs(sf_dir), shingle_key_fn("text", 1, 0),
-                      lambda: BottomK(k=512, seed=9))
+    exact, sks = distinct_tokens_check(
+        _docs(sf_dir), {"bk": lambda: BottomK(k=512, seed=9)})
+    sk = sks["bk"]
     est = sk.estimate()
-    exact = int(distinct_tokens_exact(_docs(sf_dir)).to_pandas()
-                ["n_distinct"].iloc[0])
     ok = abs(est - exact) / max(exact, 1) <= 4 * sk.error_bound()
     return pd.DataFrame({"n_distinct_exact": np.array([exact],
                                                       dtype=np.int64),

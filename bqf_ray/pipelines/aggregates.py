@@ -116,6 +116,67 @@ def distinct_tokens_hll(ds, text_col: str = "text", p: int = 14) -> float:
     return float(sk.estimate())
 
 
+def distinct_tokens_check(ds, sketch_factories: dict, text_col: str = "text",
+                          num_buckets: int = 16):
+    """Exact COUNT(DISTINCT token) AND any set of hash-keyed distinct
+    sketches in ONE tokenize pass + ONE bucketed shuffle.
+
+    The separate-pass plan (``distinct_tokens_exact`` then a sketch
+    build) tokenizes the corpus twice; tokenization dominates at bench
+    scale, so bound-verification queries pay ~2×.  Here each batch ships
+    its batch-DISTINCT tokens once, bucketed by ``hash(token) %
+    num_buckets``; hash-bucketing partitions the token space, so
+    per-bucket distinct counts ADD exactly and per-bucket sketch
+    partials merge.  Returns ``(n_exact, {name: sketch})``.  Size
+    ``num_buckets`` to the vocabulary (each bucket task deduplicates
+    ~vocab/num_buckets strings).
+    """
+    import ray
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.sketches.base import MergeableSketch
+
+    names = sorted(sketch_factories)
+    NB = int(num_buckets)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_column(batch.column(text_col))
+        uniq = pc.unique(toks)
+        h = xxhash64_array(uniq)
+        return pa.table({
+            "token": uniq,
+            "__h": pa.array(h),
+            "__bucket": pa.array((h % np.uint64(NB)).astype(np.int64))})
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = np.asarray(group.column("token"))
+        h = np.asarray(group.column("__h"), dtype=np.uint64)
+        codes, uniq = pd.factorize(toks)
+        _, first = np.unique(codes, return_index=True)
+        hu = h[first]
+        cols = {"n_distinct": pa.array([len(uniq)], pa.int64())}
+        for name in names:
+            sk = sketch_factories[name]()
+            sk.update_batch(hu)
+            cols[f"__blob_{name}"] = pa.array([sk.to_bytes()], pa.binary())
+        return pa.table(cols)
+
+    rows = (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow")
+            .take_all())                       # ≤ num_buckets tiny rows
+    n_exact = int(sum(r["n_distinct"] for r in rows))
+    sketches = {}
+    for name in names:
+        parts = [MergeableSketch.from_bytes(r[f"__blob_{name}"]) for r in rows]
+        if parts:
+            sketches[name] = parts[0].merge_many(parts[1:])
+        else:
+            sketches[name] = sketch_factories[name]()
+    return n_exact, sketches
+
+
 def heavy_hitters(ds, text_col: str = "text", top: int = 20,
                   eps: float = 1e-4, delta: float = 1e-3,
                   candidate_factor: int = 3):

@@ -2,6 +2,7 @@
 HLL ±1.04/√m, Count-Min ε–δ, t-digest/KLL rank error, Bloom FP."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from bqf_ray.functions.hashing import fmix64
@@ -139,3 +140,28 @@ def test_bottomk_exact_and_merge():
     small = BottomK(k=k)
     small.update_batch(np.arange(100, dtype=np.uint64))
     assert small.estimate() == 100.0
+
+
+def test_distinct_tokens_check_fused(ray_session):
+    """One-pass exact+sketch distinct must equal the two-pass exact count,
+    and both sketches must estimate within their published bounds."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import (distinct_tokens_check,
+                                              distinct_tokens_exact)
+    from bqf_ray.sketches.hll import HyperLogLog
+    from bqf_ray.sketches.sample import BottomK
+
+    rng = np.random.RandomState(5)
+    texts = [" ".join(f"tok{v}" for v in rng.zipf(1.3, 60) % 5000)
+             for _ in range(400)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(7)
+    n, sks = distinct_tokens_check(
+        ds, {"hll": lambda: HyperLogLog(p=12),
+             "bk": lambda: BottomK(k=256, seed=1)})
+    want = int(distinct_tokens_exact(ds).to_pandas()["n_distinct"].iloc[0])
+    assert n == want
+    hll_est = sks["hll"].estimate()
+    assert abs(hll_est - n) / n <= 4 * 1.04 / np.sqrt(2 ** 12)
+    bk = sks["bk"]
+    assert abs(bk.estimate() - n) / n <= 4 * bk.error_bound()
