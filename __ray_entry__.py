@@ -553,6 +553,16 @@ def w_simhash_dups(sf_dir):
     return simhash_dup_pairs(_docs(sf_dir), max_hamming=3, algo="md5")
 
 
+def w_dedup_lines(sf_dir):
+    """C4/CCNet-style corpus-level duplicated-segment removal.  The
+    fixture docs are single-line, so the driver query segments on ' '
+    (segment = token) with a threshold that splits the vocabulary —
+    exercising ordered reassembly end-to-end; true multi-line corpora
+    are covered by the brute-force pytest (both plans)."""
+    from bqf_ray.pipelines.dedup import dedup_lines
+    return dedup_lines(_docs(sf_dir), min_count=900, sep=" ")
+
+
 def w_lang_id(sf_dir):
     from bqf_ray.pipelines.text_stats import LangId
     return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
@@ -870,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": w_minhash_pairs,
         "simhash_fingerprints": w_simhash_fingerprints,
         "simhash_dups": w_simhash_dups,
+        "dedup_lines": w_dedup_lines,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -900,6 +911,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT token FROM ({tokens}) WHERE token <> ''
             GROUP BY token HAVING count(*) >= 2""",
         "bpe_merges": _bpe_oracle_sql(tokens, rounds=8),
+        "dedup_lines": """
+            WITH segs AS (
+              SELECT doc_id, i.i AS i, ls[i.i] AS seg
+              FROM (SELECT doc_id, string_split(text, ' ') AS ls
+                    FROM documents) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.ls)))
+                            AS i) i),
+            dup AS (
+              SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 900),
+            kept AS (
+              SELECT doc_id, i, seg FROM segs
+              WHERE seg NOT IN (SELECT seg FROM dup)),
+            agg AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_lines
+              FROM documents)
+            SELECT b.doc_id, COALESCE(a.text, '') AS text, b.n_lines,
+                   (b.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
         # SimHash is recomputed from scratch in SQL: md5-derived 64-bit
         # token hash (identical to md5_hash64_array), count-weighted ±1
         # per bit, sign of the sum — so every fingerprint is checked

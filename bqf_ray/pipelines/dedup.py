@@ -892,6 +892,224 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# corpus-level duplicated-segment (line/paragraph) removal
+# ---------------------------------------------------------------------------
+
+def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
+                text_col: str = "text", id_col: str = "doc_id",
+                mode: str = "auto", broadcast_budget: int = 2_000_000,
+                num_buckets: int = 32):
+    """Remove every occurrence of a segment (line / paragraph / token —
+    ``sep``-delimited) that appears ``>= min_count`` times ACROSS the
+    corpus, preserving the order of surviving segments per document —
+    the C4 / CCNet repeated-line filter (Raffel et al. 2020 §2.2,
+    Wenzek et al. 2020 §4.1).
+
+    Plan: pass 1 counts segments (per-batch pre-aggregation → one
+    ``groupby`` shuffle of batch-distinct segment strings, the
+    token_counts shape) and keeps those at/above threshold.  Pass 2:
+
+    - ``broadcast`` — ship the SORTED xxhash64 set of duplicated
+      segments once via ``ray.put`` (8 bytes each); each batch splits,
+      hashes, membership-tests via searchsorted and rebuilds documents
+      with Arrow ``binary_join`` (membership by 64-bit hash: a removal
+      needs a colliding non-dup segment, ~n·m/2⁶⁴).
+    - ``semijoin`` — when the dup set outgrows ``broadcast_budget``:
+      explode (doc, idx, segment) rows, co-partition BOTH sides by
+      ``hash(segment) % num_buckets``, filter by exact string match in
+      the bucket, then one shuffle by ``hash(doc) % num_buckets`` to
+      reassemble documents ordered by idx — no driver materialization.
+    - ``auto`` — count the dup set (tiny aggregate) and pick.
+
+    Returns Dataset[(id, text, n_lines, n_removed)].
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def seg_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, sep)
+        flat = lists.flatten()
+        t = pa.table({"seg": flat,
+                      "n": np.ones(len(flat), dtype=np.int64)})
+        return (t.group_by(["seg"]).aggregate([("n", "sum")])
+                .rename_columns(["seg", "partial"]))
+
+    dups = (ds.map_batches(seg_counts, batch_format="pyarrow")
+            .groupby("seg").aggregate(Sum("partial", alias_name="cnt"))
+            .filter(expr=f"cnt >= {int(min_count)}")
+            .select_columns(["seg"]))
+
+    if mode == "auto":
+        n_dup = dups.count()
+        mode = "broadcast" if n_dup <= broadcast_budget else "semijoin"
+
+    def _split(batch: pa.Table):
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, sep)
+        flat = lists.flatten()
+        lens = np.asarray(lists.value_lengths(), dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        return flat, lens, offs
+
+    def _rebuild(batch: pa.Table, keep: np.ndarray, flat, lens, offs):
+        kept_per_doc = np.add.reduceat(
+            keep.astype(np.int64), offs[:-1]) if len(lens) else \
+            np.empty(0, dtype=np.int64)
+        kept_per_doc[lens == 0] = 0
+        new_offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            flat.filter(pa.array(keep)))
+        text = pc.binary_join(kept_list, sep)
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: text,
+            "n_lines": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(lens - kept_per_doc, pa.int64())})
+
+    if mode == "broadcast":
+        dup_tbl = dups.take_all()          # dup segments only (≤ budget)
+        dh = np.sort(xxhash64_array(
+            pa.array([r["seg"] for r in dup_tbl], pa.string())))
+        ref = ray.put(dh)
+
+        class Rewrite:
+            def __init__(self):
+                self.dh = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                flat, lens, offs = _split(batch)
+                h = xxhash64_array(flat)
+                pos = np.searchsorted(self.dh, h)
+                pos = np.minimum(pos, max(len(self.dh) - 1, 0))
+                is_dup = (self.dh[pos] == h) if len(self.dh) else \
+                    np.zeros(len(h), dtype=bool)
+                return _rebuild(batch, ~is_dup, flat, lens, offs)
+
+        return ds.map_batches(Rewrite, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    if mode != "semijoin":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    NB = int(num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, lens, offs = _split(batch)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        did = np.repeat(ids, lens)
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        b = (xxhash64_array(flat) % np.uint64(NB)).astype(np.int64)
+        return pa.table({id_col: pa.array(did), "__idx": pa.array(idx),
+                         "seg": flat, "__bucket": pa.array(b),
+                         "__side": pa.array(
+                             np.zeros(len(flat), dtype=np.int8))})
+
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        segs = batch.column("seg")
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        b = (xxhash64_array(segs) % np.uint64(NB)).astype(np.int64)
+        n = len(segs)
+        return pa.table({id_col: pa.array(np.zeros(n, dtype=np.int64)),
+                         "__idx": pa.array(np.zeros(n, dtype=np.int64)),
+                         "seg": segs, "__bucket": pa.array(b),
+                         "__side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        side = np.asarray(group.column("__side"), dtype=np.int8)
+        segs = np.asarray(group.column("seg"))
+        codes, _ = pd.factorize(segs)
+        dup_codes = np.unique(codes[side == 1])
+        rows = side == 0
+        keep = rows & ~np.isin(codes, dup_codes)
+        kept = group.filter(pa.array(keep))
+        return pa.table({
+            id_col: kept.column(id_col),
+            "__idx": kept.column("__idx"),
+            "seg": kept.column("seg"),
+            "__dbucket": pa.array(
+                (np.asarray(kept.column(id_col), dtype=np.int64)
+                 % NB).astype(np.int64))})
+
+    # original per-doc lengths travel separately (tiny: one row per doc)
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, sep)
+        lens = np.asarray(lists.value_lengths(), dtype=np.int64)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return pa.table({id_col: pa.array(ids), "__nl": pa.array(lens),
+                         "__dbucket": pa.array((ids % NB).astype(np.int64))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    tagged = dups.map_batches(tag_dups, batch_format="pyarrow")
+    survivors = (exploded.union(tagged)
+                 .groupby("__bucket")
+                 .map_groups(filter_bucket, batch_format="pyarrow"))
+    lens_ds = ds.map_batches(doc_lens, batch_format="pyarrow")
+
+    def assemble(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        has_nl = "__nl" in group.schema.names
+        nl = (np.asarray(group.column("__nl"), dtype=np.float64)
+              if has_nl else np.full(group.num_rows, np.nan))
+        is_len_row = ~np.isnan(nl)
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        # doc universe comes from the length rows (covers empty docs)
+        doc_ids = ids[is_len_row]
+        doc_nl = nl[is_len_row].astype(np.int64)
+        order_docs = np.argsort(doc_ids)
+        doc_ids, doc_nl = doc_ids[order_docs], doc_nl[order_docs]
+        sids = ids[~is_len_row]
+        sidx = np.asarray(group.column("__idx"), dtype=np.int64)[~is_len_row]
+        segs = group.column("seg").combine_chunks().filter(
+            pa.array(~is_len_row)) if group.num_rows else \
+            pa.array([], pa.string())
+        order = np.lexsort((sidx, sids))
+        sids = sids[order]
+        segs = segs.take(pa.array(order, pa.int64()))
+        pos = np.searchsorted(doc_ids, sids)
+        kept_per_doc = np.bincount(pos, minlength=len(doc_ids)).astype(np.int64)
+        new_offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), segs)
+        text = pc.binary_join(kept_list, sep)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            text_col: text,
+            "n_lines": pa.array(doc_nl),
+            "n_removed": pa.array(doc_nl - kept_per_doc, pa.int64())})
+
+    # union survivors (seg rows) with lens rows; schemas differ, so pad
+    def pad_survivor(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__nl", pa.array(np.full(batch.num_rows, np.nan), pa.float64()))
+
+    def pad_lens(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "__idx": pa.array(np.zeros(n, dtype=np.int64)),
+            "seg": pa.array([""] * n, pa.string()),
+            "__dbucket": batch.column("__dbucket"),
+            "__nl": pc.cast(batch.column("__nl"), pa.float64())})
+        return out
+
+    both = (survivors.map_batches(pad_survivor, batch_format="pyarrow")
+            .union(lens_ds.map_batches(pad_lens, batch_format="pyarrow")))
+    return (both.groupby("__dbucket")
+            .map_groups(assemble, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

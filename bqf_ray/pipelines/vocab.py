@@ -52,14 +52,65 @@ def _split_chars(batch: pa.Table) -> pa.Table:
     return pa.table({"syms": syms, "count": counts})
 
 
+def _bpe_local(words: list[str], counts: np.ndarray, num_merges: int,
+               min_pair_count: int) -> list[tuple[str, str, int]]:
+    """Driver-local merge loop over a small word-frequency table — same
+    semantics as the distributed loop (overlapping pair counts, count
+    DESC then lexicographic tie-break, greedy left-to-right merge)."""
+    vocab = [list(w) for w in words]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        totals: dict[tuple[str, str], int] = {}
+        for syms, c in zip(vocab, counts):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                totals[p] = totals.get(p, 0) + int(c)
+        if not totals:
+            break
+        bn = max(totals.values())
+        if bn < min_pair_count:
+            break
+        bl, br = min(p for p, n in totals.items() if n == bn)
+        merges.append((bl, br, bn))
+        for k, syms in enumerate(vocab):
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    new.append(bl + br)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[k] = new
+    return merges
+
+
 def bpe_train(ds, num_merges: int = 20, text_col: str = "text",
-              min_pair_count: int = 2):
+              min_pair_count: int = 2, driver_vocab_budget: int = 200_000):
     """Learn ``num_merges`` BPE merges from the corpus.  Returns a list of
     (left, right, pair_count) in merge order.  Stops early when no pair
-    reaches ``min_pair_count``."""
+    reaches ``min_pair_count``.
+
+    Auto plan: the corpus-sized pass always runs distributed (one
+    groupby shuffle to the word-frequency table).  If the resulting
+    VOCAB fits ``driver_vocab_budget`` rows, the merge loop runs
+    driver-local (per-round Ray stage overhead dwarfs the work on small
+    vocabularies); past the budget it iterates over the vocab as a
+    Dataset — the same row-shuffle-vs-local crossover the partitioned
+    sketch build uses."""
     import ray
 
-    vocab = (word_frequencies(ds, text_col)
+    wf = word_frequencies(ds, text_col).materialize()
+    if wf.count() <= int(driver_vocab_budget):
+        tbl = pa.concat_tables(
+            [b for b in wf.iter_batches(batch_format="pyarrow")]) \
+            if wf.count() else pa.table({"word": pa.array([], pa.string()),
+                                         "count": pa.array([], pa.int64())})
+        return _bpe_local(tbl.column("word").to_pylist(),
+                          np.asarray(tbl.column("count"), dtype=np.int64),
+                          num_merges, min_pair_count)
+
+    vocab = (wf
              .map_batches(_split_chars, batch_format="pyarrow")
              .materialize())
 

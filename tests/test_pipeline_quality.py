@@ -338,3 +338,44 @@ def test_knn_lsh_multitable_beats_single(ray_session):
                      tables=8).to_pandas()
     assert via_index.sort_values(["query_id", "rank"]).reset_index(drop=True) \
         .equals(direct.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "semijoin"])
+def test_dedup_lines_matches_bruteforce(ray_session, mode):
+    """Both plans must equal the single-process reference: remove every
+    occurrence of a line whose corpus-wide count >= min_count, preserve
+    order, and report per-doc removal stats (empty docs included)."""
+    import ray
+
+    from bqf_ray.pipelines.dedup import dedup_lines
+
+    rng = np.random.RandomState(11)
+    pool = [f"line {i} content" for i in range(40)]
+    docs = []
+    for d in range(120):
+        n = rng.randint(1, 12)
+        docs.append("\n".join(rng.choice(pool, n)))
+    docs.append("")                      # empty doc edge
+    ids = np.arange(len(docs), dtype=np.int64)
+
+    from collections import Counter
+    cnt = Counter()
+    for t in docs:
+        cnt.update(t.split("\n"))
+    min_count = 4
+    dup = {s for s, c in cnt.items() if c >= min_count}
+    want = {}
+    for i, t in zip(ids, docs):
+        segs = t.split("\n")
+        kept = [s for s in segs if s not in dup]
+        want[int(i)] = ("\n".join(kept), len(segs), len(segs) - len(kept))
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(docs)})).repartition(6)
+    got = (dedup_lines(ds, min_count=min_count, mode=mode)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        w = want[int(r["doc_id"])]
+        assert (r["text"], int(r["n_lines"]), int(r["n_removed"])) == w, \
+            (r["doc_id"], r["text"], w)

@@ -38,8 +38,10 @@ def _ref_bpe(word_counts: dict[str, int], num_merges: int,
     return merges
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_bpe_matches_reference(ray_session, seed):
+@pytest.mark.parametrize("seed,budget", [(0, 200_000), (1, 200_000),
+                                         (0, 0)])  # budget=0 forces the
+                                         # distributed merge-loop plan
+def test_bpe_matches_reference(ray_session, seed, budget):
     import ray
     rng = np.random.RandomState(seed)
     words = ["low", "lower", "lowest", "new", "newer", "newest", "wide",
@@ -55,7 +57,7 @@ def test_bpe_matches_reference(ray_session, seed):
         for w in t.split():
             wc[w] = wc.get(w, 0) + 1
     want = _ref_bpe(wc, 15)
-    got = bpe_train(ds, num_merges=15)
+    got = bpe_train(ds, num_merges=15, driver_vocab_budget=budget)
     assert got == want
     assert len(got) >= 5          # the fixture genuinely produces merges
 
