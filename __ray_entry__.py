@@ -563,6 +563,28 @@ def w_dedup_lines(sf_dir):
     return dedup_lines(_docs(sf_dir), min_count=900, sep=" ")
 
 
+def w_dup_clusters(sf_dir):
+    """Duplicate-cluster resolution: exact-Jaccard near-dup pairs →
+    connected components → (doc_id, cluster_id = min id in component)."""
+    from bqf_ray.pipelines.dedup import jaccard_dup_pairs
+    from bqf_ray.pipelines.graph import connected_components
+    pairs = jaccard_dup_pairs(_docs(sf_dir), threshold=0.5, s=3) \
+        .select_columns(["doc_a", "doc_b"])
+    return connected_components(pairs)
+
+
+def w_near_dup_survivors(sf_dir):
+    """End-to-end cluster-aware near-dup removal (Lee et al. 2022 shape):
+    pairs → components → keep the min-id doc per cluster, via a
+    co-partitioned anti-join."""
+    from bqf_ray.pipelines.dedup import jaccard_dup_pairs
+    from bqf_ray.pipelines.graph import near_dup_removal
+    docs = _docs(sf_dir)
+    pairs = jaccard_dup_pairs(docs, threshold=0.5, s=3) \
+        .select_columns(["doc_a", "doc_b"])
+    return near_dup_removal(docs, pairs)
+
+
 def w_lang_id(sf_dir):
     from bqf_ray.pipelines.text_stats import LangId
     return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
@@ -881,6 +903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": w_simhash_fingerprints,
         "simhash_dups": w_simhash_dups,
         "dedup_lines": w_dedup_lines,
+        "dup_clusters": w_dup_clusters,
+        "near_dup_survivors": w_near_dup_survivors,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1251,6 +1275,32 @@ def oracle_sql() -> dict[str, str]:
         # its output equals the exact jaccard pair set — same oracle
         "minhash_pairs": _JACCARD_SQL,
         "jaccard_dups": _JACCARD_SQL,
+        # components of the near-dup pair graph via transitive closure
+        # (exact for the sf fixtures; the engine side scales via
+        # union-find / pointer-jumping label propagation)
+        "dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst)
+            SELECT src AS doc_id,
+                   LEAST(src, MIN(dst))::BIGINT AS cluster_id
+            FROM reach GROUP BY src""",
+        "near_dup_survivors": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+            cc AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cl
+                   FROM reach GROUP BY src)
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cl)""",
         "knn": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings
                        ORDER BY vec_id LIMIT 5),

@@ -1,0 +1,84 @@
+"""Connected components + cluster-aware near-dup removal."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.graph import connected_components, near_dup_removal
+
+
+def _ref_components(edges):
+    """Brute-force reference: repeated relaxation until fixpoint."""
+    lab = {}
+    for a, b in edges:
+        lab.setdefault(a, a)
+        lab.setdefault(b, b)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            if lab[a] != m or lab[b] != m:
+                lab[a] = lab[b] = m
+                changed = True
+    return lab
+
+
+def _rand_edges(seed, n_nodes=400, n_edges=300):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    return a[keep], b[keep]
+
+
+@pytest.mark.parametrize("mode", ["driver", "dist"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_components_match_reference(ray_session, mode, seed):
+    import ray
+    a, b = _rand_edges(seed)
+    want = _ref_components(list(zip(a.tolist(), b.tolist())))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b)})).repartition(5)
+    got = connected_components(pairs, mode=mode).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[int(r["doc_id"])] == int(r["cluster_id"])
+
+
+def test_components_long_chain_dist(ray_session):
+    """A 64-node path graph forces many propagation rounds — the worst
+    case for min-label propagation (diameter = n-1)."""
+    import ray
+    n = 64
+    a = np.arange(n - 1, dtype=np.int64) + 1   # edges (i+1, i): min flows up
+    b = np.arange(n - 1, dtype=np.int64)
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b)})).repartition(4)
+    got = connected_components(pairs, mode="dist").to_pandas()
+    assert len(got) == n
+    assert (got["cluster_id"] == 0).all()
+
+
+def test_components_empty_and_selfcontained(ray_session):
+    import ray
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    got = connected_components(pairs, mode="auto").to_pandas()
+    assert len(got) == 0
+
+
+@pytest.mark.parametrize("cc_mode", ["driver", "dist"])
+def test_near_dup_removal(ray_session, cc_mode):
+    """Clusters {1,3,7} and {2,9}; docs 0,4,5,6,8 untouched → survivors
+    keep min-id per cluster."""
+    import ray
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array([f"doc {i}" for i in range(10)])}))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 3, 9], pa.int64()),
+        "doc_b": pa.array([3, 7, 2], pa.int64())}))
+    out = near_dup_removal(docs, pairs, cc_mode=cc_mode).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 4, 5, 6, 8]
+    assert set(out.columns) == {"doc_id", "text"}
