@@ -585,6 +585,66 @@ def w_near_dup_survivors(sf_dir):
     return near_dup_removal(docs, pairs)
 
 
+def w_hash_sample(sf_dir):
+    """Deterministic Bernoulli sample via the cross-engine md5 u64."""
+    from bqf_ray.pipelines.sampling import hash_sample
+    return hash_sample(_docs(sf_dir), rate=0.25, salt="r2", algo="md5")
+
+
+def w_train_split(sf_dir):
+    """Deterministic train/valid/test assignment (80/10/10)."""
+    from bqf_ray.pipelines.sampling import split_dataset
+    return split_dataset(_docs(sf_dir), _SPLIT_WEIGHTS, salt="v1",
+                         algo="md5").select_columns(["doc_id", "split"])
+
+
+def w_stratified_sample(sf_dir):
+    """Per-language sampling rates (en 50%, fr 25%, others 5%)."""
+    import ray
+
+    from bqf_ray.pipelines.sampling import stratified_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return stratified_sample(ds, {"en": 0.5, "fr": 0.25},
+                             strat_col="lang", default_rate=0.05,
+                             salt="r2", algo="md5")
+
+
+def w_mixture_rebalance(sf_dir):
+    """Rebalance the corpus to a 50/30/20 en/de/fr mixture with
+    deterministic fractional repetition (other languages dropped)."""
+    import ray
+
+    from bqf_ray.pipelines.sampling import rebalance_mixture
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return rebalance_mixture(ds, {"en": 0.5, "de": 0.3, "fr": 0.2},
+                             strat_col="lang", salt="r2", algo="md5")
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _sampling_thr(p: float) -> int:
+    """The EXACT integer threshold the engine compares md5-u64s against."""
+    from bqf_ray.pipelines.sampling import _threshold
+    return _threshold(p)
+
+
+def _train_split_sql() -> str:
+    """CASE over the exact integer cutpoints of split_dataset — built from
+    the same split_cutpoints() the engine uses, so no float re-derivation
+    can drift."""
+    from bqf_ray.pipelines.sampling import split_cutpoints
+    labels, cuts = split_cutpoints(_SPLIT_WEIGHTS)
+    h = "('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 16))::UBIGINT"
+    whens = " ".join(
+        f"WHEN {h} < {int(cuts[i])}::UBIGINT THEN '{labels[i]}'"
+        for i in range(len(labels) - 1))
+    return (f"SELECT doc_id, CASE {whens} ELSE '{labels[-1]}' END AS split "
+            f"FROM documents")
+
+
 def w_lang_id(sf_dir):
     from bqf_ray.pipelines.text_stats import LangId
     return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
@@ -905,6 +965,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": w_dedup_lines,
         "dup_clusters": w_dup_clusters,
         "near_dup_survivors": w_near_dup_survivors,
+        "hash_sample": w_hash_sample,
+        "train_split": w_train_split,
+        "stratified_sample": w_stratified_sample,
+        "mixture_rebalance": w_mixture_rebalance,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1289,6 +1353,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id,
                    LEAST(src, MIN(dst))::BIGINT AS cluster_id
             FROM reach GROUP BY src""",
+        "hash_sample": f"""
+            SELECT doc_id, text FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 16))
+                      ::UBIGINT < {_sampling_thr(0.25)}::UBIGINT""",
+        "train_split": _train_split_sql(),
+        "stratified_sample": f"""
+            WITH u AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 16))
+                         ::UBIGINT AS h
+              FROM documents)
+            SELECT doc_id, lang FROM u
+            WHERE h < (CASE lang
+                       WHEN 'en' THEN {_sampling_thr(0.5)}::UBIGINT
+                       WHEN 'fr' THEN {_sampling_thr(0.25)}::UBIGINT
+                       ELSE {_sampling_thr(0.05)}::UBIGINT END)""",
+        "mixture_rebalance": """
+            -- replicate rebalance_mixture bit-for-bit: same double math
+            -- (share*total/count), same floor/threshold integers, same
+            -- md5-u64 fractional-copy test
+            WITH cnt AS (
+              SELECT lang, count(*)::BIGINT AS n FROM documents
+              WHERE lang IN ('en','de','fr') GROUP BY lang),
+            tot AS (SELECT count(*)::BIGINT AS total FROM documents),
+            rate AS (
+              SELECT lang, n,
+                     (CASE lang WHEN 'en' THEN 0.5
+                                WHEN 'de' THEN 0.3
+                                ELSE 0.2 END / 1.0) * total / n AS r
+              FROM cnt, tot),
+            plan AS (
+              SELECT lang, floor(r)::BIGINT AS whole,
+                     LEAST(floor((r - floor(r)) *
+                                 18446744073709551616.0)::HUGEINT,
+                           18446744073709551615::HUGEINT) AS fthr
+              FROM rate),
+            rows_ AS (
+              SELECT d.doc_id, d.lang, p.whole,
+                     (('0x' || substr(md5(d.doc_id::VARCHAR || 'r2'),
+                                      1, 16))::UBIGINT::HUGEINT < p.fthr)
+                         ::INT AS extra
+              FROM documents d JOIN plan p USING (lang))
+            SELECT doc_id, lang, gs.c::BIGINT AS copy_idx
+            FROM rows_, LATERAL (SELECT unnest(range(0, whole + extra))
+                                 AS c) gs""",
         "near_dup_survivors": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
             sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs

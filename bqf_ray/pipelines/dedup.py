@@ -943,6 +943,7 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
             .select_columns(["seg"]))
 
     if mode == "auto":
+        dups = dups.materialize()      # counted then re-read: execute once
         n_dup = dups.count()
         mode = "broadcast" if n_dup <= broadcast_budget else "semijoin"
 
