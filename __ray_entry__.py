@@ -622,6 +622,14 @@ def w_mixture_rebalance(sf_dir):
                              strat_col="lang", salt="r2", algo="md5")
 
 
+def w_doc_chunks(sf_dir):
+    """Overlapping token-window chunking (context-window prep): 16-token
+    windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
+    multi-chunk docs are exercised."""
+    from bqf_ray.pipelines.pack import chunk_documents
+    return chunk_documents(_docs(sf_dir), chunk=16, overlap=4)
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
@@ -969,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": w_train_split,
         "stratified_sample": w_stratified_sample,
         "mixture_rebalance": w_mixture_rebalance,
+        "doc_chunks": w_doc_chunks,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1353,6 +1362,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id,
                    LEAST(src, MIN(dst))::BIGINT AS cluster_id
             FROM reach GROUP BY src""",
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t),
+            k AS (SELECT doc_id, toks, n,
+                         CASE WHEN n = 0 THEN 0
+                              ELSE 1 + CAST(ceil(greatest(n - 16, 0)
+                                                 / 12.0) AS BIGINT)
+                         END AS k
+                  FROM n),
+            c AS (SELECT doc_id, j.j AS chunk_idx,
+                         toks[j.j*12 + 1 : least(j.j*12 + 16, n)] AS ct
+                  FROM k, LATERAL (SELECT unnest(range(0, k)) AS j) j)
+            SELECT doc_id, chunk_idx, array_to_string(ct, ' ') AS text,
+                   len(ct)::BIGINT AS n_tokens
+            FROM c""",
         "hash_sample": f"""
             SELECT doc_id, text FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'r2'), 1, 16))

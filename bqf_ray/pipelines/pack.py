@@ -103,3 +103,57 @@ def pack_sequences(ds, budget: int = 256, text_col: str = "text",
     return (ds.map_batches(tok_counts, batch_format="pyarrow")
             .groupby(keys)
             .map_groups(pack_group, batch_format="pyarrow"))
+
+
+def chunk_documents(ds, chunk: int = 256, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into overlapping token windows — the
+    context-window prep step for LM training (long doc → multiple
+    training sequences sharing ``overlap`` boundary tokens).
+
+    Window ``j`` covers whitespace tokens ``[j·stride, j·stride+chunk)``
+    with ``stride = chunk - overlap``; generation stops at the first
+    window reaching the end, so a document of ``n`` tokens yields
+    ``1 + ceil(max(n-chunk, 0)/stride)`` chunks (0 for empty docs) and
+    no fully-redundant tail window.  Chunks rejoin tokens with single
+    spaces (whitespace-normalizing, like every token op here).
+
+    A stateless vectorized single pass (token gather + ``binary_join``)
+    — no shuffle; composes with `pack_sequences` downstream.
+    Output: (id, chunk_idx, text, n_tokens).
+    """
+    import pyarrow.compute as pc
+
+    chunk, overlap = int(chunk), int(overlap)
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got {overlap}/{chunk}")
+    stride = chunk - overlap
+
+    def expand(batch: pa.Table) -> pa.Table:
+        flat, offs = tokenize_column(batch.column(text_col))
+        n = np.diff(offs)
+        k = np.where(
+            n > 0,
+            1 + np.ceil(np.maximum(n - chunk, 0) / stride).astype(np.int64),
+            0).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), k)
+        koffs = np.concatenate([[0], np.cumsum(k)])
+        j = (np.arange(int(k.sum()), dtype=np.int64)
+             - np.repeat(koffs[:-1], k))
+        starts = offs[:-1][doc_rep] + j * stride
+        ends = np.minimum(starts + chunk, offs[1:][doc_rep])
+        lens = ends - starts
+        loffs = np.concatenate([[0], np.cumsum(lens)])
+        gather = (np.arange(int(lens.sum()), dtype=np.int64)
+                  - np.repeat(loffs[:-1], lens) + np.repeat(starts, lens))
+        toks = flat.take(pa.array(gather, pa.int64()))
+        out_list = pa.ListArray.from_arrays(pa.array(loffs, pa.int32()),
+                                            toks)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[doc_rep]),
+            "chunk_idx": pa.array(j),
+            text_col: pc.binary_join(out_list, " "),
+            "n_tokens": pa.array(lens.astype(np.int64))})
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -88,3 +88,46 @@ def test_sharded_packs_never_span_shards(corpus):
     for r in out:
         assert r["first_doc"] // 100 == r["shard"]
         assert r["n_tokens"] <= BUDGET or r["n_docs"] == 1
+
+
+def _ref_chunks(texts, chunk, overlap):
+    stride = chunk - overlap
+    out = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        k = 1 + int(np.ceil(max(n - chunk, 0) / stride))
+        for j in range(k):
+            ct = toks[j * stride: j * stride + chunk]
+            out.append((i, j, " ".join(ct), len(ct)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("chunk,overlap", [(8, 0), (8, 3), (5, 4)])
+def test_chunk_documents_matches_reference(ray_session, chunk, overlap):
+    import ray
+
+    from bqf_ray.pipelines.pack import chunk_documents
+    rng = np.random.RandomState(7)
+    texts = [" ".join(f"t{rng.randint(50)}" for _ in range(rng.randint(0, 30)))
+             for _ in range(200)]
+    texts += ["", "one", " ".join(["x"] * 8)]   # empty / tiny / exact-size
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(texts)})).repartition(4)
+    got = sorted(
+        (int(r["doc_id"]), int(r["chunk_idx"]), r["text"], int(r["n_tokens"]))
+        for _, r in chunk_documents(ds, chunk, overlap).to_pandas().iterrows())
+    assert got == _ref_chunks(texts, chunk, overlap)
+
+
+def test_chunk_documents_validates(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.pack import chunk_documents
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                       "text": pa.array(["a b"])}))
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk=4, overlap=4)
