@@ -622,6 +622,13 @@ def w_mixture_rebalance(sf_dir):
                              strat_col="lang", salt="r2", algo="md5")
 
 
+def w_dedup_spans(sf_dir):
+    """ExactSubstr-style repeated-span removal at 3-token granularity
+    (sf docs are short; real corpora use window≈50)."""
+    from bqf_ray.pipelines.dedup import dedup_spans
+    return dedup_spans(_docs(sf_dir), window=3, min_count=2)
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -978,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": w_stratified_sample,
         "mixture_rebalance": w_mixture_rebalance,
         "doc_chunks": w_doc_chunks,
+        "dedup_spans": w_dedup_spans,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1362,6 +1370,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id,
                    LEAST(src, MIN(dst))::BIGINT AS cluster_id
             FROM reach GROUP BY src""",
+        "dedup_spans": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id, s.s AS s,
+                     array_to_string(toks[s.s : s.s + 2], ' ') AS wstr
+              FROM d, LATERAL (SELECT unnest(range(1,
+                       greatest(len(toks) - 3 + 2, 1))) AS s) s),
+            dup AS (
+              SELECT wstr FROM w GROUP BY wstr HAVING count(*) >= 2),
+            cov AS (
+              SELECT DISTINCT w.doc_id, w.s + o.o AS p
+              FROM w JOIN dup USING (wstr),
+                   LATERAL (SELECT unnest(range(0, 3)) AS o) o),
+            kept AS (
+              SELECT d.doc_id, i.i AS i, d.toks[i.i] AS t
+              FROM d, LATERAL (SELECT unnest(range(1, len(d.toks)+1))
+                               AS i) i
+              WHERE NOT EXISTS (SELECT 1 FROM cov
+                                WHERE cov.doc_id = d.doc_id
+                                  AND cov.p = i.i)),
+            agg AS (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.text, '') AS text,
+                   len(d.toks)::BIGINT AS n_tokens,
+                   (len(d.toks) - COALESCE(a.n_kept, 0))::BIGINT
+                       AS n_removed
+            FROM d LEFT JOIN agg a USING (doc_id)""",
         "doc_chunks": """
             WITH t AS (
               SELECT doc_id,

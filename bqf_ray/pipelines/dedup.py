@@ -22,6 +22,9 @@ SURVEY.md §2):
 - :func:`embedding_dup_pairs` — cosine near-dup over an embedding column
   (brute force vs a broadcast normalized matrix; exact and
   oracle-checkable).
+- :func:`dedup_lines` — C4/CCNet corpus-level repeated-segment removal.
+- :func:`dedup_spans` — ExactSubstr-style repeated W-token-span removal
+  (Lee et al. 2022), fixed-granularity rolling-hash form.
 """
 
 from __future__ import annotations
@@ -1230,3 +1233,187 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.9,
             .repartition(8)
             .groupby(["id_a", "id_b"])
             .aggregate(Max("cosine", alias_name="cosine")))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style repeated-span removal
+# ---------------------------------------------------------------------------
+
+def _window_starts(doc_offsets: np.ndarray, w: int,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Global flat-token start index of every w-token window, plus the
+    per-doc window offsets (mirrors shingle_hashes' layout)."""
+    doc_offsets = np.asarray(doc_offsets, dtype=np.int64)
+    lens = doc_offsets[1:] - doc_offsets[:-1]
+    out_lens = np.maximum(lens - w + 1, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    total = int(out_offsets[-1])
+    doc_id = np.repeat(np.arange(len(lens)), out_lens)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(out_offsets[:-1], out_lens))
+    return doc_offsets[:-1][doc_id] + within, out_offsets
+
+
+def dedup_spans(ds, window: int = 50, min_count: int = 2,
+                text_col: str = "text", id_col: str = "doc_id",
+                mode: str = "auto", broadcast_budget: int = 2_000_000,
+                num_buckets: int = 32):
+    """Remove every token covered by a ``window``-token span whose exact
+    token sequence occurs ``>= min_count`` times across the corpus — the
+    fixed-granularity form of ExactSubstr deduplication (Lee et al. 2022
+    §4.1: shared 50-token substrings are memorization fuel; remove the
+    spans, keep the unique remainder of each document).
+
+    Pass 1 counts window hashes (rolling :func:`shingle_hashes`, per-batch
+    pre-aggregation, ONE groupby shuffle of batch-distinct hashes).
+    Pass 2 marks covered token positions with a difference array (a
+    position is covered iff any duplicated window starting within the
+    previous ``window-1`` tokens reaches it) and rebuilds documents:
+
+    - ``broadcast`` — ship the sorted dup-hash u64 set once via
+      ``ray.put``; membership by searchsorted.  False-removal risk is a
+      64-bit collision (~n_windows·n_dups/2^64) — same documented caveat
+      as :func:`dedup_lines`.
+    - ``semijoin`` — past ``broadcast_budget``: explode (doc, start,
+      hash) window rows, co-partitioned :func:`~bqf_ray.pipelines.relational.semi_join`
+      against the dup-hash set, then one doc-bucket shuffle to rebuild.
+    - ``auto`` — count the dup set and pick.
+
+    Output: (id, text, n_tokens, n_removed); whitespace-normalized like
+    every token op.  Windows never straddle documents, so the coverage
+    diff array cannot leak across doc boundaries.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.functions.tokenize import shingle_hashes, tokenize_column
+
+    W = int(window)
+    assert W >= 1
+
+    def win_counts(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        th = xxhash64_array(toks)
+        wh, _ = shingle_hashes(th, offs, W)
+        t = pa.table({"h": wh.view(np.int64),
+                      "n": np.ones(len(wh), dtype=np.int64)})
+        return (t.group_by(["h"]).aggregate([("n", "sum")])
+                .rename_columns(["h", "partial"]))
+
+    dups = (ds.map_batches(win_counts, batch_format="pyarrow")
+            .groupby("h").aggregate(Sum("partial", alias_name="cnt"))
+            .filter(expr=f"cnt >= {int(min_count)}")
+            .select_columns(["h"]))
+
+    if mode == "auto":
+        dups = dups.materialize()      # counted then re-read: execute once
+        n_dup = dups.count()
+        mode = "broadcast" if n_dup <= broadcast_budget else "semijoin"
+
+    def _rebuild_docs(batch_ids, toks, offs, dup_starts):
+        """Coverage diff array over the flat token space → kept text."""
+        lens = np.diff(offs)
+        total = int(offs[-1])
+        cover = np.zeros(total + W + 1, dtype=np.int64)
+        np.add.at(cover, dup_starts, 1)
+        np.subtract.at(cover, dup_starts + W, 1)
+        covered = np.cumsum(cover[:total]) > 0
+        keep = ~covered
+        # per-doc kept counts via prefix sums (reduceat chokes on
+        # zero-length docs whose start offset == total)
+        kcum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_per_doc = kcum[offs[1:]] - kcum[offs[:-1]]
+        new_offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            toks.filter(pa.array(keep)) if total else toks)
+        return pa.table({
+            id_col: pa.array(np.asarray(batch_ids, dtype=np.int64)),
+            text_col: pc.binary_join(kept_list, " "),
+            "n_tokens": pa.array(lens.astype(np.int64)),
+            "n_removed": pa.array((lens - kept_per_doc).astype(np.int64))})
+
+    if mode == "broadcast":
+        dh_tbl = dups.take_all()
+        dh = np.sort(np.array([r["h"] for r in dh_tbl], dtype=np.int64))
+        ref = ray.put(dh)
+
+        class Rewrite:
+            def __init__(self):
+                self.dh = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                toks, offs = tokenize_column(batch.column(text_col))
+                th = xxhash64_array(toks)
+                wh, _ = shingle_hashes(th, offs, W)
+                starts, _ = _window_starts(offs, W)
+                h = wh.view(np.int64)
+                pos = np.searchsorted(self.dh, h)
+                pos = np.minimum(pos, max(len(self.dh) - 1, 0))
+                is_dup = (self.dh[pos] == h) if len(self.dh) else \
+                    np.zeros(len(h), dtype=bool)
+                return _rebuild_docs(batch.column(id_col), toks, offs,
+                                     starts[is_dup])
+
+        return ds.map_batches(Rewrite, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    if mode != "semijoin":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    from bqf_ray.pipelines.relational import semi_join
+
+    NB = int(num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        th = xxhash64_array(toks)
+        wh, woffs = shingle_hashes(th, offs, W)
+        n_win = np.diff(woffs)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        did = np.repeat(ids, n_win)
+        s_local = (np.arange(len(wh), dtype=np.int64)
+                   - np.repeat(woffs[:-1], n_win))
+        return pa.table({"h": pa.array(wh.view(np.int64)),
+                         id_col: pa.array(did),
+                         "__s": pa.array(s_local)})
+
+    win_rows = ds.map_batches(explode, batch_format="pyarrow")
+    dup_starts = semi_join(win_rows, dups, left_key="h", right_key="h",
+                           num_buckets=NB).select_columns([id_col, "__s"])
+
+    def tag_starts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__s": batch.column("__s"),
+            text_col: pa.array([None] * len(batch), pa.string()),
+            "__dbucket": pa.array(ids % np.int64(NB))})
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__s": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+            text_col: batch.column(text_col),
+            "__dbucket": pa.array(ids % np.int64(NB))})
+
+    def rebuild_bucket(group: pa.Table) -> pa.Table:
+        s = np.asarray(group.column("__s"), dtype=np.int64)
+        is_doc = s < 0
+        docs = group.filter(pa.array(is_doc))
+        ids = np.asarray(docs.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        docs = docs.take(pa.array(order, pa.int64()))
+        ids = ids[order]
+        toks, offs = tokenize_column(docs.column(text_col))
+        sid = np.asarray(group.column(id_col), dtype=np.int64)[~is_doc]
+        sloc = s[~is_doc]
+        pos = np.searchsorted(ids, sid)
+        dup_starts = offs[:-1][pos] + sloc
+        return _rebuild_docs(docs.column(id_col), toks, offs, dup_starts)
+
+    both = (dup_starts.map_batches(tag_starts, batch_format="pyarrow")
+            .union(ds.map_batches(tag_docs, batch_format="pyarrow")))
+    return (both.groupby("__dbucket")
+            .map_groups(rebuild_bucket, batch_format="pyarrow"))

@@ -379,3 +379,56 @@ def test_dedup_lines_matches_bruteforce(ray_session, mode):
         w = want[int(r["doc_id"])]
         assert (r["text"], int(r["n_lines"]), int(r["n_removed"])) == w, \
             (r["doc_id"], r["text"], w)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "semijoin"])
+def test_dedup_spans_matches_bruteforce(ray_session, mode):
+    """Fixed-granularity ExactSubstr: every token covered by a W-token
+    window whose exact sequence occurs >= min_count corpus-wide is
+    removed; both plans must equal the single-process reference."""
+    import ray
+
+    from bqf_ray.pipelines.dedup import dedup_spans
+
+    rng = np.random.RandomState(23)
+    shared = "alpha beta gamma delta epsilon zeta"      # 6-token dup span
+    docs = []
+    for d in range(150):
+        toks = [f"w{rng.randint(200)}" for _ in range(rng.randint(0, 25))]
+        if d % 3 == 0:                       # inject the shared span
+            at = rng.randint(0, len(toks) + 1)
+            toks[at:at] = shared.split()
+        docs.append(" ".join(toks))
+    docs.append("")                          # empty doc
+    docs.append(shared)                      # doc that IS the span
+    ids = np.arange(len(docs), dtype=np.int64)
+
+    W, MC = 4, 2
+    from collections import Counter
+    cnt = Counter()
+    for t in docs:
+        tk = t.split()
+        for s in range(len(tk) - W + 1):
+            cnt[" ".join(tk[s:s + W])] += 1
+    want = {}
+    for i, t in zip(ids, docs):
+        tk = t.split()
+        covered = np.zeros(len(tk), dtype=bool)
+        for s in range(len(tk) - W + 1):
+            if cnt[" ".join(tk[s:s + W])] >= MC:
+                covered[s:s + W] = True
+        kept = [x for x, c in zip(tk, covered) if not c]
+        want[int(i)] = (" ".join(kept), len(tk), int(covered.sum()))
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(docs)})).repartition(6)
+    got = (dedup_spans(ds, window=W, min_count=MC, mode=mode)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(docs)
+    removed_total = 0
+    for _, r in got.iterrows():
+        w = want[int(r["doc_id"])]
+        assert (r["text"], int(r["n_tokens"]), int(r["n_removed"])) == w, \
+            (r["doc_id"], r["text"], w)
+        removed_total += int(r["n_removed"])
+    assert removed_total >= 50 * 6           # the injected spans were hit
