@@ -21,6 +21,7 @@ import pyarrow as pa
 def curate_corpus(ds, *, lang_min_score: float = 0.05,
                   min_quality: float = 0.5, prefix_tokens: int = 8,
                   near_threshold: float = 0.8, s: int = 3,
+                  cluster_removal: bool = False,
                   out_dir: str | None = None, out_buckets: int = 16):
     """Returns ``(stats, survivors_ds)``: stats is a list of
     (stage, n_docs) tuples — input, lang_quality, exact_dedup, near_dedup
@@ -52,13 +53,20 @@ def curate_corpus(ds, *, lang_min_score: float = 0.05,
     stats.append(("exact_dedup", deduped.count()))
 
     pairs = minhash_lsh_pairs(deduped, threshold=near_threshold, s=s)
-    # deterministic survivor rule: drop the LARGER id of every verified
-    # near-dup pair (doc_b > doc_a by construction) — a one-pass anti
-    # semi-join; component-exact clustering would keep strictly fewer
-    # representatives but is order-dependent
-    drops = pairs.select_columns(["doc_b"])
-    survivors = semi_join(deduped, drops, "doc_id", "doc_b",
-                          num_buckets=16, anti=True)
+    if cluster_removal:
+        # transitive policy: connected components of the pair graph,
+        # keep the min-id doc per component (Lee et al. 2022 shape)
+        from bqf_ray.pipelines.graph import near_dup_removal
+        survivors = near_dup_removal(
+            deduped, pairs.select_columns(["doc_a", "doc_b"]))
+    else:
+        # pairwise policy: drop the LARGER id of every verified
+        # near-dup pair (doc_b > doc_a by construction) — a one-pass
+        # anti semi-join; keeps a doc whose only matches are larger ids
+        # even when it is transitively connected to a smaller one
+        drops = pairs.select_columns(["doc_b"])
+        survivors = semi_join(deduped, drops, "doc_id", "doc_b",
+                              num_buckets=16, anti=True)
     if out_dir is not None:
         from bqf_ray.state.output import resumable_write_parquet
         survivors = survivors.materialize()

@@ -381,8 +381,10 @@ def test_dedup_lines_matches_bruteforce(ray_session, mode):
             (r["doc_id"], r["text"], w)
 
 
-@pytest.mark.parametrize("mode", ["broadcast", "semijoin"])
-def test_dedup_spans_matches_bruteforce(ray_session, mode):
+@pytest.mark.parametrize("mode,count_plan", [("broadcast", "sketch"),
+                                             ("broadcast", "groupby"),
+                                             ("semijoin", "sketch")])
+def test_dedup_spans_matches_bruteforce(ray_session, mode, count_plan):
     """Fixed-granularity ExactSubstr: every token covered by a W-token
     window whose exact sequence occurs >= min_count corpus-wide is
     removed; both plans must equal the single-process reference."""
@@ -422,7 +424,8 @@ def test_dedup_spans_matches_bruteforce(ray_session, mode):
 
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(ids), "text": pa.array(docs)})).repartition(6)
-    got = (dedup_spans(ds, window=W, min_count=MC, mode=mode)
+    got = (dedup_spans(ds, window=W, min_count=MC, mode=mode,
+                       count_plan=count_plan)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert len(got) == len(docs)
     removed_total = 0
@@ -432,3 +435,28 @@ def test_dedup_spans_matches_bruteforce(ray_session, mode):
             (r["doc_id"], r["text"], w)
         removed_total += int(r["n_removed"])
     assert removed_total >= 50 * 6           # the injected spans were hit
+
+
+def test_curate_corpus_cluster_removal(ray_session):
+    """cluster_removal=True keeps exactly one representative per
+    connected near-dup component — never more survivors than the
+    pairwise drop-doc_b policy, and at least one per component."""
+    import ray
+
+    from bqf_ray.pipelines.curate import curate_corpus
+    from bqf_ray.sources.pages import generate_pages
+
+    pages = generate_pages(400, seed=21)
+    tbl = pages.select(["text"]).to_pandas()
+    tbl["doc_id"] = np.arange(len(tbl), dtype=np.int64)
+    ds = ray.data.from_pandas(tbl[["doc_id", "text"]]).repartition(4)
+
+    s_pair, pairwise = curate_corpus(ds)
+    s_clus, clustered = curate_corpus(ds, cluster_removal=True)
+    n_pair = dict(s_pair)["near_dedup"]
+    n_clus = dict(s_clus)["near_dedup"]
+    assert 0 < n_clus <= n_pair
+    # cluster survivors are a subset of pairwise survivors (both keep
+    # min-ids; pairwise can only over-keep)
+    assert set(clustered.to_pandas()["doc_id"]) <= \
+        set(pairwise.to_pandas()["doc_id"])

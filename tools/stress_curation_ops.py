@@ -90,9 +90,57 @@ def _terms():
     return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
-run("decontaminate", _decon)
-run("repetition_stats", _rep)
-run("pack_sequences", _pack)
-run("cap_per_key", _cap)
-run("distinctive_terms", _terms)
+ONLY = os.environ.get("STRESS_ONLY")
+
+
+def want(name):
+    return ONLY is None or name in ONLY.split(",")
+
+
+if want("decontaminate"): run("decontaminate", _decon)
+if want("repetition_stats"): run("repetition_stats", _rep)
+if want("pack_sequences"): run("pack_sequences", _pack)
+if want("cap_per_key"): run("cap_per_key", _cap)
+if want("distinctive_terms"): run("distinctive_terms", _terms)
+
+def _spans():
+    from bqf_ray.pipelines.dedup import dedup_spans
+    out = dedup_spans(docs, window=8, min_count=2)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _lines():
+    from bqf_ray.pipelines.dedup import dedup_lines
+    out = dedup_lines(docs, min_count=1000, sep=" ")
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _chunks():
+    from bqf_ray.pipelines.pack import chunk_documents
+    out = chunk_documents(docs, chunk=64, overlap=8)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _mix():
+    from bqf_ray.pipelines.sampling import rebalance_mixture
+    out = rebalance_mixture(docs_lang, {"en": 0.5, "de": 0.3, "fr": 0.2},
+                            strat_col="lang")
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _cc():
+    from bqf_ray.pipelines.dedup import minhash_lsh_pairs
+    from bqf_ray.pipelines.graph import near_dup_removal
+    pairs = minhash_lsh_pairs(docs, threshold=0.6, s=3).select_columns(
+        ["doc_a", "doc_b"]).materialize()
+    out = near_dup_removal(docs, pairs)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+if want("dedup_spans_w8"): run("dedup_spans_w8", _spans)
+if want("dedup_lines"): run("dedup_lines", _lines)
+if want("chunk_documents"): run("chunk_documents", _chunks)
+if want("rebalance_mixture"): run("rebalance_mixture", _mix)
+if want("minhash+cc_removal"): run("minhash+cc_removal", _cc)
 ray.shutdown()
+
