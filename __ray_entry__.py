@@ -629,6 +629,26 @@ def w_dedup_spans(sf_dir):
     return dedup_spans(_docs(sf_dir), window=3, min_count=2)
 
 
+def w_incremental_dedup(sf_dir):
+    """Crawl-loop dedup: a content-key BQF checkpoint over the first half
+    of the corpus, then the second half arrives as a new shard — drop
+    shard docs whose content was already seen (or repeated in-shard,
+    keeping the min id).  The checkpoint is rebuilt in a fresh temp dir
+    each call (update_index=False), so the query is pure."""
+    import tempfile
+
+    from bqf_ray.pipelines.build_index import build_bqf_index
+    from bqf_ray.pipelines.dedup import dedup_incremental
+    docs = _docs(sf_dir)
+    half = docs.count() // 2
+    old = docs.filter(expr=f"doc_id < {half}")
+    new = docs.filter(expr=f"doc_id >= {half}")
+    ck = tempfile.mkdtemp(prefix="bqf_seen_")
+    build_bqf_index(old, key_kind="content_prefix", num_partitions=8,
+                    checkpoint_dir=ck)
+    return dedup_incremental(new, ck, update_index=False)
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -986,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_rebalance": w_mixture_rebalance,
         "doc_chunks": w_doc_chunks,
         "dedup_spans": w_dedup_spans,
+        "incremental_dedup": w_incremental_dedup,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1370,6 +1391,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id,
                    LEAST(src, MIN(dst))::BIGINT AS cluster_id
             FROM reach GROUP BY src""",
+        # engine keys are xxh64(text); SQL uses text equality — identical
+        # up to a content-key collision, the same equivalence exact_dedup
+        # itself assumes
+        "incremental_dedup": """
+            WITH half AS (
+              SELECT (count(*) // 2)::BIGINT AS h FROM documents),
+            old AS (
+              SELECT DISTINCT text FROM documents, half
+              WHERE doc_id < h),
+            new_ AS (
+              SELECT doc_id, text FROM documents, half
+              WHERE doc_id >= h),
+            mins AS (
+              SELECT min(doc_id) AS doc_id FROM new_ GROUP BY text)
+            SELECT n.doc_id, n.text
+            FROM new_ n JOIN mins USING (doc_id)
+            WHERE n.text NOT IN (SELECT text FROM old)""",
         "dedup_spans": """
             WITH d AS (
               SELECT doc_id,

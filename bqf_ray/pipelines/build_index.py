@@ -35,13 +35,34 @@ def shingle_key_fn(text_col: str = "text", s: int = 1, seed: int = 0):
     return key_fn
 
 
+def content_key_fn(text_col: str = "text",
+                   prefix_tokens: int | None = None):
+    """KeyFn: ONE content key per document (exact-dedup key as an index
+    key) — for indexes that answer "has this document been seen?"."""
+
+    def key_fn(batch: pa.Table):
+        from bqf_ray.pipelines.dedup import content_keys
+        return content_keys(batch, text_col, prefix_tokens), None
+
+    return key_fn
+
+
+def _key_fn_from_config(config: dict):
+    if config.get("key_kind", "shingle") == "content_prefix":
+        return content_key_fn(config["text_col"],
+                              config.get("prefix_tokens"))
+    return shingle_key_fn(config["text_col"], config["s"], config["seed"])
+
+
 def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
                     num_partitions: int = 16, count_size: int = 8,
                     q: int = 14, hash_bits: int = 64, seed: int = 0,
                     checkpoint_dir: str | None = None,
                     input_lineage: list[str] | None = None,
                     batch_size: int | None = 2048,
-                    combine: bool | None = None) -> "BqfIndex":
+                    combine: bool | None = None,
+                    key_kind: str = "shingle",
+                    prefix_tokens: int | None = None) -> "BqfIndex":
     """Build (or resume) the partitioned BQF index.
 
     If ``checkpoint_dir`` holds a manifest for the same (config, lineage),
@@ -50,7 +71,8 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
     """
     config = {"s": s, "num_partitions": num_partitions, "q": q,
               "count_size": count_size, "hash_bits": hash_bits, "seed": seed,
-              "text_col": text_col}
+              "text_col": text_col, "key_kind": key_kind,
+              "prefix_tokens": prefix_tokens}
     lineage = input_lineage or []
     done: set[int] = set()
     ckpt = None
@@ -75,7 +97,7 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
         try:
             sample = pages_ds.limit(int(batch_size or 2048)).take_batch(
                 int(batch_size or 2048), batch_format="pyarrow")
-            skeys, _ = shingle_key_fn(text_col, s, seed)(sample)
+            skeys, _ = _key_fn_from_config(config)(sample)
             combine = len(np.unique(skeys)) >= 20_000
         except Exception:
             combine = False
@@ -86,7 +108,7 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
     partial_factory = lambda: BqfEc(q=8, count_size=count_size,
                                     hash_bits=hash_bits)
     blob_ds = build_partitioned(
-        pages_ds, shingle_key_fn(text_col, s, seed), factory,
+        pages_ds, _key_fn_from_config(config), factory,
         num_partitions=num_partitions, batch_size=batch_size,
         sink_dir=checkpoint_dir, skip_partitions=done or None,
         combine=combine, partial_factory=partial_factory)
@@ -132,7 +154,7 @@ def update_bqf_index(checkpoint_dir: str, add_ds=None, remove_ds=None,
     assert m is not None, f"no manifest in {checkpoint_dir}"
     config = m["config"]
     P = int(config["num_partitions"])
-    key_fn = shingle_key_fn(config["text_col"], config["s"], config["seed"])
+    key_fn = _key_fn_from_config(config)
 
     def to_kv(sign: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -41,17 +41,23 @@ from bqf_ray.functions.tokenize import shingle_hashes, token_hashes
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def add_content_key(batch: pa.Table, text_col: str = "text",
-                    prefix_tokens: int | None = None,
-                    key_col: str = "__ckey") -> pa.Table:
-    """Append an int64 content key: xxhash64 of the text (or of its first
+def content_keys(batch: pa.Table, text_col: str = "text",
+                 prefix_tokens: int | None = None) -> np.ndarray:
+    """uint64 content key per row: xxhash64 of the text (or of its first
     ``prefix_tokens`` whitespace tokens, space-joined)."""
     texts = batch.column(text_col)
     if prefix_tokens is not None:
         toks = pc.utf8_split_whitespace(texts)
         toks = pc.list_slice(toks, 0, prefix_tokens)
         texts = pc.binary_join(toks, " ")
-    keys = xxhash64_array(texts).astype(np.int64)
+    return xxhash64_array(texts)
+
+
+def add_content_key(batch: pa.Table, text_col: str = "text",
+                    prefix_tokens: int | None = None,
+                    key_col: str = "__ckey") -> pa.Table:
+    """Append the int64 view of :func:`content_keys`."""
+    keys = content_keys(batch, text_col, prefix_tokens).astype(np.int64)
     return batch.append_column(key_col, pa.array(keys))
 
 
@@ -1441,3 +1447,57 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
             .union(ds.map_batches(tag_docs, batch_format="pyarrow")))
     return (both.groupby("__dbucket")
             .map_groups(rebuild_bucket, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against a persisted content-key index
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(new_ds, checkpoint_dir: str, text_col: str = "text",
+                      id_col: str = "doc_id", update_index: bool = True,
+                      num_buckets: int = 64):
+    """The crawl-loop form of :func:`exact_dedup`: deduplicate a NEW
+    shard against everything already curated, without re-reading the
+    old corpus.  The seen-set is a persisted content-key BQF checkpoint
+    (:func:`~bqf_ray.pipelines.build_index.build_bqf_index` with
+    ``key_kind="content_prefix"``).
+
+    Plan: within-shard exact dedup (keep min id per key, one bucket
+    shuffle) → probe each survivor's content key against the
+    partitioned sketch (broadcast once via ``ray.put``; count 0 =
+    unseen) → optionally fold the survivors' keys back into the
+    checkpoint (:func:`update_bqf_index` touches only the partitions
+    that received keys), so the next shard sees them.
+
+    Exactness matches the checkpoint's config: with ``hash_bits=64``
+    the filter stores full keys, so membership is exact up to xxh64
+    content-key collisions — the same equivalence :func:`exact_dedup`
+    itself uses.  Returns the surviving rows of ``new_ds``.
+    """
+    import ray
+
+    from bqf_ray.pipelines.build_index import BqfIndex, update_bqf_index
+
+    idx = BqfIndex.load(checkpoint_dir)
+    if idx.config.get("key_kind") != "content_prefix":
+        raise ValueError("checkpoint is not a content-key index "
+                         f"(key_kind={idx.config.get('key_kind')!r})")
+    prefix = idx.config.get("prefix_tokens")
+
+    fresh = exact_dedup(new_ds, text_col=text_col, id_col=id_col,
+                        prefix_tokens=prefix, num_buckets=num_buckets)
+    ref = ray.put(idx.psketch)
+
+    class Unseen:
+        def __init__(self):
+            self.ps = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = content_keys(batch, text_col, prefix)
+            return batch.filter(pa.array(self.ps.query_batch(keys) == 0))
+
+    survivors = fresh.map_batches(Unseen, batch_format="pyarrow",
+                                  concurrency=(1, 8)).materialize()
+    if update_index:
+        update_bqf_index(checkpoint_dir, add_ds=survivors)
+    return survivors
