@@ -87,18 +87,23 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
                     ckpt.manifest.partitions[p] = info
 
     if combine is None:
-        # auto-plan: sample one batch and measure distinct keys per batch.
-        # Low cardinality → the pre-aggregated ROW shuffle is cheapest
-        # (combiner's per-(task,partition) sketch overhead dominates); high
-        # cardinality → the sketch-level COMBINER wins because the shuffle
-        # ships compact partial sketches instead of key rows (measured
-        # crossover ≈ 20k distinct/batch: 50M-distinct-key stress build runs
-        # 1.67x faster combined, the 2k-token corpus 1.3x faster row-wise).
+        # auto-plan: sample one batch; the COMBINER (ship partial sketch
+        # blobs) only beats the pre-aggregated ROW shuffle when per-batch
+        # pre-aggregation cannot compress — i.e. keys are both numerous
+        # AND mostly unique within a batch.  Measured: 50M-distinct-key
+        # stress (unique ratio ~1.0) runs 1.67x faster combined; on the
+        # 1.6M-page corpus an A/B of the two plans measured row 12-15s vs
+        # combiner 19-23s (ratio 0.017 there — heavy repetition means the
+        # row shuffle is already tiny).  The ratio guard keeps corpora
+        # with MANY distinct but still-compressible batches on the row
+        # plan, where a distinct-count threshold alone would flip them.
         try:
             sample = pages_ds.limit(int(batch_size or 2048)).take_batch(
                 int(batch_size or 2048), batch_format="pyarrow")
             skeys, _ = _key_fn_from_config(config)(sample)
-            combine = len(np.unique(skeys)) >= 20_000
+            n_distinct = len(np.unique(skeys))
+            combine = (n_distinct >= 20_000
+                       and n_distinct >= 0.5 * max(len(skeys), 1))
         except Exception:
             combine = False
 
