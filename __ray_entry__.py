@@ -649,6 +649,32 @@ def w_incremental_dedup(sf_dir):
     return dedup_incremental(new, ck, update_index=False)
 
 
+def w_customer_orders_left(sf_dir):
+    """LEFT outer bucket join: every customer with their order count;
+    customers with no orders keep a NULL count."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.pipelines.relational import partitioned_hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def pre(batch):
+        t = pa.table({"c_custkey": batch.column("o_custkey"),
+                      "n": np.ones(len(batch), dtype=np.int64)})
+        return (t.group_by(["c_custkey"]).aggregate([("n", "sum")])
+                .rename_columns(["c_custkey", "partial"]))
+
+    per_cust = (orders.map_batches(pre, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("partial", alias_name="n_orders")))
+    return partitioned_hash_join(cust, per_cust, key="c_custkey",
+                                 how="left")
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -1007,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": w_doc_chunks,
         "dedup_spans": w_dedup_spans,
         "incremental_dedup": w_incremental_dedup,
+        "customer_orders_left": w_customer_orders_left,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1394,6 +1421,14 @@ def oracle_sql() -> dict[str, str]:
         # engine keys are xxh64(text); SQL uses text equality — identical
         # up to a content-key collision, the same equivalence exact_dedup
         # itself assumes
+        "customer_orders_left": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   agg.n_orders AS n_orders_r
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey AS c_custkey,
+                              count(*)::BIGINT AS n_orders
+                       FROM orders GROUP BY o_custkey) agg
+            USING (c_custkey)""",
         "incremental_dedup": """
             WITH half AS (
               SELECT (count(*) // 2)::BIGINT AS h FROM documents),

@@ -264,11 +264,16 @@ def interval_join(left_ds, intervals_df, val: str, lo: str, hi: str,
 
 
 def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
-                          suffix: str = "_r"):
-    """Inner join of two large Datasets on an integer ``key`` via explicit
-    bucket co-partitioning (one groupby shuffle over the union)."""
+                          suffix: str = "_r", how: str = "inner"):
+    """Join two large Datasets on an integer ``key`` via explicit bucket
+    co-partitioning (one groupby shuffle over the union).  ``how`` is
+    ``inner`` / ``left`` / ``full`` — outer variants are bucket-local and
+    therefore exact: a key's rows from BOTH sides land in the same
+    bucket, so unmatched rows are detected without any global pass."""
     import pandas as pd
 
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"unsupported how={how!r}")
     B = int(num_buckets)
 
     def tag(side: int):
@@ -300,12 +305,41 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
     left_cols = list(left_ds.schema().names)
     right_cols_final = [key] + [c + suffix for c in right_cols]
 
+    # explicit output schema: pandas promotes int columns with unmatched
+    # rows to float64 (NaN), which would give outer-join buckets
+    # divergent block schemas — emit Arrow with the declared types
+    # (nulls for unmatched) instead
+    def _arrow_types(ds) -> dict:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        # pandas-block datasets report numpy dtypes
+        out = {}
+        for n, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                out[n] = t
+            else:
+                dt = np.dtype(t)
+                out[n] = pa.string() if dt == object \
+                    else pa.from_numpy_dtype(dt)
+        return out
+
+    ltypes, rtypes = _arrow_types(left_ds), _arrow_types(right_ds)
+    fields = {n: ltypes[n] for n in left_cols}
+    for c in right_cols:
+        fields[c + suffix] = rtypes[c]
+    out_names = sorted(fields)
+
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lt = group.loc[group["__side"] == 0, left_cols]
         rt = group.loc[group["__side"] == 1, right_cols_final]
-        if len(lt) == 0 or len(rt) == 0:
-            return pd.DataFrame()
-        return lt.merge(rt, on=key, how="inner")
+        if how == "inner" and (len(lt) == 0 or len(rt) == 0):
+            return pa.table({n: pa.array([], fields[n])
+                             for n in out_names})
+        out = lt.merge(rt, on=key, how={"full": "outer"}.get(how, how))
+        return pa.table({n: pa.Array.from_pandas(out[n], type=fields[n])
+                         for n in out_names})
 
     return (left_tagged.union(right_tagged)
             .groupby("__bucket")

@@ -166,3 +166,37 @@ def test_interval_join_matches_bruteforce(ray_session):
     assert len(interval_join(ds2, iv2, "v", "lo", "hi").to_pandas()) == 0
     assert len(interval_join(ds2, iv2, "v", "lo", "hi",
                              closed="both").to_pandas()) == 1
+
+
+@pytest.mark.parametrize("how", ["left", "full"])
+def test_partitioned_outer_join_matches_pandas(ray_session, how):
+    import pandas as pd
+    import ray
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 200).astype(np.int64),
+                         "lv": np.arange(200, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.randint(25, 75, 80).astype(np.int64),
+                          "rv": np.arange(80, dtype=np.int64)})
+    want = left.merge(right.rename(columns={"rv": "rv_r"}), on="k",
+                      how={"full": "outer"}.get(how, how))
+    got = partitioned_hash_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        key="k", num_buckets=8, how=how).to_pandas()
+    # nullable ints come back as pandas nullable / float — normalize
+    for df in (want, got):
+        for c in df.columns:
+            df[c] = pd.to_numeric(df[c]).astype("float64")
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    got = got[sorted(got.columns)].sort_values(
+        list(got.columns)).reset_index(drop=True)
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_partitioned_join_rejects_bad_how(ray_session):
+    import ray
+    ds = ray.data.from_items([{"k": 1}])
+    with pytest.raises(ValueError):
+        partitioned_hash_join(ds, ds, key="k", how="right")
