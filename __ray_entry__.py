@@ -675,6 +675,25 @@ def w_customer_orders_left(sf_dir):
                                  how="left")
 
 
+def w_embedding_decontaminate(sf_dir):
+    """Embedding-space decontamination: flag corpus vectors cosine-close
+    to any benchmark vector (vec_id % 50 == 0 plays the benchmark)."""
+    from bqf_ray.pipelines.contamination import embedding_decontaminate
+    full = _embeddings(sf_dir)
+
+    def part(bench):
+        def f(b):
+            vid = np.asarray(b.column("vec_id"))
+            m = (vid % 50 == 0) if bench else (vid % 50 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    corpus = full.map_batches(part(False), batch_format="pyarrow")
+    bench = full.map_batches(part(True), batch_format="pyarrow")
+    return embedding_decontaminate(corpus, bench, threshold=0.45) \
+        .select_columns(["vec_id", "contaminated"])
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -1034,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": w_dedup_spans,
         "incremental_dedup": w_incremental_dedup,
         "customer_orders_left": w_customer_orders_left,
+        "embedding_decontaminate": w_embedding_decontaminate,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1421,6 +1441,25 @@ def oracle_sql() -> dict[str, str]:
         # engine keys are xxh64(text); SQL uses text equality — identical
         # up to a content-key collision, the same equivalence exact_dedup
         # itself assumes
+        # float cosines are dropped (ids + classification only), like
+        # embedding_dups: the mixed op order (normalize-then-dot vs
+        # dot-then-divide) is not bit-stable, the >= classification is
+        "embedding_decontaminate": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt((SELECT sum(x.a::DOUBLE * x.a::DOUBLE)
+                           FROM (SELECT unnest(embedding) AS a) x)) AS nrm
+              FROM embeddings),
+            bench AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+            corpus AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+            mx AS (
+              SELECT c.vec_id,
+                     max((SELECT sum(x.u::DOUBLE * x.v::DOUBLE)
+                          FROM (SELECT unnest(c.embedding) AS u,
+                                       unnest(b.embedding) AS v) x)
+                         / (c.nrm * b.nrm)) AS mc
+              FROM corpus c, bench b GROUP BY c.vec_id)
+            SELECT vec_id, (mc >= 0.45) AS contaminated FROM mx""",
         "customer_orders_left": """
             SELECT c.c_custkey, c.c_mktsegment,
                    agg.n_orders AS n_orders_r

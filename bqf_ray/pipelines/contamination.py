@@ -203,3 +203,128 @@ def decontaminate(ds, bench_ds, n: int = 3, text_col: str = "text",
                 .aggregate(Sum("n", alias_name="n_contaminated")))
 
     raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# embedding-level decontamination
+# ---------------------------------------------------------------------------
+
+def embedding_decontaminate(corpus_ds, bench_ds, threshold: float = 0.95,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            method: str = "broadcast",
+                            bits: int = 8, tables: int = 16, seed: int = 7):
+    """Flag corpus vectors whose cosine similarity to ANY benchmark
+    vector reaches ``threshold`` — the embedding-space complement of the
+    n-gram :func:`decontaminate` (catches paraphrased test-set leakage
+    that token overlap misses).
+
+    - ``method="broadcast"`` (default, exact): benchmark sets are small
+      by construction, so the normalized bench matrix ships once via
+      ``ray.put``; each corpus batch takes its max cosine against it in
+      one matmul.  Zero shuffles.
+    - ``method="blocked"``: both sides stay distributed — L
+      random-hyperplane tables of ``bits`` bits block the union (the
+      :func:`~bqf_ray.pipelines.dedup.embedding_dup_pairs_blocked`
+      geometry); in-bucket exact cosine against the bench rows only.
+      Recall 1-(1-p^bits)^tables with p = 1-arccos(t)/π; flags are a
+      SUBSET of the exact set (misses possible, no false flags).
+
+    Output: (id, max_cos, contaminated) — one row per corpus vector in
+    ``broadcast`` mode; in ``blocked`` mode only vectors that collided
+    with a bench vector appear (absent row = not flagged).
+    """
+    import ray
+
+    from bqf_ray.pipelines.knn import _to_matrix
+
+    if method == "broadcast":
+        bt = pa.concat_tables(list(bench_ds.select_columns(
+            [id_col, vec_col]).iter_batches(batch_format="pyarrow")))
+        bm = _to_matrix(bt.column(vec_col))
+        bm = bm / np.maximum(
+            np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        ref = ray.put(bm)
+
+        class Flag:
+            def __init__(self):
+                self.bm = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column(id_col), dtype=np.int64)
+                m = _to_matrix(batch.column(vec_col))
+                m = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                mc = (m @ self.bm.T).max(axis=1) if len(self.bm) else \
+                    np.zeros(len(ids))
+                return pa.table({
+                    id_col: pa.array(ids),
+                    "max_cos": pa.array(mc.astype(np.float64)),
+                    "contaminated": pa.array(mc >= threshold)})
+
+        return corpus_ds.map_batches(Flag, batch_format="pyarrow",
+                                     batch_size=256, concurrency=(1, 8))
+
+    if method != "blocked":
+        raise ValueError(f"unknown method {method!r}")
+
+    rng = np.random.RandomState(seed)
+    dim = len(_to_matrix(
+        corpus_ds.limit(1).take_batch(1, batch_format="pyarrow")
+        .column(vec_col))[0])
+    planes = rng.normal(size=(tables, bits, dim))
+    pref = ray.put(planes)
+
+    def bucket_rows(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            pl = ray.get(pref)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            m = _to_matrix(batch.column(vec_col))
+            n = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            out = []
+            w = (1 << np.arange(bits, dtype=np.uint64))
+            vec_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(n.astype(np.float64).reshape(-1)), n.shape[1])
+            for t in range(tables):
+                code = ((n @ pl[t].T) > 0).astype(np.uint64) @ w
+                key = (code * np.uint64(73856093)
+                       + np.uint64(t) * np.uint64(0x9E3779B97F4A7C15))
+                out.append(pa.table({
+                    id_col: pa.array(ids),
+                    "__bkey": pa.array(key.astype(np.int64)),
+                    "__side": pa.array(np.full(len(ids), side, np.int8)),
+                    "__vec": vec_arr,
+                }))
+            return pa.concat_tables(out)
+        return fn
+
+    both = (corpus_ds.map_batches(bucket_rows(0), batch_format="pyarrow")
+            .union(bench_ds.map_batches(bucket_rows(1),
+                                        batch_format="pyarrow")))
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"), dtype=np.int8)
+        if (side == 1).sum() == 0 or (side == 0).sum() == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "max_cos": pa.array([], pa.float64())})
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        va = group.column("__vec")
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        vecs = np.asarray(va.flatten()).reshape(len(group), -1)
+        cm, bm = vecs[side == 0], vecs[side == 1]
+        mc = (cm @ bm.T).max(axis=1)
+        hit = mc >= threshold
+        return pa.table({id_col: pa.array(ids[side == 0][hit]),
+                         "max_cos": pa.array(mc[hit])})
+
+    from ray.data.aggregate import Max
+    flagged = (both.groupby("__bkey")
+               .map_groups(verify_bucket, batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Max("max_cos", alias_name="max_cos")))
+    return flagged.map_batches(
+        lambda b: b.append_column(
+            "contaminated", pa.array(np.ones(len(b), dtype=bool))),
+        batch_format="pyarrow")

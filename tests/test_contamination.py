@@ -79,3 +79,74 @@ def test_benchmark_set_is_sorted_distinct(corpus):
     keys = benchmark_shingle_set(bds, n=N)
     assert keys.dtype == np.uint64
     assert np.all(keys[:-1] < keys[1:])
+
+
+def _vec_fixture(n=400, dim=16, seed=9):
+    rng = np.random.RandomState(seed)
+    m = rng.normal(size=(n, dim))
+    # plant near-copies of the "benchmark" rows (ids divisible by 20)
+    for i in range(0, n, 20):
+        j = i + 7
+        if j < n:
+            m[j] = m[i] + rng.normal(scale=0.01, size=dim)
+    return m
+
+
+def test_embedding_decontaminate_broadcast_exact(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.contamination import embedding_decontaminate
+    m = _vec_fixture()
+    ids = np.arange(len(m), dtype=np.int64)
+    bench_mask = ids % 20 == 0
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(m.astype(np.float64)))})
+    full = ray.data.from_arrow(t).repartition(4)
+
+    def _part(keep_bench):
+        def f(b):
+            vid = np.asarray(b.column("vec_id"))
+            mask = (vid % 20 == 0) if keep_bench else (vid % 20 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    corpus = full.map_batches(_part(False), batch_format="pyarrow")
+    bench = full.map_batches(_part(True), batch_format="pyarrow")
+    got = (embedding_decontaminate(corpus, bench, threshold=0.95)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = n @ n[bench_mask].T
+    want_max = cos[~bench_mask].max(axis=1)
+    assert len(got) == int((~bench_mask).sum())
+    np.testing.assert_allclose(got["max_cos"].to_numpy(), want_max,
+                               rtol=0, atol=1e-12)
+    assert (got["contaminated"].to_numpy()
+            == (want_max >= 0.95)).all()
+    assert got["contaminated"].sum() >= 15   # the planted near-copies
+
+
+def test_embedding_decontaminate_blocked_subset(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.contamination import embedding_decontaminate
+    m = _vec_fixture()
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(m.astype(np.float64)))})
+    full = ray.data.from_arrow(t).repartition(4)
+
+    def _part(keep_bench):
+        def f(b):
+            vid = np.asarray(b.column("vec_id"))
+            mask = (vid % 20 == 0) if keep_bench else (vid % 20 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    corpus = full.map_batches(_part(False), batch_format="pyarrow")
+    bench = full.map_batches(_part(True), batch_format="pyarrow")
+    exact = embedding_decontaminate(corpus, bench, 0.95).to_pandas()
+    exact_ids = set(exact[exact["contaminated"]]["vec_id"])
+    got = embedding_decontaminate(corpus, bench, 0.95,
+                                  method="blocked").to_pandas()
+    assert set(got["vec_id"]) <= exact_ids        # no false flags
+    assert len(got) >= 0.9 * len(exact_ids)       # multi-table recall
