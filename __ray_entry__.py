@@ -694,6 +694,25 @@ def w_embedding_decontaminate(sf_dir):
         .select_columns(["vec_id", "contaminated"])
 
 
+def w_knn_join(sf_dir):
+    """Dataset-to-Dataset top-k cosine join (left = every 40th vector,
+    right = the rest), run at nprobe = n_cells so the IVF join is exact
+    and SQL-checkable; partial-probe recall is pytest-bounded."""
+    from bqf_ray.pipelines.knn import knn_join
+    full = _embeddings(sf_dir)
+
+    def part(is_left):
+        def f(b):
+            vid = np.asarray(b.column("vec_id"))
+            m = (vid % 40 == 0) if is_left else (vid % 40 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    left = full.map_batches(part(True), batch_format="pyarrow")
+    right = full.map_batches(part(False), batch_format="pyarrow")
+    return knn_join(left, right, k=10, n_cells=8, nprobe=8)
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -1054,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": w_incremental_dedup,
         "customer_orders_left": w_customer_orders_left,
         "embedding_decontaminate": w_embedding_decontaminate,
+        "knn_join": w_knn_join,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1444,6 +1464,28 @@ def oracle_sql() -> dict[str, str]:
         # float cosines are dropped (ids + classification only), like
         # embedding_dups: the mixed op order (normalize-then-dot vs
         # dot-then-divide) is not bit-stable, the >= classification is
+        "knn_join": """
+            WITH l AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 40 = 0),
+            r AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 40 <> 0),
+            sims AS (
+              SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+                     (SELECT sum(x.a::DOUBLE * x.b::DOUBLE)
+                      FROM (SELECT unnest(l.embedding) AS a,
+                                   unnest(r.embedding) AS b) x)
+                     / sqrt((SELECT sum(y.a::DOUBLE * y.a::DOUBLE)
+                             FROM (SELECT unnest(l.embedding) AS a) y))
+                     / sqrt((SELECT sum(z.b::DOUBLE * z.b::DOUBLE)
+                             FROM (SELECT unnest(r.embedding) AS b) z))
+                         AS s
+              FROM l, r)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id)::BIGINT
+                       AS rank
+            FROM sims
+            QUALIFY rank <= 10""",
         "embedding_decontaminate": """
             WITH n AS (
               SELECT vec_id, embedding,

@@ -337,3 +337,120 @@ def knn_lsh(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
                             batch_size=1024, concurrency=2)
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pyarrow")
+
+
+def knn_join(left_ds, right_ds, k: int = 10, n_cells: int = 64,
+             nprobe: int = 8, seed: int = 13, vec_col: str = "embedding",
+             id_col: str = "vec_id", index=None, chunk_rows: int = 1024):
+    """Dataset-to-Dataset top-k cosine join: for EVERY left row, its k
+    nearest right rows.  Unlike the ``knn_*`` probes (driver-supplied
+    query matrix), both sides are Datasets — the corpus-scale similarity
+    join (e.g. align two embedded corpora, k-NN feature lookup).
+
+    Plan: train (or reuse via ``index=build_ivf_index(right_ds, ...)``)
+    the right side's IVF; left rows fan out to their ``nprobe`` nearest
+    cells (≈ nprobe/n_cells of the right side scanned per left row);
+    both sides co-partition by cell in ONE union groupby shuffle; each
+    cell exact-ranks left×right cosine locally (left side chunked to
+    bound the matmul); a final ``groupby(query_id)`` merges cell-local
+    candidates (≤ nprobe·k rows per query) into the global top-k.
+    ``nprobe = n_cells`` makes the join exact.  Ties break by ascending
+    neighbor id (the knn_bruteforce rule).  Output
+    (query_id, neighbor_id, rank).
+    """
+    import ray
+
+    if index is not None:
+        cents, right_idx = index
+    else:
+        cents, right_idx = build_ivf_index(right_ds, n_cells, seed=seed,
+                                           vec_col=vec_col)
+    n_cells = len(cents)
+    nprobe = min(int(nprobe), n_cells)
+    cref = ray.put(cents)
+
+    def _vec_list(m: np.ndarray) -> pa.Array:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(m.astype(np.float64).reshape(-1)), m.shape[1])
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        cells = np.argsort(-(m @ cents_.T), axis=1)[:, :nprobe]
+        rep = np.repeat(np.arange(len(ids)), nprobe)
+        return pa.table({
+            "__cell": pa.array(cells.reshape(-1)),
+            id_col: pa.array(ids[rep]),
+            "__vec": _vec_list(m[rep]),
+            "__side": pa.array(np.zeros(len(rep), dtype=np.int8))})
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        return pa.table({
+            "__cell": batch.column("__ivf_cell"),
+            id_col: pa.array(ids),
+            "__vec": _vec_list(m),
+            "__side": pa.array(np.ones(len(ids), dtype=np.int8))})
+
+    def rank_cell(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"), dtype=np.int8)
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        va = group.column("__vec")
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        vecs = np.asarray(va.flatten()).reshape(len(group), -1)
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        lids, lm = ids[side == 0], vecs[side == 0]
+        rids, rm = ids[side == 1], vecs[side == 1]
+        # right side sorted by id: a STABLE argsort of -cos then breaks
+        # exact-cosine ties by ascending neighbor id — the same
+        # composite order the global merge and knn_bruteforce use, so
+        # ties straddling the per-cell top-k boundary stay exact
+        rorder = np.argsort(rids)
+        rids, rm = rids[rorder], rm[rorder]
+        kk = min(k, len(rids))
+        qs, ns, cs = [], [], []
+        for s in range(0, len(lids), int(chunk_rows)):
+            cos = lm[s:s + chunk_rows] @ rm.T
+            part = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(cos.shape[0]), part.shape[1])
+            qs.append(np.repeat(lids[s:s + chunk_rows], part.shape[1]))
+            ns.append(rids[part.reshape(-1)])
+            cs.append(cos[rows, part.reshape(-1)])
+        return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                         "neighbor_id": pa.array(np.concatenate(ns)),
+                         "cos": pa.array(np.concatenate(cs))})
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        q = np.asarray(group.column("query_id"), dtype=np.int64)
+        n = np.asarray(group.column("neighbor_id"), dtype=np.int64)
+        c = np.asarray(group.column("cos"), dtype=np.float64)
+        # a neighbor can reach a query via several probed cells — dedupe
+        order = np.lexsort((n, -c, q))
+        q, n, c = q[order], n[order], c[order]
+        first = np.concatenate([[True],
+                                (q[1:] != q[:-1]) | (n[1:] != n[:-1])])
+        q, n, c = q[first], n[first], c[first]
+        order = np.lexsort((n, -c, q))
+        q, n = q[order], n[order]
+        new_q = np.concatenate([[True], q[1:] != q[:-1]])
+        starts = np.flatnonzero(new_q)
+        rank = np.arange(len(q)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(q)]]))) + 1
+        keep = rank <= k
+        return pa.table({"query_id": pa.array(q[keep]),
+                         "neighbor_id": pa.array(n[keep]),
+                         "rank": pa.array(rank[keep].astype(np.int64))})
+
+    cand = (left_ds.map_batches(left_rows, batch_format="pyarrow")
+            .union(right_idx.map_batches(right_rows,
+                                         batch_format="pyarrow"))
+            .groupby("__cell")
+            .map_groups(rank_cell, batch_format="pyarrow"))
+    return (cand.repartition(16).groupby("query_id")
+            .map_groups(merge_topk, batch_format="pyarrow"))
