@@ -713,6 +713,14 @@ def w_knn_join(sf_dir):
     return knn_join(left, right, k=10, n_cells=8, nprobe=8)
 
 
+def w_normalize_text(sf_dir):
+    """CCNet-style canonical text form (lowercase, digits→0, strip
+    punctuation, collapse whitespace) — both engines run RE2."""
+    from bqf_ray.pipelines.text_stats import normalize_text
+    return normalize_text(_docs(sf_dir)).select_columns(
+        ["doc_id", "text_norm"])
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -1074,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left": w_customer_orders_left,
         "embedding_decontaminate": w_embedding_decontaminate,
         "knn_join": w_knn_join,
+        "normalize_text": w_normalize_text,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1464,6 +1473,13 @@ def oracle_sql() -> dict[str, str]:
         # float cosines are dropped (ids + classification only), like
         # embedding_dups: the mixed op order (normalize-then-dot vs
         # dot-then-divide) is not bit-stable, the >= classification is
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        lower(text), '\\d', '0', 'g'),
+                        '[^\\w\\s]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS text_norm
+            FROM documents""",
         "knn_join": """
             WITH l AS (SELECT vec_id, embedding FROM embeddings
                        WHERE vec_id % 40 = 0),

@@ -353,3 +353,30 @@ def content_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "simhash": pa.array(sh)})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "text_norm",
+                   digits_to_zero: bool = True):
+    """CCNet-style normalization before fuzzy dedup (Wenzek et al. 2020
+    §4.1): lowercase, digits → 0, strip punctuation, collapse
+    whitespace.  Dedup over the normalized column catches
+    near-identical boilerplate that raw hashing misses.
+
+    Every step is an Arrow RE2 kernel, and DuckDB's regexp_replace is
+    RE2 too — the oracle replays the exact same regex semantics
+    (``\\w`` = ASCII word chars in both).  Stateless single pass."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.utf8_lower(t)
+        if digits_to_zero:
+            t = pc.replace_substring_regex(t, r"\d", "0")
+        t = pc.replace_substring_regex(t, r"[^\w\s]", "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return batch.append_column(out_col, t)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
