@@ -721,6 +721,16 @@ def w_normalize_text(sf_dir):
         ["doc_id", "text_norm"])
 
 
+def w_normalized_dedup(sf_dir):
+    """Fuzzy-exact dedup: exact_dedup keyed on the CCNet-normalized text,
+    so case/punctuation/digit variants of the same content collapse."""
+    from bqf_ray.pipelines.dedup import exact_dedup
+    from bqf_ray.pipelines.text_stats import normalize_text
+    normed = normalize_text(_docs(sf_dir))
+    return exact_dedup(normed, text_col="text_norm") \
+        .select_columns(["doc_id", "text"])
+
+
 def w_doc_chunks(sf_dir):
     """Overlapping token-window chunking (context-window prep): 16-token
     windows advancing by 12 (overlap 4) — sf docs average ~23 tokens, so
@@ -1083,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_decontaminate": w_embedding_decontaminate,
         "knn_join": w_knn_join,
         "normalize_text": w_normalize_text,
+        "normalized_dedup": w_normalized_dedup,
         "lang_id": w_lang_id,
         "quality": w_quality,
         "sessions": w_sessions,
@@ -1473,6 +1484,16 @@ def oracle_sql() -> dict[str, str]:
         # float cosines are dropped (ids + classification only), like
         # embedding_dups: the mixed op order (normalize-then-dot vs
         # dot-then-divide) is not bit-stable, the >= classification is
+        "normalized_dedup": """
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                          lower(text), '\\d', '0', 'g'),
+                          '[^\\w\\s]', '', 'g'),
+                          '\\s+', ' ', 'g')) AS tn
+              FROM documents),
+            keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY tn)
+            SELECT n.doc_id, n.text FROM n JOIN keep USING (doc_id)""",
         "normalize_text": """
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(regexp_replace(
