@@ -71,8 +71,14 @@ def build_bqf_index(pages_ds, *, text_col: str = "text", s: int = 1,
     """
     config = {"s": s, "num_partitions": num_partitions, "q": q,
               "count_size": count_size, "hash_bits": hash_bits, "seed": seed,
-              "text_col": text_col, "key_kind": key_kind,
-              "prefix_tokens": prefix_tokens}
+              "text_col": text_col}
+    # only non-default key settings enter the config (and thus the
+    # manifest's config hash): pre-existing shingle-index checkpoints
+    # keep their hash and stay resumable
+    if key_kind != "shingle":
+        config["key_kind"] = key_kind
+    if prefix_tokens is not None:
+        config["prefix_tokens"] = prefix_tokens
     lineage = input_lineage or []
     done: set[int] = set()
     ckpt = None

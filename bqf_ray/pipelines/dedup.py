@@ -961,20 +961,21 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         lists = pc.split_pattern(texts, sep)
-        flat = lists.flatten()
-        lens = np.asarray(lists.value_lengths(), dtype=np.int64)
+        flat = lists.flatten()          # null lists contribute 0 values
+        lens = np.asarray(lists.value_lengths().fill_null(0),
+                          dtype=np.int64)
         offs = np.concatenate([[0], np.cumsum(lens)])
         return flat, lens, offs
 
     def _rebuild(batch: pa.Table, keep: np.ndarray, flat, lens, offs):
-        kept_per_doc = np.add.reduceat(
-            keep.astype(np.int64), offs[:-1]) if len(lens) else \
-            np.empty(0, dtype=np.int64)
-        kept_per_doc[lens == 0] = 0
+        # per-doc kept counts via prefix sums (reduceat chokes on
+        # zero-length docs whose start offset == total)
+        kcum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_per_doc = kcum[offs[1:]] - kcum[offs[:-1]]
         new_offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
         kept_list = pa.ListArray.from_arrays(
             pa.array(new_offs, pa.int32()),
-            flat.filter(pa.array(keep)))
+            flat.filter(pa.array(keep)) if len(keep) else flat)
         text = pc.binary_join(kept_list, sep)
         return pa.table({
             id_col: batch.column(id_col),
@@ -1010,15 +1011,28 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
     NB = int(num_buckets)
 
     def explode(batch: pa.Table) -> pa.Table:
+        """One corpus pass emits BOTH row kinds: segment rows (side 0,
+        routed by segment hash) and one per-doc length row (side 2,
+        routed by doc id) — the length rows pass through filter_bucket
+        untouched, so no separate doc_lens pass re-splits the corpus."""
         flat, lens, offs = _split(batch)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         did = np.repeat(ids, lens)
         idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
         b = (xxhash64_array(flat) % np.uint64(NB)).astype(np.int64)
-        return pa.table({id_col: pa.array(did), "__idx": pa.array(idx),
-                         "seg": flat, "__bucket": pa.array(b),
-                         "__side": pa.array(
-                             np.zeros(len(flat), dtype=np.int8))})
+        seg_rows = pa.table({
+            id_col: pa.array(did), "__idx": pa.array(idx),
+            "seg": flat, "__bucket": pa.array(b),
+            "__side": pa.array(np.zeros(len(flat), dtype=np.int8)),
+            "__nl": pa.array(np.full(len(flat), np.nan), pa.float64())})
+        len_rows = pa.table({
+            id_col: pa.array(ids),
+            "__idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "seg": pa.array([""] * len(ids), pa.string()),
+            "__bucket": pa.array((ids % NB).astype(np.int64)),
+            "__side": pa.array(np.full(len(ids), 2, dtype=np.int8)),
+            "__nl": pa.array(lens.astype(np.float64))})
+        return pa.concat_tables([seg_rows, len_rows])
 
     def tag_dups(batch: pa.Table) -> pa.Table:
         segs = batch.column("seg")
@@ -1029,7 +1043,8 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
         return pa.table({id_col: pa.array(np.zeros(n, dtype=np.int64)),
                          "__idx": pa.array(np.zeros(n, dtype=np.int64)),
                          "seg": segs, "__bucket": pa.array(b),
-                         "__side": pa.array(np.ones(n, dtype=np.int8))})
+                         "__side": pa.array(np.ones(n, dtype=np.int8)),
+                         "__nl": pa.array(np.full(n, np.nan), pa.float64())})
 
     def filter_bucket(group: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1037,40 +1052,26 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
         segs = np.asarray(group.column("seg"))
         codes, _ = pd.factorize(segs)
         dup_codes = np.unique(codes[side == 1])
-        rows = side == 0
-        keep = rows & ~np.isin(codes, dup_codes)
+        keep = ((side == 0) & ~np.isin(codes, dup_codes)) | (side == 2)
         kept = group.filter(pa.array(keep))
         return pa.table({
             id_col: kept.column(id_col),
             "__idx": kept.column("__idx"),
             "seg": kept.column("seg"),
+            "__nl": kept.column("__nl"),
             "__dbucket": pa.array(
                 (np.asarray(kept.column(id_col), dtype=np.int64)
                  % NB).astype(np.int64))})
-
-    # original per-doc lengths travel separately (tiny: one row per doc)
-    def doc_lens(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        lists = pc.split_pattern(texts, sep)
-        lens = np.asarray(lists.value_lengths(), dtype=np.int64)
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        return pa.table({id_col: pa.array(ids), "__nl": pa.array(lens),
-                         "__dbucket": pa.array((ids % NB).astype(np.int64))})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     tagged = dups.map_batches(tag_dups, batch_format="pyarrow")
     survivors = (exploded.union(tagged)
                  .groupby("__bucket")
                  .map_groups(filter_bucket, batch_format="pyarrow"))
-    lens_ds = ds.map_batches(doc_lens, batch_format="pyarrow")
 
     def assemble(group: pa.Table) -> pa.Table:
-        import pandas as pd
-        has_nl = "__nl" in group.schema.names
         nl = (np.asarray(group.column("__nl"), dtype=np.float64)
-              if has_nl else np.full(group.num_rows, np.nan))
+              if group.num_rows else np.empty(0, dtype=np.float64))
         is_len_row = ~np.isnan(nl)
         ids = np.asarray(group.column(id_col), dtype=np.int64)
         # doc universe comes from the length rows (covers empty docs)
@@ -1098,24 +1099,7 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
             "n_lines": pa.array(doc_nl),
             "n_removed": pa.array(doc_nl - kept_per_doc, pa.int64())})
 
-    # union survivors (seg rows) with lens rows; schemas differ, so pad
-    def pad_survivor(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__nl", pa.array(np.full(batch.num_rows, np.nan), pa.float64()))
-
-    def pad_lens(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        out = pa.table({
-            id_col: batch.column(id_col),
-            "__idx": pa.array(np.zeros(n, dtype=np.int64)),
-            "seg": pa.array([""] * n, pa.string()),
-            "__dbucket": batch.column("__dbucket"),
-            "__nl": pc.cast(batch.column("__nl"), pa.float64())})
-        return out
-
-    both = (survivors.map_batches(pad_survivor, batch_format="pyarrow")
-            .union(lens_ds.map_batches(pad_lens, batch_format="pyarrow")))
-    return (both.groupby("__dbucket")
+    return (survivors.groupby("__dbucket")
             .map_groups(assemble, batch_format="pyarrow"))
 
 
@@ -1322,7 +1306,10 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
         def win_counts(batch: pa.Table) -> pa.Table:
             toks, offs = tokenize_column(batch.column(text_col))
             th = xxhash64_array(toks)
-            wh, _ = shingle_hashes(th, offs, W)
+            # W==1 matches shingle_key_fn's s==1 convention (raw token
+            # hashes, no fmix64): the sketch count plan and the rewrite
+            # must share ONE hash space
+            wh = th if W == 1 else shingle_hashes(th, offs, W)[0]
             t = pa.table({"h": wh.view(np.int64),
                           "n": np.ones(len(wh), dtype=np.int64)})
             return (t.group_by(["h"]).aggregate([("n", "sum")])
@@ -1375,7 +1362,7 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
             def __call__(self, batch: pa.Table) -> pa.Table:
                 toks, offs = tokenize_column(batch.column(text_col))
                 th = xxhash64_array(toks)
-                wh, _ = shingle_hashes(th, offs, W)
+                wh = th if W == 1 else shingle_hashes(th, offs, W)[0]
                 starts, _ = _window_starts(offs, W)
                 h = wh.view(np.int64)
                 pos = np.searchsorted(self.dh, h)
@@ -1398,7 +1385,10 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
     def explode(batch: pa.Table) -> pa.Table:
         toks, offs = tokenize_column(batch.column(text_col))
         th = xxhash64_array(toks)
-        wh, woffs = shingle_hashes(th, offs, W)
+        if W == 1:
+            wh, woffs = th, offs
+        else:
+            wh, woffs = shingle_hashes(th, offs, W)
         n_win = np.diff(woffs)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         did = np.repeat(ids, n_win)
@@ -1482,6 +1472,12 @@ def dedup_incremental(new_ds, checkpoint_dir: str, text_col: str = "text",
     if idx.config.get("key_kind") != "content_prefix":
         raise ValueError("checkpoint is not a content-key index "
                          f"(key_kind={idx.config.get('key_kind')!r})")
+    if idx.config["text_col"] != text_col:
+        # update_bqf_index re-keys survivors with the CHECKPOINT's
+        # text_col; a mismatch would fold keys from the wrong column
+        # into the seen-set
+        raise ValueError(f"text_col={text_col!r} does not match the "
+                         f"checkpoint's {idx.config['text_col']!r}")
     prefix = idx.config.get("prefix_tokens")
 
     fresh = exact_dedup(new_ds, text_col=text_col, id_col=id_col,

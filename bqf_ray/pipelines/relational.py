@@ -331,12 +331,25 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
         fields[c + suffix] = rtypes[c]
     out_names = sorted(fields)
 
+    def _nullable_ints(df: pd.DataFrame) -> pd.DataFrame:
+        # unmatched outer rows would promote ints to float64 and corrupt
+        # values above 2^53 (this repo's hash-derived int64 keys live
+        # there); pandas nullable ints keep exact values through merge
+        for c in df.columns:
+            t = fields.get(c)
+            if t is not None and pa.types.is_integer(t):
+                df = df.assign(**{c: df[c].astype(
+                    str(t).replace("uint", "UInt").replace("int", "Int"))})
+        return df
+
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lt = group.loc[group["__side"] == 0, left_cols]
         rt = group.loc[group["__side"] == 1, right_cols_final]
         if how == "inner" and (len(lt) == 0 or len(rt) == 0):
             return pa.table({n: pa.array([], fields[n])
                              for n in out_names})
+        if how != "inner":
+            lt, rt = _nullable_ints(lt), _nullable_ints(rt)
         out = lt.merge(rt, on=key, how={"full": "outer"}.get(how, how))
         return pa.table({n: pa.Array.from_pandas(out[n], type=fields[n])
                          for n in out_names})
