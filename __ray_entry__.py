@@ -890,6 +890,19 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_json_rollup(sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    with the Arrow C++ NDJSON reader (whole batch joined into one
+    buffer — no Python json.loads loop) and roll up the integer field
+    ``k`` per event_type.  total is an exact int sum; avg_val an exact
+    integer ratio (the oracle float convention)."""
+    import ray
+    from bqf_ray.pipelines.json_ops import json_rollup
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    return json_rollup(ev, col="props", field="k", group_col="event_type")
+
+
 def w_sliding_events(sf_dir):
     from bqf_ray.pipelines.windowed import sliding_window
     return sliding_window(_events(sf_dir), size_s=3600, slide_s=900)
@@ -1067,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_bands": q_value_bands,
         "top_docs_per_lang": q_top_docs_per_lang,
         "window_distinct_users": q_window_distinct_users,
+        "json_rollup": w_json_rollup,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1818,6 +1832,19 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events GROUP BY 1, 2""",
+        "json_rollup": """
+            WITH x AS (SELECT event_type,
+                              CAST(json_extract_string(props, 'k')
+                                   AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   (count(*) - count(k))::BIGINT AS n_null,
+                   COALESCE(sum(k), 0)::BIGINT AS total,
+                   CASE WHEN count(k) > 0
+                        THEN CAST(sum(k) AS DOUBLE) / count(k)
+                        ELSE 0.0 END AS avg_val
+            FROM x GROUP BY event_type""",
         # lang_id / quality: deterministic heuristics over tiny lexicons —
         # re-expressed in SQL (same op order ⇒ bit-identical doubles)
         "lang_id": f"""
