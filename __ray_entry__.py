@@ -890,6 +890,17 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_profile_docs(sf_dir):
+    """Per-column data-quality profile of documents: exact n/null/
+    distinct/min/max in one value-bucketed shuffle, plus an HLL(p=12)
+    estimate checked against its 10% bound via the ``hll_ok`` flag
+    (the window_distinct_hll oracle pattern)."""
+    import ray
+    from bqf_ray.pipelines.profile import profile_table
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs)
+
+
 def w_json_rollup(sf_dir):
     """Semi-structured extraction: parse the events.props JSON column
     with the Arrow C++ NDJSON reader (whole batch joined into one
@@ -1081,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "window_distinct_users": q_window_distinct_users,
         "json_rollup": w_json_rollup,
+        "profile_docs": w_profile_docs,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1832,6 +1844,15 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events GROUP BY 1, 2""",
+        "profile_docs": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
+                   (count(*) - count({c}))::BIGINT AS n_null,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_v,
+                   CAST(max({c}) AS VARCHAR) AS max_v,
+                   TRUE AS hll_ok
+            FROM documents"""
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]),
         "json_rollup": """
             WITH x AS (SELECT event_type,
                               CAST(json_extract_string(props, 'k')
