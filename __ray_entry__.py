@@ -890,6 +890,27 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_customers_no_urgent(sf_dir):
+    """TPC-H Q22 shape via the Bloom-gated anti-join (customers with no
+    URGENT order): definite Bloom misses bypass the exchange; only
+    Bloom-positives are exactly confirmed in the bucket-co-partitioned
+    semi_join."""
+    import ray
+    import pyarrow.compute as _pc
+    from bqf_ray.pipelines.relational import bloom_semi_join
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey",
+                                          "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(_pc.equal(b.column("o_orderpriority"),
+                                     "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow")
+    return bloom_semi_join(cust, orders, left_key="c_custkey",
+                           right_key="o_custkey", anti=True)
+
+
 def w_profile_docs(sf_dir):
     """Per-column data-quality profile of documents: exact n/null/
     distinct/min/max in one value-bucketed shuffle, plus an HLL(p=12)
@@ -1093,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": q_window_distinct_users,
         "json_rollup": w_json_rollup,
         "profile_docs": w_profile_docs,
+        "customers_no_urgent": w_customers_no_urgent,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1844,6 +1866,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events GROUP BY 1, 2""",
+        "customers_no_urgent": """
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')""",
         "profile_docs": " UNION ALL ".join(
             f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
                    (count(*) - count({c}))::BIGINT AS n_null,

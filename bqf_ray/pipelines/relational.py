@@ -120,6 +120,70 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
             .map_groups(filter_bucket, batch_format="pyarrow"))
 
 
+def bloom_semi_join(left_ds, right_ds, left_key: str,
+                    right_key: str | None = None, anti: bool = False,
+                    fp: float = 0.01, expected_keys: int | None = None,
+                    num_buckets: int = 32):
+    """Bloom-gated exact semi/anti join on an integer key — the
+    big-big join plan when most left rows DON'T match.
+
+    A blocked Bloom filter over the right side's keys is tree-merged
+    once and broadcast as bits (``ray.put``; ~1.2 GB per 10^9 keys at
+    1% fp — far smaller than a key set).  Bloom misses are DEFINITE
+    non-members (zero false negatives): for an anti-join they bypass
+    the exchange entirely as survivors; for a semi-join they are
+    dropped in place.  Only Bloom-POSITIVE rows (true matches + fp of
+    the non-matching mass) enter the exact bucket-co-partitioned
+    confirmation (:func:`semi_join`), so the shuffle carries
+    ``matches + fp·|left|`` rows instead of ``|left|`` — the result is
+    exact regardless of fp; fp only tunes the exchange volume.  The
+    anti path reads ``left_ds`` twice (both passes stream; nothing
+    materializes).
+    """
+    import ray
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.bloom import BlockedBloom
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    right_key = right_key or left_key
+
+    def _hash(col) -> np.ndarray:
+        return fmix64(np.asarray(col, dtype=np.int64).view(np.uint64))
+
+    def right_keys(batch: pa.Table):
+        return _hash(batch.column(right_key)), None
+
+    n = int(expected_keys) if expected_keys is not None \
+        else max(int(right_ds.count()), 1)
+    bloom = build_sketch(right_ds.select_columns([right_key]), right_keys,
+                         lambda: BlockedBloom.from_capacity(n, fp, seed=41))
+    ref = ray.put(bloom)
+
+    class Probe:
+        """keep_hit=True → keep Bloom-positive rows (candidates);
+        False → keep Bloom-miss rows (definite non-members)."""
+
+        def __init__(self, keep_hit: bool):
+            self.bloom = ray.get(ref)
+            self.keep_hit = keep_hit
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = self.bloom.query_batch(_hash(batch.column(left_key)))
+            return batch.filter(pa.array(hit if self.keep_hit else ~hit))
+
+    cands = left_ds.map_batches(Probe, fn_constructor_args=(True,),
+                                batch_format="pyarrow", concurrency=(1, 8))
+    confirmed = semi_join(cands, right_ds, left_key, right_key,
+                          num_buckets=num_buckets, anti=anti)
+    if not anti:
+        return confirmed
+    definite = left_ds.map_batches(Probe, fn_constructor_args=(False,),
+                                   batch_format="pyarrow",
+                                   concurrency=(1, 8))
+    return definite.union(confirmed)
+
+
 def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
               suffix: str = "_r", how: str = "inner"):
     """As-of join (an operator Ray Data lacks): for every left row, attach

@@ -200,3 +200,37 @@ def test_partitioned_join_rejects_bad_how(ray_session):
     ds = ray.data.from_items([{"k": 1}])
     with pytest.raises(ValueError):
         partitioned_hash_join(ds, ds, key="k", how="right")
+
+
+def test_bloom_semi_join_matches_plain(ray_session, tables):
+    import ray
+    from bqf_ray.pipelines.relational import bloom_semi_join, semi_join
+    ds, left, _ = tables
+    rng = np.random.default_rng(3)
+    rk = rng.integers(0, 400, size=500).astype(np.int64)   # hits + misses
+    right_ds = ray.data.from_arrow(
+        pa.table({"kk": pa.array(rk)})).repartition(3)
+    for anti in (False, True):
+        fast = bloom_semi_join(ds, right_ds, "k", "kk",
+                               anti=anti, fp=0.2).to_pandas()
+        plain = semi_join(ds, right_ds, "k", "kk", num_buckets=4,
+                          anti=anti).to_pandas()
+        assert sorted(fast.columns) == sorted(plain.columns)
+        assert len(fast) == len(plain)
+        np.testing.assert_array_equal(
+            np.sort(fast["v"].to_numpy()), np.sort(plain["v"].to_numpy()))
+
+
+def test_bloom_anti_join_high_fp_still_exact(ray_session, tables):
+    # fp only tunes exchange volume — a terrible filter must not change
+    # the result
+    import ray
+    from bqf_ray.pipelines.relational import bloom_semi_join
+    ds, left, _ = tables
+    right_ds = ray.data.from_arrow(pa.table(
+        {"kk": pa.array(np.array([2, 5, 7], dtype=np.int64))}))
+    out = bloom_semi_join(ds, right_ds, "k", "kk", anti=True,
+                          fp=0.5, expected_keys=2).to_pandas()
+    exp = left[~left["k"].isin([2, 5, 7])]
+    assert len(out) == len(exp)
+    assert not out["k"].isin([2, 5, 7]).any()
