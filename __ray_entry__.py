@@ -890,6 +890,26 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_rollup_revenue(sf_dir):
+    """GROUP BY ROLLUP(priority, status) over order totalprice cents —
+    all three aggregation levels in one shuffle."""
+    import ray
+    from bqf_ray.pipelines.aggregates import rollup_aggregate
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderstatus",
+                                        "o_totalprice"])
+
+    def cents(b):
+        c = np.floor(np.asarray(b.column("o_totalprice")) * 100 + 0.5
+                     ).astype(np.int64)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "o_orderstatus": b.column("o_orderstatus"),
+                         "cents": pa.array(c)})
+
+    return rollup_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                            ["o_orderpriority", "o_orderstatus"], "cents")
+
+
 def w_customers_no_urgent(sf_dir):
     """TPC-H Q22 shape via the Bloom-gated anti-join (customers with no
     URGENT order): definite Bloom misses bypass the exchange; only
@@ -1115,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_rollup": w_json_rollup,
         "profile_docs": w_profile_docs,
         "customers_no_urgent": w_customers_no_urgent,
+        "rollup_revenue": w_rollup_revenue,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1872,6 +1893,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "rollup_revenue": """
+            SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS total
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
         "profile_docs": " UNION ALL ".join(
             f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
                    (count(*) - count({c}))::BIGINT AS n_null,

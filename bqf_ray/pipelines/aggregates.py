@@ -379,3 +379,73 @@ def pricing_summary(ds):
         })
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# multi-level rollup (GROUP BY ROLLUP) in one shuffle
+# ---------------------------------------------------------------------------
+
+def rollup_aggregate(ds, group_cols: list[str], value_col: str):
+    """``GROUP BY ROLLUP(group_cols)`` over an int64 value: every prefix
+    level — (c1..ck), (c1..ck-1), …, () — aggregated (n, total) in ONE
+    shuffle.
+
+    Per batch, a local group-by runs once per level and collapsed key
+    columns are set to a sentinel; the union of all levels' partials
+    rides one ``groupby`` exchange keyed on the full key tuple + level.
+    The exchange carries at most ``levels × per-batch-distinct-groups``
+    rows — identical asymptotics to a single-level pre-aggregated
+    groupby since each coarser level is strictly smaller.  Collapsed
+    keys come back as NULL (SQL ROLLUP semantics); ``total`` is an
+    exact integer sum (the oracle float convention leaves ratios to the
+    caller)."""
+    from ray.data.aggregate import Sum
+
+    SENT = "\x00ALL\x00"              # never a real key value
+    K = len(group_cols)
+    assert K >= 1
+
+    def pre(batch: pa.Table) -> pa.Table:
+        base = pa.table({
+            **{c: pc.cast(batch.column(c), pa.string())
+               for c in group_cols},
+            "n": np.ones(batch.num_rows, dtype=np.int64),
+            "tot": pc.cast(batch.column(value_col), pa.int64()),
+        })
+        parts = []
+        for lvl in range(K + 1):           # lvl = number of kept cols
+            t = base
+            for c in group_cols[lvl:]:
+                # list-built, not np.full: numpy's U dtype truncates
+                # embedded NULs, silently collapsing the sentinel
+                t = t.set_column(
+                    t.schema.get_field_index(c), c,
+                    pa.array([SENT] * t.num_rows, pa.string()))
+            g = (t.group_by(group_cols)
+                 .aggregate([("n", "sum"), ("tot", "sum")])
+                 .rename_columns(group_cols + ["pn", "ptot"]))
+            parts.append(g.append_column(
+                "__lvl", pa.array(np.full(g.num_rows, lvl, dtype=np.int64))))
+        return pa.concat_tables(parts)
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby(group_cols + ["__lvl"])
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("ptot", alias_name="total")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lvl = np.asarray(batch.column("__lvl"), dtype=np.int64)
+        cols = {}
+        for i, c in enumerate(group_cols):
+            arr = batch.column(c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # collapsed ⟺ the level kept fewer than i+1 columns — no
+            # string compare, so sentinel mangling can't corrupt output
+            cols[c] = pc.if_else(pa.array(lvl > i),
+                                 arr, pa.scalar(None, pa.string()))
+        cols["n"] = pc.cast(batch.column("n"), pa.int64())
+        cols["total"] = pc.cast(batch.column("total"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

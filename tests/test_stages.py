@@ -265,3 +265,24 @@ def test_partitioned_empty_highest_partition(ray_session):
     absent = np.arange(7, 8000, 8, dtype=np.uint64) * np.uint64(P) \
         + np.uint64(P - 1)
     assert (ps.query_batch(absent) == 0).all()
+
+
+def test_rollup_aggregate_levels(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import rollup_aggregate
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=2000),
+        "b": rng.choice(["p", "q"], size=2000),
+        "v": rng.integers(0, 1000, size=2000).astype(np.int64)})
+    out = rollup_aggregate(ray.data.from_pandas(df), ["a", "b"], "v")
+    got = {(r["a"], r["b"]): (r["n"], r["total"]) for r in out.take_all()}
+    fine = df.groupby(["a", "b"])["v"].agg(["count", "sum"])
+    for (a, b), row in fine.iterrows():
+        assert got[(a, b)] == (row["count"], row["sum"])
+    mid = df.groupby("a")["v"].agg(["count", "sum"])
+    for a, row in mid.iterrows():
+        assert got[(a, None)] == (row["count"], row["sum"])
+    assert got[(None, None)] == (len(df), df["v"].sum())
+    assert len(got) == len(fine) + len(mid) + 1
