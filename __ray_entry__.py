@@ -890,6 +890,19 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_event_pivot(sf_dir):
+    """events pivoted: one row per user with per-event-type counts.
+    The pre-agg pivots inside each batch, so the exchange ships
+    (distinct users × 5 ints) per batch — never raw event rows."""
+    import ray
+    from bqf_ray.pipelines.aggregates import pivot_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ev, key_col="user_id", cat_col="event_type",
+                        categories=["click", "view", "purchase",
+                                    "signup", "error"], other=None)
+
+
 def w_rollup_revenue(sf_dir):
     """GROUP BY ROLLUP(priority, status) over order totalprice cents —
     all three aggregation levels in one shuffle."""
@@ -1136,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_docs": w_profile_docs,
         "customers_no_urgent": w_customers_no_urgent,
         "rollup_revenue": w_rollup_revenue,
+        "event_pivot": w_event_pivot,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1893,6 +1907,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "event_pivot": """
+            SELECT user_id,
+                   """ + ", ".join(
+            f"SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 "
+            f"END)::BIGINT AS n_{c}"
+            for c in ["click", "view", "purchase", "signup", "error"]) + """
+            FROM events GROUP BY user_id""",
         "rollup_revenue": """
             SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
                    SUM(CAST(floor(o_totalprice * 100 + 0.5)

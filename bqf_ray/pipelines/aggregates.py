@@ -449,3 +449,48 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str):
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 value_col: str | None = None, other: str | None = "other"):
+    """Pivot a category column into per-category aggregate columns:
+    one output row per ``key_col`` with ``n_<cat>`` counts (or exact
+    int64 sums of ``value_col``).  Categories outside ``categories``
+    fold into ``n_<other>`` (dropped when ``other=None``).
+
+    The pre-aggregation pivots INSIDE each batch (one int64 column per
+    category), so the exchange carries per-batch-distinct keys ×
+    (#categories) integers — never raw rows; the wide shuffle of a
+    melt-then-pivot plan is avoided entirely."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    names = [f"n_{c}" for c in cats] + \
+        ([f"n_{other}"] if other is not None else [])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = np.asarray(batch.column(key_col))
+        cat = np.asarray(batch.column(cat_col)).astype("U")
+        vals = (pc.cast(batch.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+            if value_col is not None
+            else np.ones(batch.num_rows, dtype=np.int64))
+        kcodes, kuniq = pd.factorize(keys)
+        ccodes = np.full(len(cat), len(cats), dtype=np.int64)  # = other
+        for i, c in enumerate(cats):
+            ccodes[cat == c] = i
+        ncols = len(cats) + 1
+        flat = np.zeros(len(kuniq) * ncols, dtype=np.int64)
+        np.add.at(flat, kcodes * ncols + ccodes, vals)
+        mat = flat.reshape(len(kuniq), ncols)
+        cols = {key_col: pa.array(kuniq)}
+        for i, c in enumerate(cats):
+            cols[f"n_{c}"] = pa.array(mat[:, i])
+        if other is not None:
+            cols[f"n_{other}"] = pa.array(mat[:, len(cats)])
+        return pa.table(cols)
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*[Sum(n, alias_name=n) for n in names]))

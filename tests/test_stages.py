@@ -286,3 +286,33 @@ def test_rollup_aggregate_levels(ray_session):
         assert got[(a, None)] == (row["count"], row["sum"])
     assert got[(None, None)] == (len(df), df["v"].sum())
     assert len(got) == len(fine) + len(mid) + 1
+
+
+def test_pivot_counts_and_sums(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import pivot_counts
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=3000),
+        "cat": rng.choice(["a", "b", "c", "zz"], size=3000),
+        "v": rng.integers(0, 100, size=3000).astype(np.int64)})
+    # counts, with an out-of-list category folded into n_other
+    out = pivot_counts(ray.data.from_pandas(df), "k", "cat",
+                       ["a", "b"], other="other").take_all()
+    got = {r["k"]: r for r in out}
+    for k, grp in df.groupby("k"):
+        vc = grp["cat"].value_counts()
+        assert got[k]["n_a"] == vc.get("a", 0)
+        assert got[k]["n_b"] == vc.get("b", 0)
+        assert got[k]["n_other"] == vc.get("c", 0) + vc.get("zz", 0)
+    # sums, other dropped
+    out2 = pivot_counts(ray.data.from_pandas(df), "k", "cat",
+                        ["a", "b", "c", "zz"], value_col="v",
+                        other=None).take_all()
+    got2 = {r["k"]: r for r in out2}
+    assert "n_other" not in out2[0]
+    for k, grp in df.groupby("k"):
+        s = grp.groupby("cat")["v"].sum()
+        for c in ["a", "b", "c", "zz"]:
+            assert got2[k][f"n_{c}"] == s.get(c, 0)
