@@ -890,6 +890,13 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_funnel(sf_dir):
+    """click→purchase funnel within 1h: earliest qualifying click per
+    user, fully vectorized chain search per user bucket."""
+    from bqf_ray.pipelines.windowed import funnel
+    return funnel(_events(sf_dir), ["click", "purchase"], within_s=3600)
+
+
 def w_event_pivot(sf_dir):
     """events pivoted: one row per user with per-event-type counts.
     The pre-agg pivots inside each batch, so the exchange ships
@@ -1150,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": w_customers_no_urgent,
         "rollup_revenue": w_rollup_revenue,
         "event_pivot": w_event_pivot,
+        "funnel_click_purchase": w_funnel,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1907,6 +1915,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "funnel_click_purchase": """
+            SELECT a.user_id, min(a.ts) AS first_start
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            GROUP BY a.user_id""",
         "event_pivot": """
             SELECT user_id,
                    """ + ", ".join(

@@ -369,3 +369,105 @@ def session_windows(ds, gap_s: int = 1800, ts_col: str = "ts",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(sessions_of_bucket, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered step chain within a window)
+# ---------------------------------------------------------------------------
+
+def funnel(ds, steps: list[str], within_s: int, ts_col: str = "ts",
+           user_col: str = "user_id", type_col: str = "event_type",
+           num_buckets: int = 32):
+    """Users who performed ``steps`` IN ORDER (strictly increasing ts),
+    with the whole chain finishing within ``within_s`` seconds of the
+    first step.  Output: ``(user_id, first_start)`` — the earliest
+    qualifying step-0 timestamp per user (ANY-chain semantics, i.e. the
+    SQL ``EXISTS`` pair/chain query).
+
+    Plan: filter to funnel events, bucket users (``user % B``), ONE
+    shuffle, then an entirely vectorized per-bucket chain search over
+    ALL users at once:
+
+    - events of each step are kept sorted by ``(user, ts)``;
+    - for adjacent steps the "first same-user event strictly later than
+      t" is found for every event in one merge-rank pass (lexsort of
+      the concatenated arrays with a side tiebreak — queries sort after
+      equal-ts keys, giving strict ``>``), no per-user loop;
+    - chain end-times propagate backward through the steps (greedy
+      earliest-next is optimal: if any chain from a step-0 event
+      completes within the window, the greedy one completes no later),
+      so a step-0 event qualifies iff its propagated end ≤ ts + W.
+    """
+    import pyarrow.compute as pc
+
+    K = len(steps)
+    assert K >= 2
+    NB = int(num_buckets)
+    W_US = np.int64(within_s) * np.int64(1_000_000)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(type_col),
+                        value_set=pa.array(steps, pa.string()))
+        b = batch.filter(mask)
+        ts = np.asarray(b.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        uid = np.asarray(b.column(user_col), dtype=np.int64)
+        st = np.asarray(b.column(type_col)).astype("U")
+        sid = np.zeros(len(st), dtype=np.int8)
+        for s, i in step_of.items():
+            sid[st == s] = np.int8(i)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "s": pa.array(sid, pa.int8()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def _first_later(uq, tq, uk, tk):
+        """For each query (uq, tq): index into the (user, ts)-sorted key
+        arrays of the first entry with same user and ts > tq; len(uk)
+        if none (checked by caller via user match)."""
+        n_k, n_q = len(uk), len(uq)
+        side = np.concatenate([np.zeros(n_k, dtype=np.int8),
+                               np.ones(n_q, dtype=np.int8)])
+        uu = np.concatenate([uk, uq])
+        tt = np.concatenate([tk, tq])
+        order = np.lexsort((side, tt, uu))      # queries after equal ts
+        n_before = np.cumsum(np.concatenate(
+            [[0], (side[order] == 0).astype(np.int64)]))[:-1]
+        pos = np.empty(n_k + n_q, dtype=np.int64)
+        pos[order] = n_before
+        return pos[n_k:]
+
+    def chain_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        s = np.asarray(group.column("s"), dtype=np.int8)
+        order = np.lexsort((t, u))
+        u, t, s = u[order], t[order], s[order]
+        per = [(u[s == i], t[s == i]) for i in range(K)]
+        INF = np.int64(2**62)
+        end = per[K - 1][1].copy()              # last step: end = own ts
+        for i in range(K - 2, -1, -1):
+            uk, tk = per[i + 1]
+            uq, tq = per[i]
+            j = _first_later(uq, tq, uk, tk)
+            ok = (j < len(uk))
+            jj = np.minimum(j, max(len(uk) - 1, 0))
+            ok &= (uk[jj] == uq) if len(uk) else False
+            nxt = np.where(ok, end[jj] if len(uk) else INF, INF)
+            end = nxt
+        t0, u0 = per[0][1], per[0][0]
+        hit = end <= t0 + W_US
+        if not hit.any():
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "first_start": pa.array(
+                                 [], pa.timestamp("us"))})
+        uh, th = u0[hit], t0[hit]
+        first = np.concatenate([[True], uh[1:] != uh[:-1]])  # (u,t) sorted
+        return pa.table({
+            user_col: pa.array(uh[first]),
+            "first_start": pa.array(th[first].astype("datetime64[us]"))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(chain_bucket, batch_format="pyarrow"))

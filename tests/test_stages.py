@@ -316,3 +316,55 @@ def test_pivot_counts_and_sums(ray_session):
         s = grp.groupby("cat")["v"].sum()
         for c in ["a", "b", "c", "zz"]:
             assert got2[k][f"n_{c}"] == s.get(c, 0)
+
+
+def test_funnel_two_step_matches_bruteforce(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.windowed import funnel
+    rng = np.random.default_rng(7)
+    n = 6000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 300, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 3_600_000, size=n), unit="ms"),
+        "event_type": rng.choice(["click", "view", "purchase"], size=n,
+                                 p=[0.4, 0.5, 0.1])})
+    W = 600
+    out = funnel(ray.data.from_pandas(df), ["click", "purchase"],
+                 within_s=W).take_all()
+    got = {r["user_id"]: r["first_start"] for r in out}
+    exp = {}
+    for uid, g in df.groupby("user_id"):
+        clicks = g.loc[g.event_type == "click", "ts"].sort_values()
+        buys = g.loc[g.event_type == "purchase", "ts"].sort_values()
+        for c in clicks:
+            if ((buys > c) & (buys <= c + pd.Timedelta(seconds=W))).any():
+                exp[uid] = c
+                break
+    assert got == exp and len(exp) > 5
+
+
+def test_funnel_three_step_strict_order(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.windowed import funnel
+    rows = [
+        # completes: a < b < c within 100s
+        (1, 0, "a"), (1, 10, "b"), (1, 20, "c"),
+        # wrong order — no completion
+        (2, 0, "b"), (2, 10, "a"), (2, 20, "b"), (2, 500, "c"),
+        # equal timestamps are NOT strictly later
+        (3, 0, "a"), (3, 0, "b"), (3, 10, "c"),
+        # window exceeded
+        (4, 0, "a"), (4, 10, "b"), (4, 200, "c"),
+        # greedy trap: first b leads to late c, later b to early c —
+        # greedy still finds the min end (monotone chain ends)
+        (5, 0, "a"), (5, 5, "b"), (5, 8, "b"), (5, 50, "c"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "sec", "event_type"])
+    df["ts"] = pd.to_datetime(df.pop("sec"), unit="s")
+    out = funnel(ray.data.from_pandas(df), ["a", "b", "c"],
+                 within_s=100).take_all()
+    got = sorted(r["user_id"] for r in out)
+    assert got == [1, 5]
+    # user 2: 'a' at t=10 has b at 20 and c at 500 > 10+100 → excluded
