@@ -890,6 +890,14 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_retention(sf_dir):
+    """Daily cohort retention over events: distinct (user, day) pairs
+    cross one user-bucketed shuffle; (cohort, offset) counts reduce in
+    a tiny final groupby."""
+    from bqf_ray.pipelines.windowed import retention_cohorts
+    return retention_cohorts(_events(sf_dir), bucket_s=86400)
+
+
 def w_funnel(sf_dir):
     """click→purchase funnel within 1h: earliest qualifying click per
     user, fully vectorized chain search per user bucket."""
@@ -1158,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": w_rollup_revenue,
         "event_pivot": w_event_pivot,
         "funnel_click_purchase": w_funnel,
+        "retention_cohorts": w_retention,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1915,6 +1924,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "retention_cohorts": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               time_bucket(INTERVAL 1 DAY, ts) AS w
+                        FROM events),
+                 fw AS (SELECT user_id, min(w) AS cw
+                        FROM uw GROUP BY user_id)
+            SELECT fw.cw AS cohort,
+                   CAST(date_diff('day', fw.cw, uw.w) AS BIGINT)
+                       AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM uw JOIN fw ON uw.user_id = fw.user_id
+            GROUP BY 1, 2""",
         "funnel_click_purchase": """
             SELECT a.user_id, min(a.ts) AS first_start
             FROM events a JOIN events b

@@ -471,3 +471,70 @@ def funnel(ds, steps: list[str], within_s: int, ts_col: str = "ts",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(chain_bucket, batch_format="pyarrow"))
+
+
+def retention_cohorts(ds, bucket_s: int = 86400, ts_col: str = "ts",
+                      user_col: str = "user_id", num_buckets: int = 32):
+    """Cohort retention: users are cohorted by their FIRST active
+    period (``bucket_s``-wide, epoch-aligned); output one row per
+    ``(cohort, offset)`` with the number of cohort users active
+    ``offset`` periods later.
+
+    Plan: per-batch-distinct (user, period) pairs → one user-bucketed
+    shuffle → per bucket, first-of-run gives each user's cohort and the
+    (cohort, offset) partial counts — all vectorized — → a final TINY
+    groupby over at most periods² rows."""
+    from ray.data.aggregate import Sum
+
+    NB = int(num_buckets)
+    B_US = np.int64(bucket_s) * np.int64(1_000_000)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        w = (ts // B_US) * B_US
+        uid = np.asarray(batch.column(user_col), dtype=np.int64)
+        pair = np.unique(np.stack([uid, w], axis=1), axis=0)
+        return pa.table({
+            "u": pa.array(pair[:, 0]), "w": pa.array(pair[:, 1]),
+            "__bucket": pa.array((pair[:, 0] % NB).astype(np.int64))})
+
+    def cohort_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        w = np.asarray(group.column("w"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({"cohort_i": pa.array([], pa.int64()),
+                             "day_offset": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # cross-batch duplicates of (u, w) collapse here
+        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+        u, w = u[keep], w[keep]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        cohort = w[np.maximum.accumulate(np.where(first,
+                                                  np.arange(len(u)), 0))]
+        off = (w - cohort) // B_US
+        key = np.stack([cohort, off], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "cohort_i": pa.array(uk[:, 0]),
+            "day_offset": pa.array(uk[:, 1]),
+            "pn": pa.array(n)})
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(cohort_bucket, batch_format="pyarrow")
+           .groupby(["cohort_i", "day_offset"])
+           .aggregate(Sum("pn", alias_name="n_users")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = np.asarray(batch.column("cohort_i"), dtype=np.int64)
+        return pa.table({
+            "cohort": pa.array(c.astype("datetime64[us]")),
+            "day_offset": pc.cast(batch.column("day_offset"), pa.int64()),
+            "n_users": pc.cast(batch.column("n_users"), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

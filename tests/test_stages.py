@@ -368,3 +368,25 @@ def test_funnel_three_step_strict_order(ray_session):
     got = sorted(r["user_id"] for r in out)
     assert got == [1, 5]
     # user 2: 'a' at t=10 has b at 20 and c at 500 > 10+100 → excluded
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.windowed import retention_cohorts
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 120, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 14 * 86400, size=n), unit="s")})
+    out = retention_cohorts(ray.data.from_pandas(df)).take_all()
+    got = {(r["cohort"], r["day_offset"]): r["n_users"] for r in out}
+    d = df.assign(day=df["ts"].dt.floor("D")).drop_duplicates(
+        ["user_id", "day"])
+    first = d.groupby("user_id")["day"].min().rename("cohort")
+    j = d.join(first, on="user_id")
+    j["off"] = (j["day"] - j["cohort"]).dt.days
+    exp = j.groupby(["cohort", "off"]).size()
+    assert len(got) == len(exp)
+    for (c, o), v in exp.items():
+        assert got[(c.to_pydatetime(), o)] == v
