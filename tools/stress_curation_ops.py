@@ -142,5 +142,92 @@ if want("dedup_lines"): run("dedup_lines", _lines)
 if want("chunk_documents"): run("chunk_documents", _chunks)
 if want("rebalance_mixture"): run("rebalance_mixture", _mix)
 if want("minhash+cc_removal"): run("minhash+cc_removal", _cc)
-ray.shutdown()
 
+
+# --------------------------------------------------------------------------
+# late-r2 additions: events-shaped + profiling operators at 10-100x sf0.1
+# --------------------------------------------------------------------------
+
+NEV = int(os.environ.get("STRESS_EVENTS", str(max(N * 25, 1_000_000))))
+ev_cache = f"/tmp/bqf_bench/events_{NEV}"
+if any(want(x) for x in ("funnel", "retention", "pivot", "json_extract", "bloom_anti")):
+    if not os.path.exists(os.path.join(ev_cache, "_DONE")):
+        os.makedirs(ev_cache, exist_ok=True)
+
+        def gen_events(batch):
+            ids = np.asarray(batch.column("id"), dtype=np.int64)
+            r1 = (xxhash64_array(ids.view(np.uint64)))
+            r2 = (xxhash64_array((ids + 1).view(np.uint64)))
+            uid = (r1 % np.uint64(NEV // 50)).astype(np.int64)
+            ts = (np.int64(1_700_000_000_000_000)
+                  + (r2 % np.uint64(30 * 86400 * 1_000_000)).astype(np.int64))
+            types = np.array(["click", "view", "purchase", "signup",
+                              "error"])
+            et = types[(r1 >> np.uint64(32)) % np.uint64(5)]
+            k = (r2 >> np.uint64(32)) % np.uint64(100)
+            props = np.char.add(np.char.add('{"k": ',
+                                            k.astype(np.int64).astype("U")),
+                                "}")
+            return pa.table({
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts.astype("datetime64[us]")),
+                "event_type": pa.array(et.astype("U")),
+                "props": pa.array(props.astype("U"))})
+
+        (ray.data.range(NEV, override_num_blocks=CPUS * 4)
+         .map_batches(gen_events, batch_format="pyarrow")
+         .write_parquet(ev_cache))
+        open(os.path.join(ev_cache, "_DONE"), "w").write(str(NEV))
+    events = ray.data.read_parquet(ev_cache)
+
+
+def _funnel():
+    from bqf_ray.pipelines.windowed import funnel
+    out = funnel(events, ["click", "view", "purchase"], within_s=7200)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _retention():
+    from bqf_ray.pipelines.windowed import retention_cohorts
+    out = retention_cohorts(events)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _pivot():
+    from bqf_ray.pipelines.aggregates import pivot_counts
+    out = pivot_counts(events, "user_id", "event_type",
+                       ["click", "view", "purchase", "signup", "error"],
+                       other=None)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _json():
+    from bqf_ray.pipelines.json_ops import json_rollup
+    out = json_rollup(events)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _profile():
+    from bqf_ray.pipelines.profile import profile_table
+    out = profile_table(docs)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+def _bloom_anti():
+    from bqf_ray.pipelines.relational import bloom_semi_join
+    import pyarrow.compute as _pc
+    left = events.select_columns(["user_id", "event_type"])
+    right = events.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("event_type"), "purchase"))
+        .select(["user_id"]), batch_format="pyarrow")
+    out = bloom_semi_join(left, right, "user_id", anti=True)
+    return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+if want("funnel"): run("funnel", _funnel)
+if want("retention"): run("retention", _retention)
+if want("pivot"): run("pivot", _pivot)
+if want("json_extract"): run("json_extract", _json)
+if want("profile"): run("profile", _profile)
+if want("bloom_anti"): run("bloom_anti", _bloom_anti)
+ray.shutdown()
