@@ -460,3 +460,26 @@ def test_curate_corpus_cluster_removal(ray_session):
     # min-ids; pairwise can only over-keep)
     assert set(clustered.to_pandas()["doc_id"]) <= \
         set(pairwise.to_pandas()["doc_id"])
+
+
+def test_dedup_lines_null_text_and_trailing_empty(ray_session):
+    """Null text rows contribute 0 segments (survive as empty docs with
+    n_lines=0) and empty docs at batch tail must not break the
+    prefix-sum rebuild."""
+    import ray
+    from bqf_ray.pipelines.dedup import dedup_lines
+
+    docs = ["dup\nkeep a", "dup\nkeep b", None, "dup", ""]
+    ids = np.arange(len(docs), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(docs, pa.string())}))
+    got = (dedup_lines(ds, min_count=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 5
+    by = {int(r["doc_id"]): r for _, r in got.iterrows()}
+    assert by[0]["text"] == "keep a" and by[0]["n_removed"] == 1
+    assert by[1]["text"] == "keep b"
+    assert by[2]["n_lines"] == 0 and by[2]["n_removed"] == 0
+    assert by[3]["text"] == "" and by[3]["n_removed"] == 1
+    assert by[4]["n_lines"] == 1 and by[4]["n_removed"] == 0

@@ -390,3 +390,42 @@ def test_retention_cohorts_matches_pandas(ray_session):
     assert len(got) == len(exp)
     for (c, o), v in exp.items():
         assert got[(c.to_pydatetime(), o)] == v
+
+
+def test_funnel_property_random(ray_session):
+    """Randomized property check: funnel output equals the brute-force
+    ANY-chain search for 3 steps across many users/seeds."""
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.windowed import funnel
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 1500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 60, size=n),
+            "ts": pd.to_datetime(rng.integers(0, 5000, size=n), unit="s"),
+            "event_type": rng.choice(["a", "b", "c", "x"], size=n)})
+        W = 800
+        out = funnel(ray.data.from_pandas(df), ["a", "b", "c"],
+                     within_s=W).take_all()
+        got = {r["user_id"]: r["first_start"] for r in out}
+        exp = {}
+        for uid, g in df.groupby("user_id"):
+            ta = np.sort(g.loc[g.event_type == "a", "ts"].astype(
+                "datetime64[us]").astype(np.int64).to_numpy())
+            tb = np.sort(g.loc[g.event_type == "b", "ts"].astype(
+                "datetime64[us]").astype(np.int64).to_numpy())
+            tc = np.sort(g.loc[g.event_type == "c", "ts"].astype(
+                "datetime64[us]").astype(np.int64).to_numpy())
+            best = None
+            for a in ta:                      # brute force: any chain
+                for b in tb[tb > a]:
+                    if (tc[(tc > b) & (tc <= a + W * 10**6)]).size:
+                        best = a
+                        break
+                if best is not None:
+                    break
+            if best is not None:
+                exp[uid] = np.int64(best).astype(
+                    "datetime64[us]").item()
+        assert got == exp, seed

@@ -155,9 +155,10 @@ if any(want(x) for x in ("funnel", "retention", "pivot", "json_extract", "bloom_
         os.makedirs(ev_cache, exist_ok=True)
 
         def gen_events(batch):
+            from bqf_ray.functions.hashing import fmix64
             ids = np.asarray(batch.column("id"), dtype=np.int64)
-            r1 = (xxhash64_array(ids.view(np.uint64)))
-            r2 = (xxhash64_array((ids + 1).view(np.uint64)))
+            r1 = fmix64(ids.view(np.uint64))
+            r2 = fmix64((ids + 1).view(np.uint64))
             uid = (r1 % np.uint64(NEV // 50)).astype(np.int64)
             ts = (np.int64(1_700_000_000_000_000)
                   + (r2 % np.uint64(30 * 86400 * 1_000_000)).astype(np.int64))
