@@ -1248,7 +1248,7 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
                 text_col: str = "text", id_col: str = "doc_id",
                 mode: str = "auto", broadcast_budget: int = 2_000_000,
                 num_buckets: int = 32, count_plan: str = "auto",
-                sketch_q: int = 16):
+                sketch_q: int = 16, bloom_gate: bool = True):
     """Remove every token covered by a ``window``-token span whose exact
     token sequence occurs ``>= min_count`` times across the corpus — the
     fixed-granularity form of ExactSubstr deduplication (Lee et al. 2022
@@ -1399,8 +1399,21 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
                          "__s": pa.array(s_local)})
 
     win_rows = ds.map_batches(explode, batch_format="pyarrow")
-    dup_starts = semi_join(win_rows, dups, left_key="h", right_key="h",
-                           num_buckets=NB).select_columns([id_col, "__s"])
+    # Bloom-gate the window→dup-hash intersection: dup windows are a
+    # small fraction of all windows, so shipping every exploded window
+    # through the bucket sort (measured 85 s of a 135 s run at 400k
+    # docs / 60M windows) is almost all waste.  The broadcast Bloom
+    # drops definite non-dups in place; only candidates (true dups +
+    # fp) enter the exact co-partitioned confirmation.
+    if bloom_gate:
+        from bqf_ray.pipelines.relational import bloom_semi_join
+        dup_starts = bloom_semi_join(win_rows, dups, left_key="h",
+                                     right_key="h", fp=0.01,
+                                     num_buckets=NB
+                                     ).select_columns([id_col, "__s"])
+    else:
+        dup_starts = semi_join(win_rows, dups, left_key="h", right_key="h",
+                               num_buckets=NB).select_columns([id_col, "__s"])
 
     def tag_starts(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
