@@ -39,6 +39,32 @@ from bqf_ray.functions.hashing import xxhash64_array
 from bqf_ray.sketches.hll import HyperLogLog, _register_updates
 
 
+_DIGEST_LEN = 64
+
+
+def _digest_long(vals: pa.Array) -> pa.Array:
+    """Replace values longer than ``_DIGEST_LEN`` bytes with a
+    ``\\x01h<xxh64(v,0)>.<xxh64(v,1)>.<len>`` digest string before the
+    distinct exchange, so profiling a long-text column ships ~45-byte
+    keys instead of whole documents.  Distinctness is then exact up to
+    a 128-bit xxh collision — the same content-key equivalence
+    ``exact_dedup`` uses (documented there); real values never collide
+    with digests: only >64-byte values are digested and every digest is
+    a <50-byte \\x01-prefixed string (\\x01, not NUL — numpy's U dtype
+    truncates embedded NULs)."""
+    lens = pc.binary_length(vals)
+    long_mask = pc.greater(lens, _DIGEST_LEN)
+    if not pc.any(long_mask).as_py():
+        return vals
+    h1 = xxhash64_array(vals, seed=0)
+    h2 = xxhash64_array(vals, seed=1)
+    n = np.asarray(lens, dtype=np.int64)
+    dig = np.char.add(np.char.add(np.char.add(np.char.add(
+        "\x01h", h1.astype("U")), "."), h2.astype("U")),
+        np.char.add(".", n.astype("U")))
+    return pc.if_else(long_mask, pa.array(dig.astype("U")), vals)
+
+
 def _minmax_str(arr) -> tuple[str | None, str | None]:
     if pa.types.is_null(arr.type):
         return None, None
@@ -102,6 +128,7 @@ def profile_table(ds, columns: list[str] | None = None, hll_p: int = 12,
             vals = pc.unique(arr.drop_null().cast(pa.string()))
             if len(vals) == 0:
                 continue
+            vals = _digest_long(vals)
             b = (xxhash64_array(vals) % np.uint64(NB)).astype(np.int64)
             parts.append(_rows([c] * len(vals), vals, b,
                                np.zeros(len(vals), dtype=np.int8)))

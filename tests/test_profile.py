@@ -68,3 +68,15 @@ def test_profile_hll_accuracy_large(ray_session):
     prof = _run(ray, rows, columns=["u"])
     assert prof["u"]["n_distinct"] == 20_000
     assert prof["u"]["hll_ok"]
+
+
+def test_profile_long_values_digest_exact(ray_session):
+    # >64-byte values travel as 128-bit digests: distinct counts must
+    # stay exact (regression: NUL-prefixed digests collapsed to '')
+    import ray
+    rows = [{"t": f"{'x' * 100} doc {i // 2}"} for i in range(400)]
+    rows.append({"t": "short"})
+    prof = _run(ray, rows, columns=["t"])
+    assert prof["t"]["n_distinct"] == 201
+    assert prof["t"]["min_v"].startswith("short") or \
+        prof["t"]["min_v"].startswith("x")   # min/max fold raw strings
