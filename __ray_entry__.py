@@ -890,6 +890,25 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_rolling_sum(sf_dir):
+    """Per-event rolling 5-row sum/count of value cents per user — one
+    key-bucketed shuffle, global-cumsum frame math per bucket."""
+    import ray
+    from bqf_ray.pipelines.windowed import rolling_window_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def cents(b):
+        c = np.floor(np.asarray(b.column("value")) * 100 + 0.5
+                     ).astype(np.int64)
+        return (b.drop_columns(["value"])
+                .append_column("cents", pa.array(c)))
+
+    return rolling_window_sum(ev.map_batches(cents, batch_format="pyarrow"),
+                              k=5, value_col="cents")
+
+
 def w_retention(sf_dir):
     """Daily cohort retention over events: distinct (user, day) pairs
     cross one user-bucketed shuffle; (cohort, offset) counts reduce in
@@ -1167,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": w_event_pivot,
         "funnel_click_purchase": w_funnel,
         "retention_cohorts": w_retention,
+        "rolling_sum": w_rolling_sum,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1924,6 +1944,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "rolling_sum": """
+            SELECT event_id,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                       ::BIGINT AS roll_sum,
+                   COUNT(*) OVER w::BIGINT AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "retention_cohorts": """
             WITH uw AS (SELECT DISTINCT user_id,
                                time_bucket(INTERVAL 1 DAY, ts) AS w

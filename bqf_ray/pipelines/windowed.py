@@ -538,3 +538,58 @@ def retention_cohorts(ds, bucket_s: int = 86400, ts_col: str = "ts",
             "n_users": pc.cast(batch.column("n_users"), pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_window_sum(ds, k: int, value_col: str = "value",
+                       ts_col: str = "ts", key_col: str = "user_id",
+                       id_col: str = "event_id", num_buckets: int = 32):
+    """Per-row rolling aggregate: for every event, the sum and count of
+    the last ``k`` rows (inclusive) of the same key, ordered by
+    ``(ts, id)`` — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``.
+
+    Values are int64 (exact sums; cents-encode floats upstream).  One
+    key-bucketed shuffle; inside each bucket every key's frame sums come
+    from ONE global cumsum with per-key window clamping (first-of-run
+    start offsets propagated by maximum.accumulate) — no per-key loop.
+    """
+    NB = int(num_buckets)
+    KK = int(k)
+    assert KK >= 1
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.int64()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def roll_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "roll_sum": pa.array([], pa.int64()),
+                             "n_window": pa.array([], pa.int64())})
+        order = np.lexsort((i, t, u))
+        u, t, i, v = u[order], t[order], i[order], v[order]
+        pos = np.arange(len(u), dtype=np.int64)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        ustart = np.maximum.accumulate(np.where(first, pos, 0))
+        lo = np.maximum(pos - (KK - 1), ustart)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        return pa.table({
+            id_col: pa.array(i),
+            "roll_sum": pa.array(cs[pos + 1] - cs[lo]),
+            "n_window": pa.array(pos + 1 - lo)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(roll_bucket, batch_format="pyarrow"))

@@ -429,3 +429,25 @@ def test_funnel_property_random(ray_session):
                 exp[uid] = np.int64(best).astype(
                     "datetime64[us]").item()
         assert got == exp, seed
+
+
+def test_rolling_window_sum_matches_pandas(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.windowed import rolling_window_sum
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 50, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, size=n), unit="s"),
+        "value": rng.integers(0, 500, size=n).astype(np.int64)})
+    out = rolling_window_sum(ray.data.from_pandas(df), k=4).take_all()
+    got = {r["event_id"]: (r["roll_sum"], r["n_window"]) for r in out}
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    g = d.groupby("user_id")["value"]
+    d["rs"] = g.rolling(4, min_periods=1).sum().to_numpy().astype(np.int64)
+    d["nw"] = g.rolling(4, min_periods=1).count().to_numpy().astype(np.int64)
+    assert len(got) == n
+    for _, r in d.iterrows():
+        assert got[r["event_id"]] == (r["rs"], r["nw"]), r["event_id"]
