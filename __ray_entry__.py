@@ -890,6 +890,18 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_top_orders(sf_dir):
+    """Global ORDER BY o_totalprice DESC LIMIT 100 via per-block
+    partial top-n + one tiny merge — no all-to-all sort."""
+    import ray
+    from bqf_ray.pipelines.aggregates import global_top_n
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+    return global_top_n(orders, ["o_totalprice", "o_orderkey"], n=100,
+                        descending=[True, False])
+
+
 def w_rolling_sum(sf_dir):
     """Per-event rolling 5-row sum/count of value cents per user — one
     key-bucketed shuffle, global-cumsum frame math per bucket."""
@@ -1187,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_click_purchase": w_funnel,
         "retention_cohorts": w_retention,
         "rolling_sum": w_rolling_sum,
+        "top_orders": w_top_orders,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1944,6 +1957,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100""",
         "rolling_sum": """
             SELECT event_id,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w

@@ -523,3 +523,37 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
     return (ds.map_batches(pre, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(merge_bucket, batch_format="pyarrow"))
+
+
+def global_top_n(ds, sort_cols: list[str], n: int,
+                 descending: bool | list[bool] = True):
+    """Global ORDER BY ... LIMIT n without a global sort: every block
+    keeps its local top-n (vectorized lexsort), partials funnel to one
+    final top-n.  The exchange carries ≤ n rows per block — at 100 TB a
+    full ``ds.sort`` all-to-all for a LIMIT query is pure waste.  Ties
+    must be broken by including a unique column in ``sort_cols`` (SQL
+    determinism requirement applies to the oracle too)."""
+    desc = ([descending] * len(sort_cols) if isinstance(descending, bool)
+            else list(descending))
+    assert len(desc) == len(sort_cols)
+
+    def _key(batch: pa.Table, c: str, d: bool) -> np.ndarray:
+        arr = batch.column(c)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            import pandas as pd
+            codes = pd.factorize(np.asarray(arr), sort=True)[0]
+            k = codes.astype(np.int64)
+        else:
+            k = np.asarray(arr)
+        return -k if d else k
+
+    def topn(batch: pa.Table) -> pa.Table:
+        keys = [_key(batch, c, d) for c, d in zip(sort_cols, desc)]
+        order = np.lexsort(tuple(reversed(keys)))[:n]
+        return batch.take(pa.array(order, pa.int64()))
+
+    return (ds.map_batches(topn, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(topn, batch_format="pyarrow", batch_size=None))

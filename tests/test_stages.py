@@ -451,3 +451,23 @@ def test_rolling_window_sum_matches_pandas(ray_session):
     assert len(got) == n
     for _, r in d.iterrows():
         assert got[r["event_id"]] == (r["rs"], r["nw"]), r["event_id"]
+
+
+def test_global_top_n_matches_sorted(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import global_top_n
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10_000, size=5000),
+        "s": rng.choice(["aa", "bb", "cc"], size=5000),
+        "id": np.arange(5000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = global_top_n(ds, ["k", "id"], n=50,
+                       descending=[True, False]).to_pandas()
+    exp = df.sort_values(["k", "id"], ascending=[False, True]).head(50)
+    assert got["id"].tolist() == exp["id"].tolist()
+    # string sort key, ascending
+    got2 = global_top_n(ds, ["s", "id"], n=10, descending=False).to_pandas()
+    exp2 = df.sort_values(["s", "id"]).head(10)
+    assert got2["id"].tolist() == exp2["id"].tolist()
