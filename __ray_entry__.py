@@ -890,6 +890,16 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_event_gaps(sf_dir):
+    """Per-event inter-arrival gap (µs) per user: ts − LAG(ts) over
+    (user ORDER BY ts, id); null on each user's first event."""
+    import ray
+    from bqf_ray.pipelines.windowed import lag_diff
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return lag_diff(ev, value_col="ts")
+
+
 def w_top_orders(sf_dir):
     """Global ORDER BY o_totalprice DESC LIMIT 100 via per-block
     partial top-n + one tiny merge — no all-to-all sort."""
@@ -1200,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": w_retention,
         "rolling_sum": w_rolling_sum,
         "top_orders": w_top_orders,
+        "event_gaps": w_event_gaps,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1957,6 +1968,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "event_gaps": """
+            SELECT event_id,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts)::BIGINT AS lag_diff
+            FROM events""",
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders

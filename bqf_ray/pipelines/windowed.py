@@ -593,3 +593,53 @@ def rolling_window_sum(ds, k: int, value_col: str = "value",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(roll_bucket, batch_format="pyarrow"))
+
+
+def lag_diff(ds, value_col: str = "ts", ts_col: str = "ts",
+             key_col: str = "user_id", id_col: str = "event_id",
+             num_buckets: int = 32):
+    """Per-row LAG difference per key: for every event, ``value −
+    previous value`` in ``(ts, id)`` order (SQL ``v − LAG(v) OVER
+    (PARTITION BY key ORDER BY ts, id)``); null for each key's first
+    row.  For ``value_col == ts_col`` this is the inter-event gap in
+    microseconds.  Same one-bucket-shuffle shape as
+    :func:`rolling_window_sum`; the diff is one vectorized subtraction
+    with first-of-run masking."""
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        v = np.asarray(batch.column(value_col))
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "v": pa.array(v.astype(np.int64)),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def diff_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "lag_diff": pa.array([], pa.int64())})
+        order = np.lexsort((i, t, u))
+        u, t, i, v = u[order], t[order], i[order], v[order]
+        d = np.empty(len(v), dtype=np.int64)
+        d[1:] = v[1:] - v[:-1]
+        d[0] = 0
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        return pa.table({
+            id_col: pa.array(i),
+            "lag_diff": pa.array(d, mask=first),   # first-of-key → null
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(diff_bucket, batch_format="pyarrow"))

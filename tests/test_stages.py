@@ -471,3 +471,25 @@ def test_global_top_n_matches_sorted(ray_session):
     got2 = global_top_n(ds, ["s", "id"], n=10, descending=False).to_pandas()
     exp2 = df.sort_values(["s", "id"]).head(10)
     assert got2["id"].tolist() == exp2["id"].tolist()
+
+
+def test_lag_diff_matches_pandas(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.windowed import lag_diff
+    rng = np.random.default_rng(51)
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 8000, size=n), unit="s")})
+    out = lag_diff(ray.data.from_pandas(df)).take_all()
+    got = {r["event_id"]: r["lag_diff"] for r in out}
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    exp_us = (d.groupby("user_id")["ts"].diff()
+              .dt.total_seconds() * 1_000_000)
+    for eid, v in zip(d["event_id"], exp_us):
+        if pd.isna(v):
+            assert got[eid] is None
+        else:
+            assert got[eid] == int(round(v))
