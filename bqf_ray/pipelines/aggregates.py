@@ -456,7 +456,8 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
     """Pivot a category column into per-category aggregate columns:
     one output row per ``key_col`` with ``n_<cat>`` counts (or exact
     int64 sums of ``value_col``).  Categories outside ``categories``
-    fold into ``n_<other>`` (dropped when ``other=None``).
+    fold into ``n_<other>`` (dropped when ``other=None``); null keys
+    are excluded (documented deviation from SQL's null group).
 
     The pre-aggregation pivots INSIDE each batch (one int64 column per
     category), so the exchange carries per-batch-distinct keys ×
@@ -485,6 +486,16 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
 
     def pre(batch: pa.Table) -> pa.Table:
         import pandas as pd
+        # null keys: np.asarray of an int column with nulls promotes to
+        # float64/NaN, factorize codes NaN as -1, and the -1 wraps the
+        # scatter index to the LAST key's columns — silent corruption.
+        # Drop null-key rows here (SQL GROUP BY would keep a null
+        # group; this operator documents null keys as excluded).
+        kc = batch.column(key_col)
+        nc = kc.null_count if isinstance(kc, pa.ChunkedArray) else \
+            kc.null_count
+        if nc:
+            batch = batch.filter(pc.is_valid(batch.column(key_col)))
         keys = np.asarray(batch.column(key_col))
         cat = np.asarray(batch.column(cat_col)).astype("U")
         vals = (pc.cast(batch.column(value_col), pa.int64()).to_numpy(

@@ -39,10 +39,14 @@ def _parse_ndjson(col: pa.ChunkedArray | pa.Array) -> pa.Table:
     wrapped = pa.LargeListArray.from_arrays(
         pa.array([0, len(safe)], pa.int64()),
         safe.cast(pa.large_string()))
+    # .as_buffer(): the joined large_string scalar's bytes feed the
+    # reader zero-copy (an .as_py().encode() round-trip would allocate
+    # two batch-sized temporaries — first-touch cost dominates on this
+    # host, see BASELINE.md)
     payload = pc.binary_join(
-        wrapped, pa.scalar("\n", pa.large_string()))[0].as_py()
+        wrapped, pa.scalar("\n", pa.large_string()))[0]
     tbl = pj.read_json(
-        pa.BufferReader(payload.encode("utf-8")),
+        pa.BufferReader(payload.as_buffer()),
         parse_options=pj.ParseOptions(newlines_in_values=False),
         read_options=pj.ReadOptions(use_threads=False))
     if tbl.num_rows != len(col):

@@ -53,16 +53,20 @@ def _digest_long(vals: pa.Array) -> pa.Array:
     a <50-byte \\x01-prefixed string (\\x01, not NUL — numpy's U dtype
     truncates embedded NULs)."""
     lens = pc.binary_length(vals)
-    long_mask = pc.greater(lens, _DIGEST_LEN)
-    if not pc.any(long_mask).as_py():
+    # also digest any short value that itself starts with the digest
+    # prefix, closing the raw-value-impersonates-a-digest collision
+    mask = pc.or_(pc.greater(lens, _DIGEST_LEN),
+                  pc.starts_with(vals, pattern="\x01h"))
+    if not pc.any(mask).as_py():
         return vals
-    h1 = xxhash64_array(vals, seed=0)
-    h2 = xxhash64_array(vals, seed=1)
-    n = np.asarray(lens, dtype=np.int64)
+    sub = vals.filter(mask)               # hash ONLY the digested subset
+    h1 = xxhash64_array(sub, seed=0)
+    h2 = xxhash64_array(sub, seed=1)
+    n = np.asarray(pc.binary_length(sub), dtype=np.int64)
     dig = np.char.add(np.char.add(np.char.add(np.char.add(
         "\x01h", h1.astype("U")), "."), h2.astype("U")),
         np.char.add(".", n.astype("U")))
-    return pc.if_else(long_mask, pa.array(dig.astype("U")), vals)
+    return pc.replace_with_mask(vals, mask, pa.array(dig.astype("U")))
 
 
 def _minmax_str(arr) -> tuple[str | None, str | None]:

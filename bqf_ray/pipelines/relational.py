@@ -154,9 +154,13 @@ def bloom_semi_join(left_ds, right_ds, left_key: str,
     def right_keys(batch: pa.Table):
         return _hash(batch.column(right_key)), None
 
+    # materialize the (column-pruned) right key column ONCE: count(),
+    # the Bloom build, and the exact-confirm tag_right otherwise each
+    # re-execute the full right pipeline
+    rk_ds = right_ds.select_columns([right_key]).materialize()
     n = int(expected_keys) if expected_keys is not None \
-        else max(int(right_ds.count()), 1)
-    bloom = build_sketch(right_ds.select_columns([right_key]), right_keys,
+        else max(int(rk_ds.count()), 1)
+    bloom = build_sketch(rk_ds, right_keys,
                          lambda: BlockedBloom.from_capacity(n, fp, seed=41))
     ref = ray.put(bloom)
 
@@ -174,7 +178,7 @@ def bloom_semi_join(left_ds, right_ds, left_key: str,
 
     cands = left_ds.map_batches(Probe, fn_constructor_args=(True,),
                                 batch_format="pyarrow", concurrency=(1, 8))
-    confirmed = semi_join(cands, right_ds, left_key, right_key,
+    confirmed = semi_join(cands, rk_ds, left_key, right_key,
                           num_buckets=num_buckets, anti=anti)
     if not anti:
         return confirmed

@@ -402,6 +402,9 @@ def funnel(ds, steps: list[str], within_s: int, ts_col: str = "ts",
 
     K = len(steps)
     assert K >= 2
+    assert len(set(steps)) == K, \
+        "funnel steps must be distinct (repeat-step funnels are not " \
+        "supported; a duplicated name would silently match nothing)"
     NB = int(num_buckets)
     W_US = np.int64(within_s) * np.int64(1_000_000)
     step_of = {s: i for i, s in enumerate(steps)}

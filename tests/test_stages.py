@@ -493,3 +493,16 @@ def test_lag_diff_matches_pandas(ray_session):
             assert got[eid] is None
         else:
             assert got[eid] == int(round(v))
+
+
+def test_pivot_counts_null_keys_excluded(ray_session):
+    # regression: a null key used to wrap the scatter index and corrupt
+    # the last real key's counts
+    import ray
+    from bqf_ray.pipelines.aggregates import pivot_counts
+    rows = ([{"k": 1, "cat": "a"}] * 3 + [{"k": 2, "cat": "a"}] * 2
+            + [{"k": None, "cat": "a"}] * 5)
+    out = pivot_counts(ray.data.from_items(rows), "k", "cat",
+                       ["a"], other=None).take_all()
+    got = {r["k"]: r["n_a"] for r in out}
+    assert got == {1: 3, 2: 2}

@@ -38,11 +38,12 @@ if not os.path.exists(os.path.join(cache, "_DONE")):
     open(os.path.join(cache, "_DONE"), "w").write(str(N))
 
 
-def run(name, fn):
+def run(name, fn, rows=None):
     t0 = time.time()
     n = fn()
     dt = time.time() - t0
-    print(f"{name:22s} {dt:8.1f}s  {N/dt:10.0f} docs/s  ({n} rows)",
+    r = rows if rows is not None else N
+    print(f"{name:22s} {dt:8.1f}s  {r/dt:10.0f} rows/s  ({n} out)",
           flush=True)
 
 
@@ -225,10 +226,10 @@ def _bloom_anti():
     return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
-if want("funnel"): run("funnel", _funnel)
-if want("retention"): run("retention", _retention)
-if want("pivot"): run("pivot", _pivot)
-if want("json_extract"): run("json_extract", _json)
+if want("funnel"): run("funnel", rows=NEV, fn=_funnel)
+if want("retention"): run("retention", rows=NEV, fn=_retention)
+if want("pivot"): run("pivot", rows=NEV, fn=_pivot)
+if want("json_extract"): run("json_extract", rows=NEV, fn=_json)
 if want("profile"): run("profile", _profile)
-if want("bloom_anti"): run("bloom_anti", _bloom_anti)
+if want("bloom_anti"): run("bloom_anti", rows=NEV, fn=_bloom_anti)
 ray.shutdown()
