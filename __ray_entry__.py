@@ -890,6 +890,24 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_token_set_overlap(sf_dir):
+    """Exact + KMV set-operation cardinalities between the en and de
+    corpora's token sets in one bucketed shuffle; union/intersection
+    estimates bound-checked at 5σ of the KMV RSE."""
+    import ray
+    import pyarrow.compute as _pc
+    from bqf_ray.pipelines.set_ops import token_set_overlap
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "lang"])
+
+    def only(lang):
+        return lambda b: b.filter(_pc.equal(b.column("lang"), lang))
+
+    return token_set_overlap(
+        docs.map_batches(only("en"), batch_format="pyarrow"),
+        docs.map_batches(only("de"), batch_format="pyarrow"), k=512)
+
+
 def w_event_gaps(sf_dir):
     """Per-event inter-arrival gap (µs) per user: ts − LAG(ts) over
     (user ORDER BY ts, id); null on each user's first event."""
@@ -1211,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum": w_rolling_sum,
         "top_orders": w_top_orders,
         "event_gaps": w_event_gaps,
+        "token_set_overlap": w_token_set_overlap,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -1968,6 +1987,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "token_set_overlap": f"""
+            WITH ta AS (SELECT DISTINCT token FROM ({tokens}) t
+                        JOIN documents d USING (doc_id)
+                        WHERE token <> '' AND d.lang = 'en'),
+                 tb AS (SELECT DISTINCT token FROM ({tokens}) t
+                        JOIN documents d USING (doc_id)
+                        WHERE token <> '' AND d.lang = 'de')
+            SELECT (SELECT count(*) FROM ta)::BIGINT AS n_a,
+                   (SELECT count(*) FROM tb)::BIGINT AS n_b,
+                   (SELECT count(*) FROM ta JOIN tb USING (token))::BIGINT
+                       AS n_inter,
+                   (SELECT count(*) FROM (SELECT token FROM ta
+                                          UNION SELECT token FROM tb))::BIGINT
+                       AS n_union,
+                   TRUE AS union_ok, TRUE AS inter_ok""",
         "event_gaps": """
             SELECT event_id,
                    date_diff('microsecond',
