@@ -1127,6 +1127,36 @@ def w_window_distinct_hll(sf_dir):
     return m[["window_start", "event_type", "n_distinct", "within_bound"]]
 
 
+def w_media_dups(sf_dir):
+    """Image near-dup pairs over the deterministic media table: the
+    table contains exact duplicate payload generators only by chance,
+    so duplicate rows are injected by unioning the table with itself
+    under shifted ids — every image must pair with its copy.  Non-SQL
+    (binary perceptual hash); rows-only driver check, pytest-verified."""
+    import pyarrow.parquet as pq
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.pipelines.multimodal import media_dup_pairs
+    from bqf_ray.sources.media import media_dataset
+    n = min(pq.ParquetFile(f"{sf_dir}/documents.parquet"
+                           ).metadata.num_rows, 2000)
+    ds = media_dataset(n, seed=7, parallelism=4)
+
+    # media_dataset reuses media_id 0..shard-1 per shard: re-key by
+    # content hash (even), duplicates get the odd sibling id — every
+    # image must pair with its +1 copy
+    def rekey(delta):
+        def fn(b: pa.Table) -> pa.Table:
+            h = ((xxhash64_array(b.column("payload")) >> np.uint64(2))
+                 << np.uint64(1)).astype(np.int64) + delta
+            return b.set_column(b.schema.get_field_index("media_id"),
+                                "media_id", pa.array(h))
+        return fn
+
+    both = (ds.map_batches(rekey(0), batch_format="pyarrow")
+            .union(ds.map_batches(rekey(1), batch_format="pyarrow")))
+    return media_dup_pairs(both, max_hamming=3)
+
+
 def w_media_features(sf_dir):
     """Multimodal plumbing: deterministic media table sized to the sf's
     documents count → decode + feature-extract actor pools.  (Binary
@@ -1270,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_blocked": w_embedding_dups_blocked,
         "window_distinct_hll": w_window_distinct_hll,
         "media_features": w_media_features,
+        "media_dups": w_media_dups,
         "frame_sample": w_frame_sample,
     }
 

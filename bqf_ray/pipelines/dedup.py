@@ -822,20 +822,24 @@ def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id", seed: int = 0,
-                      algo: str = "xxh64"):
-    """Pairs with SimHash Hamming distance ≤ max_hamming via 4×16-bit-band
-    blocking (pigeonhole: distance ≤3 ⇒ at least one band equal — the
-    result is EXACT for ``max_hamming <= 3``; above 3 banding is a
-    recall heuristic).  Hot band buckets (many docs sharing a band
-    value) are enumerated in row chunks sized off the bucket, so pair
-    emission stays memory-bounded; the O(n²) compute per bucket is
-    inherent to exact banded SimHash (identical band values must all be
-    compared — salting cannot split them without losing pairs)."""
+def fingerprint_dup_pairs(ds, fp_col: str, id_col: str = "doc_id",
+                          max_hamming: int = 3):
+    """Pairs with Hamming distance ≤ max_hamming between 64-bit
+    fingerprints (any source: SimHash, perceptual image hash, audio
+    hash) via 4×16-bit-band blocking — the banded-Hamming engine behind
+    :func:`simhash_dup_pairs`, reusable for any int64 fingerprint
+    column.  Exact for ``max_hamming <= 3`` (pigeonhole); rows with a
+    null fingerprint are skipped."""
 
     def banded(batch: pa.Table) -> pa.Table:
-        h = simhash64(batch.column(text_col), seed, algo=algo)
+        import pyarrow.compute as _pc
+        col = batch.column(fp_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            batch = batch.filter(_pc.is_valid(col))
+            col = batch.column(fp_col)
+        h = np.asarray(col, dtype=np.int64).view(np.uint64)
         ids = np.asarray(batch.column(id_col))
         rows_id, rows_val, rows_hash = [], [], []
         for b in range(4):
@@ -898,6 +902,22 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             .repartition(8)
             .groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", seed: int = 0,
+                      algo: str = "xxh64"):
+    """Text near-dup pairs: SimHash64 per doc, then the banded-Hamming
+    engine (:func:`fingerprint_dup_pairs`)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = simhash64(batch.column(text_col), seed, algo=algo)
+        return pa.table({id_col: batch.column(id_col),
+                         "__fp": pa.array(h.view(np.int64))})
+
+    return fingerprint_dup_pairs(
+        ds.map_batches(fp, batch_format="pyarrow"), "__fp",
+        id_col=id_col, max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -91,3 +91,38 @@ def test_frame_sampling(ray_session):
         _, w, h, f, _ = decode_header(vids.loc[mid, "payload"])
         assert list(grp["frame_no"]) == list(range(0, min(f, 6), 2))[:3]
         assert all(len(fr) == w * h for fr in grp["frame"])
+
+
+def test_phash_and_media_dup_pairs(ray_session):
+    import ray
+    from bqf_ray.sources.media import encode_media
+    from bqf_ray.pipelines.multimodal import PHashImages, media_dup_pairs
+    rng = np.random.RandomState(5)
+    rows = []
+    # 20 base images; each gets a near-dup copy (few pixels nudged) —
+    # pair (i, i+100) expected; distinct random images must not pair
+    for i in range(20):
+        w, h = 40, 30
+        img = rng.randint(0, 256, w * h).astype(np.uint8)
+        rows.append({"media_id": i,
+                     "payload": encode_media(0, w, h, 1, img.tobytes())})
+        near = img.copy()
+        idx = rng.choice(w * h, 10, replace=False)
+        near[idx] = np.clip(near[idx].astype(np.int64) + 2, 0, 255
+                            ).astype(np.uint8)
+        rows.append({"media_id": i + 100,
+                     "payload": encode_media(0, w, h, 1, near.tobytes())})
+    # an audio row and a corrupt blob: must be skipped, not crash
+    rows.append({"media_id": 999,
+                 "payload": encode_media(1, 64, 1, 1, b"\x00" * 128)})
+    rows.append({"media_id": 998, "payload": b"JUNKJUNKJUNK"})
+    ds = ray.data.from_items(rows)
+    pairs = media_dup_pairs(ds, max_hamming=3).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    expected = {(i, i + 100) for i in range(20)}
+    assert expected <= got
+    # random distinct images: allow at most 1 coincidental pair
+    assert len(got - expected) <= 1
+    # identical image -> identical hash (determinism)
+    one = PHashImages()(pa.Table.from_pylist(rows[:2]))
+    assert one.column("phash")[0].as_py() is not None
