@@ -890,6 +890,26 @@ def w_sessions(sf_dir):
     return session_windows(_events(sf_dir), gap_s=1800)
 
 
+def w_click_purchase_band(sf_dir):
+    """Stream-stream band join: every (click, purchase) pair of the
+    same user within ±5 minutes — one co-partitioning shuffle, range
+    discovery via two merge-rank passes per bucket."""
+    import ray
+    import pyarrow.compute as _pc
+    from bqf_ray.pipelines.relational import time_band_join
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def only(et):
+        return lambda b: b.filter(_pc.equal(b.column("event_type"), et))
+
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    buys = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    return time_band_join(clicks, buys, on="ts", by="user_id",
+                          band_us=300 * 1_000_000)
+
+
 def w_token_set_overlap(sf_dir):
     """Exact + KMV set-operation cardinalities between the en and de
     corpora's token sets in one bucketed shuffle; union/intersection
@@ -1260,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": w_top_orders,
         "event_gaps": w_event_gaps,
         "token_set_overlap": w_token_set_overlap,
+        "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
@@ -2018,6 +2039,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "click_purchase_band": """
+            SELECT a.event_id AS a_id, b.event_id AS b_id,
+                   date_diff('microsecond', a.ts, b.ts)::BIGINT AS dt_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+                          AND a.ts + INTERVAL 5 MINUTE""",
         "token_set_overlap": f"""
             WITH ta AS (SELECT DISTINCT token FROM ({tokens}) t
                         JOIN documents d USING (doc_id)

@@ -425,3 +425,94 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
     return (left_tagged.union(right_tagged)
             .groupby("__bucket")
             .map_groups(join_bucket, batch_format="pandas"))
+
+
+def time_band_join(left_ds, right_ds, on: str, by: str, band_us: int,
+                   left_id: str = "event_id", right_id: str = "event_id",
+                   num_buckets: int = 32):
+    """Stream-stream band join: every (left, right) pair with equal
+    ``by`` key and ``|right.on − left.on| ≤ band_us`` microseconds —
+    the "purchases within ±5 min of a click" shape that an as-of join
+    (nearest one) and an interval join (static ranges) don't cover.
+
+    One ``by % B`` co-partitioning shuffle; per bucket both sides sort
+    once and every left row finds its right-range via TWO merge-rank
+    passes (searchsorted on the concatenated (key, ts) order — no
+    per-key loop), then pairs materialize with repeat/arange gathers.
+    Output volume is the true pair count; band width controls it.
+    Output: (a_id, b_id, dt_us = right.on − left.on)."""
+    NB = int(num_buckets)
+    W = np.int64(band_us)
+
+    def tag(side: int, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u = np.asarray(batch.column(by), dtype=np.int64)
+            t = np.asarray(batch.column(on)).astype("datetime64[us]"
+                                                    ).astype(np.int64)
+            return pa.table({
+                "u": pa.array(u), "t": pa.array(t),
+                "i": pc.cast(batch.column(id_col), pa.int64()),
+                "__side": pa.array(np.full(len(u), side, dtype=np.int8)),
+                "__bucket": pa.array((u % NB).astype(np.int64))})
+        return fn
+
+    def _rank(uq, tq, uk, tk, side_of_query_after: bool):
+        """# of key rows with (u, t) strictly before / up-to each query
+        — queries placed after equal keys gives 'count <=', before
+        gives 'count <'."""
+        n_k = len(uk)
+        s = np.concatenate([np.zeros(n_k, dtype=np.int8),
+                            np.full(len(uq),
+                                    1 if side_of_query_after else -1,
+                                    dtype=np.int8)])
+        uu = np.concatenate([uk, uq])
+        tt = np.concatenate([tk, tq])
+        order = np.lexsort((s, tt, uu))
+        n_before = np.cumsum(np.concatenate(
+            [[0], (s[order] == 0).astype(np.int64)]))[:-1]
+        pos = np.empty(len(s), dtype=np.int64)
+        pos[order] = n_before
+        return pos[n_k:]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        la = side == 0
+        ua, ta, ia = u[la], t[la], i[la]
+        ub, tb, ib = u[~la], t[~la], i[~la]
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "dt_us": pa.array([], pa.int64())})
+        if not len(ua) or not len(ub):
+            return empty
+        ob = np.lexsort((tb, ub))
+        ub, tb, ib = ub[ob], tb[ob], ib[ob]
+        lo = _rank(ua, ta - W, ub, tb, side_of_query_after=False)
+        hi = _rank(ua, ta + W, ub, tb, side_of_query_after=True)
+        # clamp to the user's own segment: rows outside [lo, hi) with a
+        # different user are impossible — _rank counted rows of EARLIER
+        # users too, but lo/hi share that offset, so the range is
+        # user-pure as long as t±W doesn't cross into another user's
+        # rows of the same (u) — u is the primary sort key, so it can't
+        cnt = np.maximum(hi - lo, 0)
+        if cnt.sum() == 0:
+            return empty
+        a_rep = np.repeat(np.arange(len(ua)), cnt)
+        b_idx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                 + np.repeat(lo, cnt))
+        ok = ub[b_idx] == ua[a_rep]
+        a_rep, b_idx = a_rep[ok], b_idx[ok]
+        return pa.table({
+            "a_id": pa.array(ia[a_rep]),
+            "b_id": pa.array(ib[b_idx]),
+            "dt_us": pa.array(tb[b_idx] - ta[a_rep])})
+
+    both = (left_ds.map_batches(tag(0, left_id), batch_format="pyarrow")
+            .union(right_ds.map_batches(tag(1, right_id),
+                                        batch_format="pyarrow")))
+    return (both.groupby("__bucket")
+            .map_groups(join_bucket, batch_format="pyarrow"))

@@ -234,3 +234,29 @@ def test_bloom_anti_join_high_fp_still_exact(ray_session, tables):
     exp = left[~left["k"].isin([2, 5, 7])]
     assert len(out) == len(exp)
     assert not out["k"].isin([2, 5, 7]).any()
+
+
+def test_time_band_join_matches_bruteforce(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.relational import time_band_join
+    rng = np.random.default_rng(61)
+    def mk(n, base):
+        return pd.DataFrame({
+            "event_id": np.arange(base, base + n, dtype=np.int64),
+            "user_id": rng.integers(0, 30, size=n),
+            "ts": pd.to_datetime(rng.integers(0, 4000, size=n), unit="s")})
+    A, B = mk(800, 0), mk(900, 10_000)
+    W = 120  # seconds
+    out = time_band_join(ray.data.from_pandas(A), ray.data.from_pandas(B),
+                         on="ts", by="user_id",
+                         band_us=W * 1_000_000).take_all()
+    got = {(r["a_id"], r["b_id"]): r["dt_us"] for r in out}
+    exp = {}
+    m = A.merge(B, on="user_id", suffixes=("_a", "_b"))
+    dt = (m["ts_b"] - m["ts_a"]).dt.total_seconds()
+    sel = m[dt.abs() <= W]
+    for _, r in sel.iterrows():
+        exp[(r["event_id_a"], r["event_id_b"])] = int(
+            (r["ts_b"] - r["ts_a"]).total_seconds() * 1_000_000)
+    assert got == exp and len(exp) > 100
