@@ -150,8 +150,8 @@ if want("minhash+cc_removal"): run("minhash+cc_removal", _cc)
 # --------------------------------------------------------------------------
 
 NEV = int(os.environ.get("STRESS_EVENTS", str(max(N * 25, 1_000_000))))
-ev_cache = f"/tmp/bqf_bench/events_{NEV}"
-if any(want(x) for x in ("funnel", "retention", "pivot", "json_extract", "bloom_anti")):
+ev_cache = f"/tmp/bqf_bench/events2_{NEV}"
+if any(want(x) for x in ("funnel", "retention", "pivot", "json_extract", "bloom_anti", "band_join")):
     if not os.path.exists(os.path.join(ev_cache, "_DONE")):
         os.makedirs(ev_cache, exist_ok=True)
 
@@ -171,6 +171,7 @@ if any(want(x) for x in ("funnel", "retention", "pivot", "json_extract", "bloom_
                                             k.astype(np.int64).astype("U")),
                                 "}")
             return pa.table({
+                "event_id": pa.array(ids),
                 "user_id": pa.array(uid),
                 "ts": pa.array(ts.astype("datetime64[us]")),
                 "event_type": pa.array(et.astype("U")),
@@ -226,6 +227,20 @@ def _bloom_anti():
     return sum(b.num_rows for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
+def _band():
+    from bqf_ray.pipelines.relational import time_band_join
+    import pyarrow.compute as _pc
+
+    def only(et):
+        return lambda b: b.filter(_pc.equal(b.column("event_type"), et))
+    a = events.map_batches(only("click"), batch_format="pyarrow")
+    b = events.map_batches(only("purchase"), batch_format="pyarrow")
+    out = time_band_join(a, b, on="ts", by="user_id",
+                         band_us=60 * 1_000_000)
+    return sum(bt.num_rows for bt in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+if want("band_join"): run("band_join", rows=NEV, fn=_band)
 if want("funnel"): run("funnel", rows=NEV, fn=_funnel)
 if want("retention"): run("retention", rows=NEV, fn=_retention)
 if want("pivot"): run("pivot", rows=NEV, fn=_pivot)
