@@ -123,7 +123,8 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
 def bloom_semi_join(left_ds, right_ds, left_key: str,
                     right_key: str | None = None, anti: bool = False,
                     fp: float = 0.01, expected_keys: int | None = None,
-                    num_buckets: int = 32):
+                    num_buckets: int = 32,
+                    broadcast_budget: int = 2_000_000):
     """Bloom-gated exact semi/anti join on an integer key — the
     big-big join plan when most left rows DON'T match.
 
@@ -138,7 +139,10 @@ def bloom_semi_join(left_ds, right_ds, left_key: str,
     ``matches + fp·|left|`` rows instead of ``|left|`` — the result is
     exact regardless of fp; fp only tunes the exchange volume.  The
     anti path reads ``left_ds`` twice (both passes stream; nothing
-    materializes).
+    materializes).  Right sides at or under ``broadcast_budget`` keys
+    skip the gate entirely: the exact sorted key set broadcasts once
+    (≤16 MB at the default budget) and membership resolves in ONE
+    zero-shuffle pass.
     """
     import ray
 
@@ -160,6 +164,40 @@ def bloom_semi_join(left_ds, right_ds, left_key: str,
     rk_ds = right_ds.select_columns([right_key]).materialize()
     n = int(expected_keys) if expected_keys is not None \
         else max(int(rk_ds.count()), 1)
+
+    if n <= int(broadcast_budget):
+        # small right side: broadcast the EXACT sorted key set once and
+        # resolve membership in a single zero-shuffle pass (the
+        # Bloom-gate's fixed cost — build, probe passes, confirm
+        # exchange — only pays off past the budget)
+        def distinct_keys(batch: pa.Table) -> pa.Table:
+            k = np.unique(np.asarray(batch.column(right_key),
+                                     dtype=np.int64))
+            return pa.table({right_key: pa.array(k)})
+
+        parts = [np.asarray(b.column(right_key), dtype=np.int64)
+                 for b in rk_ds.map_batches(distinct_keys,
+                                            batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow")]
+        keys = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+        kref = ray.put(keys)
+
+        class ExactProbe:
+            def __init__(self):
+                self.keys = ray.get(kref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                lk = np.asarray(batch.column(left_key), dtype=np.int64)
+                pos = np.searchsorted(self.keys, lk)
+                hit = pos < len(self.keys)
+                hit &= self.keys[np.minimum(pos, max(len(self.keys) - 1,
+                                                     0))] == lk
+                return batch.filter(pa.array(~hit if anti else hit))
+
+        return left_ds.map_batches(ExactProbe, batch_format="pyarrow",
+                                   concurrency=(1, 8))
+
     bloom = build_sketch(rk_ds, right_keys,
                          lambda: BlockedBloom.from_capacity(n, fp, seed=41))
     ref = ray.put(bloom)

@@ -210,11 +210,12 @@ def test_bloom_semi_join_matches_plain(ray_session, tables):
     rk = rng.integers(0, 400, size=500).astype(np.int64)   # hits + misses
     right_ds = ray.data.from_arrow(
         pa.table({"kk": pa.array(rk)})).repartition(3)
-    for anti in (False, True):
-        fast = bloom_semi_join(ds, right_ds, "k", "kk",
-                               anti=anti, fp=0.2).to_pandas()
+    for anti, budget in ((False, 0), (True, 0), (False, 10**6),
+                         (True, 10**6)):
+        fast = bloom_semi_join(ds, right_ds, "k", "kk", anti=anti,
+                               fp=0.2, broadcast_budget=budget).to_pandas()
         plain = semi_join(ds, right_ds, "k", "kk", num_buckets=4,
-                          anti=anti).to_pandas()
+                          anti=anti).to_pandas()  # budget 0 = Bloom path
         assert sorted(fast.columns) == sorted(plain.columns)
         assert len(fast) == len(plain)
         np.testing.assert_array_equal(
