@@ -467,7 +467,7 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
 
 def time_band_join(left_ds, right_ds, on: str, by: str, band_us: int,
                    left_id: str = "event_id", right_id: str = "event_id",
-                   num_buckets: int = 32):
+                   num_buckets: int = 32, time_sliced: bool = False):
     """Stream-stream band join: every (left, right) pair with equal
     ``by`` key and ``|right.on − left.on| ≤ band_us`` microseconds —
     the "purchases within ±5 min of a click" shape that an as-of join
@@ -478,21 +478,50 @@ def time_band_join(left_ds, right_ds, on: str, by: str, band_us: int,
     passes (searchsorted on the concatenated (key, ts) order — no
     per-key loop), then pairs materialize with repeat/arange gathers.
     Output volume is the true pair count; band width controls it.
-    Output: (a_id, b_id, dt_us = right.on − left.on)."""
+    Output: (a_id, b_id, dt_us = right.on − left.on).
+
+    ``time_sliced=True`` handles HOT KEYS: instead of one group per
+    key, rows co-partition on (key, t // band_us) cells — right rows
+    fan out to their cell and both neighbors (3×), left rows stay in
+    one cell, and the cell id joins the match key so every pair is
+    found exactly once, in the left row's cell.  A key holding 25% of
+    the stream then splits across ~span/band cells instead of one
+    group (the north-rule skew requirement, applied to joins)."""
     NB = int(num_buckets)
     W = np.int64(band_us)
+    S = max(W, np.int64(1))              # slice width >= band
 
     def tag(side: int, id_col: str):
         def fn(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
+            from bqf_ray.functions.hashing import fmix64
             u = np.asarray(batch.column(by), dtype=np.int64)
             t = np.asarray(batch.column(on)).astype("datetime64[us]"
                                                     ).astype(np.int64)
+            i = np.asarray(pc.cast(batch.column(id_col), pa.int64()))
+            if not time_sliced:
+                c = np.zeros(len(u), dtype=np.int64)
+                bucket = (u % NB).astype(np.int64)
+            else:
+                home = t // S
+                if side == 1:            # right fans to 3 cells
+                    u = np.repeat(u, 3)
+                    t = np.repeat(t, 3)
+                    i = np.repeat(i, 3)
+                    c = (np.repeat(home, 3)
+                         + np.tile(np.array([-1, 0, 1], dtype=np.int64),
+                                   len(home)))
+                else:
+                    c = home
+                bucket = (fmix64((u.astype(np.uint64)
+                                  * np.uint64(0x9E3779B97F4A7C15))
+                                 ^ c.astype(np.uint64))
+                          % np.uint64(NB)).astype(np.int64)
             return pa.table({
-                "u": pa.array(u), "t": pa.array(t),
-                "i": pc.cast(batch.column(id_col), pa.int64()),
+                "u": pa.array(u), "t": pa.array(t), "c": pa.array(c),
+                "i": pa.array(i),
                 "__side": pa.array(np.full(len(u), side, dtype=np.int8)),
-                "__bucket": pa.array((u % NB).astype(np.int64))})
+                "__bucket": pa.array(bucket)})
         return fn
 
     def _rank(uq, tq, uk, tk, side_of_query_after: bool):
@@ -518,6 +547,12 @@ def time_band_join(left_ds, right_ds, on: str, by: str, band_us: int,
         u = np.asarray(group.column("u"), dtype=np.int64)
         t = np.asarray(group.column("t"), dtype=np.int64)
         i = np.asarray(group.column("i"), dtype=np.int64)
+        if time_sliced and len(u):
+            # fold the cell id into the match key: dense (u, c) codes
+            c = np.asarray(group.column("c"), dtype=np.int64)
+            pair = np.stack([u, c], axis=1)
+            _, u = np.unique(pair, axis=0, return_inverse=True)
+            u = u.astype(np.int64)
         la = side == 0
         ua, ta, ia = u[la], t[la], i[la]
         ub, tb, ib = u[~la], t[~la], i[~la]

@@ -261,3 +261,28 @@ def test_time_band_join_matches_bruteforce(ray_session):
         exp[(r["event_id_a"], r["event_id_b"])] = int(
             (r["ts_b"] - r["ts_a"]).total_seconds() * 1_000_000)
     assert got == exp and len(exp) > 100
+
+
+def test_time_band_join_time_sliced_equivalence(ray_session):
+    # hot key: one user holds 40% of both streams — sliced plan must
+    # return exactly the plain plan's pairs (each found once)
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.relational import time_band_join
+    rng = np.random.default_rng(71)
+    def mk(n, base):
+        uid = rng.integers(0, 20, size=n)
+        uid[: int(0.4 * n)] = 7
+        return pd.DataFrame({
+            "event_id": np.arange(base, base + n, dtype=np.int64),
+            "user_id": uid,
+            "ts": pd.to_datetime(rng.integers(0, 5000, size=n), unit="s")})
+    A, B = mk(700, 0), mk(700, 10_000)
+    kw = dict(on="ts", by="user_id", band_us=90 * 1_000_000)
+    da, db = ray.data.from_pandas(A), ray.data.from_pandas(B)
+    plain = time_band_join(da, db, **kw).take_all()
+    sliced = time_band_join(da, db, time_sliced=True, **kw).take_all()
+    p = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in plain)
+    s = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in sliced)
+    assert len(s) == len(set(s))          # no duplicate pair emission
+    assert p == s and len(p) > 500
