@@ -492,9 +492,8 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
         # Drop null-key rows here (SQL GROUP BY would keep a null
         # group; this operator documents null keys as excluded).
         kc = batch.column(key_col)
-        nc = kc.null_count if isinstance(kc, pa.ChunkedArray) else \
-            kc.null_count
-        if nc:
+        key_type = kc.type
+        if kc.null_count:
             batch = batch.filter(pc.is_valid(batch.column(key_col)))
         keys = np.asarray(batch.column(key_col))
         cat = np.asarray(batch.column(cat_col)).astype("U")
@@ -507,6 +506,10 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
         for i, c in enumerate(cats):
             ccodes[cat == c] = i
         karr = pa.array(kuniq)
+        if pa.types.is_null(karr.type):
+            # an all-null-key batch must keep the key column's real
+            # type or blocks disagree at the shuffle
+            karr = karr.cast(key_type)
         t = _pivot_tbl(karr, kcodes, len(kuniq), ccodes, vals)
         if pa.types.is_integer(karr.type):
             h = fmix64(np.asarray(kuniq, dtype=np.int64).view(np.uint64))
@@ -552,12 +555,11 @@ def global_top_n(ds, sort_cols: list[str], n: int,
         arr = batch.column(c)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-            import pandas as pd
-            codes = pd.factorize(np.asarray(arr), sort=True)[0]
-            k = codes.astype(np.int64)
-        else:
-            k = np.asarray(arr)
+        # dense tie-preserving ranks work for ANY comparable dtype
+        # (datetime64 can't be negated; uint64 negation wraps; string
+        # needs codes anyway) and are safely negatable for descending
+        _, inv = np.unique(np.asarray(arr), return_inverse=True)
+        k = inv.astype(np.int64)
         return -k if d else k
 
     def topn(batch: pa.Table) -> pa.Table:

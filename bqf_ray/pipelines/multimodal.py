@@ -186,6 +186,8 @@ class PHashImages:
     def __init__(self, payload_col: str = "payload", grid: int = 8):
         self.payload_col = payload_col
         self.grid = int(grid)
+        assert self.grid * self.grid == 64, \
+            "PHashImages emits a 64-bit hash: grid must be 8"
 
     def _hash(self, img: np.ndarray) -> int:
         g = self.grid
@@ -201,18 +203,22 @@ class PHashImages:
         return int(np.packbits(bits).view(">u8")[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
         out = []
         for blob in batch.column(self.payload_col).to_pylist():
             try:
                 kind, w, h, f, off = decode_header(blob)
-            except (NotImplementedError, Exception):
+                if kind != 0 or w < 1 or h < 1:
+                    out.append(None)
+                    continue
+                # frombuffer INSIDE the try: a truncated payload raises
+                # ValueError and must become a null hash, not a dead task
+                img = np.frombuffer(blob, dtype=np.uint8,
+                                    count=w * h, offset=off).reshape(h, w)
+            except (NotImplementedError, struct.error, ValueError,
+                    TypeError, IndexError):
                 out.append(None)
                 continue
-            if kind != 0 or w < 1 or h < 1:
-                out.append(None)
-                continue
-            img = np.frombuffer(blob, dtype=np.uint8,
-                                count=w * h, offset=off).reshape(h, w)
             out.append(np.int64(np.uint64(self._hash(img))).item())
         return batch.append_column("phash", pa.array(out, pa.int64()))
 

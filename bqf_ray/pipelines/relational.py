@@ -189,10 +189,13 @@ def bloom_semi_join(left_ds, right_ds, left_key: str,
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 lk = np.asarray(batch.column(left_key), dtype=np.int64)
-                pos = np.searchsorted(self.keys, lk)
-                hit = pos < len(self.keys)
-                hit &= self.keys[np.minimum(pos, max(len(self.keys) - 1,
-                                                     0))] == lk
+                if len(self.keys) == 0:      # empty right side
+                    hit = np.zeros(len(lk), dtype=bool)
+                else:
+                    pos = np.searchsorted(self.keys, lk)
+                    hit = pos < len(self.keys)
+                    hit &= self.keys[np.minimum(pos,
+                                                len(self.keys) - 1)] == lk
                 return batch.filter(pa.array(~hit if anti else hit))
 
         return left_ds.map_batches(ExactProbe, batch_format="pyarrow",

@@ -96,7 +96,7 @@ def token_set_overlap(ds_a, ds_b, text_col: str = "text", k: int = 1024,
 
     # KMV estimators off the two (tiny) sketches, driver-side
     import copy
-    su = copy.deepcopy(sa).merge(copy.deepcopy(sb))
+    su = copy.deepcopy(sa).merge(sb)   # merge never mutates its arg
     union_est = su.estimate()
     kk = min(k, len(su._hashes))
     if kk:

@@ -126,3 +126,19 @@ def test_phash_and_media_dup_pairs(ray_session):
     # identical image -> identical hash (determinism)
     one = PHashImages()(pa.Table.from_pylist(rows[:2]))
     assert one.column("phash")[0].as_py() is not None
+
+
+def test_phash_truncated_blob_is_null(ray_session):
+    # regression: a truncated image payload must yield a null hash,
+    # not kill the task
+    from bqf_ray.sources.media import encode_media
+    from bqf_ray.pipelines.multimodal import PHashImages
+    import pytest
+    good = encode_media(0, 10, 10, 1, bytes(range(100)))
+    trunc = encode_media(0, 200, 200, 1, b"\x01" * 16)   # claims 40000 bytes
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([good, trunc], pa.binary())})
+    out = PHashImages()(t).column("phash").to_pylist()
+    assert out[0] is not None and out[1] is None
+    with pytest.raises(AssertionError):
+        PHashImages(grid=4)

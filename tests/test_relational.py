@@ -286,3 +286,16 @@ def test_time_band_join_time_sliced_equivalence(ray_session):
     s = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in sliced)
     assert len(s) == len(set(s))          # no duplicate pair emission
     assert p == s and len(p) > 500
+
+
+def test_bloom_semi_join_empty_right(ray_session):
+    # regression: the broadcast fast path crashed on a 0-row right side
+    import ray
+    from bqf_ray.pipelines.relational import bloom_semi_join
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array(np.arange(50, dtype=np.int64))}))
+    right = ray.data.from_arrow(pa.table({"kk": pa.array([], pa.int64())}))
+    anti = bloom_semi_join(left, right, "k", "kk", anti=True).to_pandas()
+    assert len(anti) == 50
+    semi = bloom_semi_join(left, right, "k", "kk", anti=False).to_pandas()
+    assert len(semi) == 0

@@ -506,3 +506,20 @@ def test_pivot_counts_null_keys_excluded(ray_session):
                        ["a"], other=None).take_all()
     got = {r["k"]: r["n_a"] for r in out}
     assert got == {1: 3, 2: 2}
+
+
+def test_global_top_n_timestamp_and_uint(ray_session):
+    # regression: descending negation crashed datetime64 and wrapped
+    # uint64; rank-based keys must handle both
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import global_top_n
+    rng = np.random.default_rng(77)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 100_000, size=800), unit="s"),
+        "id": np.arange(800, dtype=np.int64)})
+    got = global_top_n(ray.data.from_pandas(df).repartition(4),
+                       ["ts", "id"], n=20,
+                       descending=[True, False]).to_pandas()
+    exp = df.sort_values(["ts", "id"], ascending=[False, True]).head(20)
+    assert got["id"].tolist() == exp["id"].tolist()
