@@ -563,6 +563,17 @@ def w_dedup_lines(sf_dir):
     return dedup_lines(_docs(sf_dir), min_count=900, sep=" ")
 
 
+def w_boilerplate_lines(sf_dir):
+    """Per-site boilerplate removal: dedup_lines scoped by ``source``
+    — a segment is removed only where it repeats >= 30 times within
+    its own site (the CCNet per-shard / C4 per-site template filter)."""
+    import ray
+    from bqf_ray.pipelines.dedup import dedup_lines
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    return dedup_lines(docs, min_count=30, sep=" ", group_col="source")
+
+
 def w_dup_clusters(sf_dir):
     """Duplicate-cluster resolution: exact-Jaccard near-dup pairs →
     connected components → (doc_id, cluster_id = min id in component)."""
@@ -1294,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": w_simhash_fingerprints,
         "simhash_dups": w_simhash_dups,
         "dedup_lines": w_dedup_lines,
+        "boilerplate_lines": w_boilerplate_lines,
         "dup_clusters": w_dup_clusters,
         "near_dup_survivors": w_near_dup_survivors,
         "hash_sample": w_hash_sample,
@@ -1339,6 +1351,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT token FROM ({tokens}) WHERE token <> ''
             GROUP BY token HAVING count(*) >= 2""",
         "bpe_merges": _bpe_oracle_sql(tokens, rounds=8),
+        "boilerplate_lines": """
+            WITH segs AS (
+              SELECT doc_id, source, i.i AS i, ls[i.i] AS seg
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS ls
+                    FROM documents) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.ls)))
+                            AS i) i),
+            dup AS (
+              SELECT source, seg FROM segs
+              GROUP BY source, seg HAVING count(*) >= 30),
+            kept AS (
+              SELECT s.doc_id, s.i, s.seg FROM segs s
+              LEFT JOIN dup d ON d.source = s.source AND d.seg = s.seg
+              WHERE d.seg IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_lines
+              FROM documents)
+            SELECT b.doc_id, COALESCE(a.text, '') AS text, b.n_lines,
+                   (b.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
         "dedup_lines": """
             WITH segs AS (
               SELECT doc_id, i.i AS i, ls[i.i] AS seg

@@ -927,7 +927,7 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
                 text_col: str = "text", id_col: str = "doc_id",
                 mode: str = "auto", broadcast_budget: int = 2_000_000,
-                num_buckets: int = 32):
+                num_buckets: int = 32, group_col: str | None = None):
     """Remove every occurrence of a segment (line / paragraph / token —
     ``sep``-delimited) that appears ``>= min_count`` times ACROSS the
     corpus, preserving the order of surviving segments per document —
@@ -950,10 +950,28 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
       reassemble documents ordered by idx — no driver materialization.
     - ``auto`` — count the dup set (tiny aggregate) and pick.
 
+    ``group_col`` scopes the counting to a group (e.g. ``source``):
+    a segment is removed only where it repeats ``>= min_count`` times
+    WITHIN its group — per-site boilerplate/template removal (CCNet
+    dedups per shard for the same reason).  Group values must not
+    contain ``sep`` or ``"\x1f"`` (the internal key separator).
+
     Returns Dataset[(id, text, n_lines, n_removed)].
     """
     import ray
     from ray.data.aggregate import Sum
+
+    def _keyed(batch: pa.Table, flat, lens) -> pa.Array:
+        """Counting/matching key per segment: the raw segment, or
+        group + US + segment when group-scoped."""
+        if group_col is None:
+            return flat
+        grp = pc.cast(batch.column(group_col), pa.string())
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        rep = grp.take(pa.array(
+            np.repeat(np.arange(len(grp), dtype=np.int64), lens)))
+        return pc.binary_join_element_wise(rep, flat, "\x1f")
 
     def seg_counts(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
@@ -961,7 +979,9 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
             texts = texts.combine_chunks()
         lists = pc.split_pattern(texts, sep)
         flat = lists.flatten()
-        t = pa.table({"seg": flat,
+        lens = np.asarray(lists.value_lengths().fill_null(0),
+                          dtype=np.int64)
+        t = pa.table({"seg": _keyed(batch, flat, lens),
                       "n": np.ones(len(flat), dtype=np.int64)})
         return (t.group_by(["seg"]).aggregate([("n", "sum")])
                 .rename_columns(["seg", "partial"]))
@@ -1015,7 +1035,7 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 flat, lens, offs = _split(batch)
-                h = xxhash64_array(flat)
+                h = xxhash64_array(_keyed(batch, flat, lens))
                 pos = np.searchsorted(self.dh, h)
                 pos = np.minimum(pos, max(len(self.dh) - 1, 0))
                 is_dup = (self.dh[pos] == h) if len(self.dh) else \
@@ -1036,19 +1056,21 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
         routed by doc id) — the length rows pass through filter_bucket
         untouched, so no separate doc_lens pass re-splits the corpus."""
         flat, lens, offs = _split(batch)
+        keyed = _keyed(batch, flat, lens)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         did = np.repeat(ids, lens)
         idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
-        b = (xxhash64_array(flat) % np.uint64(NB)).astype(np.int64)
+        b = (xxhash64_array(keyed) % np.uint64(NB)).astype(np.int64)
         seg_rows = pa.table({
             id_col: pa.array(did), "__idx": pa.array(idx),
-            "seg": flat, "__bucket": pa.array(b),
+            "seg": flat, "__key": keyed, "__bucket": pa.array(b),
             "__side": pa.array(np.zeros(len(flat), dtype=np.int8)),
             "__nl": pa.array(np.full(len(flat), np.nan), pa.float64())})
         len_rows = pa.table({
             id_col: pa.array(ids),
             "__idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
             "seg": pa.array([""] * len(ids), pa.string()),
+            "__key": pa.array([""] * len(ids), pa.string()),
             "__bucket": pa.array((ids % NB).astype(np.int64)),
             "__side": pa.array(np.full(len(ids), 2, dtype=np.int8)),
             "__nl": pa.array(lens.astype(np.float64))})
@@ -1062,14 +1084,15 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
         n = len(segs)
         return pa.table({id_col: pa.array(np.zeros(n, dtype=np.int64)),
                          "__idx": pa.array(np.zeros(n, dtype=np.int64)),
-                         "seg": segs, "__bucket": pa.array(b),
+                         "seg": pa.array([""] * n, pa.string()),
+                         "__key": segs, "__bucket": pa.array(b),
                          "__side": pa.array(np.ones(n, dtype=np.int8)),
                          "__nl": pa.array(np.full(n, np.nan), pa.float64())})
 
     def filter_bucket(group: pa.Table) -> pa.Table:
         import pandas as pd
         side = np.asarray(group.column("__side"), dtype=np.int8)
-        segs = np.asarray(group.column("seg"))
+        segs = np.asarray(group.column("__key"))   # match on the KEY
         codes, _ = pd.factorize(segs)
         dup_codes = np.unique(codes[side == 1])
         keep = ((side == 0) & ~np.isin(codes, dup_codes)) | (side == 2)

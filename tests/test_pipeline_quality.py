@@ -483,3 +483,31 @@ def test_dedup_lines_null_text_and_trailing_empty(ray_session):
     assert by[2]["n_lines"] == 0 and by[2]["n_removed"] == 0
     assert by[3]["text"] == "" and by[3]["n_removed"] == 1
     assert by[4]["n_lines"] == 1 and by[4]["n_removed"] == 0
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "semijoin"])
+def test_dedup_lines_group_scoped(ray_session, mode):
+    """group_col: a segment repeated across groups but under threshold
+    WITHIN each group must survive; over-threshold within one group is
+    removed only there."""
+    import ray
+    from bqf_ray.pipelines.dedup import dedup_lines
+
+    docs, ids, srcs = [], [], []
+    n = 0
+    # site A: "tpl" appears 3x (>=3 -> removed there)
+    for txt in ["tpl\nkeep a", "tpl\nkeep b", "tpl"]:
+        docs.append(txt); ids.append(n); srcs.append("A"); n += 1
+    # site B: "tpl" appears 2x (<3 -> survives there)
+    for txt in ["tpl\nkeep c", "tpl"]:
+        docs.append(txt); ids.append(n); srcs.append("B"); n += 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+        "text": pa.array(docs), "source": pa.array(srcs)}))
+    got = (dedup_lines(ds, min_count=3, group_col="source", mode=mode)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    by = {int(r["doc_id"]): (r["text"], int(r["n_removed"]))
+          for _, r in got.iterrows()}
+    assert by[0] == ("keep a", 1) and by[1] == ("keep b", 1)
+    assert by[2] == ("", 1)
+    assert by[3] == ("tpl\nkeep c", 0) and by[4] == ("tpl", 0)
