@@ -523,3 +523,48 @@ def test_global_top_n_timestamp_and_uint(ray_session):
                        descending=[True, False]).to_pandas()
     exp = df.sort_values(["ts", "id"], ascending=[False, True]).head(20)
     assert got["id"].tolist() == exp["id"].tolist()
+
+
+def test_fingerprint_dup_pairs_exact_at_hamming3(ray_session):
+    """Pigeonhole exactness: for max_hamming<=3 the 4x16-band blocking
+    must find EVERY pair — compared against O(n^2) brute force over
+    random fingerprints engineered to include near pairs."""
+    import ray
+    from bqf_ray.pipelines.dedup import fingerprint_dup_pairs
+    rng = np.random.default_rng(83)
+    base = rng.integers(0, 2**63, size=300, dtype=np.int64)
+    fps = [base]
+    # planted near-duplicates at hamming 1..3 of the first 60
+    for k in (1, 2, 3):
+        flip = base[:60].copy()
+        for b in rng.choice(64, size=k, replace=False):
+            flip = flip ^ np.int64(1 << int(b))
+        fps.append(flip)
+    all_fp = np.concatenate(fps)
+    ids = np.arange(len(all_fp), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "fp": pa.array(all_fp)})).repartition(4)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in fingerprint_dup_pairs(ds, "fp",
+                                          max_hamming=3).take_all()}
+
+    def pop(x):
+        return bin(int(x) & 0xFFFFFFFFFFFFFFFF).count("1")
+    exp = {}
+    u = all_fp.view(np.uint64)
+    for i in range(len(u)):
+        for j in range(i + 1, len(u)):
+            h = pop(u[i] ^ u[j])
+            if h <= 3:
+                exp[(ids[i], ids[j])] = h
+    assert got == exp and len(exp) >= 180
+
+
+def test_global_top_n_edges(ray_session):
+    import ray
+    from bqf_ray.pipelines.aggregates import global_top_n
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(np.array([3, 1, 2], dtype=np.int64))}))
+    # n larger than the dataset: all rows, fully sorted
+    got = global_top_n(ds, ["v"], n=100, descending=False).to_pandas()
+    assert got["v"].tolist() == [1, 2, 3]
