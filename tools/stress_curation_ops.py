@@ -240,6 +240,27 @@ def _band():
     return sum(bt.num_rows for bt in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
 
 
+def _phash():
+    from bqf_ray.sources.media import media_dataset
+    from bqf_ray.pipelines.multimodal import media_dup_pairs
+    from bqf_ray.functions.hashing import xxhash64_array
+    NM = 100_000
+    md = media_dataset(NM, seed=11, parallelism=CPUS)
+
+    def rekey(delta):
+        def fn(b):
+            h = ((xxhash64_array(b.column("payload")) >> np.uint64(2))
+                 << np.uint64(1)).astype(np.int64) + delta
+            return b.set_column(b.schema.get_field_index("media_id"),
+                                "media_id", pa.array(h))
+        return fn
+    both = (md.map_batches(rekey(0), batch_format="pyarrow")
+            .union(md.map_batches(rekey(1), batch_format="pyarrow")))
+    out = media_dup_pairs(both, max_hamming=3)
+    return sum(bt.num_rows for bt in out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+
+
+if want("media_phash"): run("media_phash", rows=200_000, fn=_phash)
 if want("band_join"): run("band_join", rows=NEV, fn=_band)
 if want("funnel"): run("funnel", rows=NEV, fn=_funnel)
 if want("retention"): run("retention", rows=NEV, fn=_retention)
