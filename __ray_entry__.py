@@ -961,6 +961,26 @@ def w_top_orders(sf_dir):
                         descending=[True, False])
 
 
+def w_value_histogram(sf_dir):
+    """Exact equi-width histogram of events.value over [0, 1000) x 20 —
+    per-batch bincount partials, one bins-sized groupby-Sum."""
+    import ray
+    from bqf_ray.pipelines.ranking import value_histogram
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return value_histogram(ev, "value", 0.0, 1000.0, 20)
+
+
+def w_ntile_value(sf_dir):
+    """Exact NTILE(10) over (value, event_id) per-tile stats — sample-sort
+    range routing + exact rank offsets, no all-to-all comparison sort."""
+    import ray
+    from bqf_ray.pipelines.ranking import exact_ntile_stats
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
+
+
 def w_rolling_sum(sf_dir):
     """Per-event rolling 5-row sum/count of value cents per user — one
     key-bucketed shuffle, global-cumsum frame math per bucket."""
@@ -1290,6 +1310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum": w_rolling_sum,
         "top_orders": w_top_orders,
         "event_gaps": w_event_gaps,
+        "value_histogram": w_value_histogram,
+        "ntile_value": w_ntile_value,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2111,6 +2133,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100""",
+        "value_histogram": """
+            SELECT CAST(LEAST(floor((value - 0.0) * 20 / (1000.0 - 0.0)),
+                              20 - 1) AS BIGINT) AS bin,
+                   CAST(LEAST(floor((value - 0.0) * 20 / (1000.0 - 0.0)),
+                              20 - 1) AS BIGINT)
+                       * ((1000.0 - 0.0) / 20) + 0.0 AS bin_lo,
+                   count(*)::BIGINT AS n
+            FROM events
+            WHERE value IS NOT NULL AND value >= 0.0 AND value <= 1000.0
+            GROUP BY 1""",
+        "ntile_value": """
+            WITH r AS (SELECT value,
+                              NTILE(10) OVER (ORDER BY value, event_id) AS t
+                       FROM events WHERE value IS NOT NULL)
+            SELECT t - 1 AS tile, count(*)::BIGINT AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM r GROUP BY 1""",
         "rolling_sum": """
             SELECT event_id,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w

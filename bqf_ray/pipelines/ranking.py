@@ -1,0 +1,179 @@
+"""Exact global-order statistics: equi-width histograms and NTILE
+percentile bucketing without an all-to-all sort.
+
+The reference engine has no ordering operators at all (SURVEY.md §2.4 —
+"No joins, sorts, top-k..."); these are engine-defined additions in the
+same spirit as :func:`bqf_ray.pipelines.aggregates.global_top_n`: every
+wide step moves either fixed-size partials (histogram) or each row
+exactly once (ntile), never a comparison-sort exchange.
+
+``exact_ntile_stats`` is the classic sample-sort plan made exact:
+
+1. ONE sketch pass plans ``P`` value-range boundaries
+   (:func:`bqf_ray.stages.partition.quantile_boundaries` — KLL partials,
+   tree merge, no row movement);
+2. ONE cheap counting pass (per-batch ``bincount`` of the routed
+   partition id — P-sized arrays to the driver) turns the plan into
+   EXACT global rank offsets;
+3. ONE hash-free range shuffle co-locates each value interval, where a
+   vectorized lexsort assigns ``rank = offset[part] + local_index`` and
+   the NTILE cut array maps ranks to tiles.
+
+Ties are safe by construction: ``searchsorted(side="right")`` routing
+sends all rows with an equal value to the same partition, so the
+within-partition ``(value, id)`` lexsort reproduces the total order
+``ORDER BY value, id`` globally.  Balance (and therefore per-group
+memory) is bounded by the KLL rank error; the input is read twice
+(count pass + shuffle pass), which at 100 TB is the standard sample-sort
+trade against materializing a ranked copy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def value_histogram(ds, value_col: str, lo: float, hi: float, bins: int):
+    """Exact equi-width histogram over ``[lo, hi]``.
+
+    Per-batch ``bincount`` partials (at most ``bins`` rows per batch ride
+    the exchange) + one tiny groupby-Sum.  Bin rule — shared verbatim
+    with the SQL oracle so float rounding agrees bit-for-bit:
+    ``bin = min(floor((v - lo) * bins / (hi - lo)), bins - 1)``; rows
+    outside ``[lo, hi]`` (and nulls/NaNs) are excluded.
+
+    Returns a Dataset ``(bin, bin_lo, n)`` with ``bin_lo = lo + bin * w``
+    where ``w = (hi - lo) / bins``.
+    """
+    from ray.data.aggregate import Sum
+
+    lo_f, hi_f, nb = float(lo), float(hi), int(bins)
+    if not (hi_f > lo_f and nb > 0):
+        raise ValueError("need hi > lo and bins > 0")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        v = np.asarray(col.cast(pa.float64()), dtype=np.float64)
+        if col.null_count:
+            v = v[~np.asarray(col.is_null())]
+        v = v[(v >= lo_f) & (v <= hi_f)]
+        if len(v) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        idx = np.floor((v - lo_f) * nb / (hi_f - lo_f)).astype(np.int64)
+        np.minimum(idx, nb - 1, out=idx)
+        c = np.bincount(idx, minlength=nb)
+        nz = np.nonzero(c)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "partial": pa.array(c[nz].astype(np.int64))})
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("bin").aggregate(Sum("partial", alias_name="n")))
+
+    w = (hi_f - lo_f) / nb
+
+    def post(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("bin"), dtype=np.int64)
+        return pa.table({"bin": batch.column("bin"),
+                         "bin_lo": pa.array(lo_f + b * w),
+                         "n": batch.column("n")})
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+def _ntile_cuts(n_rows: int, k: int) -> np.ndarray:
+    """Cumulative tile sizes under SQL NTILE semantics: the first
+    ``n_rows % k`` tiles get one extra row.  ``searchsorted(cuts, rank,
+    side="right")`` maps a 0-based global rank to its 0-based tile."""
+    base, rem = divmod(int(n_rows), int(k))
+    sizes = np.full(k, base, dtype=np.int64)
+    sizes[:rem] += 1
+    return np.cumsum(sizes)
+
+
+def with_global_rank(ds, value_col: str, id_col: str,
+                     num_partitions: int = 32):
+    """Internal: route rows by value range, compute exact global rank.
+
+    Returns ``(grouped_ds, offsets, total)`` where ``grouped_ds`` is the
+    routed dataset (``__part`` column appended, nulls dropped) and
+    ``offsets[p]`` is the exact count of rows in partitions ``< p``.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import (assign_range_partition,
+                                          quantile_boundaries)
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):      # NaN is not an Arrow null
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        return batch.filter(mask)
+
+    clean = ds.map_batches(drop_nulls, batch_format="pyarrow")
+    P = int(num_partitions)
+    if clean.limit(1).count() == 0:     # early-stop probe: one block read
+        return clean, np.zeros(P + 1, dtype=np.int64), 0
+    boundaries = quantile_boundaries(clean, value_col, num_partitions)
+    routed = assign_range_partition(clean, value_col, boundaries)
+
+    def count_parts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(np.asarray(batch.column("__part"), dtype=np.int64),
+                        minlength=P).astype(np.int64)
+        nz = np.nonzero(c)[0]
+        return pa.table({"part": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(c[nz])})
+
+    parts = (routed.select_columns([value_col, "__part"])
+             .map_batches(count_parts, batch_format="pyarrow").to_pandas())
+    counts = (parts.groupby("part")["n"].sum()
+              .reindex(range(P), fill_value=0).to_numpy().astype(np.int64))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return routed, offsets, int(offsets[-1])
+
+
+def exact_ntile_stats(ds, value_col: str, id_col: str, k: int,
+                      num_partitions: int = 32):
+    """Per-tile (count, min, max) of ``NTILE(k) OVER (ORDER BY value,
+    id)`` — exact, via the 3-pass sample-sort plan in the module
+    docstring.  Output schema ``(tile, n, min_value, max_value)`` with
+    0-based tiles; min/max are selected (not computed) floats, so the
+    result is bit-exact against SQL.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    routed, offsets, total = with_global_rank(ds, value_col, id_col,
+                                              num_partitions)
+    if total == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "tile": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+            "min_value": pa.array([], pa.float64()),
+            "max_value": pa.array([], pa.float64())}))
+    cuts = _ntile_cuts(total, k)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        part = int(group.column("__part")[0].as_py())
+        vals = np.asarray(group.column(value_col), dtype=np.float64)
+        ids = np.asarray(group.column(id_col))
+        order = np.lexsort((ids, vals))
+        ranks = offsets[part] + np.arange(len(vals), dtype=np.int64)
+        tile = np.searchsorted(cuts, ranks, side="right").astype(np.int64)
+        sv = vals[order]
+        # per-tile partials within this partition: tiles are contiguous
+        # runs of the sorted ranks, so first/last of each run give min/max
+        t_u, first = np.unique(tile, return_index=True)
+        last = np.concatenate([first[1:], [len(tile)]]) - 1
+        return pa.table({"tile": pa.array(t_u),
+                         "pn": pa.array((last - first + 1).astype(np.int64)),
+                         "pmin": pa.array(sv[first]),
+                         "pmax": pa.array(sv[last])})
+
+    partials = routed.groupby("__part").map_groups(
+        per_part, batch_format="pyarrow")
+    return (partials.groupby("tile")
+            .aggregate(Sum("pn", alias_name="n"),
+                       Min("pmin", alias_name="min_value"),
+                       Max("pmax", alias_name="max_value")))

@@ -1,0 +1,100 @@
+"""Exact-order statistics: value_histogram and exact_ntile_stats vs
+sequential numpy/pandas references, including tie and edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.ranking import (_ntile_cuts, exact_ntile_stats,
+                                       value_histogram)
+
+
+def _ref_ntile_stats(vals, ids, k):
+    """Sequential reference with SQL NTILE semantics (first n%k tiles get
+    the extra row) over ORDER BY value, id."""
+    df = pd.DataFrame({"v": vals, "i": ids}).dropna(subset=["v"])
+    df = df.sort_values(["v", "i"], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    cuts = _ntile_cuts(n, k)
+    df["tile"] = np.searchsorted(cuts, np.arange(n), side="right")
+    out = (df.groupby("tile")["v"].agg(n="size", min_value="min",
+                                       max_value="max").reset_index())
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray
+    rng = np.random.default_rng(7)
+    n = 20_000
+    vals = np.round(rng.exponential(80.0, n), 2)
+    vals[rng.random(n) < 0.01] = np.nan          # nulls excluded everywhere
+    vals[:500] = 42.0                            # a heavy tie block
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "value": pa.array(vals)})
+    return ray.data.from_arrow(t).repartition(16), vals
+
+
+def test_histogram_exact(events_ds):
+    ds, vals = events_ds
+    lo, hi, bins = 0.0, 500.0, 25
+    got = (value_histogram(ds, "value", lo, hi, bins).to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    v = vals[~np.isnan(vals)]
+    v = v[(v >= lo) & (v <= hi)]
+    idx = np.minimum(np.floor((v - lo) * bins / (hi - lo)).astype(np.int64),
+                     bins - 1)
+    ref = np.bincount(idx, minlength=bins)
+    nz = np.nonzero(ref)[0]
+    assert got["bin"].to_numpy().tolist() == nz.tolist()
+    assert got["n"].to_numpy().tolist() == ref[nz].tolist()
+    w = (hi - lo) / bins
+    assert np.array_equal(got["bin_lo"].to_numpy(), lo + nz * w)
+    # every in-range row lands in exactly one bin
+    assert int(got["n"].sum()) == len(v)
+
+
+def test_histogram_out_of_range_and_empty(ray_session):
+    import ray
+    t = pa.table({"value": pa.array([-1.0, 1000.1, None], pa.float64())})
+    got = value_histogram(ray.data.from_arrow(t), "value", 0.0, 1000.0, 10)
+    assert got.count() == 0
+
+
+def test_ntile_cuts_match_sql_semantics():
+    # N=7, k=5 -> NTILE sizes 2,2,1,1,1 (the case floor(r*k/N) gets wrong)
+    cuts = _ntile_cuts(7, 5)
+    sizes = np.diff(np.concatenate([[0], cuts]))
+    assert sizes.tolist() == [2, 2, 1, 1, 1]
+    tiles = np.searchsorted(cuts, np.arange(7), side="right")
+    assert tiles.tolist() == [0, 0, 1, 1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("k,parts", [(10, 8), (7, 4), (3, 32)])
+def test_ntile_stats_exact(events_ds, k, parts):
+    ds, vals = events_ds
+    got = (exact_ntile_stats(ds, "value", "event_id", k,
+                             num_partitions=parts).to_pandas()
+           .sort_values("tile").reset_index(drop=True))
+    ref = _ref_ntile_stats(vals, np.arange(len(vals)), k)
+    assert got["tile"].tolist() == ref["tile"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert np.array_equal(got["min_value"].to_numpy(),
+                          ref["min_value"].to_numpy())
+    assert np.array_equal(got["max_value"].to_numpy(),
+                          ref["max_value"].to_numpy())
+
+
+def test_ntile_ties_straddle_partitions(ray_session):
+    """All-equal values: every row ties; tiles must still be exact by
+    (value, id) order regardless of how the range partitioner routes."""
+    import ray
+    n = 1000
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "value": pa.array(np.full(n, 5.0))})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (exact_ntile_stats(ds, "value", "event_id", 4, num_partitions=8)
+           .to_pandas().sort_values("tile").reset_index(drop=True))
+    assert got["n"].tolist() == [250, 250, 250, 250]
+    assert (got["min_value"] == 5.0).all() and (got["max_value"] == 5.0).all()
