@@ -981,6 +981,17 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_fuzzy_names(sf_dir):
+    """Record linkage: every pair of distinct customer names within
+    Levenshtein distance 1 — FastSS deletion-neighborhood blocking +
+    vectorized byte-matrix verify (no per-pair Python)."""
+    import ray
+    from bqf_ray.pipelines.fuzzy import edit1_pairs
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_name"])
+    return edit1_pairs(cust, "c_name")
+
+
 def w_rolling_sum(sf_dir):
     """Per-event rolling 5-row sum/count of value cents per user — one
     key-bucketed shuffle, global-cumsum frame math per bucket."""
@@ -1312,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": w_event_gaps,
         "value_histogram": w_value_histogram,
         "ntile_value": w_ntile_value,
+        "fuzzy_names": w_fuzzy_names,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2133,6 +2145,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100""",
+        "fuzzy_names": """
+            WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+            SELECT a.name AS val_a, b.name AS val_b
+            FROM n a JOIN n b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1""",
         "value_histogram": """
             SELECT CAST(LEAST(floor((value - 0.0) * 20 / (1000.0 - 0.0)),
                               20 - 1) AS BIGINT) AS bin,
