@@ -981,6 +981,27 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_postings(sf_dir):
+    """Inverted index build: (token, df, comma-joined sorted doc list) in
+    one token-bucketed shuffle, Arrow-kernel list assembly."""
+    import ray
+    from bqf_ray.pipelines.text_stats import postings
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return postings(docs, "text", "doc_id")
+
+
+def w_collocations(sf_dir):
+    """Top-50 adjacent-bigram collocations by exact lift
+    (c_ab·N)/(c_a·c_b) — pre-aggregated bigram shuffle + plan-selected
+    unigram attach + sortless global top-n."""
+    import ray
+    from bqf_ray.pipelines.text_stats import collocations
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return collocations(docs, min_count=5, top=50)
+
+
 def w_fuzzy_names(sf_dir):
     """Record linkage: every pair of distinct customer names within
     Levenshtein distance 1 — FastSS deletion-neighborhood blocking +
@@ -1324,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": w_value_histogram,
         "ntile_value": w_ntile_value,
         "fuzzy_names": w_fuzzy_names,
+        "postings": w_postings,
+        "collocations": w_collocations,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2150,6 +2173,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.name AS val_a, b.name AS val_b
             FROM n a JOIN n b ON a.name < b.name
             WHERE levenshtein(a.name, b.name) <= 1""",
+        "postings": """
+            WITH pairs AS (SELECT DISTINCT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS token
+                   FROM documents)
+            SELECT token, count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS postings
+            FROM pairs GROUP BY token""",
+        "collocations": """
+            WITH tok AS (
+              SELECT doc_id, i, toks[i] AS t
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+            uni AS (SELECT t AS token, count(*)::BIGINT AS c
+                    FROM tok GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+            bg AS (SELECT a.t AS token_a, b.t AS token_b,
+                          count(*)::BIGINT AS c_ab
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   GROUP BY 1, 2)
+            SELECT token_a, token_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+                   (c_ab::DOUBLE * tot.n) / (ua.c::DOUBLE * ub.c) AS lift
+            FROM bg, tot
+            JOIN uni ua ON ua.token = token_a
+            JOIN uni ub ON ub.token = token_b
+            WHERE c_ab >= 5
+            ORDER BY lift DESC, token_a, token_b LIMIT 50""",
         "value_histogram": """
             SELECT CAST(LEAST(floor((value - 0.0) * 20 / (1000.0 - 0.0)),
                               20 - 1) AS BIGINT) AS bin,

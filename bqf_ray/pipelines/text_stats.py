@@ -380,3 +380,251 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "text_norm",
         return batch.append_column(out_col, t)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def postings(ds, text_col: str = "text", id_col: str = "doc_id",
+             num_buckets: int = 64):
+    """Inverted index: ``(token, df, postings)`` where ``postings`` is the
+    comma-joined doc-id list in ascending numeric order and ``df`` its
+    length — the search-index build artifact.
+
+    ONE token-hash-bucketed shuffle of per-doc-DISTINCT (token, doc_id)
+    pairs; inside a bucket the full posting list assembles with Arrow C++
+    kernels only (sort_indices + ListArray + binary_join — no per-token
+    Python).  Run boundaries compare token VALUES, so hash collisions
+    inside a bucket cannot merge different tokens' lists.  Posting lists
+    are unbounded by design (a stop-word's list is genuinely corpus-sized);
+    cap upstream with ``dedup_lines``/stop-word filtering if needed.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.functions.tokenize import tokenize_column
+
+    B = int(num_buckets)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        th = xxhash64_array(toks)
+        n_tok = np.diff(offs).astype(np.int64)
+        did = np.repeat(np.asarray(batch.column(id_col), dtype=np.int64),
+                        n_tok)
+        if len(th) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int64())})
+        order = np.lexsort((th, did))
+        d, h = did[order], th[order]
+        first = np.concatenate([[True],
+                                (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+        keep = order[first]
+        return pa.table({
+            "token": toks.take(pa.array(keep)),
+            id_col: pa.array(d[first]),
+            "__bucket": pa.array((h[first] % np.uint64(B)).astype(np.int64)),
+        })
+
+    def assemble(group: pa.Table) -> pa.Table:
+        tbl = pa.table({"token": group.column("token"),
+                        "d": group.column(id_col)})
+        idx = pc.sort_indices(tbl, sort_keys=[("token", "ascending"),
+                                              ("d", "ascending")])
+        tok = tbl.column("token").take(idx)
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        d = np.asarray(tbl.column("d").take(idx), dtype=np.int64)
+        n = len(d)
+        if n == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        neq = pc.not_equal(tok.slice(1), tok.slice(0, n - 1))
+        new = np.concatenate([[True], np.asarray(neq)])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [n]])
+        flat = pc.cast(pa.array(d), pa.string())
+        offsets = pa.array(np.concatenate([starts, [n]]).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, flat)
+        joined = pc.binary_join(lists, ",")
+        return pa.table({"token": tok.take(pa.array(starts)),
+                         "df": pa.array((ends - starts).astype(np.int64)),
+                         "postings": joined})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(assemble, batch_format="pyarrow"))
+
+
+def collocations(ds, min_count: int = 5, top: int = 50,
+                 text_col: str = "text", broadcast_budget: int = 2_000_000,
+                 num_buckets: int = 64):
+    """Top-``top`` adjacent-bigram collocations ranked by lift
+    ``(c_ab · N) / (c_a · c_b)`` — the PMI argument as an exact integer
+    ratio (PMI itself is its log, a monotone transform left to the
+    caller so the oracle needs no cross-engine ``ln``).
+
+    Plan: bigram counts pre-aggregate per batch before ONE groupby-Sum
+    shuffle (batch-distinct pairs only); unigram counts ride the
+    token_counts shape and materialize at vocab size.  Unigram attach is
+    plan-selected like the LM scorer: vocab ≤ ``broadcast_budget`` →
+    one sorted-array broadcast (zero extra shuffles); larger vocab →
+    two token-hash-bucketed exchanges attaching c_a then c_b in-bucket.
+    Final ordering uses :func:`bqf_ray.pipelines.aggregates.global_top_n`
+    (per-block partials, no all-to-all sort).
+
+    Output ``(token_a, token_b, c_ab, c_a, c_b, lift)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.pipelines.aggregates import global_top_n, token_counts
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        n_tok = np.diff(offs).astype(np.int64)
+        if len(toks) == 0 or (n_tok >= 2).sum() == 0:
+            return pa.table({"token_a": pa.array([], pa.string()),
+                             "token_b": pa.array([], pa.string()),
+                             "partial": pa.array([], pa.int64())})
+        # indices of bigram starts: every token except each doc's last
+        doc_last = offs[1:] - 1
+        is_last = np.zeros(len(toks), dtype=bool)
+        is_last[doc_last[n_tok > 0]] = True
+        starts = np.flatnonzero(~is_last)
+        t = pa.table({"token_a": toks.take(pa.array(starts)),
+                      "token_b": toks.take(pa.array(starts + 1)),
+                      "n": pa.array(np.ones(len(starts), dtype=np.int64))})
+        return (t.group_by(["token_a", "token_b"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["token_a", "token_b", "partial"]))
+
+    bigrams = (ds.map_batches(bigram_partials, batch_format="pyarrow")
+               .groupby(["token_a", "token_b"])
+               .aggregate(Sum("partial", alias_name="c_ab")))
+
+    uni = token_counts(ds, text_col=text_col).materialize()   # vocab-sized
+    n_vocab = uni.count()
+    total = uni.sum("cnt") or 0        # None on an empty corpus
+
+    def lift_cols(batch: pa.Table, c_a, c_b) -> pa.Table:
+        c_ab = np.asarray(batch.column("c_ab"), dtype=np.int64)
+        lift = c_ab.astype(np.float64) * total / \
+            (c_a.astype(np.float64) * c_b)
+        return pa.table({"token_a": batch.column("token_a"),
+                         "token_b": batch.column("token_b"),
+                         "c_ab": pa.array(c_ab),
+                         "c_a": pa.array(c_a.astype(np.int64)),
+                         "c_b": pa.array(c_b.astype(np.int64)),
+                         "lift": pa.array(lift)})
+
+    if n_vocab <= broadcast_budget:
+        empty_vocab = pa.table({"token": pa.array([], pa.string()),
+                                "cnt": pa.array([], pa.int64())})
+        vocab_tbl = pa.concat_tables(
+            [pa.table(b) for b in uni.iter_batches(batch_format="pyarrow")]
+            or [empty_vocab], promote_options="default")
+        vh = xxhash64_array(vocab_tbl.column("token"))
+        vorder = np.argsort(vh)
+        ref = ray.put((vh[vorder],
+                       np.asarray(vocab_tbl.column("cnt"),
+                                  dtype=np.int64)[vorder]))
+
+        class Attach:
+            def __init__(self):
+                self.keys, self.cnts = ray.get(ref)
+
+            def _lookup(self, col):
+                h = xxhash64_array(col)
+                pos = np.searchsorted(self.keys, h)
+                return self.cnts[pos]
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if len(batch) == 0:
+                    return lift_cols(batch, np.empty(0, np.int64),
+                                     np.empty(0, np.int64))
+                return lift_cols(batch,
+                                 self._lookup(batch.column("token_a")),
+                                 self._lookup(batch.column("token_b")))
+
+        scored = (bigrams.filter(expr=f"c_ab >= {int(min_count)}")
+                  .map_batches(Attach, batch_format="pyarrow",
+                               concurrency=2))
+    else:
+        scored = _attach_counts_bucketed(
+            bigrams.filter(expr=f"c_ab >= {int(min_count)}"), uni,
+            lift_cols, num_buckets)
+
+    return global_top_n(scored, ["lift", "token_a", "token_b"], n=top,
+                        descending=[True, False, False])
+
+
+def _attach_counts_bucketed(bigrams, uni, lift_cols, num_buckets: int):
+    """Large-vocab path for :func:`collocations`: two token-hash-bucketed
+    exchanges; in-bucket attach joins on token VALUES (hash is only the
+    routing key, so collisions cannot mis-attach)."""
+    import pandas as pd
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    B = int(num_buckets)
+
+    def route(col_name, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = xxhash64_array(batch.column(col_name))
+            return (batch.append_column(
+                "__bucket", pa.array((h % np.uint64(B)).astype(np.int64)))
+                .append_column("__side", pa.array(
+                    np.full(len(batch), side, dtype=np.int8))))
+        return fn
+
+    def attach(which_col, out_name):
+        def fn(group: pa.Table) -> pa.Table:
+            df = group.to_pandas()
+            left = df[df["__side"] == 0].drop(columns=["__bucket", "__side",
+                                                       "token", "cnt"])
+            right = df[df["__side"] == 1][["token", "cnt"]].rename(
+                columns={"token": which_col, "cnt": out_name})
+            merged = left.merge(right, on=which_col, how="inner")
+            return pa.Table.from_pandas(merged, preserve_index=False)
+        return fn
+
+    bg = bigrams.map_batches(
+        lambda b: b.append_column("token", pa.nulls(len(b), pa.string()))
+        .append_column("cnt", pa.nulls(len(b), pa.int64())),
+        batch_format="pyarrow").map_batches(route("token_a", 0),
+                                            batch_format="pyarrow")
+    un = uni.map_batches(
+        lambda b: pa.table({
+            "token_a": b.column("token"), "token_b": pa.nulls(len(b), pa.string()),
+            "c_ab": pa.nulls(len(b), pa.int64()),
+            "token": b.column("token"), "cnt": b.column("cnt")}),
+        batch_format="pyarrow").map_batches(route("token_a", 1),
+                                            batch_format="pyarrow")
+    step1 = (bg.union(un).groupby("__bucket")
+             .map_groups(attach("token_a", "c_a"), batch_format="pyarrow"))
+
+    bg2 = step1.map_batches(
+        lambda b: b.append_column("token", pa.nulls(len(b), pa.string()))
+        .append_column("cnt", pa.nulls(len(b), pa.int64())),
+        batch_format="pyarrow").map_batches(route("token_b", 0),
+                                            batch_format="pyarrow")
+    un2 = uni.map_batches(
+        lambda b: pa.table({
+            "token_a": pa.nulls(len(b), pa.string()),
+            "token_b": b.column("token"),
+            "c_ab": pa.nulls(len(b), pa.int64()),
+            "c_a": pa.nulls(len(b), pa.int64()),
+            "token": b.column("token"), "cnt": b.column("cnt")}),
+        batch_format="pyarrow").map_batches(route("token_b", 1),
+                                            batch_format="pyarrow")
+    joined = (bg2.union(un2).groupby("__bucket")
+              .map_groups(attach("token_b", "c_b"), batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c_a = np.asarray(batch.column("c_a"), dtype=np.int64)
+        c_b = np.asarray(batch.column("c_b"), dtype=np.int64)
+        return lift_cols(batch, c_a, c_b)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
