@@ -981,6 +981,19 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_kmeans_clusters(sf_dir):
+    """Distributed Lloyd k-means over embeddings: integer-quantized
+    partial sums make every iteration bit-deterministic across any
+    partitioning (pytest proves equality with a sequential reference);
+    iterative → rows-only driver check.  Output (cluster, n, inertia)
+    with inertia in exact quantized-integer units."""
+    import ray
+    from bqf_ray.pipelines.clustering import kmeans_cluster_stats
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kmeans_cluster_stats(emb, k=8, iters=4)
+
+
 def w_postings(sf_dir):
     """Inverted index build: (token, df, comma-joined sorted doc list) in
     one token-bucketed shuffle, Arrow-kernel list assembly."""
@@ -1347,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": w_fuzzy_names,
         "postings": w_postings,
         "collocations": w_collocations,
+        "kmeans_clusters": w_kmeans_clusters,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,

@@ -1,0 +1,90 @@
+"""Distributed k-means: bit-exact equality with a sequential reference
+(integer-quantized Lloyd is order-independent by construction), plus
+partitioning-invariance and guard tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.clustering import (_assign_to, _quantize,
+                                          kmeans_assign,
+                                          kmeans_cluster_stats, kmeans_fit)
+
+
+def _seq_kmeans(x, k, iters, scale_bits, seed, sample=4096):
+    """Sequential reference: the same quantized Lloyd, no Ray."""
+    scale = 1 << scale_bits
+    x0 = x[:sample]
+    rng = np.random.RandomState(seed)
+    pick = rng.choice(len(x0), min(k, len(x0)), replace=False)
+    cents_q = _quantize(x0[pick], scale)
+    xq = _quantize(x, scale)
+    inertia = []
+    for _ in range(iters):
+        a = _assign_to(xq, cents_q)
+        diff = (xq - cents_q[a]).astype(np.float64)
+        inertia.append(int((diff ** 2).sum()))
+        new = cents_q.copy()
+        for c in range(len(cents_q)):
+            m = a == c
+            if m.any():
+                new[c] = np.array([int(s) // int(m.sum())
+                                   for s in xq[m].sum(axis=0,
+                                                      dtype=np.int64)])
+        cents_q = new
+    return cents_q, inertia
+
+
+@pytest.fixture(scope="module")
+def blobs(ray_session):
+    import ray
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 0.3, size=(5, 16))
+    x = np.concatenate([c + rng.normal(0, 0.05, size=(400, 16))
+                        for c in centers])
+    x = np.clip(x, -0.99, 0.99).astype(np.float64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1), pa.float32()), 16).cast(
+            pa.list_(pa.float32()))})
+    return ray.data.from_arrow(t).repartition(7), x
+
+
+def test_fit_bit_equals_sequential(blobs):
+    ds, x = blobs
+    # reference sees the float32-roundtripped values the Dataset holds
+    x32 = x.astype(np.float32).astype(np.float64)
+    got_c, got_info = kmeans_fit(ds, k=5, iters=4, seed=3)
+    ref_c, ref_inertia = _seq_kmeans(x32, k=5, iters=4, scale_bits=20,
+                                     seed=3)
+    assert np.array_equal(got_c, ref_c)
+    assert got_info["inertia"] == ref_inertia
+    # inertia is monotone non-increasing under Lloyd
+    assert all(a >= b for a, b in zip(ref_inertia, ref_inertia[1:]))
+
+
+def test_partitioning_invariance(blobs):
+    ds, _ = blobs
+    a_c, a_i = kmeans_fit(ds, k=5, iters=3, seed=3)
+    b_c, b_i = kmeans_fit(ds.repartition(23), k=5, iters=3, seed=3)
+    assert np.array_equal(a_c, b_c)
+    assert a_i["inertia"] == b_i["inertia"]
+
+
+def test_assign_and_stats_consistent(blobs):
+    ds, x = blobs
+    cents_q, _ = kmeans_fit(ds, k=5, iters=3, seed=3)
+    assigned = kmeans_assign(ds, cents_q).to_pandas()
+    stats = (kmeans_cluster_stats(ds, k=5, iters=3, seed=3).to_pandas()
+             .sort_values("cluster").reset_index(drop=True))
+    sizes = assigned["cluster"].value_counts().sort_index()
+    assert stats["n"].tolist() == sizes.tolist()
+    assert int(stats["n"].sum()) == len(x)
+    # well-separated blobs: clusters are balanced around 400
+    assert stats["n"].min() > 200
+
+
+def test_quantize_guard():
+    with pytest.raises(ValueError, match="2\\^23"):
+        _quantize(np.array([[100.0]]), 1 << 20)
