@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-44 of 51 queries.  The approximate family is oracle-checked through
+80 of 86 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
