@@ -981,6 +981,27 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_dedup_within(sf_dir):
+    """Intra-document segment dedup (keep-first within each doc) — a
+    stateless one-pass map_batches, no shuffle; fixture docs are
+    single-line so segments on ' ' to exercise ordered reassembly."""
+    import ray
+    from bqf_ray.pipelines.dedup import dedup_lines_within
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return dedup_lines_within(docs, sep=" ")
+
+
+def w_value_ranks(sf_dir):
+    """Exact per-row global rank ROW_NUMBER() OVER (ORDER BY value,
+    event_id) via the sample-sort ranking plan (no all-to-all sort)."""
+    import ray
+    from bqf_ray.pipelines.ranking import global_row_numbers
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return global_row_numbers(ev, "value", "event_id", num_partitions=16)
+
+
 def w_kmeans_clusters(sf_dir):
     """Distributed Lloyd k-means over embeddings: integer-quantized
     partial sums make every iteration bit-deterministic across any
@@ -1361,6 +1382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": w_postings,
         "collocations": w_collocations,
         "kmeans_clusters": w_kmeans_clusters,
+        "dedup_within": w_dedup_within,
+        "value_ranks": w_value_ranks,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2236,6 +2259,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT t - 1 AS tile, count(*)::BIGINT AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
+        "value_ranks": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id)::BIGINT
+                       AS rank
+            FROM events WHERE value IS NOT NULL""",
+        "dedup_within": """
+            WITH segs AS (
+              SELECT doc_id, i.i AS i, ls[i.i] AS seg
+              FROM (SELECT doc_id, string_split(text, ' ') AS ls
+                    FROM documents) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.ls)))
+                            AS i) i),
+            firsts AS (
+              SELECT doc_id, seg, min(i) AS fi FROM segs GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY fi) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM firsts GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_lines
+              FROM documents)
+            SELECT b.doc_id, COALESCE(a.text, '') AS text, b.n_lines,
+                   (b.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
         "rolling_sum": """
             SELECT event_id,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w

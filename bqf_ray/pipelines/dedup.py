@@ -1553,3 +1553,59 @@ def dedup_incremental(new_ds, checkpoint_dir: str, text_col: str = "text",
     if update_index:
         update_bqf_index(checkpoint_dir, add_ds=survivors)
     return survivors
+
+
+def dedup_lines_within(ds, sep: str = "\n", text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """INTRA-document segment dedup: within each document, keep only the
+    first occurrence of every ``sep``-delimited segment, preserving the
+    order of survivors — the page-internal companion to the corpus-level
+    :func:`dedup_lines` (repeated nav blocks / list spam inside one page).
+
+    Stateless one-pass ``map_batches`` — no shuffle at all: the keep
+    mask is a per-(doc, segment-hash) first-of-run over a single lexsort,
+    and documents rebuild through the same ListArray + ``binary_join``
+    path as :func:`dedup_lines`.  Segment identity is the 64-bit content
+    hash (the engine-wide exact-dedup content-key equivalence).
+
+    Output ``(doc_id, text, n_lines, n_removed)``.
+    """
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, sep)
+        flat = lists.flatten()
+        lens = np.asarray(lists.value_lengths().fill_null(0),
+                          dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        if total == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                text_col: pa.array([""] * len(batch), pa.string()),
+                "n_lines": pa.array(lens, pa.int64()),
+                "n_removed": pa.array(np.zeros(len(batch), np.int64))})
+        did = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        h = xxhash64_array(flat)
+        pos = np.arange(total, dtype=np.int64)
+        order = np.lexsort((pos, h, did))
+        d_, h_ = did[order], h[order]
+        first = np.concatenate([[True],
+                                (d_[1:] != d_[:-1]) | (h_[1:] != h_[:-1])])
+        keep = np.zeros(total, dtype=bool)
+        keep[order[first]] = True
+        kcum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_per_doc = kcum[offs[1:]] - kcum[offs[:-1]]
+        new_offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep)))
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: pc.binary_join(kept_list, sep),
+            "n_lines": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(lens - kept_per_doc, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -177,3 +177,31 @@ def exact_ntile_stats(ds, value_col: str, id_col: str, k: int,
             .aggregate(Sum("pn", alias_name="n"),
                        Min("pmin", alias_name="min_value"),
                        Max("pmax", alias_name="max_value")))
+
+
+def global_row_numbers(ds, value_col: str, id_col: str,
+                       num_partitions: int = 32):
+    """Per-row exact global rank: ``(id_col, rank)`` with 1-based
+    ``rank = ROW_NUMBER() OVER (ORDER BY value, id)`` — the same
+    sample-sort plan as :func:`exact_ntile_stats`, emitting the rank per
+    row instead of tile aggregates (quantile normalization, leaderboard
+    positions, percentile features)."""
+    routed, offsets, total = with_global_rank(ds, value_col, id_col,
+                                              num_partitions)
+    if total == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        part = int(group.column("__part")[0].as_py())
+        vals = np.asarray(group.column(value_col), dtype=np.float64)
+        ids = np.asarray(group.column(id_col))
+        order = np.lexsort((ids, vals))
+        ranks = offsets[part] + np.arange(1, len(vals) + 1, dtype=np.int64)
+        return pa.table({id_col: pa.array(ids[order]),
+                         "rank": pa.array(ranks)})
+
+    return routed.groupby("__part").map_groups(per_part,
+                                               batch_format="pyarrow")

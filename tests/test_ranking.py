@@ -98,3 +98,18 @@ def test_ntile_ties_straddle_partitions(ray_session):
            .to_pandas().sort_values("tile").reset_index(drop=True))
     assert got["n"].tolist() == [250, 250, 250, 250]
     assert (got["min_value"] == 5.0).all() and (got["max_value"] == 5.0).all()
+
+
+def test_global_row_numbers_exact(events_ds):
+    from bqf_ray.pipelines.ranking import global_row_numbers
+    ds, vals = events_ds
+    got = (global_row_numbers(ds, "value", "event_id").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    df = pd.DataFrame({"event_id": np.arange(len(vals)), "v": vals}) \
+        .dropna(subset=["v"]).sort_values(["v", "event_id"],
+                                          kind="mergesort")
+    df["rank"] = np.arange(1, len(df) + 1)
+    ref = df.sort_values("event_id")[["event_id", "rank"]] \
+        .reset_index(drop=True)
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["rank"].tolist() == ref["rank"].tolist()
