@@ -981,6 +981,32 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_url_canon(sf_dir):
+    """URL canonicalization + host/registrable-domain extraction over a
+    URL column derived deterministically from documents (the fixture has
+    no url column; the derivation is replayed verbatim in the oracle so
+    every canonicalization rule is checked byte-for-byte)."""
+    import pyarrow.compute as pc
+    import ray
+    from bqf_ray.text.urls import url_table
+
+    def mk_url(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        src = pc.utf8_upper(batch.column("source"))
+        d = pc.cast(did, pa.string())
+        mod = np.asarray(did, dtype=np.int64) % 3
+        tail = pa.array(np.where(mod == 0, "?b=9&a=1#frag",
+                                 np.where(mod == 1, "", "?z=9&z=1")))
+        u = pc.binary_join_element_wise(
+            "HTTP://", src, ".Example.COM:80/Doc/", d, tail, "")
+        return pa.table({"doc_id": did, "url": u})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return (url_table(docs.map_batches(mk_url, batch_format="pyarrow"))
+            .select_columns(["doc_id", "url_canon", "host", "domain"]))
+
+
 def w_dedup_within(sf_dir):
     """Intra-document segment dedup (keep-first within each doc) — a
     stateless one-pass map_batches, no shuffle; fixture docs are
@@ -1384,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": w_kmeans_clusters,
         "dedup_within": w_dedup_within,
         "value_ranks": w_value_ranks,
+        "url_canon": w_url_canon,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2259,6 +2286,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT t - 1 AS tile, count(*)::BIGINT AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
+        "url_canon": """
+            WITH raw AS (
+              SELECT doc_id,
+                     'HTTP://' || upper(source) || '.Example.COM:80/Doc/'
+                       || doc_id ||
+                     CASE WHEN doc_id % 3 = 0 THEN '?b=9&a=1#frag'
+                          WHEN doc_id % 3 = 1 THEN ''
+                          ELSE '?z=9&z=1' END AS u
+              FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u
+                   FROM raw),
+            s2 AS (SELECT doc_id, u,
+                          regexp_extract(u, '^([^?]*)', 1) AS base,
+                          CASE WHEN contains(u, '?')
+                               THEN regexp_extract(u, '^[^?]*\\?(.*)$', 1)
+                               ELSE '' END AS q
+                   FROM s1),
+            s3 AS (SELECT doc_id, u, q,
+                          lower(regexp_extract(base,
+                            '^([hH][tT][tT][pP][sS]?://[^/]*)', 1)) AS pre,
+                          regexp_replace(base,
+                            '^[hH][tT][tT][pP][sS]?://[^/]*', '') AS rest
+                   FROM s2),
+            s4 AS (SELECT doc_id, u, q,
+                          regexp_replace(regexp_replace(regexp_replace(
+                            pre || rest,
+                            '^(http://[^/:]+):80($|/)', '\\1\\2'),
+                            '^(https://[^/:]+):443($|/)', '\\1\\2'),
+                            '^(https?://[^/]+)$', '\\1/') AS base2,
+                          array_to_string(list_sort(string_split(q, '&')),
+                                          '&') AS qs
+                   FROM s3),
+            canon AS (SELECT doc_id,
+                             CASE WHEN contains(u, '?') AND qs <> ''
+                                  THEN base2 || '?' || qs
+                                  ELSE base2 END AS url_canon
+                      FROM s4),
+            hosts AS (SELECT doc_id, url_canon,
+                             lower(regexp_extract(url_canon,
+                               '^[hH][tT][tT][pP][sS]?://([^/:?#]*)', 1))
+                                 AS host
+                      FROM canon)
+            SELECT doc_id, url_canon, host,
+                   CASE WHEN regexp_extract(host,
+                            '([^.]+\\.[^.]+)$', 1) IN
+                            ('co.uk','ac.uk','gov.uk','com.au','co.jp',
+                             'com.br','co.in')
+                         AND regexp_extract(host,
+                            '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                        THEN regexp_extract(host,
+                            '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                   END AS domain
+            FROM hosts""",
         "value_ranks": """
             SELECT event_id,
                    ROW_NUMBER() OVER (ORDER BY value, event_id)::BIGINT
