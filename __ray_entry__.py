@@ -981,6 +981,17 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_event_ranks(sf_dir):
+    """Per-key exact rank: ROW_NUMBER() OVER (PARTITION BY user_id ORDER
+    BY ts, event_id) — one user-bucketed shuffle, lexsort + first-of-run
+    rank (no per-key loop)."""
+    import ray
+    from bqf_ray.pipelines.windowed import grouped_row_numbers
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    return grouped_row_numbers(ev)
+
+
 def w_url_canon(sf_dir):
     """URL canonicalization + host/registrable-domain extraction over a
     URL column derived deterministically from documents (the fixture has
@@ -1411,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_within": w_dedup_within,
         "value_ranks": w_value_ranks,
         "url_canon": w_url_canon,
+        "event_ranks": w_event_ranks,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2286,6 +2298,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT t - 1 AS tile, count(*)::BIGINT AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
+        "event_ranks": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)::BIGINT AS rnk
+            FROM events""",
         "url_canon": """
             WITH raw AS (
               SELECT doc_id,

@@ -646,3 +646,44 @@ def lag_diff(ds, value_col: str = "ts", ts_col: str = "ts",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(diff_bucket, batch_format="pyarrow"))
+
+
+def grouped_row_numbers(ds, key_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id", num_buckets: int = 32):
+    """Per-key exact rank: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    ts, id)`` for every row — the per-group companion to
+    :func:`bqf_ray.pipelines.ranking.global_row_numbers`.  Same
+    one-bucket-shuffle shape as :func:`lag_diff`; ranks come from one
+    lexsort plus a first-of-run subtraction (no per-key loop)."""
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        order = np.lexsort((i, t, u))
+        us = u[order]
+        pos = np.arange(len(us), dtype=np.int64)
+        first = np.concatenate([[True], us[1:] != us[:-1]])
+        run_start = pos[first]
+        rnk = pos - np.repeat(run_start, np.diff(
+            np.concatenate([run_start, [len(us)]]))) + 1
+        return pa.table({id_col: pa.array(i[order]),
+                         "rnk": pa.array(rnk)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(rank_bucket, batch_format="pyarrow"))

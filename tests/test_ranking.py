@@ -113,3 +113,24 @@ def test_global_row_numbers_exact(events_ds):
         .reset_index(drop=True)
     assert got["event_id"].tolist() == ref["event_id"].tolist()
     assert got["rank"].tolist() == ref["rank"].tolist()
+
+
+def test_grouped_row_numbers_exact(ray_session):
+    import ray
+    from bqf_ray.pipelines.windowed import grouped_row_numbers
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n).astype("datetime64[us]"))})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (grouped_row_numbers(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   kind="mergesort")
+    df["rnk"] = df.groupby("user_id").cumcount() + 1
+    ref = df.sort_values("event_id")[["event_id", "rnk"]] \
+        .reset_index(drop=True)
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["rnk"].tolist() == ref["rnk"].tolist()
