@@ -93,12 +93,19 @@ def _ntile_cuts(n_rows: int, k: int) -> np.ndarray:
 
 
 def with_global_rank(ds, value_col: str, id_col: str,
-                     num_partitions: int = 32):
+                     num_partitions: int = 32,
+                     materialize_routed: bool = False):
     """Internal: route rows by value range, compute exact global rank.
 
     Returns ``(grouped_ds, offsets, total)`` where ``grouped_ds`` is the
     routed dataset (``__part`` column appended, nulls dropped) and
     ``offsets[p]`` is the exact count of rows in partitions ``< p``.
+
+    ``materialize_routed=True`` pins the routed rows in the object store
+    so the exact-count pass and the range shuffle share one input
+    execution instead of re-reading the source — faster when the input
+    comfortably fits (or spills acceptably); the streaming default is
+    the right shape when it does not.
     """
     import pyarrow.compute as pc
 
@@ -118,6 +125,8 @@ def with_global_rank(ds, value_col: str, id_col: str,
         return clean, np.zeros(P + 1, dtype=np.int64), 0
     boundaries = quantile_boundaries(clean, value_col, num_partitions)
     routed = assign_range_partition(clean, value_col, boundaries)
+    if materialize_routed:
+        routed = routed.materialize()
 
     def count_parts(batch: pa.Table) -> pa.Table:
         c = np.bincount(np.asarray(batch.column("__part"), dtype=np.int64),
@@ -135,7 +144,8 @@ def with_global_rank(ds, value_col: str, id_col: str,
 
 
 def exact_ntile_stats(ds, value_col: str, id_col: str, k: int,
-                      num_partitions: int = 32):
+                      num_partitions: int = 32,
+                      materialize_routed: bool = False):
     """Per-tile (count, min, max) of ``NTILE(k) OVER (ORDER BY value,
     id)`` — exact, via the 3-pass sample-sort plan in the module
     docstring.  Output schema ``(tile, n, min_value, max_value)`` with
@@ -145,7 +155,8 @@ def exact_ntile_stats(ds, value_col: str, id_col: str, k: int,
     from ray.data.aggregate import Max, Min, Sum
 
     routed, offsets, total = with_global_rank(ds, value_col, id_col,
-                                              num_partitions)
+                                              num_partitions,
+                                              materialize_routed)
     if total == 0:
         import ray
         return ray.data.from_arrow(pa.table({
