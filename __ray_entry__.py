@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-80 of 86 queries.  The approximate family is oracle-checked through
+86 of 92 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -981,6 +981,31 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_table_checksum(sf_dir):
+    """Order/partitioning-invariant content checksum of orders (int +
+    string columns): per-row md5-derived u64, wrapping sum mod 2^63 —
+    the migration-audit primitive (one integer per batch crosses the
+    wire, no shuffle)."""
+    import ray
+    from bqf_ray.pipelines.audit import dataset_checksum
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    return dataset_checksum(orders, ["o_orderkey", "o_orderstatus",
+                                     "o_orderpriority"])
+
+
+def w_scrape_fields(sf_dir):
+    """Vectorized RE2 named-group scraping of the events props column
+    into a typed field (log-parsing shape); one stateless pass."""
+    import ray
+    from bqf_ray.pipelines.audit import extract_fields
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    return extract_fields(ev, r'"k": (?P<k>\d+)', {"k": "int64"},
+                          text_col="props", keep=["event_id"])
+
+
 def w_event_ranks(sf_dir):
     """Per-key exact rank: ROW_NUMBER() OVER (PARTITION BY user_id ORDER
     BY ts, event_id) — one user-bucketed shuffle, lexsort + first-of-run
@@ -1423,6 +1448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ranks": w_value_ranks,
         "url_canon": w_url_canon,
         "event_ranks": w_event_ranks,
+        "table_checksum": w_table_checksum,
+        "scrape_fields": w_scrape_fields,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
         "lang_counts": q_lang_counts_salted,
@@ -2298,6 +2325,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT t - 1 AS tile, count(*)::BIGINT AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
+        "table_checksum": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   (sum(('0x' || substr(md5(o_orderkey::VARCHAR || chr(31)
+                         || o_orderstatus || chr(31) || o_orderpriority),
+                         1, 16))::UBIGINT::HUGEINT)
+                    % 9223372036854775808)::BIGINT AS checksum
+            FROM orders""",
+        "scrape_fields": """
+            SELECT event_id,
+                   CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                               '') AS BIGINT) AS k
+            FROM events""",
         "event_ranks": """
             SELECT event_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id
