@@ -2326,12 +2326,19 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
         "table_checksum": """
+            WITH enc AS (
+              SELECT length(o_orderkey::VARCHAR) || ':' ||
+                       o_orderkey::VARCHAR || chr(31) ||
+                     length(o_orderstatus) || ':' || o_orderstatus ||
+                       chr(31) ||
+                     length(o_orderpriority) || ':' || o_orderpriority
+                       AS row_s
+              FROM orders)
             SELECT count(*)::BIGINT AS n_rows,
-                   (sum(('0x' || substr(md5(o_orderkey::VARCHAR || chr(31)
-                         || o_orderstatus || chr(31) || o_orderpriority),
-                         1, 16))::UBIGINT::HUGEINT)
+                   (sum(('0x' || substr(md5(row_s), 1, 16))
+                        ::UBIGINT::HUGEINT)
                     % 9223372036854775808)::BIGINT AS checksum
-            FROM orders""",
+            FROM enc""",
         "scrape_fields": """
             SELECT event_id,
                    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),

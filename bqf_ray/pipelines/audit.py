@@ -24,9 +24,12 @@ _MOD = 1 << 63
 
 def dataset_checksum(ds, cols: list[str], sep: str = "\x1f"):
     """One-row Dataset ``(n_rows, checksum)``: checksum = Σ row_digest
-    mod 2^63 where ``row_digest = md5_hash64(col1 || sep || col2 ...)``
-    over the given columns cast to strings (nulls → '∅' sentinel).
-    Order/partitioning-invariant by construction."""
+    mod 2^63 where ``row_digest = md5_hash64(enc(col1) || sep ||
+    enc(col2) ...)`` and ``enc(v) = length(v) || ':' || v`` (``'N'`` for
+    null).  The length prefix makes cell boundaries unambiguous — values
+    containing the separator byte cannot alias across columns, and null
+    is distinct from every string.  Order/partitioning-invariant by
+    construction."""
     from bqf_ray.functions.hashing import md5_hash64_array
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -36,7 +39,9 @@ def dataset_checksum(ds, cols: list[str], sep: str = "\x1f"):
         parts = []
         for c in cols:
             s = pc.cast(batch.column(c), pa.string())
-            parts.append(pc.fill_null(s, "∅"))
+            ln = pc.cast(pc.utf8_length(s), pa.string())
+            enc = pc.binary_join_element_wise(ln, s, ":")
+            parts.append(pc.fill_null(enc, "N"))
         joined = parts[0]
         for p in parts[1:]:
             joined = pc.binary_join_element_wise(joined, p, sep)

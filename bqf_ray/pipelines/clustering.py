@@ -35,20 +35,28 @@ from bqf_ray.pipelines.knn import _to_matrix
 
 
 def _quantize(x: np.ndarray, scale: int) -> np.ndarray:
+    """Quantize and enforce the exactness envelope: every term of the
+    matmul expansion must stay an exact float64 integer, which needs
+    ``dim * (2 * max|q|)^2 < 2^53`` — a DIM-DEPENDENT bound (at dim=32
+    this is the old 2^23 cap; at dim=128 it is 2^22)."""
     q = np.rint(x * scale).astype(np.int64)
-    if len(q) and np.abs(q).max() > (1 << 23):
-        raise ValueError(
-            "quantized coordinates exceed 2^23 — exactness guarantee "
-            "breaks; lower scale_bits or normalize the embeddings")
+    if q.size:
+        dim = q.shape[-1] if q.ndim > 1 else 1
+        m = int(np.abs(q).max())
+        if dim * (2 * m) ** 2 >= (1 << 53):
+            raise ValueError(
+                f"quantized coordinates (max |q|={m}, dim={dim}) exceed "
+                "the float64 exactness envelope dim*(2*max|q|)^2 < 2^53 "
+                "— lower scale_bits or normalize the embeddings")
     return q
 
 
 def _assign_to(xq: np.ndarray, cents_q: np.ndarray) -> np.ndarray:
     """argmin_c ||xq − cq||² over int64-quantized points/centroids,
     computed exactly (ties → lowest index).  Uses the matmul expansion
-    ``|x|² − 2x·c + |c|²`` in float64: quantized coordinates are far
-    below 2^26, so every dot product and norm is an integer below 2^53 —
-    float64 represents each term (and their 3-term sum) exactly."""
+    ``|x|² − 2x·c + |c|²`` in float64: the ``_quantize`` envelope
+    (dim·(2·max|q|)² < 2^53) keeps every dot product, norm, and the
+    3-term sum an exactly-representable float64 integer."""
     xf = xq.astype(np.float64)
     cf = cents_q.astype(np.float64)
     d2 = ((xf * xf).sum(axis=1)[:, None]
@@ -152,8 +160,7 @@ def kmeans_assign(ds, cents_q: np.ndarray, vec_col: str = "embedding",
 
 
 def kmeans_cluster_stats(ds, k: int = 8, iters: int = 5,
-                         vec_col: str = "embedding",
-                         id_col: str = "vec_id", scale_bits: int = 20,
+                         vec_col: str = "embedding", scale_bits: int = 20,
                          seed: int = 13):
     """End-to-end fit + final per-cluster stats:
     ``(cluster, n, inertia)`` with inertia in exact quantized integer

@@ -130,7 +130,7 @@ def lev_le1_mask(a: pa.Array, b: pa.Array) -> np.ndarray:
     return out
 
 
-def edit1_pairs(ds, col: str, max_len: int = 64, num_buckets: int = 32):
+def edit1_pairs(ds, col: str, max_len: int = 64):
     """Dataset of ``(val_a, val_b)`` — every unordered pair of DISTINCT
     non-null values of ``col`` (length ≤ ``max_len``) with Levenshtein
     distance exactly 1.  See module docstring for the plan."""

@@ -135,7 +135,7 @@ def with_global_rank(ds, value_col: str, id_col: str,
         return pa.table({"part": pa.array(nz.astype(np.int64)),
                          "n": pa.array(c[nz])})
 
-    parts = (routed.select_columns([value_col, "__part"])
+    parts = (routed.select_columns(["__part"])
              .map_batches(count_parts, batch_format="pyarrow").to_pandas())
     counts = (parts.groupby("part")["n"].sum()
               .reindex(range(P), fill_value=0).to_numpy().astype(np.int64))
@@ -201,8 +201,9 @@ def global_row_numbers(ds, value_col: str, id_col: str,
                                               num_partitions)
     if total == 0:
         import ray
+        id_type = ds.schema().base_schema.field(id_col).type
         return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], id_type),
             "rank": pa.array([], pa.int64())}))
 
     def per_part(group: pa.Table) -> pa.Table:

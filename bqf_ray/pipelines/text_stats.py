@@ -391,8 +391,11 @@ def postings(ds, text_col: str = "text", id_col: str = "doc_id",
     ONE token-hash-bucketed shuffle of per-doc-DISTINCT (token, doc_id)
     pairs; inside a bucket the full posting list assembles with Arrow C++
     kernels only (sort_indices + ListArray + binary_join — no per-token
-    Python).  Run boundaries compare token VALUES, so hash collisions
-    inside a bucket cannot merge different tokens' lists.  Posting lists
+    Python).  Run boundaries in the assemble stage compare token VALUES,
+    so bucket-routing collisions cannot merge different tokens' lists;
+    the per-doc-distinct stage dedups on the 64-bit content hash (the
+    engine-wide exact-dedup content-key equivalence), so token identity
+    there is hash identity.  Posting lists
     are unbounded by design (a stop-word's list is genuinely corpus-sized);
     cap upstream with ``dedup_lines``/stop-word filtering if needed.
     """
@@ -519,7 +522,8 @@ def collocations(ds, min_count: int = 5, top: int = 50,
                          "c_b": pa.array(c_b.astype(np.int64)),
                          "lift": pa.array(lift)})
 
-    if n_vocab <= broadcast_budget:
+    use_broadcast = n_vocab <= broadcast_budget
+    if use_broadcast:
         empty_vocab = pa.table({"token": pa.array([], pa.string()),
                                 "cnt": pa.array([], pa.int64())})
         vocab_tbl = pa.concat_tables(
@@ -527,7 +531,15 @@ def collocations(ds, min_count: int = 5, top: int = 50,
             or [empty_vocab], promote_options="default")
         vh = xxhash64_array(vocab_tbl.column("token"))
         vorder = np.argsort(vh)
-        ref = ray.put((vh[vorder],
+        vh_sorted = vh[vorder]
+        # a 64-bit collision between two vocab tokens would make the
+        # hash-keyed lookup mis-attach counts — detect it up front and
+        # route through the value-joining bucketed plan instead (exact)
+        if len(vh_sorted) > 1 and (vh_sorted[1:] == vh_sorted[:-1]).any():
+            use_broadcast = False
+
+    if use_broadcast:
+        ref = ray.put((vh_sorted,
                        np.asarray(vocab_tbl.column("cnt"),
                                   dtype=np.int64)[vorder]))
 
@@ -538,6 +550,16 @@ def collocations(ds, min_count: int = 5, top: int = 50,
             def _lookup(self, col):
                 h = xxhash64_array(col)
                 pos = np.searchsorted(self.keys, h)
+                # bigram tokens come from the same tokenizer as the
+                # vocab, so every probe must hit; a miss means caller
+                # misuse (different text column) — fail loudly, never
+                # read a neighbor's count
+                if len(self.keys) == 0 or pos.max(initial=-1) >= len(
+                        self.keys) or not (self.keys[np.minimum(
+                            pos, len(self.keys) - 1)] == h).all():
+                    raise ValueError(
+                        "collocations: bigram token missing from the "
+                        "unigram vocabulary — inputs disagree")
                 return self.cnts[pos]
 
             def __call__(self, batch: pa.Table) -> pa.Table:

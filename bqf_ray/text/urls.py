@@ -108,7 +108,7 @@ def registrable_domain(hosts) -> pa.Array:
     return pc.if_else(use3, three, two)
 
 
-def url_table(ds, url_col: str = "url", id_col: str | None = None):
+def url_table(ds, url_col: str = "url"):
     """Append ``url_canon`` / ``host`` / ``domain`` columns — the
     stateless normalizer stage ahead of URL-keyed dedup / per-host caps."""
     def fn(batch: pa.Table) -> pa.Table:

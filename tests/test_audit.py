@@ -39,13 +39,23 @@ def test_checksum_detects_single_cell_change(ray_session, tbl):
     assert a[0]["checksum"] != b[0]["checksum"]
 
 
-def test_checksum_null_sentinel(ray_session):
+def test_checksum_encoding_unambiguous(ray_session):
+    """Length-prefixed cells: separator injection and null-vs-literal
+    cannot alias."""
     import ray
-    t1 = pa.table({"s": pa.array(["a", None])})
-    t2 = pa.table({"s": pa.array(["a", "∅"])})   # sentinel collision is
-    a = dataset_checksum(ray.data.from_arrow(t1), ["s"]).take_all()
-    b = dataset_checksum(ray.data.from_arrow(t2), ["s"]).take_all()
-    assert a == b                                 # documented behavior
+    # ('a\x1f', 'b') vs ('a', '\x1fb') — same concatenation without
+    # length prefixes
+    t1 = pa.table({"x": pa.array(["a\x1f"]), "y": pa.array(["b"])})
+    t2 = pa.table({"x": pa.array(["a"]), "y": pa.array(["\x1fb"])})
+    a = dataset_checksum(ray.data.from_arrow(t1), ["x", "y"]).take_all()
+    b = dataset_checksum(ray.data.from_arrow(t2), ["x", "y"]).take_all()
+    assert a[0]["checksum"] != b[0]["checksum"]
+    # null is distinct from any literal, including 'N'
+    t3 = pa.table({"s": pa.array(["a", None])})
+    t4 = pa.table({"s": pa.array(["a", "N"])})
+    c = dataset_checksum(ray.data.from_arrow(t3), ["s"]).take_all()
+    d = dataset_checksum(ray.data.from_arrow(t4), ["s"]).take_all()
+    assert c[0]["checksum"] != d[0]["checksum"]
 
 
 def test_extract_fields_types_and_nulls(ray_session):

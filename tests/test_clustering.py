@@ -86,5 +86,11 @@ def test_assign_and_stats_consistent(blobs):
 
 
 def test_quantize_guard():
-    with pytest.raises(ValueError, match="2\\^23"):
-        _quantize(np.array([[100.0]]), 1 << 20)
+    with pytest.raises(ValueError, match="exactness envelope"):
+        _quantize(np.array([[100.0] * 32]), 1 << 20)
+    # dim=128 trips at |x| ≥ 4.0 (m = 2^22 → 128·(2m)² = 2^53) while
+    # dim=32 only trips at |x| ≥ 8.0 — the bound scales with dim
+    with pytest.raises(ValueError, match="exactness envelope"):
+        _quantize(np.full((1, 128), 4.0), 1 << 20)
+    _quantize(np.full((1, 32), 4.0), 1 << 20)    # same |x|, smaller dim: ok
+    _quantize(np.full((1, 128), 0.9), 1 << 20)   # inside the envelope
