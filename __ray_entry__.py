@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-86 of 92 queries.  The approximate family is oracle-checked through
+87 of 93 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -981,6 +981,18 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_grouped_disc_quantiles(sf_dir):
+    """EXACT per-group PERCENTILE_DISC quantiles (pure value selection,
+    no float math) — the exact companion to the sketch-backed
+    grouped_quantiles bound row; one key-bucketed exchange."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_exact_quantiles
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return grouped_exact_quantiles(ev, "event_type", "value",
+                                   (0.25, 0.5, 0.75, 0.9))
+
+
 def w_table_checksum(sf_dir):
     """Order/partitioning-invariant content checksum of orders (int +
     string columns): per-row md5-derived u64, wrapping sum mod 2^63 —
@@ -1449,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": w_url_canon,
         "event_ranks": w_event_ranks,
         "table_checksum": w_table_checksum,
+        "grouped_disc_quantiles": w_grouped_disc_quantiles,
         "scrape_fields": w_scrape_fields,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
@@ -2325,6 +2338,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT t - 1 AS tile, count(*)::BIGINT AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
+        "grouped_disc_quantiles": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   quantile_disc(value, 0.25) AS q_25,
+                   quantile_disc(value, 0.5) AS q_50,
+                   quantile_disc(value, 0.75) AS q_75,
+                   quantile_disc(value, 0.9) AS q_90
+            FROM events WHERE value IS NOT NULL GROUP BY 1""",
         "table_checksum": """
             WITH enc AS (
               SELECT length(o_orderkey::VARCHAR) || ':' ||

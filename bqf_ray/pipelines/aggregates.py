@@ -570,3 +570,76 @@ def global_top_n(ds, sort_cols: list[str], n: int,
     return (ds.map_batches(topn, batch_format="pyarrow", batch_size=None)
             .repartition(1)
             .map_batches(topn, batch_format="pyarrow", batch_size=None))
+
+
+def grouped_exact_quantiles(ds, key_col: str, value_col: str,
+                            qs: tuple = (0.25, 0.5, 0.75),
+                            num_buckets: int = 32):
+    """EXACT per-group PERCENTILE_DISC quantiles — pure value SELECTION
+    (element at ``ceil(q·n)−1`` of the sorted group, the SQL
+    ``quantile_disc`` rule), so results are bit-exact with no float
+    arithmetic at all.  The exact companion to the sketch-backed
+    :func:`grouped_quantiles` (KLL bounds, one blob per batch): this one
+    shuffles the ROWS (one key-hash-bucketed exchange) and is the right
+    tool when groups fit per-bucket memory and exactness is required;
+    the sketch path is the 100-TB default.
+
+    Output ``(key_col, n, q_25, q_50, ... )`` — one column per q, named
+    by percentage.  Nulls/NaNs in ``value_col`` are excluded.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    B = int(num_buckets)
+    q_arr = np.asarray(qs, dtype=np.float64)
+    q_names = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        batch = batch.filter(mask)
+        k = batch.column(key_col)
+        kh = (xxhash64_array(k) if pa.types.is_string(k.type)
+              else np.asarray(k, dtype=np.int64).view(np.uint64))
+        return pa.table({
+            "k": k, "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__bucket": pa.array((kh % np.uint64(B)).astype(np.int64))})
+
+    def quantiles_bucket(group: pa.Table) -> pa.Table:
+        k = group.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = np.asarray(group.column("v"), dtype=np.float64)
+        if len(v) == 0:
+            cols = {key_col: k.slice(0, 0), "n": pa.array([], pa.int64())}
+            for name in q_names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        # sort rows by (key, value): key via sort_indices on a table so
+        # string keys work; runs are per-key sorted value slices
+        t = pa.table({"k": k, "v": pa.array(v)})
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("v", "ascending")])
+        ks = t.column("k").take(idx)
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        vs = np.asarray(t.column("v").take(idx), dtype=np.float64)
+        n = len(vs)
+        neq = pc.not_equal(ks.slice(1), ks.slice(0, n - 1)) if n > 1 \
+            else pa.array([], pa.bool_())
+        new = np.concatenate([[True], np.asarray(neq)])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        cols = {key_col: ks.take(pa.array(starts)),
+                "n": pa.array(lens.astype(np.int64))}
+        for q, name in zip(q_arr, q_names):
+            sel = np.maximum(np.ceil(q * lens).astype(np.int64) - 1, 0)
+            cols[name] = pa.array(vs[starts + np.minimum(sel, lens - 1)])
+        return pa.table(cols)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(quantiles_bucket, batch_format="pyarrow"))

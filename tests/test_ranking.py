@@ -134,3 +134,28 @@ def test_grouped_row_numbers_exact(ray_session):
         .reset_index(drop=True)
     assert got["event_id"].tolist() == ref["event_id"].tolist()
     assert got["rnk"].tolist() == ref["rnk"].tolist()
+
+
+def test_grouped_exact_quantiles(ray_session):
+    """PERCENTILE_DISC rule (ceil(q*n)-1 selection) vs a pandas
+    reference, string keys, NaN exclusion."""
+    import math
+
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_exact_quantiles
+    rng = np.random.default_rng(9)
+    n = 8000
+    keys = rng.choice(["a", "b", "c", "dd"], n)
+    vals = np.round(rng.normal(50, 20, n), 3)
+    vals[rng.random(n) < 0.02] = np.nan
+    t = pa.table({"k": pa.array(keys), "value": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (grouped_exact_quantiles(ds, "k", "value", (0.25, 0.5, 0.9))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = pd.DataFrame({"k": keys, "v": vals}).dropna()
+    for _, row in got.iterrows():
+        g = np.sort(df[df["k"] == row["k"]]["v"].to_numpy())
+        assert row["n"] == len(g)
+        for q, name in [(0.25, "q_25"), (0.5, "q_50"), (0.9, "q_90")]:
+            idx = max(math.ceil(q * len(g)) - 1, 0)
+            assert row[name] == g[idx]
