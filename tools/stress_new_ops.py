@@ -138,3 +138,31 @@ run("kmeans 500k x64 i4", lambda: kmeans_cluster_stats(
 
 canary()
 ray.shutdown()
+
+
+# ---- follow-on batch ops over the same cached tables -------------------
+if os.environ.get("STRESS_FOLLOWON"):
+    from bqf_ray.pipelines.aggregates import grouped_exact_quantiles  # noqa: E402
+    from bqf_ray.pipelines.audit import dataset_checksum  # noqa: E402
+    from bqf_ray.pipelines.dedup import dedup_lines_within  # noqa: E402
+    from bqf_ray.pipelines.ranking import global_row_numbers  # noqa: E402
+
+    ev2 = ray.data.read_parquet(ev_cache)
+
+    def add_type(batch):
+        i = np.asarray(batch.column("event_id"), dtype=np.int64)
+        types = np.array(["click", "view", "purchase", "scroll", "other"],
+                         dtype=object)
+        return batch.append_column(
+            "event_type", pa.array(types[(i % 5)].tolist(), pa.string()))
+
+    typed = ev2.map_batches(add_type, batch_format="pyarrow")
+    run("grouped_disc_q 10M", lambda: grouped_exact_quantiles(
+        typed, "event_type", "value", (0.25, 0.5, 0.9)).count(), N_EVENTS)
+    run("row_numbers 10M", lambda: global_row_numbers(
+        ev2, "value", "event_id", num_partitions=64).count(), N_EVENTS)
+    run("checksum 10M", lambda: dataset_checksum(
+        ev2, ["event_id", "value"]).count(), N_EVENTS)
+    run(f"dedup_within {N_DOCS//1000}k", lambda: dedup_lines_within(
+        docs, sep=" ").count(), N_DOCS)
+    canary()
