@@ -52,13 +52,15 @@ if not os.path.exists(os.path.join(ev_cache, "_DONE")):
      .map_batches(gen, batch_format="pyarrow").write_parquet(ev_cache))
     open(os.path.join(ev_cache, "_DONE"), "w").write(str(N_EVENTS))
 
+FOLLOWON = bool(os.environ.get("STRESS_FOLLOWON"))
 ev = ray.data.read_parquet(ev_cache)
 from bqf_ray.pipelines.ranking import exact_ntile_stats, value_histogram  # noqa: E402
 
-run("histogram 10M", lambda: value_histogram(
-    ev, "value", 0.0, 1000.0, 50).count(), N_EVENTS)
-run("ntile(100) 10M", lambda: exact_ntile_stats(
-    ev, "value", "event_id", 100, num_partitions=64).count(), N_EVENTS)
+if not FOLLOWON:
+    run("histogram 10M", lambda: value_histogram(
+            ev, "value", 0.0, 1000.0, 50).count(), N_EVENTS)
+    run("ntile(100) 10M", lambda: exact_ntile_stats(
+        ev, "value", "event_id", 100, num_partitions=64).count(), N_EVENTS)
 
 # ---- names table for fuzzy matching -----------------------------------
 names_cache = f"/tmp/bqf_bench/stressnames_{N_NAMES}"
@@ -78,8 +80,9 @@ if not os.path.exists(os.path.join(names_cache, "_DONE")):
 names = ray.data.read_parquet(names_cache)
 from bqf_ray.pipelines.fuzzy import edit1_pairs  # noqa: E402
 
-run("edit1_pairs 1M names", lambda: edit1_pairs(
-    names, "name").count(), N_NAMES)
+if not FOLLOWON:
+    run("edit1_pairs 1M names", lambda: edit1_pairs(
+        names, "name").count(), N_NAMES)
 
 # ---- docs table for postings / collocations ---------------------------
 from bqf_ray.functions.hashing import xxhash64_array  # noqa: E402
@@ -101,10 +104,11 @@ if not os.path.exists(os.path.join(cache, "_DONE")):
 docs = ray.data.read_parquet(cache, columns=["doc_id", "text"])
 from bqf_ray.pipelines.text_stats import collocations, postings  # noqa: E402
 
-run(f"postings {N_DOCS//1000}k docs", lambda: postings(
-    docs, "text", "doc_id").count(), N_DOCS)
-run(f"collocations {N_DOCS//1000}k", lambda: collocations(
-    docs, min_count=5, top=50).count(), N_DOCS)
+if not FOLLOWON:
+    run(f"postings {N_DOCS//1000}k docs", lambda: postings(
+        docs, "text", "doc_id").count(), N_DOCS)
+    run(f"collocations {N_DOCS//1000}k", lambda: collocations(
+        docs, min_count=5, top=50).count(), N_DOCS)
 
 # ---- embeddings for k-means -------------------------------------------
 emb_cache = f"/tmp/bqf_bench/stressemb_{N_VECS}"
@@ -133,15 +137,12 @@ if not os.path.exists(os.path.join(emb_cache, "_DONE")):
 emb = ray.data.read_parquet(emb_cache)
 from bqf_ray.pipelines.clustering import kmeans_cluster_stats  # noqa: E402
 
-run("kmeans 500k x64 i4", lambda: kmeans_cluster_stats(
-    emb, k=16, iters=4).count(), N_VECS)
-
-canary()
-ray.shutdown()
-
+if not FOLLOWON:
+    run("kmeans 500k x64 i4", lambda: kmeans_cluster_stats(
+        emb, k=16, iters=4).count(), N_VECS)
 
 # ---- follow-on batch ops over the same cached tables -------------------
-if os.environ.get("STRESS_FOLLOWON"):
+if FOLLOWON:
     from bqf_ray.pipelines.aggregates import grouped_exact_quantiles  # noqa: E402
     from bqf_ray.pipelines.audit import dataset_checksum  # noqa: E402
     from bqf_ray.pipelines.dedup import dedup_lines_within  # noqa: E402
@@ -165,4 +166,6 @@ if os.environ.get("STRESS_FOLLOWON"):
         ev2, ["event_id", "value"]).count(), N_EVENTS)
     run(f"dedup_within {N_DOCS//1000}k", lambda: dedup_lines_within(
         docs, sep=" ").count(), N_DOCS)
-    canary()
+
+canary()
+ray.shutdown()
