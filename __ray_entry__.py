@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-87 of 93 queries.  The approximate family is oracle-checked through
+88 of 94 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -981,6 +981,17 @@ def w_ntile_value(sf_dir):
     return exact_ntile_stats(ev, "value", "event_id", 10, num_partitions=16)
 
 
+def w_iqr_outliers(sf_dir):
+    """Per-group Tukey-fence outliers (value > q75 + 1.5 IQR of its
+    event_type) — selection-exact grouped quantiles broadcast back over
+    the rows; thresholds are the identical float expression in SQL."""
+    import ray
+    from bqf_ray.pipelines.aggregates import iqr_outliers
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    return iqr_outliers(ev, "event_type", "value", "event_id")
+
+
 def w_grouped_disc_quantiles(sf_dir):
     """EXACT per-group PERCENTILE_DISC quantiles (pure value selection,
     no float math) — the exact companion to the sketch-backed
@@ -1462,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_ranks": w_event_ranks,
         "table_checksum": w_table_checksum,
         "grouped_disc_quantiles": w_grouped_disc_quantiles,
+        "iqr_outliers": w_iqr_outliers,
         "scrape_fields": w_scrape_fields,
         "token_set_overlap": w_token_set_overlap,
         "click_purchase_band": w_click_purchase_band,
@@ -2338,6 +2350,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT t - 1 AS tile, count(*)::BIGINT AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM r GROUP BY 1""",
+        "iqr_outliers": """
+            WITH q AS (SELECT event_type,
+                              quantile_disc(value, 0.25) AS q25,
+                              quantile_disc(value, 0.75) AS q75
+                       FROM events WHERE value IS NOT NULL GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+                   q.q75 + 1.5 * (q.q75 - q.q25) AS threshold
+            FROM events e JOIN q USING (event_type)
+            WHERE e.value > q.q75 + 1.5 * (q.q75 - q.q25)""",
         "grouped_disc_quantiles": """
             SELECT event_type, count(value)::BIGINT AS n,
                    quantile_disc(value, 0.25) AS q_25,

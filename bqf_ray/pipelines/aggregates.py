@@ -643,3 +643,45 @@ def grouped_exact_quantiles(ds, key_col: str, value_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(quantiles_bucket, batch_format="pyarrow"))
+
+
+def iqr_outliers(ds, key_col: str, value_col: str, id_col: str,
+                 factor: float = 1.5, num_buckets: int = 32):
+    """Per-group IQR outlier detection (Tukey fence): rows with
+    ``value > q75 + factor·(q75 − q25)`` of their group.  Composes
+    :func:`grouped_exact_quantiles` (selection-exact, one exchange) with
+    a broadcast filter pass — the quantile table is group-count-sized,
+    so it ships once via closure; thresholds are the same float
+    expression in the SQL oracle, hence bit-exact.
+
+    Output ``(id_col, key_col, value_col, threshold)``.
+    """
+    import pyarrow.compute as pc
+
+    q = grouped_exact_quantiles(ds, key_col, value_col, (0.25, 0.75),
+                                num_buckets=num_buckets).to_pandas()
+    keys = q[key_col].to_numpy()
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    q25 = q["q_25"].to_numpy()[order]
+    q75 = q["q_75"].to_numpy()[order]
+    thresh = q75 + factor * (q75 - q25)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        batch = batch.filter(mask)
+        k = np.asarray(batch.column(key_col))
+        v = np.asarray(batch.column(value_col), dtype=np.float64)
+        pos = np.searchsorted(keys_sorted, k)
+        pos = np.minimum(pos, max(len(keys_sorted) - 1, 0))
+        known = (len(keys_sorted) > 0) & (keys_sorted[pos] == k)
+        t = np.where(known, thresh[pos], np.inf)
+        keep = v > t
+        out = batch.filter(pa.array(keep))
+        return out.append_column("threshold", pa.array(t[keep]))
+
+    return ds.select_columns([id_col, key_col, value_col]) \
+        .map_batches(flag, batch_format="pyarrow")

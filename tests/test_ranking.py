@@ -159,3 +159,30 @@ def test_grouped_exact_quantiles(ray_session):
         for q, name in [(0.25, "q_25"), (0.5, "q_50"), (0.9, "q_90")]:
             idx = max(math.ceil(q * len(g)) - 1, 0)
             assert row[name] == g[idx]
+
+
+def test_iqr_outliers(ray_session):
+    import ray
+    from bqf_ray.pipelines.aggregates import iqr_outliers
+    rng = np.random.default_rng(13)
+    n = 6000
+    keys = rng.choice(["a", "b"], n)
+    vals = rng.normal(10, 2, n)
+    vals[:20] = 100.0                       # planted outliers in group 'a'
+    keys[:20] = "a"
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "k": pa.array(keys), "value": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = iqr_outliers(ds, "k", "value", "event_id").to_pandas()
+    # reference via numpy quantile_disc rule
+    import math
+    df = pd.DataFrame({"k": keys, "v": vals, "i": np.arange(n)})
+    flagged = set()
+    for kk, g in df.groupby("k"):
+        s = np.sort(g["v"].to_numpy())
+        q25 = s[max(math.ceil(0.25 * len(s)) - 1, 0)]
+        q75 = s[max(math.ceil(0.75 * len(s)) - 1, 0)]
+        th = q75 + 1.5 * (q75 - q25)
+        flagged |= set(g[g["v"] > th]["i"].tolist())
+    assert set(got["event_id"].tolist()) == flagged
+    assert set(range(20)) <= flagged        # planted ones all caught
