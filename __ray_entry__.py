@@ -10,6 +10,7 @@ oracle) plus a ``within_bound`` flag asserting the published error bound
 itself is driver-verified.  Only simhash (xxhash not SQL-computable),
 raw knn_lsh/knn_ivf neighbor lists (recall covered by the ``*_recall``
 rows + pytest), BPE merges (iterative; verified against a sequential
+reference in pytest), k-means (iterative; bit-equal to a sequential
 reference in pytest), and the media stubs run rows-only.
 
 Ray is initialised by the driver before importing this module; nothing
