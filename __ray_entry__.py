@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-88 of 94 queries.  The approximate family is oracle-checked through
+89 of 96 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -1314,6 +1314,36 @@ def w_knn_ivf_recall(sf_dir):
                          "recall_ok": [r[1] for r in rows]})
 
 
+def w_knn_pq(sf_dir):
+    """PQ approximate top-k against a PERSISTED 8-byte-code index (32x
+    compression of the float32[64] vectors): ADC table gathers + exact
+    re-rank of the top k*8 per batch."""
+    from bqf_ray.pipelines.knn import build_pq_index, knn_pq, train_pq
+    ds = _embeddings(sf_dir)
+    qids, qvecs = _first_queries(ds)
+    books = train_pq(ds, m=8, ks=32)
+    index = build_pq_index(ds, books)
+    return knn_pq(ds, qids, qvecs, k=10, books=books, index=index,
+                  refine=8)
+
+
+def w_knn_pq_recall(sf_dir):
+    """Driver-checked PQ quality bound: recall@10 vs exact brute force,
+    per query.  0.4 is the floor for the near-uniform fixture (observed
+    ~0.9 with m=8/ks=32/refine=8); clustered corpora sit at ~1.0
+    (pytest)."""
+    import pandas as pd
+    exact = q_knn(sf_dir).to_pandas()
+    approx = w_knn_pq(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = [(int(q), len(ex[q] & ap.get(q, set())) / len(ex[q]) >= 0.4)
+            for q in sorted(ex.index)]
+    return pd.DataFrame({"query_id": np.array([r[0] for r in rows],
+                                              dtype=np.int64),
+                         "recall_ok": [r[1] for r in rows]})
+
+
 def w_window_distinct_hll(sf_dir):
     """Per-window HLL distinct vs the exact count: emits the exact value
     plus a per-row bound flag (10% — small windows sit in HLL's
@@ -1513,6 +1543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
         "knn_ivf_recall": w_knn_ivf_recall,
+        "knn_pq": w_knn_pq,
+        "knn_pq_recall": w_knn_pq_recall,
         "knn_lsh_recall": w_knn_lsh_recall,
         "curation_stats": w_curation_stats,
         "bottomk_distinct": w_bottomk_distinct,
@@ -1886,6 +1918,9 @@ def oracle_sql() -> dict[str, str]:
               FROM ({tokens}) WHERE token <> '' GROUP BY token)
             ORDER BY cnt DESC, token LIMIT 20""",
         "knn_ivf_recall": """
+            SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5""",
+        "knn_pq_recall": """
             SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
             FROM embeddings ORDER BY vec_id LIMIT 5""",
         "knn_lsh_recall": """

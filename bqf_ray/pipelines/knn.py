@@ -454,3 +454,156 @@ def knn_join(left_ds, right_ds, k: int = 10, n_cells: int = 64,
             .map_groups(rank_cell, batch_format="pyarrow"))
     return (cand.repartition(16).groupby("query_id")
             .map_groups(merge_topk, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ANN path (Jégou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+def train_pq(ds, m: int = 8, ks: int = 16, iters: int = 8,
+             sample: int = 4096, seed: int = 29,
+             vec_col: str = "embedding") -> np.ndarray:
+    """(m, ks, d/m) PQ codebooks: split the (normalized) vector into
+    ``m`` subspaces, k-means each on a deterministic corpus-prefix
+    sample (the :func:`train_ivf_centroids` convention).  Codebooks are
+    driver-sized (m·ks·d/m floats) and ship by closure."""
+    tbl = ds.limit(sample).take_batch(sample, batch_format="pyarrow")
+    x = _normalize(_to_matrix(tbl.column(vec_col)))
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        cents = xs[rng.choice(len(xs), min(ks, len(xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                mask = a == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        if len(cents) < ks:            # tiny sample: pad by repetition
+            cents = np.tile(cents, (int(np.ceil(ks / len(cents))), 1)
+                            )[:ks]
+        books[j] = cents
+    return books
+
+
+def _pq_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace argmin-L2 centroid."""
+    n = len(x)
+    m, ks, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        # |x|^2 - 2 x·c + |c|^2; |x|^2 constant per row for argmin
+        d2 = (-2.0 * (xs @ books[j].T)
+              + (books[j] ** 2).sum(axis=1)[None, :])
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def build_pq_index(ds, books: np.ndarray, vec_col: str = "embedding"):
+    """Materialized Dataset with a ``__pq_code`` fixed-size binary column
+    (m bytes/row — e.g. 8 bytes vs 256 for a float32[64] vector): the
+    persisted PQ index, encode once / probe many.  At cluster scale,
+    ``write_parquet`` the (id, code) projection instead."""
+    m = books.shape[0]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = _normalize(_to_matrix(batch.column(vec_col)))
+        codes = _pq_codes(x, books) if len(x) else \
+            np.empty((0, m), dtype=np.uint8)
+        return batch.append_column(
+            "__pq_code", pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m))
+
+    return ds.map_batches(encode, batch_format="pyarrow").materialize()
+
+
+def knn_pq(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
+           books: np.ndarray | None = None, refine: int = 4,
+           m: int = 8, ks: int = 16, seed: int = 29,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           exclude_self: bool = True, index=None):
+    """PQ approximate top-k with exact re-rank: asymmetric-distance
+    (ADC) tables score every corpus row from its m-byte code (m table
+    gathers per batch — no full-dim math on the corpus), the top
+    ``k·refine`` ADC candidates per (query, batch) get EXACT cosine from
+    the batch's true vectors, and the brute-force global reduce keeps
+    the final k.  Same output schema as :func:`knn_bruteforce`; recall
+    rises with ``refine`` at linear extra cost.  Caveat: very tight
+    clusters collapse to one code, making ADC scores tie across the
+    whole cluster — size ``refine`` so ``k·refine`` covers the largest
+    expected tie group (the exact re-rank then resolves it)."""
+    import ray
+
+    if books is None:
+        books = train_pq(ds, m=m, ks=ks, seed=seed, vec_col=vec_col)
+    corpus = index if index is not None else build_pq_index(ds, books,
+                                                            vec_col)
+    mm, kss, dsub = books.shape
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # ADC inner-product tables: (nq, m, ks)
+    qsplit = qn.reshape(len(qn), mm, dsub)
+    tables = np.einsum("qmd,mkd->qmk", qsplit, books)
+    ref = ray.put((qids, qn, tables))
+
+    R = max(k * int(refine), k)
+
+    class AdcTopR:
+        def __init__(self):
+            self.qids, self.qn, self.tables = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cids = np.asarray(batch.column(id_col), dtype=np.int64)
+            code_col = batch.column("__pq_code")
+            if isinstance(code_col, pa.ChunkedArray):
+                code_col = code_col.combine_chunks()
+            codes = np.asarray(code_col.flatten(), dtype=np.uint8
+                               ).reshape(-1, mm)
+            nq, nb = len(self.qids), len(cids)
+            if nb == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            approx = np.zeros((nq, nb), dtype=np.float64)
+            for j in range(mm):
+                approx += self.tables[:, j, codes[:, j]]
+            if exclude_self:
+                approx[self.qids[:, None] == cids[None, :]] = -np.inf
+            rr = min(R, nb)
+            cand = np.argpartition(-approx, rr - 1, axis=1)[:, :rr]
+            # exact re-rank of the survivors from the batch's true vectors
+            cm = _normalize(_to_matrix(batch.column(vec_col)))
+            gathered = cm[cand]                      # (nq, rr, d)
+            exact = np.einsum("qd,qrd->qr", self.qn, gathered)
+            finite = np.isfinite(
+                np.take_along_axis(approx, cand, axis=1))
+            rows_q = np.repeat(self.qids, rr)
+            rows_c = cids[cand.reshape(-1)]
+            rows_s = exact.reshape(-1)
+            keep = finite.reshape(-1)
+            return pa.table({"query_id": pa.array(rows_q[keep]),
+                             "neighbor_id": pa.array(rows_c[keep]),
+                             "cosine": pa.array(rows_s[keep])})
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        cid = np.asarray(group.column("neighbor_id"))
+        cos = np.asarray(group.column("cosine"))
+        order = np.lexsort((cid, -cos))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
+            "neighbor_id": pa.array(cid[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    local = corpus.map_batches(AdcTopR, batch_format="pyarrow",
+                               batch_size=2048, concurrency=2)
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pyarrow")
