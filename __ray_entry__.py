@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-89 of 96 queries.  The approximate family is oracle-checked through
+90 of 97 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -1344,6 +1344,27 @@ def w_knn_pq_recall(sf_dir):
                          "recall_ok": [r[1] for r in rows]})
 
 
+def w_knn_ivfpq_recall(sf_dir):
+    """IVF-PQ quality bound: recall@10 of the residual-code cell probe
+    vs exact brute force.  0.4 floor on the near-uniform fixture;
+    clustered corpora ~1.0 (pytest)."""
+    import pandas as pd
+    from bqf_ray.pipelines.knn import build_ivfpq_index, knn_ivfpq
+    ds = _embeddings(sf_dir)
+    qids, qvecs = _first_queries(ds)
+    index = build_ivfpq_index(ds, n_cells=32, m=8, ks=32)
+    approx = knn_ivfpq(ds, qids, qvecs, k=10, nprobe=16, refine=16,
+                       index=index).to_pandas()
+    exact = q_knn(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = [(int(q), len(ex[q] & ap.get(q, set())) / len(ex[q]) >= 0.4)
+            for q in sorted(ex.index)]
+    return pd.DataFrame({"query_id": np.array([r[0] for r in rows],
+                                              dtype=np.int64),
+                         "recall_ok": [r[1] for r in rows]})
+
+
 def w_window_distinct_hll(sf_dir):
     """Per-window HLL distinct vs the exact count: emits the exact value
     plus a per-row bound flag (10% — small windows sit in HLL's
@@ -1545,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": w_knn_ivf_recall,
         "knn_pq": w_knn_pq,
         "knn_pq_recall": w_knn_pq_recall,
+        "knn_ivfpq_recall": w_knn_ivfpq_recall,
         "knn_lsh_recall": w_knn_lsh_recall,
         "curation_stats": w_curation_stats,
         "bottomk_distinct": w_bottomk_distinct,
@@ -1921,6 +1943,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
             FROM embeddings ORDER BY vec_id LIMIT 5""",
         "knn_pq_recall": """
+            SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5""",
+        "knn_ivfpq_recall": """
             SELECT vec_id::BIGINT AS query_id, TRUE AS recall_ok
             FROM embeddings ORDER BY vec_id LIMIT 5""",
         "knn_lsh_recall": """

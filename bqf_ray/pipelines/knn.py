@@ -607,3 +607,146 @@ def knn_pq(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
                                batch_size=2048, concurrency=2)
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pyarrow")
+
+
+def build_ivfpq_index(ds, n_cells: int = 64, m: int = 8, ks: int = 32,
+                      seed: int = 13, sample: int = 4096,
+                      vec_col: str = "embedding"):
+    """(centroids, books, materialized Dataset[.., __ivf_cell,
+    __pq_code]) — the IVF-PQ index (Jégou et al. 2011 §IV): rows route
+    to their nearest coarse centroid and store the PQ code of their
+    RESIDUAL (x − centroid), the decomposition that keeps codebooks
+    cell-agnostic while the residual magnitudes stay small.  One encode
+    pass; at cluster scale write the (id, cell, code) projection as
+    cell-partitioned parquet."""
+    cents = train_ivf_centroids(ds, n_cells, seed=seed, vec_col=vec_col,
+                                sample=sample)
+    # residual sample for codebook training
+    tbl = ds.limit(sample).take_batch(sample, batch_format="pyarrow")
+    x = _normalize(_to_matrix(tbl.column(vec_col)))
+    cell0 = np.argmax(x @ cents.T, axis=1)
+    res = x - cents[cell0]
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = res[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + 101 + j)
+        cents_j = xs[rng.choice(len(xs), min(ks, len(xs)), replace=False)]
+        for _ in range(8):
+            d2 = ((xs[:, None, :] - cents_j[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cents_j)):
+                mask = a == c
+                if mask.any():
+                    cents_j[c] = xs[mask].mean(axis=0)
+        if len(cents_j) < ks:
+            cents_j = np.tile(cents_j,
+                              (int(np.ceil(ks / len(cents_j))), 1))[:ks]
+        books[j] = cents_j
+
+    def encode(batch: pa.Table) -> pa.Table:
+        xb = _normalize(_to_matrix(batch.column(vec_col)))
+        if len(xb) == 0:
+            cell = np.empty(0, dtype=np.int64)
+            codes = np.empty((0, m), dtype=np.uint8)
+        else:
+            cell = np.argmax(xb @ cents.T, axis=1).astype(np.int64)
+            codes = _pq_codes(xb - cents[cell], books)
+        return (batch.append_column("__ivf_cell", pa.array(cell))
+                .append_column("__pq_code",
+                               pa.FixedSizeListArray.from_arrays(
+                                   pa.array(codes.reshape(-1)), m)))
+
+    return cents, books, ds.map_batches(encode,
+                                        batch_format="pyarrow").materialize()
+
+
+def knn_ivfpq(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
+              k: int = 10, n_cells: int = 64, nprobe: int = 8,
+              m: int = 8, ks: int = 32, refine: int = 8, seed: int = 13,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              exclude_self: bool = True, index=None):
+    """IVF-PQ approximate top-k: each query scans only its ``nprobe``
+    nearest cells, scoring rows from m-byte residual codes —
+    ``q·x̂ = q·centroid[cell] + Σ_j table[j, code_j]`` (the residual
+    decomposition makes the ADC table cell-independent) — then the top
+    ``k·refine`` get exact cosine from the batch's true vectors.  The
+    compute shape of billion-scale ANN: nprobe/n_cells of the corpus
+    touched, 8 bytes per touched row, full-dim math only on survivors."""
+    import ray
+
+    if index is None:
+        index = build_ivfpq_index(ds, n_cells=n_cells, m=m, ks=ks,
+                                  seed=seed, vec_col=vec_col)
+    cents, books, corpus = index
+    mm, kss, dsub = books.shape
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qcell = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    q_cent_ip = qn @ cents.T                       # (nq, n_cells)
+    tables = np.einsum("qmd,mkd->qmk", qn.reshape(len(qn), mm, dsub),
+                       books)
+    ref = ray.put((qids, qn, qcell, q_cent_ip, tables))
+    R = max(k * int(refine), k)
+
+    class AdcCellTopR:
+        def __init__(self):
+            (self.qids, self.qn, self.qcell, self.q_cent_ip,
+             self.tables) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            cids = np.asarray(batch.column(id_col), dtype=np.int64)
+            if len(cids) == 0:
+                return empty
+            cell = np.asarray(batch.column("__ivf_cell"), dtype=np.int64)
+            code_col = batch.column("__pq_code")
+            if isinstance(code_col, pa.ChunkedArray):
+                code_col = code_col.combine_chunks()
+            codes = np.asarray(code_col.flatten(), dtype=np.uint8
+                               ).reshape(-1, mm)
+            nq = len(self.qids)
+            # residual ADC: base term q·cent[cell] + code table sum
+            adc = np.zeros((nq, len(cids)), dtype=np.float64)
+            for j in range(mm):
+                adc += self.tables[:, j, codes[:, j]]
+            adc += self.q_cent_ip[:, cell]
+            # mask rows outside each query's probed cells
+            probed = np.zeros((nq, len(cids)), dtype=bool)
+            for qi in range(nq):
+                probed[qi] = np.isin(cell, self.qcell[qi])
+            adc[~probed] = -np.inf
+            if exclude_self:
+                adc[self.qids[:, None] == cids[None, :]] = -np.inf
+            rr = min(R, adc.shape[1])
+            cand = np.argpartition(-adc, rr - 1, axis=1)[:, :rr]
+            cm = _normalize(_to_matrix(batch.column(vec_col)))
+            exact = np.einsum("qd,qrd->qr", self.qn, cm[cand])
+            keep = np.isfinite(
+                np.take_along_axis(adc, cand, axis=1)).reshape(-1)
+            if not keep.any():
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.qids, rr)[keep]),
+                "neighbor_id": pa.array(cids[cand.reshape(-1)][keep]),
+                "cosine": pa.array(exact.reshape(-1)[keep])})
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        cid = np.asarray(group.column("neighbor_id"))
+        cos = np.asarray(group.column("cosine"))
+        order = np.lexsort((cid, -cos))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
+            "neighbor_id": pa.array(cid[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    local = corpus.map_batches(AdcCellTopR, batch_format="pyarrow",
+                               batch_size=2048, concurrency=2)
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pyarrow")

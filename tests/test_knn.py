@@ -109,3 +109,37 @@ def test_pq_deterministic_across_partitioning(ray_session):
                .reset_index(drop=True))
         outs.append(out)
     assert outs[0].equals(outs[1])
+
+
+def test_ivfpq_recall_and_determinism(ray_session):
+    """IVF-PQ (residual codes, cell-probed ADC + exact re-rank) on
+    clustered data: recall >= 0.8, bit-identical across partitionings."""
+    import ray
+
+    from bqf_ray.pipelines.knn import (build_ivfpq_index, knn_bruteforce,
+                                       knn_ivfpq)
+    rng = np.random.default_rng(31)
+    centers = rng.normal(0, 1, size=(10, 64))
+    x = np.concatenate([c + rng.normal(0, 0.3, size=(120, 64))
+                        for c in centers]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1)), 64).cast(pa.list_(pa.float32()))})
+    qids = np.arange(4, dtype=np.int64)
+    qv = x[:4].astype(np.float64)
+    outs = []
+    for parts in (5, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        idx = build_ivfpq_index(ds, n_cells=16, m=8, ks=16)
+        out = (knn_ivfpq(ds, qids, qv, k=10, nprobe=4, refine=16,
+                         index=idx).to_pandas()
+               .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    ds = ray.data.from_arrow(t).repartition(5)
+    exact = knn_bruteforce(ds, qids, qv, k=10).to_pandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = outs[0].groupby("query_id")["neighbor_id"].apply(set)
+    recs = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex.index]
+    assert sum(recs) / len(recs) >= 0.8
