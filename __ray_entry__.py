@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-90 of 97 queries.  The approximate family is oracle-checked through
+91 of 99 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -1088,6 +1088,45 @@ def w_value_ranks(sf_dir):
     return global_row_numbers(ev, "value", "event_id", num_partitions=16)
 
 
+def w_event_transitions(sf_dir):
+    """Markov transition counts between consecutive event types per user
+    — one user-bucketed shuffle, lexsort pair extraction, pre-aggregated
+    exchange."""
+    import ray
+    from bqf_ray.pipelines.graph import transition_counts
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev)
+
+
+def w_pagerank_types(sf_dir):
+    """Bit-deterministic integer-unit PageRank over the event-type
+    transition multigraph (pytest proves bit-equality with a sequential
+    reference and exact mass conservation; iterative → rows-only).
+    Output (event_type, rank_int)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from bqf_ray.pipelines.graph import pagerank, transition_counts
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    tc = transition_counts(ev).to_pandas()       # label-pair-sized
+    types = sorted(set(tc["from_type"]) | set(tc["to_type"]))
+    tmap = {t: i for i, t in enumerate(types)}
+    s = np.repeat(tc["from_type"].map(tmap).to_numpy(dtype=np.int64),
+                  tc["n"].to_numpy())
+    t = np.repeat(tc["to_type"].map(tmap).to_numpy(dtype=np.int64),
+                  tc["n"].to_numpy())
+    edges = ray.data.from_arrow(pa.table({"src": pa.array(s),
+                                          "dst": pa.array(t)}))
+    nodes, ranks, _ = pagerank(edges, "src", "dst", iters=8)
+    return pd.DataFrame({
+        "event_type": [types[i] for i in nodes],
+        "rank_int": np.array([int(r) for r in ranks], dtype=np.int64)})
+
+
 def w_kmeans_clusters(sf_dir):
     """Distributed Lloyd k-means over embeddings: integer-quantized
     partial sums make every iteration bit-deterministic across any
@@ -1519,6 +1558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": w_postings,
         "collocations": w_collocations,
         "kmeans_clusters": w_kmeans_clusters,
+        "event_transitions": w_event_transitions,
+        "pagerank_types": w_pagerank_types,
         "dedup_within": w_dedup_within,
         "value_ranks": w_value_ranks,
         "url_canon": w_url_canon,
@@ -2446,6 +2487,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
                                '') AS BIGINT) AS k
             FROM events""",
+        "event_transitions": """
+            WITH nxt AS (SELECT event_type AS from_type,
+                                LEAD(event_type) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+                         FROM events)
+            SELECT from_type, to_type, count(*)::BIGINT AS n
+            FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2""",
         "event_ranks": """
             SELECT event_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -205,3 +205,149 @@ def near_dup_removal(ds, pairs, id_col: str = "doc_id",
                 .select_columns(["doc_id"])
     return semi_join(ds, removed, left_key=id_col, right_key="doc_id",
                      num_buckets=num_buckets, anti=True)
+
+
+def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      label_col: str = "event_type",
+                      num_buckets: int = 32):
+    """Markov transition counts: ``(from_label, to_label, n)`` over each
+    key's consecutive events in ``(ts, id)`` order — the edge-extraction
+    pass for behavior graphs / Markov-chain fitting.  One key-bucketed
+    shuffle; pairs come from one lexsort with a last-of-run mask, and
+    per-bucket pre-aggregation keeps the final exchange label-pair-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "l": batch.column(label_col),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        if len(u) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "partial": pa.array([], pa.int64())})
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        lab = group.column("l")
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        order = np.lexsort((i, t, u))
+        us = u[order]
+        not_last = np.concatenate([us[1:] == us[:-1], [False]])
+        frm = lab.take(pa.array(order[np.flatnonzero(not_last)]))
+        to = lab.take(pa.array(order[np.flatnonzero(not_last) + 1]))
+        tt = pa.table({"from_type": frm, "to_type": to,
+                       "n": pa.array(np.ones(len(frm), dtype=np.int64))})
+        return (tt.group_by(["from_type", "to_type"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["from_type", "to_type", "partial"]))
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(pairs_bucket, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("partial", alias_name="n")))
+
+
+def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
+             d_den: int = 20, iters: int = 10):
+    """Bit-deterministic distributed PageRank over an edge Dataset.
+
+    Integer-unit power iteration (damping ``d = d_num/d_den``, default
+    0.85): every quantity is an exact integer — per-edge contribution
+    ``(r_u · d_num) // (d_den · deg_u)`` floor-divides BEFORE the sum,
+    so per-batch partial sums are order-independent and the result is
+    bit-identical under any partitioning (the k-means determinism trick
+    applied to graph iteration).  Dangling/rounding mass is respread
+    uniformly each round (exact remainder division), so total mass is
+    conserved exactly.
+
+    The rank vector lives on the driver and broadcasts per iteration —
+    the right plan while nodes ≲ 10^8 (ints in RAM); edges stream
+    through ``map_batches`` each round and never materialize.  Returns
+    ``(node_ids, ranks_int, unit)`` with ranks summing to
+    ``n_nodes · unit``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    UNIT = 1 << 40
+
+    def edge_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array(np.asarray(batch.column(src_col),
+                                     dtype=np.int64)),
+            "t": pa.array(np.asarray(batch.column(dst_col),
+                                     dtype=np.int64))})
+
+    edges = edges_ds.map_batches(edge_cols,
+                                 batch_format="pyarrow").materialize()
+
+    # node universe + out-degrees (exact, one pass over the cached edges)
+    def node_partials(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s"), dtype=np.int64)
+        t = np.asarray(batch.column("t"), dtype=np.int64)
+        su, sc = np.unique(s, return_counts=True)
+        tu = np.unique(t)
+        return pa.table({
+            "node": pa.array(np.concatenate([su, tu])),
+            "deg": pa.array(np.concatenate(
+                [sc, np.zeros(len(tu), dtype=np.int64)]))})
+
+    nd = (edges.map_batches(node_partials, batch_format="pyarrow")
+          .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+          .to_pandas())
+    nodes = nd["node"].to_numpy()
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    deg = nd["deg"].to_numpy()[order].astype(np.int64)
+    n = len(nodes)
+    if n == 0:
+        return nodes, np.empty(0, dtype=object), UNIT
+
+    ranks = np.full(n, UNIT, dtype=object)      # python ints: no overflow
+    for _ in range(int(iters)):
+        r_arr = np.array([int(x) for x in ranks], dtype=np.int64)
+        ref = ray.put((nodes, r_arr, deg))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            nn, rr, dd = ray.get(ref)
+            s = np.asarray(batch.column("s"), dtype=np.int64)
+            t = np.asarray(batch.column("t"), dtype=np.int64)
+            si = np.searchsorted(nn, s)
+            c = (rr[si] * d_num) // (d_den * dd[si])
+            tu, inv = np.unique(t, return_inverse=True)
+            sums = np.zeros(len(tu), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table({"node": pa.array(tu),
+                             "partial": pa.array(sums)})
+
+        got = (edges.map_batches(contrib, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("partial", alias_name="r"))
+               .to_pandas())
+        new = np.zeros(n, dtype=object)
+        gi = np.searchsorted(nodes, got["node"].to_numpy())
+        for pos, val in zip(gi, got["r"].to_numpy()):
+            new[pos] = int(val)
+        # conserve mass exactly: respread everything not delivered
+        # (teleport + dangling + floor-div residue) uniformly
+        delivered = sum(int(x) for x in new)
+        leftover = n * UNIT - delivered
+        base, rem = divmod(leftover, n)
+        for pos in range(n):
+            new[pos] = int(new[pos]) + base + (1 if pos < rem else 0)
+        ranks = new
+
+    return nodes, ranks, UNIT

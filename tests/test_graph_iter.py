@@ -1,0 +1,54 @@
+"""transition_counts vs pandas LEAD; pagerank bit-determinism, mass
+conservation, and ranking sanity on a hub graph."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.graph import pagerank, transition_counts
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    import ray
+    rng = np.random.default_rng(4)
+    n = 4000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 150, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n).astype("datetime64[us]")),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n))})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (transition_counts(ds).to_pandas()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   kind="mergesort")
+    df["to_type"] = df.groupby("user_id")["event_type"].shift(-1)
+    ref = (df.dropna(subset=["to_type"])
+           .groupby(["event_type", "to_type"]).size().reset_index(name="n")
+           .rename(columns={"event_type": "from_type"})
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    assert got["from_type"].tolist() == ref["from_type"].tolist()
+    assert got["to_type"].tolist() == ref["to_type"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
+
+
+def test_pagerank_hub_and_invariance(ray_session):
+    """Star graph: the hub must outrank every leaf; ranks are
+    bit-identical across partitionings and conserve mass exactly."""
+    import ray
+    leaves = np.arange(1, 40, dtype=np.int64)
+    s = np.concatenate([leaves, np.zeros(10, dtype=np.int64)])
+    t = np.concatenate([np.zeros(len(leaves), dtype=np.int64),
+                        leaves[:10]])
+    tbl = pa.table({"src": pa.array(s), "dst": pa.array(t)})
+    a = pagerank(ray.data.from_arrow(tbl).repartition(3),
+                 "src", "dst", iters=8)
+    b = pagerank(ray.data.from_arrow(tbl).repartition(9),
+                 "src", "dst", iters=8)
+    nodes, ranks, unit = a
+    assert list(a[0]) == list(b[0])
+    assert all(int(x) == int(y) for x, y in zip(a[1], b[1]))
+    assert sum(int(x) for x in ranks) == len(nodes) * unit
+    hub = int(ranks[list(nodes).index(0)])
+    assert all(hub > int(r) for nd, r in zip(nodes, ranks) if nd != 0)
