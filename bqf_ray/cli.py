@@ -192,6 +192,22 @@ def cmd_probe(args):
         ray.shutdown()
 
 
+def cmd_checksum(args):
+    """Order-invariant content checksum of a parquet table — compare
+    across copies/migrations without sorting either side."""
+    import ray
+    owns = _init_ray(args)
+    try:
+        ds = ray.data.read_parquet(args.input,
+                                   columns=args.cols.split(","))
+        from bqf_ray.pipelines.audit import dataset_checksum
+        row = dataset_checksum(ds, args.cols.split(",")).take_all()[0]
+        print(f"rows={row['n_rows']} checksum={row['checksum']}")
+    finally:
+        if owns:
+            ray.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bqf_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -260,6 +276,12 @@ def main(argv=None):
                          "many id-hash buckets (re-runs skip finished "
                          "partitions)")
     pr.set_defaults(fn=cmd_probe)
+
+    ck = sub.add_parser("checksum")
+    ck.add_argument("-i", "--input", required=True)
+    ck.add_argument("--cols", required=True,
+                    help="comma-separated columns to checksum")
+    ck.set_defaults(fn=cmd_checksum)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -69,3 +69,11 @@ def test_extract_fields_types_and_nulls(ray_session):
     assert out["dur"].tolist()[:2] == [15, 7]
     assert out["code"].tolist()[:2] == ["200", "500"]
     assert out["dur"].isna().tolist() == [False, False, True, True]
+
+
+def test_cli_checksum(ray_session, capsys):
+    from bqf_ray import cli
+    cli.main(["checksum", "-i", "/root/testdata/sf0.001/orders.parquet",
+              "--cols", "o_orderkey,o_orderstatus"])
+    out = capsys.readouterr().out
+    assert "rows=1500 checksum=" in out
