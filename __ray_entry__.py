@@ -1115,13 +1115,12 @@ def w_pagerank_types(sf_dir):
     tc = transition_counts(ev).to_pandas()       # label-pair-sized
     types = sorted(set(tc["from_type"]) | set(tc["to_type"]))
     tmap = {t: i for i, t in enumerate(types)}
-    s = np.repeat(tc["from_type"].map(tmap).to_numpy(dtype=np.int64),
-                  tc["n"].to_numpy())
-    t = np.repeat(tc["to_type"].map(tmap).to_numpy(dtype=np.int64),
-                  tc["n"].to_numpy())
-    edges = ray.data.from_arrow(pa.table({"src": pa.array(s),
-                                          "dst": pa.array(t)}))
-    nodes, ranks, _ = pagerank(edges, "src", "dst", iters=8)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(tc["from_type"].map(tmap).to_numpy(dtype=np.int64)),
+        "dst": pa.array(tc["to_type"].map(tmap).to_numpy(dtype=np.int64)),
+        "n": pa.array(tc["n"].to_numpy(dtype=np.int64))}))
+    nodes, ranks, _ = pagerank(edges, "src", "dst", iters=8,
+                               weight_col="n")   # weighted: no edge blowup
     return pd.DataFrame({
         "event_type": [types[i] for i in nodes],
         "rank_int": np.array([int(r) for r in ranks], dtype=np.int64)})
@@ -2456,18 +2455,22 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT event_type,
                               quantile_disc(value, 0.25) AS q25,
                               quantile_disc(value, 0.75) AS q75
-                       FROM events WHERE value IS NOT NULL GROUP BY 1)
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1)
             SELECT e.event_id, e.event_type, e.value,
                    q.q75 + 1.5 * (q.q75 - q.q25) AS threshold
             FROM events e JOIN q USING (event_type)
-            WHERE e.value > q.q75 + 1.5 * (q.q75 - q.q25)""",
+            WHERE NOT isnan(e.value)
+              AND e.value > q.q75 + 1.5 * (q.q75 - q.q25)""",
         "grouped_disc_quantiles": """
             SELECT event_type, count(value)::BIGINT AS n,
                    quantile_disc(value, 0.25) AS q_25,
                    quantile_disc(value, 0.5) AS q_50,
                    quantile_disc(value, 0.75) AS q_75,
                    quantile_disc(value, 0.9) AS q_90
-            FROM events WHERE value IS NOT NULL GROUP BY 1""",
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1""",
         "table_checksum": """
             WITH enc AS (
               SELECT length(o_orderkey::VARCHAR) || ':' ||

@@ -262,52 +262,67 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
 
 
 def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
-             d_den: int = 20, iters: int = 10):
+             d_den: int = 20, iters: int = 10,
+             weight_col: str | None = None):
     """Bit-deterministic distributed PageRank over an edge Dataset.
 
     Integer-unit power iteration (damping ``d = d_num/d_den``, default
     0.85): every quantity is an exact integer — per-edge contribution
-    ``(r_u · d_num) // (d_den · deg_u)`` floor-divides BEFORE the sum,
-    so per-batch partial sums are order-independent and the result is
+    ``(r_u · d_num · w) // (d_den · deg_u)`` (``w`` = edge weight,
+    ``deg_u`` = Σ weights out of u) floor-divides BEFORE the sum, so
+    per-batch partial sums are order-independent and the result is
     bit-identical under any partitioning (the k-means determinism trick
     applied to graph iteration).  Dangling/rounding mass is respread
     uniformly each round (exact remainder division), so total mass is
     conserved exactly.
 
-    The rank vector lives on the driver and broadcasts per iteration —
-    the right plan while nodes ≲ 10^8 (ints in RAM); edges stream
-    through ``map_batches`` each round and never materialize.  Returns
+    Overflow safety: the unit is auto-scaled so the hottest possible
+    rank (all mass on one node) times ``d_num`` and the largest weight
+    stays under 2^62 — ``unit = min(2^40, 2^62 // (n · d_num · w_max))``
+    — keeping every worker-side int64 product exact; ≥ 2^20 units of
+    per-node precision survive up to ~4·10^12 node·weight, far past the
+    ranks-fit-in-driver-RAM envelope (~10^8 nodes) this plan targets.
+    Edges stream through ``map_batches`` each round and never
+    materialize beyond the one cached (s, t, w) projection.  Returns
     ``(node_ids, ranks_int, unit)`` with ranks summing to
     ``n_nodes · unit``.
     """
     import ray
-    from ray.data.aggregate import Sum
-
-    UNIT = 1 << 40
+    from ray.data.aggregate import Max, Sum
 
     def edge_cols(batch: pa.Table) -> pa.Table:
+        w = (np.asarray(batch.column(weight_col), dtype=np.int64)
+             if weight_col else np.ones(len(batch), dtype=np.int64))
         return pa.table({
             "s": pa.array(np.asarray(batch.column(src_col),
                                      dtype=np.int64)),
             "t": pa.array(np.asarray(batch.column(dst_col),
-                                     dtype=np.int64))})
+                                     dtype=np.int64)),
+            "w": pa.array(w)})
 
     edges = edges_ds.map_batches(edge_cols,
                                  batch_format="pyarrow").materialize()
 
-    # node universe + out-degrees (exact, one pass over the cached edges)
+    # node universe + weighted out-degrees (exact, one pass)
     def node_partials(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch.column("s"), dtype=np.int64)
         t = np.asarray(batch.column("t"), dtype=np.int64)
-        su, sc = np.unique(s, return_counts=True)
+        w = np.asarray(batch.column("w"), dtype=np.int64)
+        su, inv = np.unique(s, return_inverse=True)
+        sw = np.zeros(len(su), dtype=np.int64)
+        np.add.at(sw, inv, w)
         tu = np.unique(t)
         return pa.table({
             "node": pa.array(np.concatenate([su, tu])),
             "deg": pa.array(np.concatenate(
-                [sc, np.zeros(len(tu), dtype=np.int64)]))})
+                [sw, np.zeros(len(tu), dtype=np.int64)])),
+            "wmax": pa.array(np.concatenate(
+                [np.full(len(su), int(w.max(initial=1))),
+                 np.ones(len(tu), dtype=np.int64)]))})
 
     nd = (edges.map_batches(node_partials, batch_format="pyarrow")
-          .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+          .groupby("node").aggregate(Sum("deg", alias_name="deg"),
+                                     Max("wmax", alias_name="wmax"))
           .to_pandas())
     nodes = nd["node"].to_numpy()
     order = np.argsort(nodes)
@@ -315,7 +330,14 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     deg = nd["deg"].to_numpy()[order].astype(np.int64)
     n = len(nodes)
     if n == 0:
-        return nodes, np.empty(0, dtype=object), UNIT
+        return nodes, np.empty(0, dtype=object), 1 << 40
+    w_max = max(int(nd["wmax"].max()), 1)
+    UNIT = min(1 << 40, (1 << 62) // (n * d_num * w_max))
+    if UNIT < (1 << 20):
+        raise ValueError(
+            f"pagerank: n·d_num·w_max = {n * d_num * w_max} leaves "
+            "< 2^20 integer precision per node — shard the rank vector "
+            "instead of the broadcast plan")
 
     ranks = np.full(n, UNIT, dtype=object)      # python ints: no overflow
     for _ in range(int(iters)):
@@ -326,8 +348,9 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
             nn, rr, dd = ray.get(ref)
             s = np.asarray(batch.column("s"), dtype=np.int64)
             t = np.asarray(batch.column("t"), dtype=np.int64)
+            w = np.asarray(batch.column("w"), dtype=np.int64)
             si = np.searchsorted(nn, s)
-            c = (rr[si] * d_num) // (d_den * dd[si])
+            c = (rr[si] * d_num * w) // (d_den * dd[si])
             tu, inv = np.unique(t, return_inverse=True)
             sums = np.zeros(len(tu), dtype=np.int64)
             np.add.at(sums, inv, c)

@@ -35,6 +35,50 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
+def _train_subspace_codebooks(x: np.ndarray, m: int, ks: int, seed: int,
+                              iters: int = 8) -> np.ndarray:
+    """(m, ks, d/m) codebooks: per-subspace Lloyd on the given matrix
+    (raw vectors for PQ, residuals for IVF-PQ) — seeded init,
+    empty-cluster keep, pad-by-repetition when the sample is tiny."""
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        cents = xs[rng.choice(len(xs), min(ks, len(xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                mask = a == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        if len(cents) < ks:
+            cents = np.tile(cents, (int(np.ceil(ks / len(cents))), 1))[:ks]
+        books[j] = cents
+    return books
+
+
+def _global_topk_reducer(k: int):
+    """The shared (query_id-grouped) final top-k reducer every ANN
+    method funnels through: lexsort((neighbor_id, -cosine))[:k] with the
+    (query_id, neighbor_id, rank) output schema."""
+    def global_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        cid = np.asarray(group.column("neighbor_id"))
+        cos = np.asarray(group.column("cosine"))
+        order = np.lexsort((cid, -cos))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
+            "neighbor_id": pa.array(cid[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64)),
+        })
+    return global_topk
+
+
 def knn_bruteforce(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
                    k: int = 10, vec_col: str = "embedding",
                    id_col: str = "vec_id", exclude_self: bool = True,
@@ -73,16 +117,7 @@ def knn_bruteforce(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
                 "cosine": pa.array(rows_s[keep]),
             })
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cid = np.asarray(group.column("neighbor_id"))
-        cos = np.asarray(group.column("cosine"))
-        order = np.lexsort((cid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "neighbor_id": pa.array(cid[order]),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        })
+    global_topk = _global_topk_reducer(k)
 
     local = ds.map_batches(LocalTopK, batch_format="pyarrow", batch_size=1024,
                            concurrency=concurrency)
@@ -191,16 +226,7 @@ def knn_ivf(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
                              "neighbor_id": pa.array(c[keep]),
                              "cosine": pa.array(sc[keep])})
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cid = np.asarray(group.column("neighbor_id"))
-        cos = np.asarray(group.column("cosine"))
-        order = np.lexsort((cid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "neighbor_id": pa.array(cid[order]),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        })
+    global_topk = _global_topk_reducer(k)
 
     local = src.map_batches(CellRank, batch_format="pyarrow",
                             batch_size=1024, concurrency=2, num_cpus=0.5)
@@ -470,26 +496,7 @@ def train_pq(ds, m: int = 8, ks: int = 16, iters: int = 8,
     driver-sized (m·ks·d/m floats) and ship by closure."""
     tbl = ds.limit(sample).take_batch(sample, batch_format="pyarrow")
     x = _normalize(_to_matrix(tbl.column(vec_col)))
-    d = x.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
-    dsub = d // m
-    books = np.empty((m, ks, dsub), dtype=np.float64)
-    for j in range(m):
-        xs = x[:, j * dsub:(j + 1) * dsub]
-        rng = np.random.RandomState(seed + j)
-        cents = xs[rng.choice(len(xs), min(ks, len(xs)), replace=False)]
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for c in range(len(cents)):
-                mask = a == c
-                if mask.any():
-                    cents[c] = xs[mask].mean(axis=0)
-        if len(cents) < ks:            # tiny sample: pad by repetition
-            cents = np.tile(cents, (int(np.ceil(ks / len(cents))), 1)
-                            )[:ks]
-        books[j] = cents
-    return books
+    return _train_subspace_codebooks(x, m, ks, seed, iters)
 
 
 def _pq_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -592,16 +599,7 @@ def knn_pq(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
                              "neighbor_id": pa.array(rows_c[keep]),
                              "cosine": pa.array(rows_s[keep])})
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cid = np.asarray(group.column("neighbor_id"))
-        cos = np.asarray(group.column("cosine"))
-        order = np.lexsort((cid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "neighbor_id": pa.array(cid[order]),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        })
+    global_topk = _global_topk_reducer(k)
 
     local = corpus.map_batches(AdcTopR, batch_format="pyarrow",
                                batch_size=2048, concurrency=2)
@@ -625,26 +623,10 @@ def build_ivfpq_index(ds, n_cells: int = 64, m: int = 8, ks: int = 32,
     tbl = ds.limit(sample).take_batch(sample, batch_format="pyarrow")
     x = _normalize(_to_matrix(tbl.column(vec_col)))
     cell0 = np.argmax(x @ cents.T, axis=1)
-    res = x - cents[cell0]
+    books = _train_subspace_codebooks(x - cents[cell0], m, ks,
+                                      seed + 101)
     d = x.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
-    books = np.empty((m, ks, dsub), dtype=np.float64)
-    for j in range(m):
-        xs = res[:, j * dsub:(j + 1) * dsub]
-        rng = np.random.RandomState(seed + 101 + j)
-        cents_j = xs[rng.choice(len(xs), min(ks, len(xs)), replace=False)]
-        for _ in range(8):
-            d2 = ((xs[:, None, :] - cents_j[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for c in range(len(cents_j)):
-                mask = a == c
-                if mask.any():
-                    cents_j[c] = xs[mask].mean(axis=0)
-        if len(cents_j) < ks:
-            cents_j = np.tile(cents_j,
-                              (int(np.ceil(ks / len(cents_j))), 1))[:ks]
-        books[j] = cents_j
 
     def encode(batch: pa.Table) -> pa.Table:
         xb = _normalize(_to_matrix(batch.column(vec_col)))
@@ -695,6 +677,11 @@ def knn_ivfpq(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
         def __init__(self):
             (self.qids, self.qn, self.qcell, self.q_cent_ip,
              self.tables) = ray.get(ref)
+            n_cells_total = self.q_cent_ip.shape[1]
+            self.cell_mask = np.zeros((len(self.qids), n_cells_total),
+                                      dtype=bool)
+            self.cell_mask[np.arange(len(self.qids))[:, None],
+                           self.qcell] = True
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             empty = pa.table({"query_id": pa.array([], pa.int64()),
@@ -715,11 +702,9 @@ def knn_ivfpq(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
             for j in range(mm):
                 adc += self.tables[:, j, codes[:, j]]
             adc += self.q_cent_ip[:, cell]
-            # mask rows outside each query's probed cells
-            probed = np.zeros((nq, len(cids)), dtype=bool)
-            for qi in range(nq):
-                probed[qi] = np.isin(cell, self.qcell[qi])
-            adc[~probed] = -np.inf
+            # mask rows outside each query's probed cells: one fancy
+            # index against the precomputed (nq, n_cells) lookup
+            adc[~self.cell_mask[:, cell]] = -np.inf
             if exclude_self:
                 adc[self.qids[:, None] == cids[None, :]] = -np.inf
             rr = min(R, adc.shape[1])
@@ -735,16 +720,7 @@ def knn_ivfpq(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
                 "neighbor_id": pa.array(cids[cand.reshape(-1)][keep]),
                 "cosine": pa.array(exact.reshape(-1)[keep])})
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cid = np.asarray(group.column("neighbor_id"))
-        cos = np.asarray(group.column("cosine"))
-        order = np.lexsort((cid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "neighbor_id": pa.array(cid[order]),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        })
+    global_topk = _global_topk_reducer(k)
 
     local = corpus.map_batches(AdcCellTopR, batch_format="pyarrow",
                                batch_size=2048, concurrency=2)
