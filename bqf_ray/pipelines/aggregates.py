@@ -577,8 +577,10 @@ def grouped_exact_quantiles(ds, key_col: str, value_col: str,
                             num_buckets: int = 32):
     """EXACT per-group PERCENTILE_DISC quantiles — pure value SELECTION
     (element at ``ceil(q·n)−1`` of the sorted group, the SQL
-    ``quantile_disc`` rule), so results are bit-exact with no float
-    arithmetic at all.  The exact companion to the sketch-backed
+    ``quantile_disc`` rule): no arithmetic touches the values, so
+    results are bit-exact over float64 and over integers up to 2^53
+    (values travel through a float64 cast — pre-scale wider integers
+    or keep them as floats upstream).  The exact companion to the sketch-backed
     :func:`grouped_quantiles` (KLL bounds, one blob per batch): this one
     shuffles the ROWS (one key-hash-bucketed exchange) and is the right
     tool when groups fit per-bucket memory and exactness is required;
