@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-91 of 99 queries.  The approximate family is oracle-checked through
+92 of 100 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -1005,6 +1005,23 @@ def w_grouped_disc_quantiles(sf_dir):
                                    (0.25, 0.5, 0.75, 0.9))
 
 
+def w_value_k_correlation(sf_dir):
+    """Per-group Pearson correlation between events.value and the JSON
+    props field k — six exact integer component sums (one pre-aggregated
+    shuffle) + one shared IEEE expression, bit-exact vs SQL (unlike
+    order-dependent SQL corr())."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_correlation
+    from bqf_ray.pipelines.audit import extract_fields
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value", "props"])
+    withk = extract_fields(ev, r'"k": (?P<k>\d+)', {"k": "int64"},
+                           text_col="props",
+                           keep=["event_id", "event_type", "value"])
+    return grouped_correlation(withk, "event_type", "value", "k")
+
+
 def w_table_checksum(sf_dir):
     """Order/partitioning-invariant content checksum of orders (int +
     string columns): per-row md5-derived u64, wrapping sum mod 2^63 —
@@ -1565,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_ranks": w_event_ranks,
         "table_checksum": w_table_checksum,
         "grouped_disc_quantiles": w_grouped_disc_quantiles,
+        "value_k_correlation": w_value_k_correlation,
         "iqr_outliers": w_iqr_outliers,
         "scrape_fields": w_scrape_fields,
         "token_set_overlap": w_token_set_overlap,
@@ -2471,6 +2489,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS q_90
             FROM events WHERE value IS NOT NULL AND NOT isnan(value)
             GROUP BY 1""",
+        "value_k_correlation": """
+            WITH rows_ AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                     CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                                 '') AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            comp AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+                     sum(x*y)::BIGINT AS sxy
+              FROM rows_ WHERE y IS NOT NULL GROUP BY 1)
+            SELECT event_type, n,
+                   (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                        * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)) AS corr
+            FROM comp""",
         "table_checksum": """
             WITH enc AS (
               SELECT length(o_orderkey::VARCHAR) || ':' ||

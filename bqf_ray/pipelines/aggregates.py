@@ -687,3 +687,75 @@ def iqr_outliers(ds, key_col: str, value_col: str, id_col: str,
 
     return ds.select_columns([id_col, key_col, value_col]) \
         .map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,
+                        x_scale: int = 100, y_scale: int = 1):
+    """Per-group Pearson correlation with DETERMINISTIC floats: the six
+    component sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate as exact
+    integers in scaled units (the engine's integer-cents trick), so the
+    one float expression at the end —
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))`` — sees
+    identical inputs on any engine and IEEE ops (·, −, /, √) make it
+    bit-exact against the SQL oracle (unlike SQL's own ``corr()``,
+    whose incremental accumulation is order-dependent).
+
+    Scale invariance of Pearson r means the x/y scaling cancels.  Rows
+    with a null/NaN on either side are excluded.  One pre-aggregated
+    shuffle of 6 integers per (batch, group).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_col)
+        ys = batch.column(y_col)
+        mask = pc.and_(pc.is_valid(xs), pc.is_valid(ys))
+        for col in (xs, ys):
+            if pa.types.is_floating(col.type):
+                mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        batch = batch.filter(mask)
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64()) for c in
+                                ("pn", "psx", "psy", "psxx", "psyy",
+                                 "psxy")}})
+        # floor(v*scale + 0.5): the repo's cents rule (__ray_entry__
+        # rolling_sum oracle) — np.rint would round-half-to-even while
+        # SQL round() rounds half away, a latent divergence
+        x = np.floor(np.asarray(batch.column(x_col), dtype=np.float64)
+                     * x_scale + 0.5).astype(np.int64)
+        y = np.floor(np.asarray(batch.column(y_col), dtype=np.float64)
+                     * y_scale + 0.5).astype(np.int64)
+        k = batch.column(key_col)
+        t = pa.table({key_col: k,
+                      "pn": pa.array(np.ones(len(x), dtype=np.int64)),
+                      "psx": pa.array(x), "psy": pa.array(y),
+                      "psxx": pa.array(x * x), "psyy": pa.array(y * y),
+                      "psxy": pa.array(x * y)})
+        agg = t.group_by([key_col]).aggregate(
+            [(c, "sum") for c in ("pn", "psx", "psy", "psxx", "psyy",
+                                  "psxy")])
+        return agg.rename_columns([key_col, "pn", "psx", "psy", "psxx",
+                                   "psyy", "psxy"])
+
+    summed = (ds.map_batches(pre, batch_format="pyarrow")
+              .groupby(key_col)
+              .aggregate(*[Sum(c, alias_name=c) for c in
+                           ("pn", "psx", "psy", "psxx", "psyy", "psxy")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("pn"), dtype=np.float64)
+        sx = np.asarray(batch.column("psx"), dtype=np.float64)
+        sy = np.asarray(batch.column("psy"), dtype=np.float64)
+        sxx = np.asarray(batch.column("psxx"), dtype=np.float64)
+        syy = np.asarray(batch.column("psyy"), dtype=np.float64)
+        sxy = np.asarray(batch.column("psxy"), dtype=np.float64)
+        denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        corr = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
+        return pa.table({key_col: batch.column(key_col),
+                         "n": pa.array(n.astype(np.int64)),
+                         "corr": pa.array(corr)})
+
+    return summed.map_batches(finish, batch_format="pyarrow")

@@ -186,3 +186,37 @@ def test_iqr_outliers(ray_session):
         flagged |= set(g[g["v"] > th]["i"].tolist())
     assert set(got["event_id"].tolist()) == flagged
     assert set(range(20)) <= flagged        # planted ones all caught
+
+
+def test_grouped_correlation(ray_session):
+    """Components exact (integer), final r matches a numpy reference
+    computed from the same integer components; planted linear relation
+    detected."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_correlation
+    rng = np.random.default_rng(21)
+    n = 4000
+    keys = rng.choice(["pos", "neg", "none"], n)
+    x = np.round(rng.uniform(0, 100, n), 2)
+    noise = rng.normal(0, 3, n)
+    y = np.where(keys == "pos", 2 * x + noise,
+                 np.where(keys == "neg", -x + noise,
+                          rng.uniform(0, 100, n))).round(0)
+    t = pa.table({"k": pa.array(keys), "x": pa.array(x),
+                  "y": pa.array(y)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (grouped_correlation(ds, "k", "x", "y").to_pandas()
+           .set_index("k"))
+    for key in ("pos", "neg", "none"):
+        m = keys == key
+        xi = np.floor(x[m] * 100 + 0.5).astype(np.int64)
+        yi = np.floor(y[m] + 0.5).astype(np.int64)
+        nn = float(len(xi))
+        num = nn * float((xi * yi).sum()) - float(xi.sum()) * float(yi.sum())
+        den = np.sqrt(nn * float((xi * xi).sum()) - float(xi.sum()) ** 2) \
+            * np.sqrt(nn * float((yi * yi).sum()) - float(yi.sum()) ** 2)
+        assert got.loc[key, "corr"] == num / den
+        assert got.loc[key, "n"] == len(xi)
+    assert got.loc["pos", "corr"] > 0.99
+    assert got.loc["neg", "corr"] < -0.99
+    assert abs(got.loc["none", "corr"]) < 0.1
