@@ -3,7 +3,7 @@
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operator suite); ``oracle_sql()`` gives
 the DuckDB-equivalent SQL for every deterministic, SQL-expressible one —
-92 of 100 queries.  The approximate family is oracle-checked through
+93 of 101 queries.  The approximate family is oracle-checked through
 error-vs-exact rows: the query emits the exact value (recomputed by the
 oracle) plus a ``within_bound`` flag asserting the published error bound
 (HLL 4σ, t-digest/KLL rank error, IVF/LSH recall floors), so the bound
@@ -1084,6 +1084,17 @@ def w_url_canon(sf_dir):
             .select_columns(["doc_id", "url_canon", "host", "domain"]))
 
 
+def w_containment(sf_dir):
+    """Asymmetric near-containment pairs (|A∩B|/|A| >= 0.5 over 3-token
+    shingles) — quote/partial-copy detection the symmetric Jaccard
+    family cannot express; exact by default."""
+    import ray
+    from bqf_ray.pipelines.dedup import containment_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return containment_pairs(docs, threshold=0.5, s=3)
+
+
 def w_dedup_within(sf_dir):
     """Intra-document segment dedup (keep-first within each doc) — a
     stateless one-pass map_batches, no shuffle; fixture docs are
@@ -1577,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": w_event_transitions,
         "pagerank_types": w_pagerank_types,
         "dedup_within": w_dedup_within,
+        "containment": w_containment,
         "value_ranks": w_value_ranks,
         "url_canon": w_url_canon,
         "event_ranks": w_event_ranks,
@@ -2599,6 +2611,28 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY value, event_id)::BIGINT
                        AS rank
             FROM events WHERE value IS NOT NULL""",
+        "containment": """
+            WITH tok AS (
+              SELECT doc_id, i, toks[i] AS t
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+            sh AS (SELECT DISTINCT a.doc_id,
+                          a.t || ' ' || b.t || ' ' || c.t AS shingle
+                   FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                              JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS da, y.doc_id AS db,
+                             count(*) AS m
+                      FROM sh x JOIN sh y
+                        ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+                      GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b, m::BIGINT AS inter,
+                   sa.n::BIGINT AS n_a, m::DOUBLE / sa.n AS containment
+            FROM inter JOIN sz sa ON sa.doc_id = da
+            WHERE m::DOUBLE / sa.n >= 0.5""",
         "dedup_within": """
             WITH segs AS (
               SELECT doc_id, i.i AS i, ls[i.i] AS seg

@@ -1609,3 +1609,107 @@ def dedup_lines_within(ds, sep: str = "\n", text_col: str = "text",
             "n_removed": pa.array(lens - kept_per_doc, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      df_cap: int | None = None, num_buckets: int = 64,
+                      seed: int = 0):
+    """ASYMMETRIC near-containment: ordered pairs ``(doc_a, doc_b)``
+    where ``|A ∩ B| / |A| >= threshold`` over ``s``-token shingle sets —
+    quote / partial-copy detection, which the symmetric Jaccard family
+    cannot express (a paragraph fully contained in a book has Jaccard
+    ≈ 0 but containment 1.0).
+
+    Plan: distinct (doc, shingle) pairs bucket by shingle hash; inside a
+    bucket every shingle's doc list yields its co-occurrence pairs
+    (ordered, both directions), pre-summed per (a, b) before ONE pair
+    exchange; set sizes ride the same rows, so the final ratio filter is
+    a stateless map.  EXACT by default — candidate volume is
+    Σ_shingle df², so for corpora with stop-shingles pass ``df_cap`` to
+    drop shingles above a document frequency (the standard containment-
+    search trade).  Capped shingles are excluded from the INTERSECTION
+    only — the |A| denominator keeps the full set size, so capped
+    containment is a conservative LOWER BOUND of the true ratio.
+
+    Output ``(doc_a, doc_b, inter, n_a, containment)`` where
+    ``containment = inter / n_a`` (IEEE division of exact ints).
+    """
+    from ray.data.aggregate import Sum
+
+    B = int(num_buckets)
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        t = _doc_shingles(batch, text_col, id_col, s, seed=seed)
+        sh = np.asarray(t.column("shingle"), dtype=np.int64)
+        return t.append_column(
+            "__bucket", pa.array((sh.view(np.uint64)
+                                  % np.uint64(B)).astype(np.int64)))
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "partial": pa.array([], pa.int64())})
+        sh = np.asarray(group.column("shingle"), dtype=np.int64)
+        did = np.asarray(group.column("doc_id"), dtype=np.int64)
+        # recompute df-capped per-doc sizes ONLY if capping is on;
+        # otherwise set_size from the explode is the true |A|
+        size = np.asarray(group.column("set_size"), dtype=np.int64)
+        order = np.lexsort((did, sh))
+        sh_s, did_s, size_s = sh[order], did[order], size[order]
+        new = np.concatenate([[True], sh_s[1:] != sh_s[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(sh_s)]]))
+        if df_cap is not None:
+            keep_run = lens <= df_cap
+        else:
+            keep_run = lens > 1            # singleton shingles pair nothing
+        out_a, out_b, out_na = [], [], []
+        # group runs by their length so each df-class processes as one
+        # vectorized block (pair expansion via repeat/tile), no per-
+        # shingle Python
+        for L in np.unique(lens[keep_run & (lens > 1)]):
+            sel = starts[(lens == L) & keep_run]
+            if len(sel) == 0:
+                continue
+            idx = sel[:, None] + np.arange(L)[None, :]     # (runs, L)
+            docs = did_s[idx]
+            sizes = size_s[idx]
+            ii, jj = np.nonzero(~np.eye(L, dtype=bool))
+            out_a.append(docs[:, ii].reshape(-1))
+            out_b.append(docs[:, jj].reshape(-1))
+            out_na.append(sizes[:, ii].reshape(-1))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        na = np.concatenate(out_na)
+        t = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                      "n_a": pa.array(na),
+                      "n": pa.array(np.ones(len(a), dtype=np.int64))})
+        return (t.group_by(["doc_a", "doc_b", "n_a"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["doc_a", "doc_b", "n_a", "partial"]))
+
+    summed = (ds.map_batches(shingles, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(pair_bucket, batch_format="pyarrow")
+              .groupby(["doc_a", "doc_b", "n_a"])
+              .aggregate(Sum("partial", alias_name="inter")))
+
+    thr = float(threshold)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = np.asarray(batch.column("inter"), dtype=np.int64)
+        na = np.asarray(batch.column("n_a"), dtype=np.int64)
+        c = inter.astype(np.float64) / na
+        keep = c >= thr
+        sel = pa.array(keep)
+        return pa.table({"doc_a": batch.column("doc_a").filter(sel),
+                         "doc_b": batch.column("doc_b").filter(sel),
+                         "inter": batch.column("inter").filter(sel),
+                         "n_a": batch.column("n_a").filter(sel),
+                         "containment": pa.array(c[keep])})
+
+    return summed.map_batches(finish, batch_format="pyarrow")

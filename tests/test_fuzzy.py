@@ -71,3 +71,47 @@ def test_edit1_pairs_max_len_guard(ray_session):
     got = edit1_pairs(ray.data.from_arrow(t), "name", max_len=10).to_pandas()
     # the long strings are excluded entirely, not silently paired
     assert sorted(zip(got["val_a"], got["val_b"])) == [("shore", "short")]
+
+
+def test_containment_planted_quote(ray_session):
+    """A short doc fully contained in a long doc: containment 1.0 one
+    way, low the other; Jaccard would miss it."""
+    import ray
+    from bqf_ray.pipelines.dedup import containment_pairs
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = ("intro words here " + quote +
+                " and then a very long tail " +
+                " ".join(f"w{i}" for i in range(80)))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([quote, long_doc])})
+    ds = ray.data.from_arrow(t)
+    out = (containment_pairs(ds, threshold=0.9, s=3).to_pandas()
+           .set_index("doc_a"))
+    assert 1 in out.index                  # quote ⊂ long doc
+    assert out.loc[1, "containment"] == 1.0
+    assert 2 not in out.index              # long doc not ⊂ quote
+
+
+def test_containment_df_cap_lower_bound(ray_session):
+    """df_cap drops hot shingles from the intersection only → capped
+    containment never exceeds the exact one."""
+    import ray
+    from bqf_ray.pipelines.dedup import containment_pairs
+    import random
+    random.seed(2)
+    base = " ".join(random.choices("abcdefgh", k=40))        # df=6: capped
+    mids = [" ".join(f"m{p}_{j}" for j in range(10)) for p in range(3)]
+    texts = [base + " " + mids[i // 2] + f" tail{i} x{i} y{i}"
+             for i in range(6)]                              # mids: df=2
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    exact = (containment_pairs(ds, threshold=0.0, s=3).to_pandas()
+             .set_index(["doc_a", "doc_b"])["containment"])
+    capped = (containment_pairs(ds, threshold=0.0, s=3, df_cap=3)
+              .to_pandas().set_index(["doc_a", "doc_b"])["containment"])
+    assert len(capped) > 0                  # the df=2 mids still pair
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12
+    # the hot base is capped away: pairs across different mids vanish
+    assert (0, 2) not in capped.index and (0, 2) in exact.index
