@@ -1036,6 +1036,23 @@ def w_table_checksum(sf_dir):
                                      "o_orderpriority"])
 
 
+def w_key_census_diff(sf_dir):
+    """Multiset table diff (EXCEPT ALL both ways in one exchange):
+    orders' o_custkey census vs customer's c_custkey census — which
+    keys appear a different number of times on each side (migration /
+    referential audit).  Pre-aggregated per batch; only per-batch
+    DISTINCT keys + two counts cross the wire."""
+    import ray
+    from bqf_ray.pipelines.audit import table_diff
+    a = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow")
+    b = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow")
+    return table_diff(a, b, ["custkey"])
+
+
 def w_scrape_fields(sf_dir):
     """Vectorized RE2 named-group scraping of the events props column
     into a typed field (log-parsing shape); one stateless pass."""
@@ -1264,6 +1281,28 @@ def w_rollup_revenue(sf_dir):
 
     return rollup_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
                             ["o_orderpriority", "o_orderstatus"], "cents")
+
+
+def w_cube_revenue(sf_dir):
+    """GROUP BY CUBE(priority, status) over order totalprice cents —
+    all four grouping sets (fine, each single key, grand total) share
+    ONE pre-aggregated shuffle (bqf_ray.pipelines.aggregates.
+    grouping_sets_aggregate)."""
+    import ray
+    from bqf_ray.pipelines.aggregates import cube_aggregate
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderstatus",
+                                        "o_totalprice"])
+
+    def cents(b):
+        c = np.floor(np.asarray(b.column("o_totalprice")) * 100 + 0.5
+                     ).astype(np.int64)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "o_orderstatus": b.column("o_orderstatus"),
+                         "cents": pa.array(c)})
+
+    return cube_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                          ["o_orderpriority", "o_orderstatus"], "cents")
 
 
 def w_customers_no_urgent(sf_dir):
@@ -1573,6 +1612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_docs": w_profile_docs,
         "customers_no_urgent": w_customers_no_urgent,
         "rollup_revenue": w_rollup_revenue,
+        "cube_revenue": w_cube_revenue,
+        "key_census_diff": w_key_census_diff,
         "event_pivot": w_event_pivot,
         "funnel_click_purchase": w_funnel,
         "retention_cohorts": w_retention,
@@ -2534,6 +2575,16 @@ def oracle_sql() -> dict[str, str]:
                         ::UBIGINT::HUGEINT)
                     % 9223372036854775808)::BIGINT AS checksum
             FROM enc""",
+        "key_census_diff": """
+            WITH a AS (SELECT o_custkey AS custkey, count(*)::BIGINT AS n
+                       FROM orders GROUP BY 1),
+                 b AS (SELECT c_custkey AS custkey, count(*)::BIGINT AS n
+                       FROM customer GROUP BY 1)
+            SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+                   COALESCE(a.n, 0)::BIGINT AS n_a,
+                   COALESCE(b.n, 0)::BIGINT AS n_b
+            FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+            WHERE COALESCE(a.n, 0) <> COALESCE(b.n, 0)""",
         "scrape_fields": """
             SELECT event_id,
                    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
@@ -2693,6 +2744,12 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT))::BIGINT AS total
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+        "cube_revenue": """
+            SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS total
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
         "profile_docs": " UNION ALL ".join(
             f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
                    (count(*) - count({c}))::BIGINT AS n_null,

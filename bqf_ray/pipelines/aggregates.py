@@ -451,6 +451,94 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def grouping_sets_aggregate(ds, group_cols: list[str], value_col: str,
+                            sets: list[tuple[str, ...]]):
+    """``GROUP BY GROUPING SETS (...)`` over an int64 value in ONE
+    shuffle — the arbitrary-subset generalization of
+    :func:`rollup_aggregate` (ROLLUP = the prefix chain, CUBE = all
+    2^K subsets via :func:`cube_aggregate`).
+
+    Per batch, a local group-by runs once per grouping set with the
+    collapsed key columns replaced by a sentinel; all sets' partials
+    share one ``groupby`` exchange keyed on the full key tuple plus the
+    set index.  The exchange carries at most ``len(sets) ×
+    per-batch-distinct-groups`` pre-aggregated rows — each coarser set
+    is strictly smaller than the finest, so asymptotics match a single
+    pre-aggregated groupby; no second pass, no per-set re-read of the
+    input (a naive SQL-engine plan reads the table once per set).
+    Collapsed keys return as NULL.  Duplicate sets are rejected (SQL
+    would emit duplicate rows; one exchange keyed on (keys, set) can't).
+    """
+    from ray.data.aggregate import Sum
+
+    SENT = "\x00ALL\x00"              # never a real key value
+    K = len(group_cols)
+    assert K >= 1
+    norm = [tuple(c for c in group_cols if c in set(s)) for s in sets]
+    assert len(set(norm)) == len(norm), "duplicate grouping sets"
+    for s in sets:
+        assert set(s) <= set(group_cols), f"unknown column in set {s}"
+    # keep[si][ci] — does set si keep column ci?
+    keep = np.array([[c in set(s) for c in group_cols] for s in norm],
+                    dtype=bool)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        base = pa.table({
+            **{c: pc.cast(batch.column(c), pa.string())
+               for c in group_cols},
+            "n": np.ones(batch.num_rows, dtype=np.int64),
+            "tot": pc.cast(batch.column(value_col), pa.int64()),
+        })
+        parts = []
+        for si in range(len(norm)):
+            t = base
+            for ci, c in enumerate(group_cols):
+                if not keep[si, ci]:
+                    t = t.set_column(
+                        t.schema.get_field_index(c), c,
+                        pa.array([SENT] * t.num_rows, pa.string()))
+            g = (t.group_by(group_cols)
+                 .aggregate([("n", "sum"), ("tot", "sum")])
+                 .rename_columns(group_cols + ["pn", "ptot"]))
+            parts.append(g.append_column(
+                "__set", pa.array(np.full(g.num_rows, si, dtype=np.int64))))
+        return pa.concat_tables(parts)
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby(group_cols + ["__set"])
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("ptot", alias_name="total")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        si = np.asarray(batch.column("__set"), dtype=np.int64)
+        cols = {}
+        for ci, c in enumerate(group_cols):
+            arr = batch.column(c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # collapsed ⟺ this row's set dropped the column — membership
+            # lookup, never a sentinel string compare
+            cols[c] = pc.if_else(pa.array(keep[si, ci]),
+                                 arr, pa.scalar(None, pa.string()))
+        cols["n"] = pc.cast(batch.column("n"), pa.int64())
+        cols["total"] = pc.cast(batch.column("total"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cube_aggregate(ds, group_cols: list[str], value_col: str):
+    """``GROUP BY CUBE(group_cols)`` — all 2^K grouping sets in one
+    shuffle (see :func:`grouping_sets_aggregate`).  K is bounded by the
+    caller (2^K local group-bys per batch); typical analytic cubes are
+    K ≤ 4."""
+    from itertools import combinations
+    K = len(group_cols)
+    sets = [tuple(s) for r in range(K + 1)
+            for s in combinations(group_cols, r)]
+    return grouping_sets_aggregate(ds, group_cols, value_col, sets)
+
+
 def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
                  value_col: str | None = None, other: str | None = "other"):
     """Pivot a category column into per-category aggregate columns:

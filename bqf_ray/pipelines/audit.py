@@ -59,6 +59,99 @@ def dataset_checksum(ds, cols: list[str], sep: str = "\x1f"):
         "checksum": pa.array([s], pa.int64())}))
 
 
+def table_diff(ds_a, ds_b, cols: list[str], num_buckets: int = 64,
+               sep: str = "\x1f"):
+    """Multiset diff of two datasets over ``cols`` (``EXCEPT ALL`` in
+    both directions at once): one output row per distinct row-content
+    whose multiplicity differs, as ``(cols..., n_a, n_b)``.  The
+    companion to :func:`dataset_checksum` — the checksum says *whether*
+    a migration changed content; this says *what* changed.
+
+    Scale shape: each side pre-aggregates per batch (row-content keyed
+    on two independent xxhash64s of the length-prefixed cell encoding —
+    a 128-bit key, so cross-content collisions are negligible at 10^12
+    rows), then the union of the per-batch partials rides ONE
+    hash-bucketed exchange.  The exchange carries per-batch-DISTINCT
+    rows + two int64 counts, never raw duplicates; identical content on
+    both sides cancels at the reduce and never reaches the output."""
+    import ray
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    NB = int(num_buckets)
+
+    def _encode(batch: pa.Table) -> pa.Array:
+        parts = []
+        for c in cols:
+            s = pc.cast(batch.column(c), pa.string())
+            ln = pc.cast(pc.utf8_length(s), pa.string())
+            enc = pc.binary_join_element_wise(ln, s, ":")
+            parts.append(pc.fill_null(enc, "N"))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, sep)
+        return joined
+
+    def _pre(side: int):
+        def pre(batch: pa.Table) -> pa.Table:
+            batch = batch.select(cols)
+            if len(batch) == 0:
+                empty = {c: batch.column(c) for c in cols}
+                z = pa.array([], pa.int64())
+                return pa.table({"__h1": z, "__h2": z, **empty,
+                                 "pa_": z, "pb_": z, "__bucket": z})
+            enc = _encode(batch)
+            h1 = xxhash64_array(enc, seed=0x517CC1B7)
+            h2 = xxhash64_array(enc, seed=0xA76BCF3D)
+            order = np.lexsort((h2.view(np.int64), h1.view(np.int64)))
+            h1s, h2s = h1[order], h2[order]
+            new = np.ones(len(order), dtype=bool)
+            new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.concatenate([starts, [len(order)]]))
+            rep = batch.take(pa.array(order[starts], pa.int64()))
+            n = cnt.astype(np.int64)
+            zero = np.zeros(len(starts), dtype=np.int64)
+            return pa.table({
+                "__h1": pa.array(h1s[starts].view(np.int64)),
+                "__h2": pa.array(h2s[starts].view(np.int64)),
+                **{c: rep.column(c) for c in cols},
+                "pa_": pa.array(n if side == 0 else zero),
+                "pb_": pa.array(n if side == 1 else zero),
+                "__bucket": pa.array(
+                    (h1s[starts] % np.uint64(NB)).astype(np.int64)),
+            })
+        return pre
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        h1 = np.asarray(group.column("__h1"), dtype=np.int64)
+        h2 = np.asarray(group.column("__h2"), dtype=np.int64)
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays([h1, h2]), sort=False)
+        nuniq = codes.max() + 1 if len(codes) else 0
+        na = np.zeros(nuniq, dtype=np.int64)
+        nb = np.zeros(nuniq, dtype=np.int64)
+        np.add.at(na, codes, np.asarray(group.column("pa_"), np.int64))
+        np.add.at(nb, codes, np.asarray(group.column("pb_"), np.int64))
+        first = np.full(nuniq, -1, dtype=np.int64)
+        seen = np.zeros(nuniq, dtype=bool)
+        idx = np.arange(len(codes))
+        # first occurrence per code: reverse-scatter so earliest wins
+        first[codes[::-1]] = idx[::-1]
+        seen[codes] = True
+        keep = np.flatnonzero(seen & (na != nb))
+        rep = group.select(cols).take(pa.array(first[keep], pa.int64()))
+        return pa.table({**{c: rep.column(c) for c in cols},
+                         "n_a": pa.array(na[keep]),
+                         "n_b": pa.array(nb[keep])})
+
+    both = (ds_a.map_batches(_pre(0), batch_format="pyarrow")
+            .union(ds_b.map_batches(_pre(1), batch_format="pyarrow")))
+    return (both.groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pyarrow"))
+
+
 def extract_fields(ds, pattern: str, fields: dict[str, str],
                    text_col: str = "text", keep: list[str] | None = None):
     """Scrape ``fields`` (name → arrow type name: 'string' | 'int64' |

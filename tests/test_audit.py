@@ -77,3 +77,52 @@ def test_cli_checksum(ray_session, capsys):
               "--cols", "o_orderkey,o_orderstatus"])
     out = capsys.readouterr().out
     assert "rows=1500 checksum=" in out
+
+
+def test_table_diff_multiset(ray_session):
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.audit import table_diff
+    rng = np.random.default_rng(31)
+    # side A: random multiset; side B: A with planted edits
+    a = pd.DataFrame({
+        "k": rng.integers(0, 400, size=5000),
+        "s": rng.choice(["x", "y", "z"], size=5000)})
+    b = pd.concat([
+        a.iloc[:-7],                             # 7 rows missing from B
+        pd.DataFrame({"k": [10**6, 10**6], "s": ["new", "new"]}),
+    ], ignore_index=True)
+    out = table_diff(ray.data.from_pandas(a).repartition(5),
+                     ray.data.from_pandas(b).repartition(3),
+                     ["k", "s"]).to_pandas()
+    ca = a.groupby(["k", "s"]).size()
+    cb = b.groupby(["k", "s"]).size()
+    expect = {}
+    for key in set(ca.index) | set(cb.index):
+        na, nb = int(ca.get(key, 0)), int(cb.get(key, 0))
+        if na != nb:
+            expect[key] = (na, nb)
+    got = {(r["k"], r["s"]): (r["n_a"], r["n_b"])
+           for _, r in out.iterrows()}
+    assert got == expect
+    # identical inputs → empty diff
+    same = table_diff(ray.data.from_pandas(a), ray.data.from_pandas(a),
+                      ["k", "s"]).to_pandas()
+    assert len(same) == 0
+
+
+def test_table_diff_nulls_and_types(ray_session):
+    import ray
+    from bqf_ray.pipelines.audit import table_diff
+    ta = pa.table({"v": pa.array([1.5, None, None, 2.0])})
+    tb = pa.table({"v": pa.array([1.5, None, 2.0, 2.0])})
+    out = table_diff(ray.data.from_arrow(ta), ray.data.from_arrow(tb),
+                     ["v"]).to_pandas()
+    got = {(None if pd_isna(r["v"]) else r["v"]): (r["n_a"], r["n_b"])
+           for _, r in out.iterrows()}
+    assert got == {None: (2, 1), 2.0: (1, 2)}
+
+
+def pd_isna(v):
+    import pandas as pd
+    return pd.isna(v)

@@ -288,6 +288,47 @@ def test_rollup_aggregate_levels(ray_session):
     assert len(got) == len(fine) + len(mid) + 1
 
 
+def test_cube_and_grouping_sets(ray_session):
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import (cube_aggregate,
+                                              grouping_sets_aggregate)
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=2500),
+        "b": rng.choice(["p", "q"], size=2500),
+        "v": rng.integers(0, 1000, size=2500).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = cube_aggregate(ds, ["a", "b"], "v")
+    got = {(r["a"], r["b"]): (r["n"], r["total"]) for r in out.take_all()}
+    fine = df.groupby(["a", "b"])["v"].agg(["count", "sum"])
+    for (a, b), row in fine.iterrows():
+        assert got[(a, b)] == (row["count"], row["sum"])
+    # CUBE adds the (b)-only level that ROLLUP lacks
+    bonly = df.groupby("b")["v"].agg(["count", "sum"])
+    for b, row in bonly.iterrows():
+        assert got[(None, b)] == (row["count"], row["sum"])
+    aonly = df.groupby("a")["v"].agg(["count", "sum"])
+    for a, row in aonly.iterrows():
+        assert got[(a, None)] == (row["count"], row["sum"])
+    assert got[(None, None)] == (len(df), df["v"].sum())
+    assert len(got) == len(fine) + len(aonly) + len(bonly) + 1
+
+    # explicit grouping sets: just (a) and (b) — no fine level, no total
+    out2 = grouping_sets_aggregate(ds, ["a", "b"], "v", [("a",), ("b",)])
+    got2 = {(r["a"], r["b"]): (r["n"], r["total"]) for r in out2.take_all()}
+    assert len(got2) == len(aonly) + len(bonly)
+    for a, row in aonly.iterrows():
+        assert got2[(a, None)] == (row["count"], row["sum"])
+    for b, row in bonly.iterrows():
+        assert got2[(None, b)] == (row["count"], row["sum"])
+
+    # duplicate sets rejected
+    import pytest
+    with pytest.raises(AssertionError):
+        grouping_sets_aggregate(ds, ["a", "b"], "v", [("a",), ("a",)])
+
+
 def test_pivot_counts_and_sums(ray_session):
     import ray
     import pandas as pd
