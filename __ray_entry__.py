@@ -884,6 +884,52 @@ def _bpe_oracle_sql(tokens_sql: str, rounds: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def w_bpe_encode_counts(sf_dir):
+    """Frozen-tokenizer corpus encode: train 8 merges (tiny artifact,
+    driver-held like any tokenizer file), then ONE distinct-word-table
+    encode pass → (token, n) — the Zipf win: encoding cost scales with
+    the vocabulary, not the corpus.  Oracle: the training CTE chain
+    extended by one more replace round, then unnest + weighted count."""
+    from bqf_ray.pipelines.vocab import bpe_encode_token_counts, bpe_train
+    ds = _docs(sf_dir)
+    merges = [(l, r) for l, r, _ in
+              bpe_train(ds, num_merges=8, min_pair_count=1)]
+    return bpe_encode_token_counts(ds, merges)
+
+
+def _bpe_encode_oracle_sql(tokens_sql: str, rounds: int = 8) -> str:
+    """SQL equivalent of train-then-encode: the same unrolled merge
+    rounds as ``_bpe_oracle_sql`` (one greedy left-to-right ``replace``
+    per round over double-space-separated symbols), plus the FINAL
+    round's replace, then unnest the resulting symbols weighted by word
+    frequency.  Because both the trainer and ``encode_words`` apply
+    each merge as one greedy pass in rank order, the trainer's final
+    symbol state IS the encoding of every distinct word."""
+    parts = [f"""w0 AS (
+      SELECT regexp_replace(word, '(.)', '  \\1', 'g') || '  ' AS s, cnt
+      FROM (SELECT token AS word, count(*)::BIGINT AS cnt
+            FROM ({tokens_sql}) WHERE token <> '' GROUP BY token))"""]
+    for k in range(rounds):
+        parts.append(f"""p{k} AS (
+      SELECT syms[i.i] AS l, syms[i.i + 1] AS r, sum(cnt)::BIGINT AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt FROM w{k}) t,
+           LATERAL (SELECT unnest(generate_series(1, len(t.syms) - 1)) AS i) i
+      GROUP BY 1, 2)""")
+        parts.append(f"""b{k} AS (
+      SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1)""")
+        parts.append(f"""w{k + 1} AS (
+      SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS s, cnt
+      FROM w{k}, b{k} b)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT sym AS token, sum(cnt)::BIGINT AS n
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                 cnt FROM w{rounds}) t,
+         LATERAL (SELECT unnest(t.syms) AS sym) s
+    GROUP BY 1""")
+
+
 def q_embedding_stats(sf_dir):
     from bqf_ray.pipelines.embeddings import embedding_stats
     return embedding_stats(_embeddings(sf_dir))
@@ -1602,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": q_pack_chunks,
         "scrub_pii": q_scrub_pii,
         "bpe_merges": w_bpe_merges,
+        "bpe_encode_counts": w_bpe_encode_counts,
         "embedding_stats": q_embedding_stats,
         "cap_per_source": q_cap_per_source,
         "asof_clicks": q_asof_clicks,
@@ -1702,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT token FROM ({tokens}) WHERE token <> ''
             GROUP BY token HAVING count(*) >= 2""",
         "bpe_merges": _bpe_oracle_sql(tokens, rounds=8),
+        "bpe_encode_counts": _bpe_encode_oracle_sql(tokens, rounds=8),
         "boilerplate_lines": """
             WITH segs AS (
               SELECT doc_id, source, i.i AS i, ls[i.i] AS seg

@@ -1623,9 +1623,10 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
 
     Plan: distinct (doc, shingle) pairs bucket by shingle hash; inside a
     bucket every shingle's doc list yields its co-occurrence pairs
-    (ordered, both directions), pre-summed per (a, b) before ONE pair
-    exchange; set sizes ride the same rows, so the final ratio filter is
-    a stateless map.  EXACT by default — candidate volume is
+    (UNORDERED — each emitted once with both set sizes riding),
+    pre-summed per (lo, hi) before ONE pair exchange; the final
+    stateless map derives both ordered containments from (n_lo, n_hi)
+    and threshold-filters each direction.  EXACT by default — candidate volume is
     Σ_shingle df², so for corpora with stop-shingles pass ``df_cap`` to
     drop shingles above a document frequency (the standard containment-
     search trade).  Capped shingles are excluded from the INTERSECTION
@@ -1647,9 +1648,10 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
                                   % np.uint64(B)).astype(np.int64)))
 
     def pair_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64()),
-                          "n_a": pa.array([], pa.int64()),
+        empty = pa.table({"lo": pa.array([], pa.int64()),
+                          "hi": pa.array([], pa.int64()),
+                          "n_lo": pa.array([], pa.int64()),
+                          "n_hi": pa.array([], pa.int64()),
                           "partial": pa.array([], pa.int64())})
         sh = np.asarray(group.column("shingle"), dtype=np.int64)
         did = np.asarray(group.column("doc_id"), dtype=np.int64)
@@ -1665,10 +1667,14 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
             keep_run = lens <= df_cap
         else:
             keep_run = lens > 1            # singleton shingles pair nothing
-        out_a, out_b, out_na = [], [], []
+        out_lo, out_hi, out_nlo, out_nhi = [], [], [], []
         # group runs by their length so each df-class processes as one
         # vectorized block (pair expansion via repeat/tile), no per-
-        # shingle Python
+        # shingle Python.  Docs within a run are strictly ascending
+        # (lexsort secondary key, distinct per doc), so triu emits each
+        # UNORDERED pair exactly once — half the expansion and half the
+        # exchange volume of emitting both directions; the final map
+        # re-derives both ordered containments from (n_lo, n_hi).
         for L in np.unique(lens[keep_run & (lens > 1)]):
             sel = starts[(lens == L) & keep_run]
             if len(sel) == 0:
@@ -1676,40 +1682,47 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
             idx = sel[:, None] + np.arange(L)[None, :]     # (runs, L)
             docs = did_s[idx]
             sizes = size_s[idx]
-            ii, jj = np.nonzero(~np.eye(L, dtype=bool))
-            out_a.append(docs[:, ii].reshape(-1))
-            out_b.append(docs[:, jj].reshape(-1))
-            out_na.append(sizes[:, ii].reshape(-1))
-        if not out_a:
+            ii, jj = np.triu_indices(L, 1)
+            out_lo.append(docs[:, ii].reshape(-1))
+            out_hi.append(docs[:, jj].reshape(-1))
+            out_nlo.append(sizes[:, ii].reshape(-1))
+            out_nhi.append(sizes[:, jj].reshape(-1))
+        if not out_lo:
             return empty
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        na = np.concatenate(out_na)
-        t = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
-                      "n_a": pa.array(na),
-                      "n": pa.array(np.ones(len(a), dtype=np.int64))})
-        return (t.group_by(["doc_a", "doc_b", "n_a"])
+        t = pa.table({"lo": pa.array(np.concatenate(out_lo)),
+                      "hi": pa.array(np.concatenate(out_hi)),
+                      "n_lo": pa.array(np.concatenate(out_nlo)),
+                      "n_hi": pa.array(np.concatenate(out_nhi)),
+                      "n": pa.array(np.ones(sum(len(x) for x in out_lo),
+                                            dtype=np.int64))})
+        return (t.group_by(["lo", "hi", "n_lo", "n_hi"])
                 .aggregate([("n", "sum")])
-                .rename_columns(["doc_a", "doc_b", "n_a", "partial"]))
+                .rename_columns(["lo", "hi", "n_lo", "n_hi", "partial"]))
 
     summed = (ds.map_batches(shingles, batch_format="pyarrow")
               .groupby("__bucket")
               .map_groups(pair_bucket, batch_format="pyarrow")
-              .groupby(["doc_a", "doc_b", "n_a"])
+              .groupby(["lo", "hi", "n_lo", "n_hi"])
               .aggregate(Sum("partial", alias_name="inter")))
 
     thr = float(threshold)
 
     def finish(batch: pa.Table) -> pa.Table:
         inter = np.asarray(batch.column("inter"), dtype=np.int64)
-        na = np.asarray(batch.column("n_a"), dtype=np.int64)
-        c = inter.astype(np.float64) / na
-        keep = c >= thr
-        sel = pa.array(keep)
-        return pa.table({"doc_a": batch.column("doc_a").filter(sel),
-                         "doc_b": batch.column("doc_b").filter(sel),
-                         "inter": batch.column("inter").filter(sel),
-                         "n_a": batch.column("n_a").filter(sel),
-                         "containment": pa.array(c[keep])})
+        lo = np.asarray(batch.column("lo"), dtype=np.int64)
+        hi = np.asarray(batch.column("hi"), dtype=np.int64)
+        nlo = np.asarray(batch.column("n_lo"), dtype=np.int64)
+        nhi = np.asarray(batch.column("n_hi"), dtype=np.int64)
+        c_fwd = inter.astype(np.float64) / nlo      # lo ⊂ hi direction
+        c_rev = inter.astype(np.float64) / nhi      # hi ⊂ lo direction
+        kf = c_fwd >= thr
+        kr = c_rev >= thr
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([lo[kf], hi[kr]])),
+            "doc_b": pa.array(np.concatenate([hi[kf], lo[kr]])),
+            "inter": pa.array(np.concatenate([inter[kf], inter[kr]])),
+            "n_a": pa.array(np.concatenate([nlo[kf], nhi[kr]])),
+            "containment": pa.array(np.concatenate([c_fwd[kf], c_rev[kr]])),
+        })
 
     return summed.map_batches(finish, batch_format="pyarrow")

@@ -12,9 +12,13 @@ exact verification, fully distributed:
    IS a variant of the longer).  Neighborhood keys travel as xxh64
    hashes, not strings — collisions only merge candidate buckets and the
    verifier keeps the result exact;
-3. one ``groupby(key)`` shuffle co-locates candidates; inside each
-   bucket a vectorized byte-matrix kernel verifies ``lev <= 1`` exactly
-   (no per-pair Python), emitting only true pairs;
+3. one ``groupby(key % num_buckets)`` shuffle co-locates candidates
+   into a BOUNDED number of buckets (a per-variant-key groupby would
+   mean one Python group call per distinct variant — hundreds of
+   thousands of tiny groups); inside each bucket, key runs are found by
+   one argsort, pairs expand per run-length class (triu), and a single
+   chunked byte-matrix kernel verifies ``lev <= 1`` exactly (no
+   per-pair, no per-key Python), emitting only true pairs;
 4. one tiny ``groupby(val_a, val_b)`` dedupes pairs discovered through
    several shared variants (string-keyed — no packed-int aliasing).
 
@@ -130,11 +134,13 @@ def lev_le1_mask(a: pa.Array, b: pa.Array) -> np.ndarray:
     return out
 
 
-def edit1_pairs(ds, col: str, max_len: int = 64):
+def edit1_pairs(ds, col: str, max_len: int = 64, num_buckets: int = 128):
     """Dataset of ``(val_a, val_b)`` — every unordered pair of DISTINCT
     non-null values of ``col`` (length ≤ ``max_len``) with Levenshtein
     distance exactly 1.  See module docstring for the plan."""
     from ray.data.aggregate import Count
+
+    B = int(num_buckets)
 
     def uniq(batch: pa.Table) -> pa.Table:
         v = batch.column(col)
@@ -154,40 +160,65 @@ def edit1_pairs(ds, col: str, max_len: int = 64):
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         rows, keys = _deletion_keys(v, max_len)
+        # distinct (row, key): several deletion positions can yield the
+        # same variant string (runs of equal bytes) — one survives, so
+        # (val, key) rows are globally unique (vals are distinct here)
+        order = np.lexsort((rows, keys))
+        rows, keys = rows[order], keys[order]
+        first = np.concatenate([[True], (keys[1:] != keys[:-1])
+                                | (rows[1:] != rows[:-1])])
+        rows, keys = rows[first], keys[first]
         return pa.table({"val": v.take(pa.array(rows)),
-                         "key": pa.array(keys.view(np.int64))})
+                         "key": pa.array(keys.view(np.int64)),
+                         "__bucket": pa.array(
+                             (keys % np.uint64(B)).astype(np.int64))})
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({"val_a": pa.array([], pa.string()),
                           "val_b": pa.array([], pa.string())})
+        keys = np.asarray(group.column("key"), dtype=np.int64)
         vals = group.column("val")
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        vals = pc.unique(vals)
-        vals = vals.take(pc.sort_indices(vals))
-        n = len(vals)
-        if n < 2:
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        new = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(keys_s)]]))
+        cand_a, cand_b = [], []
+        # per run-length class: one vectorized triu expansion
+        for L in np.unique(lens[lens > 1]):
+            sel = starts[lens == L]
+            idx = sel[:, None] + np.arange(L)[None, :]     # (runs, L)
+            rows = order[idx]
+            ii, jj = np.triu_indices(L, 1)
+            cand_a.append(rows[:, ii].reshape(-1))
+            cand_b.append(rows[:, jj].reshape(-1))
+        if not cand_a:
             return empty
-        # pair matrix chunked by rows so hot buckets cost chunks, not RAM
-        CH = max(1, (1 << 20) // n)
+        ia = np.concatenate(cand_a)
+        ib = np.concatenate(cand_b)
         outs = []
-        for s in range(0, n - 1, CH):
-            e = min(s + CH, n - 1)
-            ii, jj = np.meshgrid(np.arange(s, e), np.arange(n),
-                                 indexing="ij")
-            keep = jj > ii
-            ii, jj = ii[keep], jj[keep]
-            a = vals.take(pa.array(ii))
-            b = vals.take(pa.array(jj))
+        CH = 1 << 20        # verify in bounded-RAM chunks
+        for s in range(0, len(ia), CH):
+            a = vals.take(pa.array(ia[s:s + CH]))
+            b = vals.take(pa.array(ib[s:s + CH]))
             ok = lev_le1_mask(a, b)
             if ok.any():
                 sel = pa.array(np.nonzero(ok)[0])
-                outs.append(pa.table({"val_a": a.take(sel),
-                                      "val_b": b.take(sel)}))
-        return pa.concat_tables(outs) if outs else empty
+                a, b = a.take(sel), b.take(sel)
+                lt = pc.less(a, b)     # canonical order for global dedupe
+                outs.append(pa.table({"val_a": pc.if_else(lt, a, b),
+                                      "val_b": pc.if_else(lt, b, a)}))
+        if not outs:
+            return empty
+        # in-bucket pre-dedupe shrinks the final exchange
+        return (pa.concat_tables(outs)
+                .group_by(["val_a", "val_b"]).aggregate([])
+                .select(["val_a", "val_b"]))
 
     pairs = (distinct.map_batches(explode, batch_format="pyarrow")
-             .groupby("key")
+             .groupby("__bucket")
              .map_groups(verify_bucket, batch_format="pyarrow"))
     # dedupe pairs found through multiple shared variants (string-keyed)
     return (pairs.groupby(["val_a", "val_b"])

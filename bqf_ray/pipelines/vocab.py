@@ -202,3 +202,179 @@ def bpe_merges_table(ds, num_merges: int = 20, text_col: str = "text"):
         "right": pa.array([m[1] for m in merges], pa.string()),
         "pair_count": pa.array([m[2] for m in merges], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE — apply a FIXED merge table to a corpus (the production
+# "tokenize 100 TB with a frozen tokenizer" shape; training above is the
+# artifact-producing step, this is the every-run step).
+
+
+def encode_words(words, merges) -> tuple[np.ndarray, np.ndarray]:
+    """Apply rank-ordered BPE ``merges`` to each word; returns
+    ``(flat_tokens: object ndarray, offsets: int64[n_words+1])``.
+
+    Semantics: merges apply strictly in rank order, ONE greedy
+    left-to-right non-overlapping pass each (back-to-back occurrences
+    merge in the same pass at even run offsets).  For well-ordered
+    tables — every non-char token used by a merge is PRODUCED by an
+    earlier merge and no token string is producible by two different
+    merges — this is bit-identical to the classic lowest-rank-first
+    iterative encoder (tests prove it on randomized well-ordered
+    tables); degenerate tables follow the rank-ordered definition.
+
+    Vectorized: symbols live in ONE integer-coded array across all
+    words; each merge rank is a handful of numpy vector ops (pair mask,
+    run-parity overlap filter, scatter + compaction) — no per-word
+    Python loop.  Cost is O(num_merges × total_chars)."""
+    n = len(words)
+    offsets0 = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        lens = np.fromiter((len(w) for w in words), np.int64, n)
+    else:
+        lens = np.empty(0, np.int64)
+    joined = "".join(words)
+    if not joined:
+        return np.empty(0, dtype=object), offsets0
+    chars = np.array(list(joined), dtype=object)
+    uniq, inv = np.unique(chars, return_inverse=True)
+    vocab: dict[str, int] = {t: i for i, t in enumerate(uniq.tolist())}
+    toks: list[str] = uniq.tolist()          # code -> token string
+    sym = inv.astype(np.int64)
+    wid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    for left, right in merges:
+        lc = vocab.get(left)
+        rc = vocab.get(right)
+        if lc is None or rc is None or len(sym) < 2:
+            continue                         # pair cannot occur here
+        m = (sym[:-1] == lc) & (sym[1:] == rc) & (wid[:-1] == wid[1:])
+        cand = np.flatnonzero(m)
+        if cand.size == 0:
+            continue
+        if cand.size > 1:
+            # greedy left-to-right: within a run of consecutive
+            # positions only even offsets survive (a merge consumes its
+            # right neighbour)
+            newrun = np.concatenate([[True], np.diff(cand) > 1])
+            run_start = cand[newrun][np.cumsum(newrun) - 1]
+            cand = cand[((cand - run_start) % 2) == 0]
+        prod = left + right
+        pc_ = vocab.get(prod)
+        if pc_ is None:
+            pc_ = len(toks)
+            vocab[prod] = pc_
+            toks.append(prod)
+        sym[cand] = pc_
+        alive = np.ones(len(sym), dtype=bool)
+        alive[cand + 1] = False
+        sym = sym[alive]
+        wid = wid[alive]
+    flat = np.array(toks, dtype=object)[sym]
+    counts = np.bincount(wid, minlength=n).astype(np.int64)
+    return flat, np.concatenate([[0], np.cumsum(counts)])
+
+
+def bpe_encode_token_counts(ds, merges, text_col: str = "text"):
+    """Corpus → Dataset[(token, n)] under a fixed BPE merge table.
+
+    Scale shape: ONE corpus pass reduces to the word-frequency table
+    (token-proportional shuffle, the ``token_counts`` plan); encoding
+    then runs over DISTINCT words only — the Zipf win: web-scale
+    corpora have ~10^12 tokens but ~10^8 distinct words — and a final
+    vocabulary-sized groupby sums weighted per-word token counts."""
+    from ray.data.aggregate import Sum
+
+    merges = [(str(l), str(r)) for l, r in merges]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        cnt = np.asarray(batch.column("count"), dtype=np.int64)
+        flat, offs = encode_words(words, merges)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        w = np.repeat(cnt, np.diff(offs))
+        u, inv = np.unique(flat, return_inverse=True)
+        agg = np.zeros(len(u), dtype=np.int64)
+        np.add.at(agg, inv, w)
+        return pa.table({"token": pa.array(u.tolist(), pa.string()),
+                         "pn": pa.array(agg)})
+
+    return (word_frequencies(ds, text_col)
+            .map_batches(enc, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("pn", alias_name="n")))
+
+
+class BpeEncoder:
+    """Actor-pool ``map_batches`` stage: adds a ``list<string>`` token
+    column per document under a fixed merge table.
+
+    Per batch: tokenize → DISTINCT words (np.unique) → encode only
+    words missing from the per-actor memo cache → fully-vectorized
+    gather back to occurrences and docs (flat index arithmetic, no
+    per-row loop).  The cache makes steady-state cost proportional to
+    NEW distinct words per batch, not corpus tokens.  Use as
+    ``map_batches(BpeEncoder, fn_constructor_args=(merges,),
+    concurrency=N)``."""
+
+    def __init__(self, merges, text_col: str = "text",
+                 out_col: str = "tokens", max_cache: int = 2_000_000):
+        from bqf_ray.functions.tokenize import tokenize_column
+        self._tokenize = tokenize_column
+        self.merges = [(str(l), str(r)) for l, r in merges]
+        self.text_col = text_col
+        self.out_col = out_col
+        self.max_cache = int(max_cache)
+        # word -> (object ndarray of tokens)
+        self.cache: dict[str, np.ndarray] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat_words, doc_offs = self._tokenize(batch.column(self.text_col))
+        words = flat_words.to_numpy(zero_copy_only=False)
+        if len(words) == 0:
+            empty = pa.array([[]] * batch.num_rows,
+                             pa.list_(pa.string()))
+            return batch.append_column(self.out_col, empty)
+        uniq, inv = np.unique(words, return_inverse=True)
+        missing = [w for w in uniq.tolist() if w not in self.cache]
+        if missing:
+            if len(self.cache) + len(missing) > self.max_cache:
+                self.cache.clear()
+            mflat, moffs = encode_words(missing, self.merges)
+            for i, w in enumerate(missing):
+                self.cache[w] = mflat[moffs[i]:moffs[i + 1]]
+        u_toks = [self.cache[w] for w in uniq.tolist()]
+        lens_u = np.fromiter((len(t) for t in u_toks), np.int64,
+                             len(u_toks))
+        flat_u = (np.concatenate(u_toks) if u_toks
+                  else np.empty(0, dtype=object))
+        offs_u = np.concatenate([[0], np.cumsum(lens_u)])
+        # occurrence-level gather: token index ranges per word occurrence
+        occ_len = lens_u[inv]
+        occ_start = offs_u[:-1][inv]
+        total = int(occ_len.sum())
+        idx = (np.repeat(occ_start, occ_len)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(occ_len)[:-1]]),
+                           occ_len))
+        flat_tokens = flat_u[idx]
+        c = np.concatenate([[0], np.cumsum(occ_len)])
+        doc_tok_offs = c[doc_offs]
+        out = pa.ListArray.from_arrays(
+            pa.array(doc_tok_offs, pa.int32()),
+            pa.array(flat_tokens.tolist(), pa.string()))
+        return batch.append_column(self.out_col, out)
+
+
+def bpe_encode(ds, merges, text_col: str = "text", out_col: str = "tokens",
+               concurrency: int | None = None, batch_size: int = 2048):
+    """Tokenize every document with a frozen BPE merge table (adds
+    ``out_col: list<string>``) — actor pool so the word memo cache and
+    compiled merge table build once per actor, not per batch."""
+    return ds.map_batches(
+        BpeEncoder, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_args=(list(merges),),
+        fn_constructor_kwargs=dict(text_col=text_col, out_col=out_col),
+        # callable-class stages need an actor pool; autoscale up unless
+        # the caller pins the pool size
+        concurrency=concurrency if concurrency is not None else (1, 8))
