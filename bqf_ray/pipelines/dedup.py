@@ -973,6 +973,8 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
             np.repeat(np.arange(len(grp), dtype=np.int64), lens)))
         return pc.binary_join_element_wise(rep, flat, "\x1f")
 
+    NB_CNT = int(num_buckets)
+
     def seg_counts(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
         if isinstance(texts, pa.ChunkedArray):
@@ -983,13 +985,28 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
                           dtype=np.int64)
         t = pa.table({"seg": _keyed(batch, flat, lens),
                       "n": np.ones(len(flat), dtype=np.int64)})
-        return (t.group_by(["seg"]).aggregate([("n", "sum")])
-                .rename_columns(["seg", "partial"]))
+        t = (t.group_by(["seg"]).aggregate([("n", "sum")])
+             .rename_columns(["seg", "partial"]))
+        # route by an int hash bucket — a string-keyed distributed
+        # sort over all distinct segments costs several × more than a
+        # 1-int exchange; counting stays exact (in-bucket group_by is
+        # by the segment STRING, collisions only co-locate)
+        sb = (xxhash64_array(t.column("seg").combine_chunks()
+                             if isinstance(t.column("seg"), pa.ChunkedArray)
+                             else t.column("seg"))
+              % np.uint64(NB_CNT)).astype(np.int64)
+        return t.append_column("__sb", pa.array(sb))
+
+    mc = int(min_count)
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        g = (group.group_by(["seg"]).aggregate([("partial", "sum")]))
+        keep = pc.greater_equal(g.column("partial_sum"), mc)
+        return g.filter(keep).select(["seg"])
 
     dups = (ds.map_batches(seg_counts, batch_format="pyarrow")
-            .groupby("seg").aggregate(Sum("partial", alias_name="cnt"))
-            .filter(expr=f"cnt >= {int(min_count)}")
-            .select_columns(["seg"]))
+            .groupby("__sb")
+            .map_groups(count_bucket, batch_format="pyarrow"))
 
     if mode == "auto":
         dups = dups.materialize()      # counted then re-read: execute once
@@ -1624,9 +1641,12 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
     Plan: distinct (doc, shingle) pairs bucket by shingle hash; inside a
     bucket every shingle's doc list yields its co-occurrence pairs
     (UNORDERED — each emitted once with both set sizes riding),
-    pre-summed per (lo, hi) before ONE pair exchange; the final
-    stateless map derives both ordered containments from (n_lo, n_hi)
-    and threshold-filters each direction.  EXACT by default — candidate volume is
+    pre-summed per (lo, hi) before ONE pair exchange keyed by a single
+    small-int pair-hash bucket (a multi-column distributed sort key
+    over the partials costs several × more than a 1-int exchange); the
+    receiving bucket combines partials exactly with an Arrow group_by,
+    derives both ordered containments from (n_lo, n_hi) and
+    threshold-filters each direction.  EXACT by default — candidate volume is
     Σ_shingle df², so for corpora with stop-shingles pass ``df_cap`` to
     drop shingles above a document frequency (the standard containment-
     search trade).  Capped shingles are excluded from the INTERSECTION
@@ -1636,8 +1656,6 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
     Output ``(doc_a, doc_b, inter, n_a, containment)`` where
     ``containment = inter / n_a`` (IEEE division of exact ints).
     """
-    from ray.data.aggregate import Sum
-
     B = int(num_buckets)
 
     def shingles(batch: pa.Table) -> pa.Table:
@@ -1652,7 +1670,8 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
                           "hi": pa.array([], pa.int64()),
                           "n_lo": pa.array([], pa.int64()),
                           "n_hi": pa.array([], pa.int64()),
-                          "partial": pa.array([], pa.int64())})
+                          "partial": pa.array([], pa.int64()),
+                          "__pb": pa.array([], pa.int64())})
         sh = np.asarray(group.column("shingle"), dtype=np.int64)
         did = np.asarray(group.column("doc_id"), dtype=np.int64)
         # recompute df-capped per-doc sizes ONLY if capping is on;
@@ -1689,30 +1708,38 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
             out_nhi.append(sizes[:, jj].reshape(-1))
         if not out_lo:
             return empty
-        t = pa.table({"lo": pa.array(np.concatenate(out_lo)),
-                      "hi": pa.array(np.concatenate(out_hi)),
+        lo_a = np.concatenate(out_lo)
+        hi_a = np.concatenate(out_hi)
+        t = pa.table({"lo": pa.array(lo_a), "hi": pa.array(hi_a),
                       "n_lo": pa.array(np.concatenate(out_nlo)),
                       "n_hi": pa.array(np.concatenate(out_nhi)),
-                      "n": pa.array(np.ones(sum(len(x) for x in out_lo),
-                                            dtype=np.int64))})
-        return (t.group_by(["lo", "hi", "n_lo", "n_hi"])
-                .aggregate([("n", "sum")])
-                .rename_columns(["lo", "hi", "n_lo", "n_hi", "partial"]))
-
-    summed = (ds.map_batches(shingles, batch_format="pyarrow")
-              .groupby("__bucket")
-              .map_groups(pair_bucket, batch_format="pyarrow")
-              .groupby(["lo", "hi", "n_lo", "n_hi"])
-              .aggregate(Sum("partial", alias_name="inter")))
+                      "n": pa.array(np.ones(len(lo_a), dtype=np.int64))})
+        t = (t.group_by(["lo", "hi", "n_lo", "n_hi"])
+             .aggregate([("n", "sum")])
+             .rename_columns(["lo", "hi", "n_lo", "n_hi", "partial"]))
+        # route by a SINGLE small-int pair bucket — a distributed
+        # multi-column sort key over the pair partials is far more
+        # expensive than a 1-int exchange + exact in-bucket group_by
+        lo_u = np.asarray(t.column("lo")).view(np.uint64)
+        hi_u = np.asarray(t.column("hi")).view(np.uint64)
+        mix = (lo_u * np.uint64(0x9E3779B97F4A7C15)
+               ^ hi_u * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column(
+            "__pb", pa.array(((mix >> np.uint64(32))
+                              % np.uint64(B)).astype(np.int64)))
 
     thr = float(threshold)
 
-    def finish(batch: pa.Table) -> pa.Table:
-        inter = np.asarray(batch.column("inter"), dtype=np.int64)
-        lo = np.asarray(batch.column("lo"), dtype=np.int64)
-        hi = np.asarray(batch.column("hi"), dtype=np.int64)
-        nlo = np.asarray(batch.column("n_lo"), dtype=np.int64)
-        nhi = np.asarray(batch.column("n_hi"), dtype=np.int64)
+    def sum_finish(group: pa.Table) -> pa.Table:
+        # exact per-(lo, hi) combine of the shingle-bucket partials —
+        # hash-bucket collisions are harmless, grouping is by columns
+        g = (group.group_by(["lo", "hi", "n_lo", "n_hi"])
+             .aggregate([("partial", "sum")]))
+        inter = np.asarray(g.column("partial_sum"), dtype=np.int64)
+        lo = np.asarray(g.column("lo"), dtype=np.int64)
+        hi = np.asarray(g.column("hi"), dtype=np.int64)
+        nlo = np.asarray(g.column("n_lo"), dtype=np.int64)
+        nhi = np.asarray(g.column("n_hi"), dtype=np.int64)
         c_fwd = inter.astype(np.float64) / nlo      # lo ⊂ hi direction
         c_rev = inter.astype(np.float64) / nhi      # hi ⊂ lo direction
         kf = c_fwd >= thr
@@ -1725,4 +1752,8 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
             "containment": pa.array(np.concatenate([c_fwd[kf], c_rev[kr]])),
         })
 
-    return summed.map_batches(finish, batch_format="pyarrow")
+    return (ds.map_batches(shingles, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(pair_bucket, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(sum_finish, batch_format="pyarrow"))
