@@ -397,6 +397,19 @@ def w_hll_distinct(sf_dir):
                          "within_bound": [bool(ok)]})
 
 
+def w_lang_distinct_hll(sf_dir):
+    """Per-language distinct-token HLL through the NATIVE Ray Data
+    aggregate surface (stages/udaf.sketch_agg in groupby().aggregate())
+    beside the exact count; the oracle recomputes the exact side and
+    asserts the 4σ bound flag TRUE — per-group sketch UDAFs driver-
+    checked end to end."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_distinct_hll
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "text"])
+    return grouped_distinct_hll(docs, key_col="lang", p=14)
+
+
 def w_bottomk_distinct(sf_dir):
     """Bottom-k sample sketch as a distinct estimator, error-vs-exact
     checked like hll_distinct (RSE 1/√(k−2), 4σ bound)."""
@@ -1691,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": q_nation_revenue,
         "priority_revenue": q_priority_revenue,
         "hll_distinct": w_hll_distinct,
+        "lang_distinct_hll": w_lang_distinct_hll,
         "tdigest_quantiles": w_quantiles_value,
         "kll_quantiles": w_kll_quantiles_price,
         "grouped_quantiles": w_grouped_quantiles,
@@ -2075,6 +2089,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT token)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound
             FROM ({tokens}) WHERE token <> ''""",
+        "lang_distinct_hll": """
+            SELECT lang, count(DISTINCT token)::BIGINT AS n_distinct_exact,
+                   TRUE AS within_bound
+            FROM (SELECT lang, unnest(string_split_regex(text, '\\s+'))
+                  AS token FROM documents)
+            WHERE token <> '' GROUP BY lang""",
         "bottomk_distinct": f"""
             SELECT count(DISTINCT token)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound

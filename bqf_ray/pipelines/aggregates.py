@@ -847,3 +847,79 @@ def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,
                          "corr": pa.array(corr)})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_distinct_hll(ds, key_col: str, text_col: str = "text",
+                         p: int = 14, num_buckets: int = 16,
+                         sigmas: float = 4.0):
+    """Per-key distinct-token cardinality: an HLL estimate produced
+    through the NATIVE Ray Data aggregate surface
+    (:func:`bqf_ray.stages.udaf.sketch_agg` in
+    ``groupby(key).aggregate(...)``) next to the exact count, with the
+    published ±1.04/√2^p bound asserted per key.
+
+    Plan: one corpus pass ships batch-distinct (key, token) pairs
+    bucketed by pair hash; buckets dedupe exactly (they partition the
+    pair space) into the globally-distinct pair table — VOCAB-sized,
+    so materializing it is the distinct-word-table move, not a corpus
+    materialization.  Both consumers then read it: the exact side adds
+    per-key counts (one tiny groupby), the estimate side runs the
+    sketch UDAF groupby.  Returns a pandas frame
+    ``(key, n_distinct_exact, within_bound)`` — key-count-sized.
+    """
+    import pandas as pd
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.sketches.hll import HyperLogLog
+    from bqf_ray.stages.udaf import sketch_agg
+    from ray.data.aggregate import Sum
+
+    NB = int(num_buckets)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        keys = pc.cast(batch.column(key_col), pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        rep = keys.take(pa.array(np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))))
+        pair = pc.binary_join_element_wise(rep, toks, "\x1f")
+        uniq = pc.unique(pair)
+        h = xxhash64_array(uniq)
+        split = pc.split_pattern(uniq, "\x1f")
+        return pa.table({
+            key_col: pc.list_element(split, 0),
+            "token": pc.list_element(split, 1),
+            "__bucket": pa.array((h % np.uint64(NB)).astype(np.int64))})
+
+    def dedupe_bucket(group: pa.Table) -> pa.Table:
+        return (group.group_by([key_col, "token"]).aggregate([])
+                .select([key_col, "token"]))
+
+    pairs = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(dedupe_bucket, batch_format="pyarrow")
+             .materialize())
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch.column(key_col),
+                      "pn": pa.array(np.ones(batch.num_rows, np.int64))})
+        return (t.group_by([key_col]).aggregate([("pn", "sum")])
+                .rename_columns([key_col, "pn"]))
+
+    exact = {r[key_col]: r["n"] for r in
+             (pairs.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(key_col).aggregate(Sum("pn", alias_name="n"))
+              .take_all())}
+    est = {r[key_col]: r["est"] for r in
+           (pairs.groupby(key_col).aggregate(
+               sketch_agg(lambda: HyperLogLog(p=p), on="token",
+                          finalize="estimate", name="est"))
+            .take_all())}
+    rse = 1.04 / np.sqrt(2 ** p)
+    keys = sorted(exact)
+    return pd.DataFrame({
+        key_col: keys,
+        "n_distinct_exact": np.array([exact[k] for k in keys], np.int64),
+        "within_bound": [abs(est[k] - exact[k]) / max(exact[k], 1)
+                         <= sigmas * rse for k in keys]})
