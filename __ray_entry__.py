@@ -410,6 +410,17 @@ def w_lang_distinct_hll(sf_dir):
     return grouped_distinct_hll(docs, key_col="lang", p=14)
 
 
+def w_top_terms_per_source(sf_dir):
+    """Exact per-site trending terms: top-5 tokens per source by global
+    count — pair-bucketed exact sums, per-bucket top-k partials, tiny
+    final merge; no global or multi-column distributed sort."""
+    import ray
+    from bqf_ray.pipelines.text_stats import grouped_top_terms
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return grouped_top_terms(docs, key_col="source", k=5)
+
+
 def w_bottomk_distinct(sf_dir):
     """Bottom-k sample sketch as a distinct estimator, error-vs-exact
     checked like hll_distinct (RSE 1/√(k−2), 4σ bound)."""
@@ -1705,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": q_priority_revenue,
         "hll_distinct": w_hll_distinct,
         "lang_distinct_hll": w_lang_distinct_hll,
+        "top_terms_per_source": w_top_terms_per_source,
         "tdigest_quantiles": w_quantiles_value,
         "kll_quantiles": w_kll_quantiles_price,
         "grouped_quantiles": w_grouped_quantiles,
@@ -2095,6 +2107,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT lang, unnest(string_split_regex(text, '\\s+'))
                   AS token FROM documents)
             WHERE token <> '' GROUP BY lang""",
+        "top_terms_per_source": """
+            SELECT source, token, cnt, rank FROM (
+              SELECT source, token, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY cnt DESC, token) AS rank
+              FROM (SELECT source, token, count(*)::BIGINT AS cnt
+                    FROM (SELECT source,
+                                 unnest(string_split_regex(text, '\\s+'))
+                                 AS token FROM documents)
+                    WHERE token <> '' GROUP BY 1, 2))
+            WHERE rank <= 5""",
         "bottomk_distinct": f"""
             SELECT count(DISTINCT token)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound

@@ -650,3 +650,91 @@ def _attach_counts_bucketed(bigrams, uni, lift_cols, num_buckets: int):
         return lift_cols(batch, c_a, c_b)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _topk_per_key(t: pa.Table, key_col: str, k: int,
+                  with_rank: bool = False) -> pa.Table:
+    """Keep the top-``k`` rows per key by (cnt DESC, token ASC) — one
+    lexsort + run-position mask, no per-key Python."""
+    keys = t.column(key_col)
+    toks = t.column("token")
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    kcodes = np.unique(np.asarray(keys), return_inverse=True)[1]
+    tcodes = np.unique(np.asarray(toks), return_inverse=True)[1]
+    cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+    order = np.lexsort((tcodes, -cnt, kcodes))
+    kk = kcodes[order]
+    idx = np.arange(len(kk), dtype=np.int64)
+    new = np.concatenate([[True], kk[1:] != kk[:-1]]) if len(kk) else \
+        np.zeros(0, dtype=bool)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    pos = idx - run_start
+    keep = pos < k
+    out = t.take(pa.array(order[keep]))
+    if with_rank:
+        out = out.append_column("rank", pa.array(pos[keep] + 1))
+    return out
+
+
+def grouped_top_terms(ds, key_col: str = "source", k: int = 10,
+                      text_col: str = "text", num_buckets: int = 32):
+    """Exact top-``k`` tokens per key by global count (ties broken
+    token-ascending) — the trending-terms / per-site vocabulary shape.
+
+    Plan: per-batch weighted (key, token) partials → ONE exchange keyed
+    by ``hash(key⊕token) % num_buckets`` (buckets partition the PAIR
+    space, so in-bucket Arrow group_by sums are globally exact) →
+    per-bucket per-key top-k (any global top-k pair is also top-k
+    within its own bucket, so partials lose nothing) → a key-bucketed
+    final merge ranks ≤ num_buckets × k rows per key.  No multi-column
+    distributed sort, no global sort.
+
+    Returns ``(key, token, cnt, rank)`` with rank 1..k.
+    """
+    B = int(num_buckets)
+    kk = int(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, offs = tokenize_column(batch.column(text_col))
+        keys = pc.cast(batch.column(key_col), pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        rep = keys.take(pa.array(np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))))
+        pair = pc.binary_join_element_wise(rep, toks, "\x1f")
+        uniq, counts = np.unique(pair.to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        ua = pa.array(uniq, pa.string())
+        split = pc.split_pattern(ua, "\x1f")
+        h = xxhash64_array(ua)
+        return pa.table({
+            key_col: pc.list_element(split, 0),
+            "token": pc.list_element(split, 1),
+            "pn": pa.array(counts.astype(np.int64)),
+            "__pb": pa.array((h % np.uint64(B)).astype(np.int64))})
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        g = (group.group_by([key_col, "token"])
+             .aggregate([("pn", "sum")])
+             .rename_columns([key_col, "token", "cnt"]))
+        g = _topk_per_key(g, key_col, kk)
+        keys = g.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kb = (xxhash64_array(keys) % np.uint64(B)).astype(np.int64)
+        return g.append_column("__kb", pa.array(kb))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        # pair space is partitioned across __pb buckets, so rows here
+        # are already exact and distinct — pure selection remains
+        return _topk_per_key(group.select([key_col, "token", "cnt"]),
+                             key_col, kk, with_rank=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(bucket_topk, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(final_topk, batch_format="pyarrow"))

@@ -34,3 +34,43 @@ def test_dedup_lines_within(ray_session):
     assert got["text"].tolist() == ["a\nb\nc", "x", "", "only", ""]
     assert got["n_removed"].tolist() == [2, 2, 0, 0, 0]
     assert got["n_lines"].tolist() == [5, 3, 1, 1, 0]
+
+
+def test_grouped_top_terms_matches_reference(ray_session):
+    """Exact per-key top-k with tie-breaks, invariant to partitioning
+    and bucket count."""
+    import ray
+    import pandas as pd
+    from bqf_ray.pipelines.text_stats import grouped_top_terms
+
+    rng = np.random.RandomState(4)
+    words = ["apple", "pear", "fig", "plum", "kiwi", "apple pie", "zz"]
+    rows = []
+    for i in range(300):
+        src = f"site{i % 4}"
+        rows.append((src, " ".join(rng.choice(
+            [w.split()[0] for w in words], rng.randint(0, 20)))))
+    tbl = pa.table({"source": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows])})
+
+    ref = {}
+    for src, text in rows:
+        for t in text.split():
+            ref[(src, t)] = ref.get((src, t), 0) + 1
+    refdf = pd.DataFrame([(s, t, c) for (s, t), c in ref.items()],
+                         columns=["source", "token", "cnt"])
+    refdf["rank"] = (refdf.sort_values(["cnt", "token"],
+                                       ascending=[False, True])
+                     .groupby("source").cumcount() + 1)
+    want = (refdf[refdf["rank"] <= 3]
+            .sort_values(["source", "rank"]).reset_index(drop=True))
+
+    for parts, nb in [(1, 4), (8, 32)]:
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = (grouped_top_terms(ds, key_col="source", k=3,
+                                 num_buckets=nb).to_pandas()
+               .sort_values(["source", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["source", "token", "cnt", "rank"]],
+            want[["source", "token", "cnt", "rank"]],
+            check_dtype=False)
