@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from bqf_ray.functions.hashing import _pad_rows, _xxh64_padded
+from bqf_ray.functions.hashing import _pad_rows, _xxh64_padded, xxhash64_array
 
 
 def _bytes_matrix(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -175,7 +175,8 @@ def edit1_pairs(ds, col: str, max_len: int = 64, num_buckets: int = 128):
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({"val_a": pa.array([], pa.string()),
-                          "val_b": pa.array([], pa.string())})
+                          "val_b": pa.array([], pa.string()),
+                          "__db": pa.array([], pa.int64())})
         keys = np.asarray(group.column("key"), dtype=np.int64)
         vals = group.column("val")
         if isinstance(vals, pa.ChunkedArray):
@@ -213,13 +214,32 @@ def edit1_pairs(ds, col: str, max_len: int = 64, num_buckets: int = 128):
         if not outs:
             return empty
         # in-bucket pre-dedupe shrinks the final exchange
-        return (pa.concat_tables(outs)
-                .group_by(["val_a", "val_b"]).aggregate([])
+        t = (pa.concat_tables(outs)
+             .group_by(["val_a", "val_b"]).aggregate([])
+             .select(["val_a", "val_b"]))
+        a = t.column("val_a")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        b = t.column("val_b")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        pk = xxhash64_array(pc.binary_join_element_wise(a, b, "\x1f"))
+        return t.append_column(
+            "__db", pa.array((pk % np.uint64(B)).astype(np.int64)))
+
+    def dedupe_bucket(group: pa.Table) -> pa.Table:
+        return (group.group_by(["val_a", "val_b"]).aggregate([])
                 .select(["val_a", "val_b"]))
 
-    pairs = (distinct.map_batches(explode, batch_format="pyarrow")
-             .groupby("__bucket")
-             .map_groups(verify_bucket, batch_format="pyarrow"))
-    # dedupe pairs found through multiple shared variants (string-keyed)
-    return (pairs.groupby(["val_a", "val_b"])
-            .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
+    # A lev≤1 pair has exactly ONE shared deletion-variant string (the
+    # deletion at the mismatch position / the shorter string itself),
+    # so cross-bucket duplicates exist only via 64-bit key collisions —
+    # the global dedupe must stay for exactness, but it only needs a
+    # 1-int pair-hash exchange + in-bucket group_by, NOT a 27M-row
+    # two-string-column distributed sort (the dominant cost at the
+    # 1M-name stress scale).
+    return (distinct.map_batches(explode, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(verify_bucket, batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(dedupe_bucket, batch_format="pyarrow"))
