@@ -183,9 +183,9 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
     cheaper than the extra shuffle.
     """
     if pre_dedupe:
-        from ray.data.aggregate import Count
-        cand_ds = (cand_ds.groupby(["doc_a", "doc_b"])
-                   .aggregate(Count(alias_name="__c"))
+        from bqf_ray.stages.partition import bucketed_agg
+        cand_ds = (bucketed_agg(cand_ds, ["doc_a", "doc_b"],
+                                [("doc_a", "count", "__c")])
                    .drop_columns(["__c"]))
     if mode == "auto":
         sets_ds = sets_ds.materialize()
@@ -322,8 +322,9 @@ def _verify_broadcast(cand_ds, sets_mat, threshold: float, id_col: str):
                 .map_batches(Verify, batch_format="pyarrow",
                              batch_size=8192, concurrency=(1, 8),
                              num_cpus=1))
-    return (verified.groupby(["doc_a", "doc_b"])
-            .aggregate(Min("jaccard", alias_name="jaccard")))
+    from bqf_ray.stages.partition import bucketed_agg
+    return bucketed_agg(verified, ["doc_a", "doc_b"],
+                        [("jaccard", "min", "jaccard")])
 
 
 def _verify_copartition(cand_ds, sets_ds, threshold: float,
@@ -769,9 +770,10 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, s: int = 3,
                 g.drop_columns(["__bucket"])), batch_format="pyarrow"))
     if not verify:
         # advertised output is distinct pairs — dedupe across bands here
-        from ray.data.aggregate import Count
-        return (cand.repartition(8).groupby(["doc_a", "doc_b"])
-                .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
+        from bqf_ray.stages.partition import bucketed_agg
+        return (bucketed_agg(cand, ["doc_a", "doc_b"],
+                             [("doc_a", "count", "__c")])
+                .drop_columns(["__c"]))
 
     # duplicated band hits are deduped inside verify_pairs.score_bucket
     sets = ds.map_batches(
@@ -894,14 +896,13 @@ def fingerprint_dup_pairs(ds, fp_col: str, id_col: str = "doc_id",
                          "doc_b": pa.array(b, pa.int64()),
                          "hamming": pa.array(hm, pa.int64())})
 
-    from ray.data.aggregate import Min
-    return (ds.map_batches(banded, batch_format="pyarrow")
-            .repartition(16)
-            .groupby("bv")
-            .map_groups(emit, batch_format="pyarrow")
-            .repartition(8)
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Min("hamming", alias_name="hamming")))
+    from bqf_ray.stages.partition import bucketed_agg
+    return bucketed_agg(
+        ds.map_batches(banded, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bv")
+        .map_groups(emit, batch_format="pyarrow"),
+        ["doc_a", "doc_b"], [("hamming", "min", "hamming")])
 
 
 def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
@@ -1275,14 +1276,13 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.9,
                          "id_b": pa.array(uniq[jj]),
                          "cosine": pa.array(cos[ii, jj], pa.float64())})
 
-    return (ds.map_batches(BlockCodes, batch_format="pyarrow",
-                           concurrency=2)
-            .repartition(16)
-            .groupby("__bkey")
-            .map_groups(pairs_in_bucket, batch_format="pyarrow")
-            .repartition(8)
-            .groupby(["id_a", "id_b"])
-            .aggregate(Max("cosine", alias_name="cosine")))
+    from bqf_ray.stages.partition import bucketed_agg
+    return bucketed_agg(
+        ds.map_batches(BlockCodes, batch_format="pyarrow", concurrency=2)
+        .repartition(16)
+        .groupby("__bkey")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow"),
+        ["id_a", "id_b"], [("cosine", "max", "cosine")])
 
 
 # ---------------------------------------------------------------------------

@@ -107,9 +107,9 @@ def train_bigram_counts(ds, text_col: str = "text", seed: int = 0,
             "cnt": pa.array(np.concatenate(cnts)),
         })
 
-    model = (ds.map_batches(pre, batch_format="pyarrow")
-             .groupby(["kind", "key"])
-             .aggregate(Sum("cnt", alias_name="cnt")))
+    from bqf_ray.stages.partition import bucketed_sum
+    model = bucketed_sum(ds.map_batches(pre, batch_format="pyarrow"),
+                         ["kind", "key"], {"cnt": "cnt"})
 
     if min_count > 1:
         mc = int(min_count)

@@ -503,9 +503,11 @@ def collocations(ds, min_count: int = 5, top: int = 50,
                 .aggregate([("n", "sum")])
                 .rename_columns(["token_a", "token_b", "partial"]))
 
-    bigrams = (ds.map_batches(bigram_partials, batch_format="pyarrow")
-               .groupby(["token_a", "token_b"])
-               .aggregate(Sum("partial", alias_name="c_ab")))
+    from bqf_ray.stages.partition import bucketed_sum
+    bigrams = bucketed_sum(
+        ds.map_batches(bigram_partials, batch_format="pyarrow"),
+        ["token_a", "token_b"], {"partial": "c_ab"},
+        num_buckets=num_buckets)
 
     uni = token_counts(ds, text_col=text_col).materialize()   # vocab-sized
     n_vocab = uni.count()

@@ -164,3 +164,77 @@ def phase2_local(batch: pa.Table) -> pa.Table:
         else:  # the key column
             cols[name] = col.slice(0, 1)
     return pa.table(cols)
+
+
+def _col_hash64(col) -> np.ndarray:
+    """uint64 hash of any column for ROUTING (nulls → fixed value;
+    grouping downstream is by the real columns, so collisions and the
+    null constant only affect placement, never results)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    import pyarrow as _pa
+    if (_pa.types.is_string(t) or _pa.types.is_large_string(t)
+            or _pa.types.is_binary(t) or _pa.types.is_large_binary(t)):
+        h = xxhash64_array(col.fill_null(""))
+    else:
+        vals = col.cast(_pa.int64()).fill_null(-1).to_numpy(
+            zero_copy_only=False)
+        h = fmix64(vals.view(np.uint64))
+    return h
+
+
+def bucketed_agg(ds, key_cols: list[str],
+                 aggs: list[tuple[str, str, str]], num_buckets: int = 64):
+    """``groupby(key_cols).aggregate(...)`` as ONE exchange keyed by a
+    single small-int hash bucket + an exact in-bucket Arrow
+    ``group_by`` — Ray Data's sort-based exchange pays for SORT-KEY
+    SHAPE (multi-column / string keys cost several × a 1-int key; see
+    BASELINE.md "Shuffle-key-shape A/Bs"), while in-bucket grouping by
+    the real columns is a C++ hash aggregation.
+
+    ``aggs``: [(input_col, fn, output_name)] with fn in
+    sum/min/max/count — decomposable aggregates only; buckets partition
+    the key space, so per-bucket results are globally exact for any
+    input partitioning.
+
+    Key columns must be NON-NULL (checked per batch): pyarrow's
+    ``Table.group_by`` does not merge null keys — each null run becomes
+    its own group — so a null key would silently fan out into duplicate
+    result rows.  Callers with nullable keys must ``fill_null`` with a
+    domain sentinel first.
+    """
+    keys = list(key_cols)
+    B = int(num_buckets)
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = batch.column(k)
+            if col.null_count:
+                raise ValueError(
+                    f"bucketed_agg: null values in key column {k!r} — "
+                    "pyarrow group_by splits null-key groups; fill_null "
+                    "with a domain sentinel before aggregating")
+            h = fmix64(h * PHI + _col_hash64(col))
+        return batch.append_column(
+            "__gb", pa.array((h % np.uint64(B)).astype(np.int64)))
+
+    def combine(group: pa.Table) -> pa.Table:
+        g = (group.group_by(keys)
+             .aggregate([(c, fn) for c, fn, _ in aggs]))
+        return g.rename_columns(keys + [out for _, _, out in aggs])
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__gb")
+            .map_groups(combine, batch_format="pyarrow"))
+
+
+def bucketed_sum(ds, key_cols: list[str], sum_cols: dict[str, str],
+                 num_buckets: int = 64):
+    """:func:`bucketed_agg` specialization: {input_col: output_name}
+    all summed."""
+    return bucketed_agg(ds, key_cols,
+                        [(c, "sum", out) for c, out in sum_cols.items()],
+                        num_buckets=num_buckets)
