@@ -356,12 +356,13 @@ def pricing_summary(ds):
 
     from ray.data.aggregate import Sum
 
-    agg = (ds.map_batches(pre, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("c_qty", alias_name="c_qty"),
-                      Sum("c_base", alias_name="c_base"),
-                      Sum("c_disc", alias_name="c_disc"),
-                      Sum("count_order", alias_name="count_order")))
+    from bqf_ray.stages.partition import bucketed_agg
+    agg = bucketed_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                       ["l_returnflag", "l_linestatus"],
+                       [("c_qty", "sum", "c_qty"),
+                        ("c_base", "sum", "c_base"),
+                        ("c_disc", "sum", "c_disc"),
+                        ("count_order", "sum", "count_order")])
 
     def final(batch: pa.Table) -> pa.Table:
         c_qty = np.asarray(batch.column("c_qty"), dtype=np.int64)

@@ -254,11 +254,12 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
                 .aggregate([("n", "sum")])
                 .rename_columns(["from_type", "to_type", "partial"]))
 
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("__bucket")
-            .map_groups(pairs_bucket, batch_format="pyarrow")
-            .groupby(["from_type", "to_type"])
-            .aggregate(Sum("partial", alias_name="n")))
+    from bqf_ray.stages.partition import bucketed_agg
+    return bucketed_agg(
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow"),
+        ["from_type", "to_type"], [("partial", "sum", "n")])
 
 
 def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
