@@ -860,7 +860,8 @@ def grouped_distinct_hll(ds, key_col: str, text_col: str = "text",
     published ±1.04/√2^p bound asserted per key.
 
     Plan: one corpus pass ships batch-distinct (key, token) pairs
-    bucketed by pair hash; buckets dedupe exactly (they partition the
+    bucketed by pair hash (integer-code pairing — keys may contain any
+    byte; NULL-key rows are excluded); buckets dedupe exactly (they partition the
     pair space) into the globally-distinct pair table — VOCAB-sized,
     so materializing it is the distinct-word-table move, not a corpus
     materialization.  Both consumers then read it: the exact side adds
@@ -878,27 +879,16 @@ def grouped_distinct_hll(ds, key_col: str, text_col: str = "text",
     NB = int(num_buckets)
 
     def pre(batch: pa.Table) -> pa.Table:
-        toks, offs = tokenize_column(batch.column(text_col))
-        keys = pc.cast(batch.column(key_col), pa.string())
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        rep = keys.take(pa.array(np.repeat(
-            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))))
-        pair = pc.binary_join_element_wise(rep, toks, "\x1f")
-        uniq = pc.unique(pair)
-        h = xxhash64_array(uniq)
-        split = pc.split_pattern(uniq, "\x1f")
-        return pa.table({
-            key_col: pc.list_element(split, 0),
-            "token": pc.list_element(split, 1),
-            "__bucket": pa.array((h % np.uint64(NB)).astype(np.int64))})
+        from bqf_ray.pipelines.text_stats import _keyed_token_partials
+        return _keyed_token_partials(batch, key_col, text_col, NB,
+                                     with_counts=False)
 
     def dedupe_bucket(group: pa.Table) -> pa.Table:
         return (group.group_by([key_col, "token"]).aggregate([])
                 .select([key_col, "token"]))
 
     pairs = (ds.map_batches(pre, batch_format="pyarrow")
-             .groupby("__bucket")
+             .groupby("__pb")
              .map_groups(dedupe_bucket, batch_format="pyarrow")
              .materialize())
 

@@ -654,6 +654,56 @@ def _attach_counts_bucketed(bigrams, uni, lift_cols, num_buckets: int):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _keyed_token_partials(batch: pa.Table, key_col: str, text_col: str,
+                          num_buckets: int, with_counts: bool) -> pa.Table:
+    """Per-batch (key, token[, pn]) partials, deduplicated/counted by
+    integer CODE pairs — never by joined key⊕token strings, so keys may
+    contain any byte.  Rows with a NULL key are EXCLUDED (SQL GROUP BY
+    would keep a null group; fill or filter upstream when needed).
+    Adds ``__pb`` = pair-hash bucket over ``num_buckets``."""
+    from bqf_ray.functions.hashing import fmix64
+
+    toks, offs = tokenize_column(batch.column(text_col))
+    keys = pc.cast(batch.column(key_col), pa.string())
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    cols = {key_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string())}
+    if with_counts:
+        cols["pn"] = pa.array([], pa.int64())
+    cols["__pb"] = pa.array([], pa.int64())
+    empty = pa.table(cols)
+
+    valid = np.asarray(keys.is_valid())
+    rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                    np.diff(offs))
+    mask = valid[rep] if len(rep) else np.zeros(0, dtype=bool)
+    tnp = toks.to_numpy(zero_copy_only=False)[mask]
+    rep = rep[mask]
+    if len(tnp) == 0:
+        return empty
+    t_uniq, t_inv = np.unique(tnp, return_inverse=True)
+    knp = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object)
+    vidx = np.flatnonzero(valid)
+    k_uniq, k_inv = np.unique(knp[vidx].astype("U"), return_inverse=True)
+    code_by_doc = np.full(batch.num_rows, -1, dtype=np.int64)
+    code_by_doc[vidx] = k_inv
+    pair = code_by_doc[rep] * np.int64(len(t_uniq)) + t_inv
+    up, counts = np.unique(pair, return_counts=True)
+    k_idx = up // len(t_uniq)
+    t_idx = up % len(t_uniq)
+    key_arr = pa.array(k_uniq[k_idx].tolist(), pa.string())
+    tok_arr = pa.array(t_uniq[t_idx].tolist(), pa.string())
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    h = fmix64(fmix64(xxhash64_array(key_arr)) * PHI
+               + xxhash64_array(tok_arr))
+    out = {key_col: key_arr, "token": tok_arr}
+    if with_counts:
+        out["pn"] = pa.array(counts.astype(np.int64))
+    out["__pb"] = pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+    return pa.table(out)
+
+
 def _topk_per_key(t: pa.Table, key_col: str, k: int,
                   with_rank: bool = False) -> pa.Table:
     """Keep the top-``k`` rows per key by (cnt DESC, token ASC) — one
@@ -694,29 +744,16 @@ def grouped_top_terms(ds, key_col: str = "source", k: int = 10,
     final merge ranks ≤ num_buckets × k rows per key.  No multi-column
     distributed sort, no global sort.
 
-    Returns ``(key, token, cnt, rank)`` with rank 1..k.
+    Returns ``(key, token, cnt, rank)`` with rank 1..k.  Keys may
+    contain any byte (pairing is by integer codes, not joined strings);
+    rows with a NULL key are excluded.
     """
     B = int(num_buckets)
     kk = int(k)
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks, offs = tokenize_column(batch.column(text_col))
-        keys = pc.cast(batch.column(key_col), pa.string())
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        rep = keys.take(pa.array(np.repeat(
-            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))))
-        pair = pc.binary_join_element_wise(rep, toks, "\x1f")
-        uniq, counts = np.unique(pair.to_numpy(zero_copy_only=False),
-                                 return_counts=True)
-        ua = pa.array(uniq, pa.string())
-        split = pc.split_pattern(ua, "\x1f")
-        h = xxhash64_array(ua)
-        return pa.table({
-            key_col: pc.list_element(split, 0),
-            "token": pc.list_element(split, 1),
-            "pn": pa.array(counts.astype(np.int64)),
-            "__pb": pa.array((h % np.uint64(B)).astype(np.int64))})
+        return _keyed_token_partials(batch, key_col, text_col, B,
+                                     with_counts=True)
 
     def bucket_topk(group: pa.Table) -> pa.Table:
         g = (group.group_by([key_col, "token"])

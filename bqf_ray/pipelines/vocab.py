@@ -339,7 +339,12 @@ class BpeEncoder:
         missing = [w for w in uniq.tolist() if w not in self.cache]
         if missing:
             if len(self.cache) + len(missing) > self.max_cache:
+                # eviction empties the memo, so EVERY word of this batch
+                # must be (re-)encoded — recompute missing after the
+                # clear or the gather below KeyErrors on words that were
+                # cached before it
                 self.cache.clear()
+                missing = uniq.tolist()
             mflat, moffs = encode_words(missing, self.merges)
             for i, w in enumerate(missing):
                 self.cache[w] = mflat[moffs[i]:moffs[i + 1]]

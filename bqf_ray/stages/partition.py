@@ -177,11 +177,29 @@ def _col_hash64(col) -> np.ndarray:
     if (_pa.types.is_string(t) or _pa.types.is_large_string(t)
             or _pa.types.is_binary(t) or _pa.types.is_large_binary(t)):
         h = xxhash64_array(col.fill_null(""))
+    elif _pa.types.is_floating(t):
+        # hash the raw 64-bit pattern — a safe int cast would raise on
+        # fractional values
+        vals = col.cast(_pa.float64()).fill_null(0.0).to_numpy(
+            zero_copy_only=False)
+        h = fmix64(vals.view(np.uint64))
     else:
         vals = col.cast(_pa.int64()).fill_null(-1).to_numpy(
             zero_copy_only=False)
         h = fmix64(vals.view(np.uint64))
     return h
+
+
+def _null_fill_scalar(t):
+    """An arbitrary valid fill value for ``t`` (used only while a null
+    flag column preserves the real null/non-null distinction)."""
+    import pyarrow as _pa
+    if (_pa.types.is_string(t) or _pa.types.is_large_string(t)
+            or _pa.types.is_binary(t) or _pa.types.is_large_binary(t)):
+        return pa.scalar("", t) if not _pa.types.is_binary(t) and \
+            not _pa.types.is_large_binary(t) else pa.scalar(b"", t)
+    return pa.scalar(0, t) if not _pa.types.is_floating(t) else \
+        pa.scalar(0.0, t)
 
 
 def bucketed_agg(ds, key_cols: list[str],
@@ -198,12 +216,16 @@ def bucketed_agg(ds, key_cols: list[str],
     the key space, so per-bucket results are globally exact for any
     input partitioning.
 
-    Key columns must be NON-NULL (checked per batch): pyarrow's
-    ``Table.group_by`` does not merge null keys — each null run becomes
-    its own group — so a null key would silently fan out into duplicate
-    result rows.  Callers with nullable keys must ``fill_null`` with a
-    domain sentinel first.
+    Null keys are supported and aggregate as ONE group per SQL
+    semantics — but NOT by passing them to ``Table.group_by``: pyarrow
+    16.1's MULTI-key grouper splits null-key groups size-dependently
+    (~one group per exec segment; single-key grouping merges them —
+    verified empirically, see tests), so nullable key columns are
+    grouped as (filled value, is-null flag) pairs and the nulls are
+    restored afterwards.
     """
+    import pyarrow.compute as pc
+
     keys = list(key_cols)
     B = int(num_buckets)
     PHI = np.uint64(0x9E3779B97F4A7C15)
@@ -211,19 +233,33 @@ def bucketed_agg(ds, key_cols: list[str],
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for k in keys:
-            col = batch.column(k)
-            if col.null_count:
-                raise ValueError(
-                    f"bucketed_agg: null values in key column {k!r} — "
-                    "pyarrow group_by splits null-key groups; fill_null "
-                    "with a domain sentinel before aggregating")
-            h = fmix64(h * PHI + _col_hash64(col))
+            h = fmix64(h * PHI + _col_hash64(batch.column(k)))
         return batch.append_column(
             "__gb", pa.array((h % np.uint64(B)).astype(np.int64)))
 
     def combine(group: pa.Table) -> pa.Table:
-        g = (group.group_by(keys)
+        work = group
+        flags = []                      # (key, flag-col) for nullable keys
+        for k in keys:
+            col = work.column(k)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.null_count:
+                f = f"__isnull_{k}"
+                work = work.append_column(f, col.is_null())
+                i = work.schema.get_field_index(k)
+                work = work.set_column(
+                    i, k, col.fill_null(_null_fill_scalar(col.type)))
+                flags.append((k, f))
+        g = (work.group_by(keys + [f for _, f in flags])
              .aggregate([(c, fn) for c, fn, _ in aggs]))
+        for k, f in flags:              # restore nulls from the flags
+            i = g.schema.get_field_index(k)
+            g = g.set_column(i, k, pc.if_else(
+                g.column(f), pa.scalar(None, g.schema.field(i).type),
+                g.column(k)))
+        if flags:
+            g = g.drop_columns([f for _, f in flags])
         return g.rename_columns(keys + [out for _, _, out in aggs])
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")

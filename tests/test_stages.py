@@ -611,15 +611,17 @@ def test_global_top_n_edges(ray_session):
     assert got["v"].tolist() == [1, 2, 3]
 
 
-def test_bucketed_agg_matches_pandas_and_rejects_null_keys(ray_session):
+def test_bucketed_agg_matches_pandas(ray_session):
     """bucketed_agg == groupby().aggregate() for sum/min/max/count over
-    mixed string+int keys (incl. the internal separator byte and empty
-    strings), any partitioning/bucket count; null keys raise instead of
-    silently fanning out (pyarrow group_by splits null-key groups)."""
+    mixed string+int keys — incl. the internal separator byte, empty
+    strings, NULL keys (SQL semantics: one group), and fractional float
+    keys — for any partitioning/bucket count.  Null keys matter because
+    pyarrow 16.1's MULTI-key group_by splits null-key groups
+    size-dependently (single-key merges them), which bucketed_agg works
+    around with is-null flag columns."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
-    import pytest
     import ray
 
     from bqf_ray.stages.partition import bucketed_agg
@@ -627,26 +629,31 @@ def test_bucketed_agg_matches_pandas_and_rejects_null_keys(ray_session):
     rng = np.random.RandomState(9)
     n = 5_000
     tbl = pa.table({
-        "ka": pa.array(rng.choice(["a", "b", "c", "d\x1fw", ""], n).tolist()),
+        "ka": pa.array(rng.choice(
+            ["a", "b", None, "d\x1fw", ""], n).tolist()),
         "kb": pa.array(rng.randint(-3, 3, n), pa.int64()),
         "v": pa.array(rng.randint(0, 100, n), pa.int64()),
     })
-    want = (tbl.to_pandas().groupby(["ka", "kb"])
+    want = (tbl.to_pandas().groupby(["ka", "kb"], dropna=False)
             .agg(sv=("v", "sum"), mn=("v", "min"), cnt=("v", "count"))
-            .reset_index().sort_values(["ka", "kb"]).reset_index(drop=True))
+            .reset_index().sort_values(["ka", "kb"], na_position="last")
+            .reset_index(drop=True))
     for parts, nb in [(1, 3), (6, 17)]:
         got = (bucketed_agg(ray.data.from_arrow(tbl).repartition(parts),
                             ["ka", "kb"],
                             [("v", "sum", "sv"), ("v", "min", "mn"),
                              ("v", "count", "cnt")], num_buckets=nb)
-               .to_pandas().sort_values(["ka", "kb"])
+               .to_pandas().sort_values(["ka", "kb"], na_position="last")
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got[["ka", "kb", "sv", "mn", "cnt"]],
             want[["ka", "kb", "sv", "mn", "cnt"]], check_dtype=False)
 
-    bad = pa.table({"ka": pa.array(["x", None]),
-                    "v": pa.array([1, 1], pa.int64())})
-    with pytest.raises(Exception, match="null values in key column"):
-        bucketed_agg(ray.data.from_arrow(bad), ["ka"],
-                     [("v", "sum", "sv")]).take_all()
+    # fractional float keys must route without a safe-cast crash
+    ftbl = pa.table({"kf": pa.array([1.5, 1.5, 2.25, None]),
+                     "v": pa.array([1, 2, 3, 4], pa.int64())})
+    got = (bucketed_agg(ray.data.from_arrow(ftbl), ["kf"],
+                        [("v", "sum", "sv")], num_buckets=3)
+           .to_pandas().sort_values("kf", na_position="last")
+           .reset_index(drop=True))
+    assert got["sv"].tolist() == [3, 3, 4]

@@ -74,3 +74,32 @@ def test_grouped_top_terms_matches_reference(ray_session):
             got[["source", "token", "cnt", "rank"]],
             want[["source", "token", "cnt", "rank"]],
             check_dtype=False)
+
+
+def test_grouped_top_terms_separator_and_null_keys(ray_session):
+    """Keys containing the internal separator byte must not corrupt
+    results (review finding: joined-pair splitting truncated such keys),
+    and null-key rows are excluded."""
+    import ray
+    from bqf_ray.pipelines.text_stats import grouped_top_terms
+
+    tbl = pa.table({"source": pa.array(["d\x1fw", "d\x1fw", "d", None]),
+                    "text": pa.array(["x x y", "x", "w w w", "z z"])})
+    got = (grouped_top_terms(ray.data.from_arrow(tbl), key_col="source",
+                             k=2, num_buckets=4).to_pandas()
+           .sort_values(["source", "rank"]).reset_index(drop=True))
+    rows = list(map(tuple, got[["source", "token", "cnt", "rank"]].values))
+    assert rows == [("d", "w", 3, 1),
+                    ("d\x1fw", "x", 3, 1), ("d\x1fw", "y", 1, 2)]
+
+
+def test_grouped_distinct_hll_separator_and_null_keys(ray_session):
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_distinct_hll
+
+    tbl = pa.table({"lang": pa.array(["a\x1fb", "a\x1fb", None]),
+                    "text": pa.array(["x y z", "x q", "dropme"])})
+    out = grouped_distinct_hll(ray.data.from_arrow(tbl), key_col="lang")
+    assert list(out["lang"]) == ["a\x1fb"]
+    assert list(out["n_distinct_exact"]) == [4]
+    assert bool(out["within_bound"][0])

@@ -297,3 +297,19 @@ def test_bpe_encode_oracle_sql(ray_session):
     assert len(got) == len(want)
     assert (got["token"].to_numpy() == want["token"].to_numpy()).all()
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_bpe_encoder_cache_eviction():
+    """Eviction must re-encode the WHOLE batch (review finding: clearing
+    the memo then gathering previously-cached words KeyErrored)."""
+    merges = [("a", "a")]
+    enc = BpeEncoder(merges, max_cache=3)
+    b1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["aa bb cc"])})
+    b2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "text": pa.array(["aa dd ee"])})
+    assert enc(b1).column("tokens").to_pylist() == \
+        [["aa", "b", "b", "c", "c"]]
+    assert enc(b2).column("tokens").to_pylist() == \
+        [["aa", "d", "d", "e", "e"]]
+    assert len(enc.cache) <= 3
