@@ -410,6 +410,17 @@ def w_lang_distinct_hll(sf_dir):
     return grouped_distinct_hll(docs, key_col="lang", p=14)
 
 
+def w_tdigest_by_type(sf_dir):
+    """Per-event-type t-digest median through the native sketch-UDAF
+    aggregate, bound-checked between the exact PERCENTILE_DISC(0.45/
+    0.55) selections (both oracle-recomputed; flag asserted TRUE)."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_tdigest_check
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return grouped_tdigest_check(ev, "event_type", "value")
+
+
 def w_top_terms_per_source(sf_dir):
     """Exact per-site trending terms: top-5 tokens per source by global
     count — pair-bucketed exact sums, per-bucket top-k partials, tiny
@@ -1717,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": w_hll_distinct,
         "lang_distinct_hll": w_lang_distinct_hll,
         "top_terms_per_source": w_top_terms_per_source,
+        "tdigest_by_type": w_tdigest_by_type,
         "tdigest_quantiles": w_quantiles_value,
         "kll_quantiles": w_kll_quantiles_price,
         "grouped_quantiles": w_grouped_quantiles,
@@ -2625,6 +2637,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN q USING (event_type)
             WHERE NOT isnan(e.value)
               AND e.value > q.q75 + 1.5 * (q.q75 - q.q25)""",
+        "tdigest_by_type": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   quantile_disc(value, 0.45) AS q_45,
+                   quantile_disc(value, 0.55) AS q_55,
+                   TRUE AS within_bound
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1""",
         "grouped_disc_quantiles": """
             SELECT event_type, count(value)::BIGINT AS n,
                    quantile_disc(value, 0.25) AS q_25,

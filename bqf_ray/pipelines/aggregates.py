@@ -914,3 +914,34 @@ def grouped_distinct_hll(ds, key_col: str, text_col: str = "text",
         "n_distinct_exact": np.array([exact[k] for k in keys], np.int64),
         "within_bound": [abs(est[k] - exact[k]) / max(exact[k], 1)
                          <= sigmas * rse for k in keys]})
+
+
+def grouped_tdigest_check(ds, key_col: str, value_col: str,
+                          q: float = 0.5, lo: float = 0.45,
+                          hi: float = 0.55):
+    """Per-key t-digest quantile through the NATIVE aggregate surface
+    (:func:`bqf_ray.stages.udaf.sketch_agg`), bound-checked against the
+    EXACT selection quantiles: the estimate must land between the
+    ``lo``/``hi`` PERCENTILE_DISC values (t-digest rank error at the
+    median is ≪ the ±(hi−lo)/2 window).  Returns a key-count-sized
+    pandas frame ``(key, n, q_<lo>, q_<hi>, within_bound)`` — the exact
+    columns are oracle-recomputable, the flag is asserted TRUE."""
+    import pandas as pd
+
+    from bqf_ray.sketches.tdigest import TDigest
+    from bqf_ray.stages.udaf import sketch_agg
+
+    est = {r[key_col]: r["est"] for r in
+           ds.groupby(key_col).aggregate(
+               sketch_agg(lambda: TDigest(), on=value_col,
+                          prepare="value",
+                          finalize=lambda sk: float(sk.quantile(q)),
+                          name="est")).take_all()}
+    exact = (grouped_exact_quantiles(ds, key_col, value_col, (lo, hi))
+             .to_pandas().sort_values(key_col).reset_index(drop=True))
+    lo_name = f"q_{int(round(lo * 100))}"
+    hi_name = f"q_{int(round(hi * 100))}"
+    exact["within_bound"] = [
+        bool(exact[lo_name][i] <= est[exact[key_col][i]]
+             <= exact[hi_name][i]) for i in range(len(exact))]
+    return exact

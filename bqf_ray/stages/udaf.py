@@ -67,9 +67,11 @@ def prepare_hash(col) -> np.ndarray:
 
 
 def prepare_value(col) -> np.ndarray:
-    """Column → float64 values (nulls dropped) for quantile sketches."""
+    """Column → float64 values (nulls AND NaNs dropped — a NaN would
+    poison every quantile-sketch comparison) for quantile sketches."""
     arr = _to_array(col).drop_null()
-    return arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals[~np.isnan(vals)]
 
 
 _PREPARES = {"hash": prepare_hash, "value": prepare_value}
