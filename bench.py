@@ -200,6 +200,7 @@ def _update_baseline_md(r: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.md")
     marker = "<!-- measured-scaling -->"
+    end_marker = "<!-- /measured-scaling -->"
     section = (f"\n{marker}\n## Measured scaling (bench.py --scaling)\n\n"
                f"| pages | cpus low | sec low | docs/s low | cpus high | "
                f"sec high | docs/s high | efficiency |\n|---|---|---|---|---|---|---|---|\n"
@@ -213,13 +214,22 @@ def _update_baseline_md(r: dict) -> None:
                f"this single box reflects streaming-executor slot-reservation "
                f"bubbles at 8 CPUs (5 pipeline stages share 8 slots; no object "
                f"spilling observed), not a free lunch — a real N→4N cluster "
-               f"keeps full per-node slot counts.\n")
+               f"keeps full per-node slot counts.\n" + end_marker + "\n")
     try:
         with open(path) as f:
             content = f.read()
         if marker in content:
-            content = content[:content.index(marker)].rstrip("\n") + "\n"
-        content += section
+            # replace ONLY the marked block — truncating to end of file
+            # once deleted hand-written sections appended after it
+            start = content.index(marker)
+            if end_marker in content:
+                stop = content.index(end_marker) + len(end_marker)
+            else:
+                stop = len(content)
+            content = (content[:start].rstrip("\n") + "\n" + section.lstrip("\n")
+                       + content[stop:])
+        else:
+            content += section
         with open(path, "w") as f:
             f.write(content)
     except OSError:
