@@ -167,5 +167,26 @@ if FOLLOWON:
     run(f"dedup_within {N_DOCS//1000}k", lambda: dedup_lines_within(
         docs, sep=" ").count(), N_DOCS)
 
+# ---- late-r2 closing-batch ops (STRESS_CLOSING=1) -----------------------
+if os.environ.get("STRESS_CLOSING"):
+    from bqf_ray.pipelines.dedup import containment_pairs  # noqa: E402
+    from bqf_ray.pipelines.text_stats import grouped_top_terms  # noqa: E402
+    from bqf_ray.pipelines.vocab import bpe_encode_token_counts, bpe_train  # noqa: E402
+
+    def add_host(batch):
+        i = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.append_column(
+            "source", pa.array([f"host{v % 200}" for v in i], pa.string()))
+
+    hosted = docs.map_batches(add_host, batch_format="pyarrow")
+    run(f"containment {N_DOCS//1000}k", lambda: containment_pairs(
+        docs, threshold=0.5, s=3, df_cap=50).count(), N_DOCS)
+    run(f"top_terms {N_DOCS//1000}k", lambda: grouped_top_terms(
+        hosted, key_col="source", k=10).count(), N_DOCS)
+    merges = [(l, r) for l, r, _ in bpe_train(docs, num_merges=32,
+                                              min_pair_count=1)]
+    run(f"bpe_encode {N_DOCS//1000}k", lambda: bpe_encode_token_counts(
+        docs, merges).count(), N_DOCS)
+
 canary()
 ray.shutdown()
