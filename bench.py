@@ -220,14 +220,16 @@ def _update_baseline_md(r: dict) -> None:
             content = f.read()
         if marker in content:
             # replace ONLY the marked block — truncating to end of file
-            # once deleted hand-written sections appended after it
+            # once deleted hand-written sections appended after it.  The
+            # end marker is searched from AFTER the start marker so a
+            # stale earlier end marker can't invert the splice.
             start = content.index(marker)
-            if end_marker in content:
-                stop = content.index(end_marker) + len(end_marker)
-            else:
-                stop = len(content)
-            content = (content[:start].rstrip("\n") + "\n" + section.lstrip("\n")
-                       + content[stop:])
+            stop = content.find(end_marker, start)
+            stop = len(content) if stop < 0 else stop + len(end_marker)
+            tail = content[stop:].lstrip("\n")
+            content = (content[:start].rstrip("\n") + "\n"
+                       + section.lstrip("\n")
+                       + ("\n" + tail if tail else ""))
         else:
             content += section
         with open(path, "w") as f:

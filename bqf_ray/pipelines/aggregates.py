@@ -926,11 +926,10 @@ def grouped_tdigest_check(ds, key_col: str, value_col: str,
     median is ≪ the ±(hi−lo)/2 window).  Returns a key-count-sized
     pandas frame ``(key, n, q_<lo>, q_<hi>, within_bound)`` — the exact
     columns are oracle-recomputable, the flag is asserted TRUE."""
-    import pandas as pd
-
     from bqf_ray.sketches.tdigest import TDigest
     from bqf_ray.stages.udaf import sketch_agg
 
+    ds = ds.materialize()     # two consumers (est + exact): one input pass
     est = {r[key_col]: r["est"] for r in
            ds.groupby(key_col).aggregate(
                sketch_agg(lambda: TDigest(), on=value_col,

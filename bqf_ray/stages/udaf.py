@@ -111,6 +111,20 @@ def sketch_agg(factory, on: str, *, prepare="hash", weight_col: str | None = Non
     # column fallback).  Serde is numpy-buffer copies — cheap next to
     # the per-block update work.
 
+    if weight_col is not None and prep not in (prepare_hash, prepare_value):
+        raise ValueError("weight_col requires prepare='hash' or 'value' "
+                         "(weights must drop exactly the rows the key "
+                         "preparation drops)")
+
+    def _keep_mask(col) -> pa.Array:
+        """Rows the preparation keeps — weights must filter identically."""
+        import pyarrow.compute as pc
+        keep = col.is_valid()
+        if prep is prepare_value and pa.types.is_floating(col.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(
+                col.fill_null(0.0))))    # NaN rows: prepare_value drops them
+        return keep
+
     def accumulate_block(acc: bytes, block):
         if not isinstance(block, pa.Table):          # pandas fallback
             block = pa.Table.from_pandas(block)
@@ -119,11 +133,11 @@ def sketch_agg(factory, on: str, *, prepare="hash", weight_col: str | None = Non
         if weight_col is None:
             sk.update_batch(prep(col))
         else:
-            valid = col.is_valid()
+            keep = _keep_mask(col)
             w = np.asarray(
-                _to_array(block.column(weight_col)).filter(valid),
+                _to_array(block.column(weight_col)).filter(keep),
                 dtype=np.int64)
-            sk.update_batch(prep(col), w)   # prep drops the same null rows
+            sk.update_batch(prep(col.filter(keep)), w)
         return sk.to_bytes()
 
     return AggregateFn(

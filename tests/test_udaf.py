@@ -122,3 +122,24 @@ def test_null_keys_dropped(ray_session):
                           finalize="estimate", name="est")).take_all()}
     assert out["a"] == pytest.approx(1.0, rel=0.01)
     assert out["b"] == pytest.approx(1.0, rel=0.01)
+
+
+def test_weighted_values_with_nans_stay_aligned(ray_session):
+    """Review finding: a NaN in the value column desynchronized values
+    from weights (prepare_value drops NaNs, the weight filter didn't)."""
+    import ray
+    from bqf_ray.sketches.tdigest import TDigest
+
+    tbl = pa.table({"v": pa.array([1.0, float("nan"), 2.0, None, 3.0]),
+                    "w": pa.array([2, 9, 3, 9, 1], pa.int64())})
+    row = ray.data.from_arrow(tbl).aggregate(
+        sketch_agg(lambda: TDigest(), on="v", prepare="value",
+                   weight_col="w",
+                   finalize=lambda sk: float(sk.quantile(0.5)),
+                   name="p50"))
+    # weighted stream = [1,1,2,2,2,3]; median (t-digest, tiny n) ≈ 2
+    assert abs(row["p50"] - 2.0) < 0.75
+
+    with pytest.raises(ValueError, match="weight_col requires"):
+        sketch_agg(lambda: TDigest(), on="v", prepare=lambda c: c,
+                   weight_col="w")

@@ -53,10 +53,12 @@ if not os.path.exists(os.path.join(ev_cache, "_DONE")):
     open(os.path.join(ev_cache, "_DONE"), "w").write(str(N_EVENTS))
 
 FOLLOWON = bool(os.environ.get("STRESS_FOLLOWON"))
+CLOSING = bool(os.environ.get("STRESS_CLOSING"))
+DEFAULTS = not FOLLOWON and not CLOSING
 ev = ray.data.read_parquet(ev_cache)
 from bqf_ray.pipelines.ranking import exact_ntile_stats, value_histogram  # noqa: E402
 
-if not FOLLOWON:
+if DEFAULTS:
     run("histogram 10M", lambda: value_histogram(
             ev, "value", 0.0, 1000.0, 50).count(), N_EVENTS)
     run("ntile(100) 10M", lambda: exact_ntile_stats(
@@ -80,7 +82,7 @@ if not os.path.exists(os.path.join(names_cache, "_DONE")):
 names = ray.data.read_parquet(names_cache)
 from bqf_ray.pipelines.fuzzy import edit1_pairs  # noqa: E402
 
-if not FOLLOWON:
+if DEFAULTS:
     run("edit1_pairs 1M names", lambda: edit1_pairs(
         names, "name").count(), N_NAMES)
 
@@ -104,7 +106,7 @@ if not os.path.exists(os.path.join(cache, "_DONE")):
 docs = ray.data.read_parquet(cache, columns=["doc_id", "text"])
 from bqf_ray.pipelines.text_stats import collocations, postings  # noqa: E402
 
-if not FOLLOWON:
+if DEFAULTS:
     run(f"postings {N_DOCS//1000}k docs", lambda: postings(
         docs, "text", "doc_id").count(), N_DOCS)
     run(f"collocations {N_DOCS//1000}k", lambda: collocations(
@@ -137,7 +139,7 @@ if not os.path.exists(os.path.join(emb_cache, "_DONE")):
 emb = ray.data.read_parquet(emb_cache)
 from bqf_ray.pipelines.clustering import kmeans_cluster_stats  # noqa: E402
 
-if not FOLLOWON:
+if DEFAULTS:
     run("kmeans 500k x64 i4", lambda: kmeans_cluster_stats(
         emb, k=16, iters=4).count(), N_VECS)
 
@@ -168,7 +170,7 @@ if FOLLOWON:
         docs, sep=" ").count(), N_DOCS)
 
 # ---- late-r2 closing-batch ops (STRESS_CLOSING=1) -----------------------
-if os.environ.get("STRESS_CLOSING"):
+if CLOSING:
     from bqf_ray.pipelines.dedup import containment_pairs  # noqa: E402
     from bqf_ray.pipelines.text_stats import grouped_top_terms  # noqa: E402
     from bqf_ray.pipelines.vocab import bpe_encode_token_counts, bpe_train  # noqa: E402
