@@ -4,10 +4,12 @@
 Default: run the headline sketch-build pipeline (pages → tokenize+hash →
 partitioned BQF build, the north-star docs/sec metric) plus every
 oracle-checked query over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-then print ONE JSON line:
+print the per-query timing map as its own JSON line, then ONE compact
+final JSON line (kept short so the driver's bounded tail capture always
+contains it whole):
 
-    {"metric": ..., "value": <headline sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+    {"metric": ..., "value": <headline sec>, "unit": "sec", "sf": ...,
+     "num_cpus": N, "docs_per_sec": ..., "queries_n": ..., ...}
 
 ``--scaling``: run the headline pipeline in fresh processes at
 num_cpus=8 and num_cpus=32 on identical input and report both
@@ -142,18 +144,25 @@ def main_bench() -> dict:
          text_col="text", s=1, q=10, num_partitions=4, batch_size=1024)
     build_sec, space = headline_build(pages_path, n_rows)
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
+    # Per-query timings go on their OWN earlier line: the driver captures a
+    # bounded tail of stdout and parses the LAST line — r2's ~90-entry map
+    # inlined in the final line overflowed that capture and the headline was
+    # lost ("parsed": null).  The final line stays compact (<300 chars).
     result = {
         "metric": "pages_bqf_sketch_build",
         "value": round(build_sec, 3),
         "unit": "sec",
-        "queries": queries,
         "sf": _sf_token(SF_DIR),
         "num_cpus": NUM_CPUS,
         "bench_pages": n_rows,
         "docs_per_sec": round(n_rows / build_sec, 1),
         "cold_touch_mb_s": _cold_touch_canary(),
+        "queries_n": len(queries),
+        "queries_total_sec": round(sum(queries.values()), 3),
         **space,
     }
+    if queries:
+        print(json.dumps({"per_query_sec": queries}))
     ray.shutdown()
     return result
 
@@ -225,7 +234,15 @@ def _update_baseline_md(r: dict) -> None:
             # stale earlier end marker can't invert the splice.
             start = content.index(marker)
             stop = content.find(end_marker, start)
-            stop = len(content) if stop < 0 else stop + len(end_marker)
+            if stop >= 0:
+                stop = stop + len(end_marker)
+            else:
+                # stale file written by pre-end-marker code: bound the
+                # replaced region at the next '## ' heading after the old
+                # section's own heading instead of truncating to EOF
+                head = content.find("\n## ", start + len(marker))
+                nxt = content.find("\n## ", head + 1) if head >= 0 else -1
+                stop = nxt if nxt >= 0 else len(content)
             tail = content[stop:].lstrip("\n")
             content = (content[:start].rstrip("\n") + "\n"
                        + section.lstrip("\n")

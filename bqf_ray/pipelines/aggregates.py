@@ -661,6 +661,90 @@ def global_top_n(ds, sort_cols: list[str], n: int,
             .map_batches(topn, batch_format="pyarrow", batch_size=None))
 
 
+def grouped_top_n(ds, key_col: str, sort_cols: list[str], n: int,
+                  descending: bool | list[bool] = True,
+                  rank_col: str | None = "rk", num_buckets: int = 32):
+    """Per-key ``ORDER BY ... LIMIT n`` (the rank-within-group window
+    shape) WITHOUT materializing any whole group: every block keeps its
+    local per-key top-n (any row in a key's global top-n is also top-n
+    within its own block — the lossless subset-top-k argument of
+    :func:`global_top_n`), then ONE key-hash-bucketed exchange carrying
+    ≤ n rows per (block, key) feeds an exact per-bucket selection.  A
+    ``groupby(key).map_groups(head)`` by contrast holds each whole
+    group as one task's DataFrame — a hot key (20% of a corpus in one
+    language) OOMs that worker at scale.
+
+    Ties must be broken by a unique column in ``sort_cols`` (same SQL
+    determinism requirement as the oracle).  Rows with a NULL key or a
+    NULL/NaN sort value are excluded.  Appends ``rank_col`` = 1..n per
+    key unless None.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import _col_hash64
+
+    desc = ([descending] * len(sort_cols) if isinstance(descending, bool)
+            else list(descending))
+    assert len(desc) == len(sort_cols)
+    B = int(num_buckets)
+    nn = int(n)
+
+    def _codes(tbl: pa.Table, c: str) -> np.ndarray:
+        arr = tbl.column(c)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # dense tie-preserving codes: comparable for any dtype and
+        # safely negatable for descending (see global_top_n)
+        return np.unique(np.asarray(arr),
+                         return_inverse=True)[1].astype(np.int64)
+
+    def _drop_invalid(tbl: pa.Table) -> pa.Table:
+        keep = pc.is_valid(tbl.column(key_col))
+        for c in sort_cols:
+            col = tbl.column(c)
+            v = pc.is_valid(col)
+            if pa.types.is_floating(col.type):
+                v = pc.and_(v, pc.invert(pc.is_nan(pc.fill_null(col, 0.0))))
+            keep = pc.and_(keep, v)
+        return tbl.filter(keep)
+
+    def _topn(tbl: pa.Table, rank: bool) -> pa.Table:
+        if tbl.num_rows == 0:
+            if rank and rank_col:
+                return tbl.append_column(rank_col,
+                                         pa.array([], pa.int64()))
+            return tbl
+        kc = _codes(tbl, key_col)
+        keys = []
+        for c, d in zip(sort_cols, desc):
+            code = _codes(tbl, c)
+            keys.append(-code if d else code)
+        order = np.lexsort(tuple(reversed([kc] + keys)))
+        kk = kc[order]
+        idx = np.arange(len(kk), dtype=np.int64)
+        new = np.concatenate([[True], kk[1:] != kk[:-1]])
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        pos = idx - run_start
+        keep = pos < nn
+        out = tbl.take(pa.array(order[keep], pa.int64()))
+        if rank and rank_col:
+            out = out.append_column(rank_col, pa.array(pos[keep] + 1))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = _topn(_drop_invalid(batch), rank=False)
+        kb = (_col_hash64(out.column(key_col))
+              % np.uint64(B)).astype(np.int64)
+        return out.append_column("__kb", pa.array(kb))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topn(group.drop_columns(["__kb"]), rank=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(final, batch_format="pyarrow"))
+
+
 def grouped_exact_quantiles(ds, key_col: str, value_col: str,
                             qs: tuple = (0.25, 0.5, 0.75),
                             num_buckets: int = 32):
@@ -741,13 +825,15 @@ def iqr_outliers(ds, key_col: str, value_col: str, id_col: str,
     """Per-group IQR outlier detection (Tukey fence): rows with
     ``value > q75 + factor·(q75 − q25)`` of their group.  Composes
     :func:`grouped_exact_quantiles` (selection-exact, one exchange) with
-    a broadcast filter pass — the quantile table is group-count-sized,
-    so it ships once via closure; thresholds are the same float
+    a broadcast filter pass — the quantile table ships ONCE via
+    ``ray.put`` and each filter actor binds it in ``__init__`` (a
+    closure capture would serialize the table into every task spec,
+    unbounded at many-group scale); thresholds are the same float
     expression in the SQL oracle, hence bit-exact.
 
     Output ``(id_col, key_col, value_col, threshold)``.
     """
-    import pyarrow.compute as pc
+    import ray
 
     q = grouped_exact_quantiles(ds, key_col, value_col, (0.25, 0.75),
                                 num_buckets=num_buckets).to_pandas()
@@ -756,26 +842,32 @@ def iqr_outliers(ds, key_col: str, value_col: str, id_col: str,
     keys_sorted = keys[order]
     q25 = q["q_25"].to_numpy()[order]
     q75 = q["q_75"].to_numpy()[order]
-    thresh = q75 + factor * (q75 - q25)
+    ref = ray.put((keys_sorted, q75 + factor * (q75 - q25)))
 
-    def flag(batch: pa.Table) -> pa.Table:
-        col = batch.column(value_col)
-        mask = pc.is_valid(col)
-        if pa.types.is_floating(col.type):
-            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
-        batch = batch.filter(mask)
-        k = np.asarray(batch.column(key_col))
-        v = np.asarray(batch.column(value_col), dtype=np.float64)
-        pos = np.searchsorted(keys_sorted, k)
-        pos = np.minimum(pos, max(len(keys_sorted) - 1, 0))
-        known = (len(keys_sorted) > 0) & (keys_sorted[pos] == k)
-        t = np.where(known, thresh[pos], np.inf)
-        keep = v > t
-        out = batch.filter(pa.array(keep))
-        return out.append_column("threshold", pa.array(t[keep]))
+    class Flag:
+        def __init__(self):
+            self.keys_sorted, self.thresh = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            col = batch.column(value_col)
+            mask = pc.is_valid(col)
+            if pa.types.is_floating(col.type):
+                mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+            batch = batch.filter(mask)
+            k = np.asarray(batch.column(key_col))
+            v = np.asarray(batch.column(value_col), dtype=np.float64)
+            ks = self.keys_sorted
+            pos = np.searchsorted(ks, k)
+            pos = np.minimum(pos, max(len(ks) - 1, 0))
+            known = (len(ks) > 0) & (ks[pos] == k)
+            t = np.where(known, self.thresh[pos], np.inf)
+            keep = v > t
+            out = batch.filter(pa.array(keep))
+            return out.append_column("threshold", pa.array(t[keep]))
 
     return ds.select_columns([id_col, key_col, value_col]) \
-        .map_batches(flag, batch_format="pyarrow")
+        .map_batches(Flag, batch_format="pyarrow", concurrency=2)
 
 
 def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,

@@ -1169,11 +1169,37 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
 # ---------------------------------------------------------------------------
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
-                        id_col: str = "vec_id"):
-    """Exact cosine-similarity near-dup pairs: broadcast the normalized
-    corpus matrix once (ray.put), each batch matmuls against it.
-    O(n²/P) compute, zero shuffle.  Output (id_a, id_b, cosine), a < b."""
+                        id_col: str = "vec_id", mode: str = "auto",
+                        broadcast_budget_bytes: int = 1 << 30):
+    """Cosine-similarity near-dup pairs.  Two plans, auto-routed like
+    :func:`verify_pairs`:
+
+    - ``exact`` — broadcast the normalized corpus matrix once
+      (``ray.put``), each batch matmuls against it.  O(n²/P) compute,
+      zero shuffle, exact recall.  The oracle path; quadratic, so it
+      must never leave small scale.
+    - ``blocked`` — :func:`embedding_dup_pairs_blocked`: L
+      hyperplane-LSH tables + in-bucket exact verify.  Exact precision,
+      probabilistic recall (documented there) — the 100-TB path.
+
+    ``mode="auto"`` (default) materializes the (id, vec) projection and
+    picks ``exact`` only while it fits ``broadcast_budget_bytes``
+    (default 1 GiB — past that, the broadcast replica per actor AND the
+    O(n²) scan are both losing propositions).  NOTE: past the budget
+    auto trades exact recall for LSH recall; callers that require
+    exhaustive pairs must pass ``mode="exact"`` explicitly.
+    Output (id_a, id_b, cosine), a < b."""
     import ray
+
+    proj = ds.select_columns([id_col, vec_col])
+    if mode == "auto":
+        proj = proj.materialize()
+        size = proj.size_bytes() or 0
+        mode = ("exact" if size <= broadcast_budget_bytes else "blocked")
+    if mode == "blocked":
+        return embedding_dup_pairs_blocked(proj, threshold=threshold,
+                                           vec_col=vec_col, id_col=id_col)
+    ds = proj
 
     full = ds.select_columns([id_col, vec_col]).to_pandas()
     ids = full[id_col].to_numpy()
@@ -1674,8 +1700,10 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
                           "__pb": pa.array([], pa.int64())})
         sh = np.asarray(group.column("shingle"), dtype=np.int64)
         did = np.asarray(group.column("doc_id"), dtype=np.int64)
-        # recompute df-capped per-doc sizes ONLY if capping is on;
-        # otherwise set_size from the explode is the true |A|
+        # set_size always rides from the explode as the FULL uncapped |A|
+        # (even when df_cap drops high-df shingles): capped containment
+        # divides by the true set size, so it is a conservative LOWER
+        # bound by design — do not "fix" this to a capped recompute
         size = np.asarray(group.column("set_size"), dtype=np.int64)
         order = np.lexsort((did, sh))
         sh_s, did_s, size_s = sh[order], did[order], size[order]

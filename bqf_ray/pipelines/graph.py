@@ -331,7 +331,7 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     deg = nd["deg"].to_numpy()[order].astype(np.int64)
     n = len(nodes)
     if n == 0:
-        return nodes, np.empty(0, dtype=object), 1 << 40
+        return nodes, np.empty(0, dtype=np.int64), 1 << 40
     w_max = max(int(nd["wmax"].max()), 1)
     UNIT = min(1 << 40, (1 << 62) // (n * d_num * w_max))
     if UNIT < (1 << 20):
@@ -340,10 +340,13 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
             "< 2^20 integer precision per node — shard the rank vector "
             "instead of the broadcast plan")
 
-    ranks = np.full(n, UNIT, dtype=object)      # python ints: no overflow
+    # int64 is exact end-to-end: UNIT is scaled so n·UNIT·d_num·w_max
+    # ≤ 2^62, hence every per-edge product, per-node sum, and the total
+    # mass n·UNIT stay < 2^63 — object-dtype/python-int arithmetic buys
+    # nothing and costs O(n) Python per iteration (r2 verdict #4).
+    ranks = np.full(n, UNIT, dtype=np.int64)
     for _ in range(int(iters)):
-        r_arr = np.array([int(x) for x in ranks], dtype=np.int64)
-        ref = ray.put((nodes, r_arr, deg))
+        ref = ray.put((nodes, ranks, deg))
 
         def contrib(batch: pa.Table) -> pa.Table:
             nn, rr, dd = ray.get(ref)
@@ -361,17 +364,16 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
         got = (edges.map_batches(contrib, batch_format="pyarrow")
                .groupby("node").aggregate(Sum("partial", alias_name="r"))
                .to_pandas())
-        new = np.zeros(n, dtype=object)
+        new = np.zeros(n, dtype=np.int64)
         gi = np.searchsorted(nodes, got["node"].to_numpy())
-        for pos, val in zip(gi, got["r"].to_numpy()):
-            new[pos] = int(val)
+        new[gi] = got["r"].to_numpy().astype(np.int64)
         # conserve mass exactly: respread everything not delivered
-        # (teleport + dangling + floor-div residue) uniformly
-        delivered = sum(int(x) for x in new)
-        leftover = n * UNIT - delivered
-        base, rem = divmod(leftover, n)
-        for pos in range(n):
-            new[pos] = int(new[pos]) + base + (1 if pos < rem else 0)
+        # (teleport + dangling + floor-div residue) uniformly —
+        # vectorized divmod respread, bit-identical to per-node divmod
+        delivered = int(new.sum())          # ≤ n·UNIT < 2^63: exact
+        base, rem = divmod(n * UNIT - delivered, n)
+        new += np.int64(base)
+        new[:rem] += 1                      # pos < rem gets the +1
         ranks = new
 
     return nodes, ranks, UNIT

@@ -33,26 +33,32 @@ def broadcast_join(ds, small_df, key: str, how: str = "inner",
 
     class Lookup:
         def __init__(self):
-            self.small = ray.get(ref)
-            self.keys = self.small[key].to_numpy()
+            small = ray.get(ref)
+            self.keys = small[key].to_numpy()
+            # right side held as Arrow once per actor; per-batch work is
+            # a searchsorted + one Table.take (null index → null row for
+            # left-join misses) — no pandas round trip per batch
+            self.right = pa.Table.from_pandas(small.drop(columns=[key]),
+                                              preserve_index=False)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-            left = batch.to_pandas()
-            lk = left[key].to_numpy()
+            col = batch.column(key)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lk = col.to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.keys, lk)
             hit = pos < len(self.keys)
             posc = np.minimum(pos, max(len(self.keys) - 1, 0))
             hit &= self.keys[posc] == lk
             if how == "inner":
-                left = left[hit].reset_index(drop=True)
-                posc = posc[hit]
-            right = self.small.iloc[posc].reset_index(drop=True) \
-                .drop(columns=[key])
-            if how == "left":
-                right[~hit] = None
-            return pa.Table.from_pandas(pd.concat([left, right], axis=1),
-                                        preserve_index=False)
+                batch = batch.filter(pa.array(hit))
+                idx = pa.array(posc[hit].astype(np.int64))
+            else:
+                idx = pa.array(posc.astype(np.int64), mask=~hit)
+            right = self.right.take(idx)
+            for name in right.column_names:
+                batch = batch.append_column(name, right.column(name))
+            return batch
 
     return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=8192,
                           concurrency=concurrency, num_cpus=0.5)
@@ -379,8 +385,6 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
     ``inner`` / ``left`` / ``full`` — outer variants are bucket-local and
     therefore exact: a key's rows from BOTH sides land in the same
     bucket, so unmatched rows are detected without any global pass."""
-    import pandas as pd
-
     if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported how={how!r}")
     B = int(num_buckets)
@@ -440,32 +444,30 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
         fields[c + suffix] = rtypes[c]
     out_names = sorted(fields)
 
-    def _nullable_ints(df: pd.DataFrame) -> pd.DataFrame:
-        # unmatched outer rows would promote ints to float64 and corrupt
-        # values above 2^53 (this repo's hash-derived int64 keys live
-        # there); pandas nullable ints keep exact values through merge
-        for c in df.columns:
-            t = fields.get(c)
-            if t is not None and pa.types.is_integer(t):
-                df = df.assign(**{c: df[c].astype(
-                    str(t).replace("uint", "UInt").replace("int", "Int"))})
-        return df
+    # Arrow-native in-bucket join (Acero hash join): no pandas round
+    # trip, no object boxing, and integer columns keep their exact type
+    # through outer joins natively (nulls for unmatched) — the pandas
+    # merge this replaces needed a nullable-Int workaround to stop
+    # unmatched rows promoting int64 hash keys to lossy float64.
+    jt = {"inner": "inner", "left": "left outer",
+          "full": "full outer"}[how]
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lt = group.loc[group["__side"] == 0, left_cols]
-        rt = group.loc[group["__side"] == 1, right_cols_final]
-        if how == "inner" and (len(lt) == 0 or len(rt) == 0):
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        lt = group.filter(pa.array(side == 0)).select(left_cols)
+        rt = group.filter(pa.array(side == 1)).select(right_cols_final)
+        if how == "inner" and (lt.num_rows == 0 or rt.num_rows == 0):
             return pa.table({n: pa.array([], fields[n])
                              for n in out_names})
-        if how != "inner":
-            lt, rt = _nullable_ints(lt), _nullable_ints(rt)
-        out = lt.merge(rt, on=key, how={"full": "outer"}.get(how, how))
-        return pa.table({n: pa.Array.from_pandas(out[n], type=fields[n])
+        out = lt.join(rt, keys=key, join_type=jt)
+        # stable declared schema across buckets (union blocks can carry
+        # widened/null types for a side absent from a bucket)
+        return pa.table({n: out.column(n).cast(fields[n])
                          for n in out_names})
 
     return (left_tagged.union(right_tagged)
             .groupby("__bucket")
-            .map_groups(join_bucket, batch_format="pandas"))
+            .map_groups(join_bucket, batch_format="pyarrow"))
 
 
 def time_band_join(left_ds, right_ds, on: str, by: str, band_us: int,

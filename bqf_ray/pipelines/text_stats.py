@@ -587,9 +587,8 @@ def collocations(ds, min_count: int = 5, top: int = 50,
 def _attach_counts_bucketed(bigrams, uni, lift_cols, num_buckets: int):
     """Large-vocab path for :func:`collocations`: two token-hash-bucketed
     exchanges; in-bucket attach joins on token VALUES (hash is only the
-    routing key, so collisions cannot mis-attach)."""
-    import pandas as pd
-
+    routing key, so collisions cannot mis-attach).  The in-bucket join
+    is Arrow-native (Acero) — no pandas object boxing in the hot path."""
     from bqf_ray.functions.hashing import xxhash64_array
 
     B = int(num_buckets)
@@ -605,13 +604,13 @@ def _attach_counts_bucketed(bigrams, uni, lift_cols, num_buckets: int):
 
     def attach(which_col, out_name):
         def fn(group: pa.Table) -> pa.Table:
-            df = group.to_pandas()
-            left = df[df["__side"] == 0].drop(columns=["__bucket", "__side",
-                                                       "token", "cnt"])
-            right = df[df["__side"] == 1][["token", "cnt"]].rename(
-                columns={"token": which_col, "cnt": out_name})
-            merged = left.merge(right, on=which_col, how="inner")
-            return pa.Table.from_pandas(merged, preserve_index=False)
+            side = np.asarray(group.column("__side"))
+            left = (group.filter(pa.array(side == 0))
+                    .drop_columns(["__bucket", "__side", "token", "cnt"]))
+            right = (group.filter(pa.array(side == 1))
+                    .select(["token", "cnt"])
+                    .rename_columns([which_col, out_name]))
+            return left.join(right, keys=which_col, join_type="inner")
         return fn
 
     bg = bigrams.map_batches(
@@ -685,7 +684,10 @@ def _keyed_token_partials(batch: pa.Table, key_col: str, text_col: str,
     t_uniq, t_inv = np.unique(tnp, return_inverse=True)
     knp = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object)
     vidx = np.flatnonzero(valid)
-    k_uniq, k_inv = np.unique(knp[vidx].astype("U"), return_inverse=True)
+    # np.unique directly on the object-dtype array: astype("U") would use
+    # numpy fixed-width unicode, which strips trailing \x00 and merged /
+    # truncated keys differing only in trailing NULs
+    k_uniq, k_inv = np.unique(knp[vidx], return_inverse=True)
     code_by_doc = np.full(batch.num_rows, -1, dtype=np.int64)
     code_by_doc[vidx] = k_inv
     pair = code_by_doc[rep] * np.int64(len(t_uniq)) + t_inv

@@ -179,9 +179,15 @@ def _col_hash64(col) -> np.ndarray:
         h = xxhash64_array(col.fill_null(""))
     elif _pa.types.is_floating(t):
         # hash the raw 64-bit pattern — a safe int cast would raise on
-        # fractional values
+        # fractional values.  NaNs are canonicalized first: Arrow's
+        # in-bucket grouper treats every NaN payload as ONE group, so
+        # differing NaN bit patterns must not route to different buckets
+        # (0.0 vs -0.0 stay distinct in Arrow group_by, so their distinct
+        # bit patterns are correct as-is).
         vals = col.cast(_pa.float64()).fill_null(0.0).to_numpy(
             zero_copy_only=False)
+        if np.isnan(vals).any():
+            vals = np.where(np.isnan(vals), np.float64("nan"), vals)
         h = fmix64(vals.view(np.uint64))
     else:
         vals = col.cast(_pa.int64()).fill_null(-1).to_numpy(

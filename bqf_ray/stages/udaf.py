@@ -116,10 +116,13 @@ def sketch_agg(factory, on: str, *, prepare="hash", weight_col: str | None = Non
                          "(weights must drop exactly the rows the key "
                          "preparation drops)")
 
-    def _keep_mask(col) -> pa.Array:
-        """Rows the preparation keeps — weights must filter identically."""
+    def _keep_mask(col, wcol) -> pa.Array:
+        """Rows the preparation keeps — weights must filter identically.
+        A null WEIGHT also drops the row (SQL sum-of-weights semantics):
+        letting it through would cast NaN→INT64_MIN in the numpy
+        conversion and silently corrupt the sketch state."""
         import pyarrow.compute as pc
-        keep = col.is_valid()
+        keep = pc.and_(col.is_valid(), wcol.is_valid())
         if prep is prepare_value and pa.types.is_floating(col.type):
             keep = pc.and_(keep, pc.invert(pc.is_nan(
                 col.fill_null(0.0))))    # NaN rows: prepare_value drops them
@@ -133,10 +136,9 @@ def sketch_agg(factory, on: str, *, prepare="hash", weight_col: str | None = Non
         if weight_col is None:
             sk.update_batch(prep(col))
         else:
-            keep = _keep_mask(col)
-            w = np.asarray(
-                _to_array(block.column(weight_col)).filter(keep),
-                dtype=np.int64)
+            wcol = _to_array(block.column(weight_col))
+            keep = _keep_mask(col, wcol)
+            w = np.asarray(wcol.filter(keep), dtype=np.int64)
             sk.update_batch(prep(col.filter(keep)), w)
         return sk.to_bytes()
 

@@ -511,3 +511,41 @@ def test_dedup_lines_group_scoped(ray_session, mode):
     assert by[0] == ("keep a", 1) and by[1] == ("keep b", 1)
     assert by[2] == ("", 1)
     assert by[3] == ("tpl\nkeep c", 0) and by[4] == ("tpl", 0)
+
+
+def test_embedding_dup_pairs_auto_routes_past_budget(ray_session):
+    """mode='auto' picks the exact broadcast plan under the budget and
+    the LSH-blocked plan past it (verify_pairs-style size gate); both
+    emit only true pairs."""
+    import ray
+    import pyarrow as pa
+    from bqf_ray.pipelines.dedup import embedding_dup_pairs
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(40, 32))
+    rows, ids = [], []
+    vid = 0
+    for i in range(40):
+        for _ in range(3):
+            v = base[i] + rng.normal(scale=0.05, size=32)
+            rows.append(v / np.linalg.norm(v))
+            ids.append(vid)
+            vid += 1
+    tbl = pa.table({
+        "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = embedding_dup_pairs(ds, threshold=0.9,
+                                mode="exact").to_pandas()
+    auto_small = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    ex = set(zip(exact["id_a"], exact["id_b"]))
+    assert set(zip(auto_small["id_a"], auto_small["id_b"])) == ex
+
+    # a 1-byte budget forces the blocked plan: subset of exact pairs
+    # (exact in-bucket precision), near-total LSH recall at t=0.9
+    routed = embedding_dup_pairs(ds, threshold=0.9,
+                                 broadcast_budget_bytes=1).to_pandas()
+    rt = set(zip(routed["id_a"], routed["id_b"]))
+    assert rt <= ex
+    assert len(rt & ex) / len(ex) >= 0.9

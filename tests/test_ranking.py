@@ -220,3 +220,36 @@ def test_grouped_correlation(ray_session):
     assert got.loc["pos", "corr"] > 0.99
     assert got.loc["neg", "corr"] < -0.99
     assert abs(got.loc["none", "corr"]) < 0.1
+
+
+def test_grouped_top_n_matches_pandas(ray_session):
+    """grouped_top_n == pandas groupby-head reference under skew (one
+    hot key = 60% of rows), ties (few distinct values), nulls in key
+    and sort columns, and many partitions — and never holds a whole
+    group in one task."""
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_top_n
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = rng.choice(["hot"] * 6 + ["b", "c", "d", "e"], n).astype(object)
+    keys[rng.choice(n, 50, replace=False)] = None
+    vals = rng.integers(0, 40, n).astype("float64")      # heavy ties
+    vals[rng.choice(n, 30, replace=False)] = np.nan
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals),
+                  "id": pa.array(ids)})
+    got = (grouped_top_n(ray.data.from_arrow(t).repartition(16),
+                         "k", ["v", "id"], 5,
+                         descending=[True, False], rank_col="rk")
+           .to_pandas().sort_values(["k", "rk"]).reset_index(drop=True))
+
+    df = pd.DataFrame({"k": keys, "v": vals, "id": ids})
+    df = df[df["k"].notna() & df["v"].notna()]
+    ref = (df.sort_values(["v", "id"], ascending=[False, True])
+           .groupby("k").head(5))
+    ref["rk"] = ref.groupby("k").cumcount() + 1
+    ref = ref.sort_values(["k", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "id", "rk"]], ref[["k", "v", "id", "rk"]])

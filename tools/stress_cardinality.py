@@ -11,6 +11,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
 
+from tools.canary import print_canary
 from bqf_ray.functions.hashing import fmix64
 from bqf_ray.sketches.bqf import BqfEc
 from bqf_ray.stages.sketch_stage import PartitionedSketch, build_partitioned
@@ -32,6 +33,7 @@ keys_ds = ds.map_batches(gen, batch_format="pyarrow", batch_size=1).materialize(
 def key_fn(batch: pa.Table):
     return np.asarray(batch.column("key"), dtype=np.int64).astype(np.uint64), None
 
+print_canary()
 t0 = time.time()
 blob_ds = build_partitioned(keys_ds, key_fn,
                             lambda: BqfEc(q=16, count_size=4),

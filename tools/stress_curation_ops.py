@@ -16,6 +16,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
 
+from tools.canary import cold_touch_mb_s  # noqa: E402
 from bqf_ray.functions.hashing import xxhash64_array  # noqa: E402
 from bqf_ray.sources.pages import pages_dataset  # noqa: E402
 
@@ -39,12 +40,13 @@ if not os.path.exists(os.path.join(cache, "_DONE")):
 
 
 def run(name, fn, rows=None):
+    c = cold_touch_mb_s()
     t0 = time.time()
     n = fn()
     dt = time.time() - t0
     r = rows if rows is not None else N
-    print(f"{name:22s} {dt:8.1f}s  {r/dt:10.0f} rows/s  ({n} out)",
-          flush=True)
+    print(f"{name:22s} {dt:8.1f}s  {r/dt:10.0f} rows/s  ({n} out)  "
+          f"[canary {c:.0f} MB/s]", flush=True)
 
 
 docs = ray.data.read_parquet(cache, columns=["doc_id", "text"])

@@ -34,18 +34,23 @@ if not os.path.exists(os.path.join(cache, "_DONE")):
     ds.map_batches(to_docs, batch_format="pyarrow").write_parquet(cache)
     open(os.path.join(cache, "_DONE"), "w").write(str(N))
 
+from tools.canary import print_canary  # noqa: E402
+
 docs = ray.data.read_parquet(cache, columns=["doc_id", "text"])
 
+print_canary()
 t0 = time.time()
 if os.environ.get("STRESS_SKIP_EXACT") != "1":
     nj = jaccard_dup_pairs(docs, threshold=0.8, s=3).count()
     t1 = time.time()
     print(f"jaccard  n={N} pairs={nj} sec={t1 - t0:.1f} "
           f"docs_per_sec={N / (t1 - t0):,.0f}")
+    print_canary()
 else:
     t1 = t0
 nm = minhash_lsh_pairs(docs, threshold=0.8, s=3).count()
 t2 = time.time()
 print(f"minhash  n={N} pairs={nm} sec={t2 - t1:.1f} "
       f"docs_per_sec={N / (t2 - t1):,.0f}")
+print_canary()
 ray.shutdown()

@@ -20,22 +20,16 @@ CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
 
 
-def canary():
-    t0 = time.time()
-    np.ones(32_000_000, dtype=np.float64)
-    print(f"cold-touch canary: {256 / (time.time() - t0):.0f} MB/s",
-          flush=True)
+from tools.canary import cold_touch_mb_s  # noqa: E402
 
 
 def run(name, fn, rows):
+    c = cold_touch_mb_s()
     t0 = time.time()
     n = fn()
     dt = time.time() - t0
-    print(f"{name:24s} {dt:8.1f}s  {rows/dt:12.0f} rows/s  ({n} out)",
-          flush=True)
-
-
-canary()
+    print(f"{name:24s} {dt:8.1f}s  {rows/dt:12.0f} rows/s  ({n} out)  "
+          f"[canary {c:.0f} MB/s]", flush=True)
 
 # ---- events-like table for ntile/histogram ----------------------------
 ev_cache = f"/tmp/bqf_bench/stressev_{N_EVENTS}"
