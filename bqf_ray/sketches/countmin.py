@@ -75,6 +75,21 @@ class CountMin(MergeableSketch):
         """(eps, delta): P[err > eps*N] < delta."""
         return np.e / self.width, float(np.exp(-self.depth))
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan
+        §4.3): ``est = min_d Σ_w A[d,w]·B[d,w]`` over two sketches of
+        the SAME config built from different streams.  One-sided:
+        ``true ≤ est ≤ true + ε·N_A·N_B`` with probability ≥ 1−δ —
+        estimates |R ⋈ S| from two independent single-pass scans with
+        no shuffle at all (each side is a tree-merged global sketch)."""
+        self.check_mergeable(other)
+        a = self.table.astype(np.float64)
+        b = other.table.astype(np.float64)
+        per_row = (a * b).sum(axis=1)
+        # float64 rounding only matters past 2^53; per-row sums here are
+        # ≤ N_A·N_B which the caller's bound already dwarfs
+        return int(per_row.min())
+
     def _state_arrays(self):
         return {"table": self.table,
                 "total": np.array([self.total], dtype=np.uint64)}

@@ -1,0 +1,202 @@
+"""Round-3 sketches: Misra–Gries frequent items, DDSketch relative-error
+quantiles, theta set operations over BottomK, Count-Min inner product.
+
+No Ray needed — these are pure sketch-contract tests (the distributed
+plumbing is the same sketch_agg / build_sketch surface the other
+sketches already exercise end-to-end)."""
+
+import numpy as np
+import pytest
+
+from bqf_ray.functions.hashing import fmix64
+from bqf_ray.sketches.base import MergeableSketch
+from bqf_ray.sketches.countmin import CountMin
+from bqf_ray.sketches.ddsketch import DDSketch
+from bqf_ray.sketches.misragries import MisraGries
+from bqf_ray.sketches.sample import BottomK
+from bqf_ray.sketches.theta import theta_error_bound, theta_set_estimates
+
+
+def _zipf_keys(n, n_distinct, seed, a=1.3):
+    rng = np.random.RandomState(seed)
+    ids = np.minimum(rng.zipf(a, n), n_distinct).astype(np.uint64)
+    return fmix64(ids), ids
+
+
+def _random_merge_tree(parts, rng):
+    parts = list(parts)
+    while len(parts) > 1:
+        a = parts.pop(rng.randint(0, len(parts)))
+        b = parts.pop(rng.randint(0, len(parts)))
+        parts.append(a.merge(b))
+    return parts[0]
+
+
+# -- Misra–Gries ------------------------------------------------------
+
+@pytest.mark.parametrize("tree_seed", [0, 1, 2])
+def test_misra_gries_guarantee_under_merge_trees(tree_seed):
+    """Classic MG contract on the MERGED summary: every count is an
+    undercount by at most n/(m+1), and every key with true frequency
+    above that is guaranteed present — under arbitrary merge trees."""
+    n, m = 60_000, 64
+    keys, ids = _zipf_keys(n, 5_000, seed=9)
+    true = {}
+    for k in keys:
+        true[int(k)] = true.get(int(k), 0) + 1
+
+    rng = np.random.RandomState(tree_seed)
+    chunks = np.array_split(keys, 11)
+    parts = []
+    for c in chunks:
+        s = MisraGries(m=m)
+        s.update_batch(c)
+        parts.append(s)
+    mg = _random_merge_tree(parts, rng)
+    assert mg.n == n
+    bound = mg.error_bound()
+    assert bound == pytest.approx(n / (m + 1))
+
+    held_k, held_c = mg.candidates()
+    held = dict(zip(held_k.tolist(), held_c.tolist()))
+    assert len(held) <= m
+    for k, c in held.items():
+        assert c <= true[k], "MG must never overcount"
+        assert true[k] - c <= bound + 1e-9
+    for k, t in true.items():
+        if t > bound:
+            assert k in held, f"guaranteed heavy key {k} (n={t}) missing"
+
+
+def test_misra_gries_weighted_and_serde():
+    mg = MisraGries(m=8)
+    keys = np.arange(1, 5, dtype=np.uint64)
+    mg.update_batch(keys, np.array([10, 20, 30, 40]))
+    assert mg.n == 100
+    k, c = mg.candidates()
+    assert dict(zip(k.tolist(), c.tolist())) == {1: 10, 2: 20, 3: 30, 4: 40}
+    blob = mg.to_bytes()
+    mg2 = MergeableSketch.from_bytes(blob)
+    assert isinstance(mg2, MisraGries) and mg2.n == 100
+    assert mg2.to_bytes() == blob
+
+
+# -- DDSketch ---------------------------------------------------------
+
+@pytest.mark.parametrize("tree_seed", [0, 1])
+def test_ddsketch_relative_error_and_merge(tree_seed):
+    rng = np.random.RandomState(tree_seed)
+    vals = np.random.RandomState(42).gamma(2.0, 100.0, 80_000) + 0.01
+    alpha = 0.02
+    chunks = np.array_split(vals, 13)
+    parts = []
+    for c in chunks:
+        s = DDSketch(alpha=alpha)
+        s.update_batch(c)
+        parts.append(s)
+    merged = _random_merge_tree(parts, rng)
+
+    single = DDSketch(alpha=alpha)
+    single.update_batch(vals)
+    # integer bucket counts ⇒ any merge tree is BITWISE the single build
+    for name, arr in single._state_arrays().items():
+        np.testing.assert_array_equal(arr, merged._state_arrays()[name],
+                                      err_msg=name)
+
+    svals = np.sort(vals)
+    for q in [0.01, 0.25, 0.5, 0.9, 0.99]:
+        exact = svals[min(int(q * len(svals)), len(svals) - 1)]
+        est = merged.quantile(q)
+        assert abs(est - exact) <= alpha * exact, (q, est, exact)
+
+
+def test_ddsketch_signs_zero_serde():
+    s = DDSketch(alpha=0.01)
+    s.update_batch(np.array([-100.0, -1.0, 0.0, 0.0, 1.0, 100.0]))
+    assert s.count == 6
+    assert s.zero_count == 2
+    assert abs(s.quantile(0.999) - 100.0) <= 1.0 + 0.01 * 100
+    assert abs(s.quantile(0.0) - (-100.0)) <= 0.01 * 100
+    med = s.quantile(0.5)
+    assert med == 0.0
+    blob = s.to_bytes()
+    s2 = MergeableSketch.from_bytes(blob)
+    assert isinstance(s2, DDSketch)
+    assert s2.count == 6 and s2.to_bytes() == blob
+
+
+def test_ddsketch_collapse_keeps_upper_quantiles():
+    """With a tiny bucket budget the LOWEST buckets collapse; quantiles
+    above the collapsed mass keep the alpha guarantee."""
+    vals = np.logspace(0, 6, 50_000)          # 6 decades
+    s = DDSketch(alpha=0.02, max_buckets=64)
+    s.update_batch(vals)
+    svals = np.sort(vals)
+    for q in [0.9, 0.99]:
+        exact = svals[int(q * len(svals))]
+        assert abs(s.quantile(q) - exact) <= 0.02 * exact
+
+
+# -- theta set ops ----------------------------------------------------
+
+def test_theta_set_estimates_within_bound():
+    nA, nB, n_shared = 40_000, 30_000, 12_000
+    a_keys = fmix64(np.arange(nA, dtype=np.uint64))
+    b_keys = fmix64(np.arange(nA - n_shared, nA - n_shared + nB,
+                              dtype=np.uint64))
+    a, b = BottomK(k=4096, seed=1), BottomK(k=4096, seed=1)
+    a.update_batch(a_keys)
+    b.update_batch(b_keys)
+    est = theta_set_estimates(a, b)
+    rse = theta_error_bound(a, b)
+    union = nA + nB - n_shared
+    assert rse <= 1.0 / np.sqrt(2048)          # near-full retention
+    # error is bounded in UNION units for every set expression
+    assert abs(est["union"] - union) <= 5 * rse * union
+    assert abs(est["intersection"] - n_shared) <= 5 * rse * union
+    assert abs(est["a_only"] - (nA - n_shared)) <= 5 * rse * union
+    assert abs(est["b_only"] - (nB - n_shared)) <= 5 * rse * union
+    # consistency: union == a_only + b_only + intersection (same sample)
+    assert est["union"] == pytest.approx(
+        est["a_only"] + est["b_only"] + est["intersection"])
+
+
+def test_theta_seed_mismatch_raises():
+    a, b = BottomK(k=64, seed=1), BottomK(k=64, seed=2)
+    with pytest.raises(ValueError):
+        theta_set_estimates(a, b)
+
+
+def test_theta_unsaturated_is_exact():
+    a, b = BottomK(k=1024, seed=0), BottomK(k=1024, seed=0)
+    a.update_batch(np.arange(100, dtype=np.uint64))
+    b.update_batch(np.arange(60, 160, dtype=np.uint64))
+    est = theta_set_estimates(a, b)
+    assert est["union"] == 160.0
+    assert est["intersection"] == 40.0
+    assert est["a_only"] == 60.0 and est["b_only"] == 60.0
+
+
+# -- Count-Min inner product -----------------------------------------
+
+def test_countmin_inner_product_bound():
+    keys_a, ids_a = _zipf_keys(50_000, 2_000, seed=3)
+    keys_b, ids_b = _zipf_keys(30_000, 2_000, seed=4)
+    # exact inner product Σ_k cA(k)·cB(k) == inner join row count
+    ca = np.bincount(ids_a.astype(np.int64), minlength=2_001)
+    cb = np.bincount(ids_b.astype(np.int64), minlength=2_001)
+    exact = int((ca.astype(np.int64) * cb.astype(np.int64)).sum())
+
+    def build(keys):
+        parts = []
+        for c in np.array_split(keys, 7):
+            s = CountMin(width=4096, depth=5, seed=11)
+            s.update_batch(c)
+            parts.append(s)
+        return parts[0].merge_many(parts[1:])
+
+    a, b = build(keys_a), build(keys_b)
+    est = a.inner_product(b)
+    eps, _ = a.error_bound()
+    assert est >= exact, "CM inner product is one-sided (overestimate)"
+    assert est <= exact + eps * 50_000 * 30_000
