@@ -1713,6 +1713,68 @@ def w_knn_lsh(sf_dir):
                    tables=8, index=index)
 
 
+def w_mg_frequent_users(sf_dir):
+    """EXACT ``HAVING cnt > n/(m+1)`` frequent users at O(m) memory via
+    a Misra–Gries candidate pass (deterministic superset guarantee) +
+    exact recount of candidates only — no full groupby of the key
+    space.  Oracle recomputes the same HAVING clause exactly."""
+    import ray
+    from bqf_ray.pipelines.aggregates import mg_heavy_keys
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return mg_heavy_keys(ev, "user_id", m=128)
+
+
+def w_ddsketch_quantiles(sf_dir):
+    """DDSketch (relative-error quantile sketch) over events.value:
+    estimate must sit within α·exact of the exact PERCENTILE_DISC
+    value, which is recomputed distributedly (selection-exact) and by
+    the oracle; flag asserted TRUE.  Values are strictly positive in
+    this table, so the relative bound is well-defined."""
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import (grouped_exact_quantiles,
+                                              value_quantiles)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    ds = _events(sf_dir).select_columns(["value"]).materialize()
+    est = value_quantiles(ds, "value", qs=qs, method="ddsketch")
+    exact_tbl = grouped_exact_quantiles(
+        ds.add_column("__k", lambda df: np.zeros(len(df), dtype=np.int64)),
+        "__k", "value", qs).to_pandas()
+    rows = []
+    for q in qs:
+        exact = float(exact_tbl[f"q_{int(round(q * 100))}"][0])
+        ok = abs(est[q] - exact) <= 0.01 * abs(exact)
+        rows.append((f"{q:.2f}", exact, bool(ok)))
+    return pd.DataFrame(rows, columns=["q", "exact", "within_bound"])
+
+
+def w_theta_click_purchase(sf_dir):
+    """Theta-sketch set algebra over two distinct-user sets (clickers vs
+    purchasers): one BottomK per side, intersection/union/difference on
+    the retained hashes.  Unsaturated at fixture scale ⇒ estimates are
+    exact integers the oracle recomputes; the ``saturated`` flag (SQL:
+    either side's distinct count > k) records when the same code would
+    switch to the 1/√(k−1) bound regime."""
+    import pyarrow.compute as pc
+    from bqf_ray.pipelines.aggregates import theta_overlap
+    ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    return theta_overlap(clicks, buys, "user_id", k=4096, seed=7)
+
+
+def w_join_size_cm(sf_dir):
+    """Self-join size (second frequency moment Σc²) of events.user_id
+    from ONE Count-Min pass (inner-product estimate), flag-checked
+    against the exact recompute: CM never underestimates and stays
+    within ε·N² (both flags SQL-recomputable as TRUE)."""
+    import ray
+    from bqf_ray.pipelines.aggregates import cm_self_join_size
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return cm_self_join_size(ev, "user_id", width=8192, depth=5, seed=17)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1835,6 +1897,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": w_containment,
         "value_ranks": w_value_ranks,
         "url_canon": w_url_canon,
+        # --- round-3 additions (parity-covered; rotate into the driver
+        #     window next round) ---
+        "mg_frequent_users": w_mg_frequent_users,
+        "ddsketch_quantiles": w_ddsketch_quantiles,
+        "theta_click_purchase": w_theta_click_purchase,
+        "join_size_cm": w_join_size_cm,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -2780,6 +2848,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, count(*)::BIGINT AS n
             FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2""",
         "pagerank_types": _pagerank_oracle_sql(iters=8),
+        "mg_frequent_users": """
+            SELECT user_id, count(*)::BIGINT AS cnt
+            FROM events GROUP BY user_id
+            HAVING count(*) > (SELECT count(*) FROM events) / 129.0""",
+        "ddsketch_quantiles": """
+            WITH v AS (SELECT value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value))
+            SELECT '0.01' AS q, quantile_disc(value, 0.01) AS exact,
+                   TRUE AS within_bound FROM v
+            UNION ALL SELECT '0.25', quantile_disc(value, 0.25), TRUE FROM v
+            UNION ALL SELECT '0.50', quantile_disc(value, 0.50), TRUE FROM v
+            UNION ALL SELECT '0.75', quantile_disc(value, 0.75), TRUE FROM v
+            UNION ALL SELECT '0.99', quantile_disc(value, 0.99), TRUE FROM v""",
+        "theta_click_purchase": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM c)::BIGINT AS n_a,
+                   (SELECT count(*) FROM p)::BIGINT AS n_b,
+                   (SELECT count(*) FROM c JOIN p USING (user_id))::BIGINT
+                       AS n_common,
+                   (SELECT count(*) FROM (SELECT * FROM c UNION
+                                          SELECT * FROM p))::BIGINT
+                       AS n_either,
+                   ((SELECT count(*) FROM c) > 4096
+                    OR (SELECT count(*) FROM p) > 4096) AS saturated""",
+        "join_size_cm": """
+            SELECT sum(cnt * cnt)::BIGINT AS exact_join_rows,
+                   TRUE AS one_sided_ok, TRUE AS within_eps
+            FROM (SELECT count(*)::BIGINT AS cnt FROM events
+                  GROUP BY user_id)""",
         "kmeans_clusters": """
             SELECT count(*)::BIGINT AS n_points, 8::BIGINT AS k,
                    TRUE AS mass_conserved, TRUE AS recount_identical

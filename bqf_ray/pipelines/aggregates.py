@@ -281,8 +281,11 @@ def value_quantiles(ds, value_col: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
         vals = np.asarray(batch.column(value_col), dtype=np.float64)
         return vals, None
 
-    factory = (lambda: TDigest(delta=300)) if method == "tdigest" \
-        else (lambda: KLL(k=400, seed=11))
+    from bqf_ray.sketches.ddsketch import DDSketch
+
+    factory = {"tdigest": lambda: TDigest(delta=300),
+               "kll": lambda: KLL(k=400, seed=11),
+               "ddsketch": lambda: DDSketch(alpha=0.01)}[method]
     sk = build_sketch(ds, key_fn, factory)
     return {float(q): float(sk.quantile(q)) for q in qs}
 
@@ -1036,3 +1039,166 @@ def grouped_tdigest_check(ds, key_col: str, value_col: str,
         bool(exact[lo_name][i] <= est[exact[key_col][i]]
              <= exact[hi_name][i]) for i in range(len(exact))]
     return exact
+
+
+def mg_heavy_keys(ds, col: str, m: int = 128):
+    """EXACT ``HAVING count(*) > n/(m+1)`` frequent keys at O(m) sketch
+    memory: phase 1 builds ONE merged Misra–Gries summary over the
+    hashed key stream (tree merge of per-block partials — no shuffle),
+    whose deterministic guarantee says every key with true frequency
+    above ``n/(m+1)`` is among its ≤ m counters; phase 2 exactly
+    recounts ONLY rows whose key hash is in that candidate set (hash
+    membership via broadcast sorted array — a collision only adds a
+    false candidate, which the exact threshold filter then drops) and
+    keeps keys above the threshold.  Unlike the Count-Min plan of
+    :func:`heavy_hitters`, the candidate superset here is a
+    DETERMINISTIC guarantee, not whp — the output equals the SQL
+    ``GROUP BY key HAVING cnt > n/(m+1)`` for EVERY input.
+
+    Output ``(col, cnt)``; threshold uses float division exactly like
+    the SQL oracle.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.misragries import MisraGries
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    def key_fn(batch: pa.Table):
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        return fmix64(np.asarray(vals).astype(np.int64)
+                      .view(np.uint64)), None
+
+    mg = build_sketch(ds, key_fn, lambda: MisraGries(m=m),
+                      batch_size=None)
+    n_total = mg.n
+    cand_hashes, _ = mg.candidates()
+    ref = ray.put(np.sort(cand_hashes))
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(col)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            vals = vals.drop_null()
+            v = np.asarray(vals).astype(np.int64)
+            h = fmix64(v.view(np.uint64))
+            pos = np.searchsorted(self.cand, h)
+            pos_c = np.minimum(pos, max(len(self.cand) - 1, 0))
+            hit = (len(self.cand) > 0) & (self.cand[pos_c] == h)
+            u, c = np.unique(v[hit], return_counts=True)
+            return pa.table({col: pa.array(u),
+                             "partial": pa.array(c.astype(np.int64))})
+
+    counts = (ds.map_batches(Recount, batch_format="pyarrow",
+                             concurrency=2)
+              .groupby(col).aggregate(Sum("partial", alias_name="cnt")))
+    thresh = n_total / (m + 1.0)
+    return counts.filter(
+        lambda row: row["cnt"] > thresh)
+
+
+def cm_self_join_size(ds, col: str, width: int = 8192, depth: int = 5,
+                      seed: int = 17):
+    """Self-join size / second frequency moment ``F2 = Σ_k c(k)²`` from
+    ONE single-pass Count-Min sketch (inner product with itself,
+    Cormode & Muthukrishnan §4.3) beside the exact recompute — emitted
+    as ``(exact_join_rows, one_sided_ok, within_eps)`` where both flags
+    are SQL-recomputable invariants: the CM inner product never
+    underestimates, and overestimates by at most ε·N² (ε = e/width).
+    Deterministic seeds make both flags stable under any partitioning.
+    The exact side is one pre-aggregated count shuffle (key counts,
+    then Σ c² on the tiny distinct table) — NOT a join."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.countmin import CountMin
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    def key_fn(batch: pa.Table):
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        return fmix64(np.asarray(vals).astype(np.int64)
+                      .view(np.uint64)), None
+
+    cm = build_sketch(ds, key_fn,
+                      lambda: CountMin(width=width, depth=depth, seed=seed),
+                      batch_size=None)
+    est = cm.inner_product(cm)
+    n = int(cm.total)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        u, c = np.unique(np.asarray(vals.drop_null()).astype(np.int64),
+                         return_counts=True)
+        return pa.table({col: pa.array(u),
+                         "partial": pa.array(c.astype(np.int64))})
+
+    per_key = (ds.map_batches(pre, batch_format="pyarrow")
+               .groupby(col).aggregate(Sum("partial", alias_name="cnt"))
+               .to_pandas())
+    exact = int((per_key["cnt"].to_numpy().astype(np.int64) ** 2).sum())
+    eps = np.e / width
+    return pd.DataFrame({
+        "exact_join_rows": np.array([exact], dtype=np.int64),
+        "one_sided_ok": [bool(est >= exact)],
+        "within_eps": [bool(est <= exact + eps * float(n) * float(n))],
+    })
+
+
+def theta_overlap(ds_a, ds_b, col: str, k: int = 4096, seed: int = 7):
+    """Distinct-set overlap of one key column across two datasets via
+    theta / bottom-k sketches: each side builds ONE BottomK (tree merge
+    of per-block partials, no shuffle), set algebra happens on the two
+    retained hash arrays (:mod:`bqf_ray.sketches.theta`).  While both
+    sketches are UNSATURATED (< k distinct keys) every estimate is
+    EXACT — the query layer pins k above the fixture cardinality so the
+    oracle can hash-compare integer counts; past saturation the same
+    code degrades gracefully to the 1/√(k−1) union-scaled bound
+    (``saturated`` flips TRUE, which the SQL oracle recomputes as
+    ``count(DISTINCT ...) > k`` on either side).
+
+    Output one row: ``(n_a, n_b, n_common, n_either, saturated)``.
+    """
+    import pandas as pd
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.sample import BottomK
+    from bqf_ray.sketches.theta import theta_set_estimates
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    def key_fn(batch: pa.Table):
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        return fmix64(np.asarray(vals).astype(np.int64)
+                      .view(np.uint64)), None
+
+    factory = lambda: BottomK(k=k, seed=seed)         # noqa: E731
+    sa = build_sketch(ds_a, key_fn, factory, batch_size=None)
+    sb = build_sketch(ds_b, key_fn, factory, batch_size=None)
+    est = theta_set_estimates(sa, sb)
+    saturated = (len(sa._hashes) >= k) or (len(sb._hashes) >= k)
+    n_common = int(round(est["intersection"]))
+    return pd.DataFrame({
+        "n_a": np.array([int(round(est["a_only"])) + n_common],
+                        dtype=np.int64),
+        "n_b": np.array([int(round(est["b_only"])) + n_common],
+                        dtype=np.int64),
+        "n_common": np.array([n_common], dtype=np.int64),
+        "n_either": np.array([int(round(est["union"]))], dtype=np.int64),
+        "saturated": [bool(saturated)],
+    })

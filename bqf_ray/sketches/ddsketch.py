@@ -128,7 +128,10 @@ class DDSketch(MergeableSketch):
 
     def quantile(self, q) -> np.ndarray | float:
         """q in [0,1] (scalar or array) → value within relative error
-        alpha of the true q-quantile (lower interpolation rank)."""
+        alpha of the true q-quantile, using the SQL PERCENTILE_DISC
+        rank rule (element at ``ceil(q·n) − 1`` of the sorted values —
+        same convention as ``aggregates.grouped_exact_quantiles``, so
+        the bound is checked against the matching exact element)."""
         qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
         n = self.count
         if n == 0:
@@ -141,7 +144,7 @@ class DDSketch(MergeableSketch):
         vals = np.concatenate([neg_vals, [0.0], pos_vals])
         cnts = np.concatenate([neg_cnts, [self.zero_count], self._pos_cnt])
         cum = np.cumsum(cnts)
-        rank = np.minimum((qs * n).astype(np.int64), n - 1)
+        rank = np.clip(np.ceil(qs * n).astype(np.int64) - 1, 0, n - 1)
         pos = np.searchsorted(cum, rank + 1)
         out = vals[np.minimum(pos, len(vals) - 1)]
         return out if np.ndim(q) else float(out[0])

@@ -105,7 +105,8 @@ def test_ddsketch_relative_error_and_merge(tree_seed):
 
     svals = np.sort(vals)
     for q in [0.01, 0.25, 0.5, 0.9, 0.99]:
-        exact = svals[min(int(q * len(svals)), len(svals) - 1)]
+        # PERCENTILE_DISC rank rule: element at ceil(q·n) − 1
+        exact = svals[max(int(np.ceil(q * len(svals))) - 1, 0)]
         est = merged.quantile(q)
         assert abs(est - exact) <= alpha * exact, (q, est, exact)
 
@@ -133,7 +134,7 @@ def test_ddsketch_collapse_keeps_upper_quantiles():
     s.update_batch(vals)
     svals = np.sort(vals)
     for q in [0.9, 0.99]:
-        exact = svals[int(q * len(svals))]
+        exact = svals[int(np.ceil(q * len(svals))) - 1]
         assert abs(s.quantile(q) - exact) <= 0.02 * exact
 
 
