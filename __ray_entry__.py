@@ -1775,6 +1775,88 @@ def w_join_size_cm(sf_dir):
     return cm_self_join_size(ev, "user_id", width=8192, depth=5, seed=17)
 
 
+def w_grouped_dd_quantiles(sf_dir):
+    """Per-event-type DDSketch quantiles through the VECTORIZED grouped
+    plan (sparse bucket-count rows, one exchange, no per-group sketch
+    objects — the 10M-key scale path, tools/stress_grouped_sketch.py)
+    bound-checked per (type, q) against the exact PERCENTILE_DISC
+    selection; oracle recomputes the exact columns and asserts every
+    flag TRUE."""
+    import pandas as pd
+    from bqf_ray.pipelines.aggregates import (grouped_dd_quantiles,
+                                              grouped_exact_quantiles)
+    qs = (0.25, 0.5, 0.75)
+    alpha = 0.01
+    ev = _events(sf_dir).select_columns(["event_type", "value"]) \
+        .materialize()
+    est = (grouped_dd_quantiles(ev, "event_type", "value", qs=qs,
+                                alpha=alpha)
+           .to_pandas().set_index("event_type"))
+    exact = (grouped_exact_quantiles(ev, "event_type", "value", qs)
+             .to_pandas().sort_values("event_type")
+             .reset_index(drop=True))
+    ok = []
+    for i in range(len(exact)):
+        et = exact["event_type"][i]
+        good = all(
+            abs(est.loc[et, f"q_{int(round(q * 100))}"]
+                - exact[f"q_{int(round(q * 100))}"][i])
+            <= alpha * abs(exact[f"q_{int(round(q * 100))}"][i])
+            for q in qs)
+        ok.append(bool(good))
+    exact["within_bound"] = ok
+    return exact
+
+
+def w_type_distinct_hll_sparse(sf_dir):
+    """Per-event-type distinct-user HLL through the SPARSE-REGISTER
+    grouped plan (vectorized (key, register, rho) rows — the unbounded-
+    cardinality path; the blob-per-group UDAF form is
+    lang_distinct_hll), 4σ-bound-checked against the exact distinct
+    count the oracle recomputes.  The exact side ships per-batch
+    DISTINCT (type, user) pairs into one per-type dedup (pair space =
+    types × users — bounded by the user universe, not the row count)."""
+    import pyarrow as _pa
+
+    from bqf_ray.pipelines.aggregates import grouped_hll_sparse
+    p = 14
+    ev = _events(sf_dir).select_columns(["event_type", "user_id"]) \
+        .materialize()
+    est = {r["event_type"]: r["n_distinct_est"] for r in
+           grouped_hll_sparse(ev, "event_type", "user_id",
+                              p=p).take_all()}
+
+    def pair_partial(batch: _pa.Table) -> _pa.Table:
+        et = np.asarray(batch.column("event_type")).astype(object)
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        tcode, tinv = np.unique(et, return_inverse=True)
+        pair = tinv.astype(np.int64) * np.int64(1 << 32) + u
+        uniq = np.unique(pair)
+        return _pa.table({
+            "event_type": _pa.array(tcode[(uniq >> 32).astype(np.int64)]),
+            "user_id": _pa.array((uniq & np.int64((1 << 32) - 1))
+                                 .astype(np.int64))})
+
+    def count_group(g: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "n_distinct_exact": _pa.array(
+                [len(np.unique(np.asarray(g.column("user_id"))))],
+                _pa.int64())})
+
+    exact = (ev.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .map_groups(count_group, batch_format="pyarrow")
+             .to_pandas().sort_values("event_type")
+             .reset_index(drop=True))
+    rse = 1.04 / np.sqrt(2 ** p)
+    exact["within_bound"] = [
+        bool(abs(est[exact["event_type"][i]] - exact["n_distinct_exact"][i])
+             / max(exact["n_distinct_exact"][i], 1) <= 4 * rse)
+        for i in range(len(exact))]
+    return exact
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1903,6 +1985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_quantiles": w_ddsketch_quantiles,
         "theta_click_purchase": w_theta_click_purchase,
         "join_size_cm": w_join_size_cm,
+        "grouped_dd_quantiles": w_grouped_dd_quantiles,
+        "type_distinct_hll_sparse": w_type_distinct_hll_sparse,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -2880,6 +2964,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS one_sided_ok, TRUE AS within_eps
             FROM (SELECT count(*)::BIGINT AS cnt FROM events
                   GROUP BY user_id)""",
+        "grouped_dd_quantiles": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   quantile_disc(value, 0.25) AS q_25,
+                   quantile_disc(value, 0.5) AS q_50,
+                   quantile_disc(value, 0.75) AS q_75,
+                   TRUE AS within_bound
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1""",
+        "type_distinct_hll_sparse": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct_exact,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1""",
         "kmeans_clusters": """
             SELECT count(*)::BIGINT AS n_points, 8::BIGINT AS k,
                    TRUE AS mass_conserved, TRUE AS recount_identical

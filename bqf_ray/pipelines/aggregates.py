@@ -1202,3 +1202,260 @@ def theta_overlap(ds_a, ds_b, col: str, k: int = 4096, seed: int = 7):
         "n_either": np.array([int(round(est["union"]))], dtype=np.int64),
         "saturated": [bool(saturated)],
     })
+
+
+def grouped_hll_sparse(ds, key_col: str, value_col: str, p: int = 12,
+                       num_buckets: int = 64):
+    """Per-key HLL distinct estimates at UNBOUNDED key cardinality —
+    the 10M+-group plan the blob-per-group UDAF path can't reach.
+
+    ``sketch_agg`` in ``groupby(key)`` is the right surface at moderate
+    cardinality, but it pays one Python ``from_bytes → update →
+    to_bytes`` round trip per (block, group) and ships a FIXED-size
+    register blob per group (2^p bytes even for a 3-element group):
+    at 10M keys that is ~40 GB of exchange for p=12 and tens of
+    millions of Python accumulator calls.  Here the unit of exchange is
+    a SPARSE register row ``(key, register, rho)`` instead: each batch
+    emits its per-(key, register) max rho (vectorized segment-max, no
+    per-group Python), ONE hash-bucket exchange co-locates each key's
+    rows, and each bucket reduces to per-key estimates with
+    ``HyperLogLog.estimate_sparse`` — never materializing a dense
+    register matrix.  A key's exchange volume is ≤ min(its distinct
+    count, 2^p) rows per contributing block, so tiny groups cost a few
+    rows, not a 4 KB blob, and hot groups saturate at 2^p rows/block.
+
+    Estimates are identical to the dense-register HLL (same register
+    maxima, same alpha/range corrections).  Returns
+    Dataset[(key_col, n_distinct_est: float64)]; NULL keys/values are
+    excluded.
+    """
+    from bqf_ray.functions.hashing import xxhash64_array, fmix64
+    from bqf_ray.sketches.hll import HyperLogLog, _register_updates
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+    P = int(p)
+
+    def _hash_values(col) -> np.ndarray:
+        t = col.type
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            return xxhash64_array(col)
+        vals = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.floating):
+            return fmix64(vals.astype(np.float64).view(np.uint64))
+        return fmix64(vals.astype(np.int64).view(np.uint64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(key_col)),
+                       pc.is_valid(batch.column(value_col)))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch.schema
+                                               .field(key_col).type),
+                             "__reg": pa.array([], pa.int32()),
+                             "__rho": pa.array([], pa.int32()),
+                             "__kb": pa.array([], pa.int64())})
+        kcol = batch.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        vcol = batch.column(value_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        h = _hash_values(vcol)
+        reg, rho = _register_updates(h, P)
+        gids, inv = np.unique(kcol.to_numpy(zero_copy_only=False)
+                              if not pa.types.is_string(kcol.type)
+                              else np.asarray(kcol), return_inverse=True)
+        # segment max over pair codes (gid, reg): one sort, one reduceat
+        pair = inv.astype(np.int64) * np.int64(1 << P) + reg
+        order = np.argsort(pair, kind="stable")
+        ps, rs = pair[order], rho[order]
+        first = np.concatenate([[True], ps[1:] != ps[:-1]])
+        starts = np.flatnonzero(first)
+        rho_max = np.maximum.reduceat(rs.astype(np.int32), starts)
+        pu = ps[starts]
+        out_keys = pa.array(gids).take(pa.array(pu // np.int64(1 << P)))
+        kb = (_col_hash64(out_keys) % np.uint64(B)).astype(np.int64)
+        return pa.table({key_col: out_keys,
+                         "__reg": pa.array((pu % np.int64(1 << P))
+                                           .astype(np.int32)),
+                         "__rho": pa.array(rho_max.astype(np.int32)),
+                         "__kb": pa.array(kb)})
+
+    def bucket_estimate(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({key_col: pa.array([], group.schema
+                                               .field(key_col).type),
+                             "n_distinct_est": pa.array([], pa.float64())})
+        karr = group.column(key_col)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        knp = (np.asarray(karr) if pa.types.is_string(karr.type)
+               else karr.to_numpy(zero_copy_only=False))
+        gids, inv = np.unique(knp, return_inverse=True)
+        reg = np.asarray(group.column("__reg"), dtype=np.int64)
+        rho = np.asarray(group.column("__rho"), dtype=np.int32)
+        pair = inv.astype(np.int64) * np.int64(1 << P) + reg
+        order = np.argsort(pair, kind="stable")
+        ps, rs = pair[order], rho[order]
+        first = np.concatenate([[True], ps[1:] != ps[:-1]])
+        starts = np.flatnonzero(first)
+        rho_max = np.maximum.reduceat(rs, starts)
+        pu = ps[starts]
+        est = HyperLogLog.estimate_sparse(pu // np.int64(1 << P),
+                                          rho_max, len(gids), P)
+        return pa.table({key_col: pa.array(gids),
+                         "n_distinct_est": pa.array(est)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(bucket_estimate, batch_format="pyarrow"))
+
+
+def grouped_dd_quantiles(ds, key_col: str, value_col: str,
+                         qs: tuple = (0.25, 0.5, 0.75),
+                         alpha: float = 0.01, num_buckets: int = 64):
+    """Per-key DDSketch quantiles at UNBOUNDED key cardinality — the
+    vectorized grouped-quantile plan (``grouped_hll_sparse``'s sibling
+    for quantiles).
+
+    ``build_grouped``/``sketch_agg`` build one Python sketch object per
+    (batch, group): measured 5.5k rows/s at 62k keys
+    (tools/stress_grouped_sketch.py) — a per-group-Python wall, not a
+    shuffle problem.  A DDSketch is only an integer histogram over
+    value-determined geometric buckets, so the whole grouped build
+    vectorizes: each batch emits per-(key, bucket) partial COUNTS
+    (segment-sum, no sketch objects), ONE hash-bucket exchange
+    co-locates keys, and each exchange bucket answers every quantile
+    for all its keys with one global cumsum + one vectorized
+    searchsorted (bucket codes are ORDER-PRESERVING integers, so
+    integer sort = value sort).  Estimates carry DDSketch's published
+    guarantee: within relative error ``alpha`` of the exact
+    PERCENTILE_DISC value (rank rule ``ceil(q·n)−1``), bit-identical
+    under any partitioning (integer counts, deterministic buckets).
+
+    Returns Dataset[(key_col, n, q_25, ...)] — one float64 column per
+    q named like :func:`grouped_exact_quantiles`.  NULL/NaN values are
+    excluded; zero and negative values use dedicated lanes (exact zero,
+    mirrored negative buckets).
+    """
+    from bqf_ray.stages.partition import _col_hash64
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = np.log(gamma)
+    B = int(num_buckets)
+    q_arr = np.asarray(qs, dtype=np.float64)
+    q_names = [f"q_{int(round(q * 100))}" for q in qs]
+    # order-preserving lane encoding (monotone code ⇔ monotone value):
+    #   negative: (1<<50) − idx   (larger idx = more negative = smaller code)
+    #   zero:      2<<50
+    #   positive: (3<<50) + idx
+    NEG0, ZERO, POS0 = np.int64(1) << 50, np.int64(2) << 50, np.int64(3) << 50
+
+    def _codes(v: np.ndarray) -> np.ndarray:
+        code = np.full(len(v), ZERO, dtype=np.int64)
+        pos, neg = v > 0, v < 0
+        if pos.any():
+            code[pos] = POS0 + np.ceil(
+                np.log(v[pos]) / log_gamma).astype(np.int64)
+        if neg.any():
+            code[neg] = NEG0 - np.ceil(
+                np.log(-v[neg]) / log_gamma).astype(np.int64)
+        return code
+
+    def _decode(code: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(code), dtype=np.float64)
+        pos, neg = code >= POS0, code < ZERO
+        mid = 2.0 / (gamma + 1.0)
+        out[pos] = mid * np.power(gamma, (code[pos] - POS0)
+                                  .astype(np.float64))
+        out[neg] = -mid * np.power(gamma, (NEG0 - code[neg])
+                                   .astype(np.float64))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        keep = pc.and_(pc.is_valid(batch.column(key_col)),
+                       pc.is_valid(col))
+        if pa.types.is_floating(col.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(col,
+                                                                  0.0))))
+        batch = batch.filter(keep)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "__code": pa.array([], pa.int64()),
+                             "__cnt": pa.array([], pa.int64()),
+                             "__kb": pa.array([], pa.int64())})
+        kcol = batch.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        v = np.asarray(batch.column(value_col), dtype=np.float64)
+        code = _codes(v)
+        knp = (np.asarray(kcol) if pa.types.is_string(kcol.type)
+               else kcol.to_numpy(zero_copy_only=False))
+        gids, inv = np.unique(knp, return_inverse=True)
+        # segment-sum counts per (key, code): sort once, reduceat
+        order = np.lexsort((code, inv))
+        inv_s, code_s = inv[order], code[order]
+        first = np.concatenate([[True], (inv_s[1:] != inv_s[:-1])
+                                | (code_s[1:] != code_s[:-1])])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(inv_s))).astype(np.int64)
+        out_keys = pa.array(gids).take(pa.array(inv_s[starts]))
+        kb = (_col_hash64(out_keys) % np.uint64(B)).astype(np.int64)
+        return pa.table({key_col: out_keys,
+                         "__code": pa.array(code_s[starts]),
+                         "__cnt": pa.array(cnt),
+                         "__kb": pa.array(kb)})
+
+    def bucket_quantiles(group: pa.Table) -> pa.Table:
+        ktype = group.schema.field(key_col).type
+        if group.num_rows == 0:
+            cols = {key_col: pa.array([], ktype),
+                    "n": pa.array([], pa.int64())}
+            for name in q_names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        karr = group.column(key_col)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        knp = (np.asarray(karr) if pa.types.is_string(karr.type)
+               else karr.to_numpy(zero_copy_only=False))
+        code = np.asarray(group.column("__code"), dtype=np.int64)
+        cnt = np.asarray(group.column("__cnt"), dtype=np.int64)
+        gids, inv = np.unique(knp, return_inverse=True)
+        order = np.lexsort((code, inv))
+        inv_s, code_s, cnt_s = inv[order], code[order], cnt[order]
+        # merge duplicate (key, code) rows from different blocks
+        first = np.concatenate([[True], (inv_s[1:] != inv_s[:-1])
+                                | (code_s[1:] != code_s[:-1])])
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        csum = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(csum, seg, cnt_s)
+        inv_u, code_u = inv_s[starts], code_s[starts]
+        # global cumsum is monotone ⇒ ONE searchsorted answers every
+        # (key, q) pair at once
+        cum = np.cumsum(csum)
+        n_keys = len(gids)
+        key_first = np.concatenate([[True], inv_u[1:] != inv_u[:-1]])
+        key_starts = np.flatnonzero(key_first)
+        offsets = np.concatenate([[0], cum[key_starts[1:] - 1]])
+        totals = np.concatenate([cum[key_starts[1:] - 1],
+                                 [cum[-1]]]) - offsets
+        cols = {key_col: pa.array(gids),
+                "n": pa.array(totals.astype(np.int64))}
+        for q, name in zip(q_arr, q_names):
+            rank = np.clip(np.ceil(q * totals).astype(np.int64) - 1,
+                           0, np.maximum(totals - 1, 0))
+            target = offsets + rank + 1
+            pos = np.searchsorted(cum, target, side="left")
+            cols[name] = pa.array(_decode(code_u[np.minimum(
+                pos, len(code_u) - 1)]))
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(bucket_quantiles, batch_format="pyarrow"))

@@ -201,3 +201,91 @@ def test_countmin_inner_product_bound():
     eps, _ = a.error_bound()
     assert est >= exact, "CM inner product is one-sided (overestimate)"
     assert est <= exact + eps * 50_000 * 30_000
+
+
+# -- grouped_hll_sparse (high-cardinality grouped distinct) -----------
+
+def test_grouped_hll_sparse_matches_dense(ray_session):
+    """Sparse-register grouped HLL == per-key dense HLL estimates (same
+    register maxima; tiny float tolerance for the different summation
+    order) and within the published bound of exact, across partitions
+    and dtypes (int and string keys)."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.pipelines.aggregates import grouped_hll_sparse
+    from bqf_ray.sketches.hll import HyperLogLog
+
+    rng = np.random.RandomState(11)
+    n = 50_000
+    keys = rng.randint(0, 300, n).astype(np.int64)
+    vals = rng.randint(0, 5_000, n).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    got = (grouped_hll_sparse(ray.data.from_arrow(t).repartition(9),
+                              "k", "v", p=10)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(got) == len(np.unique(keys))
+
+    p = 10
+    rse = 1.04 / np.sqrt(1 << p)
+    for k in [0, 7, 123, 299]:
+        vv = vals[keys == k]
+        dense = HyperLogLog(p=p)
+        dense.update_batch(fmix64(vv.view(np.uint64)))
+        row = float(got.loc[got["k"] == k, "n_distinct_est"].iloc[0])
+        assert row == pytest.approx(dense.estimate(), rel=1e-9)
+        exact = len(np.unique(vv))
+        assert abs(row - exact) / max(exact, 1) <= 4 * rse
+
+    # string keys path
+    ts = pa.table({"k": pa.array([f"key_{x}" for x in keys]),
+                   "v": pa.array(vals)})
+    got_s = (grouped_hll_sparse(ray.data.from_arrow(ts).repartition(4),
+                                "k", "v", p=10)
+             .to_pandas())
+    row_s = float(got_s.loc[got_s["k"] == "key_7",
+                            "n_distinct_est"].iloc[0])
+    row_i = float(got.loc[got["k"] == 7, "n_distinct_est"].iloc[0])
+    assert row_s == pytest.approx(row_i, rel=1e-9)
+
+
+def test_grouped_dd_quantiles_matches_sketch_and_bound(ray_session):
+    """Vectorized grouped DDSketch == per-key DDSketch object quantiles
+    (same buckets, same disc rank rule) and within alpha relative error
+    of the exact per-key PERCENTILE_DISC — with negatives, zeros, NaNs,
+    null keys, and many partitions."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_dd_quantiles
+
+    rng = np.random.RandomState(23)
+    n = 60_000
+    keys = rng.randint(0, 400, n).astype(np.int64)
+    vals = rng.gamma(2.0, 50.0, n)
+    vals[rng.choice(n, 500, replace=False)] *= -1.0     # negatives
+    vals[rng.choice(n, 300, replace=False)] = 0.0       # zeros
+    vals[rng.choice(n, 200, replace=False)] = np.nan    # dropped
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    qs = (0.25, 0.5, 0.75)
+    alpha = 0.01
+    got = (grouped_dd_quantiles(ray.data.from_arrow(t).repartition(11),
+                                "k", "v", qs=qs, alpha=alpha)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(got) == 400
+
+    from bqf_ray.sketches.ddsketch import DDSketch
+    for k in [0, 17, 399]:
+        vv = vals[(keys == k) & ~np.isnan(vals)]
+        row = got[got["k"] == k].iloc[0]
+        assert int(row["n"]) == len(vv)
+        ref = DDSketch(alpha=alpha)
+        ref.update_batch(vv)
+        sv = np.sort(vv)
+        for q in qs:
+            est = float(row[f"q_{int(round(q * 100))}"])
+            assert est == pytest.approx(ref.quantile(q), rel=1e-12), \
+                (k, q)
+            exact = sv[max(int(np.ceil(q * len(sv))) - 1, 0)]
+            assert abs(est - exact) <= alpha * abs(exact) + 1e-12
