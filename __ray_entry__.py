@@ -1857,6 +1857,41 @@ def w_type_distinct_hll_sparse(sf_dir):
     return exact
 
 
+def w_f2_tokens(sf_dir):
+    """AMS tug-of-war F2 (self-join size of the token frequency
+    vector) bound-checked against the exact SUM(cnt^2) recount; the
+    oracle recomputes the exact column and asserts the flag."""
+    from bqf_ray.pipelines.aggregates import token_f2
+    return token_f2(_docs(sf_dir), depth=8)
+
+
+def w_priority_sample_orders(sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup JACM'07): 100 weighted
+    representatives of orders by o_totalprice, each carrying the
+    Horvitz-Thompson subset-sum estimator max(w, tau).  The md5-u64
+    uniform makes every double (u, pri, tau, est_weight) bit-identical
+    to the oracle's ANSI-SQL replay — the whole weighted sample is
+    EXACT-checked, not bound-checked."""
+    import ray
+    from bqf_ray.pipelines.sampling import priority_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    return priority_sample(ds, "o_totalprice", 100,
+                           key_col="o_orderkey", salt="r3")
+
+
+def w_priority_sample_by_source(sf_dir):
+    """Per-source priority sample: 10 weighted (n_chars) docs per
+    source via grouped_top_n partials (no whole-group task), per-group
+    tau estimator; md5-u64 keeps it SQL-exact."""
+    import ray
+    from bqf_ray.pipelines.sampling import grouped_priority_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return grouped_priority_sample(ds, "source", "n_chars", 10,
+                                   key_col="doc_id", salt="r3")
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1987,6 +2022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_cm": w_join_size_cm,
         "grouped_dd_quantiles": w_grouped_dd_quantiles,
         "type_distinct_hll_sparse": w_type_distinct_hll_sparse,
+        "f2_tokens": w_f2_tokens,
+        "priority_sample_orders": w_priority_sample_orders,
+        "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -2977,6 +3015,48 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound
             FROM events GROUP BY 1""",
+        "f2_tokens": f"""
+            SELECT SUM(cnt * cnt)::BIGINT AS f2_exact,
+                   TRUE AS within_bound
+            FROM (SELECT count(*)::BIGINT AS cnt FROM ({tokens})
+                  WHERE token <> '' GROUP BY token)""",
+        "priority_sample_orders": """
+            WITH p AS (
+              SELECT o_orderkey, o_totalprice AS weight,
+                     o_totalprice /
+                       ((('0x' || substr(md5(o_orderkey::VARCHAR || 'r3'),
+                                         1, 16))::UBIGINT::DOUBLE + 1)
+                        / 18446744073709551616.0) AS pri
+              FROM orders),
+            r AS (SELECT *, ROW_NUMBER() OVER
+                              (ORDER BY pri DESC, o_orderkey) AS rk
+                  FROM p),
+            t AS (SELECT COALESCE(MAX(CASE WHEN rk = 101 THEN pri END),
+                                  0.0) AS tau FROM r)
+            SELECT o_orderkey, weight, pri,
+                   GREATEST(weight, (SELECT tau FROM t)) AS est_weight,
+                   rk
+            FROM r WHERE rk <= 100 ORDER BY rk""",
+        "priority_sample_by_source": """
+            WITH p AS (
+              SELECT source, doc_id, n_chars::DOUBLE AS weight,
+                     n_chars::DOUBLE /
+                       ((('0x' || substr(md5(doc_id::VARCHAR || 'r3'),
+                                         1, 16))::UBIGINT::DOUBLE + 1)
+                        / 18446744073709551616.0) AS pri
+              FROM documents),
+            r AS (SELECT *, ROW_NUMBER() OVER
+                              (PARTITION BY source
+                               ORDER BY pri DESC, doc_id) AS rk
+                  FROM p),
+            t AS (SELECT source,
+                         COALESCE(MAX(CASE WHEN rk = 11 THEN pri END),
+                                  0.0) AS tau
+                  FROM r GROUP BY source)
+            SELECT r.source, r.doc_id, r.weight, r.pri, r.rk,
+                   GREATEST(r.weight, t.tau) AS est_weight
+            FROM r JOIN t USING(source) WHERE rk <= 10
+            ORDER BY source, rk""",
         "kmeans_clusters": """
             SELECT count(*)::BIGINT AS n_points, 8::BIGINT AS k,
                    TRUE AS mass_conserved, TRUE AS recount_identical

@@ -1459,3 +1459,43 @@ def grouped_dd_quantiles(ds, key_col: str, value_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__kb")
             .map_groups(bucket_quantiles, batch_format="pyarrow"))
+
+
+def token_f2(ds, text_col: str = "text", depth: int = 8,
+             bound: float = 0.35):
+    """Second moment F2 = sum_k cnt_k^2 of the token-frequency vector
+    (the self-join size / repeat-rate statistic): EXACT via the
+    pre-aggregated count shuffle of :func:`token_counts` plus the AMS
+    tug-of-war estimate (sketches/ams.py) through the native UDAF
+    surface — the sketch pass never shuffles anything but one
+    (depth x 64)-counter blob per block, so at 100 TB the estimate
+    costs one streaming pass while the exact recount is the expensive
+    verification companion.
+
+    Returns one row: ``f2_exact`` (int64), ``within_bound`` (the AMS
+    estimate within ``bound`` relative error — observed max ~0.1 at
+    depth=8, tests/test_new_sketches.py)."""
+    from bqf_ray.sketches.ams import AmsF2
+    from bqf_ray.stages.udaf import sketch_agg
+
+    exploded = ds.map_batches(lambda b: _explode_tokens(b, text_col),
+                              batch_format="pyarrow").materialize()
+
+    est = exploded.aggregate(sketch_agg(
+        lambda: AmsF2(depth=depth), on="token", prepare="hash",
+        weight_col="partial",
+        finalize=lambda sk: sk.estimate_f2(), name="f2_est"))["f2_est"]
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("cnt"), dtype=np.int64)
+        return pa.table({"sq": pa.array([int((c * c).sum())],
+                                        type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+    exact = int(exploded.groupby("token")
+                .aggregate(Sum("partial", alias_name="cnt"))
+                .map_batches(sq_partial, batch_format="pyarrow")
+                .sum("sq"))
+    ok = abs(est - exact) <= bound * exact
+    return pa.table({"f2_exact": pa.array([exact], type=pa.int64()),
+                     "within_bound": pa.array([bool(ok)])})

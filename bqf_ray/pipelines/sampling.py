@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from bqf_ray.functions.hashing import md5_hash64_array, xxhash64_array
 
@@ -192,3 +193,120 @@ def rebalance_mixture(ds, target: dict, strat_col: str,
         return out.append_column(copy_col, pa.array(copy_idx))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def priority_sample(ds, weight_col: str, k: int, key_col: str = "doc_id",
+                    salt: str = "", algo: str = "md5",
+                    rank_col: str = "rk", est_col: str = "est_weight"):
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): a weighted
+    k-sample whose Horvitz-Thompson subset-sum estimator is unbiased
+    with near-optimal variance.
+
+    Each row gets a deterministic uniform ``u = (h(key||salt)+1)/2^64``
+    and priority ``pri = weight / u``; the sample is the k rows of
+    largest priority, and every sampled row carries the estimator
+    ``est_weight = max(weight, tau)`` where ``tau`` is the (k+1)-th
+    largest priority — ``SUM(est_weight)`` over any selected subset of
+    the sample estimates that subset's true weight sum, unbiased.
+
+    Distributed shape: the priority column is added per batch
+    (vectorized), then :func:`global_top_n` keeps k+1 rows via
+    per-block partials — no global sort, the exchange carries at most
+    (k+1) rows per block.  With ``algo="md5"`` every value (u, pri,
+    tau, est_weight) is bit-identical to the ANSI-SQL replay
+    ``('0x'||substr(md5(key||salt),1,16))::UBIGINT`` — all arithmetic
+    is IEEE-754 double in both engines — so the whole sample is
+    EXACTLY checkable by an oracle, not just within a bound.
+
+    Returns a small in-memory pyarrow Table (k rows): key, weight,
+    ``pri``, ``est_col``, ``rank_col`` (1..k by descending priority,
+    key-ascending tie-break).
+    """
+    from bqf_ray.pipelines.aggregates import global_top_n
+
+    kk = int(k)
+    assert kk >= 1
+
+    def add_pri(batch: pa.Table) -> pa.Table:
+        u64 = _key_u64(batch, key_col, salt, algo)
+        u = (u64.astype(np.float64) + 1.0) / float(_TWO64)
+        w = np.asarray(batch.column(weight_col).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "weight": pa.array(w, type=pa.float64()),
+            "pri": pa.array(w / u, type=pa.float64()),
+        })
+
+    top = global_top_n(ds.map_batches(add_pri, batch_format="pyarrow"),
+                       ["pri", key_col], kk + 1,
+                       descending=[True, False])
+    tbl = pa.concat_tables(
+        [t for t in ray.get(top.materialize().to_arrow_refs())],
+        promote_options="default")
+    order = np.lexsort((np.asarray(tbl.column(key_col)),
+                        -np.asarray(tbl.column("pri"))))
+    tbl = tbl.take(pa.array(order))
+    tau = (float(tbl.column("pri")[kk].as_py())
+           if len(tbl) > kk else 0.0)
+    tbl = tbl.slice(0, kk)
+    est = np.maximum(np.asarray(tbl.column("weight")), tau)
+    return (tbl.append_column(est_col, pa.array(est, type=pa.float64()))
+               .append_column(rank_col,
+                              pa.array(np.arange(1, len(tbl) + 1))))
+
+
+def grouped_priority_sample(ds, group_col: str, weight_col: str, k: int,
+                            key_col: str = "doc_id", salt: str = "",
+                            algo: str = "md5", rank_col: str = "rk",
+                            est_col: str = "est_weight",
+                            num_buckets: int = 32):
+    """Per-group priority sampling: k weighted representatives PER KEY
+    of ``group_col``, each group carrying its own (k+1)-th-priority
+    threshold estimator.  Rides :func:`grouped_top_n` (per-block
+    per-key partial top-(k+1) + ONE bucketed exchange) so a hot group
+    never lands on one worker, then a vectorized per-group tau/max —
+    the result is groups x k rows, small by construction."""
+    from bqf_ray.pipelines.aggregates import grouped_top_n
+
+    kk = int(k)
+    assert kk >= 1
+
+    def add_pri(batch: pa.Table) -> pa.Table:
+        u64 = _key_u64(batch, key_col, salt, algo)
+        u = (u64.astype(np.float64) + 1.0) / float(_TWO64)
+        w = np.asarray(batch.column(weight_col).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            key_col: batch.column(key_col),
+            "weight": pa.array(w, type=pa.float64()),
+            "pri": pa.array(w / u, type=pa.float64()),
+        })
+
+    top = grouped_top_n(ds.map_batches(add_pri, batch_format="pyarrow"),
+                        group_col, ["pri", key_col], kk + 1,
+                        descending=[True, False], rank_col=rank_col,
+                        num_buckets=num_buckets)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(top.materialize().to_arrow_refs())],
+        promote_options="default")
+    grp = np.asarray(pc.cast(tbl.column(group_col), pa.string()))
+    order = np.lexsort((np.asarray(tbl.column(rank_col)), grp))
+    tbl = tbl.take(pa.array(order))
+    grp = grp[order]
+    rk = np.asarray(tbl.column(rank_col), dtype=np.int64)
+    pri = np.asarray(tbl.column("pri"), dtype=np.float64)
+    # per-group tau = priority of the rank-(k+1) row, 0 when the group
+    # has <= k rows; vectorized via segment boundaries
+    starts = np.concatenate([[True], grp[1:] != grp[:-1]])
+    seg_id = np.cumsum(starts) - 1
+    n_seg = seg_id[-1] + 1 if len(seg_id) else 0
+    tau = np.zeros(n_seg, dtype=np.float64)
+    is_kp1 = rk == kk + 1
+    tau[seg_id[is_kp1]] = pri[is_kp1]
+    keep = rk <= kk
+    est = np.maximum(np.asarray(tbl.column("weight"))[keep],
+                     tau[seg_id[keep]])
+    tbl = tbl.filter(pa.array(keep))
+    return tbl.append_column(est_col, pa.array(est, type=pa.float64()))

@@ -289,3 +289,66 @@ def test_grouped_dd_quantiles_matches_sketch_and_bound(ray_session):
                 (k, q)
             exact = sv[max(int(np.ceil(q * len(sv))) - 1, 0)]
             assert abs(est - exact) <= alpha * abs(exact) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tree_seed", [0, 1, 2])
+def test_ams_f2_merge_bit_identity_and_serde(tree_seed):
+    """Counter state is BIT-IDENTICAL under any partitioning/merge tree
+    (pure counter addition), weighted update == repeated keys, and the
+    serde round-trips exactly."""
+    from bqf_ray.sketches.ams import AmsF2
+    rng = np.random.RandomState(tree_seed)
+    keys = rng.randint(0, 5000, 60000).astype(np.uint64)
+
+    whole = AmsF2(depth=4, seed=9)
+    whole.update_batch(keys)
+
+    parts = np.array_split(keys, 9)
+    order = rng.permutation(9)
+    sks = []
+    for i in order:
+        s = AmsF2(depth=4, seed=9)
+        s.update_batch(parts[i])
+        sks.append(s)
+    merged = sks[0]
+    for o in sks[1:]:
+        merged.merge(AmsF2.from_bytes(o.to_bytes()))
+    assert np.array_equal(merged._counters, whole._counters)
+    assert merged.n == whole.n
+
+    # weighted form: (k, c) pairs == c repeats of k
+    uk, cnt = np.unique(keys, return_counts=True)
+    w = AmsF2(depth=4, seed=9)
+    w.update_batch(uk.astype(np.uint64), cnt)
+    assert np.array_equal(w._counters, whole._counters)
+
+    rt = AmsF2.from_bytes(whole.to_bytes())
+    assert np.array_equal(rt._counters, whole._counters)
+    assert (rt.depth, rt.seed, rt.n) == (whole.depth, whole.seed, whole.n)
+
+
+def test_ams_f2_estimate_bound():
+    """Relative error of the depth=8 median-of-means estimate stays
+    well inside the 0.35 pipeline bound across seeds (zipf stream)."""
+    from bqf_ray.sketches.ams import AmsF2
+    rng = np.random.RandomState(1)
+    keys = rng.zipf(1.35, 120000)
+    keys = keys[keys < 50000].astype(np.uint64)
+    exact = float((np.bincount(keys.astype(np.int64)) ** 2).sum())
+    worst = 0.0
+    for seed in range(12):
+        s = AmsF2(depth=8, seed=seed)
+        s.update_batch(keys)
+        worst = max(worst, abs(s.estimate_f2() - exact) / exact)
+    assert worst < 0.35, worst
+
+
+def test_ams_f2_config_mismatch_raises():
+    from bqf_ray.sketches.ams import AmsF2
+    a, b = AmsF2(depth=4, seed=1), AmsF2(depth=4, seed=2)
+    with pytest.raises(Exception):
+        a.merge(b)

@@ -118,3 +118,75 @@ def test_rebalance_total_rows_scaling(ray_session):
     out = rebalance_mixture(ds, {"en": 1.0}, strat_col="lang",
                             total_rows=5000).to_pandas()
     assert abs(len(out) - 5000) < 100
+
+
+def _weighted_tbl(n=3000, seed=7):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "w": pa.array(rng.exponential(100.0, n))})
+
+
+def test_priority_sample_partition_invariant_and_exact(ray_session):
+    """Same k-sample under any partitioning; when k >= n the estimator
+    degenerates to the exact weights (tau = 0) and the subset-sum
+    estimate is the exact total."""
+    import ray
+
+    from bqf_ray.pipelines.sampling import priority_sample
+    t = _weighted_tbl()
+    outs = []
+    for parts in (1, 16):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(priority_sample(ds, "w", 50, key_col="doc_id",
+                                    salt="s").to_pandas())
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    # reference: numpy replay of the same md5 priorities
+    u = (_u(np.arange(len(t)), salt="s", algo="md5").astype(np.float64)
+         + 1.0) / TWO64
+    w = np.asarray(t.column("w"), dtype=np.float64)
+    pri = w / u
+    order = np.lexsort((np.arange(len(t)), -pri))
+    top = order[:50]
+    tau = pri[order[50]]
+    assert list(got["doc_id"]) == list(top)
+    assert np.array_equal(got["est_weight"].to_numpy(),
+                          np.maximum(w[top], tau))
+    # k >= n: exact
+    small = pa.table({"doc_id": pa.array(np.arange(10, dtype=np.int64)),
+                      "w": pa.array(np.arange(1.0, 11.0))})
+    ds = ray.data.from_arrow(small).repartition(3)
+    full = priority_sample(ds, "w", 64, key_col="doc_id").to_pandas()
+    assert len(full) == 10
+    assert full["est_weight"].sum() == 55.0
+
+
+def test_grouped_priority_sample_matches_pandas(ray_session):
+    """Per-group sample + per-group tau estimator == a pandas replay."""
+    import ray
+
+    from bqf_ray.pipelines.sampling import grouped_priority_sample
+    t = _weighted_tbl()
+    got = (grouped_priority_sample(
+               ray.data.from_arrow(t).repartition(16), "source", "w", 7,
+               key_col="doc_id", salt="s")
+           .to_pandas().sort_values(["source", "rk"])
+           .reset_index(drop=True))
+    import pandas as pd
+    df = t.to_pandas()
+    u = (_u(df["doc_id"].to_numpy(), salt="s", algo="md5")
+         .astype(np.float64) + 1.0) / TWO64
+    df["pri"] = df["w"] / u
+    df = df.sort_values(["pri", "doc_id"], ascending=[False, True])
+    df["rk"] = df.groupby("source").cumcount() + 1
+    tau = (df[df["rk"] == 8].set_index("source")["pri"]
+           .reindex(df["source"].unique()).fillna(0.0))
+    keep = df[df["rk"] <= 7].copy()
+    keep["est_weight"] = np.maximum(
+        keep["w"].to_numpy(), tau.reindex(keep["source"]).to_numpy())
+    keep = keep.sort_values(["source", "rk"]).reset_index(drop=True)
+    assert list(got["doc_id"]) == list(keep["doc_id"])
+    assert np.array_equal(got["est_weight"].to_numpy(),
+                          keep["est_weight"].to_numpy())
