@@ -1857,6 +1857,20 @@ def w_type_distinct_hll_sparse(sf_dir):
     return exact
 
 
+def w_triangles_copurchase(sf_dir):
+    """Exact triangle count over the part co-purchase graph (parts
+    sharing an l_orderkey): cooccurrence projection + degree-oriented
+    node-iterator, every exchange a 1-int hash bucket.  n_edges /
+    n_wedges / n_triangles all SQL-exact."""
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges, triangle_count
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges, "a", "b")
+
+
 def w_f2_tokens(sf_dir):
     """AMS tug-of-war F2 (self-join size of the token frequency
     vector) bound-checked against the exact SUM(cnt^2) recount; the
@@ -2022,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_cm": w_join_size_cm,
         "grouped_dd_quantiles": w_grouped_dd_quantiles,
         "type_distinct_hll_sparse": w_type_distinct_hll_sparse,
+        "triangles_copurchase": w_triangles_copurchase,
         "f2_tokens": w_f2_tokens,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
@@ -3015,6 +3030,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound
             FROM events GROUP BY 1""",
+        "triangles_copurchase": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            deg AS (SELECT v, count(*)::BIGINT AS d
+                    FROM (SELECT a AS v FROM e0
+                          UNION ALL SELECT b FROM e0) GROUP BY v),
+            o AS (SELECT CASE WHEN (da.d < db.d)
+                               OR (da.d = db.d AND e0.a < e0.b)
+                              THEN e0.a ELSE e0.b END AS u
+                  FROM e0 JOIN deg da ON da.v = e0.a
+                          JOIN deg db ON db.v = e0.b),
+            od AS (SELECT u, count(*)::BIGINT AS c FROM o GROUP BY u)
+            SELECT (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+                   (SELECT COALESCE(SUM(c * (c - 1) / 2), 0)
+                    FROM od)::BIGINT AS n_wedges,
+                   (SELECT count(*)
+                    FROM e0 t1 JOIN e0 t2
+                        ON t1.a = t2.a AND t1.b < t2.b
+                      JOIN e0 t3 ON t3.a = t1.b AND t3.b = t2.b
+                   )::BIGINT AS n_triangles""",
         "f2_tokens": f"""
             SELECT SUM(cnt * cnt)::BIGINT AS f2_exact,
                    TRUE AS within_bound

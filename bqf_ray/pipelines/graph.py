@@ -377,3 +377,296 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
         ranks = new
 
     return nodes, ranks, UNIT
+
+
+def _segment_pairs(sort_key: np.ndarray, values: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered within-segment value pairs, fully vectorized:
+    sort by segment key, then for each DISTINCT segment size d gather
+    the segments into one (k, d) matrix and apply a single
+    ``triu_indices`` fancy-index — no per-segment Python loop (the loop
+    is over distinct sizes, bounded by max segment length)."""
+    order = np.lexsort((values, sort_key))
+    k, v = sort_key[order], values[order]
+    starts = np.concatenate([[True], k[1:] != k[:-1]]) \
+        if len(k) else np.empty(0, dtype=bool)
+    seg_off = np.flatnonzero(starts)
+    seg_cnt = np.diff(np.append(seg_off, len(k)))
+    xs, ys = [], []
+    for d in np.unique(seg_cnt):
+        if d < 2:
+            continue
+        offs = seg_off[seg_cnt == d]
+        mat = v[(offs[:, None] + np.arange(d)[None, :])]
+        iu, ju = np.triu_indices(int(d), 1)
+        xs.append(mat[:, iu].ravel())
+        ys.append(mat[:, ju].ravel())
+    if not xs:
+        e = np.empty(0, dtype=values.dtype)
+        return e, e.copy()
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_buckets: int = 64):
+    """Undirected co-occurrence edges: one (min, max) item pair for
+    every two DISTINCT items sharing a ``group_col`` value (the
+    co-purchase / co-citation projection of a bipartite table).  One
+    group-hash bucketed exchange; pair generation inside the bucket is
+    the vectorized :func:`_segment_pairs`.  Emits duplicates when a
+    pair co-occurs in several groups — feed :func:`triangle_count` (or
+    any consumer that dedups) downstream."""
+    from bqf_ray.functions.hashing import fmix64
+
+    B = int(num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch.column(group_col), dtype=np.int64)
+        return pa.table({
+            "g": pa.array(g),
+            "i": pa.array(np.asarray(batch.column(item_col),
+                                     dtype=np.int64)),
+            "__bucket": pa.array((fmix64(g.view(np.uint64))
+                                  % np.uint64(B)).astype(np.int64))})
+
+    def gen(grp: pa.Table) -> pa.Table:
+        g = np.asarray(grp.column("g"), dtype=np.int64)
+        i = np.asarray(grp.column("i"), dtype=np.int64)
+        # dedupe (group, item) so a repeated item in one group doesn't
+        # emit self-pairs
+        order = np.lexsort((i, g))
+        g, i = g[order], i[order]
+        uniq = np.concatenate([[True], (g[1:] != g[:-1]) | (i[1:] != i[:-1])]) \
+            if len(g) else np.empty(0, dtype=bool)
+        g, i = g[uniq], i[uniq]
+        x, y = _segment_pairs(g, i)
+        return pa.table({"a": pa.array(np.minimum(x, y)),
+                         "b": pa.array(np.maximum(x, y))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(gen, batch_format="pyarrow"))
+
+
+def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
+                   num_buckets: int = 64):
+    """EXACT distributed triangle count over an undirected edge stream
+    (self-loops and duplicate/reversed edges tolerated) — the classic
+    node-iterator-with-degree-orientation algorithm cast as bucketed
+    exchanges:
+
+    1. canonicalize (min,max), dedupe via one pair-hash bucket exchange;
+    2. exact degrees via :func:`bucketed_sum`; attach deg to both
+       endpoints with two key-bucketed co-partitions (union + per-bucket
+       searchsorted — no driver collect, no broadcast: the degree table
+       is vertex-sized);
+    3. orient every edge from its (degree, id)-smaller endpoint — the
+       standard bound: every out-degree is at most ~sqrt(2E), so wedge
+       generation is O(E^1.5) worst case and per-hub work collapses;
+    4. generate wedges per source INSIDE u-hash buckets, fully
+       vectorized by grouping same-out-degree sources into (k, d)
+       matrices + one triu_indices gather per distinct degree,
+       pre-aggregated to (pair, count) before leaving the bucket;
+    5. close wedges against the edge set in one pair-hash bucketed
+       semi-join (structured-array searchsorted membership).
+
+    Every exchange key is a single int hash bucket (memory/shuffle-key
+    lesson of ``stages/partition.bucketed_agg``).  Returns a one-row
+    table ``(n_edges, n_wedges, n_triangles)`` — each column exactly
+    SQL-recomputable, so the whole operator is oracle-checkable."""
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.stages.partition import bucketed_sum
+
+    B = int(num_buckets)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return fmix64(a.astype(np.int64).view(np.uint64) * GOLD
+                      ^ fmix64(b.astype(np.int64).view(np.uint64)))
+
+    # -- 1. canonicalize + dedupe ------------------------------------
+    def canon(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(a_col), dtype=np.int64)
+        y = np.asarray(batch.column(b_col), dtype=np.int64)
+        keep = x != y
+        x, y = x[keep], y[keep]
+        a = np.minimum(x, y)
+        b = np.maximum(x, y)
+        # per-block pre-dedupe shrinks the exchange
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        uniq = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) \
+            if len(a) else np.empty(0, dtype=bool)
+        a, b = a[uniq], b[uniq]
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "__bucket": pa.array(
+                             (_pair_hash(a, b) % np.uint64(B))
+                             .astype(np.int64))})
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        a = np.asarray(g.column("a"), dtype=np.int64)
+        b = np.asarray(g.column("b"), dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        uniq = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) \
+            if len(a) else np.empty(0, dtype=bool)
+        return pa.table({"a": pa.array(a[uniq]), "b": pa.array(b[uniq])})
+
+    edges = (edges_ds.map_batches(canon, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(dedup_bucket, batch_format="pyarrow")
+             .materialize())
+    n_edges = edges.count()
+
+    # -- 2. degrees + attach -----------------------------------------
+    def endpoints(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(batch.column("a"), dtype=np.int64),
+                            np.asarray(batch.column("b"), dtype=np.int64)])
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    deg = bucketed_sum(edges.map_batches(endpoints, batch_format="pyarrow"),
+                       ["v"], {"c": "deg"},
+                       num_buckets=B).materialize()
+
+    def _attach(es, key: str, out: str):
+        """co-partition edges with the degree table on ``key`` and gather
+        ``deg`` per row — union tag + per-bucket searchsorted."""
+        cols = list(es.schema().names)
+
+        def tag_e(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(key), dtype=np.int64)
+            bkt = (fmix64(k.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+            t = batch.append_column("__bucket", pa.array(bkt))
+            t = t.append_column("__deg", pa.array(
+                np.zeros(len(batch), dtype=np.int64)))
+            return t.append_column("__side", pa.array(
+                np.zeros(len(batch), dtype=np.int8)))
+
+        def tag_d(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column("v"), dtype=np.int64)
+            bkt = (fmix64(v.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+            cols_d = {c: pa.array(np.zeros(len(v), dtype=np.int64))
+                      for c in cols if c != key}
+            cols_d[key] = pa.array(v)
+            cols_d["__bucket"] = pa.array(bkt)
+            cols_d["__deg"] = batch.column("deg")
+            cols_d["__side"] = pa.array(np.ones(len(v), dtype=np.int8))
+            return pa.table(cols_d).select([*cols, "__bucket", "__deg",
+                                            "__side"])
+
+        def join_bucket(g: pa.Table) -> pa.Table:
+            side = np.asarray(g.column("__side"))
+            k = np.asarray(g.column(key), dtype=np.int64)
+            dv = k[side == 1]
+            dd = np.asarray(g.column("__deg"))[side == 1]
+            order = np.argsort(dv)
+            dv, dd = dv[order], dd[order]
+            emask = side == 0
+            ek = k[emask]
+            pos = np.searchsorted(dv, ek)
+            # every edge endpoint has a degree row by construction
+            got = dd[pos]
+            out_t = g.filter(pa.array(emask)).select(cols)
+            return out_t.append_column(out, pa.array(got.astype(np.int64)))
+
+        return (es.map_batches(tag_e, batch_format="pyarrow")
+                .union(deg.map_batches(tag_d, batch_format="pyarrow"))
+                .groupby("__bucket")
+                .map_groups(join_bucket, batch_format="pyarrow"))
+
+    attached = _attach(_attach(edges, "a", "deg_a"), "b", "deg_b")
+
+    # -- 3 + 4. orient, bucket by source, vectorized wedge gen -------
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        da = np.asarray(batch.column("deg_a"), dtype=np.int64)
+        db = np.asarray(batch.column("deg_b"), dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "__bucket": pa.array(
+                             (fmix64(u.view(np.uint64)) % np.uint64(B))
+                             .astype(np.int64))})
+
+    def wedges_bucket(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("u"), dtype=np.int64)
+        v = np.asarray(g.column("v"), dtype=np.int64)
+        x, y = _segment_pairs(u, v)
+        if len(x):
+            wa, wb = np.minimum(x, y), np.maximum(x, y)
+            # pre-aggregate (pair -> count) before leaving the bucket
+            order = np.lexsort((wb, wa))
+            wa, wb = wa[order], wb[order]
+            new = np.concatenate([[True], (wa[1:] != wa[:-1])
+                                  | (wb[1:] != wb[:-1])])
+            idx = np.flatnonzero(new)
+            cnt = np.diff(np.append(idx, len(wa)))
+            wa, wb = wa[idx], wb[idx]
+        else:
+            wa = wb = np.empty(0, dtype=np.int64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table({"a": pa.array(wa), "b": pa.array(wb),
+                         "wcnt": pa.array(cnt.astype(np.int64))})
+
+    wedges = (attached.map_batches(orient, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(wedges_bucket, batch_format="pyarrow"))
+
+    # -- 5. close against the edge set -------------------------------
+    def tag_w(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        return pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                         "wcnt": batch.column("wcnt"),
+                         "__bucket": pa.array(
+                             (_pair_hash(a, b) % np.uint64(B))
+                             .astype(np.int64)),
+                         "__side": pa.array(
+                             np.zeros(len(batch), dtype=np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        return pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                         "wcnt": pa.array(np.zeros(len(batch),
+                                                   dtype=np.int64)),
+                         "__bucket": pa.array(
+                             (_pair_hash(a, b) % np.uint64(B))
+                             .astype(np.int64)),
+                         "__side": pa.array(
+                             np.ones(len(batch), dtype=np.int8))})
+
+    def close_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        a = np.asarray(g.column("a"), dtype=np.int64)
+        b = np.asarray(g.column("b"), dtype=np.int64)
+        w = np.asarray(g.column("wcnt"), dtype=np.int64)
+        st = np.empty(int((side == 1).sum()),
+                      dtype=[("a", "<i8"), ("b", "<i8")])
+        st["a"], st["b"] = a[side == 1], b[side == 1]
+        st.sort(order=("a", "b"))
+        wm = side == 0
+        qt = np.empty(int(wm.sum()), dtype=st.dtype)
+        qt["a"], qt["b"] = a[wm], b[wm]
+        if len(st) == 0 or len(qt) == 0:
+            hit = np.zeros(len(qt), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(st, qt), len(st) - 1)
+            hit = st[pos] == qt
+        return pa.table({
+            "tri": pa.array([int(w[wm][hit].sum())], type=pa.int64()),
+            "wed": pa.array([int(w[wm].sum())], type=pa.int64())})
+
+    closed = (wedges.map_batches(tag_w, batch_format="pyarrow")
+              .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+              .groupby("__bucket")
+              .map_groups(close_bucket, batch_format="pyarrow")
+              .materialize())
+    n_tri = int(closed.sum("tri") or 0)
+    n_wed = int(closed.sum("wed") or 0)
+    return pa.table({"n_edges": pa.array([int(n_edges)], type=pa.int64()),
+                     "n_wedges": pa.array([n_wed], type=pa.int64()),
+                     "n_triangles": pa.array([n_tri], type=pa.int64())})

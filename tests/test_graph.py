@@ -82,3 +82,74 @@ def test_near_dup_removal(ray_session, cc_mode):
     out = near_dup_removal(docs, pairs, cc_mode=cc_mode).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 4, 5, 6, 8]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(pairs):
+    es = set()
+    for x, y in pairs:
+        if x != y:
+            es.add((min(x, y), max(x, y)))
+    tri = 0
+    esl = sorted(es)
+    for i, (a, b) in enumerate(esl):
+        for (c, d) in esl[i + 1:]:
+            if c == a and (min(b, d), max(b, d)) in es:
+                tri += 1
+    return len(es), tri
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_triangle_count_matches_brute_force(ray_session, seed):
+    import ray
+
+    from bqf_ray.pipelines.graph import triangle_count
+    rng = np.random.RandomState(seed)
+    E = rng.randint(0, 50, (600, 2)).astype(np.int64)
+    t = pa.table({"a": pa.array(E[:, 0]), "b": pa.array(E[:, 1])})
+    n_e, n_t = _brute_triangles(E)
+    for parts, buckets in ((2, 4), (16, 32)):
+        got = triangle_count(ray.data.from_arrow(t).repartition(parts),
+                             "a", "b", num_buckets=buckets).to_pydict()
+        assert got["n_edges"] == [n_e]
+        assert got["n_triangles"] == [n_t]
+
+
+def test_triangle_count_edge_cases(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import triangle_count
+    # self-loops + duplicate and reversed edges; a single triangle
+    t = pa.table({"a": pa.array([1, 2, 3, 3, 1, 7], type=pa.int64()),
+                  "b": pa.array([2, 3, 1, 1, 2, 7], type=pa.int64())})
+    got = triangle_count(ray.data.from_arrow(t), "a", "b").to_pydict()
+    assert got == {"n_edges": [3], "n_wedges": [1], "n_triangles": [1]}
+    # no triangles
+    path = pa.table({"a": pa.array([1, 2, 3], type=pa.int64()),
+                     "b": pa.array([2, 3, 4], type=pa.int64())})
+    got = triangle_count(ray.data.from_arrow(path), "a", "b").to_pydict()
+    assert got["n_triangles"] == [0]
+
+
+def test_cooccurrence_edges_matches_reference(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 40, 500).astype(np.int64)
+    i = rng.randint(0, 30, 500).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"grp": pa.array(g),
+                                       "item": pa.array(i)}))
+    got = cooccurrence_edges(ds.repartition(8), "grp", "item").to_pandas()
+    # reference: per group distinct items, all unordered pairs (multiset
+    # across groups)
+    import itertools
+    exp = []
+    for gv in np.unique(g):
+        items = sorted(set(i[g == gv]))
+        exp.extend((a, b) for a, b in itertools.combinations(items, 2))
+    got_pairs = sorted(zip(got["a"], got["b"]))
+    assert got_pairs == sorted(exp)
