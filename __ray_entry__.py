@@ -1871,6 +1871,32 @@ def w_triangles_copurchase(sf_dir):
     return triangle_count(edges, "a", "b")
 
 
+def w_assortativity_copurchase(sf_dir):
+    """Degree-assortativity of the part co-purchase graph as EXACT
+    int64 Pearson components (m2, s1, s2, s11) — float r derives
+    downstream; the integer sums make it oracle-exact."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (cooccurrence_edges,
+                                         degree_assortativity)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return degree_assortativity(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"), "a", "b")
+
+
+def w_butterflies_lineitem(sf_dir):
+    """Exact bipartite 4-cycle (butterfly) count of the (order, part)
+    incidence table — one co-occurrence projection + one pair-bucketed
+    count + an integer C(c,2) fold."""
+    import ray
+
+    from bqf_ray.pipelines.graph import butterfly_count
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return butterfly_count(li, "l_orderkey", "l_partkey")
+
+
 def w_f2_tokens(sf_dir):
     """AMS tug-of-war F2 (self-join size of the token frequency
     vector) bound-checked against the exact SUM(cnt^2) recount; the
@@ -2037,6 +2063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_dd_quantiles": w_grouped_dd_quantiles,
         "type_distinct_hll_sparse": w_type_distinct_hll_sparse,
         "triangles_copurchase": w_triangles_copurchase,
+        "assortativity_copurchase": w_assortativity_copurchase,
+        "butterflies_lineitem": w_butterflies_lineitem,
         "f2_tokens": w_f2_tokens,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
@@ -3054,6 +3082,36 @@ def oracle_sql() -> dict[str, str]:
                         ON t1.a = t2.a AND t1.b < t2.b
                       JOIN e0 t3 ON t3.a = t1.b AND t3.b = t2.b
                    )::BIGINT AS n_triangles""",
+        "assortativity_copurchase": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            deg AS (SELECT v, count(*)::BIGINT AS d
+                    FROM (SELECT a AS v FROM e0
+                          UNION ALL SELECT b FROM e0) GROUP BY v)
+            SELECT (2 * count(*))::BIGINT AS m2,
+                   SUM(da.d + db.d)::BIGINT AS s1,
+                   SUM(da.d * da.d + db.d * db.d)::BIGINT AS s2,
+                   SUM(2 * da.d * db.d)::BIGINT AS s11
+            FROM e0 JOIN deg da ON da.v = e0.a
+                    JOIN deg db ON db.v = e0.b""",
+        "butterflies_lineitem": """
+            WITH pc AS (
+              SELECT a, b, count(*)::BIGINT AS c FROM (
+                SELECT DISTINCT l1.l_orderkey,
+                       LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                       GREATEST(l1.l_partkey, l2.l_partkey) AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey <> l2.l_partkey)
+              GROUP BY a, b)
+            SELECT count(*)::BIGINT AS n_item_pairs,
+                   COALESCE(SUM(c * (c - 1) / 2), 0)::BIGINT
+                     AS n_butterflies
+            FROM pc""",
         "f2_tokens": f"""
             SELECT SUM(cnt * cnt)::BIGINT AS f2_exact,
                    TRUE AS within_bound

@@ -447,43 +447,21 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
             .groupby("__bucket").map_groups(gen, batch_format="pyarrow"))
 
 
-def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
-                   num_buckets: int = 64):
-    """EXACT distributed triangle count over an undirected edge stream
-    (self-loops and duplicate/reversed edges tolerated) — the classic
-    node-iterator-with-degree-orientation algorithm cast as bucketed
-    exchanges:
-
-    1. canonicalize (min,max), dedupe via one pair-hash bucket exchange;
-    2. exact degrees via :func:`bucketed_sum`; attach deg to both
-       endpoints with two key-bucketed co-partitions (union + per-bucket
-       searchsorted — no driver collect, no broadcast: the degree table
-       is vertex-sized);
-    3. orient every edge from its (degree, id)-smaller endpoint — the
-       standard bound: every out-degree is at most ~sqrt(2E), so wedge
-       generation is O(E^1.5) worst case and per-hub work collapses;
-    4. generate wedges per source INSIDE u-hash buckets, fully
-       vectorized by grouping same-out-degree sources into (k, d)
-       matrices + one triu_indices gather per distinct degree,
-       pre-aggregated to (pair, count) before leaving the bucket;
-    5. close wedges against the edge set in one pair-hash bucketed
-       semi-join (structured-array searchsorted membership).
-
-    Every exchange key is a single int hash bucket (memory/shuffle-key
-    lesson of ``stages/partition.bucketed_agg``).  Returns a one-row
-    table ``(n_edges, n_wedges, n_triangles)`` — each column exactly
-    SQL-recomputable, so the whole operator is oracle-checkable."""
+def _pair_hash64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     from bqf_ray.functions.hashing import fmix64
-    from bqf_ray.stages.partition import bucketed_sum
-
-    B = int(num_buckets)
     GOLD = np.uint64(0x9E3779B97F4A7C15)
+    return fmix64(a.astype(np.int64).view(np.uint64) * GOLD
+                  ^ fmix64(b.astype(np.int64).view(np.uint64)))
 
-    def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return fmix64(a.astype(np.int64).view(np.uint64) * GOLD
-                      ^ fmix64(b.astype(np.int64).view(np.uint64)))
 
-    # -- 1. canonicalize + dedupe ------------------------------------
+def canonical_edges(edges_ds, a_col: str = "a", b_col: str = "b",
+                    num_buckets: int = 64):
+    """Canonicalize an undirected edge stream to distinct (min, max)
+    pairs: per-block pre-dedupe, ONE pair-hash bucket exchange, exact
+    in-bucket dedupe.  Self-loops dropped.  Returns a MATERIALIZED
+    (a, b) dataset (downstream graph ops consume it several times)."""
+    B = int(num_buckets)
+
     def canon(batch: pa.Table) -> pa.Table:
         x = np.asarray(batch.column(a_col), dtype=np.int64)
         y = np.asarray(batch.column(b_col), dtype=np.int64)
@@ -491,7 +469,6 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         x, y = x[keep], y[keep]
         a = np.minimum(x, y)
         b = np.maximum(x, y)
-        # per-block pre-dedupe shrinks the exchange
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         uniq = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) \
@@ -499,7 +476,7 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         a, b = a[uniq], b[uniq]
         return pa.table({"a": pa.array(a), "b": pa.array(b),
                          "__bucket": pa.array(
-                             (_pair_hash(a, b) % np.uint64(B))
+                             (_pair_hash64(a, b) % np.uint64(B))
                              .astype(np.int64))})
 
     def dedup_bucket(g: pa.Table) -> pa.Table:
@@ -511,13 +488,22 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
             if len(a) else np.empty(0, dtype=bool)
         return pa.table({"a": pa.array(a[uniq]), "b": pa.array(b[uniq])})
 
-    edges = (edges_ds.map_batches(canon, batch_format="pyarrow")
-             .groupby("__bucket")
-             .map_groups(dedup_bucket, batch_format="pyarrow")
-             .materialize())
-    n_edges = edges.count()
+    return (edges_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(dedup_bucket, batch_format="pyarrow")
+            .materialize())
 
-    # -- 2. degrees + attach -----------------------------------------
+
+def attach_degrees(edges, num_buckets: int = 64):
+    """Exact vertex degrees over canonical edges, attached to BOTH
+    endpoints (``deg_a``, ``deg_b``) via two key-bucketed
+    co-partitions (union tag + per-bucket searchsorted) — no driver
+    collect, no broadcast: the degree table stays distributed."""
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.stages.partition import bucketed_sum
+
+    B = int(num_buckets)
+
     def endpoints(batch: pa.Table) -> pa.Table:
         v = np.concatenate([np.asarray(batch.column("a"), dtype=np.int64),
                             np.asarray(batch.column("b"), dtype=np.int64)])
@@ -530,8 +516,6 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
                        num_buckets=B).materialize()
 
     def _attach(es, key: str, out: str):
-        """co-partition edges with the degree table on ``key`` and gather
-        ``deg`` per row — union tag + per-bucket searchsorted."""
         cols = list(es.schema().names)
 
         def tag_e(batch: pa.Table) -> pa.Table:
@@ -575,7 +559,43 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
                 .groupby("__bucket")
                 .map_groups(join_bucket, batch_format="pyarrow"))
 
-    attached = _attach(_attach(edges, "a", "deg_a"), "b", "deg_b")
+    return _attach(_attach(edges, "a", "deg_a"), "b", "deg_b")
+
+
+def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
+                   num_buckets: int = 64):
+    """EXACT distributed triangle count over an undirected edge stream
+    (self-loops and duplicate/reversed edges tolerated) — the classic
+    node-iterator-with-degree-orientation algorithm cast as bucketed
+    exchanges:
+
+    1. canonicalize (min,max), dedupe via one pair-hash bucket exchange;
+    2. exact degrees via :func:`bucketed_sum`; attach deg to both
+       endpoints with two key-bucketed co-partitions (union + per-bucket
+       searchsorted — no driver collect, no broadcast: the degree table
+       is vertex-sized);
+    3. orient every edge from its (degree, id)-smaller endpoint — the
+       standard bound: every out-degree is at most ~sqrt(2E), so wedge
+       generation is O(E^1.5) worst case and per-hub work collapses;
+    4. generate wedges per source INSIDE u-hash buckets, fully
+       vectorized by grouping same-out-degree sources into (k, d)
+       matrices + one triu_indices gather per distinct degree,
+       pre-aggregated to (pair, count) before leaving the bucket;
+    5. close wedges against the edge set in one pair-hash bucketed
+       semi-join (structured-array searchsorted membership).
+
+    Every exchange key is a single int hash bucket (memory/shuffle-key
+    lesson of ``stages/partition.bucketed_agg``).  Returns a one-row
+    table ``(n_edges, n_wedges, n_triangles)`` — each column exactly
+    SQL-recomputable, so the whole operator is oracle-checkable."""
+    from bqf_ray.functions.hashing import fmix64
+
+    B = int(num_buckets)
+    _pair_hash = _pair_hash64
+
+    edges = canonical_edges(edges_ds, a_col, b_col, num_buckets=B)
+    n_edges = edges.count()
+    attached = attach_degrees(edges, num_buckets=B)
 
     # -- 3 + 4. orient, bucket by source, vectorized wedge gen -------
     def orient(batch: pa.Table) -> pa.Table:
@@ -670,3 +690,81 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
     return pa.table({"n_edges": pa.array([int(n_edges)], type=pa.int64()),
                      "n_wedges": pa.array([n_wed], type=pa.int64()),
                      "n_triangles": pa.array([n_tri], type=pa.int64())})
+
+
+def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
+                         num_buckets: int = 64):
+    """Degree-assortativity components of an undirected graph (Newman
+    2002) as EXACT INTEGER sums — the repo's established pattern for
+    making a floating-point statistic oracle-exact (cf. the per-group
+    Pearson components of ``value_k_correlation``): the Pearson
+    correlation over the directed-edge degree sequence is
+
+        r = (m2*s11 - s1^2) / (m2*s2 - s1^2)
+
+    where over each undirected edge {u, v}: m2 += 2, s1 += du + dv,
+    s2 += du^2 + dv^2, s11 += 2*du*dv.  All four are int64-exact, so
+    the oracle replays them bit-for-bit; callers derive float r.
+
+    One canonical-edge exchange + the two degree-attach co-partitions
+    of :func:`attach_degrees`, then a pure per-batch integer fold."""
+    edges = canonical_edges(edges_ds, a_col, b_col, num_buckets=num_buckets)
+    attached = attach_degrees(edges, num_buckets=num_buckets)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        da = np.asarray(batch.column("deg_a"), dtype=np.int64)
+        db = np.asarray(batch.column("deg_b"), dtype=np.int64)
+        return pa.table({
+            "m2": pa.array([2 * len(da)], type=pa.int64()),
+            "s1": pa.array([int((da + db).sum())], type=pa.int64()),
+            "s2": pa.array([int((da * da + db * db).sum())],
+                           type=pa.int64()),
+            "s11": pa.array([int(2 * (da * db).sum())], type=pa.int64())})
+
+    parts = attached.map_batches(fold, batch_format="pyarrow").materialize()
+    return pa.table({
+        "m2": pa.array([int(parts.sum("m2") or 0)], type=pa.int64()),
+        "s1": pa.array([int(parts.sum("s1") or 0)], type=pa.int64()),
+        "s2": pa.array([int(parts.sum("s2") or 0)], type=pa.int64()),
+        "s11": pa.array([int(parts.sum("s11") or 0)], type=pa.int64())})
+
+
+def butterfly_count(ds, group_col: str, item_col: str,
+                    num_buckets: int = 64):
+    """EXACT butterfly (bipartite 4-cycle) count of a (group, item)
+    bipartite table: butterflies = sum over item pairs {a, b} of
+    C(c_ab, 2), where c_ab = number of distinct groups containing both
+    — the bipartite clustering primitive (Wang et al., "Butterfly
+    counting in bipartite networks", 2014).
+
+    Plan: :func:`cooccurrence_edges` emits one (a, b) row per
+    co-occurring group (multiplicity preserved), ONE pair-bucketed
+    exact count (:func:`bucketed_sum` over the pair), then a per-batch
+    integer fold of C(c, 2) — no driver-side loop.  Returns one row
+    ``(n_item_pairs, n_butterflies)``, both int64-exact."""
+    from bqf_ray.stages.partition import bucketed_sum
+
+    pairs = cooccurrence_edges(ds, group_col, item_col,
+                               num_buckets=num_buckets)
+
+    def tag_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(len(batch), dtype=np.int64)))
+
+    counts = bucketed_sum(pairs.map_batches(tag_one, batch_format="pyarrow"),
+                          ["a", "b"], {"one": "c"},
+                          num_buckets=num_buckets)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.int64)
+        return pa.table({
+            "np_": pa.array([len(c)], type=pa.int64()),
+            "bf": pa.array([int((c * (c - 1) // 2).sum())],
+                           type=pa.int64())})
+
+    parts = counts.map_batches(fold, batch_format="pyarrow").materialize()
+    return pa.table({
+        "n_item_pairs": pa.array([int(parts.sum("np_") or 0)],
+                                 type=pa.int64()),
+        "n_butterflies": pa.array([int(parts.sum("bf") or 0)],
+                                  type=pa.int64())})

@@ -153,3 +153,51 @@ def test_cooccurrence_edges_matches_reference(ray_session):
         exp.extend((a, b) for a, b in itertools.combinations(items, 2))
     got_pairs = sorted(zip(got["a"], got["b"]))
     assert got_pairs == sorted(exp)
+
+
+def test_degree_assortativity_matches_reference(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import degree_assortativity
+    rng = np.random.RandomState(5)
+    E = rng.randint(0, 40, (400, 2)).astype(np.int64)
+    t = pa.table({"a": pa.array(E[:, 0]), "b": pa.array(E[:, 1])})
+    got = degree_assortativity(ray.data.from_arrow(t).repartition(8),
+                               "a", "b").to_pydict()
+    es = sorted({(min(x, y), max(x, y)) for x, y in E if x != y})
+    from collections import Counter
+    deg = Counter()
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    m2 = 2 * len(es)
+    s1 = sum(deg[a] + deg[b] for a, b in es)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in es)
+    s11 = sum(2 * deg[a] * deg[b] for a, b in es)
+    assert got == {"m2": [m2], "s1": [s1], "s2": [s2], "s11": [s11]}
+    # derived r must be a valid correlation
+    r = (m2 * s11 - s1 ** 2) / (m2 * s2 - s1 ** 2)
+    assert -1.0 <= r <= 1.0
+
+
+def test_butterfly_count_matches_reference(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import butterfly_count
+    rng = np.random.RandomState(6)
+    g = rng.randint(0, 30, 600).astype(np.int64)
+    i = rng.randint(0, 25, 600).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"grp": pa.array(g),
+                                       "item": pa.array(i)}))
+    got = butterfly_count(ds.repartition(8), "grp", "item").to_pydict()
+    from collections import Counter
+    per_group = {}
+    for gv, iv in zip(g, i):
+        per_group.setdefault(gv, set()).add(iv)
+    pc = Counter()
+    import itertools
+    for items in per_group.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            pc[(a, b)] += 1
+    exp_bf = sum(c * (c - 1) // 2 for c in pc.values())
+    assert got == {"n_item_pairs": [len(pc)], "n_butterflies": [exp_bf]}
