@@ -1857,6 +1857,29 @@ def w_type_distinct_hll_sparse(sf_dir):
     return exact
 
 
+def w_rolling_time_sum(sf_dir):
+    """Per-event 10-minute TIME-RANGE rolling sum/count of value cents
+    per user — the RANGE-frame (peer-inclusive) sibling of rolling_sum's
+    ROWS frame; structured-searchsorted frame bounds, one key-bucketed
+    shuffle."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import rolling_time_range_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def cents(b):
+        c = np.floor(np.asarray(b.column("value")) * 100 + 0.5
+                     ).astype(np.int64)
+        return (b.drop_columns(["value"])
+                .append_column("cents", pa.array(c)))
+
+    return rolling_time_range_sum(
+        ev.map_batches(cents, batch_format="pyarrow"), range_s=600,
+        value_col="cents")
+
+
 def w_triangles_copurchase(sf_dir):
     """Exact triangle count over the part co-purchase graph (parts
     sharing an l_orderkey): cooccurrence projection + degree-oriented
@@ -2062,6 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_cm": w_join_size_cm,
         "grouped_dd_quantiles": w_grouped_dd_quantiles,
         "type_distinct_hll_sparse": w_type_distinct_hll_sparse,
+        "rolling_time_sum": w_rolling_time_sum,
         "triangles_copurchase": w_triangles_copurchase,
         "assortativity_copurchase": w_assortativity_copurchase,
         "butterflies_lineitem": w_butterflies_lineitem,
@@ -3058,6 +3082,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_distinct_exact,
                    TRUE AS within_bound
             FROM events GROUP BY 1""",
+        "rolling_time_sum": """
+            SELECT event_id,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                       ::BIGINT AS range_sum,
+                   COUNT(*) OVER w::BIGINT AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING
+                               AND CURRENT ROW)""",
         "triangles_copurchase": """
             WITH e0 AS (
               SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,

@@ -690,3 +690,64 @@ def grouped_row_numbers(ds, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+def rolling_time_range_sum(ds, range_s: int, value_col: str = "value",
+                           ts_col: str = "ts", key_col: str = "user_id",
+                           id_col: str = "event_id",
+                           num_buckets: int = 32):
+    """Per-row TIME-RANGE rolling aggregate: for every event, the sum
+    and count of same-key rows with ``ts in [ts_i - range, ts_i]`` —
+    SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    INTERVAL range PRECEDING AND CURRENT ROW)``, INCLUDING the
+    peer-row rule: a RANGE frame ends at the last row sharing the
+    current row's timestamp, so ties contribute to each other in both
+    directions.
+
+    Values are int64 (exact sums; cents-encode floats upstream).  One
+    key-bucketed shuffle; inside the bucket rows are lexsorted by
+    (key, ts) and BOTH frame bounds come from structured-array
+    ``searchsorted`` over that order — (key, ts-range) left for the
+    start, (key, ts) right for the peer-inclusive end — then one
+    global cumsum.  No per-key loop, no per-row loop."""
+    NB = int(num_buckets)
+    R = int(range_s) * 1_000_000
+    assert R >= 0
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.int64()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def roll_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "range_sum": pa.array([], pa.int64()),
+                             "n_window": pa.array([], pa.int64())})
+        order = np.lexsort((i, t, u))
+        u, t, i, v = u[order], t[order], i[order], v[order]
+        st = np.empty(len(u), dtype=[("u", "<i8"), ("t", "<i8")])
+        st["u"], st["t"] = u, t
+        qlo = np.empty(len(u), dtype=st.dtype)
+        qlo["u"], qlo["t"] = u, t - R
+        lo = np.searchsorted(st, qlo, side="left")
+        hi = np.searchsorted(st, st, side="right")
+        cs = np.concatenate([[0], np.cumsum(v)])
+        return pa.table({
+            id_col: pa.array(i),
+            "range_sum": pa.array(cs[hi] - cs[lo]),
+            "n_window": pa.array(hi - lo)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(roll_bucket, batch_format="pyarrow"))

@@ -657,3 +657,37 @@ def test_bucketed_agg_matches_pandas(ray_session):
            .to_pandas().sort_values("kf", na_position="last")
            .reset_index(drop=True))
     assert got["sv"].tolist() == [3, 3, 4]
+
+
+def test_rolling_time_range_sum_matches_duckdb(ray_session):
+    """RANGE-frame rolling sum == DuckDB window, including the
+    peer-row rule (duplicate timestamps see each other both ways)."""
+    import duckdb
+    import ray
+
+    from bqf_ray.pipelines.windowed import rolling_time_range_sum
+    rng = np.random.RandomState(11)
+    n = 4000
+    ts = (np.sort(rng.randint(0, 3_000, n)) * 1_000_000).astype(
+        "datetime64[us]")   # second resolution -> many exact ties
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.randint(0, 25, n).astype(np.int64)),
+        "ts": pa.array(ts),
+        "v": pa.array(rng.randint(-50, 50, n).astype(np.int64))})
+    got = (rolling_time_range_sum(
+               ray.data.from_arrow(t).repartition(8), range_s=120,
+               value_col="v")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("ev", t.to_pandas())
+    exp = con.execute("""
+        SELECT event_id, SUM(v) OVER w::BIGINT AS range_sum,
+               COUNT(*) OVER w::BIGINT AS n_window
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 120 SECONDS PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_id""").df()
+    assert list(got["range_sum"]) == list(exp["range_sum"])
+    assert list(got["n_window"]) == list(exp["n_window"])
