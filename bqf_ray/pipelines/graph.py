@@ -494,11 +494,25 @@ def canonical_edges(edges_ds, a_col: str = "a", b_col: str = "b",
             .materialize())
 
 
-def attach_degrees(edges, num_buckets: int = 64):
+def attach_degrees(edges, num_buckets: int = 64, mode: str = "auto",
+                   broadcast_budget_bytes: int = 1 << 30):
     """Exact vertex degrees over canonical edges, attached to BOTH
-    endpoints (``deg_a``, ``deg_b``) via two key-bucketed
-    co-partitions (union tag + per-bucket searchsorted) — no driver
-    collect, no broadcast: the degree table stays distributed."""
+    endpoints (``deg_a``, ``deg_b``).
+
+    Two plans, budget-gated like ``dedup.verify_pairs``:
+
+    - ``broadcast`` (vertex-degree table ≤ ``broadcast_budget_bytes``,
+      16 B/vertex): sort the degree table once on the driver,
+      ``ray.put`` it, and attach both endpoint degrees in ONE
+      zero-copy searchsorted map — no exchange at all.  Co-occurrence
+      projections have vertex count ≪ edge count, so this is the
+      common case.
+    - ``bucketed`` (scale path): two key-bucketed co-partitions
+      (union tag + per-bucket searchsorted) — no driver collect, the
+      degree table stays distributed.
+    """
+    import ray
+
     from bqf_ray.functions.hashing import fmix64
     from bqf_ray.stages.partition import bucketed_sum
 
@@ -514,6 +528,34 @@ def attach_degrees(edges, num_buckets: int = 64):
     deg = bucketed_sum(edges.map_batches(endpoints, batch_format="pyarrow"),
                        ["v"], {"c": "deg"},
                        num_buckets=B).materialize()
+
+    if mode == "auto":
+        mode = ("broadcast"
+                if 16 * deg.count() <= int(broadcast_budget_bytes)
+                else "bucketed")
+
+    if mode == "broadcast":
+        blocks = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        dv = (np.concatenate([np.asarray(t.column("v"), dtype=np.int64)
+                              for t in blocks])
+              if blocks else np.empty(0, dtype=np.int64))
+        dd = (np.concatenate([np.asarray(t.column("deg"), dtype=np.int64)
+                              for t in blocks])
+              if blocks else np.empty(0, dtype=np.int64))
+        order = np.argsort(dv)
+        ref = ray.put((dv[order], dd[order]))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            vs, ds_ = ray.get(ref)  # zero-copy plasma reads
+            a = np.asarray(batch.column("a"), dtype=np.int64)
+            b = np.asarray(batch.column("b"), dtype=np.int64)
+            # every endpoint has a degree row by construction
+            da = ds_[np.searchsorted(vs, a)]
+            db = ds_[np.searchsorted(vs, b)]
+            return (batch.append_column("deg_a", pa.array(da))
+                    .append_column("deg_b", pa.array(db)))
+
+        return edges.map_batches(lookup, batch_format="pyarrow")
 
     def _attach(es, key: str, out: str):
         cols = list(es.schema().names)
@@ -562,8 +604,79 @@ def attach_degrees(edges, num_buckets: int = 64):
     return _attach(_attach(edges, "a", "deg_a"), "b", "deg_b")
 
 
+def _triangle_count_broadcast(edges, n_edges: int, num_buckets: int):
+    """Broadcast fast path of :func:`triangle_count`: the canonical
+    edge list fits the broadcast budget, so collect it ONCE, compute
+    degrees + orientation + the sorted membership array on the driver
+    (three vectorized passes over ≤ budget/16 rows), ``ray.put`` the
+    result, and fan the wedge-generate-and-close work out over source
+    hash buckets — zero further exchanges, every task reads the
+    broadcast zero-copy."""
+    import ray
+    import ray.data
+
+    from bqf_ray.functions.hashing import fmix64
+
+    B = int(num_buckets)
+    blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    a = (np.concatenate([np.asarray(t.column("a"), dtype=np.int64)
+                         for t in blocks])
+         if blocks else np.empty(0, dtype=np.int64))
+    b = (np.concatenate([np.asarray(t.column("b"), dtype=np.int64)
+                         for t in blocks])
+         if blocks else np.empty(0, dtype=np.int64))
+    vu, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    da, db = deg[inv[:len(a)]], deg[inv[len(a):]]
+    a_first = (da < db) | ((da == db) & (a < b))
+    u = np.where(a_first, a, b)
+    v = np.where(a_first, b, a)
+    ubkt = (fmix64(u.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+    st = np.empty(len(a), dtype=[("a", "<i8"), ("b", "<i8")])
+    st["a"], st["b"] = a, b
+    st.sort(order=("a", "b"))
+    ref = ray.put((u, v, ubkt, st))
+
+    def bucket_task(batch: pa.Table) -> pa.Table:
+        bu, bv, bbkt, bst = ray.get(ref)  # zero-copy plasma reads
+        tri = wed = 0
+        for i in np.asarray(batch.column("id"), dtype=np.int64):
+            m = bbkt == i
+            x, y = _segment_pairs(bu[m], bv[m])
+            if not len(x):
+                continue
+            wed += len(x)
+            wa, wb = np.minimum(x, y), np.maximum(x, y)
+            # dedupe to (pair, count) before the membership probe
+            order = np.lexsort((wb, wa))
+            wa, wb = wa[order], wb[order]
+            new = np.concatenate([[True], (wa[1:] != wa[:-1])
+                                  | (wb[1:] != wb[:-1])])
+            idx = np.flatnonzero(new)
+            cnt = np.diff(np.append(idx, len(wa)))
+            wa, wb = wa[idx], wb[idx]
+            qt = np.empty(len(wa), dtype=bst.dtype)
+            qt["a"], qt["b"] = wa, wb
+            pos = np.minimum(np.searchsorted(bst, qt), len(bst) - 1)
+            hit = bst[pos] == qt
+            tri += int(cnt[hit].sum())
+        return pa.table({"tri": pa.array([tri], type=pa.int64()),
+                         "wed": pa.array([wed], type=pa.int64())})
+
+    closed = (ray.data.range(B, override_num_blocks=B)
+              .map_batches(bucket_task, batch_format="pyarrow")
+              .materialize())
+    return pa.table({
+        "n_edges": pa.array([int(n_edges)], type=pa.int64()),
+        "n_wedges": pa.array([int(closed.sum("wed") or 0)],
+                             type=pa.int64()),
+        "n_triangles": pa.array([int(closed.sum("tri") or 0)],
+                                type=pa.int64())})
+
+
 def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
-                   num_buckets: int = 64):
+                   num_buckets: int = 64, mode: str = "auto",
+                   broadcast_budget_bytes: int = 1 << 30):
     """EXACT distributed triangle count over an undirected edge stream
     (self-loops and duplicate/reversed edges tolerated) — the classic
     node-iterator-with-degree-orientation algorithm cast as bucketed
@@ -587,7 +700,14 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
     Every exchange key is a single int hash bucket (memory/shuffle-key
     lesson of ``stages/partition.bucketed_agg``).  Returns a one-row
     table ``(n_edges, n_wedges, n_triangles)`` — each column exactly
-    SQL-recomputable, so the whole operator is oracle-checkable."""
+    SQL-recomputable, so the whole operator is oracle-checkable.
+
+    ``mode="auto"`` routes to :func:`_triangle_count_broadcast` when
+    the canonical edge list fits ``broadcast_budget_bytes`` (16 B per
+    edge): one driver collect + zero-copy broadcast replaces the five
+    post-canonicalization exchanges.  Past the budget (or with
+    ``mode="bucketed"``) the fully-distributed plan below runs — no
+    stage of it ever holds more than one bucket."""
     from bqf_ray.functions.hashing import fmix64
 
     B = int(num_buckets)
@@ -595,7 +715,13 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
 
     edges = canonical_edges(edges_ds, a_col, b_col, num_buckets=B)
     n_edges = edges.count()
-    attached = attach_degrees(edges, num_buckets=B)
+    if mode == "auto":
+        mode = ("broadcast"
+                if 16 * n_edges <= int(broadcast_budget_bytes)
+                else "bucketed")
+    if mode == "broadcast":
+        return _triangle_count_broadcast(edges, n_edges, B)
+    attached = attach_degrees(edges, num_buckets=B, mode="bucketed")
 
     # -- 3 + 4. orient, bucket by source, vectorized wedge gen -------
     def orient(batch: pa.Table) -> pa.Table:
@@ -693,7 +819,8 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
 
 
 def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
-                         num_buckets: int = 64):
+                         num_buckets: int = 64, mode: str = "auto",
+                         broadcast_budget_bytes: int = 1 << 30):
     """Degree-assortativity components of an undirected graph (Newman
     2002) as EXACT INTEGER sums — the repo's established pattern for
     making a floating-point statistic oracle-exact (cf. the per-group
@@ -706,10 +833,12 @@ def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
     s2 += du^2 + dv^2, s11 += 2*du*dv.  All four are int64-exact, so
     the oracle replays them bit-for-bit; callers derive float r.
 
-    One canonical-edge exchange + the two degree-attach co-partitions
-    of :func:`attach_degrees`, then a pure per-batch integer fold."""
+    One canonical-edge exchange + :func:`attach_degrees` (broadcast
+    degree lookup under the budget, two bucketed co-partitions past
+    it), then a pure per-batch integer fold."""
     edges = canonical_edges(edges_ds, a_col, b_col, num_buckets=num_buckets)
-    attached = attach_degrees(edges, num_buckets=num_buckets)
+    attached = attach_degrees(edges, num_buckets=num_buckets, mode=mode,
+                              broadcast_budget_bytes=broadcast_budget_bytes)
 
     def fold(batch: pa.Table) -> pa.Table:
         da = np.asarray(batch.column("deg_a"), dtype=np.int64)

@@ -103,7 +103,8 @@ def _brute_triangles(pairs):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_triangle_count_matches_brute_force(ray_session, seed):
+@pytest.mark.parametrize("mode", ["broadcast", "bucketed"])
+def test_triangle_count_matches_brute_force(ray_session, seed, mode):
     import ray
 
     from bqf_ray.pipelines.graph import triangle_count
@@ -113,7 +114,8 @@ def test_triangle_count_matches_brute_force(ray_session, seed):
     n_e, n_t = _brute_triangles(E)
     for parts, buckets in ((2, 4), (16, 32)):
         got = triangle_count(ray.data.from_arrow(t).repartition(parts),
-                             "a", "b", num_buckets=buckets).to_pydict()
+                             "a", "b", num_buckets=buckets,
+                             mode=mode).to_pydict()
         assert got["n_edges"] == [n_e]
         assert got["n_triangles"] == [n_t]
 
@@ -155,7 +157,8 @@ def test_cooccurrence_edges_matches_reference(ray_session):
     assert got_pairs == sorted(exp)
 
 
-def test_degree_assortativity_matches_reference(ray_session):
+@pytest.mark.parametrize("mode", ["broadcast", "bucketed"])
+def test_degree_assortativity_matches_reference(ray_session, mode):
     import ray
 
     from bqf_ray.pipelines.graph import degree_assortativity
@@ -163,7 +166,7 @@ def test_degree_assortativity_matches_reference(ray_session):
     E = rng.randint(0, 40, (400, 2)).astype(np.int64)
     t = pa.table({"a": pa.array(E[:, 0]), "b": pa.array(E[:, 1])})
     got = degree_assortativity(ray.data.from_arrow(t).repartition(8),
-                               "a", "b").to_pydict()
+                               "a", "b", mode=mode).to_pydict()
     es = sorted({(min(x, y), max(x, y)) for x, y in E if x != y})
     from collections import Counter
     deg = Counter()
