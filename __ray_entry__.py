@@ -1920,6 +1920,65 @@ def w_butterflies_lineitem(sf_dir):
     return butterfly_count(li, "l_orderkey", "l_partkey")
 
 
+def w_cdc_merge(sf_dir):
+    """Lakehouse MERGE: apply a CDC change stream (upserts + deletes,
+    latest-seq-wins) derived deterministically from orders to the
+    customer base table — ``relational.merge_changes``, one key-hash
+    bucket co-partition.  Change per order: key=o_custkey,
+    seq=o_orderkey, op='D' when o_orderkey%17==0 else 'U', payload
+    (c_name='u'||o_orderkey, bal_cents=round(o_totalprice*100))."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.relational import merge_changes
+
+    def base_map(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("c_acctbal"), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_name": b.column("c_name"),
+                         "bal_cents": cents})
+
+    def chg_map(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+        op = np.where(ok % 17 == 0, "D", "U")
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64())
+        name = pc.binary_join_element_wise(
+            pa.array(["u"] * len(b)),
+            pc.cast(b.column("o_orderkey"), pa.string()), "")
+        return pa.table({"c_custkey": b.column("o_custkey"),
+                         "seq": b.column("o_orderkey"),
+                         "op": pa.array(op), "c_name": name,
+                         "bal_cents": cents})
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+            base_map, batch_format="pyarrow")
+    chg = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+            chg_map, batch_format="pyarrow")
+    return merge_changes(base, chg, "c_custkey", "seq", "op",
+                         ["c_name", "bal_cents"])
+
+
+def w_frequent_pairs(sf_dir):
+    """A-priori 2-itemset mining with association-rule marginals over
+    the (order, part) basket table: pairs co-occurring in >= 2 distinct
+    orders with exact int64 supports (c_ab, c_a, c_b, n_groups) — lift
+    derives downstream; ``graph.frequent_itemsets``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import frequent_itemsets
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 def w_f2_tokens(sf_dir):
     """AMS tug-of-war F2 (self-join size of the token frequency
     vector) bound-checked against the exact SUM(cnt^2) recount; the
@@ -2090,6 +2149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_copurchase": w_assortativity_copurchase,
         "butterflies_lineitem": w_butterflies_lineitem,
         "f2_tokens": w_f2_tokens,
+        "cdc_merge": w_cdc_merge,
+        "frequent_pairs": w_frequent_pairs,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3150,6 +3211,44 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM (SELECT count(*)::BIGINT AS cnt FROM ({tokens})
                   WHERE token <> '' GROUP BY token)""",
+        "cdc_merge": """
+            WITH ch AS (
+              SELECT o_custkey AS k, o_orderkey AS seq,
+                     CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U'
+                          END AS op,
+                     'u' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS bal_cents
+              FROM orders),
+            last AS (
+              SELECT * FROM (
+                SELECT ch.*, ROW_NUMBER() OVER (
+                    PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM ch) WHERE rn = 1),
+            b AS (
+              SELECT c_custkey AS k, c_name,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer)
+            SELECT COALESCE(l.k, b.k) AS c_custkey,
+                   CASE WHEN l.k IS NULL THEN b.c_name
+                        ELSE l.c_name END AS c_name,
+                   CASE WHEN l.k IS NULL THEN b.bal_cents
+                        ELSE l.bal_cents END AS bal_cents
+            FROM b FULL OUTER JOIN last l ON b.k = l.k
+            WHERE l.op IS NULL OR l.op <> 'D'""",
+        "frequent_pairs": """
+            WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                        FROM lineitem),
+            p AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS c_ab
+                  FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i
+                  GROUP BY 1, 2),
+            s AS (SELECT i, count(*)::BIGINT AS c FROM gi GROUP BY 1),
+            ng AS (SELECT count(DISTINCT g)::BIGINT AS n FROM gi)
+            SELECT p.a, p.b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+                   ng.n AS n_groups
+            FROM p JOIN s sa ON sa.i = p.a JOIN s sb ON sb.i = p.b
+            CROSS JOIN ng
+            WHERE p.c_ab >= 2""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

@@ -897,3 +897,183 @@ def butterfly_count(ds, group_col: str, item_col: str,
                                  type=pa.int64()),
         "n_butterflies": pa.array([int(parts.sum("bf") or 0)],
                                   type=pa.int64())})
+
+
+def _attach_value(es, lookup, key: str, out: str, num_buckets: int = 64):
+    """Attach ``lookup`` — an int64 ``(v, val)`` dataset, unique per
+    ``v``, covering every ``es[key]`` — to ``es`` as column ``out`` via
+    ONE key-bucketed co-partition (union tag + per-bucket searchsorted).
+    The distributed-side generalization of ``attach_degrees``'s
+    bucketed plan; use a ``ray.put`` broadcast instead when the lookup
+    fits the budget."""
+    from bqf_ray.functions.hashing import fmix64
+
+    B = int(num_buckets)
+    cols = list(es.schema().names)
+
+    def tag_e(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key), dtype=np.int64)
+        bkt = (fmix64(k.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        t = batch.append_column("__bucket", pa.array(bkt))
+        t = t.append_column("__val", pa.array(
+            np.zeros(len(batch), dtype=np.int64)))
+        return t.append_column("__side", pa.array(
+            np.zeros(len(batch), dtype=np.int8)))
+
+    def tag_l(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        bkt = (fmix64(v.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        cols_d = {c: pa.array(np.zeros(len(v), dtype=np.int64))
+                  for c in cols if c != key}
+        cols_d[key] = pa.array(v)
+        cols_d["__bucket"] = pa.array(bkt)
+        cols_d["__val"] = batch.column("val")
+        cols_d["__side"] = pa.array(np.ones(len(v), dtype=np.int8))
+        return pa.table(cols_d).select([*cols, "__bucket", "__val",
+                                        "__side"])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        k = np.asarray(g.column(key), dtype=np.int64)
+        lv = k[side == 1]
+        lval = np.asarray(g.column("__val"))[side == 1]
+        order = np.argsort(lv)
+        lv, lval = lv[order], lval[order]
+        emask = side == 0
+        ek = k[emask]
+        pos = np.searchsorted(lv, ek)
+        got = lval[pos]  # caller guarantees full coverage
+        out_t = g.filter(pa.array(emask)).select(cols)
+        return out_t.append_column(out, pa.array(got.astype(np.int64)))
+
+    return (es.map_batches(tag_e, batch_format="pyarrow")
+            .union(lookup.map_batches(tag_l, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def frequent_itemsets(ds, group_col: str, item_col: str,
+                      min_support: int = 2, num_buckets: int = 64,
+                      mode: str = "auto",
+                      broadcast_budget_bytes: int = 1 << 30):
+    """Frequent item-PAIR mining over a (group, item) basket table —
+    the A-priori 2-itemset step with association-rule components, all
+    int64-exact so the whole operator is SQL-oracle-checkable:
+
+    output one row per unordered item pair {a < b} co-occurring in
+    ``c_ab >= min_support`` distinct groups, with the marginals needed
+    for confidence/lift: ``(a, b, c_ab, c_a, c_b, n_groups)`` where
+    ``c_i`` counts distinct groups containing item i.  Float
+    ``lift = c_ab * n_groups / (c_a * c_b)`` derives downstream.
+
+    Plan: :func:`cooccurrence_edges` (g-bucket exchange, in-bucket
+    (g, item) dedupe + vectorized pair gen) → pair-bucketed exact count
+    (``bucketed_sum``) → support filter (shrinks the pair table BEFORE
+    marginals attach) → item supports from a second g-bucketed pass
+    (in-bucket distinct-(g, i) is exact: g partitions by bucket) →
+    marginals attached by ``ray.put`` broadcast under
+    ``broadcast_budget_bytes`` (16 B/item), else two
+    :func:`_attach_value` co-partitions.  ``n_groups`` is an exact
+    distinct count of g (per-batch unique partials → one tiny bucketed
+    dedupe)."""
+    import ray
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
+
+    B = int(num_buckets)
+
+    pairs = cooccurrence_edges(ds, group_col, item_col, num_buckets=B)
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(len(batch), dtype=np.int64)))
+
+    c_ab = bucketed_sum(pairs.map_batches(one, batch_format="pyarrow"),
+                        ["a", "b"], {"one": "c_ab"}, num_buckets=B)
+
+    ms = int(min_support)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch.column("c_ab"), dtype=np.int64) >= ms
+        return batch.filter(pa.array(m))
+
+    frequent = c_ab.map_batches(keep, batch_format="pyarrow")
+
+    # --- item supports: distinct groups per item ---------------------
+    def tag_g(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch.column(group_col), dtype=np.int64)
+        return pa.table({
+            "g": pa.array(g),
+            "i": pa.array(np.asarray(batch.column(item_col),
+                                     dtype=np.int64)),
+            "__bucket": pa.array((fmix64(g.view(np.uint64))
+                                  % np.uint64(B)).astype(np.int64))})
+
+    def support_bucket(grp: pa.Table) -> pa.Table:
+        g = np.asarray(grp.column("g"), dtype=np.int64)
+        i = np.asarray(grp.column("i"), dtype=np.int64)
+        if not len(g):
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        pair = np.stack([g, i], axis=1)
+        uniq = np.unique(pair, axis=0)
+        iv, cnt = np.unique(uniq[:, 1], return_counts=True)
+        return pa.table({"v": pa.array(iv),
+                         "val": pa.array(cnt.astype(np.int64))})
+
+    # per-g-bucket partials are per-item PARTIAL counts (an item spans
+    # many g-buckets) — combine with one tiny item-keyed bucketed sum
+    support = bucketed_sum(
+        (ds.map_batches(tag_g, batch_format="pyarrow")
+         .groupby("__bucket")
+         .map_groups(support_bucket, batch_format="pyarrow")),
+        ["v"], {"val": "val"}, num_buckets=B).materialize()
+
+    # --- n_groups: exact distinct count of g -------------------------
+    def g_partial(batch: pa.Table) -> pa.Table:
+        g = np.unique(np.asarray(batch.column(group_col), dtype=np.int64))
+        return pa.table({"g": pa.array(g)})
+
+    n_groups = int(bucketed_agg(
+        ds.map_batches(g_partial, batch_format="pyarrow"),
+        ["g"], [("g", "count", "c")], num_buckets=B).count())
+
+    if mode == "auto":
+        mode = ("broadcast"
+                if 16 * support.count() <= int(broadcast_budget_bytes)
+                else "bucketed")
+
+    if mode == "broadcast":
+        blocks = [t for t in ray.get(support.to_arrow_refs())
+                  if t.num_rows]
+        sv = (np.concatenate([np.asarray(t.column("v"), dtype=np.int64)
+                              for t in blocks])
+              if blocks else np.empty(0, dtype=np.int64))
+        sc = (np.concatenate([np.asarray(t.column("val"), dtype=np.int64)
+                              for t in blocks])
+              if blocks else np.empty(0, dtype=np.int64))
+        order = np.argsort(sv)
+        ref = ray.put((sv[order], sc[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            vs, cs = ray.get(ref)  # zero-copy plasma reads
+            a = np.asarray(batch.column("a"), dtype=np.int64)
+            b = np.asarray(batch.column("b"), dtype=np.int64)
+            ca = cs[np.searchsorted(vs, a)]
+            cb = cs[np.searchsorted(vs, b)]
+            t = batch.append_column("c_a", pa.array(ca))
+            t = t.append_column("c_b", pa.array(cb))
+            return t.append_column("n_groups", pa.array(
+                np.full(len(batch), n_groups, dtype=np.int64)))
+
+        return frequent.map_batches(attach, batch_format="pyarrow")
+
+    with_a = _attach_value(frequent, support, "a", "c_a", num_buckets=B)
+    with_b = _attach_value(with_a, support, "b", "c_b", num_buckets=B)
+
+    def add_ng(batch: pa.Table) -> pa.Table:
+        return batch.append_column("n_groups", pa.array(
+            np.full(len(batch), n_groups, dtype=np.int64)))
+
+    return with_b.map_batches(add_ng, batch_format="pyarrow")

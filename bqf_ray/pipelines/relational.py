@@ -594,3 +594,101 @@ def time_band_join(left_ds, right_ds, on: str, by: str, band_us: int,
                                         batch_format="pyarrow")))
     return (both.groupby("__bucket")
             .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def merge_changes(base_ds, changes_ds, key: str, seq_col: str, op_col: str,
+                  payload_cols: list[str], num_buckets: int = 64,
+                  delete_op: str = "D"):
+    """Apply a CDC change stream to a base table (the lakehouse MERGE /
+    upsert-and-delete compaction step a 100-TB crawl refresh needs).
+
+    ``base_ds``: ``(key, *payload_cols)``, unique per key.
+    ``changes_ds``: ``(key, seq_col, op_col, *payload_cols)`` — for each
+    key the change with the HIGHEST ``seq_col`` wins (caller guarantees
+    ``(key, seq)`` unique); its op decides: ``delete_op`` drops the key,
+    anything else upserts the change's payload (keys absent from base
+    insert).  Keys untouched by changes keep their base row.
+
+    ONE bucket exchange (key-hash bucket over the union of both tagged
+    sides; the pattern of :func:`time_band_join`), per-bucket resolution
+    is Arrow sort + vectorized run detection + ``pc.is_in`` — buckets
+    partition the key space, so the result is exact for any input
+    partitioning.  Null keys are rejected loudly (SQL MERGE requires a
+    key).  Output columns: ``(key, *payload_cols)``.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    B = int(num_buckets)
+    out_cols = [key, *payload_cols]
+
+    def _bucket_of(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            kh = xxhash64_array(col)
+        else:
+            kh = np.asarray(col, dtype=np.int64).view(np.uint64)
+        return (kh % np.uint64(B)).astype(np.int64)
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if col.null_count:
+            raise ValueError("merge_changes: null keys in base")
+        t = batch.select(out_cols)
+        t = t.append_column("__seq", pa.array(
+            np.zeros(len(batch), dtype=np.int64)))
+        t = t.append_column("__del", pa.array(
+            np.zeros(len(batch), dtype=np.bool_)))
+        t = t.append_column("__side", pa.array(
+            np.zeros(len(batch), dtype=np.int8)))
+        return t.append_column("__bucket", pa.array(_bucket_of(col)))
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if col.null_count:
+            raise ValueError("merge_changes: null keys in changes")
+        t = batch.select(out_cols)
+        t = t.append_column("__seq", pc.cast(batch.column(seq_col),
+                                             pa.int64()))
+        t = t.append_column("__del", pc.equal(batch.column(op_col),
+                                              pa.scalar(delete_op)))
+        t = t.append_column("__side", pa.array(
+            np.ones(len(batch), dtype=np.int8)))
+        return t.append_column("__bucket", pa.array(_bucket_of(col)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        ch = g.filter(pa.array(side == 1))
+        base = g.filter(pa.array(side == 0))
+        if ch.num_rows:
+            # last change per key: sort (key, seq) ascending, keep the
+            # final row of each key run
+            idx = pc.sort_indices(ch, sort_keys=[(key, "ascending"),
+                                                 ("__seq", "ascending")])
+            ch = ch.take(idx)
+            k = ch.column(key)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            n = ch.num_rows
+            last = np.ones(n, dtype=bool)
+            if n > 1:
+                last[:-1] = np.asarray(
+                    pc.not_equal(k.slice(1), k.slice(0, n - 1)))
+            ch = ch.filter(pa.array(last))
+            ck = ch.column(key)
+            if isinstance(ck, pa.ChunkedArray):
+                ck = ck.combine_chunks()
+            untouched = pc.invert(pc.is_in(base.column(key),
+                                           value_set=ck))
+            base = base.filter(untouched)
+            kept = ch.filter(pc.invert(ch.column("__del")))
+        else:
+            kept = ch
+        return pa.concat_tables([base.select(out_cols),
+                                 kept.select(out_cols)])
+
+    both = (base_ds.map_batches(tag_base, batch_format="pyarrow")
+            .union(changes_ds.map_batches(tag_change,
+                                          batch_format="pyarrow")))
+    return (both.groupby("__bucket")
+            .map_groups(resolve, batch_format="pyarrow"))

@@ -204,3 +204,37 @@ def test_butterfly_count_matches_reference(ray_session):
             pc[(a, b)] += 1
     exp_bf = sum(c * (c - 1) // 2 for c in pc.values())
     assert got == {"n_item_pairs": [len(pc)], "n_butterflies": [exp_bf]}
+
+
+# ---------------------------------------------------------------------------
+# frequent itemsets
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["broadcast", "bucketed"])
+def test_frequent_itemsets_matches_brute_force(ray_session, mode):
+    import itertools
+    from collections import Counter
+
+    import ray
+
+    from bqf_ray.pipelines.graph import frequent_itemsets
+    rng = np.random.RandomState(9)
+    g = rng.randint(0, 60, 800).astype(np.int64)
+    i = rng.randint(0, 25, 800).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(g),
+                                       "i": pa.array(i)})).repartition(6)
+    got = frequent_itemsets(ds, "g", "i", min_support=3, num_buckets=8,
+                            mode=mode).to_pandas()
+    baskets = {gv: sorted(set(i[g == gv])) for gv in np.unique(g)}
+    c_ab = Counter()
+    c_i = Counter()
+    for items in baskets.values():
+        for it in items:
+            c_i[it] += 1
+        for a, b in itertools.combinations(items, 2):
+            c_ab[(a, b)] += 1
+    exp = sorted((a, b, c, c_i[a], c_i[b], len(baskets))
+                 for (a, b), c in c_ab.items() if c >= 3)
+    got_rows = sorted(zip(got["a"], got["b"], got["c_ab"], got["c_a"],
+                          got["c_b"], got["n_groups"]))
+    assert got_rows == exp

@@ -299,3 +299,81 @@ def test_bloom_semi_join_empty_right(ray_session):
     assert len(anti) == 50
     semi = bloom_semi_join(left, right, "k", "kk", anti=False).to_pandas()
     assert len(semi) == 0
+
+
+# ---------------------------------------------------------------------------
+# merge_changes (CDC upsert/delete apply)
+# ---------------------------------------------------------------------------
+
+def _merge_brute(base, changes, delete_op="D"):
+    """base: {k: payload}, changes: list of (k, seq, op, payload)."""
+    last = {}
+    for k, seq, op, payload in changes:
+        if k not in last or seq > last[k][0]:
+            last[k] = (seq, op, payload)
+    out = dict(base)
+    for k, (_, op, payload) in last.items():
+        if op == delete_op:
+            out.pop(k, None)
+        else:
+            out[k] = payload
+    return out
+
+
+def test_merge_changes_matches_brute_force(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.relational import merge_changes
+    rng = np.random.default_rng(11)
+    bk = np.arange(0, 200, 2, dtype=np.int64)          # even keys only
+    bv = rng.integers(0, 1000, len(bk)).astype(np.int64)
+    ck = rng.integers(0, 220, 500).astype(np.int64)    # inserts beyond base
+    cs = np.arange(500, dtype=np.int64)
+    co = np.where(rng.random(500) < 0.25, "D", "U")
+    cv = rng.integers(0, 1000, 500).astype(np.int64)
+    base = ray.data.from_arrow(pa.table(
+        {"k": pa.array(bk), "val": pa.array(bv)})).repartition(4)
+    chg = ray.data.from_arrow(pa.table(
+        {"k": pa.array(ck), "seq": pa.array(cs), "op": pa.array(co),
+         "val": pa.array(cv)})).repartition(7)
+    got = merge_changes(base, chg, "k", "seq", "op", ["val"],
+                        num_buckets=8).to_pandas()
+    exp = _merge_brute(dict(zip(bk.tolist(), bv.tolist())),
+                       list(zip(ck.tolist(), cs.tolist(), co.tolist(),
+                                cv.tolist())))
+    assert dict(zip(got["k"], got["val"])) == exp
+    assert len(got) == len(exp)           # no duplicate keys emitted
+
+
+def test_merge_changes_string_keys_and_edge_cases(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.relational import merge_changes
+    base = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c"]),
+        "val": pa.array([1, 2, 3], pa.int64())}))
+    # delete of a key absent from base is a no-op; latest seq wins;
+    # op ties are impossible by the unique-(key,seq) contract
+    chg = ray.data.from_arrow(pa.table({
+        "k": pa.array(["b", "b", "zz", "q", "c"]),
+        "seq": pa.array([1, 5, 2, 3, 9], pa.int64()),
+        "op": pa.array(["U", "D", "U", "D", "U"]),
+        "val": pa.array([20, 0, 77, 0, 30], pa.int64())}))
+    got = merge_changes(base, chg, "k", "seq", "op", ["val"],
+                        num_buckets=4).to_pandas()
+    assert dict(zip(got["k"], got["val"])) == {"a": 1, "c": 30, "zz": 77}
+
+
+def test_merge_changes_rejects_null_keys(ray_session):
+    import pytest
+    import ray
+
+    from bqf_ray.pipelines.relational import merge_changes
+    base = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "val": pa.array([1, 2], pa.int64())}))
+    chg = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "seq": pa.array([], pa.int64()),
+        "op": pa.array([], pa.string()), "val": pa.array([], pa.int64())}))
+    with pytest.raises(Exception, match="null keys"):
+        merge_changes(base, chg, "k", "seq", "op", ["val"]).take_all()
