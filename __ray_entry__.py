@@ -1979,6 +1979,80 @@ def w_frequent_pairs(sf_dir):
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def w_column_mi(sf_dir):
+    """Exact contingency components of mutual information / lift
+    between two categorical columns (lang x source of documents):
+    one corpus exchange for the joint counts, two joint-table-sized
+    bucketed passes for the marginals — float MI derives downstream
+    from the int64-exact (n_xy, n_x, n_y, n)."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import joint_mi_counts
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "source"])
+    return joint_mi_counts(docs, "lang", "source")
+
+
+def w_weighted_median_price(sf_dir):
+    """Exact per-flag lower WEIGHTED median of l_extendedprice cents
+    weighted by l_quantity — pure value selection (smallest v with
+    2*cumw >= totw), bit-exact; one key-bucketed exchange."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_weighted_median
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("l_extendedprice"), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"flag": b.column("l_returnflag"),
+                         "cents": c,
+                         "qty": pc.cast(b.column("l_quantity"),
+                                        pa.int64())})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice",
+                 "l_quantity"]).map_batches(cents, batch_format="pyarrow")
+    return grouped_weighted_median(li, "flag", "cents", "qty")
+
+
+def w_winsorize_chars(sf_dir):
+    """Per-language quantile winsorization of n_chars to the exact
+    [PERCENTILE_DISC(.05), PERCENTILE_DISC(.95)] — selection-exact
+    thresholds broadcast via ray.put, vectorized clip map."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import clip_to_quantiles
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    return clip_to_quantiles(docs, "lang", "n_chars", 0.05, 0.95)
+
+
+def w_zorder_orders(sf_dir):
+    """Z-order (Morton) layout keys over (o_orderkey%2^16,
+    o_custkey%2^16) + the equi-width z-range partition id — the
+    multi-dim file-clustering primitive; bit-for-bit SQL-replayable."""
+    import ray
+
+    from bqf_ray.stages.partition import zorder_key
+
+    def mod(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "x": pa.array(np.asarray(b.column("o_orderkey"),
+                                     dtype=np.int64) % 65536),
+            "y": pa.array(np.asarray(b.column("o_custkey"),
+                                     dtype=np.int64) % 65536)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+            mod, batch_format="pyarrow")
+    return zorder_key(orders, ["x", "y"], bits=16, num_partitions=32)
+
+
 def w_f2_tokens(sf_dir):
     """AMS tug-of-war F2 (self-join size of the token frequency
     vector) bound-checked against the exact SUM(cnt^2) recount; the
@@ -2151,6 +2225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f2_tokens": w_f2_tokens,
         "cdc_merge": w_cdc_merge,
         "frequent_pairs": w_frequent_pairs,
+        "column_mi": w_column_mi,
+        "weighted_median_price": w_weighted_median_price,
+        "winsorize_chars": w_winsorize_chars,
+        "zorder_orders": w_zorder_orders,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3236,6 +3314,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE l.bal_cents END AS bal_cents
             FROM b FULL OUTER JOIN last l ON b.k = l.k
             WHERE l.op IS NULL OR l.op <> 'D'""",
+        "column_mi": """
+            WITH j AS (SELECT lang AS x, source AS y,
+                              count(*)::BIGINT AS n_xy
+                       FROM documents GROUP BY 1, 2),
+            mx AS (SELECT x, SUM(n_xy)::BIGINT AS n_x FROM j GROUP BY 1),
+            my AS (SELECT y, SUM(n_xy)::BIGINT AS n_y FROM j GROUP BY 1),
+            tot AS (SELECT SUM(n_xy)::BIGINT AS n FROM j)
+            SELECT j.x, j.y, j.n_xy, mx.n_x, my.n_y, tot.n
+            FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot""",
+        "weighted_median_price": """
+            WITH t AS (SELECT l_returnflag AS flag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS v,
+                              CAST(l_quantity AS BIGINT) AS w
+                       FROM lineitem),
+            c AS (SELECT flag, v,
+                         SUM(w) OVER (PARTITION BY flag ORDER BY v)
+                           AS cum,
+                         SUM(w) OVER (PARTITION BY flag) AS tot,
+                         COUNT(*) OVER (PARTITION BY flag) AS n
+                  FROM t)
+            SELECT flag, MAX(n)::BIGINT AS n, MAX(tot)::BIGINT AS tot_w,
+                   MIN(v)::BIGINT AS wmedian
+            FROM c WHERE 2 * cum >= tot GROUP BY flag""",
+        "winsorize_chars": """
+            WITH th AS (SELECT lang,
+                               quantile_disc(n_chars, 0.05) AS ql,
+                               quantile_disc(n_chars, 0.95) AS qh
+                        FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST(LEAST(GREATEST(d.n_chars, th.ql), th.qh)
+                        AS DOUBLE) AS n_chars_clipped
+            FROM documents d JOIN th USING (lang)""",
+        "zorder_orders": """
+            WITH m AS (SELECT o_orderkey, o_orderkey % 65536 AS x,
+                              o_custkey % 65536 AS y
+                       FROM orders),
+            z AS (SELECT o_orderkey, x, y,
+                         SUM((((x >> b.i) & 1) << (2 * b.i))
+                             + (((y >> b.i) & 1) << (2 * b.i + 1))
+                            )::BIGINT AS zkey
+                  FROM m, range(16) b(i)
+                  GROUP BY o_orderkey, x, y)
+            SELECT o_orderkey, x, y, zkey,
+                   ((zkey * 32) >> 32)::BIGINT AS zpart
+            FROM z""",
         "frequent_pairs": """
             WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
                         FROM lineitem),

@@ -1499,3 +1499,226 @@ def token_f2(ds, text_col: str = "text", depth: int = 8,
     ok = abs(est - exact) <= bound * exact
     return pa.table({"f2_exact": pa.array([exact], type=pa.int64()),
                      "within_bound": pa.array([bool(ok)])})
+
+
+def _attach_group_total(ds, key_col: str, sum_col: str, out_col: str,
+                        num_buckets: int = 64):
+    """Attach the per-``key_col`` total of ``sum_col`` to every row as
+    ``out_col`` — ONE key-hash bucket exchange; in-bucket the total is
+    exact because the bucket holds every row of each key.  String and
+    int keys (``stages.partition._col_hash64``)."""
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bkt = (_col_hash64(batch.column(key_col))
+               % np.uint64(B)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bkt))
+
+    def attach(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        if not g.num_rows:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
+        g = g.take(idx)
+        k = g.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        n = g.num_rows
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = np.asarray(pc.not_equal(k.slice(1),
+                                              k.slice(0, n - 1)))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        v = np.asarray(g.column(sum_col), dtype=np.int64)
+        totals = np.add.reduceat(v, starts)
+        return g.append_column(out_col, pa.array(
+            np.repeat(totals, lens).astype(np.int64)))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(attach,
+                                            batch_format="pyarrow"))
+
+
+def joint_mi_counts(ds, x_col: str, y_col: str, num_buckets: int = 64):
+    """EXACT joint/marginal contingency counts between two categorical
+    columns — the integer components of mutual information / lift /
+    chi-square (feature-leakage and redundancy detection in a curation
+    pipeline): one row per distinct ``(x, y)`` with ``(x, y, n_xy,
+    n_x, n_y, n)``.  Float ``MI = Σ (n_xy/n)·log(n·n_xy/(n_x·n_y))``
+    derives downstream; keeping integer components makes the operator
+    SQL-oracle-exact (the repo's established pattern, cf.
+    ``value_k_correlation``).
+
+    Plan: ONE corpus exchange (``bucketed_sum`` over the (x, y) pair)
+    → two JOINT-TABLE-sized bucketed passes attaching the marginals
+    (:func:`_attach_group_total` by x, then by y) → total ``n`` folded
+    from the joint table (tiny driver sum).  Null categories group as
+    SQL groups (bucketed_agg's null-flag encoding).  Works for string
+    and integer categories alike."""
+    from bqf_ray.stages.partition import bucketed_sum
+
+    B = int(num_buckets)
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": batch.column(x_col), "y": batch.column(y_col),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    joint = bucketed_sum(ds.map_batches(one, batch_format="pyarrow"),
+                         ["x", "y"], {"one": "n_xy"},
+                         num_buckets=B).materialize()
+    n = int(joint.sum("n_xy") or 0)
+    out = _attach_group_total(joint, "x", "n_xy", "n_x", num_buckets=B)
+    out = _attach_group_total(out, "y", "n_xy", "n_y", num_buckets=B)
+
+    def add_n(batch: pa.Table) -> pa.Table:
+        return batch.append_column("n", pa.array(
+            np.full(len(batch), n, dtype=np.int64)))
+
+    return out.map_batches(add_n, batch_format="pyarrow")
+
+
+def grouped_weighted_median(ds, key_col: str, value_col: str,
+                            weight_col: str, num_buckets: int = 32):
+    """EXACT lower weighted median per group: the smallest value v in
+    the group with ``2 * cumweight(v) >= totweight`` (cumweight
+    row-wise over the value-sorted group — identical to SQL's
+    peer-inclusive RANGE cumsum at the selected value, see the oracle).
+    Pure value SELECTION over int64 values and non-negative int64
+    weights, so bit-exact.  One key-hash bucketed exchange (the
+    :func:`grouped_exact_quantiles` shape — the right tool when groups
+    fit per-bucket memory; pre-aggregate (value, weight-sum) upstream
+    when values repeat heavily).
+
+    Output: ``(key_col, n, tot_w, wmedian)``.  Null/NaN values and
+    null weights are excluded row-wise; negative weights raise."""
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        w = batch.column(weight_col)
+        mask = pc.and_(pc.is_valid(v), pc.is_valid(w))
+        if pa.types.is_floating(v.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(v)))
+        batch = batch.filter(mask)
+        wv = np.asarray(batch.column(weight_col), dtype=np.int64)
+        if len(wv) and wv.min() < 0:
+            raise ValueError("grouped_weighted_median: negative weight")
+        bkt = (_col_hash64(batch.column(key_col))
+               % np.uint64(B)).astype(np.int64)
+        return pa.table({
+            "k": batch.column(key_col),
+            "v": pc.cast(batch.column(value_col), pa.int64()),
+            "w": pa.array(wv),
+            "__bucket": pa.array(bkt)})
+
+    def median_bucket(g: pa.Table) -> pa.Table:
+        k = g.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not g.num_rows:
+            return pa.table({key_col: k.slice(0, 0),
+                             "n": pa.array([], pa.int64()),
+                             "tot_w": pa.array([], pa.int64()),
+                             "wmedian": pa.array([], pa.int64())})
+        t = pa.table({"k": k, "v": g.column("v"), "w": g.column("w")})
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("v", "ascending")])
+        t = t.take(idx)
+        ks = t.column("k")
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        v = np.asarray(t.column("v"), dtype=np.int64)
+        w = np.asarray(t.column("w"), dtype=np.int64)
+        n = len(v)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = np.asarray(pc.not_equal(ks.slice(1),
+                                              ks.slice(0, n - 1)))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        tot = np.add.reduceat(w, starts)
+        cum = np.cumsum(w)
+        run_off = np.repeat(cum[starts] - w[starts], lens)
+        cum_run = cum - run_off
+        # first row of each run with 2*cum >= tot (monotone within run,
+        # w >= 0): start + count of False rows in the run
+        below = (2 * cum_run) < np.repeat(tot, lens)
+        first = starts + np.add.reduceat(
+            below.astype(np.int64), starts)
+        # all-True runs: reduceat gives 0 -> first = start (correct);
+        # degenerate all-False impossible (last row has cum == tot)
+        return pa.table({key_col: ks.take(pa.array(starts)),
+                         "n": pa.array(lens.astype(np.int64)),
+                         "tot_w": pa.array(tot.astype(np.int64)),
+                         "wmedian": pa.array(v[first])})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(median_bucket, batch_format="pyarrow"))
+
+
+def clip_to_quantiles(ds, key_col: str, value_col: str,
+                      lo: float = 0.01, hi: float = 0.99,
+                      out_col: str | None = None,
+                      num_buckets: int = 32):
+    """Per-group quantile winsorization: clip ``value_col`` to its
+    group's exact ``[PERCENTILE_DISC(lo), PERCENTILE_DISC(hi)]`` —
+    the outlier-capping normalization step before training-data
+    statistics.  Composes :func:`grouped_exact_quantiles` (one
+    exchange, selection-exact) with a ``ray.put`` broadcast of the
+    per-group threshold table (group-count-sized) and a vectorized
+    searchsorted clip map.  Rows with null/NaN values pass through
+    unclipped.  Output: input columns + ``out_col`` (default
+    ``value_col + "_clipped"``)."""
+    import ray
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    out_col = out_col or f"{value_col}_clipped"
+    th = grouped_exact_quantiles(ds, key_col, value_col, qs=(lo, hi),
+                                 num_buckets=num_buckets).materialize()
+    qlo_name = f"q_{int(round(lo * 100))}"
+    qhi_name = f"q_{int(round(hi * 100))}"
+    blocks = [t for t in ray.get(th.to_arrow_refs()) if t.num_rows]
+    if blocks:
+        kc = pa.concat_arrays(
+            [t.column(key_col).combine_chunks()
+             if isinstance(t.column(key_col), pa.ChunkedArray)
+             else t.column(key_col) for t in blocks])
+        kh = (xxhash64_array(kc) if pa.types.is_string(kc.type)
+              else np.asarray(kc, dtype=np.int64).view(np.uint64))
+        lo_v = np.concatenate(
+            [np.asarray(t.column(qlo_name), dtype=np.float64)
+             for t in blocks])
+        hi_v = np.concatenate(
+            [np.asarray(t.column(qhi_name), dtype=np.float64)
+             for t in blocks])
+    else:
+        kh = np.empty(0, dtype=np.uint64)
+        lo_v = hi_v = np.empty(0, dtype=np.float64)
+    order = np.argsort(kh)
+    ref = ray.put((kh[order], lo_v[order], hi_v[order]))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        khs, lov, hiv = ray.get(ref)  # zero-copy plasma reads
+        k = batch.column(key_col)
+        h = (xxhash64_array(k) if pa.types.is_string(k.type)
+             else np.asarray(k, dtype=np.int64).view(np.uint64))
+        pos = np.searchsorted(khs, h)
+        pos = np.minimum(pos, max(len(khs) - 1, 0))
+        v = np.asarray(pc.cast(batch.column(value_col), pa.float64()))
+        clipped = np.minimum(np.maximum(v, lov[pos]), hiv[pos])
+        out = pa.array(clipped)
+        col = batch.column(value_col)
+        if col.null_count:
+            out = pc.if_else(pc.is_valid(col), pa.array(clipped),
+                             pa.scalar(None, pa.float64()))
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

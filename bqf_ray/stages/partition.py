@@ -280,3 +280,49 @@ def bucketed_sum(ds, key_cols: list[str], sum_cols: dict[str, str],
     return bucketed_agg(ds, key_cols,
                         [(c, "sum", out) for c, out in sum_cols.items()],
                         num_buckets=num_buckets)
+
+
+def zorder_key(ds, cols: list[str], bits: int = 16, out_col: str = "zkey",
+               num_partitions: int | None = None,
+               part_col: str = "zpart"):
+    """Z-order (Morton) interleave of ``d = len(cols)`` integer columns
+    into one locality-preserving sort/partition key — the multi-dim
+    data-layout primitive for 100-TB scans: files clustered by ``zkey``
+    let a reader prune on range predicates over ANY of the d columns,
+    not just a lexicographic prefix.
+
+    Each input must lie in ``[0, 2**bits)`` (caller pre-quantizes;
+    violations raise loudly — silent masking would corrupt locality).
+    Bit i of column j lands at position ``i*d + j`` (column 0 least
+    significant), so ``d*bits`` must fit 63 bits.  With
+    ``num_partitions`` also emits ``part_col = (zkey * P) >> (d*bits)``
+    — an equi-WIDTH range split of the z-space (P a power of two gives
+    perfect prefix buckets).  Pure per-batch vectorized map: the loop
+    is over ``bits`` (≤ 16 iterations of whole-array ops), never rows.
+    """
+    d = len(cols)
+    bits = int(bits)
+    if d * bits > 63:
+        raise ValueError(f"zorder_key: {d} cols x {bits} bits > 63")
+    P = int(num_partitions) if num_partitions else None
+    if P is not None and d * bits + max(P - 1, 1).bit_length() > 62:
+        raise ValueError("zorder_key: num_partitions overflows int64")
+    lim = np.int64(1) << np.int64(bits)
+
+    def interleave(batch: pa.Table) -> pa.Table:
+        z = np.zeros(len(batch), dtype=np.int64)
+        for j, c in enumerate(cols):
+            x = np.asarray(batch.column(c), dtype=np.int64)
+            if len(x) and (x.min() < 0 or x.max() >= lim):
+                raise ValueError(
+                    f"zorder_key: {c} outside [0, 2^{bits})")
+            for i in range(bits):
+                z |= ((x >> np.int64(i)) & np.int64(1)) \
+                    << np.int64(i * d + j)
+        out = batch.append_column(out_col, pa.array(z))
+        if P is not None:
+            out = out.append_column(part_col, pa.array(
+                (z * np.int64(P)) >> np.int64(d * bits)))
+        return out
+
+    return ds.map_batches(interleave, batch_format="pyarrow")
