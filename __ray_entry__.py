@@ -1966,6 +1966,64 @@ def w_cdc_merge(sf_dir):
                          ["c_name", "bal_cents"])
 
 
+def w_concurrent_sessions(sf_dir):
+    """Interval overlap self-join over gap-sessionized events: every
+    pair of sessions of DIFFERENT users whose [start, end] intervals
+    overlap — sessionize (one user-bucket shuffle) then
+    ``relational.interval_self_join`` (time-bucket replicas + one
+    int-key exchange, each pair emitted exactly once in the bucket of
+    the later start)."""
+    from bqf_ray.pipelines.relational import interval_self_join
+    from bqf_ray.pipelines.windowed import session_windows
+    sess = session_windows(_events(sf_dir), gap_s=1800)
+    return interval_self_join(
+        sess, "session_start", "session_end", tie_col="user_id",
+        bucket_width_s=14400, exclude_equal="user_id",
+        carry_cols=["user_id", "session_start", "session_end"])
+
+
+def w_pareto_orders(sf_dir):
+    """2-D skyline of orders: maximize o_totalprice, minimize
+    o_orderdate (best price/earliest trade-offs).  Per-block local
+    skylines (lossless superset) + one tiny constant-key merge;
+    ``aggregates.skyline``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import skyline
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline(orders, "o_totalprice", "o_orderdate",
+                   maximize=(True, False))
+
+
+def w_user_mode_event(sf_dir):
+    """Exact per-user modal event_type (most frequent, ties to the
+    lexicographically smallest) — one corpus exchange for the pair
+    counts + one counts-table top-1 selection, no whole group
+    materialized; ``aggregates.grouped_mode``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_mode
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+def w_autocorr_value(sf_dir):
+    """Exact int64 lag-1 autocorrelation components of value (cents)
+    per event_type over the (ts, event_id)-ordered stream — mergeable
+    cell partials with boundary-pair stitching, no per-key global
+    sort; ``windowed.lag_autocorr_components``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import lag_autocorr_components
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"])
+    return lag_autocorr_components(ev)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2229,6 +2287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
         "zorder_orders": w_zorder_orders,
+        "concurrent_sessions": w_concurrent_sessions,
+        "pareto_orders": w_pareto_orders,
+        "user_mode_event": w_user_mode_event,
+        "autocorr_value": w_autocorr_value,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3360,6 +3422,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, x, y, zkey,
                    ((zkey * 32) >> 32)::BIGINT AS zpart
             FROM z""",
+        "concurrent_sessions": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x),
+            sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+                     FROM s GROUP BY user_id, sid)
+            SELECT a.user_id AS a_user_id, a.st AS a_session_start,
+                   a.en AS a_session_end, b.user_id AS b_user_id,
+                   b.st AS b_session_start, b.en AS b_session_end
+            FROM sess a JOIN sess b
+              ON a.st <= b.en AND b.st <= a.en
+             AND (a.st < b.st OR (a.st = b.st AND a.user_id < b.user_id))
+             AND a.user_id <> b.user_id""",
+        "pareto_orders": """
+            WITH g AS (SELECT o_totalprice AS x, min(o_orderdate) AS gy
+                       FROM orders GROUP BY 1),
+            p AS (SELECT x, gy,
+                         min(gy) OVER (ORDER BY x DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS mgt
+                  FROM g)
+            SELECT t.o_orderkey, t.o_totalprice, t.o_orderdate
+            FROM orders t JOIN p ON t.o_totalprice = p.x
+            WHERE (p.mgt IS NULL OR p.mgt > t.o_orderdate)
+              AND NOT (p.gy < t.o_orderdate)""",
+        "user_mode_event": """
+            WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn = 1""",
+        "autocorr_value": """
+            WITH f AS (SELECT event_type, ts, event_id,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            o2 AS (SELECT event_type, v,
+                          lag(v) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS pv
+                   FROM f)
+            SELECT event_type, count(*)::BIGINT AS n_pairs,
+                   SUM(pv)::BIGINT AS sx, SUM(v)::BIGINT AS sy,
+                   SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
+                   SUM(v*v)::BIGINT AS syy
+            FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
         "frequent_pairs": """
             WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
                         FROM lineitem),

@@ -1722,3 +1722,101 @@ def clip_to_quantiles(ds, key_col: str, value_col: str,
         return batch.append_column(out_col, out)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def skyline(ds, x_col: str, y_col: str,
+            maximize: tuple[bool, bool] = (True, True)):
+    """2-D Pareto frontier (skyline): rows not DOMINATED by any other
+    row — q dominates p iff q is >= p in both objectives and strictly
+    better in at least one (``maximize`` flips either axis).  Ties:
+    rows equal to a frontier point in BOTH dims are all kept (neither
+    dominates).  The multi-objective "best trade-offs" selection a
+    plain ORDER BY can't express.
+
+    Scale plan: the skyline operator distributes losslessly — a row
+    dominated by a block-mate is globally dominated, and no frontier
+    row is ever locally dominated, so per-block local skylines (one
+    vectorized sort + prefix-max sweep each) form a SUPERSET of the
+    global frontier whose union is tiny (O(log n) expected on
+    independent dims).  One constant-key gather then applies the same
+    exact kernel to the union.  No O(n^2) pass anywhere; the full
+    corpus is touched once, embarrassingly parallel.
+
+    Rows with null/NaN in either column are excluded.  Comparisons
+    only (no arithmetic), so float64 inputs are bit-exact."""
+    import pyarrow.compute as pc
+
+    def _vals(tbl: pa.Table, c: str, flip: bool) -> np.ndarray:
+        col = tbl.column(c)
+        if pa.types.is_timestamp(col.type):
+            v = np.asarray(col).astype("datetime64[us]") \
+                .astype(np.int64).astype(np.float64)
+        else:
+            v = np.asarray(pc.cast(col, pa.float64()), dtype=np.float64)
+        return -v if flip else v
+
+    def _local(tbl: pa.Table) -> pa.Table:
+        keep = pc.is_valid(tbl.column(x_col))
+        keep = pc.and_(keep, pc.is_valid(tbl.column(y_col)))
+        for c in (x_col, y_col):
+            col = tbl.column(c)
+            if pa.types.is_floating(col.type):
+                keep = pc.and_(keep, pc.invert(
+                    pc.is_nan(pc.fill_null(col, 0.0))))
+        tbl = tbl.filter(keep)
+        if not tbl.num_rows:
+            return tbl
+        x = _vals(tbl, x_col, not maximize[0])
+        y = _vals(tbl, y_col, not maximize[1])
+        # dominated(p) iff max{y' : x' > p.x} >= p.y
+        #            or  max{y' : x' = p.x} >  p.y
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        new = np.r_[True, xs[1:] != xs[:-1]]
+        gid = np.cumsum(new) - 1
+        gmax = ys[np.flatnonzero(new)]          # per-x max (y desc in run)
+        run_max = np.maximum.accumulate(gmax)
+        m_gt = np.r_[-np.inf, run_max[:-1]]     # strictly-greater-x max
+        dominated = (m_gt[gid] >= ys) | (gmax[gid] > ys)
+        sel = order[~dominated]
+        out = tbl.take(pa.array(np.sort(sel)))
+        return out
+
+    def _merge(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__one"])
+        return _local(g)
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        t = _local(tbl)
+        return t.append_column("__one", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+
+    return (ds.map_batches(_tag, batch_format="pyarrow")
+            .groupby("__one").map_groups(_merge, batch_format="pyarrow"))
+
+
+def grouped_mode(ds, key_col: str, value_col: str,
+                 count_name: str = "n", num_buckets: int = 64):
+    """Exact per-group MODE: the most frequent ``value_col`` per
+    ``key_col``, deterministic tie-break to the smallest value — the
+    categorical summarizer (dominant event type per user, majority
+    label per cluster).  Composition of two existing scale-shaped
+    primitives: one corpus exchange for the ``(key, value)`` counts
+    (``bucketed_sum``: 1-int hash-bucket key) and one counts-table
+    exchange selecting the per-key argmax (``grouped_top_n`` with
+    per-block partial top-1, so no whole group ever materializes).
+    Output: ``(key_col, value_col, count_name)``."""
+    from bqf_ray.stages.partition import bucketed_sum
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column(key_col),
+            value_col: batch.column(value_col),
+            "__one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    counts = bucketed_sum(ds.map_batches(one, batch_format="pyarrow"),
+                          [key_col, value_col], {"__one": count_name},
+                          num_buckets=num_buckets)
+    return grouped_top_n(counts, key_col, [count_name, value_col], n=1,
+                         descending=[True, False], rank_col=None,
+                         num_buckets=num_buckets)

@@ -692,3 +692,105 @@ def merge_changes(base_ds, changes_ds, key: str, seq_col: str, op_col: str,
                                           batch_format="pyarrow")))
     return (both.groupby("__bucket")
             .map_groups(resolve, batch_format="pyarrow"))
+
+
+def interval_self_join(ds, start_col: str, end_col: str, tie_col: str,
+                       bucket_width_s: int = 14400,
+                       exclude_equal: str | None = None,
+                       carry_cols: list[str] | None = None):
+    """All OVERLAPPING interval pairs within one dataset — the interval
+    self-join (``a.start <= b.end AND b.start <= a.end``, closed
+    intervals) that neither an equi-join nor :func:`time_band_join`
+    (fixed ± band around a point) covers.  Concurrent-session
+    detection, meeting-conflict checks, span-collision audits.
+
+    Scale plan: each interval is replicated to every
+    ``bucket_width_s``-wide time bucket it spans (replication factor
+    ≈ 1 + len/width — pick the width ≥ the typical interval length),
+    ONE int-key shuffle on the bucket id, then a fully vectorized
+    in-bucket sweep: sort by ``(start, tie_col)``, one
+    ``searchsorted(starts, ends)`` pass gives every row's overlap
+    range, pairs materialize with repeat/arange gathers.  Each pair is
+    emitted EXACTLY ONCE — in the bucket holding the later start
+    ``max(s_a, s_b)`` (both intervals provably span that bucket), by
+    masking on the later row's native-replica flag.  No global dedup
+    pass, no cross-bucket traffic beyond the replicas.
+
+    Requirements: ``end >= start`` per row (raises otherwise);
+    ``(start, tie_col)`` must be a unique total order (SQL-determinism
+    requirement, same as every ranked oracle).  ``exclude_equal``
+    drops pairs whose two sides share that column's value (e.g. the
+    same user).  Output: ``a_<c>`` / ``b_<c>`` for each carried
+    column, pair roles ordered by ``(start, tie_col)`` lexicographic —
+    identical to the SQL ``a.s < b.s OR (a.s = b.s AND a.tie <
+    b.tie)`` join condition.  A hot time bucket (everyone online at
+    once) is inherent output density, not key skew; shrink the width
+    to split it."""
+    import pyarrow.compute as pc
+
+    W = np.int64(bucket_width_s) * 1_000_000
+    cols = carry_cols or [c for c in ds.schema().names]
+
+    def _us(col) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            return np.asarray(col).astype("datetime64[us]").astype(np.int64)
+        return np.asarray(col, dtype=np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = _us(batch.column(start_col))
+        e = _us(batch.column(end_col))
+        if len(s) and (e < s).any():
+            raise ValueError("interval_self_join: end < start")
+        b0, b1 = s // W, e // W
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        total = int(reps.sum())
+        run0 = np.repeat(np.cumsum(reps) - reps, reps)
+        k = np.arange(total, dtype=np.int64) - run0
+        out = batch.select(cols).take(pa.array(idx))
+        return (out.append_column("__tb", pa.array(b0[idx] + k))
+                .append_column("__nat", pa.array(k == 0))
+                .append_column("__s", pa.array(s[idx]))
+                .append_column("__e", pa.array(e[idx])))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        names = [(f"a_{c}", f"b_{c}") for c in cols]
+        if not g.num_rows:
+            return pa.table({n: pa.array([], g.schema.field(c).type)
+                             for c, (an, bn) in zip(cols, names)
+                             for n in (an, bn)})
+        tie = g.column(tie_col)
+        if isinstance(tie, pa.ChunkedArray):
+            tie = tie.combine_chunks()
+        tcode = np.unique(np.asarray(tie), return_inverse=True)[1]
+        s = np.asarray(g.column("__s"), dtype=np.int64)
+        order = np.lexsort((tcode, s))
+        g = g.take(pa.array(order))
+        s = s[order]
+        e = np.asarray(g.column("__e"), dtype=np.int64)
+        nat = np.asarray(g.column("__nat"))
+        n = len(s)
+        hi = np.searchsorted(s, e, side="right")
+        lo = np.arange(n, dtype=np.int64) + 1
+        cnt = np.maximum(hi - lo, 0)
+        ii = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        run0 = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        jj = np.arange(int(cnt.sum()), dtype=np.int64) - run0 \
+            + np.repeat(lo, cnt)
+        keep = nat[jj]
+        if exclude_equal is not None:
+            ex = g.column(exclude_equal)
+            if isinstance(ex, pa.ChunkedArray):
+                ex = ex.combine_chunks()
+            ev = np.asarray(ex)
+            keep &= ev[ii] != ev[jj]
+        ii, jj = ii[keep], jj[keep]
+        data, out_names = [], []
+        for c, (an, bn) in zip(cols, names):
+            col = g.column(c)
+            data += [col.take(pa.array(ii)), col.take(pa.array(jj))]
+            out_names += [an, bn]
+        return pa.table(dict(zip(out_names, data)))
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("__tb").map_groups(sweep, batch_format="pyarrow"))

@@ -751,3 +751,158 @@ def rolling_time_range_sum(ds, range_s: int, value_col: str = "value",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(roll_bucket, batch_format="pyarrow"))
+
+
+def lag_autocorr_components(ds, key_col: str = "event_type",
+                            ts_col: str = "ts", id_col: str = "event_id",
+                            value_col: str = "value", scale: int = 100,
+                            bucket_width_s: int = 86400,
+                            key_buckets: int = 64):
+    """EXACT int64 component sums of the LAG-1 autocorrelation of
+    ``value_col`` per ``key_col``, over the stream ordered by
+    ``(ts, id)`` within each key: for every adjacent pair (prev=x,
+    cur=y) emit ``(key, n_pairs, sx, sy, sxy, sxx, syy)`` — Pearson
+    r of the lagged series derives downstream in float; the integer
+    components keep the operator SQL-oracle-exact (the
+    ``value_k_correlation`` pattern, applied to an ORDERED stream).
+
+    An ordered per-key statistic normally needs a per-key global sort.
+    Instead the pair stream is MERGEABLE: tag each row with its
+    ``(key-hash, ts // width)`` cell, ONE int-key shuffle, and each
+    cell computes its inner-pair partials plus its per-key FIRST/LAST
+    boundary rows (vectorized run-length pass).  A second tiny
+    exchange on the key merges cell partials in time order, adding the
+    one boundary pair between consecutive non-empty cells — cell order
+    IS stream order because equal timestamps share a cell.  Hot keys
+    split across time cells instead of one group (the skew rule).
+
+    Values scale to integers as ``floor(v * scale + 0.5)``; null
+    values are excluded row-wise (mirror the oracle with ``WHERE v IS
+    NOT NULL``).  Overflow envelope: ``n * (scale*vmax)^2 < 2^63``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.stages.partition import _col_hash64
+
+    W = np.int64(bucket_width_s) * 1_000_000
+    KB = np.int64(key_buckets)
+    SC = float(scale)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(v, 0.0))))
+        batch = batch.filter(pc.and_(keep, pc.is_valid(
+            batch.column(key_col))))
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]") \
+            .astype(np.int64)
+        kh = (_col_hash64(batch.column(key_col)) % np.uint64(KB)
+              ).astype(np.int64)
+        mv = np.floor(np.asarray(batch.column(value_col),
+                                 dtype=np.float64) * SC + 0.5
+                      ).astype(np.int64)
+        return pa.table({
+            "k": batch.column(key_col),
+            "t": pa.array(ts),
+            "i": pa.array(np.asarray(batch.column(id_col),
+                                     dtype=np.int64)),
+            "v": pa.array(mv),
+            "__cell": pa.array((ts // W) * KB + kh)})
+
+    def cell_partial(g: pa.Table) -> pa.Table:
+        k = g.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        empty = {
+            "k": k.slice(0, 0), "cell_t": pa.array([], pa.int64()),
+            **{c: pa.array([], pa.int64())
+               for c in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy",
+                         "first_v", "last_v")}}
+        if not g.num_rows:
+            return pa.table(empty)
+        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        t = np.asarray(g.column("t"), dtype=np.int64)
+        i = np.asarray(g.column("i"), dtype=np.int64)
+        v = np.asarray(g.column("v"), dtype=np.int64)
+        order = np.lexsort((i, t, kc))
+        kc, v = kc[order], v[order]
+        n = len(kc)
+        new = np.r_[True, kc[1:] != kc[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        # inner adjacent pairs: positions p, p+1 with same key
+        x, y = v[:-1], v[1:]
+        inner = ~new[1:]
+        seg = np.cumsum(new) - 1  # key run id per row
+        segp = seg[:-1]
+
+        def rsum(a):
+            s = np.zeros(len(starts), dtype=np.int64)
+            np.add.at(s, segp[inner], a[inner])
+            return s
+
+        return pa.table({
+            "k": k.take(pa.array(order[starts])),
+            "cell_t": pa.array(np.full(len(starts),
+                                       t[order[0]] // W, dtype=np.int64)),
+            "n_pairs": pa.array(np.int64(ends - starts - 1)),
+            "sx": pa.array(rsum(x)), "sy": pa.array(rsum(y)),
+            "sxy": pa.array(rsum(x * y)),
+            "sxx": pa.array(rsum(x * x)), "syy": pa.array(rsum(y * y)),
+            "first_v": pa.array(v[starts]),
+            "last_v": pa.array(v[ends - 1])})
+
+    def key_merge(g: pa.Table) -> pa.Table:
+        k = g.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        empty = {key_col: k.slice(0, 0),
+                 **{c: pa.array([], pa.int64())
+                    for c in ("n_pairs", "sx", "sy", "sxy",
+                              "sxx", "syy")}}
+        if not g.num_rows:
+            return pa.table(empty)
+        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        ct = np.asarray(g.column("cell_t"), dtype=np.int64)
+        order = np.lexsort((ct, kc))
+        g2 = g.take(pa.array(order))
+        kc, ct = kc[order], ct[order]
+        cols = {c: np.asarray(g2.column(c), dtype=np.int64)
+                for c in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy",
+                          "first_v", "last_v")}
+        n = len(kc)
+        new = np.r_[True, kc[1:] != kc[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        # boundary pairs between consecutive cells of the same key
+        bx = cols["last_v"][:-1]
+        by = cols["first_v"][1:]
+        bmask = ~new[1:]
+        segp = seg[:-1]
+
+        def fold(name):
+            s = np.zeros(len(starts), dtype=np.int64)
+            np.add.at(s, seg, cols[name])
+            return s
+
+        def bsum(a):
+            s = np.zeros(len(starts), dtype=np.int64)
+            np.add.at(s, segp[bmask], a[bmask])
+            return s
+
+        nb = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(nb, segp[bmask], 1)
+        return pa.table({
+            key_col: k.take(pa.array(order[starts])),
+            "n_pairs": pa.array(fold("n_pairs") + nb),
+            "sx": pa.array(fold("sx") + bsum(bx)),
+            "sy": pa.array(fold("sy") + bsum(by)),
+            "sxy": pa.array(fold("sxy") + bsum(bx * by)),
+            "sxx": pa.array(fold("sxx") + bsum(bx * bx)),
+            "syy": pa.array(fold("syy") + bsum(by * by))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__cell").map_groups(cell_partial,
+                                          batch_format="pyarrow")
+            .groupby("k").map_groups(key_merge, batch_format="pyarrow"))
