@@ -2024,6 +2024,47 @@ def w_autocorr_value(sf_dir):
     return lag_autocorr_components(ev)
 
 
+def w_mad_chars(sf_dir):
+    """Exact per-language median + MAD of n_chars (robust location /
+    spread, the outlier-resistant normalization statistic): two
+    selection-exact quantile exchanges with the median table broadcast
+    between them; ``aggregates.grouped_mad``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_mad
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "n_chars"])
+    return grouped_mad(docs, "lang", "n_chars")
+
+
+def w_bfs_parts(sf_dir):
+    """Multi-source BFS hop distances over the part co-purchase graph
+    from seeds (partkey % 97 == 0): broadcast-frontier rounds, one
+    linear edge scan each, min-hop exact vs the recursive-CTE oracle;
+    ``graph.bfs_hops``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (bfs_hops, canonical_edges,
+                                         cooccurrence_edges)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    edges = canonical_edges(cooccurrence_edges(li, "l_orderkey",
+                                               "l_partkey"))
+    # vertex table (driver envelope, same as the BFS visited array):
+    # per-block unique endpoints folded once
+    parts = []
+    for t in ray.get(edges.to_arrow_refs()):
+        if t.num_rows:
+            parts.append(np.unique(np.asarray(t.column("a"),
+                                              dtype=np.int64)))
+            parts.append(np.unique(np.asarray(t.column("b"),
+                                              dtype=np.int64)))
+    nodes = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+    seeds = nodes[nodes % 97 == 0]
+    return bfs_hops(edges, seeds, max_hops=8, pre_canonical=True)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2291,6 +2332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": w_pareto_orders,
         "user_mode_event": w_user_mode_event,
         "autocorr_value": w_autocorr_value,
+        "mad_chars": w_mad_chars,
+        "bfs_parts": w_bfs_parts,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3474,6 +3517,32 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "mad_chars": """
+            WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                       FROM documents GROUP BY 1)
+            SELECT d.lang, count(*)::BIGINT AS n,
+                   CAST(MIN(m.med) AS DOUBLE) AS med,
+                   CAST(quantile_disc(abs(d.n_chars - m.med), 0.5)
+                        AS DOUBLE) AS mad
+            FROM documents d JOIN m USING (lang) GROUP BY d.lang""",
+        "bfs_parts": """
+            WITH RECURSIVE ce AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                              greatest(a.l_partkey, b.l_partkey) AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+            e AS (SELECT a AS x, b AS y FROM ce
+                  UNION ALL SELECT b, a FROM ce),
+            nodes AS (SELECT DISTINCT x FROM e),
+            seeds AS (SELECT x FROM nodes WHERE x % 97 = 0),
+            walk AS (
+              SELECT x, 0 AS hop FROM seeds
+              UNION
+              SELECT e.y, walk.hop + 1 FROM walk JOIN e ON e.x = walk.x
+              WHERE walk.hop < 8)
+            SELECT x AS node, min(hop)::BIGINT AS hop
+            FROM walk GROUP BY x""",
         "frequent_pairs": """
             WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
                         FROM lineitem),

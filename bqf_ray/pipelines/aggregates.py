@@ -1820,3 +1820,74 @@ def grouped_mode(ds, key_col: str, value_col: str,
     return grouped_top_n(counts, key_col, [count_name, value_col], n=1,
                          descending=[True, False], rank_col=None,
                          num_buckets=num_buckets)
+
+
+def grouped_mad(ds, key_col: str, value_col: str,
+                num_buckets: int = 32):
+    """Exact per-group MEDIAN and MAD (median absolute deviation, the
+    robust spread statistic outlier-capped pipelines standardize with):
+    ``med = PERCENTILE_DISC(0.5)``, ``mad = PERCENTILE_DISC(0.5) of
+    |x − med|`` — both pure value selections (lower median), so
+    bit-exact for integers and float64 up to 2^53.
+
+    Two :func:`grouped_exact_quantiles` exchanges with the per-group
+    median table broadcast between them via ``ray.put`` + sorted-hash
+    lookup (group-count-sized, the :func:`clip_to_quantiles` shape).
+    Output: ``(key_col, n, med, mad)``; null/NaN values excluded."""
+    import ray
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    med = grouped_exact_quantiles(ds, key_col, value_col, qs=(0.5,),
+                                  num_buckets=num_buckets).materialize()
+    blocks = [t for t in ray.get(med.to_arrow_refs()) if t.num_rows]
+    if blocks:
+        kc = pa.concat_arrays(
+            [t.column(key_col).combine_chunks()
+             if isinstance(t.column(key_col), pa.ChunkedArray)
+             else t.column(key_col) for t in blocks])
+        kh = (xxhash64_array(kc) if pa.types.is_string(kc.type)
+              else np.asarray(kc, dtype=np.int64).view(np.uint64))
+        mv = np.concatenate([np.asarray(t.column("q_50"),
+                                        dtype=np.float64)
+                             for t in blocks])
+    else:
+        kh = np.empty(0, dtype=np.uint64)
+        mv = np.empty(0, dtype=np.float64)
+    order = np.argsort(kh)
+    ref = ray.put((kh[order], mv[order]))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        khs, meds = ray.get(ref)
+        col = batch.column(value_col)
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        batch = batch.filter(mask)
+        k = batch.column(key_col)
+        h = (xxhash64_array(k) if pa.types.is_string(k.type)
+             else np.asarray(k, dtype=np.int64).view(np.uint64))
+        pos = np.searchsorted(khs, h)
+        pos = np.minimum(pos, max(len(khs) - 1, 0))
+        v = np.asarray(pc.cast(batch.column(value_col), pa.float64()),
+                       dtype=np.float64)
+        return pa.table({key_col: k,
+                         "__absdev": pa.array(np.abs(v - meds[pos]))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_exact_quantiles(dev, key_col, "__absdev", qs=(0.5,),
+                                  num_buckets=num_buckets)
+
+    def attach_med(batch: pa.Table) -> pa.Table:
+        khs, meds = ray.get(ref)
+        k = batch.column(key_col)
+        h = (xxhash64_array(k) if pa.types.is_string(k.type)
+             else np.asarray(k, dtype=np.int64).view(np.uint64))
+        pos = np.searchsorted(khs, h)
+        pos = np.minimum(pos, max(len(khs) - 1, 0))
+        return pa.table({key_col: k, "n": batch.column("n"),
+                         "med": pa.array(meds[pos]),
+                         "mad": batch.column("q_50")})
+
+    return mad.map_batches(attach_med, batch_format="pyarrow")

@@ -1077,3 +1077,61 @@ def frequent_itemsets(ds, group_col: str, item_col: str,
             np.full(len(batch), n_groups, dtype=np.int64)))
 
     return with_b.map_batches(add_ng, batch_format="pyarrow")
+
+
+def bfs_hops(edges_ds, seeds: np.ndarray, max_hops: int = 8,
+             a_col: str = "a", b_col: str = "b",
+             pre_canonical: bool = False):
+    """Multi-source BFS hop distances over an UNDIRECTED edge Dataset:
+    ``(node, hop)`` for every vertex reachable from ``seeds`` within
+    ``max_hops`` (min-hop semantics, the recursive-CTE shortest
+    unweighted path).  The traversal primitive behind influence
+    radius, contamination blast-radius, and graph-sampled curation.
+
+    Plan (broadcast-frontier, the :func:`pagerank` envelope): edges
+    are canonicalized + MATERIALIZED once, then each round streams one
+    ``map_batches`` pass over them with the current frontier broadcast
+    as a sorted array (``ray.put``, zero-copy in plasma); per-batch
+    candidates dedupe locally before the driver folds them against the
+    visited array (vertex-table-sized, the documented ~10^8-node
+    driver envelope — shard the visited set past it).  Rounds =
+    eccentricity ≤ ``max_hops``; each is one linear edge scan, no
+    shuffle after the canonicalization."""
+    import ray
+
+    edges = (edges_ds if pre_canonical
+             else canonical_edges(edges_ds, a_col=a_col, b_col=b_col))
+    ca, cb = (a_col, b_col) if pre_canonical else ("a", "b")
+    visited = np.unique(np.asarray(seeds, dtype=np.int64))
+    out_nodes = [visited]
+    out_hops = [np.zeros(len(visited), dtype=np.int64)]
+    frontier = visited
+    for h in range(1, int(max_hops) + 1):
+        if not len(frontier):
+            break
+        ref = ray.put(np.sort(frontier))
+
+        def reach(batch: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            a = np.asarray(batch.column(ca), dtype=np.int64)
+            b = np.asarray(batch.column(cb), dtype=np.int64)
+            ia = np.searchsorted(fr, a)
+            ib = np.searchsorted(fr, b)
+            hit_a = (ia < len(fr)) & (fr[np.minimum(ia, len(fr) - 1)] == a)
+            hit_b = (ib < len(fr)) & (fr[np.minimum(ib, len(fr) - 1)] == b)
+            cand = np.unique(np.concatenate([b[hit_a], a[hit_b]]))
+            return pa.table({"node": pa.array(cand)})
+
+        got = edges.map_batches(reach, batch_format="pyarrow").to_pandas()
+        cand = np.unique(got["node"].to_numpy().astype(np.int64)) \
+            if len(got) else np.empty(0, dtype=np.int64)
+        new = cand[np.isin(cand, visited, invert=True,
+                           assume_unique=True)]
+        if not len(new):
+            break
+        out_nodes.append(new)
+        out_hops.append(np.full(len(new), h, dtype=np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+    return pa.table({"node": pa.array(np.concatenate(out_nodes)),
+                     "hop": pa.array(np.concatenate(out_hops))})
