@@ -1569,7 +1569,8 @@ def joint_mi_counts(ds, x_col: str, y_col: str, num_buckets: int = 64):
 
     joint = bucketed_sum(ds.map_batches(one, batch_format="pyarrow"),
                          ["x", "y"], {"one": "n_xy"},
-                         num_buckets=B).materialize()
+                         num_buckets=B,
+                         combine_local=True).materialize()
     n = int(joint.sum("n_xy") or 0)
     out = _attach_group_total(joint, "x", "n_xy", "n_x", num_buckets=B)
     out = _attach_group_total(out, "y", "n_xy", "n_y", num_buckets=B)
@@ -1816,7 +1817,7 @@ def grouped_mode(ds, key_col: str, value_col: str,
 
     counts = bucketed_sum(ds.map_batches(one, batch_format="pyarrow"),
                           [key_col, value_col], {"__one": count_name},
-                          num_buckets=num_buckets)
+                          num_buckets=num_buckets, combine_local=True)
     return grouped_top_n(counts, key_col, [count_name, value_col], n=1,
                          descending=[True, False], rank_col=None,
                          num_buckets=num_buckets)

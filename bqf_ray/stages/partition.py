@@ -209,7 +209,8 @@ def _null_fill_scalar(t):
 
 
 def bucketed_agg(ds, key_cols: list[str],
-                 aggs: list[tuple[str, str, str]], num_buckets: int = 64):
+                 aggs: list[tuple[str, str, str]], num_buckets: int = 64,
+                 combine_local: bool = False):
     """``groupby(key_cols).aggregate(...)`` as ONE exchange keyed by a
     single small-int hash bucket + an exact in-bucket Arrow
     ``group_by`` — Ray Data's sort-based exchange pays for SORT-KEY
@@ -229,6 +230,15 @@ def bucketed_agg(ds, key_cols: list[str],
     verified empirically, see tests), so nullable key columns are
     grouped as (filled value, is-null flag) pairs and the nulls are
     restored afterwards.
+
+    ``combine_local=True`` adds a MAP-SIDE partial aggregate per block
+    before the exchange (count partials re-sum in the bucket), so the
+    shuffle carries ≤ one row per (block, key) instead of every input
+    row — the combiner rule.  Opt in when per-block key cardinality is
+    well below block size (grouped counts over categorical keys); skip
+    for near-unique keys where the local pass is wasted work.  The
+    size-dependent null-key split is harmless here: split partials are
+    still exact partials and re-merge in the bucket.
     """
     import pyarrow.compute as pc
 
@@ -237,11 +247,24 @@ def bucketed_agg(ds, key_cols: list[str],
     PHI = np.uint64(0x9E3779B97F4A7C15)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        if combine_local:
+            batch = (batch.group_by(keys)
+                     .aggregate([(c, fn) for c, fn, _ in aggs]))
+            # columns come back as [*keys, f"{c}_{fn}"...]
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for k in keys:
             h = fmix64(h * PHI + _col_hash64(batch.column(k)))
         return batch.append_column(
             "__gb", pa.array((h % np.uint64(B)).astype(np.int64)))
+
+    # in-bucket plan: raw rows aggregate with the caller's fns; local
+    # partials re-combine with sum for sum/count and the same fn for
+    # min/max (all four are decomposable)
+    if combine_local:
+        final_aggs = [(f"{c}_{fn}", "sum" if fn in ("sum", "count")
+                       else fn) for c, fn, _ in aggs]
+    else:
+        final_aggs = [(c, fn) for c, fn, _ in aggs]
 
     def combine(group: pa.Table) -> pa.Table:
         work = group
@@ -258,7 +281,7 @@ def bucketed_agg(ds, key_cols: list[str],
                     i, k, col.fill_null(_null_fill_scalar(col.type)))
                 flags.append((k, f))
         g = (work.group_by(keys + [f for _, f in flags])
-             .aggregate([(c, fn) for c, fn, _ in aggs]))
+             .aggregate(final_aggs))
         for k, f in flags:              # restore nulls from the flags
             i = g.schema.get_field_index(k)
             g = g.set_column(i, k, pc.if_else(
@@ -274,12 +297,13 @@ def bucketed_agg(ds, key_cols: list[str],
 
 
 def bucketed_sum(ds, key_cols: list[str], sum_cols: dict[str, str],
-                 num_buckets: int = 64):
+                 num_buckets: int = 64, combine_local: bool = False):
     """:func:`bucketed_agg` specialization: {input_col: output_name}
     all summed."""
     return bucketed_agg(ds, key_cols,
                         [(c, "sum", out) for c, out in sum_cols.items()],
-                        num_buckets=num_buckets)
+                        num_buckets=num_buckets,
+                        combine_local=combine_local)
 
 
 def zorder_key(ds, cols: list[str], bits: int = 16, out_col: str = "zkey",

@@ -638,16 +638,30 @@ def test_bucketed_agg_matches_pandas(ray_session):
             .agg(sv=("v", "sum"), mn=("v", "min"), cnt=("v", "count"))
             .reset_index().sort_values(["ka", "kb"], na_position="last")
             .reset_index(drop=True))
-    for parts, nb in [(1, 3), (6, 17)]:
+    for parts, nb, loc in [(1, 3, False), (6, 17, False),
+                           (1, 3, True), (6, 17, True)]:
         got = (bucketed_agg(ray.data.from_arrow(tbl).repartition(parts),
                             ["ka", "kb"],
                             [("v", "sum", "sv"), ("v", "min", "mn"),
-                             ("v", "count", "cnt")], num_buckets=nb)
+                             ("v", "count", "cnt")], num_buckets=nb,
+                            combine_local=loc)
                .to_pandas().sort_values(["ka", "kb"], na_position="last")
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got[["ka", "kb", "sv", "mn", "cnt"]],
             want[["ka", "kb", "sv", "mn", "cnt"]], check_dtype=False)
+
+    # combine_local with NULLS in the aggregated column: count counts
+    # valid rows only, partial counts re-sum exactly
+    ntbl = pa.table({"k": pa.array(["x", "x", "y", None]),
+                     "v": pa.array([1, None, 3, 4], pa.int64())})
+    got = (bucketed_agg(ray.data.from_arrow(ntbl).repartition(2), ["k"],
+                        [("v", "sum", "sv"), ("v", "count", "cnt")],
+                        num_buckets=3, combine_local=True)
+           .to_pandas().sort_values("k", na_position="last")
+           .reset_index(drop=True))
+    assert got["sv"].tolist() == [1, 3, 4]
+    assert got["cnt"].tolist() == [1, 1, 1]
 
     # fractional float keys must route without a safe-cast crash
     ftbl = pa.table({"kf": pa.array([1.5, 1.5, 2.25, None]),
