@@ -2065,6 +2065,76 @@ def w_bfs_parts(sf_dir):
     return bfs_hops(edges, seeds, max_hops=8, pre_canonical=True)
 
 
+def w_scd2_events(sf_dir):
+    """SCD type-2 validity intervals over the per-user event change
+    log: valid_from = ts, valid_to = next change (NULL for current) in
+    (ts, event_id) order — one key-bucket shuffle + shifted gather;
+    ``windowed.scd2_intervals`` (the history companion to
+    ``cdc_merge``)."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import scd2_intervals
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return scd2_intervals(ev, "user_id", "ts", "event_id")
+
+
+def w_value_relative_ranks(sf_dir):
+    """Exact PERCENT_RANK + CUME_DIST of value within each event_type
+    (SQL tie semantics: RANK for percent_rank, peer-inclusive count
+    for cume_dist); ``ranking.grouped_relative_ranks``."""
+    import ray
+
+    from bqf_ray.pipelines.ranking import grouped_relative_ranks
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+    return grouped_relative_ranks(ev, "event_type", "value", "event_id")
+
+
+def w_source_purity(sf_dir):
+    """Exact integer purity components of the source mix per language:
+    (n, n_distinct, sum Σn_v²) — Gini impurity / Simpson diversity
+    derive downstream; ``aggregates.category_purity``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import category_purity
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "source"])
+    return category_purity(docs, "lang", "source")
+
+
+def w_trending_daily(sf_dir):
+    """Top-3 event types per day (count desc, type asc): tumbling-day
+    pair counts through the map-side-combined bucket exchange, then
+    the per-block-partial top-k merge — the windowed-trending
+    composition, no whole-day group ever materialized."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_top_n
+    from bqf_ray.stages.partition import bucketed_sum
+
+    DAY = 86_400_000_000
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts")).astype("datetime64[us]") \
+            .astype(np.int64)
+        day = (ts // DAY) * DAY
+        return pa.table({
+            "day": pa.array(day.astype("datetime64[us]")),
+            "event_type": batch.column("event_type"),
+            "__one": pa.array(np.ones(len(ts), dtype=np.int64))})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    counts = bucketed_sum(ev.map_batches(day_of, batch_format="pyarrow"),
+                          ["day", "event_type"], {"__one": "n"},
+                          combine_local=True)
+    return grouped_top_n(counts, "day", ["n", "event_type"], n=3,
+                         descending=[True, False], rank_col="rk")
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2334,6 +2404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_value": w_autocorr_value,
         "mad_chars": w_mad_chars,
         "bfs_parts": w_bfs_parts,
+        "scd2_events": w_scd2_events,
+        "value_relative_ranks": w_value_relative_ranks,
+        "source_purity": w_source_purity,
+        "trending_daily": w_trending_daily,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3517,6 +3591,36 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "scd2_events": """
+            SELECT event_id, user_id, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM events""",
+        "value_relative_ranks": """
+            SELECT event_id,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS percent_rank,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS cume_dist
+            FROM events WHERE value IS NOT NULL""",
+        "source_purity": """
+            WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1, 2)
+            SELECT lang, SUM(n)::BIGINT AS n,
+                   COUNT(*)::BIGINT AS n_distinct,
+                   SUM(n*n)::BIGINT AS sum_sq
+            FROM c GROUP BY 1""",
+        "trending_daily": """
+            WITH c AS (SELECT make_timestamp(
+                              (epoch_us(ts) // 86400000000)
+                              * 86400000000) AS day,
+                              event_type, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type) AS rk
+                  FROM c)
+            SELECT day, event_type, n, rk::BIGINT AS rk
+            FROM r WHERE rk <= 3""",
         "mad_chars": """
             WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
                        FROM documents GROUP BY 1)

@@ -1892,3 +1892,39 @@ def grouped_mad(ds, key_col: str, value_col: str,
                          "mad": batch.column("q_50")})
 
     return mad.map_batches(attach_med, batch_format="pyarrow")
+
+
+def category_purity(ds, key_col: str, value_col: str,
+                    num_buckets: int = 64):
+    """Exact integer PURITY components of a categorical column per
+    group: ``(key, n, n_distinct, sum_sq = Σ n_v²)`` — Gini impurity
+    ``1 − sum_sq/n²``, Simpson diversity, and collision entropy all
+    derive downstream in float; the int64 components keep the operator
+    SQL-oracle-exact (the ``joint_mi_counts`` companion for label-skew
+    / source-mix diagnostics).  One corpus exchange with a map-side
+    combiner for the ``(key, value)`` counts, then one counts-table
+    exchange for the per-key fold."""
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column(key_col), "v": batch.column(value_col),
+            "__one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    counts = bucketed_sum(ds.map_batches(one, batch_format="pyarrow"),
+                          ["k", "v"], {"__one": "n_v"},
+                          num_buckets=num_buckets, combine_local=True)
+
+    def fold_prep(batch: pa.Table) -> pa.Table:
+        nv = np.asarray(batch.column("n_v"), dtype=np.int64)
+        return pa.table({key_col: batch.column("k"),
+                         "n": pa.array(nv), "sq": pa.array(nv * nv),
+                         "one": pa.array(np.ones(len(nv),
+                                                 dtype=np.int64))})
+
+    return bucketed_agg(counts.map_batches(fold_prep,
+                                           batch_format="pyarrow"),
+                        [key_col],
+                        [("n", "sum", "n"), ("one", "sum", "n_distinct"),
+                         ("sq", "sum", "sum_sq")],
+                        num_buckets=num_buckets)

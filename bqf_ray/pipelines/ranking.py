@@ -217,3 +217,78 @@ def global_row_numbers(ds, value_col: str, id_col: str,
 
     return routed.groupby("__part").map_groups(per_part,
                                                batch_format="pyarrow")
+
+
+def grouped_relative_ranks(ds, key_col: str, value_col: str,
+                           id_col: str, num_buckets: int = 32):
+    """Exact ``PERCENT_RANK()`` and ``CUME_DIST()`` per key over
+    ``value_col`` — the relative-position normalizers (quantile scores
+    for mixture weighting / per-domain score calibration).  SQL tie
+    semantics exactly: percent_rank uses RANK (ties share the FIRST
+    position), cume_dist counts peers INCLUSIVE (ties share the LAST);
+    both derive from one lexsort + run-boundary pass per key bucket —
+    one key-hash exchange, no per-key loop.  The final ratios divide
+    the same int64s the SQL window divides, so float64 results are
+    bit-identical.  Rows with null/NaN values are excluded (mirror
+    with ``WHERE value IS NOT NULL``).  Output: ``(id_col,
+    percent_rank, cume_dist)``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.stages.partition import _col_hash64
+
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(
+                v, 0.0))))
+        batch = batch.filter(pc.and_(keep, pc.is_valid(
+            batch.column(key_col))))
+        kh = (_col_hash64(batch.column(key_col))
+              % np.uint64(NB)).astype(np.int64)
+        return pa.table({
+            "k": batch.column(key_col),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "__bucket": pa.array(kh)})
+
+    def ranks(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "percent_rank": pa.array([], pa.float64()),
+                             "cume_dist": pa.array([], pa.float64())})
+        kcol = group.column("k")
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kc = np.unique(np.asarray(kcol), return_inverse=True)[1]
+        v = np.asarray(group.column("v"), dtype=np.float64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        order = np.lexsort((v, kc))
+        kc, v, i = kc[order], v[order], i[order]
+        n = len(kc)
+        pos = np.arange(n, dtype=np.int64)
+        knew = np.r_[True, kc[1:] != kc[:-1]]
+        kstart = np.maximum.accumulate(np.where(knew, pos, 0))
+        klen_runs = np.diff(np.r_[np.flatnonzero(knew), n])
+        klen = np.repeat(klen_runs, klen_runs)
+        # value runs within a key: RANK = first peer position,
+        # CUME = last peer position + 1 (both relative to key start)
+        vnew = knew | np.r_[True, v[1:] != v[:-1]]
+        vstart = np.maximum.accumulate(np.where(vnew, pos, 0))
+        vrun_lens = np.diff(np.r_[np.flatnonzero(vnew), n])
+        vend = np.repeat(np.flatnonzero(vnew) + vrun_lens, vrun_lens)
+        rank = vstart - kstart + 1
+        cume = vend - kstart
+        pr = np.where(klen > 1, (rank - 1) / np.maximum(klen - 1, 1),
+                      0.0)
+        cd = cume / klen
+        return pa.table({id_col: pa.array(i),
+                         "percent_rank": pa.array(pr),
+                         "cume_dist": pa.array(cd.astype(np.float64))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(ranks,
+                                            batch_format="pyarrow"))

@@ -906,3 +906,54 @@ def lag_autocorr_components(ds, key_col: str = "event_type",
             .groupby("__cell").map_groups(cell_partial,
                                           batch_format="pyarrow")
             .groupby("k").map_groups(key_merge, batch_format="pyarrow"))
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, id_col: str,
+                   num_buckets: int = 32):
+    """Slowly-changing-dimension TYPE-2 validity intervals over a
+    change log: each change row gets ``valid_from = ts`` and
+    ``valid_to = LEAD(ts)`` within its key's ``(ts, id)`` order (NULL
+    for the current version) — the history-table materialization that
+    pairs with :func:`bqf_ray.pipelines.relational.merge_changes`'
+    latest-state MERGE.  Same one-key-bucket-shuffle shape as
+    :func:`lag_diff`: lexsort + one shifted gather, no per-key loop.
+    Output: ``(id_col, key_col, valid_from, valid_to)``."""
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "k": pa.array(k), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "__bucket": pa.array((k % NB).astype(np.int64))})
+
+    def intervals(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        if not len(k):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us"))})
+        order = np.lexsort((i, t, k))
+        ks, ts_, is_ = k[order], t[order], i[order]
+        nxt = np.empty(len(ts_), dtype=np.int64)
+        nxt[:-1] = ts_[1:]
+        nxt[-1] = 0
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]
+        vto = pa.array(nxt.astype("datetime64[us]"), pa.timestamp("us"),
+                       mask=last)
+        return pa.table({id_col: pa.array(is_), key_col: pa.array(ks),
+                         "valid_from": pa.array(
+                             ts_.astype("datetime64[us]")),
+                         "valid_to": vto})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(intervals,
+                                            batch_format="pyarrow"))

@@ -1,0 +1,92 @@
+"""scd2_intervals / grouped_relative_ranks / category_purity
+against pandas/brute references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl, parts=4):
+    import ray
+    return ray.data.from_arrow(tbl).repartition(parts)
+
+
+def test_scd2_intervals_pandas(ray_session):
+    from bqf_ray.pipelines.windowed import scd2_intervals
+    rng = np.random.default_rng(2)
+    n = 3000
+    k = rng.integers(0, 50, n)
+    ts = rng.integers(0, 100, n).astype("datetime64[s]") \
+        .astype("datetime64[us]")
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(k, pa.int64()), "ts": pa.array(ts),
+                    "i": pa.array(ids)})
+    got = scd2_intervals(_ds(tbl), "k", "ts", "i").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    df = pd.DataFrame({"k": k, "ts": ts, "i": ids}) \
+        .sort_values(["k", "ts", "i"]).reset_index(drop=True)
+    df["valid_to"] = df.groupby("k")["ts"].shift(-1)
+    ref = df.sort_values("i").reset_index(drop=True)
+    assert (got["valid_from"].to_numpy() == ref["ts"].to_numpy()).all()
+    a = got["valid_to"].to_numpy()
+    b = ref["valid_to"].to_numpy()
+    assert ((a == b) | (pd.isna(a) & pd.isna(b))).all()
+
+
+def test_relative_ranks_ties(ray_session):
+    from bqf_ray.pipelines.ranking import grouped_relative_ranks
+    # key "a": values [1, 1, 2]  -> pr [0, 0, 1], cd [2/3, 2/3, 1]
+    # key "b": single row        -> pr 0, cd 1
+    tbl = pa.table({"k": pa.array(["a", "a", "a", "b"]),
+                    "v": pa.array([1.0, 2.0, 1.0, 9.0]),
+                    "i": pa.array([10, 11, 12, 13], pa.int64())})
+    got = grouped_relative_ranks(_ds(tbl, 2), "k", "v", "i") \
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    assert got["percent_rank"].tolist() == [0.0, 1.0, 0.0, 0.0]
+    assert got["cume_dist"].tolist() == [2 / 3, 1.0, 2 / 3, 1.0]
+
+
+def test_relative_ranks_matches_pandas(ray_session):
+    from bqf_ray.pipelines.ranking import grouped_relative_ranks
+    rng = np.random.default_rng(8)
+    n = 5000
+    k = rng.integers(0, 30, n)
+    v = rng.integers(0, 40, n).astype(np.float64)  # many ties
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v),
+                    "i": pa.array(ids)})
+    got = grouped_relative_ranks(_ds(tbl), "k", "v", "i").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    df = pd.DataFrame({"k": k, "v": v, "i": ids})
+    g = df.groupby("k")["v"]
+    n_per = g.transform("size").to_numpy()
+    rank_min = g.rank(method="min").to_numpy()
+    rank_max = g.rank(method="max").to_numpy()
+    pr = np.where(n_per > 1, (rank_min - 1) / np.maximum(n_per - 1, 1),
+                  0.0)
+    cd = rank_max / n_per
+    ref = df.assign(pr=pr, cd=cd).sort_values("i").reset_index(drop=True)
+    assert np.array_equal(got["percent_rank"].to_numpy(),
+                          ref["pr"].to_numpy())
+    assert np.array_equal(got["cume_dist"].to_numpy(),
+                          ref["cd"].to_numpy())
+
+
+def test_category_purity_pandas(ray_session):
+    from bqf_ray.pipelines.aggregates import category_purity
+    rng = np.random.default_rng(4)
+    n = 4000
+    k = rng.integers(0, 25, n)
+    v = rng.choice(list("pqrs"), n)
+    tbl = pa.table({"k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.string())})
+    got = category_purity(_ds(tbl), "k", "v").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    c = pd.DataFrame({"k": k, "v": v}).groupby(["k", "v"]).size() \
+        .reset_index(name="n")
+    ref = c.groupby("k").agg(n=("n", "sum"), n_distinct=("n", "size"),
+                             sum_sq=("n", lambda s: (s * s).sum())) \
+        .reset_index()
+    for col in ("n", "n_distinct", "sum_sq"):
+        assert got[col].astype("int64").tolist() == \
+            ref[col].astype("int64").tolist(), col
