@@ -2135,6 +2135,21 @@ def w_trending_daily(sf_dir):
                          descending=[True, False], rank_col="rk")
 
 
+def w_edge_support(sf_dir):
+    """Per-edge triangle support over the part co-purchase graph (the
+    k-truss cohesion signal): broadcast degree-oriented wedge closure
+    crediting all three edges, one edge-table-sized fold;
+    ``graph.edge_triangle_support``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (cooccurrence_edges,
+                                         edge_triangle_support)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return edge_triangle_support(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2408,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_relative_ranks": w_value_relative_ranks,
         "source_purity": w_source_purity,
         "trending_daily": w_trending_daily,
+        "edge_support_copurchase": w_edge_support,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3591,6 +3607,22 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "edge_support_copurchase": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                         JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+            sup AS (SELECT a, b, count(*)::BIGINT AS s FROM (
+                      SELECT x AS a, y AS b FROM tri
+                      UNION ALL SELECT y, z FROM tri
+                      UNION ALL SELECT x, z FROM tri) GROUP BY 1, 2)
+            SELECT e0.a, e0.b, COALESCE(sup.s, 0)::BIGINT AS support
+            FROM e0 LEFT JOIN sup USING (a, b)""",
         "scd2_events": """
             SELECT event_id, user_id, ts AS valid_from,
                    lead(ts) OVER (PARTITION BY user_id

@@ -91,3 +91,30 @@ def test_grouped_mad_nulls_and_string_keys(ray_session):
     assert list(got["n"]) == [2, 1]
     assert list(got["med"]) == [1.0, 2.0]
     assert list(got["mad"]) == [0.0, 0.0]
+
+
+def test_edge_triangle_support_brute(ray_session):
+    from bqf_ray.pipelines.graph import edge_triangle_support
+    rng = np.random.default_rng(21)
+    m = 500
+    a = rng.integers(0, 40, m)
+    b = rng.integers(0, 40, m)
+    tbl = pa.table({"a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64())})
+    got = edge_triangle_support(_ds(tbl)).to_pandas()
+    got_d = {(r.a, r.b): r.support for r in got.itertuples()}
+    E = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {}
+    for x, y in E:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    assert got_d == {(x, y): len(adj[x] & adj[y]) for x, y in E}
+
+
+def test_edge_triangle_support_budget_raises(ray_session):
+    from bqf_ray.pipelines.graph import edge_triangle_support
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                    "b": pa.array([2, 3, 1], pa.int64())})
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        edge_triangle_support(_ds(tbl), broadcast_budget_bytes=8)
