@@ -2150,6 +2150,19 @@ def w_edge_support(sf_dir):
         cooccurrence_edges(li, "l_orderkey", "l_partkey"))
 
 
+def w_embedding_covariance(sf_dir):
+    """Exact int64 Gram/covariance components of the embedding table:
+    per-batch qᵀq int64 matmul partials (order-independent, bit-exact
+    under any partitioning) folded in one tiny (i, j) exchange;
+    ``embeddings.embedding_covariance``."""
+    import ray
+
+    from bqf_ray.pipelines.embeddings import embedding_covariance
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return embedding_covariance(ds)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2424,6 +2437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_purity": w_source_purity,
         "trending_daily": w_trending_daily,
         "edge_support_copurchase": w_edge_support,
+        "embedding_covariance": w_embedding_covariance,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3607,6 +3621,23 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "embedding_covariance": """
+            WITH x AS (SELECT vec_id,
+                              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                         * 1000 + 0.5) AS BIGINT) AS q,
+                              generate_subscripts(embedding, 1)::BIGINT
+                                  - 1 AS i
+                       FROM embeddings),
+            p AS (SELECT a.i AS i, b.i AS j, SUM(a.q*b.q)::BIGINT AS s
+                  FROM x a JOIN x b
+                    ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
+            m AS (SELECT i, -1 AS j, SUM(q)::BIGINT AS s
+                  FROM x GROUP BY 1),
+            c AS (SELECT -1 AS i, -1 AS j, count(*)::BIGINT AS s
+                  FROM embeddings)
+            SELECT i::BIGINT AS i, j::BIGINT AS j, s FROM p
+            UNION ALL SELECT i::BIGINT, j::BIGINT, s FROM m
+            UNION ALL SELECT i::BIGINT, j::BIGINT, s FROM c""",
         "edge_support_copurchase": """
             WITH e0 AS (
               SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,

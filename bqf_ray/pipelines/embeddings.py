@@ -91,3 +91,53 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
         })
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def embedding_covariance(ds, vec_col: str = "embedding",
+                         scale: int = 1000, num_buckets: int = 32):
+    """EXACT integer second-moment components of an embedding column —
+    the d×d Gram/covariance accumulators (PCA, whitening, feature-drift
+    detection run on these): values quantize as ``q = floor(x·scale
+    + 0.5)`` (int64), each batch contributes ``qᵀq`` via ONE int64
+    matmul partial (order-independent, so bit-exact under any
+    partitioning — the k-means determinism rule applied to linear
+    algebra), and partials fold in one tiny (i, j)-keyed exchange.
+
+    Output rows: upper-triangle ``(i, j, s) = Σ q_i q_j`` for i ≤ j,
+    marginals ``(i, -1, Σ q_i)``, and the row count ``(-1, -1, n)`` —
+    covariance ``S/n − (s_i/n)(s_j/n)`` over ``scale²`` derives
+    downstream in float.  Overflow envelope: ``n · (scale·|x|_max)² <
+    2^63``.  Rows with a null vector are excluded."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import bucketed_sum
+
+    SC = float(scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(col.is_valid())
+        n = len(col)
+        if not n:
+            z = pa.array([], pa.int64())
+            return pa.table({"i": z, "j": z, "s": z})
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        d = len(flat) // n
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        if not np.all(np.diff(offs) == d):
+            raise ValueError("embedding_covariance: ragged vectors")
+        q = np.floor(flat.reshape(n, d) * SC + 0.5).astype(np.int64)
+        S = q.T @ q                      # exact int64 gemm partial
+        s = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+        j = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64)
+        v = np.concatenate([S[iu, ju], s, [n]]).astype(np.int64)
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "s": pa.array(v)})
+
+    return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["i", "j"], {"s": "s"},
+                        num_buckets=num_buckets)

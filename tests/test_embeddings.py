@@ -58,3 +58,34 @@ def test_stats_match_numpy(vecs):
         assert out[i]["l2_norm"] == np.sqrt(ss)
         assert out[i]["dim"] == 32
         assert out[i]["max_abs"] == np.abs(md[i]).max()
+
+
+def test_embedding_covariance_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.embeddings import embedding_covariance
+    rng = np.random.default_rng(6)
+    n, d = 500, 8
+    vecs = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32()))})
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = embedding_covariance(ds).to_pandas() \
+            .sort_values(["i", "j"]).reset_index(drop=True)
+        return df
+
+    a, b = run(1), run(7)
+    assert a.equals(b)
+    # reference: quantized numpy
+    q = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    S = q.T @ q
+    got = {(r.i, r.j): r.s for r in a.itertuples()}
+    assert got[(-1, -1)] == n
+    for i in range(d):
+        assert got[(i, -1)] == q[:, i].sum()
+        for j in range(i, d):
+            assert got[(i, j)] == S[i, j]
