@@ -2163,6 +2163,20 @@ def w_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def w_chars_hist_by_source(sf_dir):
+    """Exact per-source equi-width histogram of n_chars (the drift /
+    PSI input table): local (group, bin) bincount partials through the
+    map-side-combined bucket exchange, SQL bin rule shared verbatim;
+    ``ranking.grouped_value_histogram``."""
+    import ray
+
+    from bqf_ray.pipelines.ranking import grouped_value_histogram
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+    return grouped_value_histogram(docs, "source", "n_chars",
+                                   0.0, 4000.0, 16)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2438,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_daily": w_trending_daily,
         "edge_support_copurchase": w_edge_support,
         "embedding_covariance": w_embedding_covariance,
+        "chars_hist_by_source": w_chars_hist_by_source,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3621,6 +3636,20 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "chars_hist_by_source": """
+            SELECT source,
+                   CAST(LEAST(floor((n_chars - 0.0) * 16
+                                    / (4000.0 - 0.0)),
+                              16 - 1) AS BIGINT) AS bin,
+                   CAST(LEAST(floor((n_chars - 0.0) * 16
+                                    / (4000.0 - 0.0)),
+                              16 - 1) AS BIGINT)
+                       * ((4000.0 - 0.0) / 16) + 0.0 AS bin_lo,
+                   count(*)::BIGINT AS n
+            FROM documents
+            WHERE n_chars IS NOT NULL
+              AND n_chars >= 0.0 AND n_chars <= 4000.0
+            GROUP BY 1, 2""",
         "embedding_covariance": """
             WITH x AS (SELECT vec_id,
                               CAST(floor(CAST(unnest(embedding) AS DOUBLE)

@@ -292,3 +292,56 @@ def grouped_relative_ranks(ds, key_col: str, value_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(ranks,
                                             batch_format="pyarrow"))
+
+
+def grouped_value_histogram(ds, group_col: str, value_col: str,
+                            lo: float, hi: float, bins: int,
+                            num_buckets: int = 32):
+    """Exact equi-width histogram PER GROUP — the side-by-side
+    distribution table drift detection (PSI / KL between sources,
+    before/after snapshots) reads from: ``(group, bin, bin_lo, n)``
+    with :func:`value_histogram`'s exact bin rule (shared verbatim
+    with SQL): ``bin = min(floor((v − lo)·bins/(hi − lo)), bins−1)``,
+    out-of-range/null/NaN rows excluded.  Per-batch local (group, bin)
+    bincount partials ride one map-side-combined bucket exchange — at
+    most ``groups_in_block × bins`` rows per block cross the wire."""
+    from bqf_ray.stages.partition import bucketed_sum
+
+    lo_f, hi_f, nb = float(lo), float(hi), int(bins)
+    if not (hi_f > lo_f and nb > 0):
+        raise ValueError("need hi > lo and bins > 0")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column(value_col)
+        keep = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(
+                col, 0.0))))
+        keep = pc.and_(keep, pc.is_valid(batch.column(group_col)))
+        batch = batch.filter(keep)
+        v = np.asarray(batch.column(value_col).cast(pa.float64()),
+                       dtype=np.float64)
+        inr = (v >= lo_f) & (v <= hi_f)
+        batch = batch.filter(pa.array(inr))
+        v = v[inr]
+        idx = np.floor((v - lo_f) * nb / (hi_f - lo_f)).astype(np.int64)
+        np.minimum(idx, nb - 1, out=idx)
+        return pa.table({"g": batch.column(group_col),
+                         "bin": pa.array(idx),
+                         "__one": pa.array(np.ones(len(idx),
+                                                   dtype=np.int64))})
+
+    agg = bucketed_sum(ds.map_batches(pre, batch_format="pyarrow"),
+                       ["g", "bin"], {"__one": "n"},
+                       num_buckets=num_buckets, combine_local=True)
+    w = (hi_f - lo_f) / nb
+
+    def post(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("bin"), dtype=np.int64)
+        return pa.table({group_col: batch.column("g"),
+                         "bin": batch.column("bin"),
+                         "bin_lo": pa.array(lo_f + b * w),
+                         "n": batch.column("n")})
+
+    return agg.map_batches(post, batch_format="pyarrow")

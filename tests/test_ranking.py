@@ -253,3 +253,31 @@ def test_grouped_top_n_matches_pandas(ray_session):
     ref = ref.sort_values(["k", "rk"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["k", "v", "id", "rk"]], ref[["k", "v", "id", "rk"]])
+
+
+def test_grouped_value_histogram_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.ranking import grouped_value_histogram
+    rng = np.random.default_rng(14)
+    n = 8000
+    g = rng.integers(0, 6, n)
+    v = rng.uniform(-10, 110, n)
+    v[rng.integers(0, n, 50)] = np.nan
+    tbl = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v)})
+    got = (grouped_value_histogram(ray.data.from_arrow(tbl)
+                                   .repartition(5), "g", "v",
+                                   0.0, 100.0, 10)
+           .to_pandas().sort_values(["g", "bin"]).reset_index(drop=True))
+    ref = {}
+    for gi, vi in zip(g, v):
+        if np.isnan(vi) or vi < 0.0 or vi > 100.0:
+            continue
+        b = min(int(np.floor((vi - 0.0) * 10 / 100.0)), 9)
+        ref[(gi, b)] = ref.get((gi, b), 0) + 1
+    got_d = {(r.g, r.bin): r.n for r in got.itertuples()}
+    assert got_d == ref
+    assert (got["bin_lo"].to_numpy()
+            == got["bin"].to_numpy() * 10.0).all()
