@@ -2177,6 +2177,32 @@ def w_chars_hist_by_source(sf_dir):
                                    0.0, 4000.0, 16)
 
 
+def w_embedding_dim_quantiles(sf_dir):
+    """Exact per-dimension PERCENTILE_DISC(.25/.5/.75) of the embedding
+    matrix (robust per-feature scaling stats): vector explode + the
+    selection-exact grouped-quantile exchange;
+    ``embeddings.embedding_dim_quantiles``."""
+    import ray
+
+    from bqf_ray.pipelines.embeddings import embedding_dim_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return embedding_dim_quantiles(ds)
+
+
+def w_bm25_query(sf_dir):
+    """Exact int64 BM25 component table for the query {join, hash,
+    scan}: one corpus pass emitting matched (doc, term, tf, dl) rows +
+    per-batch corpus stats, tiny df/scalar folds broadcast back — the
+    IR scoring table; ``text_stats.bm25_components``."""
+    import ray
+
+    from bqf_ray.pipelines.text_stats import bm25_components
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bm25_components(docs, ["join", "hash", "scan"])
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2453,6 +2479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_copurchase": w_edge_support,
         "embedding_covariance": w_embedding_covariance,
         "chars_hist_by_source": w_chars_hist_by_source,
+        "embedding_dim_quantiles": w_embedding_dim_quantiles,
+        "bm25_query": w_bm25_query,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3636,6 +3664,36 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "bm25_query": """
+            WITH tok2 AS (SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(text, '\\s+'))
+                               AS token
+                    FROM documents) WHERE token <> ''),
+            tf AS (SELECT doc_id, token AS term, count(*)::BIGINT AS tf
+                   FROM tok2 WHERE token IN ('join', 'hash', 'scan')
+                   GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM tok2 GROUP BY 1),
+            df AS (SELECT term, count(*)::BIGINT AS df
+                   FROM tf GROUP BY 1),
+            g AS (SELECT (SELECT count(*) FROM documents)::BIGINT
+                             AS n_docs,
+                         (SELECT count(*) FROM tok2)::BIGINT AS sum_dl)
+            SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+                   g.n_docs, g.sum_dl
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+                 CROSS JOIN g""",
+        "embedding_dim_quantiles": """
+            WITH x AS (SELECT generate_subscripts(embedding, 1)::BIGINT
+                                  - 1 AS dim,
+                              unnest(embedding) AS v
+                       FROM embeddings)
+            SELECT dim, count(*)::BIGINT AS n,
+                   CAST(quantile_disc(v, 0.25) AS DOUBLE) AS q_25,
+                   CAST(quantile_disc(v, 0.5) AS DOUBLE) AS q_50,
+                   CAST(quantile_disc(v, 0.75) AS DOUBLE) AS q_75
+            FROM x GROUP BY 1""",
         "chars_hist_by_source": """
             SELECT source,
                    CAST(LEAST(floor((n_chars - 0.0) * 16

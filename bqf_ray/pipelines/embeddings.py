@@ -141,3 +141,41 @@ def embedding_covariance(ds, vec_col: str = "embedding",
     return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
                         ["i", "j"], {"s": "s"},
                         num_buckets=num_buckets)
+
+
+def embedding_dim_quantiles(ds, vec_col: str = "embedding",
+                            qs: tuple = (0.25, 0.5, 0.75),
+                            num_buckets: int = 32):
+    """Exact per-DIMENSION PERCENTILE_DISC quantiles of an embedding
+    column — the column-wise normalization statistics (robust scaling,
+    clipping ranges) of a feature matrix: one row per dimension with
+    ``(dim, n, q_25, q_50, ...)``.  Explodes each vector to ``(dim,
+    value)`` rows (×d fan-out — the price of exact per-dim selection;
+    the sketch path is :mod:`bqf_ray.sketches.kll` per dim when d·n
+    exceeds the exchange budget) and rides
+    :func:`bqf_ray.pipelines.aggregates.grouped_exact_quantiles`' one
+    key-bucketed exchange.  Null vectors are excluded; float32 values
+    pass through an exact float64 widening."""
+    from bqf_ray.pipelines.aggregates import grouped_exact_quantiles
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(col.is_valid())
+        n = len(col)
+        if not n:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64())})
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        d = len(flat) // n
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        if not np.all(np.diff(offs) == d):
+            raise ValueError("embedding_dim_quantiles: ragged vectors")
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "x": pa.array(flat)})
+
+    return grouped_exact_quantiles(
+        ds.map_batches(explode, batch_format="pyarrow"), "dim", "x",
+        qs=qs, num_buckets=num_buckets)

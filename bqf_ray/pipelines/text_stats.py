@@ -779,3 +779,98 @@ def grouped_top_terms(ds, key_col: str = "source", k: int = 10,
             .map_groups(bucket_topk, batch_format="pyarrow")
             .groupby("__kb")
             .map_groups(final_topk, batch_format="pyarrow"))
+
+
+def bm25_components(ds, query_terms: list[str], id_col: str = "doc_id",
+                    text_col: str = "text", num_buckets: int = 32):
+    """EXACT integer BM25 component table for a fixed query-term set —
+    per matching ``(doc, term)``: ``(doc_id, term, tf, dl, df, n_docs,
+    sum_dl)``, every column int64 so the operator is SQL-oracle-exact;
+    the float score ``Σ idf(df, N) · tf·(k1+1)/(tf + k1·(1−b+b·dl·N/
+    sum_dl))`` derives downstream (log/division float policy stays a
+    caller choice, the repo's integer-components rule).
+
+    ONE corpus pass (tokenize + vectorized term membership per batch,
+    emitting matched rows WITH their doc length attached, plus one
+    (n_docs, sum_dl) stat row per batch), then tiny folds: df = row
+    count per term over the matched table, scalars from the stat rows,
+    both broadcast back over the matched table.  No corpus shuffle at
+    all — the exchange carries only matched (doc, term) rows."""
+    import ray
+
+    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.stages.partition import bucketed_sum
+
+    terms = sorted(set(query_terms))
+    tarr = pa.array(terms, pa.string())
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        flat, offs = tokenize_column(batch.column(text_col))
+        n_docs = len(ids)
+        sum_dl = int(offs[-1]) if len(offs) else 0
+        hit = np.asarray(pc.is_in(flat, value_set=tarr))
+        kind1 = pa.table({
+            id_col: pa.array(np.array([-1], dtype=np.int64)),
+            "term": pa.array([""], pa.string()),
+            "tf": pa.array(np.array([n_docs], dtype=np.int64)),
+            "dl": pa.array(np.array([sum_dl], dtype=np.int64)),
+            "__kind": pa.array(np.array([1], dtype=np.int64))})
+        if not hit.any():
+            return kind1
+        pos = np.flatnonzero(hit)
+        doc_of = np.searchsorted(offs, pos, side="right") - 1
+        tcode = np.asarray(pc.index_in(flat.take(pa.array(pos)),
+                                       value_set=tarr), dtype=np.int64)
+        pair = doc_of * len(terms) + tcode
+        up, tf = np.unique(pair, return_counts=True)
+        d_idx = (up // len(terms)).astype(np.int64)
+        dls = (offs[1:] - offs[:-1]).astype(np.int64)
+        kind0 = pa.table({
+            id_col: pa.array(ids[d_idx]),
+            "term": pa.array(np.asarray(terms, dtype=object)[
+                up % len(terms)], pa.string()),
+            "tf": pa.array(tf.astype(np.int64)),
+            "dl": pa.array(dls[d_idx]),
+            "__kind": pa.array(np.zeros(len(up), dtype=np.int64))})
+        return pa.concat_tables([kind0, kind1])
+
+    both = ds.map_batches(scan, batch_format="pyarrow").materialize()
+
+    def only_stats(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("__kind"), 1)) \
+            .select([id_col, "tf", "dl"])
+
+    k1 = both.map_batches(only_stats, batch_format="pyarrow")
+    n_docs = int(k1.sum("tf") or 0)
+    sum_dl = int(k1.sum("dl") or 0)
+
+    def only_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("__kind"), 0)) \
+            .drop_columns(["__kind"])
+
+    matched = both.map_batches(only_matched, batch_format="pyarrow")
+    df_tbl = bucketed_sum(
+        matched.map_batches(
+            lambda t: pa.table({
+                "term": t.column("term"),
+                "__one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["term"], {"__one": "df"}, num_buckets=8).to_pandas()
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64)))
+    df_vec = np.array([int(dfs.get(t, 0)) for t in terms],
+                      dtype=np.int64)
+    ref = ray.put(df_vec)
+
+    def attach(t: pa.Table) -> pa.Table:
+        dv = ray.get(ref)
+        tcode = np.asarray(pc.index_in(t.column("term"),
+                                        value_set=tarr), dtype=np.int64)
+        n = t.num_rows
+        return (t.append_column("df", pa.array(dv[tcode]))
+                .append_column("n_docs", pa.array(
+                    np.full(n, n_docs, dtype=np.int64)))
+                .append_column("sum_dl", pa.array(
+                    np.full(n, sum_dl, dtype=np.int64))))
+
+    return matched.map_batches(attach, batch_format="pyarrow")

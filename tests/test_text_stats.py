@@ -103,3 +103,25 @@ def test_grouped_distinct_hll_separator_and_null_keys(ray_session):
     assert list(out["lang"]) == ["a\x1fb"]
     assert list(out["n_distinct_exact"]) == [4]
     assert bool(out["within_bound"][0])
+
+
+def test_bm25_components_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.text_stats import bm25_components
+    docs = ["a b a c", "b b d", "", "a a a a", "zz"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = bm25_components(ray.data.from_arrow(tbl).repartition(3),
+                          ["a", "b", "missing"]).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    # matched rows: (0,a,2) (0,b,1) (1,b,2) (3,a,4); dl: 4,3,0,4,1
+    assert [tuple(r) for r in got[["doc_id", "term", "tf", "dl"]]
+            .to_numpy()] == [(0, "a", 2, 4), (0, "b", 1, 4),
+                             (1, "b", 2, 3), (3, "a", 4, 4)]
+    assert got["n_docs"].unique().tolist() == [5]
+    assert got["sum_dl"].unique().tolist() == [12]
+    df = dict(zip(got["term"], got["df"]))
+    assert df == {"a": 2, "b": 2}
