@@ -2203,6 +2203,53 @@ def w_bm25_query(sf_dir):
     return bm25_components(docs, ["join", "hash", "scan"])
 
 
+def w_cont_quantiles_value(sf_dir):
+    """Per-event_type PERCENTILE_CONT(.25/.5/.75) of value — the
+    interpolated companion to grouped_disc_quantiles, evaluating
+    DuckDB's exact float64 interpolation expression;
+    ``aggregates.grouped_cont_quantiles``."""
+    from bqf_ray.pipelines.aggregates import grouped_cont_quantiles
+    return grouped_cont_quantiles(_events(sf_dir), "event_type",
+                                  "value")
+
+
+def w_impute_value(sf_dir):
+    """Group-median imputation: values knocked out deterministically
+    (event_id % 7 == 0) are refilled with their event_type's exact
+    lower median of the surviving rows — the missing-value fill;
+    ``aggregates.impute_group_median``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import impute_group_median
+
+    def knock(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        eid = np.asarray(b.column("event_id"), dtype=np.int64)
+        v = _pc.if_else(pa.array(eid % 7 == 0),
+                        pa.scalar(None, pa.float64()),
+                        _pc.cast(b.column("value"), pa.float64()))
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "value": v})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]).map_batches(
+            knock, batch_format="pyarrow")
+    return impute_group_median(ev, "event_type", "value")
+
+
+def w_dup_lineitem_keys(sf_dir):
+    """Uniqueness audit: (l_orderkey, l_partkey) tuples appearing
+    twice or more, with multiplicities; ``audit.duplicate_keys``."""
+    import ray
+
+    from bqf_ray.pipelines.audit import duplicate_keys
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return duplicate_keys(li, ["l_orderkey", "l_partkey"])
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2481,6 +2528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_hist_by_source": w_chars_hist_by_source,
         "embedding_dim_quantiles": w_embedding_dim_quantiles,
         "bm25_query": w_bm25_query,
+        "cont_quantiles_value": w_cont_quantiles_value,
+        "impute_value": w_impute_value,
+        "dup_lineitem_keys": w_dup_lineitem_keys,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3664,6 +3714,26 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "cont_quantiles_value": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   quantile_cont(CAST(value AS DOUBLE), 0.25) AS q_25,
+                   quantile_cont(CAST(value AS DOUBLE), 0.5) AS q_50,
+                   quantile_cont(CAST(value AS DOUBLE), 0.75) AS q_75
+            FROM events WHERE value IS NOT NULL GROUP BY 1""",
+        "impute_value": """
+            WITH k AS (SELECT event_id, event_type,
+                              CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE value END AS value
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+                  FROM k WHERE value IS NOT NULL GROUP BY 1)
+            SELECT k.event_id, k.event_type, k.value,
+                   CAST(COALESCE(k.value, m.med) AS DOUBLE)
+                       AS value_filled
+            FROM k LEFT JOIN m USING (event_type)""",
+        "dup_lineitem_keys": """
+            SELECT l_orderkey, l_partkey, count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2""",
         "bm25_query": """
             WITH tok2 AS (SELECT doc_id, token FROM (
                     SELECT doc_id,

@@ -1928,3 +1928,140 @@ def category_purity(ds, key_col: str, value_col: str,
                         [("n", "sum", "n"), ("one", "sum", "n_distinct"),
                          ("sq", "sum", "sum_sq")],
                         num_buckets=num_buckets)
+
+
+def grouped_cont_quantiles(ds, key_col: str, value_col: str,
+                           qs: tuple = (0.25, 0.5, 0.75),
+                           num_buckets: int = 32):
+    """Per-group PERCENTILE_CONT (linearly INTERPOLATED) quantiles —
+    the continuous companion to the selection-exact
+    :func:`grouped_exact_quantiles`: ``pos = q·(n−1)``, result =
+    ``v[⌊pos⌋]·(1−frac) + v[⌈pos⌉]·frac`` — the exact float64
+    expression DuckDB's ``quantile_cont`` evaluates (probed over 313
+    random quantiles; the algebraically-equal ``lo + frac·(hi−lo)``
+    form differs in final ulps and is NOT used).  Same one
+    key-hash-bucketed exchange; nulls/NaNs excluded.  Output
+    ``(key_col, n, q_<pct>, ...)``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    B = int(num_buckets)
+    q_arr = np.asarray(qs, dtype=np.float64)
+    q_names = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        batch = batch.filter(mask)
+        k = batch.column(key_col)
+        kh = (xxhash64_array(k) if pa.types.is_string(k.type)
+              else np.asarray(k, dtype=np.int64).view(np.uint64))
+        return pa.table({
+            "k": k, "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__bucket": pa.array((kh % np.uint64(B)).astype(np.int64))})
+
+    def cont_bucket(group: pa.Table) -> pa.Table:
+        k = group.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = np.asarray(group.column("v"), dtype=np.float64)
+        if len(v) == 0:
+            cols = {key_col: k.slice(0, 0),
+                    "n": pa.array([], pa.int64())}
+            for name in q_names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        t = pa.table({"k": k, "v": pa.array(v)})
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("v", "ascending")])
+        ks = t.column("k").take(idx)
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        vs = np.asarray(t.column("v").take(idx), dtype=np.float64)
+        n = len(vs)
+        neq = pc.not_equal(ks.slice(1), ks.slice(0, n - 1)) if n > 1 \
+            else pa.array([], pa.bool_())
+        new = np.concatenate([[True], np.asarray(neq)])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        cols = {key_col: ks.take(pa.array(starts)),
+                "n": pa.array(lens.astype(np.int64))}
+        for q, name in zip(q_arr, q_names):
+            pos = q * (lens - 1).astype(np.float64)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            vlo = vs[starts + lo]
+            vhi = vs[starts + hi]
+            cols[name] = pa.array(vlo * (1.0 - frac) + vhi * frac)
+        return pa.table(cols)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(cont_bucket, batch_format="pyarrow"))
+
+
+def impute_group_median(ds, key_col: str, value_col: str,
+                        out_col: str | None = None,
+                        num_buckets: int = 32):
+    """Null/NaN IMPUTATION with the group's exact lower median (of the
+    valid rows): the standard missing-value fill before training-data
+    statistics.  Composes :func:`grouped_exact_quantiles` with a
+    ``ray.put`` broadcast of the per-group median table and a
+    vectorized fill map (the :func:`clip_to_quantiles` shape).  Groups
+    with NO valid value leave their rows null.  Output: input columns
+    + ``out_col`` (default ``value_col + "_filled"``, float64)."""
+    import ray
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    out_col = out_col or f"{value_col}_filled"
+    med = grouped_exact_quantiles(ds, key_col, value_col, qs=(0.5,),
+                                  num_buckets=num_buckets).materialize()
+    blocks = [t for t in ray.get(med.to_arrow_refs()) if t.num_rows]
+    if blocks:
+        kc = pa.concat_arrays(
+            [t.column(key_col).combine_chunks()
+             if isinstance(t.column(key_col), pa.ChunkedArray)
+             else t.column(key_col) for t in blocks])
+        kh = (xxhash64_array(kc) if pa.types.is_string(kc.type)
+              else np.asarray(kc, dtype=np.int64).view(np.uint64))
+        mv = np.concatenate([np.asarray(t.column("q_50"),
+                                        dtype=np.float64)
+                             for t in blocks])
+    else:
+        kh = np.empty(0, dtype=np.uint64)
+        mv = np.empty(0, dtype=np.float64)
+    order = np.argsort(kh)
+    ref = ray.put((kh[order], mv[order]))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        khs, meds = ray.get(ref)
+        col = batch.column(value_col)
+        v = np.asarray(pc.cast(pc.fill_null(col, 0.0), pa.float64()),
+                       dtype=np.float64).copy()
+        invalid = ~np.asarray(pc.is_valid(col))
+        if pa.types.is_floating(col.type):
+            invalid |= np.asarray(pc.is_nan(pc.fill_null(col, 0.0)))
+        k = batch.column(key_col)
+        h = (xxhash64_array(k) if pa.types.is_string(k.type)
+             else np.asarray(k, dtype=np.int64).view(np.uint64))
+        pos = np.searchsorted(khs, h)
+        inr = pos < len(khs)
+        hit = np.zeros(len(v), dtype=bool)
+        hit[inr] = khs[np.minimum(pos[inr], max(len(khs) - 1, 0))] \
+            == h[inr]
+        fillable = invalid & hit
+        v[fillable] = meds[pos[fillable]]
+        out = pa.array(v)
+        still = invalid & ~hit
+        if still.any():
+            out = pc.if_else(pa.array(~still), out,
+                             pa.scalar(None, pa.float64()))
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(fill, batch_format="pyarrow")

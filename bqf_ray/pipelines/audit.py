@@ -180,3 +180,33 @@ def extract_fields(ds, pattern: str, fields: dict[str, str],
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def duplicate_keys(ds, key_cols: list[str], min_count: int = 2,
+                   count_name: str = "n", num_buckets: int = 64):
+    """Uniqueness-constraint audit: key tuples appearing ≥ ``min_count``
+    times, with their multiplicities — the pre-merge integrity check
+    every CDC/join pipeline needs (a duplicate join key silently
+    multiplies rows downstream).  One map-side-combined bucket
+    exchange; output ``(key_cols..., count_name)``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import bucketed_sum
+
+    def one(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in key_cols}
+        cols["__one"] = pa.array(np.ones(len(batch), dtype=np.int64))
+        return pa.table(cols)
+
+    counts = bucketed_sum(ds.map_batches(one, batch_format="pyarrow"),
+                          list(key_cols), {"__one": count_name},
+                          num_buckets=num_buckets, combine_local=True)
+    thr = int(min_count)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column(count_name),
+                                             pa.scalar(thr)))
+
+    return counts.map_batches(keep, batch_format="pyarrow")

@@ -90,3 +90,55 @@ def test_category_purity_pandas(ray_session):
     for col in ("n", "n_distinct", "sum_sq"):
         assert got[col].astype("int64").tolist() == \
             ref[col].astype("int64").tolist(), col
+
+
+def test_grouped_cont_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    from bqf_ray.pipelines.aggregates import grouped_cont_quantiles
+    rng = np.random.default_rng(17)
+    n = 6000
+    k = rng.integers(0, 15, n)
+    v = rng.uniform(-1e6, 1e6, n)
+    tbl = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v)})
+    got = grouped_cont_quantiles(_ds(tbl), "k", "v",
+                                 qs=(0.1, 0.5, 0.9)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": k, "v": v}))
+    ref = con.execute("""
+        SELECT k, count(*)::BIGINT AS n,
+               quantile_cont(v, 0.1) AS q_10,
+               quantile_cont(v, 0.5) AS q_50,
+               quantile_cont(v, 0.9) AS q_90
+        FROM t GROUP BY 1 ORDER BY 1""").fetch_df()
+    for c in ("n", "q_10", "q_50", "q_90"):
+        assert np.array_equal(got[c].to_numpy(), ref[c].to_numpy()), c
+
+
+def test_impute_group_median(ray_session):
+    from bqf_ray.pipelines.aggregates import impute_group_median
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "v": pa.array([1.0, None, 5.0, float("nan"), 2.0, None])})
+    got = impute_group_median(_ds(tbl, 2), "k", "v").to_pandas()
+    got = got.sort_values(["k", "v"], na_position="first") \
+        .reset_index(drop=True)
+    # a: median of [1,5] -> 1 (lower); b: median of [2] -> 2;
+    # c: no valid values -> stays null
+    filled = got["v_filled"].tolist()
+    by_k = {}
+    for k, f in zip(got["k"], filled):
+        by_k.setdefault(k, []).append(f)
+    assert sorted(by_k["a"]) == [1.0, 1.0, 5.0]
+    assert sorted(by_k["b"]) == [2.0, 2.0]
+    assert pd.isna(by_k["c"][0])
+
+
+def test_duplicate_keys(ray_session):
+    from bqf_ray.pipelines.audit import duplicate_keys
+    tbl = pa.table({"a": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                    "b": pa.array([9, 9, 8, 7, 7, 6], pa.int64())})
+    got = duplicate_keys(_ds(tbl, 3), ["a", "b"]).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert [tuple(r) for r in got.to_numpy()] == [(1, 9, 2), (2, 7, 2)]
