@@ -2250,6 +2250,55 @@ def w_dup_lineitem_keys(sf_dir):
     return duplicate_keys(li, ["l_orderkey", "l_partkey"])
 
 
+def w_click_purchase_full(sf_dir):
+    """FULL OUTER join of per-user click counts vs purchase counts
+    (users on either side only are kept with nulls) — bucket-local
+    outer semantics are exact because both sides co-partition;
+    ``relational.partitioned_hash_join(how='full')``."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from bqf_ray.pipelines.relational import partitioned_hash_join
+    from bqf_ray.stages.partition import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def side(et, out):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(_pc.equal(b.column("event_type"), et))
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return bucketed_sum(ev.map_batches(fn, batch_format="pyarrow"),
+                            ["user_id"], {"__one": out},
+                            combine_local=True)
+
+    out = partitioned_hash_join(side("click", "n_clicks"),
+                                side("purchase", "n_buys"),
+                                key="user_id", how="full")
+
+    def unsuffix(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [c[:-2] if c.endswith("_r") else c for c in b.column_names])
+
+    return out.map_batches(unsuffix, batch_format="pyarrow")
+
+
+def w_orders_checksum_by_status(sf_dir):
+    """Per-status order checksums (the incremental-sync audit: agree
+    per key range, re-ship only differing ranges);
+    ``audit.grouped_checksum``."""
+    import ray
+
+    from bqf_ray.pipelines.audit import grouped_checksum
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderkey", "o_orderpriority"])
+    return grouped_checksum(orders, "o_orderstatus",
+                            ["o_orderkey", "o_orderpriority"])
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2531,6 +2580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cont_quantiles_value": w_cont_quantiles_value,
         "impute_value": w_impute_value,
         "dup_lineitem_keys": w_dup_lineitem_keys,
+        "click_purchase_full": w_click_purchase_full,
+        "orders_checksum_by_status": w_orders_checksum_by_status,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3714,6 +3765,28 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "click_purchase_full": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY 1),
+            b AS (SELECT user_id, count(*)::BIGINT AS n_buys
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+                   c.n_clicks, b.n_buys
+            FROM c FULL OUTER JOIN b ON c.user_id = b.user_id""",
+        "orders_checksum_by_status": """
+            WITH enc AS (
+              SELECT o_orderstatus,
+                     length(o_orderkey::VARCHAR) || ':' ||
+                       o_orderkey::VARCHAR || chr(31) ||
+                     length(o_orderpriority) || ':' || o_orderpriority
+                       AS row_s
+              FROM orders)
+            SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+                   (sum(('0x' || substr(md5(row_s), 1, 16))
+                        ::UBIGINT::HUGEINT)
+                    % 9223372036854775808)::BIGINT AS checksum
+            FROM enc GROUP BY 1""",
         "cont_quantiles_value": """
             SELECT event_type, count(*)::BIGINT AS n,
                    quantile_cont(CAST(value AS DOUBLE), 0.25) AS q_25,

@@ -210,3 +210,84 @@ def duplicate_keys(ds, key_cols: list[str], min_count: int = 2,
                                              pa.scalar(thr)))
 
     return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_checksum(ds, key_col: str, cols: list[str],
+                     sep: str = "\x1f", num_buckets: int = 32):
+    """Per-KEY order-invariant checksums — the incremental-sync
+    companion to :func:`dataset_checksum`: one ``(key, n_rows,
+    checksum)`` row per key lets two replicas agree on WHICH key
+    ranges differ and re-ship only those, instead of one
+    whole-dataset verdict.  Same cell encoding (length-prefixed,
+    null-safe) and digest-sum-mod-2^63 rule, computed per key: each
+    batch emits per-key partials (object-int sums — exact, the
+    :func:`dataset_checksum` rule), ONE key-bucketed exchange folds
+    them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import md5_hash64_array
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if len(batch) == 0:
+            return pa.table({key_col: k.slice(0, 0),
+                             "pn": pa.array([], pa.int64()),
+                             "psum": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int64())})
+        parts = []
+        for c in cols:
+            s = pc.cast(batch.column(c), pa.string())
+            ln = pc.cast(pc.utf8_length(s), pa.string())
+            enc = pc.binary_join_element_wise(ln, s, ":")
+            parts.append(pc.fill_null(enc, "N"))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, sep)
+        h = md5_hash64_array(joined).astype(object)
+        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        order = np.argsort(kc, kind="stable")
+        kc_s, h_s = kc[order], h[order]
+        new = np.r_[True, kc_s[1:] != kc_s[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(kc_s)))
+        sums = np.add.reduceat(h_s, starts)
+        psum = np.array([int(x) % _MOD for x in sums], dtype=np.int64)
+        keys = k.take(pa.array(order[starts]))
+        bkt = (_col_hash64(keys) % np.uint64(B)).astype(np.int64)
+        return pa.table({key_col: keys,
+                         "pn": pa.array(lens.astype(np.int64)),
+                         "psum": pa.array(psum),
+                         "__bucket": pa.array(bkt)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not g.num_rows:
+            return pa.table({key_col: k.slice(0, 0),
+                             "n_rows": pa.array([], pa.int64()),
+                             "checksum": pa.array([], pa.int64())})
+        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        pn = np.asarray(g.column("pn"), dtype=np.int64)
+        ps = np.asarray(g.column("psum"), dtype=np.int64).astype(object)
+        order = np.argsort(kc, kind="stable")
+        kc_s = kc[order]
+        new = np.r_[True, kc_s[1:] != kc_s[:-1]]
+        starts = np.flatnonzero(new)
+        n = np.add.reduceat(pn[order], starts)
+        sums = np.add.reduceat(ps[order], starts)
+        cs = np.array([int(x) % _MOD for x in sums], dtype=np.int64)
+        return pa.table({key_col: k.take(pa.array(order[starts])),
+                         "n_rows": pa.array(n.astype(np.int64)),
+                         "checksum": pa.array(cs)})
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold,
+                                            batch_format="pyarrow"))

@@ -126,3 +126,36 @@ def test_table_diff_nulls_and_types(ray_session):
 def pd_isna(v):
     import pandas as pd
     return pd.isna(v)
+
+
+def test_grouped_checksum_invariance_and_tamper(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.audit import grouped_checksum
+    rng = np.random.default_rng(19)
+    n = 3000
+    k = rng.integers(0, 9, n)
+    v = rng.integers(0, 1000, n)
+    tbl = pa.table({"k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.int64())})
+
+    def run(t, parts):
+        return grouped_checksum(ray.data.from_arrow(t)
+                                .repartition(parts), "k", ["v"]) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+
+    a = run(tbl, 1)
+    b = run(tbl, 8)
+    assert a.equals(b)                       # partitioning-invariant
+    perm = np.random.default_rng(1).permutation(n)
+    c = run(tbl.take(pa.array(perm)), 5)
+    assert a.equals(c)                       # order-invariant
+    v2 = v.copy()
+    v2[17] += 1
+    d = run(pa.table({"k": pa.array(k, pa.int64()),
+                      "v": pa.array(v2, pa.int64())}), 5)
+    changed = a["checksum"] != d["checksum"]
+    assert changed.sum() == 1                # only the tampered key
+    assert a.loc[changed, "k"].iloc[0] == k[17]
