@@ -2299,6 +2299,20 @@ def w_orders_checksum_by_status(sf_dir):
                             ["o_orderkey", "o_orderpriority"])
 
 
+def w_rolling_median_value(sf_dir):
+    """Rolling 7-row lower median of value per user in (ts, event_id)
+    order (expanding at run starts) — one key-bucket shuffle, frames
+    sorted as a single strided matrix; ``windowed.rolling_median``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import rolling_median
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return rolling_median(ev, "user_id", "ts", "event_id", "value",
+                          window=7)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2582,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_lineitem_keys": w_dup_lineitem_keys,
         "click_purchase_full": w_click_purchase_full,
         "orders_checksum_by_status": w_orders_checksum_by_status,
+        "rolling_median_value": w_rolling_median_value,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3765,6 +3780,13 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "rolling_median_value": """
+            SELECT event_id,
+                   CAST(quantile_disc(value, 0.5) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS med
+            FROM events WHERE value IS NOT NULL""",
         "click_purchase_full": """
             WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks
                        FROM events WHERE event_type = 'click'

@@ -957,3 +957,82 @@ def scd2_intervals(ds, key_col: str, ts_col: str, id_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(intervals,
                                             batch_format="pyarrow"))
+
+
+def rolling_median(ds, key_col: str, ts_col: str, id_col: str,
+                   value_col: str, window: int = 7,
+                   num_buckets: int = 32):
+    """Per-row rolling LOWER MEDIAN over the trailing ``window`` rows
+    per key in ``(ts, id)`` order (SQL ``quantile_disc(v, 0.5) OVER
+    (... ROWS BETWEEN w−1 PRECEDING AND CURRENT ROW)``, expanding
+    frames at each key's start) — the robust smoother for spiky
+    metrics.  One key-bucket shuffle; in-bucket the whole bucket's
+    frames sort as ONE (n, w) strided matrix (runs padded with +inf so
+    windows never cross keys; pads sort last and the frame's m valid
+    values stay a prefix), then a vectorized per-row selection at
+    ``ceil(m/2)−1``.  Cost n·w·log w per bucket, no per-key loop.
+    Output: ``(id_col, med)``; null/NaN values excluded row-wise."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import _col_hash64
+
+    NB = int(num_buckets)
+    W = int(window)
+    if W < 1:
+        raise ValueError("window must be >= 1")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(
+                v, 0.0))))
+        batch = batch.filter(pc.and_(keep, pc.is_valid(
+            batch.column(key_col))))
+        kh = (_col_hash64(batch.column(key_col))
+              % np.uint64(NB)).astype(np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "k": batch.column(key_col), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__bucket": pa.array(kh)})
+
+    def med_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "med": pa.array([], pa.float64())})
+        kcol = g.column("k")
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kc = np.unique(np.asarray(kcol), return_inverse=True)[1]
+        t = np.asarray(g.column("t"), dtype=np.int64)
+        i = np.asarray(g.column("i"), dtype=np.int64)
+        v = np.asarray(g.column("v"), dtype=np.float64)
+        order = np.lexsort((i, t, kc))
+        kc, i, v = kc[order], i[order], v[order]
+        n = len(kc)
+        new = np.r_[True, kc[1:] != kc[:-1]]
+        run_id = np.cumsum(new) - 1
+        run_start = np.maximum.accumulate(
+            np.where(new, np.arange(n), 0))
+        pos_in_run = np.arange(n) - run_start
+        # padded layout: every run prefixed by W-1 +inf pads
+        pad = W - 1
+        ppos = np.arange(n) + (run_id + 1) * pad
+        L = n + (int(run_id[-1]) + 1) * pad
+        padded = np.full(L, np.inf)
+        padded[ppos] = v
+        from numpy.lib.stride_tricks import sliding_window_view
+        wins = np.sort(sliding_window_view(padded, W)[ppos - pad],
+                       axis=1)
+        m = np.minimum(pos_in_run + 1, W)
+        sel = np.ceil(0.5 * m).astype(np.int64) - 1
+        return pa.table({id_col: pa.array(i),
+                         "med": pa.array(
+                             wins[np.arange(n), sel])})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(med_bucket,
+                                            batch_format="pyarrow"))

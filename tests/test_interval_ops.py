@@ -196,3 +196,34 @@ def test_lag_autocorr_null_values_dropped(ray_session):
     got = lag_autocorr_components(_ds(tbl)).to_pandas()
     assert list(got["n_pairs"]) == [1]
     assert list(got["sxy"]) == [100 * 200]
+
+
+@pytest.mark.parametrize("window", [1, 3, 8])
+def test_rolling_median_matches_pandas(ray_session, window):
+    from bqf_ray.pipelines.windowed import rolling_median
+    rng = np.random.default_rng(23)
+    n = 3000
+    k = rng.integers(0, 25, n)
+    ts = rng.integers(0, 500, n).astype("datetime64[s]") \
+        .astype("datetime64[us]")
+    v = rng.integers(0, 50, n).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(k, pa.int64()), "ts": pa.array(ts),
+                    "i": pa.array(ids), "v": pa.array(v)})
+    got = rolling_median(_ds(tbl), "k", "ts", "i", "v",
+                         window=window).to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    df = pd.DataFrame({"k": k, "ts": ts, "i": ids, "v": v}) \
+        .sort_values(["k", "ts", "i"]).reset_index(drop=True)
+
+    def lower_med(arr):
+        s = np.sort(np.asarray(arr))
+        return s[int(np.ceil(0.5 * len(s))) - 1]
+
+    meds = {}
+    for _, sub in df.groupby("k"):
+        vals = sub["v"].to_numpy()
+        for p, (idx, _) in enumerate(sub.iterrows()):
+            lo = max(0, p - window + 1)
+            meds[sub["i"].iloc[p]] = lower_med(vals[lo:p + 1])
+    assert [meds[i] for i in got["i"]] == got["med"].tolist()
