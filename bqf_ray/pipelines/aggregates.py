@@ -806,9 +806,7 @@ def grouped_exact_quantiles(ds, key_col: str, value_col: str,
             ks = ks.combine_chunks()
         vs = np.asarray(t.column("v").take(idx), dtype=np.float64)
         n = len(vs)
-        neq = pc.not_equal(ks.slice(1), ks.slice(0, n - 1)) if n > 1 \
-            else pa.array([], pa.bool_())
-        new = np.concatenate([[True], np.asarray(neq)])
+        new = _sorted_run_starts(ks)
         starts = np.flatnonzero(new)
         lens = np.diff(np.concatenate([starts, [n]]))
         cols = {key_col: ks.take(pa.array(starts)),
@@ -1501,6 +1499,26 @@ def token_f2(ds, text_col: str = "text", depth: int = 8,
                      "within_bound": pa.array([bool(ok)])})
 
 
+def _sorted_run_starts(k) -> np.ndarray:
+    """NULL-SAFE run-boundary mask over a SORTED Arrow key array:
+    ``new[i]`` is True where row i starts a new key run.  Plain
+    ``pc.not_equal`` yields NULL (→ numpy False) whenever either side
+    is null, which silently MERGES a null-key group into the preceding
+    key's run — boundaries must compare validity separately: a run
+    breaks where validity flips, or both sides are valid and differ.
+    Both-null rows stay one group (SQL GROUP BY semantics)."""
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    n = len(k)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        a, b = k.slice(1), k.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        vflip = pc.xor(a.is_valid(), b.is_valid())
+        new[1:] = np.asarray(pc.or_(neq, vflip))
+    return new
+
+
 def _attach_group_total(ds, key_col: str, sum_col: str, out_col: str,
                         num_buckets: int = 64):
     """Attach the per-``key_col`` total of ``sum_col`` to every row as
@@ -1522,14 +1540,8 @@ def _attach_group_total(ds, key_col: str, sum_col: str, out_col: str,
             return g.append_column(out_col, pa.array([], pa.int64()))
         idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
         g = g.take(idx)
-        k = g.column(key_col)
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
         n = g.num_rows
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = np.asarray(pc.not_equal(k.slice(1),
-                                              k.slice(0, n - 1)))
+        new = _sorted_run_starts(g.column(key_col))
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, n))
         v = np.asarray(g.column(sum_col), dtype=np.int64)
@@ -1637,10 +1649,7 @@ def grouped_weighted_median(ds, key_col: str, value_col: str,
         v = np.asarray(t.column("v"), dtype=np.int64)
         w = np.asarray(t.column("w"), dtype=np.int64)
         n = len(v)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = np.asarray(pc.not_equal(ks.slice(1),
-                                              ks.slice(0, n - 1)))
+        new = _sorted_run_starts(ks)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, n))
         tot = np.add.reduceat(w, starts)
@@ -1664,6 +1673,64 @@ def grouped_weighted_median(ds, key_col: str, value_col: str,
             .map_groups(median_bucket, batch_format="pyarrow"))
 
 
+def _lookup_hash(col) -> np.ndarray:
+    """uint64 probe hash of a key column for the broadcast group
+    lookup: null-distinct (a validity constant is XORed in, so NULL
+    never aliases '' or -1) and type-stable with the build side."""
+    NULLC = np.uint64(0x9E3779B97F4A7C15)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    from bqf_ray.functions.hashing import xxhash64_array
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h = xxhash64_array(col.fill_null(""))
+    else:
+        h = np.asarray(col.cast(pa.int64()).fill_null(-1),
+                       dtype=np.int64).view(np.uint64).copy()
+    if col.null_count:
+        h[np.asarray(col.is_null())] ^= NULLC
+    return h
+
+
+def _group_lookup_build(tbl_ds, key_col: str, val_cols: list[str]):
+    """Collect a MATERIALIZED group-count-sized table into sorted
+    parallel arrays and ``ray.put`` them ONCE: returns the object ref
+    holding ``(kh_sorted, val_arrays...)`` — the shared build half of
+    every broadcast-threshold map (:func:`clip_to_quantiles`,
+    :func:`grouped_mad`, :func:`impute_group_median`)."""
+    import ray
+
+    blocks = [t for t in ray.get(tbl_ds.to_arrow_refs()) if t.num_rows]
+    if blocks:
+        kc = pa.concat_arrays(
+            [t.column(key_col).combine_chunks()
+             if isinstance(t.column(key_col), pa.ChunkedArray)
+             else t.column(key_col) for t in blocks])
+        kh = _lookup_hash(kc)
+        vals = [np.concatenate(
+            [np.asarray(t.column(c), dtype=np.float64) for t in blocks])
+            for c in val_cols]
+    else:
+        kh = np.empty(0, dtype=np.uint64)
+        vals = [np.empty(0, dtype=np.float64) for _ in val_cols]
+    order = np.argsort(kh)
+    return ray.put(tuple([kh[order]] + [v[order] for v in vals]))
+
+
+def _group_lookup_probe(khs: np.ndarray, key_col_array
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Probe half: ``(pos, hit)`` — clamped positions into the sorted
+    arrays plus a mask of keys actually present (a missing group must
+    never silently read row 0's thresholds)."""
+    h = _lookup_hash(key_col_array)
+    pos = np.searchsorted(khs, h)
+    inb = pos < len(khs)
+    hit = np.zeros(len(h), dtype=bool)
+    if len(khs):
+        hit[inb] = khs[pos[inb]] == h[inb]
+    pos = np.minimum(pos, max(len(khs) - 1, 0))
+    return pos, hit
+
+
 def clip_to_quantiles(ds, key_col: str, value_col: str,
                       lo: float = 0.01, hi: float = 0.99,
                       out_col: str | None = None,
@@ -1672,53 +1739,32 @@ def clip_to_quantiles(ds, key_col: str, value_col: str,
     group's exact ``[PERCENTILE_DISC(lo), PERCENTILE_DISC(hi)]`` —
     the outlier-capping normalization step before training-data
     statistics.  Composes :func:`grouped_exact_quantiles` (one
-    exchange, selection-exact) with a ``ray.put`` broadcast of the
-    per-group threshold table (group-count-sized) and a vectorized
-    searchsorted clip map.  Rows with null/NaN values pass through
-    unclipped.  Output: input columns + ``out_col`` (default
-    ``value_col + "_clipped"``)."""
+    exchange, selection-exact) with the shared broadcast group lookup
+    (:func:`_group_lookup_build`) and a vectorized clip map.  Rows
+    with null/NaN values — and rows of a group with NO thresholds
+    (all-null values) — pass through unclipped.  Output: input columns
+    + ``out_col`` (default ``value_col + "_clipped"``)."""
     import ray
-
-    from bqf_ray.functions.hashing import xxhash64_array
 
     out_col = out_col or f"{value_col}_clipped"
     th = grouped_exact_quantiles(ds, key_col, value_col, qs=(lo, hi),
                                  num_buckets=num_buckets).materialize()
     qlo_name = f"q_{int(round(lo * 100))}"
     qhi_name = f"q_{int(round(hi * 100))}"
-    blocks = [t for t in ray.get(th.to_arrow_refs()) if t.num_rows]
-    if blocks:
-        kc = pa.concat_arrays(
-            [t.column(key_col).combine_chunks()
-             if isinstance(t.column(key_col), pa.ChunkedArray)
-             else t.column(key_col) for t in blocks])
-        kh = (xxhash64_array(kc) if pa.types.is_string(kc.type)
-              else np.asarray(kc, dtype=np.int64).view(np.uint64))
-        lo_v = np.concatenate(
-            [np.asarray(t.column(qlo_name), dtype=np.float64)
-             for t in blocks])
-        hi_v = np.concatenate(
-            [np.asarray(t.column(qhi_name), dtype=np.float64)
-             for t in blocks])
-    else:
-        kh = np.empty(0, dtype=np.uint64)
-        lo_v = hi_v = np.empty(0, dtype=np.float64)
-    order = np.argsort(kh)
-    ref = ray.put((kh[order], lo_v[order], hi_v[order]))
+    ref = _group_lookup_build(th, key_col, [qlo_name, qhi_name])
 
     def clip(batch: pa.Table) -> pa.Table:
         khs, lov, hiv = ray.get(ref)  # zero-copy plasma reads
-        k = batch.column(key_col)
-        h = (xxhash64_array(k) if pa.types.is_string(k.type)
-             else np.asarray(k, dtype=np.int64).view(np.uint64))
-        pos = np.searchsorted(khs, h)
-        pos = np.minimum(pos, max(len(khs) - 1, 0))
-        v = np.asarray(pc.cast(batch.column(value_col), pa.float64()))
-        clipped = np.minimum(np.maximum(v, lov[pos]), hiv[pos])
-        out = pa.array(clipped)
+        pos, hit = _group_lookup_probe(khs, batch.column(key_col))
+        v = np.asarray(pc.cast(batch.column(value_col), pa.float64()),
+                       dtype=np.float64).copy()
+        if hit.any():
+            v[hit] = np.minimum(np.maximum(v[hit], lov[pos[hit]]),
+                                hiv[pos[hit]])
+        out = pa.array(v)
         col = batch.column(value_col)
         if col.null_count:
-            out = pc.if_else(pc.is_valid(col), pa.array(clipped),
+            out = pc.if_else(pc.is_valid(col), out,
                              pa.scalar(None, pa.float64()))
         return batch.append_column(out_col, out)
 
@@ -1837,29 +1883,11 @@ def grouped_mad(ds, key_col: str, value_col: str,
     Output: ``(key_col, n, med, mad)``; null/NaN values excluded."""
     import ray
 
-    from bqf_ray.functions.hashing import xxhash64_array
-
     med = grouped_exact_quantiles(ds, key_col, value_col, qs=(0.5,),
                                   num_buckets=num_buckets).materialize()
-    blocks = [t for t in ray.get(med.to_arrow_refs()) if t.num_rows]
-    if blocks:
-        kc = pa.concat_arrays(
-            [t.column(key_col).combine_chunks()
-             if isinstance(t.column(key_col), pa.ChunkedArray)
-             else t.column(key_col) for t in blocks])
-        kh = (xxhash64_array(kc) if pa.types.is_string(kc.type)
-              else np.asarray(kc, dtype=np.int64).view(np.uint64))
-        mv = np.concatenate([np.asarray(t.column("q_50"),
-                                        dtype=np.float64)
-                             for t in blocks])
-    else:
-        kh = np.empty(0, dtype=np.uint64)
-        mv = np.empty(0, dtype=np.float64)
-    order = np.argsort(kh)
-    ref = ray.put((kh[order], mv[order]))
+    ref = _group_lookup_build(med, key_col, ["q_50"])
 
     def absdev(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         khs, meds = ray.get(ref)
         col = batch.column(value_col)
         mask = pc.is_valid(col)
@@ -1867,14 +1895,17 @@ def grouped_mad(ds, key_col: str, value_col: str,
             mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
         batch = batch.filter(mask)
         k = batch.column(key_col)
-        h = (xxhash64_array(k) if pa.types.is_string(k.type)
-             else np.asarray(k, dtype=np.int64).view(np.uint64))
-        pos = np.searchsorted(khs, h)
-        pos = np.minimum(pos, max(len(khs) - 1, 0))
+        pos, hit = _group_lookup_probe(khs, k)
         v = np.asarray(pc.cast(batch.column(value_col), pa.float64()),
                        dtype=np.float64)
-        return pa.table({key_col: k,
-                         "__absdev": pa.array(np.abs(v - meds[pos]))})
+        # every valid-value row's key is in the median table by
+        # construction (same validity filter built it); ~hit can only
+        # be a 64-bit hash collision artifact — drop rather than
+        # attribute to a wrong group
+        dev = np.abs(v - meds[pos])
+        if not hit.all():
+            dev = np.where(hit, dev, np.nan)
+        return pa.table({key_col: k, "__absdev": pa.array(dev)})
 
     dev = ds.map_batches(absdev, batch_format="pyarrow")
     mad = grouped_exact_quantiles(dev, key_col, "__absdev", qs=(0.5,),
@@ -1883,10 +1914,7 @@ def grouped_mad(ds, key_col: str, value_col: str,
     def attach_med(batch: pa.Table) -> pa.Table:
         khs, meds = ray.get(ref)
         k = batch.column(key_col)
-        h = (xxhash64_array(k) if pa.types.is_string(k.type)
-             else np.asarray(k, dtype=np.int64).view(np.uint64))
-        pos = np.searchsorted(khs, h)
-        pos = np.minimum(pos, max(len(khs) - 1, 0))
+        pos, _hit = _group_lookup_probe(khs, k)
         return pa.table({key_col: k, "n": batch.column("n"),
                          "med": pa.array(meds[pos]),
                          "mad": batch.column("q_50")})
@@ -1982,9 +2010,7 @@ def grouped_cont_quantiles(ds, key_col: str, value_col: str,
             ks = ks.combine_chunks()
         vs = np.asarray(t.column("v").take(idx), dtype=np.float64)
         n = len(vs)
-        neq = pc.not_equal(ks.slice(1), ks.slice(0, n - 1)) if n > 1 \
-            else pa.array([], pa.bool_())
-        new = np.concatenate([[True], np.asarray(neq)])
+        new = _sorted_run_starts(ks)
         starts = np.flatnonzero(new)
         lens = np.diff(np.concatenate([starts, [n]]))
         cols = {key_col: ks.take(pa.array(starts)),
@@ -2016,30 +2042,12 @@ def impute_group_median(ds, key_col: str, value_col: str,
     + ``out_col`` (default ``value_col + "_filled"``, float64)."""
     import ray
 
-    from bqf_ray.functions.hashing import xxhash64_array
-
     out_col = out_col or f"{value_col}_filled"
     med = grouped_exact_quantiles(ds, key_col, value_col, qs=(0.5,),
                                   num_buckets=num_buckets).materialize()
-    blocks = [t for t in ray.get(med.to_arrow_refs()) if t.num_rows]
-    if blocks:
-        kc = pa.concat_arrays(
-            [t.column(key_col).combine_chunks()
-             if isinstance(t.column(key_col), pa.ChunkedArray)
-             else t.column(key_col) for t in blocks])
-        kh = (xxhash64_array(kc) if pa.types.is_string(kc.type)
-              else np.asarray(kc, dtype=np.int64).view(np.uint64))
-        mv = np.concatenate([np.asarray(t.column("q_50"),
-                                        dtype=np.float64)
-                             for t in blocks])
-    else:
-        kh = np.empty(0, dtype=np.uint64)
-        mv = np.empty(0, dtype=np.float64)
-    order = np.argsort(kh)
-    ref = ray.put((kh[order], mv[order]))
+    ref = _group_lookup_build(med, key_col, ["q_50"])
 
     def fill(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         khs, meds = ray.get(ref)
         col = batch.column(value_col)
         v = np.asarray(pc.cast(pc.fill_null(col, 0.0), pa.float64()),
@@ -2047,14 +2055,7 @@ def impute_group_median(ds, key_col: str, value_col: str,
         invalid = ~np.asarray(pc.is_valid(col))
         if pa.types.is_floating(col.type):
             invalid |= np.asarray(pc.is_nan(pc.fill_null(col, 0.0)))
-        k = batch.column(key_col)
-        h = (xxhash64_array(k) if pa.types.is_string(k.type)
-             else np.asarray(k, dtype=np.int64).view(np.uint64))
-        pos = np.searchsorted(khs, h)
-        inr = pos < len(khs)
-        hit = np.zeros(len(v), dtype=bool)
-        hit[inr] = khs[np.minimum(pos[inr], max(len(khs) - 1, 0))] \
-            == h[inr]
+        pos, hit = _group_lookup_probe(khs, batch.column(key_col))
         fillable = invalid & hit
         v[fillable] = meds[pos[fillable]]
         out = pa.array(v)

@@ -212,6 +212,18 @@ def duplicate_keys(ds, key_cols: list[str], min_count: int = 2,
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
+def _key_codes(k) -> "np.ndarray":
+    """Integer group codes for ANY Arrow key column, null-safe: nulls
+    code as -1 (one group).  np.unique on an object array raises
+    TypeError comparing None with values — dictionary_encode doesn't."""
+    import numpy as np
+    import pyarrow as _pa
+    if isinstance(k, _pa.ChunkedArray):
+        k = k.combine_chunks()
+    de = k.dictionary_encode()
+    return np.asarray(de.indices.fill_null(-1), dtype=np.int64)
+
+
 def grouped_checksum(ds, key_col: str, cols: list[str],
                      sep: str = "\x1f", num_buckets: int = 32):
     """Per-KEY order-invariant checksums — the incremental-sync
@@ -251,7 +263,7 @@ def grouped_checksum(ds, key_col: str, cols: list[str],
         for p in parts[1:]:
             joined = pc.binary_join_element_wise(joined, p, sep)
         h = md5_hash64_array(joined).astype(object)
-        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        kc = _key_codes(k)
         order = np.argsort(kc, kind="stable")
         kc_s, h_s = kc[order], h[order]
         new = np.r_[True, kc_s[1:] != kc_s[:-1]]
@@ -274,7 +286,7 @@ def grouped_checksum(ds, key_col: str, cols: list[str],
             return pa.table({key_col: k.slice(0, 0),
                              "n_rows": pa.array([], pa.int64()),
                              "checksum": pa.array([], pa.int64())})
-        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        kc = _key_codes(k)
         pn = np.asarray(g.column("pn"), dtype=np.int64)
         ps = np.asarray(g.column("psum"), dtype=np.int64).astype(object)
         order = np.argsort(kc, kind="stable")

@@ -142,3 +142,67 @@ def test_duplicate_keys(ray_session):
     got = duplicate_keys(_ds(tbl, 3), ["a", "b"]).to_pandas() \
         .sort_values(["a", "b"]).reset_index(drop=True)
     assert [tuple(r) for r in got.to_numpy()] == [(1, 9, 2), (2, 7, 2)]
+
+
+def test_weighted_median_null_keys_sql_semantics(ray_session):
+    """Regression: null keys must form their OWN group, not merge into
+    the preceding key's run (r3 review finding #1)."""
+    from bqf_ray.pipelines.aggregates import grouped_weighted_median
+    tbl = pa.table({"k": pa.array(["z", None, None]),
+                    "v": pa.array([10, 1000, 1000], pa.int64()),
+                    "w": pa.array([1, 100, 100], pa.int64())})
+    got = grouped_weighted_median(_ds(tbl, 1), "k", "v", "w",
+                                  num_buckets=1).to_pandas()
+    got = got.sort_values("k", na_position="last") \
+        .reset_index(drop=True)
+    assert len(got) == 2
+    assert got.loc[0, "k"] == "z" and got.loc[0, "n"] == 1 \
+        and got.loc[0, "wmedian"] == 10
+    assert pd.isna(got.loc[1, "k"]) and got.loc[1, "n"] == 2 \
+        and got.loc[1, "wmedian"] == 1000
+
+
+def test_joint_mi_null_category_marginals(ray_session):
+    """Regression: null categories get their own exact marginals
+    (r3 review finding #2)."""
+    from bqf_ray.pipelines.aggregates import joint_mi_counts
+    tbl = pa.table({"x": pa.array(["a", "a", "b", None, None, None]),
+                    "y": pa.array(["u"] * 6)})
+    got = joint_mi_counts(_ds(tbl, 2), "x", "y",
+                          num_buckets=1).to_pandas()
+    by_x = {("<null>" if pd.isna(r.x) else r.x): (r.n_xy, r.n_x)
+            for r in got.itertuples()}
+    assert by_x == {"a": (2, 2), "b": (1, 1), "<null>": (3, 3)}
+    assert set(got["n_y"]) == {6} and set(got["n"]) == {6}
+
+
+def test_clip_to_quantiles_all_null_group(ray_session):
+    """Regression: an empty threshold table must pass rows through
+    unclipped, not IndexError (r3 review finding #4)."""
+    from bqf_ray.pipelines.aggregates import clip_to_quantiles
+    tbl = pa.table({"k": pa.array(["g1", "g1"]),
+                    "v": pa.array([None, None], pa.float64())})
+    got = clip_to_quantiles(_ds(tbl, 1), "k", "v", 0.05,
+                            0.95).to_pandas()
+    assert len(got) == 2 and got["v_clipped"].isna().all()
+    # mixed: one group has thresholds, the other doesn't
+    tbl2 = pa.table({"k": pa.array(["g1", "g1", "g2"]),
+                     "v": pa.array([1.0, 9.0, None])})
+    got2 = clip_to_quantiles(_ds(tbl2, 1), "k", "v", 0.0,
+                             1.0).to_pandas() \
+        .sort_values("v", na_position="last").reset_index(drop=True)
+    assert got2["v_clipped"].tolist()[:2] == [1.0, 9.0]
+    assert pd.isna(got2["v_clipped"].iloc[2])
+
+
+def test_grouped_checksum_null_keys(ray_session):
+    """Regression: null keys checksum as one group instead of raising
+    TypeError (r3 review finding #5)."""
+    from bqf_ray.pipelines.audit import grouped_checksum
+    tbl = pa.table({"k": pa.array(["a", None, None, "b"]),
+                    "v": pa.array([1, 2, 2, 3], pa.int64())})
+    got = grouped_checksum(_ds(tbl, 2), "k", ["v"]).to_pandas()
+    got = got.sort_values("k", na_position="last") \
+        .reset_index(drop=True)
+    assert got["n_rows"].tolist() == [1, 1, 2]
+    assert pd.isna(got.loc[2, "k"])

@@ -164,4 +164,69 @@ seeds = np.arange(0, 500_000, 9973, dtype=np.int64)
 run("bfs 2M edges", lambda: bfs_hops(edges, seeds, max_hops=8).num_rows,
     N_EDGES)
 
+# ---- follow-on section (STRESS_R3B=1): session-2 operators -------------
+# (must run BEFORE ray.shutdown(): a post-shutdown dataset op would
+# auto-reinit Ray with default settings and skew the numbers)
+if os.environ.get("STRESS_R3B"):
+    from bqf_ray.pipelines.aggregates import (category_purity,
+                                              grouped_cont_quantiles)
+    from bqf_ray.pipelines.audit import grouped_checksum
+    from bqf_ray.pipelines.embeddings import embedding_covariance
+    from bqf_ray.pipelines.graph import edge_triangle_support
+    from bqf_ray.pipelines.ranking import grouped_relative_ranks
+    from bqf_ray.pipelines.windowed import rolling_median, scd2_intervals
+
+    def with_ts(b):
+        return pa.table({
+            "id": b["id"], "k10k": b["k10k"], "value": b["value"],
+            "ts": pa.array(np.asarray(b["ts_us"], dtype=np.int64)
+                           .astype("datetime64[us]"))})
+
+    evt = base.map_batches(with_ts, batch_format="pyarrow")
+    run("rolling_median 10M/10k", lambda: rolling_median(
+        evt, "k10k", "ts", "id", "value", window=7).count(), N)
+    run("scd2 10M/10k", lambda: scd2_intervals(
+        evt, "k10k", "ts", "id").count(), N)
+    run("relative_ranks 10M/10k", lambda: grouped_relative_ranks(
+        base, "k10k", "value", "id").count(), N)
+    run("purity 10M/100k", lambda: category_purity(
+        base, "k100k", "cat_b").count(), N)
+    run("cont_quantiles 10M/10k", lambda: grouped_cont_quantiles(
+        base, "k10k", "value").count(), N)
+    run("grouped_checksum 10M/1k", lambda: grouped_checksum(
+        base, "cat_a", ["id", "value"]).count(), N)
+
+    vecs_cache = f"/tmp/bqf_bench/stress_r3_vecs"
+    if not os.path.exists(os.path.join(vecs_cache, "_DONE")):
+        os.makedirs(vecs_cache, exist_ok=True)
+
+        def gen_vecs(batch):
+            i = np.asarray(batch["id"], dtype=np.int64)
+            h = _h(i)
+            base_v = (h[:, None] * np.arange(1, 65, dtype=np.uint64)
+                      [None, :])
+            x = ((base_v % np.uint64(2_000_001)).astype(np.float64)
+                 / 1_000_000.0 - 1.0).astype(np.float32)
+            return pa.table({"embedding": pa.array(
+                list(x), pa.list_(pa.float32()))})
+
+        (ray.data.range(1_000_000, override_num_blocks=CPUS * 2)
+         .map_batches(gen_vecs, batch_format="pyarrow")
+         .write_parquet(vecs_cache))
+        open(os.path.join(vecs_cache, "_DONE"), "w").write("1")
+    vec_ds = ray.data.read_parquet(vecs_cache)
+    run("covariance 1Mx64", lambda: embedding_covariance(
+        vec_ds).count(), 1_000_000)
+
+    edges2 = ray.data.range(N_EDGES, override_num_blocks=CPUS * 2) \
+        .map_batches(lambda b: (lambda i, h: pa.table(
+            {"a": pa.array((h % np.uint64(500_000)).astype(np.int64)),
+             "b": pa.array(((h >> np.uint64(13)) % np.uint64(500_000))
+                           .astype(np.int64))}))(
+            np.asarray(b["id"], dtype=np.int64),
+            _h(np.asarray(b["id"], dtype=np.int64))),
+            batch_format="pyarrow")
+    run("edge_support 2M edges", lambda: edge_triangle_support(
+        edges2).count(), N_EDGES)
+
 ray.shutdown()
