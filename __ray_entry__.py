@@ -2313,6 +2313,19 @@ def w_rolling_median_value(sf_dir):
                           window=7)
 
 
+def w_user_streaks(sf_dir):
+    """Gaps-and-islands: per-user daily-activity islands — total
+    active days, island count, longest consecutive-day streak (the
+    ROW_NUMBER-difference SQL pattern, one key-bucket shuffle);
+    ``windowed.activity_islands``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import activity_islands
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return activity_islands(ev, "user_id", "ts", granularity_s=86400)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2597,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_full": w_click_purchase_full,
         "orders_checksum_by_status": w_orders_checksum_by_status,
         "rolling_median_value": w_rolling_median_value,
+        "user_streaks": w_user_streaks,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3780,6 +3794,20 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS grp
+                  FROM d),
+            i AS (SELECT user_id, count(*)::BIGINT AS len
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id, SUM(len)::BIGINT AS n_periods,
+                   count(*)::BIGINT AS n_islands,
+                   MAX(len)::BIGINT AS max_run
+            FROM i GROUP BY 1""",
         "rolling_median_value": """
             SELECT event_id,
                    CAST(quantile_disc(value, 0.5) OVER (

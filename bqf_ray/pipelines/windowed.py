@@ -1036,3 +1036,62 @@ def rolling_median(ds, key_col: str, ts_col: str, id_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(med_bucket,
                                             batch_format="pyarrow"))
+
+
+def activity_islands(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     granularity_s: int = 86400,
+                     num_buckets: int = 32):
+    """Gaps-and-islands per key: bucket timestamps to
+    ``granularity_s`` periods, dedupe, and measure the runs of
+    CONSECUTIVE active periods — ``(key, n_periods, n_islands,
+    max_run)`` — the retention/streak statistic (longest daily-active
+    streak, consecutive-failure runs) that SQL solves with the
+    ROW_NUMBER-difference trick.  One key-bucket shuffle; in-bucket:
+    lexsort, distinct (key, period) via run boundaries, island breaks
+    where the key changes or the period step exceeds 1, then two
+    reduceat folds.  No per-key loop."""
+    NB = int(num_buckets)
+    G = np.int64(granularity_s) * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "p": pa.array(ts // G),
+                         "__bucket": pa.array((k % NB).astype(np.int64))})
+
+    def islands(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            z = pa.array([], pa.int64())
+            return pa.table({key_col: z, "n_periods": z,
+                             "n_islands": z, "max_run": z})
+        k = np.asarray(g.column("k"), dtype=np.int64)
+        p = np.asarray(g.column("p"), dtype=np.int64)
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (p[1:] != p[:-1])]
+        k, p = k[keep], p[keep]
+        n = len(k)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        new_island = new_key | np.r_[True, (p[1:] - p[:-1]) != 1]
+        isl_start = np.flatnonzero(new_island)
+        isl_len = np.diff(np.append(isl_start, n))
+        # fold islands per key: island row -> its key run
+        key_start = np.flatnonzero(new_key)
+        key_of_isl = np.searchsorted(key_start, isl_start, side="right") - 1
+        n_keys = len(key_start)
+        n_islands = np.zeros(n_keys, dtype=np.int64)
+        np.add.at(n_islands, key_of_isl, 1)
+        n_periods = np.zeros(n_keys, dtype=np.int64)
+        np.add.at(n_periods, key_of_isl, isl_len)
+        max_run = np.zeros(n_keys, dtype=np.int64)
+        np.maximum.at(max_run, key_of_isl, isl_len)
+        return pa.table({key_col: pa.array(k[key_start]),
+                         "n_periods": pa.array(n_periods),
+                         "n_islands": pa.array(n_islands),
+                         "max_run": pa.array(max_run)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(islands,
+                                            batch_format="pyarrow"))

@@ -227,3 +227,23 @@ def test_rolling_median_matches_pandas(ray_session, window):
             lo = max(0, p - window + 1)
             meds[sub["i"].iloc[p]] = lower_med(vals[lo:p + 1])
     assert [meds[i] for i in got["i"]] == got["med"].tolist()
+
+
+def test_activity_islands_brute(ray_session):
+    from bqf_ray.pipelines.windowed import activity_islands
+    rng = np.random.default_rng(29)
+    n = 4000
+    k = rng.integers(0, 30, n)
+    day = rng.integers(0, 40, n)
+    ts = (day * 86_400_000_000).astype("datetime64[us]")
+    tbl = pa.table({"user_id": pa.array(k, pa.int64()),
+                    "ts": pa.array(ts)})
+    got = activity_islands(_ds(tbl), "user_id", "ts") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    ref = {}
+    for key in np.unique(k):
+        days = np.unique(day[k == key])
+        runs = np.split(days, np.flatnonzero(np.diff(days) != 1) + 1)
+        ref[key] = (len(days), len(runs), max(len(r) for r in runs))
+    assert {r.user_id: (r.n_periods, r.n_islands, r.max_run)
+            for r in got.itertuples()} == ref

@@ -22,7 +22,13 @@ ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
 from tools.canary import cold_touch_mb_s  # noqa: E402
 
 
+_SECTION = "a"
+_B_ONLY = bool(os.environ.get("STRESS_R3B_ONLY"))
+
+
 def run(name, fn, rows):
+    if _B_ONLY and _SECTION == "a":
+        return
     c = cold_touch_mb_s()
     t0 = time.time()
     n = fn()
@@ -167,7 +173,8 @@ run("bfs 2M edges", lambda: bfs_hops(edges, seeds, max_hops=8).num_rows,
 # ---- follow-on section (STRESS_R3B=1): session-2 operators -------------
 # (must run BEFORE ray.shutdown(): a post-shutdown dataset op would
 # auto-reinit Ray with default settings and skew the numbers)
-if os.environ.get("STRESS_R3B"):
+if os.environ.get("STRESS_R3B") or _B_ONLY:
+    _SECTION = "b"
     from bqf_ray.pipelines.aggregates import (category_purity,
                                               grouped_cont_quantiles)
     from bqf_ray.pipelines.audit import grouped_checksum
