@@ -2326,6 +2326,18 @@ def w_user_streaks(sf_dir):
     return activity_islands(ev, "user_id", "ts", granularity_s=86400)
 
 
+def w_docs_all_terms(sf_dir):
+    """Conjunctive boolean retrieval (docs containing ALL of {join,
+    hash, scan}) — one stateless corpus pass, zero shuffle;
+    ``text_stats.docs_with_all_terms``."""
+    import ray
+
+    from bqf_ray.pipelines.text_stats import docs_with_all_terms
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs_with_all_terms(docs, ["join", "hash", "scan"])
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2611,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum_by_status": w_orders_checksum_by_status,
         "rolling_median_value": w_rolling_median_value,
         "user_streaks": w_user_streaks,
+        "docs_all_terms": w_docs_all_terms,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3794,6 +3807,15 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "docs_all_terms": """
+            WITH tok2 AS (SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(text, '\\s+'))
+                               AS token
+                    FROM documents)
+                  WHERE token IN ('join', 'hash', 'scan'))
+            SELECT doc_id, count(*)::BIGINT AS n_terms_hit
+            FROM tok2 GROUP BY 1 HAVING count(*) = 3""",
         "user_streaks": """
             WITH d AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 86400000000 AS day

@@ -874,3 +874,39 @@ def bm25_components(ds, query_terms: list[str], id_col: str = "doc_id",
                     np.full(n, sum_dl, dtype=np.int64))))
 
     return matched.map_batches(attach, batch_format="pyarrow")
+
+
+def docs_with_all_terms(ds, query_terms: list[str],
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Conjunctive boolean retrieval: documents containing EVERY query
+    term — the AND query over an implicit inverted index, evaluated
+    here as ONE stateless corpus pass (tokenize + vectorized term
+    membership + per-doc distinct-term count per batch, exact because
+    a document is one row) with NO shuffle at all.  Output:
+    ``(id_col, n_terms_hit)`` rows where all terms matched."""
+    from bqf_ray.functions.tokenize import tokenize_column
+
+    terms = sorted(set(query_terms))
+    tarr = pa.array(terms, pa.string())
+    K = len(terms)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        flat, offs = tokenize_column(batch.column(text_col))
+        hit = np.asarray(pc.is_in(flat, value_set=tarr))
+        pos = np.flatnonzero(hit)
+        if not len(pos):
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: z, "n_terms_hit": z})
+        doc_of = np.searchsorted(offs, pos, side="right") - 1
+        tcode = np.asarray(pc.index_in(flat.take(pa.array(pos)),
+                                       value_set=tarr), dtype=np.int64)
+        pair = np.unique(doc_of * K + tcode)
+        cnt = np.bincount((pair // K).astype(np.int64),
+                          minlength=len(ids))
+        full = np.flatnonzero(cnt == K)
+        return pa.table({id_col: pa.array(ids[full]),
+                         "n_terms_hit": pa.array(
+                             np.full(len(full), K, dtype=np.int64))})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -125,3 +125,17 @@ def test_bm25_components_reference(ray_session):
     assert got["sum_dl"].unique().tolist() == [12]
     df = dict(zip(got["term"], got["df"]))
     assert df == {"a": 2, "b": 2}
+
+
+def test_docs_with_all_terms(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.text_stats import docs_with_all_terms
+    docs = ["a b c", "a a b", "c", "b c a d", ""]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = docs_with_all_terms(ray.data.from_arrow(tbl).repartition(3),
+                              ["a", "b", "c"]).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 3]
+    assert set(got["n_terms_hit"]) == {3}
