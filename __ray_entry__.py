@@ -2338,6 +2338,46 @@ def w_docs_all_terms(sf_dir):
     return docs_with_all_terms(docs, ["join", "hash", "scan"])
 
 
+def w_weighted_quantiles_price(sf_dir):
+    """Exact weighted PERCENTILE_DISC(.25/.5/.75) of l_extendedprice
+    cents weighted by l_quantity per returnflag — general-q weighted
+    selection; ``aggregates.grouped_weighted_quantiles``."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_weighted_quantiles
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = _pc.cast(_pc.round(_pc.multiply(
+            _pc.cast(b.column("l_extendedprice"), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"flag": b.column("l_returnflag"),
+                         "cents": c,
+                         "qty": _pc.cast(b.column("l_quantity"),
+                                         pa.int64())})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice",
+                 "l_quantity"]).map_batches(cents, batch_format="pyarrow")
+    return grouped_weighted_quantiles(li, "flag", "cents", "qty",
+                                      qs=(0.25, 0.5, 0.75))
+
+
+def w_clustering_parts(sf_dir):
+    """Per-part local-clustering components over the co-purchase
+    graph: (node, deg, n_tri, n_wedges), coefficient derives
+    downstream; ``graph.clustering_components``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (clustering_components,
+                                         cooccurrence_edges)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return clustering_components(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2624,6 +2664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_value": w_rolling_median_value,
         "user_streaks": w_user_streaks,
         "docs_all_terms": w_docs_all_terms,
+        "weighted_quantiles_price": w_weighted_quantiles_price,
+        "clustering_parts": w_clustering_parts,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3807,6 +3849,47 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "weighted_quantiles_price": """
+            WITH t AS (SELECT l_returnflag AS flag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS v,
+                              CAST(l_quantity AS BIGINT) AS w
+                       FROM lineitem),
+            c AS (SELECT flag, v,
+                         SUM(w) OVER (PARTITION BY flag ORDER BY v)
+                           AS cum,
+                         SUM(w) OVER (PARTITION BY flag) AS tot,
+                         COUNT(*) OVER (PARTITION BY flag) AS n
+                  FROM t)
+            SELECT flag, MAX(n)::BIGINT AS n, MAX(tot)::BIGINT AS tot_w,
+                   MIN(CASE WHEN cum >= 0.25 * tot THEN v END)::BIGINT
+                       AS wq_25,
+                   MIN(CASE WHEN cum >= 0.5 * tot THEN v END)::BIGINT
+                       AS wq_50,
+                   MIN(CASE WHEN cum >= 0.75 * tot THEN v END)::BIGINT
+                       AS wq_75
+            FROM c GROUP BY flag""",
+        "clustering_parts": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                         JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+            sup AS (SELECT a, b, count(*)::BIGINT AS s FROM (
+                      SELECT x AS a, y AS b FROM tri
+                      UNION ALL SELECT y, z FROM tri
+                      UNION ALL SELECT x, z FROM tri) GROUP BY 1, 2),
+            sf AS (SELECT e0.a, e0.b, COALESCE(sup.s, 0)::BIGINT AS s
+                   FROM e0 LEFT JOIN sup USING (a, b)),
+            x AS (SELECT a AS v, s FROM sf UNION ALL SELECT b, s FROM sf)
+            SELECT v AS node, count(*)::BIGINT AS deg,
+                   (SUM(s) // 2)::BIGINT AS n_tri,
+                   (count(*) * (count(*) - 1) // 2)::BIGINT AS n_wedges
+            FROM x GROUP BY 1""",
         "docs_all_terms": """
             WITH tok2 AS (SELECT DISTINCT doc_id, token FROM (
                     SELECT doc_id,

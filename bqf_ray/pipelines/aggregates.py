@@ -2066,3 +2066,88 @@ def impute_group_median(ds, key_col: str, value_col: str,
         return batch.append_column(out_col, out)
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def grouped_weighted_quantiles(ds, key_col: str, value_col: str,
+                               weight_col: str, qs: tuple = (0.5,),
+                               num_buckets: int = 32):
+    """Exact lower WEIGHTED PERCENTILE_DISC per group for every q:
+    the smallest value v with ``cumweight(v) >= q · totweight``
+    (peer-inclusive cumulative weight over the value-sorted group) —
+    the general-q extension of :func:`grouped_weighted_median`, for
+    importance-weighted score thresholds.  Pure value selection over
+    int64 values / non-negative int64 weights plus ONE float64
+    product ``q · tot`` mirrored verbatim by the SQL oracle, so
+    results are bit-exact.  One key-hash bucketed exchange.  Output:
+    ``(key_col, n, tot_w, wq_<pct>, ...)``; null values/weights
+    excluded row-wise, negative weights raise."""
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+    q_arr = np.asarray(qs, dtype=np.float64)
+    q_names = [f"wq_{int(round(q * 100))}" for q in qs]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        w = batch.column(weight_col)
+        mask = pc.and_(pc.is_valid(v), pc.is_valid(w))
+        if pa.types.is_floating(v.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(pc.fill_null(
+                v, 0.0))))
+        batch = batch.filter(mask)
+        wv = np.asarray(batch.column(weight_col), dtype=np.int64)
+        if len(wv) and wv.min() < 0:
+            raise ValueError("grouped_weighted_quantiles: negative "
+                             "weight")
+        bkt = (_col_hash64(batch.column(key_col))
+               % np.uint64(B)).astype(np.int64)
+        return pa.table({
+            "k": batch.column(key_col),
+            "v": pc.cast(batch.column(value_col), pa.int64()),
+            "w": pa.array(wv), "__bucket": pa.array(bkt)})
+
+    def wq_bucket(g: pa.Table) -> pa.Table:
+        k = g.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not g.num_rows:
+            cols = {key_col: k.slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                    "tot_w": pa.array([], pa.int64())}
+            for name in q_names:
+                cols[name] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t = pa.table({"k": k, "v": g.column("v"), "w": g.column("w")})
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("v", "ascending")])
+        t = t.take(idx)
+        ks = t.column("k")
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        v = np.asarray(t.column("v"), dtype=np.int64)
+        w = np.asarray(t.column("w"), dtype=np.int64)
+        n = len(v)
+        new = _sorted_run_starts(ks)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        tot = np.add.reduceat(w, starts)
+        cum = np.cumsum(w)
+        run_off = np.repeat(cum[starts] - w[starts], lens)
+        cum_run = (cum - run_off).astype(np.float64)
+        cols = {key_col: ks.take(pa.array(starts)),
+                "n": pa.array(lens.astype(np.int64)),
+                "tot_w": pa.array(tot.astype(np.int64))}
+        for q, name in zip(q_arr, q_names):
+            thr = np.repeat(q * tot.astype(np.float64), lens)
+            below = cum_run < thr
+            first = starts + np.add.reduceat(
+                below.astype(np.int64), starts)
+            # a zero-total group (all weights 0): every row "below" is
+            # False at q=0 edge cases; clamp into the run
+            first = np.minimum(first, starts + lens - 1)
+            cols[name] = pa.array(v[first])
+        return pa.table(cols)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(wq_bucket, batch_format="pyarrow"))

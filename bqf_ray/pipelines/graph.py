@@ -1259,3 +1259,45 @@ def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
         batch_format="pyarrow")
     return bucketed_sum(partials.union(zeros), ["a", "b"],
                         {"s": "support"}, num_buckets=B)
+
+
+def clustering_components(edges_ds, a_col: str = "a", b_col: str = "b",
+                          num_buckets: int = 64,
+                          broadcast_budget_bytes: int = 1 << 30):
+    """Per-NODE local-clustering-coefficient components: ``(node, deg,
+    n_tri, n_wedges)`` with ``coefficient = n_tri / n_wedges``
+    deriving downstream in float — the node-level cohesion profile
+    (spam rings cluster high, crawl hubs low).  Composes
+    :func:`edge_triangle_support` (each triangle contributes 2 to the
+    sum of supports over a member node's incident edges, so ``n_tri =
+    Σ support / 2`` exactly) with one endpoint-exploded
+    map-side-combined fold.  Integer-exact throughout."""
+    from bqf_ray.stages.partition import bucketed_agg
+
+    sup = edge_triangle_support(
+        edges_ds, a_col=a_col, b_col=b_col, num_buckets=num_buckets,
+        broadcast_budget_bytes=broadcast_budget_bytes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        s = np.asarray(batch.column("support"), dtype=np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "s": pa.array(np.concatenate([s, s])),
+            "one": pa.array(np.ones(2 * len(a), dtype=np.int64))})
+
+    fold = bucketed_agg(sup.map_batches(explode, batch_format="pyarrow"),
+                        ["node"],
+                        [("one", "sum", "deg"), ("s", "sum", "s2")],
+                        num_buckets=num_buckets, combine_local=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = np.asarray(batch.column("deg"), dtype=np.int64)
+        s2 = np.asarray(batch.column("s2"), dtype=np.int64)
+        return pa.table({"node": batch.column("node"),
+                         "deg": pa.array(deg),
+                         "n_tri": pa.array(s2 // 2),
+                         "n_wedges": pa.array(deg * (deg - 1) // 2)})
+
+    return fold.map_batches(finish, batch_format="pyarrow")

@@ -118,3 +118,56 @@ def test_edge_triangle_support_budget_raises(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         edge_triangle_support(_ds(tbl), broadcast_budget_bytes=8)
+
+
+def test_clustering_components_brute(ray_session):
+    from bqf_ray.pipelines.graph import clustering_components
+    rng = np.random.default_rng(31)
+    m = 400
+    a = rng.integers(0, 35, m)
+    b = rng.integers(0, 35, m)
+    tbl = pa.table({"a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64())})
+    got = clustering_components(_ds(tbl)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    E = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {}
+    for x, y in E:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    for r in got.itertuples():
+        nbrs = adj[r.node]
+        tri = sum(1 for u in nbrs for v in nbrs
+                  if u < v and v in adj[u])
+        assert r.deg == len(nbrs)
+        assert r.n_tri == tri
+        assert r.n_wedges == len(nbrs) * (len(nbrs) - 1) // 2
+    assert set(got["node"]) == set(adj)
+
+
+def test_grouped_weighted_quantiles_brute(ray_session):
+    from bqf_ray.pipelines.aggregates import grouped_weighted_quantiles
+    rng = np.random.default_rng(33)
+    n = 3000
+    k = rng.integers(0, 12, n)
+    v = rng.integers(-100, 100, n)
+    w = rng.integers(0, 9, n)
+    tbl = pa.table({"k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "w": pa.array(w, pa.int64())})
+    qs = (0.1, 0.5, 0.9)
+    got = grouped_weighted_quantiles(_ds(tbl), "k", "v", "w",
+                                     qs=qs).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    for r in got.itertuples():
+        vv = v[k == r.k]
+        ww = w[k == r.k]
+        order = np.argsort(vv, kind="stable")
+        vv, ww = vv[order], ww[order]
+        cum = np.cumsum(ww)
+        tot = cum[-1]
+        assert r.tot_w == tot
+        for q, name in zip(qs, ("wq_10", "wq_50", "wq_90")):
+            idx = np.flatnonzero(cum >= q * tot)
+            want = vv[idx[0]] if len(idx) else vv[-1]
+            assert getattr(r, name) == want, (r.k, q)
