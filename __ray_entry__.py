@@ -3901,7 +3901,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tok2 GROUP BY 1 HAVING count(*) = 3""",
         "user_streaks": """
             WITH d AS (SELECT DISTINCT user_id,
-                              epoch_us(ts) // 86400000000 AS day
+                              epoch_us(date_trunc('day', ts))
+                                  // 86400000000 AS day
                        FROM events),
             g AS (SELECT user_id, day,
                          day - row_number() OVER (PARTITION BY user_id

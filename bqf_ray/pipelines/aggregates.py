@@ -771,7 +771,11 @@ def grouped_exact_quantiles(ds, key_col: str, value_col: str,
 
     B = int(num_buckets)
     q_arr = np.asarray(qs, dtype=np.float64)
+    if len(q_arr) and (q_arr.min() < 0.0 or q_arr.max() > 1.0):
+        raise ValueError("q outside [0, 1]")
     q_names = [f"q_{int(round(q * 100))}" for q in qs]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(f"qs collide on percent names ({q_names})")
 
     def bucket(batch: pa.Table) -> pa.Table:
         col = batch.column(value_col)
@@ -1597,81 +1601,23 @@ def joint_mi_counts(ds, x_col: str, y_col: str, num_buckets: int = 64):
 def grouped_weighted_median(ds, key_col: str, value_col: str,
                             weight_col: str, num_buckets: int = 32):
     """EXACT lower weighted median per group: the smallest value v in
-    the group with ``2 * cumweight(v) >= totweight`` (cumweight
-    row-wise over the value-sorted group — identical to SQL's
-    peer-inclusive RANGE cumsum at the selected value, see the oracle).
-    Pure value SELECTION over int64 values and non-negative int64
-    weights, so bit-exact.  One key-hash bucketed exchange (the
-    :func:`grouped_exact_quantiles` shape — the right tool when groups
-    fit per-bucket memory; pre-aggregate (value, weight-sum) upstream
-    when values repeat heavily).
+    the group with ``2 * cumweight(v) >= totweight`` — exactly the
+    ``q = 0.5`` case of :func:`grouped_weighted_quantiles`
+    (``cum >= 0.5·tot`` ⇔ ``2·cum >= tot``: 0.5·tot is exact in
+    float64 for tot < 2^53), delegated there so the validation /
+    bucketing / selection logic lives once.  Output: ``(key_col, n,
+    tot_w, wmedian)``; null values/weights excluded row-wise,
+    negative weights raise."""
+    out = grouped_weighted_quantiles(ds, key_col, value_col,
+                                     weight_col, qs=(0.5,),
+                                     num_buckets=num_buckets)
 
-    Output: ``(key_col, n, tot_w, wmedian)``.  Null/NaN values and
-    null weights are excluded row-wise; negative weights raise."""
-    from bqf_ray.stages.partition import _col_hash64
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["wmedian" if c == "wq_50" else c
+             for c in batch.column_names])
 
-    B = int(num_buckets)
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        v = batch.column(value_col)
-        w = batch.column(weight_col)
-        mask = pc.and_(pc.is_valid(v), pc.is_valid(w))
-        if pa.types.is_floating(v.type):
-            mask = pc.and_(mask, pc.invert(pc.is_nan(v)))
-        batch = batch.filter(mask)
-        wv = np.asarray(batch.column(weight_col), dtype=np.int64)
-        if len(wv) and wv.min() < 0:
-            raise ValueError("grouped_weighted_median: negative weight")
-        bkt = (_col_hash64(batch.column(key_col))
-               % np.uint64(B)).astype(np.int64)
-        return pa.table({
-            "k": batch.column(key_col),
-            "v": pc.cast(batch.column(value_col), pa.int64()),
-            "w": pa.array(wv),
-            "__bucket": pa.array(bkt)})
-
-    def median_bucket(g: pa.Table) -> pa.Table:
-        k = g.column("k")
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        if not g.num_rows:
-            return pa.table({key_col: k.slice(0, 0),
-                             "n": pa.array([], pa.int64()),
-                             "tot_w": pa.array([], pa.int64()),
-                             "wmedian": pa.array([], pa.int64())})
-        t = pa.table({"k": k, "v": g.column("v"), "w": g.column("w")})
-        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
-                                            ("v", "ascending")])
-        t = t.take(idx)
-        ks = t.column("k")
-        if isinstance(ks, pa.ChunkedArray):
-            ks = ks.combine_chunks()
-        v = np.asarray(t.column("v"), dtype=np.int64)
-        w = np.asarray(t.column("w"), dtype=np.int64)
-        n = len(v)
-        new = _sorted_run_starts(ks)
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, n))
-        tot = np.add.reduceat(w, starts)
-        cum = np.cumsum(w)
-        run_off = np.repeat(cum[starts] - w[starts], lens)
-        cum_run = cum - run_off
-        # first row of each run with 2*cum >= tot (monotone within run,
-        # w >= 0): start + count of False rows in the run
-        below = (2 * cum_run) < np.repeat(tot, lens)
-        first = starts + np.add.reduceat(
-            below.astype(np.int64), starts)
-        # all-True runs: reduceat gives 0 -> first = start (correct);
-        # degenerate all-False impossible (last row has cum == tot)
-        return pa.table({key_col: ks.take(pa.array(starts)),
-                         "n": pa.array(lens.astype(np.int64)),
-                         "tot_w": pa.array(tot.astype(np.int64)),
-                         "wmedian": pa.array(v[first])})
-
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("__bucket")
-            .map_groups(median_bucket, batch_format="pyarrow"))
-
+    return out.map_batches(rename, batch_format="pyarrow")
 
 def _lookup_hash(col) -> np.ndarray:
     """uint64 probe hash of a key column for the broadcast group
@@ -1976,7 +1922,11 @@ def grouped_cont_quantiles(ds, key_col: str, value_col: str,
 
     B = int(num_buckets)
     q_arr = np.asarray(qs, dtype=np.float64)
+    if len(q_arr) and (q_arr.min() < 0.0 or q_arr.max() > 1.0):
+        raise ValueError("q outside [0, 1]")
     q_names = [f"q_{int(round(q * 100))}" for q in qs]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(f"qs collide on percent names ({q_names})")
 
     def bucket(batch: pa.Table) -> pa.Table:
         col = batch.column(value_col)
@@ -2085,7 +2035,14 @@ def grouped_weighted_quantiles(ds, key_col: str, value_col: str,
 
     B = int(num_buckets)
     q_arr = np.asarray(qs, dtype=np.float64)
+    if len(q_arr) and (q_arr.min() < 0.0 or q_arr.max() > 1.0):
+        raise ValueError("grouped_weighted_quantiles: q outside [0, 1]")
     q_names = [f"wq_{int(round(q * 100))}" for q in qs]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(
+            "grouped_weighted_quantiles: two qs round to the same "
+            f"percent column name ({q_names}) — columns would "
+            "silently collide")
 
     def bucket(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col)

@@ -1048,8 +1048,9 @@ def activity_islands(ds, key_col: str = "user_id", ts_col: str = "ts",
     streak, consecutive-failure runs) that SQL solves with the
     ROW_NUMBER-difference trick.  One key-bucket shuffle; in-bucket:
     lexsort, distinct (key, period) via run boundaries, island breaks
-    where the key changes or the period step exceeds 1, then two
-    reduceat folds.  No per-key loop."""
+    where the key changes or the period step exceeds 1, then contiguous per-key reduceat folds.  No
+    per-key loop.  Period = floor division of the epoch (negative
+    timestamps floor toward -inf, matching date_trunc)."""
     NB = int(num_buckets)
     G = np.int64(granularity_s) * 1_000_000
 
@@ -1077,16 +1078,16 @@ def activity_islands(ds, key_col: str = "user_id", ts_col: str = "ts",
         new_island = new_key | np.r_[True, (p[1:] - p[:-1]) != 1]
         isl_start = np.flatnonzero(new_island)
         isl_len = np.diff(np.append(isl_start, n))
-        # fold islands per key: island row -> its key run
         key_start = np.flatnonzero(new_key)
-        key_of_isl = np.searchsorted(key_start, isl_start, side="right") - 1
-        n_keys = len(key_start)
-        n_islands = np.zeros(n_keys, dtype=np.int64)
-        np.add.at(n_islands, key_of_isl, 1)
-        n_periods = np.zeros(n_keys, dtype=np.int64)
-        np.add.at(n_periods, key_of_isl, isl_len)
-        max_run = np.zeros(n_keys, dtype=np.int64)
-        np.maximum.at(max_run, key_of_isl, isl_len)
+        # islands are laid out key-sorted, so per-key folds are
+        # contiguous reduceat segments — no scatter (np.ufunc.at)
+        key_of_isl = np.searchsorted(key_start, isl_start,
+                                     side="right") - 1
+        isl_key_start = np.flatnonzero(
+            np.r_[True, key_of_isl[1:] != key_of_isl[:-1]])
+        n_islands = np.diff(np.append(isl_key_start, len(isl_start)))
+        n_periods = np.add.reduceat(isl_len, isl_key_start)
+        max_run = np.maximum.reduceat(isl_len, isl_key_start)
         return pa.table({key_col: pa.array(k[key_start]),
                          "n_periods": pa.array(n_periods),
                          "n_islands": pa.array(n_islands),

@@ -247,3 +247,15 @@ def test_activity_islands_brute(ray_session):
         ref[key] = (len(days), len(runs), max(len(r) for r in runs))
     assert {r.user_id: (r.n_periods, r.n_islands, r.max_run)
             for r in got.itertuples()} == ref
+
+
+def test_activity_islands_pre_epoch_floor(ray_session):
+    """Pre-epoch timestamps floor toward -inf (date_trunc semantics):
+    1969-12-31 12:00 is day -1, adjacent to day 0."""
+    from bqf_ray.pipelines.windowed import activity_islands
+    ts = np.array(["1969-12-31T12:00:00", "1970-01-01T01:00:00",
+                   "1970-01-03T00:00:00"], dtype="datetime64[us]")
+    tbl = pa.table({"user_id": pa.array([7, 7, 7], pa.int64()),
+                    "ts": pa.array(ts)})
+    got = activity_islands(_ds(tbl), "user_id", "ts").to_pandas()
+    assert got.iloc[0].tolist() == [7, 3, 2, 2]  # days -1,0 | 2
