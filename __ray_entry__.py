@@ -2378,6 +2378,21 @@ def w_clustering_parts(sf_dir):
         cooccurrence_edges(li, "l_orderkey", "l_partkey"))
 
 
+def w_user_event_trail(sf_dir):
+    """Ordered string_agg: each user's event-type trail in (ts,
+    event_id) order, comma-joined — deterministic list
+    materialization, Arrow-kernel assembly;
+    ``aggregates.grouped_string_agg``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_string_agg
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts",
+                                        "event_id"])
+    return grouped_string_agg(ev, "user_id", "event_type",
+                              ["ts", "event_id"])
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2666,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_all_terms": w_docs_all_terms,
         "weighted_quantiles_price": w_weighted_quantiles_price,
         "clustering_parts": w_clustering_parts,
+        "user_event_trail": w_user_event_trail,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -3849,6 +3865,11 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "user_event_trail": """
+            SELECT user_id, count(*)::BIGINT AS n,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS agg
+            FROM events GROUP BY 1""",
         "weighted_quantiles_price": """
             WITH t AS (SELECT l_returnflag AS flag,
                               CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -2108,3 +2108,68 @@ def grouped_weighted_quantiles(ds, key_col: str, value_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(wq_bucket, batch_format="pyarrow"))
+
+
+def grouped_string_agg(ds, key_col: str, value_col: str,
+                       order_cols: list[str], sep: str = ",",
+                       out_col: str = "agg", num_buckets: int = 32):
+    """Deterministic ordered ``string_agg`` per key: values
+    concatenated in ``(*order_cols, value)`` order with ``sep`` — the
+    list-materialization aggregate (audit trails, grouped id lists)
+    with an exact SQL mirror.  One key-hash bucketed exchange;
+    in-bucket assembly is Arrow-kernel only (sort_indices +
+    ListArray wrap + binary_join — the :func:`postings` machinery
+    generalized).  Null values are excluded; ``(*order_cols, value)``
+    should be unique per key for a deterministic result (same
+    requirement as the SQL ``ORDER BY``).  Output: ``(key_col, n,
+    out_col)``."""
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(value_col)),
+                       pc.is_valid(batch.column(key_col)))
+        batch = batch.filter(keep)
+        kh = (_col_hash64(batch.column(key_col))
+              % np.uint64(B)).astype(np.int64)
+        cols = {"k": batch.column(key_col),
+                "v": pc.cast(batch.column(value_col), pa.string())}
+        for i, c in enumerate(order_cols):
+            cols[f"o{i}"] = batch.column(c)
+        cols["__bucket"] = pa.array(kh)
+        return pa.table(cols)
+
+    def assemble(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            k = g.column("k")
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            return pa.table({key_col: k.slice(0, 0),
+                             "n": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.string())})
+        idx = pc.sort_indices(g, sort_keys=(
+            [("k", "ascending")]
+            + [(f"o{i}", "ascending") for i in range(len(order_cols))]
+            + [("v", "ascending")]))
+        g = g.take(idx)
+        ks = g.column("k")
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        vs = g.column("v")
+        if isinstance(vs, pa.ChunkedArray):
+            vs = vs.combine_chunks()
+        new = _sorted_run_starts(ks)
+        starts = np.flatnonzero(new)
+        n = g.num_rows
+        offs = pa.array(np.append(starts, n).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offs, vs)
+        joined = pc.binary_join(lists, sep)
+        lens = np.diff(np.append(starts, n))
+        return pa.table({key_col: ks.take(pa.array(starts)),
+                         "n": pa.array(lens.astype(np.int64)),
+                         out_col: joined})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(assemble,
+                                            batch_format="pyarrow"))

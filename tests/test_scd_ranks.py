@@ -206,3 +206,15 @@ def test_grouped_checksum_null_keys(ray_session):
         .reset_index(drop=True)
     assert got["n_rows"].tolist() == [1, 1, 2]
     assert pd.isna(got.loc[2, "k"])
+
+
+def test_grouped_string_agg(ray_session):
+    from bqf_ray.pipelines.aggregates import grouped_string_agg
+    tbl = pa.table({"k": pa.array([1, 1, 2, 1, 2], pa.int64()),
+                    "v": pa.array(["b", "a", "x", None, "y"]),
+                    "o1": pa.array([2, 1, 5, 0, 4], pa.int64()),
+                    "o2": pa.array([0, 0, 0, 0, 0], pa.int64())})
+    got = grouped_string_agg(_ds(tbl, 2), "k", "v", ["o1", "o2"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["agg"].tolist() == ["a,b", "y,x"]
+    assert got["n"].tolist() == [2, 2]
