@@ -2393,6 +2393,42 @@ def w_user_event_trail(sf_dir):
                               ["ts", "event_id"])
 
 
+def w_cosine_dups(sf_dir):
+    """Exact cosine-similarity join over integer 3-gram-shingle
+    frequency vectors (bag-of-ngrams near-dups — sensitive to repeated
+    segments, unlike the set-based Jaccard row): integer threshold
+    test dot²·den² ≥ num²·n2_a·n2_b, two bucketed exchanges, no float
+    comparisons.  s=3 because the fixture's unigram vocabulary is
+    dense (31 tokens — unigram df² degenerates to all-pairs);
+    ``dedup.cosine_tf_pairs``."""
+    import ray
+
+    from bqf_ray.pipelines.dedup import cosine_tf_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return cosine_tf_pairs(docs, threshold=0.8, s=3)
+
+
+def w_value_k_regression(sf_dir):
+    """Per-group OLS slope/intercept of events.value (cents) on the
+    JSON props field k — the same six exact integer component sums as
+    the correlation row feeding the two closed-form IEEE expressions,
+    bit-exact vs SQL (unlike order-dependent regr_slope());
+    ``aggregates.grouped_regression``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_regression
+    from bqf_ray.pipelines.audit import extract_fields
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value", "props"])
+    withk = extract_fields(ev, r'"k": (?P<k>\d+)', {"k": "int64"},
+                           text_col="props",
+                           keep=["event_id", "event_type", "value"])
+    return grouped_regression(withk, "event_type", "k", "value",
+                              x_scale=1, y_scale=100)
+
+
 def w_frequent_pairs(sf_dir):
     """A-priori 2-itemset mining with association-rule marginals over
     the (order, part) basket table: pairs co-occurring in >= 2 distinct
@@ -2684,6 +2720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_trail": w_user_event_trail,
         "priority_sample_orders": w_priority_sample_orders,
         "priority_sample_by_source": w_priority_sample_by_source,
+        "value_k_regression": w_value_k_regression,
+        "cosine_dups": w_cosine_dups,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4441,4 +4479,52 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ab > 0 THEN 1 ELSE 0 END)::DOUBLE
                        / count(*) AS presence_ratio
             FROM j GROUP BY doc_id""",
+        "value_k_regression": """
+            WITH rows_ AS (
+              SELECT event_type,
+                     CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                                 '') AS BIGINT) AS x,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            comp AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+              FROM rows_ WHERE x IS NOT NULL GROUP BY 1)
+            SELECT event_type, n,
+                   (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / (n::DOUBLE * sxx - sx::DOUBLE * sx) AS slope,
+                   (sy::DOUBLE
+                    - ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                       / (n::DOUBLE * sxx - sx::DOUBLE * sx))
+                      * sx::DOUBLE) / n::DOUBLE AS intercept
+            FROM comp""",
+        "cosine_dups": """
+            WITH tok AS (
+              SELECT doc_id, i, toks[i] AS t
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+            sh AS (SELECT a.doc_id,
+                          a.t || ' ' || b.t || ' ' || c.t AS t
+                   FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                              JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+            tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf
+                   FROM sh GROUP BY 1, 2),
+            nrm AS (SELECT doc_id, sum(tf*tf)::BIGINT AS n2
+                    FROM tf GROUP BY 1),
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            sum(a.tf * b.tf)::BIGINT AS dot
+                     FROM tf a JOIN tf b
+                       ON a.t = b.t AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT doc_a, doc_b, dot, x.n2 AS n2_a, y.n2 AS n2_b,
+                   dot::DOUBLE / (sqrt(x.n2::DOUBLE) * sqrt(y.n2::DOUBLE))
+                     AS cosine
+            FROM dots JOIN nrm x ON x.doc_id = doc_a
+                      JOIN nrm y ON y.doc_id = doc_b
+            WHERE dot::HUGEINT * dot * 25 >= 16 * x.n2::HUGEINT * y.n2""",
     }

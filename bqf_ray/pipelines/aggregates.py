@@ -875,23 +875,13 @@ def iqr_outliers(ds, key_col: str, value_col: str, id_col: str,
         .map_batches(Flag, batch_format="pyarrow", concurrency=2)
 
 
-def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,
-                        x_scale: int = 100, y_scale: int = 1):
-    """Per-group Pearson correlation with DETERMINISTIC floats: the six
-    component sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate as exact
-    integers in scaled units (the engine's integer-cents trick), so the
-    one float expression at the end —
-    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))`` — sees
-    identical inputs on any engine and IEEE ops (·, −, /, √) make it
-    bit-exact against the SQL oracle (unlike SQL's own ``corr()``,
-    whose incremental accumulation is order-dependent).
-
-    Scale invariance of Pearson r means the x/y scaling cancels.  Rows
-    with a null/NaN on either side are excluded.  One pre-aggregated
-    shuffle of 6 integers per (batch, group).
-    """
-    import pyarrow.compute as pc
-
+def _xy_component_sums(ds, key_col: str, x_col: str, y_col: str,
+                       x_scale: int, y_scale: int):
+    """Shared kernel of :func:`grouped_correlation` /
+    :func:`grouped_regression`: per-key EXACT integer component sums
+    ``(n, Σx, Σy, Σx², Σy², Σxy)`` in scaled units (the integer-cents
+    rule ``floor(v·scale + 0.5)``), pre-aggregated per batch before ONE
+    key shuffle.  Null/NaN on either side excludes the row."""
     from ray.data.aggregate import Sum
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -926,10 +916,29 @@ def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,
         return agg.rename_columns([key_col, "pn", "psx", "psy", "psxx",
                                    "psyy", "psxy"])
 
-    summed = (ds.map_batches(pre, batch_format="pyarrow")
-              .groupby(key_col)
-              .aggregate(*[Sum(c, alias_name=c) for c in
-                           ("pn", "psx", "psy", "psxx", "psyy", "psxy")]))
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in
+                         ("pn", "psx", "psy", "psxx", "psyy", "psxy")]))
+
+
+def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,
+                        x_scale: int = 100, y_scale: int = 1):
+    """Per-group Pearson correlation with DETERMINISTIC floats: the six
+    component sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate as exact
+    integers in scaled units (the engine's integer-cents trick), so the
+    one float expression at the end —
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))`` — sees
+    identical inputs on any engine and IEEE ops (·, −, /, √) make it
+    bit-exact against the SQL oracle (unlike SQL's own ``corr()``,
+    whose incremental accumulation is order-dependent).
+
+    Scale invariance of Pearson r means the x/y scaling cancels.  Rows
+    with a null/NaN on either side are excluded.  One pre-aggregated
+    shuffle of 6 integers per (batch, group).
+    """
+    summed = _xy_component_sums(ds, key_col, x_col, y_col,
+                                x_scale, y_scale)
 
     def finish(batch: pa.Table) -> pa.Table:
         n = np.asarray(batch.column("pn"), dtype=np.float64)
@@ -943,6 +952,45 @@ def grouped_correlation(ds, key_col: str, x_col: str, y_col: str,
         return pa.table({key_col: batch.column(key_col),
                          "n": pa.array(n.astype(np.int64)),
                          "corr": pa.array(corr)})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_regression(ds, key_col: str, x_col: str, y_col: str,
+                       x_scale: int = 1, y_scale: int = 100):
+    """Per-group simple linear regression (OLS slope + intercept) with
+    DETERMINISTIC floats: the same six exact integer component sums as
+    :func:`grouped_correlation` feed the two closed-form IEEE
+    expressions ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)`` and
+    ``intercept = (Σy − slope·Σx) / n`` — identical integer inputs +
+    identical op order on any engine ⇒ bit-exact vs the SQL oracle
+    (unlike SQL's own ``regr_slope``, whose incremental accumulation
+    is order-dependent).
+
+    slope/intercept come out in SCALED units (slope in
+    y_scale/x_scale·units, intercept in y_scale·units); callers and
+    the oracle share the quantization, so parity is in the scaled
+    space.  Groups with zero x-variance emit NaN slope/intercept.
+    One pre-aggregated shuffle of 6 integers per (batch, group).
+    """
+    summed = _xy_component_sums(ds, key_col, x_col, y_col,
+                                x_scale, y_scale)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("pn"), dtype=np.float64)
+        sx = np.asarray(batch.column("psx"), dtype=np.float64)
+        sy = np.asarray(batch.column("psy"), dtype=np.float64)
+        sxx = np.asarray(batch.column("psxx"), dtype=np.float64)
+        sxy = np.asarray(batch.column("psxy"), dtype=np.float64)
+        denom = n * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(denom != 0, (n * sxy - sx * sy) / denom,
+                             np.nan)
+            intercept = (sy - slope * sx) / n
+        return pa.table({key_col: batch.column(key_col),
+                         "n": batch.column("pn"),
+                         "slope": pa.array(slope),
+                         "intercept": pa.array(intercept)})
 
     return summed.map_batches(finish, batch_format="pyarrow")
 

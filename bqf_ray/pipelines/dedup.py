@@ -1785,3 +1785,171 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
             .map_groups(pair_bucket, batch_format="pyarrow")
             .groupby("__pb")
             .map_groups(sum_finish, batch_format="pyarrow"))
+
+
+def cosine_tf_pairs(ds, threshold: float = 0.8, text_col: str = "text",
+                    id_col: str = "doc_id", s: int = 1,
+                    df_cap: int | None = None,
+                    num_buckets: int = 64, seed: int = 0):
+    """EXACT cosine-similarity join over integer term-frequency
+    vectors: unordered pairs ``(doc_a < doc_b)`` with
+    ``cos(a, b) = Σ tf_a·tf_b / (‖a‖·‖b‖) ≥ threshold`` — the
+    bag-of-words near-dup/variant detector (sensitive to REPEATED
+    terms, which the set-based Jaccard/containment family ignores).
+
+    The threshold test is pure INTEGER arithmetic: with ``threshold =
+    num/den`` (taken exactly from the decimal literal) a pair is kept
+    iff ``dot²·den² ≥ num²·n2_a·n2_b`` where ``dot`` and the squared
+    norms ``n2`` are exact int64 sums — no float comparisons anywhere,
+    so results are bit-stable under any partitioning and replayable in
+    SQL.  The emitted ``cosine`` divides the same exact integers with
+    one shared IEEE expression (``dot / (√n2_a · √n2_b)``).
+
+    Plan (same shape as :func:`containment_pairs`): per-batch (doc,
+    token-hash, tf) rows with the doc's full ``n2`` riding; ONE token
+    exchange; in-bucket df-class-vectorized pair expansion contributing
+    ``tf_lo·tf_hi`` partials, pre-summed per pair; ONE pair-hash
+    exchange; exact in-bucket combine + integer threshold.  EXACT by
+    default — candidate volume is Σ_token df², so pass ``df_cap`` to
+    drop tokens above a document frequency (capped tokens leave the
+    DOT PRODUCT only; norms keep the full vector, so capped cosine is
+    a conservative LOWER bound).  MinHash-LSH is the production path
+    for corpora where even capped expansion is too wide.
+
+    ``s`` > 1 builds the vectors over ``s``-token SHINGLE counts
+    instead of unigram counts — for corpora whose raw token vocabulary
+    is tiny/dense (every doc shares every token, so unigram df² blows
+    up), shingle space restores selectivity while keeping the cosine
+    exact in that space.  Terms are 64-bit hashes (collision odds
+    ~n_vocab²/2^64 — the same trade every shingle pipeline here
+    makes).  The integer filter runs in int64 when ``dot`` and the
+    norm products provably fit, else falls back to exact
+    arbitrary-precision (object) arithmetic.
+    """
+    from fractions import Fraction
+
+    from bqf_ray.functions.tokenize import shingle_hashes, token_hashes
+
+    frac = Fraction(str(threshold))
+    TN, TD = frac.numerator, frac.denominator
+    B = int(num_buckets)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        empty = pa.table({"doc_id": z, "token": z, "tf": z, "n2": z,
+                          "__bucket": z})
+        th, offs = token_hashes(batch.column(text_col), seed=seed)
+        if s > 1:
+            th, offs = shingle_hashes(th, offs, s)
+        if len(th) == 0:
+            return empty
+        doc_ids = np.asarray(batch.column(id_col))
+        did = np.repeat(doc_ids, np.diff(offs))
+        order = np.lexsort((th, did))
+        did_s, th_s = did[order], th[order]
+        new = np.concatenate([[True], (did_s[1:] != did_s[:-1])
+                              | (th_s[1:] != th_s[:-1])])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.concatenate([starts, [len(th_s)]])
+                     ).astype(np.int64)
+        did_u, th_u = did_s[starts], th_s[starts]
+        # per-doc ‖v‖² broadcast back over the doc's run (did_u is
+        # non-decreasing after the lexsort)
+        doc_new = np.concatenate([[True], did_u[1:] != did_u[:-1]])
+        dstarts = np.flatnonzero(doc_new)
+        n2_doc = np.add.reduceat(tf * tf, dstarts)
+        counts = np.diff(np.concatenate([dstarts, [len(did_u)]]))
+        n2 = np.repeat(n2_doc, counts)
+        tok = th_u.astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did_u.astype(np.int64)),
+            "token": pa.array(tok),
+            "tf": pa.array(tf),
+            "n2": pa.array(n2),
+            "__bucket": pa.array((tok.view(np.uint64)
+                                  % np.uint64(B)).astype(np.int64)),
+        })
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        empty = pa.table({"lo": z, "hi": z, "n2_lo": z, "n2_hi": z,
+                          "partial": z, "__pb": z})
+        tok = np.asarray(group.column("token"), dtype=np.int64)
+        did = np.asarray(group.column("doc_id"), dtype=np.int64)
+        tf = np.asarray(group.column("tf"), dtype=np.int64)
+        n2 = np.asarray(group.column("n2"), dtype=np.int64)
+        order = np.lexsort((did, tok))
+        tok_s, did_s = tok[order], did[order]
+        tf_s, n2_s = tf[order], n2[order]
+        new = np.concatenate([[True], tok_s[1:] != tok_s[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(tok_s)]]))
+        keep_run = (lens <= df_cap) if df_cap is not None else lens > 0
+        out_lo, out_hi, out_nlo, out_nhi, out_p = [], [], [], [], []
+        # df-class vectorized expansion (see containment_pairs): docs
+        # within a token run are strictly ascending, so triu emits each
+        # UNORDERED pair once; the partial is tf_lo·tf_hi
+        for L in np.unique(lens[keep_run & (lens > 1)]):
+            sel = starts[(lens == L) & keep_run]
+            if len(sel) == 0:
+                continue
+            idx = sel[:, None] + np.arange(L)[None, :]
+            docs, tfs, n2s = did_s[idx], tf_s[idx], n2_s[idx]
+            ii, jj = np.triu_indices(L, 1)
+            out_lo.append(docs[:, ii].reshape(-1))
+            out_hi.append(docs[:, jj].reshape(-1))
+            out_nlo.append(n2s[:, ii].reshape(-1))
+            out_nhi.append(n2s[:, jj].reshape(-1))
+            out_p.append((tfs[:, ii] * tfs[:, jj]).reshape(-1))
+        if not out_lo:
+            return empty
+        t = pa.table({"lo": pa.array(np.concatenate(out_lo)),
+                      "hi": pa.array(np.concatenate(out_hi)),
+                      "n2_lo": pa.array(np.concatenate(out_nlo)),
+                      "n2_hi": pa.array(np.concatenate(out_nhi)),
+                      "partial": pa.array(np.concatenate(out_p))})
+        t = (t.group_by(["lo", "hi", "n2_lo", "n2_hi"])
+             .aggregate([("partial", "sum")])
+             .rename_columns(["lo", "hi", "n2_lo", "n2_hi", "partial"]))
+        lo_u = np.asarray(t.column("lo")).view(np.uint64)
+        hi_u = np.asarray(t.column("hi")).view(np.uint64)
+        mix = (lo_u * np.uint64(0x9E3779B97F4A7C15)
+               ^ hi_u * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column(
+            "__pb", pa.array(((mix >> np.uint64(32))
+                              % np.uint64(B)).astype(np.int64)))
+
+    def sum_finish(group: pa.Table) -> pa.Table:
+        g = (group.group_by(["lo", "hi", "n2_lo", "n2_hi"])
+             .aggregate([("partial", "sum")]))
+        dot = np.asarray(g.column("partial_sum"), dtype=np.int64)
+        n2a = np.asarray(g.column("n2_lo"), dtype=np.int64)
+        n2b = np.asarray(g.column("n2_hi"), dtype=np.int64)
+        if len(dot) == 0:
+            keep = np.zeros(0, dtype=bool)
+        elif (int(dot.max()) <= 3_000_000_000 // max(TD, 1)
+              and int(max(n2a.max(), n2b.max()))
+              <= 3_000_000_000 // max(TN, 1)):
+            keep = dot * dot * (TD * TD) >= (TN * TN) * n2a * n2b
+        else:                           # exact big-int fallback
+            keep = np.asarray(
+                dot.astype(object) ** 2 * (TD * TD)
+                >= (TN * TN) * n2a.astype(object) * n2b.astype(object)
+            ).astype(bool)
+        g = g.filter(pa.array(keep))
+        dot = np.asarray(g.column("partial_sum"), dtype=np.int64)
+        n2a = np.asarray(g.column("n2_lo"), dtype=np.float64)
+        n2b = np.asarray(g.column("n2_hi"), dtype=np.float64)
+        cos = dot.astype(np.float64) / (np.sqrt(n2a) * np.sqrt(n2b))
+        return pa.table({"doc_a": g.column("lo"),
+                         "doc_b": g.column("hi"),
+                         "dot": g.column("partial_sum"),
+                         "n2_a": g.column("n2_lo"),
+                         "n2_b": g.column("n2_hi"),
+                         "cosine": pa.array(cos)})
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(pair_bucket, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(sum_finish, batch_format="pyarrow"))

@@ -115,3 +115,87 @@ def test_containment_df_cap_lower_bound(ray_session):
         assert v <= exact[k] + 1e-12
     # the hot base is capped away: pairs across different mids vanish
     assert (0, 2) not in capped.index and (0, 2) in exact.index
+
+
+def _brute_cosine_pairs(texts, threshold):
+    """Exact float-free reference: Counter tf vectors + Python-int test."""
+    from collections import Counter
+    from fractions import Fraction
+    fr = Fraction(str(threshold))
+    tn, td = fr.numerator, fr.denominator
+    tfs = [Counter(t.split()) for t in texts]
+    n2 = [sum(v * v for v in c.values()) for c in tfs]
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            dot = sum(v * tfs[b][k] for k, v in tfs[a].items())
+            if dot and dot * dot * td * td >= tn * tn * n2[a] * n2[b]:
+                out[(a, b)] = (dot, n2[a], n2[b])
+    return out
+
+
+def test_cosine_tf_pairs_matches_brute(ray_session):
+    """Pairs + exact integer components match a Counter reference;
+    partitioning-invariant; repeated terms matter (tf, not set)."""
+    import ray
+    from bqf_ray.pipelines.dedup import cosine_tf_pairs
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(40):
+        k = rng.integers(5, 40)
+        texts.append(" ".join(rng.choice(vocab, k)))
+    texts.append(texts[0])                       # exact dup: cosine 1
+    texts.append(texts[1] + " " + texts[1])      # doubled tfs: cosine 1
+    want = _brute_cosine_pairs(texts, 0.8)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = cosine_tf_pairs(ds, threshold=0.8).to_pandas()
+        pairs = {(a, b): (d, na, nb) for a, b, d, na, nb in
+                 zip(got["doc_a"], got["doc_b"], got["dot"],
+                     got["n2_a"], got["n2_b"])}
+        assert pairs == want
+    assert (0, 40) in want                       # the planted dup
+    assert (1, 41) in want                       # tf-doubled dup
+
+
+def test_cosine_tf_pairs_bigint_fallback(ray_session):
+    """A tf large enough to overflow the int64 filter envelope routes
+    through the exact big-int path and still matches the reference."""
+    import ray
+    from bqf_ray.pipelines.dedup import cosine_tf_pairs
+    texts = ["hot " * 70000 + "x", "hot " * 69999 + "y", "cold only"]
+    want = _brute_cosine_pairs(texts, 0.8)
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts)})
+    got = cosine_tf_pairs(ray.data.from_arrow(t),
+                          threshold=0.8).to_pandas()
+    pairs = {(a, b): (d, na, nb) for a, b, d, na, nb in
+             zip(got["doc_a"], got["doc_b"], got["dot"],
+                 got["n2_a"], got["n2_b"])}
+    assert pairs == want and (0, 1) in pairs
+
+
+def test_cosine_tf_pairs_df_cap_lower_bound(ray_session):
+    """df_cap drops a stop token from the dot product only — capped
+    cosine is a conservative lower bound of the exact one."""
+    import ray
+    from bqf_ray.pipelines.dedup import cosine_tf_pairs
+    texts = [f"the doc{i} unique{i} the the" for i in range(6)]
+    texts += ["near dup pair one", "near dup pair two"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    exact = cosine_tf_pairs(ds, threshold=0.1).to_pandas()
+    capped = cosine_tf_pairs(ds, threshold=0.1, df_cap=4).to_pandas()
+    ek = {(a, b): c for a, b, c in
+          zip(exact["doc_a"], exact["doc_b"], exact["cosine"])}
+    ck = {(a, b): c for a, b, c in
+          zip(capped["doc_a"], capped["doc_b"], capped["cosine"])}
+    assert ck                                    # df=2 pair survives
+    for k, v in ck.items():
+        assert v <= ek[k] + 1e-12
+    # 'the'-only overlaps vanish under the cap
+    assert any(k not in ck for k in ek)

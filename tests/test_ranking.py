@@ -222,6 +222,45 @@ def test_grouped_correlation(ray_session):
     assert abs(got.loc["none", "corr"]) < 0.1
 
 
+def test_grouped_regression(ray_session):
+    """Slope/intercept equal the closed-form IEEE expressions over the
+    exact integer components; planted y = 2x + 5 recovered; zero
+    x-variance group emits NaN; partitioning-invariant."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_regression
+    rng = np.random.default_rng(31)
+    n = 4000
+    keys = rng.choice(["lin", "flat"], n)
+    x = rng.integers(0, 50, n).astype(np.float64)
+    x[keys == "flat"] = 7.0             # zero variance group
+    y = np.round(2 * x + 5 + rng.normal(0, 0.2, n), 2)
+    t = pa.table({"k": pa.array(keys), "x": pa.array(x),
+                  "y": pa.array(y)})
+    outs = []
+    for parts in (3, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(grouped_regression(ds, "k", "x", "y",
+                                       x_scale=1, y_scale=100)
+                    .to_pandas().set_index("k").sort_index())
+    assert outs[0].equals(outs[1])      # bit-identical across layouts
+    got = outs[0]
+    m = keys == "lin"
+    xi = np.floor(x[m] + 0.5).astype(np.int64)
+    yi = np.floor(y[m] * 100 + 0.5).astype(np.int64)
+    nn = float(len(xi))
+    num = nn * float((xi * yi).sum()) - float(xi.sum()) * float(yi.sum())
+    den = nn * float((xi * xi).sum()) - float(xi.sum()) ** 2
+    slope = num / den
+    assert got.loc["lin", "slope"] == slope
+    assert got.loc["lin", "intercept"] == \
+        (float(yi.sum()) - slope * float(xi.sum())) / nn
+    # cents scale: slope ≈ 200, intercept ≈ 500
+    assert abs(got.loc["lin", "slope"] - 200.0) < 2.0
+    assert abs(got.loc["lin", "intercept"] - 500.0) < 50.0
+    assert np.isnan(got.loc["flat", "slope"])
+    assert np.isnan(got.loc["flat", "intercept"])
+
+
 def test_grouped_top_n_matches_pandas(ray_session):
     """grouped_top_n == pandas groupby-head reference under skew (one
     hot key = 60% of rows), ties (few distinct values), nulls in key
