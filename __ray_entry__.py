@@ -2409,6 +2409,52 @@ def w_cosine_dups(sf_dir):
     return cosine_tf_pairs(docs, threshold=0.8, s=3)
 
 
+def w_unpivot_lineitem(sf_dir):
+    """UNPIVOT: lineitem's four money/quantity columns melted to long
+    (orderkey, linenumber, metric, value) form — stateless zero-shuffle
+    slab assembly; ``relational.unpivot``."""
+    import ray
+
+    from bqf_ray.pipelines.relational import unpivot
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"])
+
+
+def w_first_last_event(sf_dir):
+    """FIRST_VALUE / NTH_VALUE(2) / LAST_VALUE per user over the full
+    (ts, event_id)-ordered partition — an argmin/argmax aggregate
+    riding ≤3-rows-per-(block, key) partials through ONE bucketed
+    exchange (no full-row shuffle); ``windowed.grouped_first_last``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import grouped_first_last
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+    return grouped_first_last(ev, "user_id", ["ts", "event_id"],
+                              "event_type")
+
+
+def w_pca_embeddings(sf_dir):
+    """Distributed PCA spectral summary over the embeddings table —
+    exact integer covariance components in ONE corpus pass, d×d eigh
+    on the driver; bound-flag oracle: the trace divides exact
+    integers (SQL-recomputable) and eig_sum_ok/psd_ok assert trace
+    conservation + PSD-ness of the spectrum;
+    ``embeddings.pca_summary``."""
+    import ray
+
+    from bqf_ray.pipelines.embeddings import pca_summary
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+    return pca_summary(emb)
+
+
 def w_value_k_regression(sf_dir):
     """Per-group OLS slope/intercept of events.value (cents) on the
     JSON props field k — the same six exact integer component sums as
@@ -2722,6 +2768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample_by_source": w_priority_sample_by_source,
         "value_k_regression": w_value_k_regression,
         "cosine_dups": w_cosine_dups,
+        "pca_embeddings": w_pca_embeddings,
+        "first_last_event": w_first_last_event,
+        "unpivot_lineitem": w_unpivot_lineitem,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4479,6 +4528,47 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ab > 0 THEN 1 ELSE 0 END)::DOUBLE
                        / count(*) AS presence_ratio
             FROM j GROUP BY doc_id""",
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity::DOUBLE AS value
+            FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice::DOUBLE
+            FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount::DOUBLE FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber,
+                   'l_tax', l_tax::DOUBLE FROM lineitem""",
+        "first_last_event": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS cnt
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, max(cnt)::BIGINT AS n,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_val,
+                   max(CASE WHEN rn = 2 THEN event_type END) AS second_val,
+                   max(CASE WHEN rn = cnt THEN event_type END) AS last_val
+            FROM w GROUP BY user_id""",
+        "pca_embeddings": """
+            WITH x AS (SELECT vec_id,
+                              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                         * 1000 + 0.5) AS BIGINT) AS q,
+                              generate_subscripts(embedding, 1)::BIGINT
+                                  - 1 AS i
+                       FROM embeddings),
+            comp AS (SELECT i, sum(q*q)::BIGINT AS sii,
+                            sum(q)::BIGINT AS si, count(*)::BIGINT AS n
+                     FROM x GROUP BY i),
+            agg AS (SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS d,
+                           sum(n*sii - si*si)::BIGINT AS tr_num
+                    FROM comp)
+            SELECT n, d,
+                   tr_num::DOUBLE / (n*n*1000000)::DOUBLE AS trace,
+                   TRUE AS eig_sum_ok, TRUE AS psd_ok
+            FROM agg""",
         "value_k_regression": """
             WITH rows_ AS (
               SELECT event_type,

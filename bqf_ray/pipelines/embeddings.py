@@ -179,3 +179,112 @@ def embedding_dim_quantiles(ds, vec_col: str = "embedding",
     return grouped_exact_quantiles(
         ds.map_batches(explode, batch_format="pyarrow"), "dim", "x",
         qs=qs, num_buckets=num_buckets)
+
+
+def pca_fit(ds, vec_col: str = "embedding", scale: int = 1000,
+            num_buckets: int = 32):
+    """Distributed PCA fit: ONE corpus pass computes the exact integer
+    covariance components (:func:`embedding_covariance` — per-batch
+    int64 ``qᵀq`` matmul partials, order-independent ⇒ bit-identical
+    under any partitioning), the d×d eigendecomposition then runs on
+    the driver (d is tens–thousands; the 100-TB-sized work is the
+    corpus pass, never this d×d step).
+
+    Returns ``(eigvals, components, mean, n)`` with eigenvalues
+    DESCENDING, ``components[k]`` the k-th eigenvector (rows), and
+    ``mean`` the float column means — all derived from the same exact
+    integers on every run, so the spectrum is deterministic up to
+    LAPACK (one driver call, one platform).
+    """
+    comp = embedding_covariance(ds, vec_col=vec_col, scale=scale,
+                                num_buckets=num_buckets).to_pandas()
+    return _pca_from_components(comp, scale)
+
+
+def _pca_from_components(comp, scale: int):
+    nrow = comp[(comp.i == -1) & (comp.j == -1)]
+    n = int(nrow.s.iloc[0])
+    marg = comp[(comp.i >= 0) & (comp.j == -1)].sort_values("i")
+    d = len(marg)
+    si = marg.s.to_numpy(dtype=np.int64)
+    S = np.zeros((d, d), dtype=np.float64)
+    up = comp[(comp.i >= 0) & (comp.j >= 0)]
+    ii = up.i.to_numpy(dtype=np.int64)
+    jj = up.j.to_numpy(dtype=np.int64)
+    ss = up.s.to_numpy(dtype=np.int64)
+    # cov_ij = (n·S_ij − s_i·s_j) / (n²·scale²): assemble the NUMERATOR
+    # exactly in int64 (same envelope as the matmul partials), divide
+    # once — the float matrix is then a deterministic function of the
+    # exact integers
+    num = n * ss - si[ii] * si[jj]
+    denom = float(n) * float(n) * float(scale) * float(scale)
+    S[ii, jj] = num / denom
+    S[jj, ii] = S[ii, jj]
+    eigvals, eigvecs = np.linalg.eigh(S)        # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals = eigvals[order]
+    components = eigvecs[:, order].T
+    mean = si / (float(n) * float(scale))
+    return eigvals, components, mean, n
+
+
+def pca_summary(ds, vec_col: str = "embedding", scale: int = 1000,
+                tol: float = 1e-9, num_buckets: int = 32):
+    """Driver-contract row for :func:`pca_fit` (the bound-flag
+    pattern — eigenvalues themselves are not SQL-recomputable, their
+    conservation laws are): one row ``(n, d, trace, eig_sum_ok,
+    psd_ok)`` where ``trace`` divides the EXACT integer
+    ``Σ_i (n·S_ii − s_i²)`` by the exact ``n²·scale²`` (one IEEE
+    division shared with the SQL replay), ``eig_sum_ok`` asserts
+    ``|Σλ − trace| ≤ tol·max(trace, 1)`` (trace conservation of the
+    eigendecomposition) and ``psd_ok`` asserts ``λ_min ≥
+    −tol·max(trace, 1)`` (covariance PSD-ness).  Returns a 1-row
+    pyarrow table."""
+    comp = embedding_covariance(ds, vec_col=vec_col, scale=scale,
+                                num_buckets=num_buckets).to_pandas()
+    n = int(comp[(comp.i == -1) & (comp.j == -1)].s.iloc[0])
+    marg = comp[(comp.i >= 0) & (comp.j == -1)].sort_values("i")
+    d = len(marg)
+    diag = (comp[(comp.i >= 0) & (comp.i == comp.j)]
+            .sort_values("i").s.to_numpy(dtype=np.int64))
+    si = marg.s.to_numpy(dtype=np.int64)
+    tr_num = int((n * diag - si * si).sum())    # exact int64
+    trace = float(tr_num) / float(n * n * scale * scale)
+    eigvals, _, _, n2 = _pca_from_components(comp, scale)
+    assert n2 == n
+    slack = tol * max(trace, 1.0)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "d": pa.array([d], pa.int64()),
+        "trace": pa.array([trace], pa.float64()),
+        "eig_sum_ok": pa.array([bool(abs(float(eigvals.sum()) - trace)
+                                     <= slack)]),
+        "psd_ok": pa.array([bool(eigvals[-1] >= -slack)]),
+    })
+
+
+def pca_project(ds, components: np.ndarray, mean: np.ndarray,
+                k: int, vec_col: str = "embedding",
+                out_col: str = "pca"):
+    """Project every vector onto the top-``k`` principal components —
+    a stateless vectorized ``map_batches`` stage (one (n, d)×(d, k)
+    matmul per batch; the (k, d) component matrix is kilobytes and
+    ships in the task closure).  Appends ``out_col`` as
+    ``list<float64>``."""
+    W = np.ascontiguousarray(components[:k].T, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        d = len(mu)
+        proj = (flat.reshape(n, d) - mu) @ W
+        offs = np.arange(n + 1, dtype=np.int32) * np.int32(k)
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(proj.reshape(-1)))
+        return batch.append_column(out_col, lst)
+
+    return ds.map_batches(project, batch_format="pyarrow")

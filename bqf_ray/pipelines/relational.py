@@ -794,3 +794,36 @@ def interval_self_join(ds, start_col: str, end_col: str, tie_col: str,
 
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("__tb").map_groups(sweep, batch_format="pyarrow"))
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_col: str = "metric", value_col: str = "value",
+            value_type: pa.DataType | None = None):
+    """UNPIVOT / melt: one output row per (input row, value column) —
+    wide metrics table → long ``(ids..., metric, value)`` form.  A
+    stateless zero-shuffle ``map_batches`` stage: per batch, each value
+    column becomes one contiguous slab (id columns ride via zero-copy
+    reference, the metric name is a run-length constant), slabs concat
+    per batch — no row interleaving, no Python loop over rows.
+
+    All value columns cast to ``value_type`` (default float64); a cast
+    that would lose data raises rather than silently truncating.
+    """
+    import pyarrow.compute as pc
+
+    vt = value_type or pa.float64()
+
+    def melt(batch: pa.Table) -> pa.Table:
+        slabs = []
+        ids = batch.select(id_cols)
+        for vc in value_cols:
+            slab = ids.append_column(
+                var_col, pa.array([vc] * batch.num_rows, pa.string()))
+            slab = slab.append_column(
+                value_col, pc.cast(batch.column(vc), vt))
+            slabs.append(slab)
+        return pa.concat_tables(slabs) if slabs else \
+            ids.append_column(var_col, pa.array([], pa.string())) \
+               .append_column(value_col, pa.array([], vt))
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -1096,3 +1096,109 @@ def activity_islands(ds, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(islands,
                                             batch_format="pyarrow"))
+
+
+def grouped_first_last(ds, key_col: str, order_cols: list[str],
+                       val_col: str, num_buckets: int = 32):
+    """``FIRST_VALUE`` / ``NTH_VALUE(2)`` / ``LAST_VALUE`` of
+    ``val_col`` per key over the whole partition ordered by
+    ``order_cols`` (which must be unique per key — the SQL determinism
+    requirement), plus the partition row count ``n``.
+
+    This is an ARGMIN/ARGMAX-style aggregate, so it rides per-block
+    partials instead of shuffling every row (contrast
+    :func:`grouped_row_numbers`, which must rank all rows): each block
+    keeps ≤3 rows per key — the 2 order-smallest and the
+    order-largest; any global extreme is a block extreme — with the
+    block's per-key row count riding on the first kept row.  ONE
+    key-hash-bucketed exchange of those partials feeds an exact
+    in-bucket selection.  Rows with a NULL key or a NULL in any order
+    column are excluded.
+
+    Output: ``(key, n, first_val, second_val, last_val)`` with
+    ``second_val`` NULL for single-row keys.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import _col_hash64
+
+    NB = int(num_buckets)
+
+    def _sorted(tbl: pa.Table):
+        """(sorted table, run starts, run lens) by key then order."""
+        arrs = []
+        for c in reversed(order_cols):
+            a = tbl.column(c)
+            if pa.types.is_timestamp(a.type):
+                arrs.append(np.asarray(a).astype("datetime64[us]")
+                            .astype(np.int64))
+            else:
+                arrs.append(np.asarray(a))
+        k = tbl.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = np.asarray(k.dictionary_encode().indices)
+        order = np.lexsort((*arrs, codes))
+        st = tbl.take(pa.array(order))
+        ks = codes[order]
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(ks)]]))
+        return st, starts, lens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch.column(key_col))
+        for c in order_cols:
+            mask = pc.and_(mask, pc.is_valid(batch.column(c)))
+        batch = batch.select([key_col, *order_cols, val_col]).filter(mask)
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "__pc", pa.array([], pa.int64())).append_column(
+                "__bucket", pa.array([], pa.int64()))
+        st, starts, lens = _sorted(batch)
+        n = st.num_rows
+        cnt = np.zeros(n, dtype=np.int64)
+        cnt[starts] = lens
+        sel = np.unique(np.concatenate([
+            starts,
+            (starts + 1)[lens >= 2],
+            (starts + lens - 1)[lens >= 2]]))
+        out = st.take(pa.array(sel)).append_column(
+            "__pc", pa.array(cnt[sel]))
+        h = _col_hash64(out.column(key_col))
+        return out.append_column(
+            "__bucket", pa.array((h % np.uint64(NB)).astype(np.int64)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            kt = group.schema.field(key_col).type
+            vt = group.schema.field(val_col).type
+            return pa.table({key_col: pa.array([], kt),
+                             "n": pa.array([], pa.int64()),
+                             "first_val": pa.array([], vt),
+                             "second_val": pa.array([], vt),
+                             "last_val": pa.array([], vt)})
+        st, starts, lens = _sorted(group)
+        vals = st.column(val_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        pcnt = np.asarray(st.column("__pc"), dtype=np.int64)
+        n = np.add.reduceat(pcnt, starts)
+        first = vals.take(pa.array(starts))
+        last = vals.take(pa.array(starts + lens - 1))
+        has2 = lens >= 2
+        sec = vals.take(pa.array(np.where(has2, starts + 1, starts)))
+        sec = pc.if_else(pa.array(has2), sec,
+                         pa.scalar(None, vals.type))
+        keys = st.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({key_col: keys.take(pa.array(starts)),
+                         "n": pa.array(n),
+                         "first_val": first,
+                         "second_val": sec,
+                         "last_val": last})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(finish, batch_format="pyarrow"))

@@ -377,3 +377,20 @@ def test_merge_changes_rejects_null_keys(ray_session):
         "op": pa.array([], pa.string()), "val": pa.array([], pa.int64())}))
     with pytest.raises(Exception, match="null keys"):
         merge_changes(base, chg, "k", "seq", "op", ["val"]).take_all()
+
+
+def test_unpivot(ray_session):
+    """Melt matches the UNION ALL reference: row multiplicity, metric
+    labels, null passthrough, int→float cast."""
+    import ray
+    from bqf_ray.pipelines.relational import unpivot
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "a": pa.array([1.5, None, 3.0]),
+                  "b": pa.array([10, 20, 30], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = (unpivot(ds, ["k"], ["a", "b"]).to_pandas()
+           .sort_values(["metric", "k"]).reset_index(drop=True))
+    assert len(got) == 6
+    assert got[got.metric == "b"]["value"].tolist() == [10.0, 20.0, 30.0]
+    av = got[got.metric == "a"]["value"]
+    assert av.iloc[0] == 1.5 and np.isnan(av.iloc[1]) and av.iloc[2] == 3.0

@@ -218,3 +218,52 @@ def test_grouped_string_agg(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert got["agg"].tolist() == ["a,b", "y,x"]
     assert got["n"].tolist() == [2, 2]
+
+
+def test_grouped_first_last(ray_session):
+    """first/second/last per key match a pandas window reference;
+    single-row keys get NULL second; null keys / null order rows
+    excluded; partial path never ships full groups."""
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.windowed import grouped_first_last
+    rng = np.random.default_rng(17)
+    n = 6000
+    key = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.permutation(n).astype("datetime64[us]")
+    eid = np.arange(n, dtype=np.int64)
+    val = np.array([f"v{x}" for x in rng.integers(0, 9, n)], dtype=object)
+    t = pa.table({"user_id": pa.array(key), "ts": pa.array(ts),
+                  "event_id": pa.array(eid),
+                  "event_type": pa.array(list(val), pa.string())})
+    # splice in a single-row key, a null key, a null ts
+    extra = pa.table({"user_id": pa.array([999, None, 5], pa.int64()),
+                      "ts": pa.array([np.datetime64("2025-01-01", "us"),
+                                      np.datetime64("2025-01-01", "us"),
+                                      None]),
+                      "event_id": pa.array([n, n + 1, n + 2], pa.int64()),
+                      "event_type": pa.array(["solo", "ghost", "late"])})
+    t = pa.concat_tables([t, extra])
+    outs = []
+    for parts in (1, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(grouped_first_last(ds, "user_id",
+                                       ["ts", "event_id"], "event_type")
+                    .to_pandas().sort_values("user_id")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    got = outs[0].set_index("user_id")
+    df = t.to_pandas().dropna(subset=["user_id", "ts"])
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    for k, g in df.groupby("user_id"):
+        row = got.loc[int(k)]
+        assert row["n"] == len(g)
+        assert row["first_val"] == g["event_type"].iloc[0]
+        assert row["last_val"] == g["event_type"].iloc[-1]
+        want2 = g["event_type"].iloc[1] if len(g) >= 2 else None
+        got2 = row["second_val"]
+        assert (got2 is None or got2 != got2) if want2 is None \
+            else got2 == want2
+    assert got.loc[999, "n"] == 1
+    assert pd.isna(got.loc[999, "second_val"])
+    assert None not in got.index                 # null key excluded
