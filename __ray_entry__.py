@@ -2409,6 +2409,53 @@ def w_cosine_dups(sf_dir):
     return cosine_tf_pairs(docs, threshold=0.8, s=3)
 
 
+def w_new_users_daily(sf_dir):
+    """Cumulative-adoption curve: first-seen day per user → daily new
+    users + running total; key-count-decreasing stages (corpus-sized
+    min-ts exchange, then day-cardinality tables);
+    ``windowed.new_keys_daily``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import new_keys_daily
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return new_keys_daily(ev)
+
+
+def w_survivor_events(sf_dir):
+    """Golden-record survivorship: per user, the LAST NON-NULL value
+    of each field by event_id (per-COLUMN last-writer-wins — rows
+    carry disjoint fields after a deterministic knockout, the MDM
+    contact-merge shape); one-row-per-(block, key) partials, ONE
+    exchange; ``relational.survivorship``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.relational import survivorship
+
+    def knockout(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        m3 = pa.array(eid % 3 == 0)
+        m5 = pa.array(eid % 5 == 0)
+        batch = batch.set_column(
+            batch.schema.get_field_index("value"), "value",
+            pc.if_else(m3, pa.scalar(None, pa.float64()),
+                       batch.column("value")))
+        return batch.set_column(
+            batch.schema.get_field_index("event_type"), "event_type",
+            pc.if_else(m5, pa.scalar(None, pa.string()),
+                       batch.column("event_type")))
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "event_id", "value",
+                                         "event_type"])
+          .map_batches(knockout, batch_format="pyarrow"))
+    return survivorship(ev, "user_id", "event_id",
+                        ["value", "event_type"])
+
+
 def w_unpivot_lineitem(sf_dir):
     """UNPIVOT: lineitem's four money/quantity columns melted to long
     (orderkey, linenumber, metric, value) form — stateless zero-shuffle
@@ -2771,6 +2818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": w_pca_embeddings,
         "first_last_event": w_first_last_event,
         "unpivot_lineitem": w_unpivot_lineitem,
+        "survivor_events": w_survivor_events,
+        "new_users_daily": w_new_users_daily,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4528,6 +4577,41 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ab > 0 THEN 1 ELSE 0 END)::DOUBLE
                        / count(*) AS presence_ratio
             FROM j GROUP BY doc_id""",
+        "new_users_daily": """
+            WITH f AS (SELECT user_id, min(ts) AS first_ts
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       GROUP BY 1),
+            d AS (SELECT date_trunc('day', first_ts) AS day,
+                         count(*)::BIGINT AS new_keys
+                  FROM f GROUP BY 1)
+            SELECT day, new_keys,
+                   (sum(new_keys) OVER (ORDER BY day))::BIGINT AS cum_keys
+            FROM d""",
+        "survivor_events": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_id % 3 = 0 THEN NULL
+                          ELSE value END AS value,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          ELSE event_type END AS event_type
+              FROM events WHERE user_id IS NOT NULL),
+            v AS (SELECT user_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY event_id DESC) AS rn
+                  FROM e WHERE value IS NOT NULL),
+            t AS (SELECT user_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY event_id DESC) AS rn
+                  FROM e WHERE event_type IS NOT NULL),
+            k AS (SELECT DISTINCT user_id FROM e)
+            SELECT k.user_id, v.value AS value,
+                   t.event_type AS event_type
+            FROM k
+            LEFT JOIN (SELECT user_id, value FROM v WHERE rn = 1) v
+              USING (user_id)
+            LEFT JOIN (SELECT user_id, event_type FROM t WHERE rn = 1) t
+              USING (user_id)""",
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    'l_quantity' AS metric, l_quantity::DOUBLE AS value

@@ -827,3 +827,100 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
                .append_column(value_col, pa.array([], vt))
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def survivorship(ds, key_col: str, order_col: str, cols: list[str],
+                 num_buckets: int = 32):
+    """MDM golden-record survivorship: for each key, the LAST NON-NULL
+    value of EVERY column by ``order_col`` — last-writer-wins per
+    COLUMN, not per row (:func:`merge_changes` resolves whole rows;
+    here each change row may contribute a different subset of fields,
+    the classic contact-record merge).
+
+    Per-block partial: ONE row per (block, key) carrying, per column,
+    the block's last non-null value and its order stamp; ONE
+    key-hash-bucketed exchange; the identical reduction merges
+    partials (the op is an associative per-column argmax over
+    (stamp, value) pairs with null-skipping).  ``order_col`` must be
+    totally ordered per key (unique — SQL determinism); NULL keys are
+    excluded; float NaN counts as a VALUE (only NULL is skipped,
+    matching SQL IGNORE NULLS).  Order stamps equal to INT64_MIN are
+    reserved as the missing sentinel.
+
+    Output: ``(key, <c>_last ...)``, one row per key.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import _col_hash64
+
+    NB = int(num_buckets)
+    MISS = np.iinfo(np.int64).min
+
+    def _ord_int(col) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            return np.asarray(col).astype("datetime64[us]"
+                                          ).astype(np.int64)
+        return np.asarray(pc.fill_null(pc.cast(col, pa.int64()), MISS),
+                          dtype=np.int64)
+
+    def _reduce(tbl: pa.Table, stamps: dict[str, np.ndarray],
+                keep_stamps: bool) -> pa.Table:
+        k = tbl.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = np.asarray(k.dictionary_encode().indices, dtype=np.int64)
+        out: dict[str, pa.Array] = {}
+        sel_keys = None
+        for c in cols:
+            oc = stamps[c]
+            o = np.lexsort((oc, codes))
+            cs = codes[o]
+            new = np.concatenate([[True], cs[1:] != cs[:-1]])
+            starts = np.flatnonzero(new)
+            ends = np.concatenate([starts[1:], [len(cs)]]) - 1
+            sel = o[ends]                     # max-stamp row per key
+            if sel_keys is None:
+                sel_keys = k.take(pa.array(sel))
+            got = pa.array(oc[sel] != MISS)
+            col = tbl.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = pc.if_else(got, col.take(pa.array(sel)),
+                              pa.scalar(None, col.type))
+            out[c] = vals
+            if keep_stamps:
+                out[f"__o_{c}"] = pa.array(oc[sel])
+        t = pa.table({key_col: sel_keys, **out})
+        return t
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(key_col)))
+        cols_all = [key_col, order_col, *cols]
+        batch = batch.select(cols_all)
+        if batch.num_rows == 0:
+            t = batch.select([key_col])
+            for c in cols:
+                t = t.append_column(c, batch.column(c))
+                t = t.append_column(f"__o_{c}", pa.array([], pa.int64()))
+            return t.append_column("__bucket", pa.array([], pa.int64()))
+        base = _ord_int(batch.column(order_col))
+        stamps = {}
+        for c in cols:
+            valid = np.asarray(batch.column(c).is_valid())
+            stamps[c] = np.where(valid, base, MISS)
+        t = _reduce(batch, stamps, keep_stamps=True)
+        h = _col_hash64(t.column(key_col))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(NB)).astype(np.int64)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(
+                ["__bucket"] + [f"__o_{c}" for c in cols])
+        stamps = {c: np.asarray(group.column(f"__o_{c}"), dtype=np.int64)
+                  for c in cols}
+        return _reduce(group, stamps, keep_stamps=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(finish, batch_format="pyarrow"))

@@ -1202,3 +1202,59 @@ def grouped_first_last(ds, key_col: str, order_cols: list[str],
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def new_keys_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   bucket_s: int = 86400):
+    """Cumulative-adoption curve: per day, how many keys were seen for
+    the FIRST time, plus the running total — the distinct-growth view
+    every crawl/user corpus tracks.
+
+    Three key-count-DECREASING stages: (1) exact ``min(ts)`` per key
+    (one bucketed exchange — the only corpus-sized step), (2) per-day
+    first-seen counts (map-side-combined exchange over a
+    day-cardinality key space), (3) the running sum over the tiny
+    day table in ONE block (years of days = thousands of rows —
+    repartition(1) is the right plan there, not a window shuffle).
+    Day flooring uses floor division of epoch-µs (exact date_trunc
+    'day' semantics incl. pre-epoch timestamps).  NULL key/ts rows
+    are excluded.  Output: ``(day, new_keys, cum_keys)``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import bucketed_agg
+
+    US = int(bucket_s) * 1_000_000
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch.column(key_col)),
+                    pc.is_valid(batch.column(ts_col)))
+        return batch.select([key_col, ts_col]).filter(m)
+
+    first = bucketed_agg(ds.map_batches(drop_nulls,
+                                        batch_format="pyarrow"),
+                         [key_col], [(ts_col, "min", "first_ts")])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch.column("first_ts")).astype(
+            "datetime64[us]").astype(np.int64)
+        day = np.floor_divide(us, US) * US
+        return pa.table({"day": pa.array(day.astype("datetime64[us]")),
+                         "n": pa.array(np.ones(len(day),
+                                                dtype=np.int64))})
+
+    counts = bucketed_agg(first.map_batches(to_day,
+                                            batch_format="pyarrow"),
+                          ["day"], [("n", "sum", "new_keys")],
+                          combine_local=True)
+
+    def running(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch.column("day")).astype("datetime64[us]")
+        new = np.asarray(batch.column("new_keys"), dtype=np.int64)
+        order = np.argsort(day.astype(np.int64))
+        return pa.table({"day": pa.array(day[order]),
+                         "new_keys": pa.array(new[order]),
+                         "cum_keys": pa.array(np.cumsum(new[order]))})
+
+    return counts.repartition(1).map_batches(running,
+                                             batch_format="pyarrow",
+                                             batch_size=None)

@@ -394,3 +394,52 @@ def test_unpivot(ray_session):
     assert got[got.metric == "b"]["value"].tolist() == [10.0, 20.0, 30.0]
     av = got[got.metric == "a"]["value"]
     assert av.iloc[0] == 1.5 and np.isnan(av.iloc[1]) and av.iloc[2] == 3.0
+
+
+def test_survivorship(ray_session):
+    """Per-COLUMN last-non-null by order matches a pandas ffill-tail
+    reference; differs from whole-row LWW when rows carry disjoint
+    fields; partitioning-invariant; all-null column stays null."""
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.relational import survivorship
+    rng = np.random.default_rng(23)
+    n = 5000
+    key = rng.integers(0, 60, n).astype(np.int64)
+    seq = rng.permutation(n).astype(np.int64)
+    a = rng.uniform(0, 10, n)
+    a[rng.random(n) < 0.5] = np.nan          # → null below
+    b = np.array([f"s{x}" for x in rng.integers(0, 5, n)], dtype=object)
+    bmask = rng.random(n) < 0.6
+    t = pa.table({"k": pa.array(key), "seq": pa.array(seq),
+                  "a": pa.array(np.where(np.isnan(a), None, a).tolist(),
+                                pa.float64()),
+                  "b": pa.array([None if m else v
+                                 for v, m in zip(b, bmask)], pa.string()),
+                  "c": pa.array([None] * n, pa.int64())})
+    outs = []
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(survivorship(ds, "k", "seq", ["a", "b", "c"])
+                    .to_pandas().sort_values("k").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    got = outs[0].set_index("k")
+    df = t.to_pandas().sort_values(["k", "seq"])
+    for kk, g in df.groupby("k"):
+        for c in ("a", "b"):
+            nn = g[c].dropna()
+            want = nn.iloc[-1] if len(nn) else None
+            gv = got.loc[kk, c]
+            if want is None:
+                assert pd.isna(gv)
+            else:
+                assert gv == want
+        assert pd.isna(got.loc[kk, "c"])     # all-null column
+    # at least one key where row-LWW differs from per-column merge
+    diffs = 0
+    for kk, g in df.groupby("k"):
+        last_row = g.iloc[-1]
+        nn = g["a"].dropna()
+        if len(nn) and pd.isna(last_row["a"]):
+            diffs += 1
+    assert diffs > 0

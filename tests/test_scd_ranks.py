@@ -267,3 +267,31 @@ def test_grouped_first_last(ray_session):
     assert got.loc[999, "n"] == 1
     assert pd.isna(got.loc[999, "second_val"])
     assert None not in got.index                 # null key excluded
+
+
+def test_new_keys_daily(ray_session):
+    """new/cum counts match a pandas first-seen reference; days sorted;
+    cum is a running sum; partitioning-invariant."""
+    import pandas as pd
+    import ray
+    from bqf_ray.pipelines.windowed import new_keys_daily
+    rng = np.random.default_rng(29)
+    n = 8000
+    uid = rng.integers(0, 300, n).astype(np.int64)
+    base = np.datetime64("2025-03-01T00:00:00", "us").astype(np.int64)
+    ts = (base + rng.integers(0, 20 * 86400_000_000, n)).astype(
+        "datetime64[us]")
+    t = pa.table({"user_id": pa.array(uid), "ts": pa.array(ts)})
+    outs = []
+    for parts in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(new_keys_daily(ds).to_pandas())
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    df = pd.DataFrame({"user_id": uid, "ts": ts})
+    first = df.groupby("user_id")["ts"].min()
+    days = first.dt.floor("D").value_counts().sort_index()
+    assert got["day"].tolist() == days.index.tolist()
+    assert got["new_keys"].tolist() == days.values.tolist()
+    assert got["cum_keys"].tolist() == days.values.cumsum().tolist()
+    assert got["cum_keys"].iloc[-1] == 300
