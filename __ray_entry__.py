@@ -2422,6 +2422,58 @@ def w_new_users_daily(sf_dir):
     return new_keys_daily(ev)
 
 
+def w_event_trigrams(sf_dir):
+    """Behavior-path trigrams: counts of every 3-long run of
+    consecutive event types per user in (ts, event_id) order — the
+    n-gram generalization of ``event_transitions``; one user-bucketed
+    shuffle, ONE lexsort per bucket, label-tuple-sized final exchange;
+    ``graph.path_ngram_counts``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import path_ngram_counts
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return path_ngram_counts(ev, n=3,
+                             out_cols=["from_type", "via_type", "to_type"])
+
+
+def w_kcore_copurchase(sf_dir):
+    """k-core of the part co-purchase graph via a FIXED-ROUND
+    synchronous peel (6 rounds, monotone ⇒ equals the true k-core once
+    converged): canonical edges materialized once, each round one
+    broadcast-membership edge scan + vertex-sized degree fold; the
+    oracle unrolls the same 6 HAVING rounds as CTEs (the
+    ``bpe_merges`` pattern); ``graph.kcore``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges, kcore
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return kcore(cooccurrence_edges(li, "l_orderkey", "l_partkey"),
+                 k=_KCORE_K, rounds=6)
+
+
+_KCORE_K = 4
+
+
+def w_rrf_docs(sf_dir):
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of two global
+    document rankings (by n_chars, by n_tokens): RANK-tie ranks from
+    histogram-sized distinct-value folds (no global sort), score
+    mapped per batch, LIMIT 100 via per-block top-k partials; the
+    stats table is materialized once so the histogram pass and the
+    scoring pass share one tokenization; ``ranking.rrf_fuse``."""
+    from bqf_ray.pipelines.ranking import rrf_fuse
+    from bqf_ray.pipelines.text_stats import doc_stats
+
+    stats = (doc_stats(_docs(sf_dir))
+             .select_columns(["doc_id", "n_chars", "n_tokens"])
+             .materialize())
+    return rrf_fuse(stats, [("n_chars", True), ("n_tokens", True)],
+                    "doc_id", k0=60, top=100)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -2820,6 +2872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": w_unpivot_lineitem,
         "survivor_events": w_survivor_events,
         "new_users_daily": w_new_users_daily,
+        "event_trigrams": w_event_trigrams,
+        "kcore_copurchase": w_kcore_copurchase,
+        "rrf_docs": w_rrf_docs,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4612,6 +4667,69 @@ def oracle_sql() -> dict[str, str]:
               USING (user_id)
             LEFT JOIN (SELECT user_id, event_type FROM t WHERE rn = 1) t
               USING (user_id)""",
+        "event_trigrams": """
+            WITH w AS (SELECT event_type AS from_type,
+                              LEAD(event_type, 1) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS via_type,
+                              LEAD(event_type, 2) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+                       FROM events)
+            SELECT from_type, via_type, to_type, count(*)::BIGINT AS n
+            FROM w WHERE via_type IS NOT NULL AND to_type IS NOT NULL
+            GROUP BY 1, 2, 3""",
+        "kcore_copurchase": f"""
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            und AS (SELECT a AS u, b AS v FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            n1 AS (SELECT u FROM und
+                   GROUP BY u HAVING count(*) >= {_KCORE_K}),
+            n2 AS (SELECT und.u FROM und
+                   JOIN n1 x ON und.u = x.u JOIN n1 y ON und.v = y.u
+                   GROUP BY und.u HAVING count(*) >= {_KCORE_K}),
+            n3 AS (SELECT und.u FROM und
+                   JOIN n2 x ON und.u = x.u JOIN n2 y ON und.v = y.u
+                   GROUP BY und.u HAVING count(*) >= {_KCORE_K}),
+            n4 AS (SELECT und.u FROM und
+                   JOIN n3 x ON und.u = x.u JOIN n3 y ON und.v = y.u
+                   GROUP BY und.u HAVING count(*) >= {_KCORE_K}),
+            n5 AS (SELECT und.u FROM und
+                   JOIN n4 x ON und.u = x.u JOIN n4 y ON und.v = y.u
+                   GROUP BY und.u HAVING count(*) >= {_KCORE_K}),
+            n6 AS (SELECT und.u FROM und
+                   JOIN n5 x ON und.u = x.u JOIN n5 y ON und.v = y.u
+                   GROUP BY und.u HAVING count(*) >= {_KCORE_K})
+            SELECT und.u AS node, count(*)::BIGINT AS core_deg
+            FROM und JOIN n6 x ON und.u = x.u JOIN n6 y ON und.v = y.u
+            GROUP BY und.u""",
+        "rrf_docs": f"""
+            WITH t AS (SELECT doc_id, token FROM (
+                         SELECT doc_id,
+                                unnest(string_split_regex(text, '\\s+'))
+                                    AS token
+                         FROM documents) WHERE token <> ''),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+                    FROM t GROUP BY doc_id),
+            s AS (SELECT d.doc_id,
+                         length(d.text)::BIGINT AS n_chars,
+                         COALESCE(a.n_tokens, 0) AS n_tokens
+                  FROM documents d LEFT JOIN agg a USING (doc_id)),
+            r AS (SELECT doc_id,
+                         RANK() OVER (ORDER BY n_chars DESC)
+                             AS n_chars_rank,
+                         RANK() OVER (ORDER BY n_tokens DESC)
+                             AS n_tokens_rank
+                  FROM s)
+            SELECT doc_id, n_chars_rank, n_tokens_rank,
+                   1.0 / (60 + n_chars_rank)
+                       + 1.0 / (60 + n_tokens_rank) AS rrf
+            FROM r ORDER BY rrf DESC, doc_id LIMIT 100""",
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    'l_quantity' AS metric, l_quantity::DOUBLE AS value

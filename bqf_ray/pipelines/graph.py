@@ -1301,3 +1301,165 @@ def clustering_components(edges_ds, a_col: str = "a", b_col: str = "b",
                          "n_wedges": pa.array(deg * (deg - 1) // 2)})
 
     return fold.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# behavior-path n-grams (length-n event sequences per key)
+# ---------------------------------------------------------------------------
+
+def path_ngram_counts(ds, n: int = 3, key_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      label_col: str = "event_type",
+                      out_cols: list[str] | None = None,
+                      num_buckets: int = 32):
+    """Length-``n`` behavior paths: counts of every n-long run of
+    CONSECUTIVE events per key in ``(ts, id)`` order — the n-gram
+    generalization of :func:`transition_counts` (n=2); n=3 is the
+    path-trigram table behind "what do users do between A and C".
+
+    Plan is identical to :func:`transition_counts`: key-bucketed
+    shuffle (runs never split across buckets), ONE lexsort per bucket,
+    window validity = first and last row of the window share the key
+    (rows between are equal too — the sort is key-major), per-bucket
+    pre-aggregation, then a label-tuple-sized final exchange.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum  # noqa: F401  (parity w/ siblings)
+
+    from bqf_ray.stages.partition import bucketed_agg
+
+    N = int(n)
+    assert N >= 2, "path n-grams need n >= 2"
+    NB = int(num_buckets)
+    cols = out_cols or [f"step_{j}" for j in range(N)]
+    assert len(cols) == N
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "l": batch.column(label_col),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def windows_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({**{c: pa.array([], pa.string()) for c in cols},
+                          "partial": pa.array([], pa.int64())})
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        if len(u) < N:
+            return empty
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        lab = group.column("l")
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        order = np.lexsort((i, t, u))
+        us = u[order]
+        starts = np.flatnonzero(us[:len(us) - N + 1] == us[N - 1:])
+        if not len(starts):
+            return empty
+        tt = pa.table({
+            **{cols[j]: lab.take(pa.array(order[starts + j]))
+               for j in range(N)},
+            "n": pa.array(np.ones(len(starts), dtype=np.int64))})
+        return (tt.group_by(cols).aggregate([("n", "sum")])
+                .rename_columns(cols + ["partial"]))
+
+    return bucketed_agg(
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(windows_bucket, batch_format="pyarrow"),
+        cols, [("partial", "sum", "n")])
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round synchronous peel)
+# ---------------------------------------------------------------------------
+
+def kcore(edges_ds, k: int, rounds: int = 6,
+          a_col: str = "a", b_col: str = "b", pre_canonical: bool = False):
+    """R-round synchronous k-core peel over an UNDIRECTED edge Dataset:
+    each round drops — all at once — every surviving node whose degree
+    among survivors is < ``k``; after ``rounds`` rounds, emit
+    ``(node, core_deg)`` for the survivors, ``core_deg`` = degree
+    within the surviving set.
+
+    Peeling is MONOTONE (the alive set only shrinks, and once it stops
+    shrinking every later round is a no-op), so the fixed-round result
+    equals the true k-core whenever peeling converges within ``rounds``
+    — and fixing R is exactly what makes the operator SQL-replayable:
+    the oracle unrolls the same R HAVING rounds as CTEs (the
+    ``bpe_merges`` unrolled-CTE pattern).  Convergence is detected and
+    rounds stop early with an identical result.
+
+    Plan: canonical edges materialized ONCE (R linear scans), then each
+    round = one broadcast-membership edge scan (sorted alive array in
+    plasma via ``ray.put``) emitting per-batch endpoint-count partials,
+    folded into a vertex-sized degree table on the driver — the same
+    documented ~10^8-node driver envelope as :func:`bfs_hops` /
+    :func:`pagerank`; shard the alive set past it.  No shuffle after
+    the canonicalization.
+    """
+    import ray
+
+    K = int(k)
+    assert K >= 1, "k-core needs k >= 1"
+    edges = (edges_ds if pre_canonical
+             else canonical_edges(edges_ds, a_col=a_col, b_col=b_col))
+    ca, cb = (a_col, b_col) if pre_canonical else ("a", "b")
+    edges = edges.materialize()
+
+    def degrees(alive_ref):
+        """Vertex degree table restricted to alive nodes (None = all)."""
+        def part(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column(ca), dtype=np.int64)
+            b = np.asarray(batch.column(cb), dtype=np.int64)
+            if alive_ref is not None:
+                al = ray.get(alive_ref)
+                ka = np.searchsorted(al, a)
+                kb = np.searchsorted(al, b)
+                ok = ((ka < len(al)) & (al[np.minimum(ka, len(al) - 1)] == a)
+                      & (kb < len(al))
+                      & (al[np.minimum(kb, len(al) - 1)] == b))
+                a, b = a[ok], b[ok]
+            nodes, cnt = np.unique(np.concatenate([a, b]),
+                                   return_counts=True)
+            return pa.table({"node": pa.array(nodes),
+                             "d": pa.array(cnt.astype(np.int64))})
+
+        got = edges.map_batches(part, batch_format="pyarrow").to_pandas()
+        if not len(got):
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        nd = got["node"].to_numpy().astype(np.int64)
+        dd = got["d"].to_numpy().astype(np.int64)
+        nodes, inv = np.unique(nd, return_inverse=True)
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(deg, inv, dd)
+        return nodes, deg
+
+    alive_ref = None
+    alive = None
+    for _ in range(int(rounds)):
+        nodes, deg = degrees(alive_ref)
+        nxt = nodes[deg >= K]                      # already sorted
+        if alive is not None and len(nxt) == len(alive) \
+                and np.array_equal(nxt, alive):
+            # converged: deg was computed within alive == nxt, so it
+            # already IS the in-core degree — emit directly.
+            keep = deg >= K
+            return pa.table({"node": pa.array(nodes[keep]),
+                             "core_deg": pa.array(deg[keep])})
+        alive = nxt
+        if not len(alive):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "core_deg": pa.array([], pa.int64())})
+        alive_ref = ray.put(alive)
+    # not converged within R rounds (or R==1): one more restricted
+    # degree pass gives the survivors' in-core degrees.
+    nodes, deg = degrees(alive_ref)
+    return pa.table({"node": pa.array(nodes),
+                     "core_deg": pa.array(deg)})

@@ -345,3 +345,95 @@ def grouped_value_histogram(ds, group_col: str, value_col: str,
                          "n": batch.column("n")})
 
     return agg.map_batches(post, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (multi-signal ranking merge)
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(ds, metrics: list[tuple[str, bool]], id_col: str,
+             k0: int = 60, top: int = 100):
+    """Reciprocal-rank fusion (Cormack & Clarke 2009): fuse one global
+    ranking per metric column into ``score = Σ 1/(k0 + rank_i)`` and
+    keep the ``top`` rows — the standard hybrid-retrieval merge (e.g.
+    BM25 ranking × embedding ranking).
+
+    ``metrics`` is ``[(col, descending), ...]``; ranks use SQL
+    ``RANK()`` tie semantics exactly: ``rank(v) = 1 + #{rows with a
+    strictly better value}``.  Rows with a null in ANY metric are
+    excluded from all rankings (document the contract in the oracle).
+
+    Plan (no global sort): ONE pass emits per-batch (metric, value,
+    count) histogram partials, folded on the driver into a per-metric
+    distinct-value → rank table (histogram-sized — bounded by each
+    metric's value range, NOT the row count); a second pass broadcasts
+    the sorted value/rank arrays (``ray.put``) and maps every row to
+    its ranks + score via ``searchsorted``; the LIMIT rides per-block
+    top-``top`` partials (:func:`bqf_ray.pipelines.aggregates.
+    global_top_n`) — ≤ ``top`` rows per block cross the wire.  The
+    score is evaluated LEFT-TO-RIGHT (``(1/(k0+r1) + 1/(k0+r2)) + …``),
+    the same association SQL's ``+`` chain uses, so floats are
+    bit-identical to the oracle.
+    """
+    import ray
+
+    from bqf_ray.pipelines.aggregates import global_top_n
+
+    M = [(str(c), bool(d)) for c, d in metrics]
+    K0 = int(k0)
+
+    def keep_valid(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = None
+        for c, _ in M:
+            v = pc.is_valid(batch.column(c))
+            mask = v if mask is None else pc.and_(mask, v)
+        return batch.filter(mask)
+
+    clean = ds.map_batches(keep_valid, batch_format="pyarrow")
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        ms, vs, cs = [], [], []
+        for j, (c, _) in enumerate(M):
+            vals, cnt = np.unique(
+                np.asarray(batch.column(c), dtype=np.int64),
+                return_counts=True)
+            ms.append(np.full(len(vals), j, dtype=np.int64))
+            vs.append(vals)
+            cs.append(cnt.astype(np.int64))
+        return pa.table({"m": pa.array(np.concatenate(ms)),
+                         "v": pa.array(np.concatenate(vs)),
+                         "c": pa.array(np.concatenate(cs))})
+
+    got = clean.map_batches(hist_part, batch_format="pyarrow").to_pandas()
+    refs = []
+    for j, (_, desc) in enumerate(M):
+        sub = got[got["m"] == j]
+        vals, inv = np.unique(sub["v"].to_numpy().astype(np.int64),
+                              return_inverse=True)
+        cnt = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(cnt, inv, sub["c"].to_numpy().astype(np.int64))
+        csum = np.cumsum(cnt)                     # inclusive, value-asc
+        total = int(csum[-1]) if len(csum) else 0
+        if desc:
+            rank = 1 + total - csum               # 1 + #{> v}
+        else:
+            rank = 1 + csum - cnt                 # 1 + #{< v}
+        refs.append(ray.put((vals, rank.astype(np.int64))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {id_col: batch.column(id_col)}
+        s = None
+        for j, (c, _) in enumerate(M):
+            vals, rank = ray.get(refs[j])
+            r = rank[np.searchsorted(
+                vals, np.asarray(batch.column(c), dtype=np.int64))]
+            out[f"{c}_rank"] = pa.array(r)
+            term = 1.0 / (K0 + r)
+            s = term if s is None else s + term   # left-to-right
+        out["rrf"] = pa.array(s)
+        return pa.table(out)
+
+    scored = clean.map_batches(score, batch_format="pyarrow")
+    return global_top_n(scored, ["rrf", id_col], int(top),
+                        descending=[True, False])

@@ -238,3 +238,87 @@ def test_frequent_itemsets_matches_brute_force(ray_session, mode):
     got_rows = sorted(zip(got["a"], got["b"], got["c_ab"], got["c_a"],
                           got["c_b"], got["n_groups"]))
     assert got_rows == exp
+
+
+def _brute_kcore(edges: set[tuple[int, int]], k: int):
+    """Sequential synchronous peel to convergence; returns
+    {node: in_core_degree} (nodes with >=1 in-core edge)."""
+    alive = {v for e in edges for v in e}
+    while True:
+        deg = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        nxt = {v for v, d in deg.items() if d >= k}
+        if nxt == alive:
+            return {v: deg[v] for v in alive if v in deg}
+        alive = nxt
+        if not alive:
+            return {}
+
+
+@pytest.mark.parametrize("seed,k", [(0, 2), (1, 3), (2, 4), (3, 2)])
+def test_kcore_matches_brute_force(ray_session, seed, k):
+    import ray
+
+    from bqf_ray.pipelines.graph import kcore
+    rng = np.random.default_rng(seed)
+    n = 60
+    m = 220
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    pairs = {(min(int(x), int(y)), max(int(x), int(y)))
+             for x, y in zip(a[keep], b[keep])}
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())})).repartition(5)
+    got = kcore(ds, k=k, rounds=64).to_pandas()
+    want = _brute_kcore(pairs, k)
+    assert dict(zip(got["node"], got["core_deg"])) == want
+
+
+def test_kcore_fixed_rounds_match_sql_semantics(ray_session):
+    """rounds=1 must equal ONE HAVING round (possibly not converged),
+    with output degrees restricted to the survivors."""
+    import ray
+
+    from bqf_ray.pipelines.graph import kcore
+    # path graph 0-1-2-3-4: one k=2 round peels endpoints (deg 1);
+    # survivors {1,2,3} have in-core degrees 1,2,1 after ONE round.
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 1, 2, 3], pa.int64()),
+        "b": pa.array([1, 2, 3, 4], pa.int64())}))
+    got = kcore(ds, k=2, rounds=1).to_pandas()
+    assert dict(zip(got["node"], got["core_deg"])) == {1: 1, 2: 2, 3: 1}
+    # converged (empty) k=2 core once rounds run to fixpoint
+    got2 = kcore(ds, k=2, rounds=8).to_pandas()
+    assert len(got2) == 0
+
+
+def test_path_ngram_counts_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.graph import path_ngram_counts
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 37, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 1_000_000, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (path_ngram_counts(ds, n=3,
+                             out_cols=["x", "y", "z"]).to_pandas()
+           .sort_values(["x", "y", "z"]).reset_index(drop=True))
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    same3 = (s["user_id"].values[:-2] == s["user_id"].values[2:])
+    want = (pd.DataFrame({"x": s["event_type"].values[:-2][same3],
+                          "y": s["event_type"].values[1:-1][same3],
+                          "z": s["event_type"].values[2:][same3]})
+            .groupby(["x", "y", "z"]).size().rename("n").reset_index())
+    pd.testing.assert_frame_equal(
+        got, want.sort_values(["x", "y", "z"]).reset_index(drop=True),
+        check_dtype=False)

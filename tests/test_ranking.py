@@ -320,3 +320,47 @@ def test_grouped_value_histogram_matches_numpy(ray_session):
     assert got_d == ref
     assert (got["bin_lo"].to_numpy()
             == got["bin"].to_numpy() * 10.0).all()
+
+
+def test_rrf_fuse_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.ranking import rrf_fuse
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "m1": rng.integers(0, 40, n),       # heavy ties
+        "m2": rng.integers(0, 500, n)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = rrf_fuse(ds, [("m1", True), ("m2", False)], "doc_id",
+                   k0=60, top=50).to_pandas()
+    r1 = df["m1"].rank(method="min", ascending=False).astype(np.int64)
+    r2 = df["m2"].rank(method="min", ascending=True).astype(np.int64)
+    score = 1.0 / (60 + r1.values) + 1.0 / (60 + r2.values)
+    ref = (pd.DataFrame({"doc_id": df["doc_id"], "m1_rank": r1,
+                         "m2_rank": r2, "rrf": score})
+           .sort_values(["rrf", "doc_id"], ascending=[False, True])
+           .head(50).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["rrf", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True),
+        ref, check_dtype=False)
+
+
+def test_rrf_fuse_drops_null_metric_rows(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.ranking import rrf_fuse
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "m1": pa.array([10, None, 30, 40], pa.int64()),
+        "m2": pa.array([1, 2, None, 4], pa.int64())})
+    got = rrf_fuse(ray.data.from_arrow(tbl), [("m1", True), ("m2", True)],
+                   "doc_id", top=10).to_pandas()
+    # rows 2 and 3 excluded from BOTH rankings
+    assert sorted(got["doc_id"]) == [1, 4]
+    assert dict(zip(got["doc_id"], got["m1_rank"])) == {4: 1, 1: 2}
+    assert dict(zip(got["doc_id"], got["m2_rank"])) == {4: 1, 1: 2}
