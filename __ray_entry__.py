@@ -2462,14 +2462,13 @@ def w_rrf_docs(sf_dir):
     document rankings (by n_chars, by n_tokens): RANK-tie ranks from
     histogram-sized distinct-value folds (no global sort), score
     mapped per batch, LIMIT 100 via per-block top-k partials; the
-    stats table is materialized once so the histogram pass and the
-    scoring pass share one tokenization; ``ranking.rrf_fuse``."""
+    fuse materializes the stats ONCE internally, so the histogram pass
+    and the scoring pass share one tokenization; ``ranking.rrf_fuse``."""
     from bqf_ray.pipelines.ranking import rrf_fuse
     from bqf_ray.pipelines.text_stats import doc_stats
 
     stats = (doc_stats(_docs(sf_dir))
-             .select_columns(["doc_id", "n_chars", "n_tokens"])
-             .materialize())
+             .select_columns(["doc_id", "n_chars", "n_tokens"]))
     return rrf_fuse(stats, [("n_chars", True), ("n_tokens", True)],
                     "doc_id", k0=60, top=100)
 

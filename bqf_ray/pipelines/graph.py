@@ -211,56 +211,17 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
                       id_col: str = "event_id",
                       label_col: str = "event_type",
                       num_buckets: int = 32):
-    """Markov transition counts: ``(from_label, to_label, n)`` over each
+    """Markov transition counts: ``(from_type, to_type, n)`` over each
     key's consecutive events in ``(ts, id)`` order — the edge-extraction
-    pass for behavior graphs / Markov-chain fitting.  One key-bucketed
-    shuffle; pairs come from one lexsort with a last-of-run mask, and
-    per-bucket pre-aggregation keeps the final exchange label-pair-sized.
+    pass for behavior graphs / Markov-chain fitting.  Exactly the n=2
+    case of :func:`path_ngram_counts` (one key-bucketed lexsort, run
+    windows, label-pair-sized final exchange) and delegates to it, so
+    the two stay a single implementation.
     """
-    from ray.data.aggregate import Sum
-
-    NB = int(num_buckets)
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        uid = np.asarray(batch.column(key_col), dtype=np.int64)
-        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
-                                                     ).astype(np.int64)
-        return pa.table({
-            "u": pa.array(uid), "t": pa.array(ts),
-            "i": pc.cast(batch.column(id_col), pa.int64()),
-            "l": batch.column(label_col),
-            "__bucket": pa.array((uid % NB).astype(np.int64))})
-
-    def pairs_bucket(group: pa.Table) -> pa.Table:
-        u = np.asarray(group.column("u"), dtype=np.int64)
-        if len(u) < 2:
-            return pa.table({"from_type": pa.array([], pa.string()),
-                             "to_type": pa.array([], pa.string()),
-                             "partial": pa.array([], pa.int64())})
-        t = np.asarray(group.column("t"), dtype=np.int64)
-        i = np.asarray(group.column("i"), dtype=np.int64)
-        lab = group.column("l")
-        if isinstance(lab, pa.ChunkedArray):
-            lab = lab.combine_chunks()
-        order = np.lexsort((i, t, u))
-        us = u[order]
-        not_last = np.concatenate([us[1:] == us[:-1], [False]])
-        frm = lab.take(pa.array(order[np.flatnonzero(not_last)]))
-        to = lab.take(pa.array(order[np.flatnonzero(not_last) + 1]))
-        tt = pa.table({"from_type": frm, "to_type": to,
-                       "n": pa.array(np.ones(len(frm), dtype=np.int64))})
-        return (tt.group_by(["from_type", "to_type"])
-                .aggregate([("n", "sum")])
-                .rename_columns(["from_type", "to_type", "partial"]))
-
-    from bqf_ray.stages.partition import bucketed_agg
-    return bucketed_agg(
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(pairs_bucket, batch_format="pyarrow"),
-        ["from_type", "to_type"], [("partial", "sum", "n")])
-
+    return path_ngram_counts(ds, n=2, key_col=key_col, ts_col=ts_col,
+                             id_col=id_col, label_col=label_col,
+                             out_cols=["from_type", "to_type"],
+                             num_buckets=num_buckets)
 
 def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
              d_den: int = 20, iters: int = 10,
@@ -1324,8 +1285,6 @@ def path_ngram_counts(ds, n: int = 3, key_col: str = "user_id",
     pre-aggregation, then a label-tuple-sized final exchange.
     """
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Sum  # noqa: F401  (parity w/ siblings)
 
     from bqf_ray.stages.partition import bucketed_agg
 

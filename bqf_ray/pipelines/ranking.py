@@ -358,10 +358,13 @@ def rrf_fuse(ds, metrics: list[tuple[str, bool]], id_col: str,
     keep the ``top`` rows — the standard hybrid-retrieval merge (e.g.
     BM25 ranking × embedding ranking).
 
-    ``metrics`` is ``[(col, descending), ...]``; ranks use SQL
-    ``RANK()`` tie semantics exactly: ``rank(v) = 1 + #{rows with a
-    strictly better value}``.  Rows with a null in ANY metric are
-    excluded from all rankings (document the contract in the oracle).
+    ``metrics`` is ``[(col, descending), ...]``; every metric column
+    must be INTEGER (raises ``TypeError`` otherwise — float scores
+    must be quantized first, the repo's cents rule, so ranks and the
+    oracle replay stay exact).  Ranks use SQL ``RANK()`` tie semantics
+    exactly: ``rank(v) = 1 + #{rows with a strictly better value}``.
+    Rows with a null in ANY metric are excluded from all rankings
+    (document the contract in the oracle).
 
     Plan (no global sort): ONE pass emits per-batch (metric, value,
     count) histogram partials, folded on the driver into a per-metric
@@ -386,11 +389,20 @@ def rrf_fuse(ds, metrics: list[tuple[str, bool]], id_col: str,
         import pyarrow.compute as pc
         mask = None
         for c, _ in M:
-            v = pc.is_valid(batch.column(c))
+            col = batch.column(c)
+            if not pa.types.is_integer(col.type):
+                raise TypeError(
+                    f"rrf_fuse metric {c!r} has type {col.type}; metrics "
+                    "must be integer — quantize float scores first "
+                    "(cents rule) so ranks stay exact")
+            v = pc.is_valid(col)
             mask = v if mask is None else pc.and_(mask, v)
         return batch.filter(mask)
 
-    clean = ds.map_batches(keep_valid, batch_format="pyarrow")
+    # materialized ONCE: the histogram pass and the scoring pass must
+    # see the same rows (a value missing from the histogram has no
+    # rank), and callers shouldn't pay the upstream pipeline twice.
+    clean = ds.map_batches(keep_valid, batch_format="pyarrow").materialize()
 
     def hist_part(batch: pa.Table) -> pa.Table:
         ms, vs, cs = [], [], []
@@ -426,8 +438,15 @@ def rrf_fuse(ds, metrics: list[tuple[str, bool]], id_col: str,
         s = None
         for j, (c, _) in enumerate(M):
             vals, rank = ray.get(refs[j])
-            r = rank[np.searchsorted(
-                vals, np.asarray(batch.column(c), dtype=np.int64))]
+            v = np.asarray(batch.column(c), dtype=np.int64)
+            idx = np.searchsorted(vals, v)
+            if len(v) and ((idx >= len(vals)).any()
+                           or (vals[np.minimum(idx, len(vals) - 1)]
+                               != v).any()):
+                raise RuntimeError(
+                    f"rrf_fuse: value of {c!r} absent from the rank "
+                    "histogram (upstream changed between passes?)")
+            r = rank[idx]
             out[f"{c}_rank"] = pa.array(r)
             term = 1.0 / (K0 + r)
             s = term if s is None else s + term   # left-to-right

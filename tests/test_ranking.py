@@ -364,3 +364,14 @@ def test_rrf_fuse_drops_null_metric_rows(ray_session):
     assert sorted(got["doc_id"]) == [1, 4]
     assert dict(zip(got["doc_id"], got["m1_rank"])) == {4: 1, 1: 2}
     assert dict(zip(got["doc_id"], got["m2_rank"])) == {4: 1, 1: 2}
+
+
+def test_rrf_fuse_rejects_float_metrics(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.ranking import rrf_fuse
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "s": pa.array([0.9, 0.1], pa.float64())})
+    with pytest.raises((TypeError, Exception), match="must be integer"):
+        rrf_fuse(ray.data.from_arrow(tbl), [("s", True)], "doc_id",
+                 top=5).to_pandas()
