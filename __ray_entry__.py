@@ -2473,6 +2473,36 @@ def w_rrf_docs(sf_dir):
                     "doc_id", k0=60, top=100)
 
 
+def w_transition_probs(sf_dir):
+    """Markov transition probabilities: transition counts plus per-source
+    totals and p = n/n_from computed on ONE block (the counts table is
+    label-pair-sized); single int64/int64 IEEE division bit-matches the
+    SQL window share; ``graph.transition_probs``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import transition_probs
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_probs(ev)
+
+
+def w_lpa_copurchase(sf_dir):
+    """Label-propagation communities on the part co-purchase graph:
+    FIXED-ROUND synchronous LPA (3 rounds, deterministic max-count
+    min-label updates) — per round one broadcast-label edge scan +
+    two edge-bounded bucketed exchanges; the oracle unrolls the same
+    3 rounds as join+QUALIFY CTEs; ``graph.label_propagation``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (cooccurrence_edges,
+                                         label_propagation)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return label_propagation(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"), rounds=3)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -2874,6 +2904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": w_event_trigrams,
         "kcore_copurchase": w_kcore_copurchase,
         "rrf_docs": w_rrf_docs,
+        "event_transition_probs": w_transition_probs,
+        "lpa_copurchase": w_lpa_copurchase,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4729,6 +4761,49 @@ def oracle_sql() -> dict[str, str]:
                    1.0 / (60 + n_chars_rank)
                        + 1.0 / (60 + n_tokens_rank) AS rrf
             FROM r ORDER BY rrf DESC, doc_id LIMIT 100""",
+        "event_transition_probs": """
+            WITH nxt AS (SELECT event_type AS from_type,
+                                LEAD(event_type) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+                         FROM events),
+            c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+                  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+                   (SUM(n) OVER (PARTITION BY from_type))::BIGINT
+                       AS n_from,
+                   n::DOUBLE / (SUM(n) OVER (PARTITION BY from_type)
+                                )::DOUBLE AS p
+            FROM c""",
+        "lpa_copurchase": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            und AS (SELECT a AS u, b AS v FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+            r1 AS (SELECT und.u AS node, l.label AS label
+                   FROM und JOIN l0 l ON und.v = l.node
+                   GROUP BY und.u, l.label
+                   QUALIFY row_number() OVER (
+                       PARTITION BY und.u
+                       ORDER BY count(*) DESC, l.label ASC) = 1),
+            r2 AS (SELECT und.u AS node, l.label AS label
+                   FROM und JOIN r1 l ON und.v = l.node
+                   GROUP BY und.u, l.label
+                   QUALIFY row_number() OVER (
+                       PARTITION BY und.u
+                       ORDER BY count(*) DESC, l.label ASC) = 1),
+            r3 AS (SELECT und.u AS node, l.label AS label
+                   FROM und JOIN r2 l ON und.v = l.node
+                   GROUP BY und.u, l.label
+                   QUALIFY row_number() OVER (
+                       PARTITION BY und.u
+                       ORDER BY count(*) DESC, l.label ASC) = 1)
+            SELECT node, label AS community FROM r3""",
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    'l_quantity' AS metric, l_quantity::DOUBLE AS value

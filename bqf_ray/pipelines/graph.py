@@ -1422,3 +1422,129 @@ def kcore(edges_ds, k: int, rounds: int = 6,
     nodes, deg = degrees(alive_ref)
     return pa.table({"node": pa.array(nodes),
                      "core_deg": pa.array(deg)})
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (fixed-round synchronous LPA)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges_ds, rounds: int = 3,
+                      a_col: str = "a", b_col: str = "b",
+                      pre_canonical: bool = False, num_buckets: int = 32):
+    """Fixed-round SYNCHRONOUS label propagation (Raghavan et al. 2007,
+    made deterministic): labels start as node ids; each round EVERY
+    node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by the smallest label.  Returns
+    ``(node, community)`` after exactly ``rounds`` rounds — the fixed
+    round count (not convergence, which synchronous LPA does not
+    guarantee — bipartite graphs oscillate) is what makes the operator
+    bit-deterministic AND SQL-replayable: the oracle unrolls the same
+    R rounds as join+QUALIFY CTEs.  If labels reach a fixpoint earlier,
+    later rounds are identity and the loop early-stops with the same
+    result.
+
+    Plan: canonical edges materialized once.  Per round: the label
+    array broadcasts via ``ray.put`` (vertex-sized, the documented
+    :func:`pagerank` driver envelope); ONE edge scan emits pre-counted
+    ``(node, neighbor_label)`` partials; a ``(node, label)``-bucketed
+    exchange sums them; per-node argmax rides
+    :func:`bqf_ray.pipelines.aggregates.grouped_top_n` (per-block
+    top-1 partials, no whole group materialized).  Two bucketed
+    exchanges per round, both bounded by the edge count.
+    """
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_top_n
+    from bqf_ray.stages.partition import bucketed_agg
+
+    edges = (edges_ds if pre_canonical
+             else canonical_edges(edges_ds, a_col=a_col, b_col=b_col))
+    ca, cb = (a_col, b_col) if pre_canonical else ("a", "b")
+    edges = edges.materialize()
+
+    # vertex table: per-block unique endpoints folded once (driver
+    # envelope, same as bfs_hops' visited array)
+    parts = []
+    for t in ray.get(edges.to_arrow_refs()):
+        if t.num_rows:
+            parts.append(np.unique(np.asarray(t.column(ca),
+                                              dtype=np.int64)))
+            parts.append(np.unique(np.asarray(t.column(cb),
+                                              dtype=np.int64)))
+    if not parts:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "community": pa.array([], pa.int64())})
+    nodes = np.unique(np.concatenate(parts))
+    labels = nodes.copy()
+
+    for _ in range(int(rounds)):
+        ref = ray.put(labels)
+        nodes_ref = ray.put(nodes)
+
+        def emit(batch: pa.Table) -> pa.Table:
+            nd = ray.get(nodes_ref)
+            lb = ray.get(ref)
+            a = np.asarray(batch.column(ca), dtype=np.int64)
+            b = np.asarray(batch.column(cb), dtype=np.int64)
+            v = np.concatenate([a, b])
+            nl = np.concatenate([lb[np.searchsorted(nd, b)],
+                                 lb[np.searchsorted(nd, a)]])
+            key = np.stack([v, nl], axis=1)
+            uk, cnt = np.unique(key, axis=0, return_counts=True)
+            return pa.table({"v": pa.array(uk[:, 0]),
+                             "lab": pa.array(uk[:, 1]),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        counts = bucketed_agg(
+            edges.map_batches(emit, batch_format="pyarrow"),
+            ["v", "lab"], [("c", "sum", "c")], num_buckets=num_buckets)
+        picked = grouped_top_n(counts, "v", ["c", "lab"], 1,
+                               descending=[True, False], rank_col=None,
+                               num_buckets=num_buckets).to_pandas()
+        new = labels.copy()
+        pv = picked["v"].to_numpy().astype(np.int64)
+        pl = picked["lab"].to_numpy().astype(np.int64)
+        new[np.searchsorted(nodes, pv)] = pl
+        if np.array_equal(new, labels):      # fixpoint: identity rounds
+            break
+        labels = new
+
+    return pa.table({"node": pa.array(nodes),
+                     "community": pa.array(labels)})
+
+
+def transition_probs(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     label_col: str = "event_type",
+                     num_buckets: int = 32):
+    """Markov transition probabilities: :func:`transition_counts` plus
+    ``n_from`` (total outgoing transitions per source label) and
+    ``p = n / n_from``.  The counts table is label-pair-sized, so the
+    share computation runs on ONE block (``repartition(1)`` is the
+    right plan at label cardinality, the ``new_keys_daily`` argument);
+    the single int64/int64 IEEE division is bit-exact vs SQL's
+    ``n / SUM(n) OVER (PARTITION BY from_type)``."""
+    counts = transition_counts(ds, key_col=key_col, ts_col=ts_col,
+                               id_col=id_col, label_col=label_col,
+                               num_buckets=num_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        frm = batch.column("from_type")
+        if isinstance(frm, pa.ChunkedArray):
+            frm = frm.combine_chunks()
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        codes = frm.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tot = np.zeros(codes.max() + 1 if len(codes) else 0,
+                       dtype=np.int64)
+        np.add.at(tot, codes, n)
+        n_from = tot[codes]
+        return pa.table({"from_type": frm,
+                         "to_type": batch.column("to_type"),
+                         "n": pa.array(n),
+                         "n_from": pa.array(n_from),
+                         "p": pa.array(n / n_from)})
+
+    return counts.repartition(1).map_batches(finish,
+                                             batch_format="pyarrow",
+                                             batch_size=None)

@@ -322,3 +322,87 @@ def test_path_ngram_counts_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got, want.sort_values(["x", "y", "z"]).reset_index(drop=True),
         check_dtype=False)
+
+
+def _brute_lpa(pairs: set[tuple[int, int]], rounds: int):
+    """Sequential synchronous LPA: max-count min-label neighbor vote."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for w in nbrs:
+                cnt[labels[w]] = cnt.get(labels[w], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("seed,rounds", [(0, 1), (1, 3), (2, 5)])
+def test_label_propagation_matches_brute_force(ray_session, seed, rounds):
+    import ray
+
+    from bqf_ray.pipelines.graph import label_propagation
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 50, 150)
+    b = rng.integers(0, 50, 150)
+    keep = a != b
+    pairs = {(min(int(x), int(y)), max(int(x), int(y)))
+             for x, y in zip(a[keep], b[keep])}
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())})).repartition(4)
+    got = label_propagation(ds, rounds=rounds).to_pandas()
+    want = _brute_lpa(pairs, rounds)
+    assert dict(zip(got["node"], got["community"])) == want
+
+
+def test_label_propagation_oscillation_is_fixed_round_exact(ray_session):
+    """Synchronous LPA on a single edge oscillates (each endpoint
+    adopts the other's label every round) — fixed-round semantics must
+    reproduce the round-parity result exactly, not 'converge'."""
+    import ray
+
+    from bqf_ray.pipelines.graph import label_propagation
+    ds = ray.data.from_arrow(pa.table({"a": pa.array([1], pa.int64()),
+                                       "b": pa.array([2], pa.int64())}))
+    r1 = label_propagation(ds, rounds=1).to_pandas()
+    assert dict(zip(r1["node"], r1["community"])) == {1: 2, 2: 1}
+    r2 = label_propagation(ds, rounds=2).to_pandas()
+    assert dict(zip(r2["node"], r2["community"])) == {1: 1, 2: 2}
+
+
+def test_transition_probs_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.graph import transition_probs
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 23, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 500_000, n), unit="s"),
+        "event_type": rng.choice(["x", "y", "z"], n)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (transition_probs(ds).to_pandas()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    same = s["user_id"].values[:-1] == s["user_id"].values[1:]
+    ref = (pd.DataFrame({"from_type": s["event_type"].values[:-1][same],
+                         "to_type": s["event_type"].values[1:][same]})
+           .groupby(["from_type", "to_type"]).size().rename("n")
+           .reset_index())
+    ref["n_from"] = ref.groupby("from_type")["n"].transform("sum")
+    ref["p"] = ref["n"].values.astype(np.float64) / ref["n_from"].values
+    pd.testing.assert_frame_equal(
+        got, ref.sort_values(["from_type", "to_type"])
+        .reset_index(drop=True), check_dtype=False)
+    assert np.allclose(got.groupby("from_type")["p"].sum(), 1.0)
