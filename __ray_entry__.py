@@ -2503,6 +2503,73 @@ def w_lpa_copurchase(sf_dir):
         cooccurrence_edges(li, "l_orderkey", "l_partkey"), rounds=3)
 
 
+def w_user_activity_spans(sf_dir):
+    """Coalesced activity spans per user: each event opens a 300 s
+    interval; overlapping-or-touching intervals merge into maximal
+    covered spans via ONE ±1-sweep bucket shuffle + grouped cumsum
+    (no per-key loop, no grouped cummax); oracle replays the SQL
+    islands idiom (prev-max window + running break sum);
+    ``windowed.interval_coalesce``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.windowed import interval_coalesce
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    withhi = ev.map_batches(
+        lambda t: t.append_column(
+            "hi", pc.add(t.column("ts"),
+                         pa.scalar(300_000_000, pa.duration("us")))),
+        batch_format="pyarrow")
+    return interval_coalesce(withhi, "user_id", "ts", "hi")
+
+
+def w_twap_value(sf_dir):
+    """Time-weighted average of events.value (cents) per user — each
+    value holds until the next event; exact int64 Σ v·Δt(µs) and span
+    numerator/denominator with the twa double from ONE IEEE division,
+    bit-matching the SQL LEAD replay; single-event users emit NULL;
+    ``windowed.time_weighted_avg``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import time_weighted_avg
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return time_weighted_avg(ev, "user_id", "ts", "event_id", "value")
+
+
+def w_decayed_user_value(sf_dir):
+    """Exponentially time-decayed engagement score per user with EXACT
+    integer arithmetic: weight = 2^(20 − age_days) (0 past 20 days),
+    score = Σ cents·weight — bit-identical to the SQL shift replay
+    (order-dependent float decay sums are not); one native Max fold +
+    one map-side-combined key exchange; ``aggregates.decayed_sum``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import decayed_sum
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "value"])
+    return decayed_sum(ev, "user_id", "ts", "value", k_max=20)
+
+
+def w_cs_user_counts(sf_dir):
+    """Count-Sketch (signed, unbiased — the Count-Min complement)
+    point estimates for the exact HAVING cnt > n/129 frequent users,
+    flag-checked per key against |est − cnt| ≤ 4·√(F2/width); exact
+    counts/n/F2 come from ONE pre-aggregated exchange (the same
+    numbers the oracle recomputes), the sketch from ONE tree-merged
+    pass; ``aggregates.cs_heavy_counts``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import cs_heavy_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return cs_heavy_counts(ev, "user_id", m=128, width=8192, depth=7,
+                           seed=29)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -2906,6 +2973,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_docs": w_rrf_docs,
         "event_transition_probs": w_transition_probs,
         "lpa_copurchase": w_lpa_copurchase,
+        "user_activity_spans": w_user_activity_spans,
+        "twap_value": w_twap_value,
+        "decayed_user_value": w_decayed_user_value,
+        "cs_user_counts": w_cs_user_counts,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4804,6 +4875,68 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY und.u
                        ORDER BY count(*) DESC, l.label ASC) = 1)
             SELECT node, label AS community FROM r3""",
+        "user_activity_spans": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+                               epoch_us(ts) + 300000000 AS hi
+                        FROM events),
+            s AS (SELECT user_id, lo, hi,
+                         MAX(hi) OVER (PARTITION BY user_id
+                                       ORDER BY lo, hi
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max
+                  FROM iv),
+            f AS (SELECT user_id, lo, hi,
+                         CASE WHEN prev_max IS NULL OR lo > prev_max
+                              THEN 1 ELSE 0 END AS brk
+                  FROM s),
+            g AS (SELECT user_id, lo, hi,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY lo, hi
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM f)
+            SELECT user_id, make_timestamp(MIN(lo)) AS span_start,
+                   make_timestamp(MAX(hi)) AS span_end,
+                   count(*)::BIGINT AS n
+            FROM g GROUP BY user_id, grp""",
+        "twap_value": """
+            WITH o AS (SELECT user_id,
+                              CASE WHEN value IS NULL THEN 0
+                                   ELSE CAST(floor(value*100 + 0.5)
+                                             AS BIGINT) END AS vc,
+                              epoch_us(ts) AS t,
+                              LEAD(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+                       FROM events)
+            SELECT user_id,
+                   COALESCE(SUM(vc*(nt-t)), 0)::BIGINT AS num,
+                   (MAX(t) - MIN(t))::BIGINT AS den,
+                   CASE WHEN MAX(t) > MIN(t)
+                        THEN COALESCE(SUM(vc*(nt-t)), 0)::DOUBLE
+                             / (MAX(t) - MIN(t))::DOUBLE
+                        ELSE NULL END AS twa
+            FROM o GROUP BY user_id""",
+        "decayed_user_value": """
+            WITH mx AS (SELECT epoch_us(MAX(ts)) // 86400000000
+                            AS max_day FROM events)
+            SELECT user_id,
+                   COALESCE(SUM(CASE
+                       WHEN mx.max_day - epoch_us(ts) // 86400000000
+                            <= 20
+                       THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                            * (CAST(1 AS BIGINT) << CAST(
+                                20 - (mx.max_day
+                                      - epoch_us(ts) // 86400000000)
+                                AS INTEGER))
+                       ELSE 0 END), 0)::BIGINT AS decayed
+            FROM events, mx GROUP BY user_id""",
+        "cs_user_counts": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
+                       FROM events WHERE user_id IS NOT NULL
+                       GROUP BY user_id),
+            n AS (SELECT SUM(cnt)::DOUBLE AS total FROM c)
+            SELECT user_id, cnt, TRUE AS within_bound
+            FROM c, n WHERE cnt > n.total / 129.0""",
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    'l_quantity' AS metric, l_quantity::DOUBLE AS value

@@ -2221,3 +2221,136 @@ def grouped_string_agg(ds, key_col: str, value_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(assemble,
                                             batch_format="pyarrow"))
+
+
+def cs_heavy_counts(ds, col: str, m: int = 128, width: int = 8192,
+                    depth: int = 7, seed: int = 29):
+    """Unbiased Count-Sketch point estimates (Charikar, Chen &
+    Farach-Colton 2002; sketches/countsketch.py) for the exact
+    ``HAVING cnt > n/(m+1)`` frequent keys, bound-checked per key:
+    ``|est − cnt| ≤ 4·√(F2/width)`` — per-row Chebyshev at 4σ
+    (Var ≤ F2/width) driven exponentially small by the odd-depth
+    median.  The signed sketch is the UNBIASED complement of the
+    one-sided Count-Min plan in :func:`heavy_hitters`.
+
+    Plan: ONE pre-aggregated exact count shuffle yields the per-key
+    table, and `n`, `F2 = Σ cnt²` and the frequent set derive from it
+    (native ``aggregate(Sum)`` folds + a threshold filter — the same
+    numbers the SQL oracle recomputes); ONE sketch pass (tree-merged
+    per-block partials, NO shuffle) yields the estimates.  Output
+    ``(col, cnt, within_bound)`` sorted by key; the oracle recomputes
+    the HAVING set + exact counts and asserts the flag TRUE.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.countsketch import CountSketch
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    def pre(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        u, c = np.unique(np.asarray(vals.drop_null()).astype(np.int64),
+                         return_counts=True)
+        return pa.table({col: pa.array(u),
+                         "partial": pa.array(c.astype(np.int64))})
+
+    # exact per-key counts: ONE pre-aggregated exchange; n and F2 fold
+    # from the FINAL counts (per-batch Σc² partials would double-count
+    # keys that span batches)
+    per_key = (ds.map_batches(pre, batch_format="pyarrow")
+               .groupby(col).aggregate(Sum("partial", alias_name="cnt"))
+               .materialize())
+    folds = per_key.map_batches(
+        lambda t: pa.table({
+            "pn": pa.array([int(np.asarray(t.column("cnt")).sum())]),
+            "pf2": pa.array([int((np.asarray(t.column("cnt"),
+                                             dtype=np.int64) ** 2).sum())]),
+        }), batch_format="pyarrow").to_pandas()
+    n_total = int(folds["pn"].sum())
+    f2 = int(folds["pf2"].sum())
+    thresh = n_total / (m + 1.0)
+    heavy = per_key.filter(lambda row: row["cnt"] > thresh).to_pandas()
+
+    cs = build_sketch(
+        ds,
+        lambda batch: (fmix64(np.asarray(
+            batch.column(col).combine_chunks().drop_null()
+            if isinstance(batch.column(col), pa.ChunkedArray)
+            else batch.column(col).drop_null()).astype(np.int64)
+            .view(np.uint64)), None),
+        lambda: CountSketch(width=width, depth=depth, seed=seed),
+        batch_size=None)
+
+    keys = heavy[col].to_numpy().astype(np.int64)
+    est = cs.query_batch(fmix64(keys.view(np.uint64)))
+    bound = 4.0 * cs.error_std(float(f2))
+    cnt = heavy["cnt"].to_numpy().astype(np.int64)
+    out = pd.DataFrame({
+        col: keys, "cnt": cnt,
+        "within_bound": np.abs(est - cnt).astype(np.float64) <= bound})
+    return out.sort_values(col).reset_index(drop=True)
+
+
+def decayed_sum(ds, key_col: str, ts_col: str, value_col: str,
+                k_max: int = 20, scale: int = 100, day_s: int = 86400,
+                num_buckets: int = 32):
+    """Exponentially time-decayed score per key with EXACT integer
+    arithmetic: each row weighs ``2^(k_max − age)`` where ``age`` is
+    its whole-day distance from the corpus max day (0 past ``k_max``
+    days — the halving-per-day trending score), and
+    ``score = Σ floor(v·scale + 0.5) · weight`` sums int64-exactly, so
+    the result is BIT-IDENTICAL to the SQL replay (order-dependent
+    float decay sums are not).  Null values contribute 0; null
+    timestamps get weight 0 (SQL's CASE falls through to ELSE 0).
+
+    Plan: the max day is one native ``Max`` fold; scores ride one
+    map-side-combined key exchange (:func:`bqf_ray.stages.partition.
+    bucketed_agg`).  An int64-overflow float shadow is summed beside
+    the exact column and raises loudly past 2^62.
+    Output ``(key_col, decayed)``.
+    """
+    from ray.data.aggregate import Max
+
+    from bqf_ray.stages.partition import bucketed_agg
+
+    day_us = int(day_s) * 1_000_000
+    max_ts = ds.aggregate(Max(ts_col))[f"max({ts_col})"]
+    max_day = int(np.int64(np.datetime64(max_ts, "us").astype(np.int64))
+                  // day_us)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.fill_null(pc.cast(batch.column(value_col),
+                                            pa.float64()), 0.0))
+        vc = np.floor(v * scale + 0.5).astype(np.int64)
+        ts = batch.column(ts_col)
+        valid = np.asarray(pc.is_valid(ts))
+        t = np.asarray(pc.fill_null(ts, pa.scalar(0, pa.timestamp("us")))
+                       ).astype("datetime64[us]").astype(np.int64)
+        age = max_day - t // day_us
+        w = np.where(valid & (age >= 0) & (age <= k_max),
+                     np.int64(1) << np.minimum(np.maximum(
+                         k_max - age, 0), 62).astype(np.int64),
+                     np.int64(0))
+        contrib = vc * w
+        return pa.table({key_col: batch.column(key_col),
+                         "part": pa.array(contrib),
+                         "shadow": pa.array(contrib.astype(np.float64))})
+
+    out = bucketed_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        [key_col], [("part", "sum", "decayed"),
+                    ("shadow", "sum", "shadow")],
+        num_buckets=num_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch.column("shadow"), dtype=np.float64)
+        if len(sh) and np.abs(sh).max() >= float(2 ** 62):
+            raise OverflowError(
+                "decayed_sum: per-key score exceeds the int64 exact "
+                "envelope (2^62); lower k_max or scale")
+        return batch.drop_columns(["shadow"])
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -1258,3 +1258,173 @@ def new_keys_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
     return counts.repartition(1).map_batches(running,
                                              batch_format="pyarrow",
                                              batch_size=None)
+
+
+def interval_coalesce(ds, key_col: str, lo_col: str, hi_col: str,
+                      num_buckets: int = 32):
+    """Merge overlapping-or-touching ``[lo, hi]`` intervals per key
+    into maximal covered spans (the interval form of gaps-and-islands;
+    :func:`activity_islands` is the discrete-period cousin).  Touching
+    counts as overlap (``lo == prev_max_hi`` merges), matching the SQL
+    islands idiom ``brk = lo > MAX(hi) OVER (... 1 PRECEDING)``.
+
+    Plan: ONE key-bucket shuffle of ±1 sweep events (+1 at ``lo``, −1
+    at ``hi``, opens sort before closes at equal positions so touching
+    spans stay connected); in-bucket a single lexsort + grouped
+    CUMSUM (vectorizable with a per-key offset subtraction, unlike the
+    grouped cummax the naive islands plan needs) marks span starts
+    where coverage rises 0→1 and ends where it returns to 0.  No
+    per-key loop.  Output ``(key_col, span_start, span_end, n)`` with
+    ``n`` = intervals merged into the span.
+    """
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col)
+        hi = batch.column(hi_col)
+        if lo.null_count or hi.null_count or \
+                batch.column(key_col).null_count:
+            raise ValueError("interval_coalesce: null key/lo/hi row")
+        ts_type = pa.types.is_timestamp(lo.type)
+        lo_i = np.asarray(lo).astype("datetime64[us]").astype(np.int64) \
+            if ts_type else np.asarray(lo, dtype=np.int64)
+        hi_i = np.asarray(hi).astype("datetime64[us]").astype(np.int64) \
+            if ts_type else np.asarray(hi, dtype=np.int64)
+        if np.any(hi_i < lo_i):
+            raise ValueError("interval_coalesce: hi < lo row")
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        kk = np.concatenate([k, k])
+        pos = np.concatenate([lo_i, hi_i])
+        typ = np.concatenate([np.zeros(len(k), dtype=np.int64),
+                              np.ones(len(k), dtype=np.int64)])
+        return pa.table({"k": pa.array(kk), "pos": pa.array(pos),
+                         "typ": pa.array(typ), "__ts": pa.array(
+                             np.full(len(kk), int(ts_type),
+                                     dtype=np.int64)),
+                         "__bucket": pa.array((kk % NB))})
+
+    def sweep(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        ts_out = bool(len(k)) and bool(group.column("__ts")[0].as_py())
+        if not len(k):
+            empty_pos = (pa.array([], pa.timestamp("us")))
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "span_start": empty_pos,
+                             "span_end": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64())})
+        pos = np.asarray(group.column("pos"), dtype=np.int64)
+        typ = np.asarray(group.column("typ"), dtype=np.int64)
+        order = np.lexsort((typ, pos, k))
+        ks, ps, ty = k[order], pos[order], typ[order]
+        delta = 1 - 2 * ty                       # +1 open, -1 close
+        cs = np.cumsum(delta)
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        # per-key offset: coverage = global cumsum − cumsum at the
+        # previous key's last element (coverage closes to 0 per key,
+        # so the offset equals cs just before each key start)
+        start_idx = np.flatnonzero(first)
+        base = np.where(start_idx > 0, cs[start_idx - 1], 0)
+        counts = np.diff(np.append(start_idx, len(ks)))
+        cov = cs - np.repeat(base, counts)
+        is_start = (ty == 0) & (cov == 1)
+        is_end = (ty == 1) & (cov == 0)
+        si = np.flatnonzero(is_start)
+        ei = np.flatnonzero(is_end)
+        opens = np.cumsum(ty == 0)
+        n = opens[ei] - opens[si] + 1
+        if ts_out:
+            sa = pa.array(ps[si].astype("datetime64[us]"),
+                          pa.timestamp("us"))
+            ea = pa.array(ps[ei].astype("datetime64[us]"),
+                          pa.timestamp("us"))
+        else:
+            sa, ea = pa.array(ps[si]), pa.array(ps[ei])
+        return pa.table({key_col: pa.array(ks[si]), "span_start": sa,
+                         "span_end": ea, "n": pa.array(n)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(sweep,
+                                            batch_format="pyarrow"))
+
+
+def time_weighted_avg(ds, key_col: str, ts_col: str, id_col: str,
+                      value_col: str, scale: int = 100,
+                      num_buckets: int = 32):
+    """Time-weighted average per key (TWAP): each value HOLDS until the
+    key's next event, ``num = Σ vᵢ·(tᵢ₊₁−tᵢ)`` (int64-exact in scaled
+    units × microseconds), ``den = t_last − t_first``,
+    ``twa = num/den`` — one IEEE division over exact integers, so the
+    double bit-matches the SQL LEAD replay (an order-dependent float
+    accumulation would not).  Values quantize by the repo cents rule
+    ``floor(v·scale + 0.5)``; null values contribute 0 to ``num`` but
+    still advance the clock (SQL's SUM skips the NULL product);
+    single-event keys emit ``den = 0`` and NULL ``twa``.
+
+    Plan: the :func:`lag_diff` shape — ONE key-bucket shuffle, in-bucket
+    lexsort + shifted gather + ``np.add.reduceat`` per-key folds, no
+    per-key loop.  A float shadow of ``num`` raises loudly past the
+    2^62 exact envelope.  Output ``(key_col, num, den, twa)``.
+    """
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        if batch.column(ts_col).null_count or \
+                batch.column(key_col).null_count:
+            raise ValueError("time_weighted_avg: null key/ts row")
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        v = np.asarray(pc.fill_null(pc.cast(batch.column(value_col),
+                                            pa.float64()), 0.0))
+        vc = np.floor(v * scale + 0.5).astype(np.int64)
+        return pa.table({
+            "k": pa.array(k), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "vc": pa.array(vc),
+            "__bucket": pa.array((k % NB).astype(np.int64))})
+
+    def twap(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        if not len(k):
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "num": pa.array([], pa.int64()),
+                             "den": pa.array([], pa.int64()),
+                             "twa": pa.array([], pa.float64())})
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        vc = np.asarray(group.column("vc"), dtype=np.int64)
+        order = np.lexsort((i, t, k))
+        ks, ts_, vs = k[order], t[order], vc[order]
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]
+        dt = np.zeros(len(ks), dtype=np.int64)
+        dt[:-1] = ts_[1:] - ts_[:-1]
+        dt[last] = 0
+        contrib = vs * dt
+        starts = np.flatnonzero(np.concatenate((
+            [True], ks[1:] != ks[:-1])))
+        num = np.add.reduceat(contrib, starts)
+        shadow = np.add.reduceat(contrib.astype(np.float64), starts)
+        if len(shadow) and np.abs(shadow).max() >= float(2 ** 62):
+            raise OverflowError(
+                "time_weighted_avg: Σ v·Δt exceeds the int64 exact "
+                "envelope (2^62); lower scale")
+        ends = np.append(starts[1:], len(ks)) - 1
+        den = ts_[ends] - ts_[starts]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twa = np.where(den > 0,
+                           num.astype(np.float64) / den.astype(np.float64),
+                           np.nan)
+        return pa.table({key_col: pa.array(ks[starts]),
+                         "num": pa.array(num), "den": pa.array(den),
+                         "twa": pa.array(twa, pa.float64(),
+                                         mask=~(den > 0))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(twap,
+                                            batch_format="pyarrow"))
