@@ -2570,6 +2570,39 @@ def w_cs_user_counts(sf_dir):
                            seed=29)
 
 
+def w_last_touch(sf_dir):
+    """Last-touch attribution: every purchase joined to the latest
+    click/view by the same user STRICTLY before it and within a 7-day
+    lookback (ties break to the larger event_id); purchases with no
+    eligible touch keep NULL touch columns — ONE key-bucket shuffle +
+    an in-bucket maximum.accumulate scan (no per-conversion self-join);
+    ``windowed.last_touch_attribution``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import last_touch_attribution
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_id", "event_type",
+        conversion_type="purchase", touch_types=["click", "view"],
+        window_us=7 * 86_400_000_000)
+
+
+def w_daily_anomaly(sf_dir):
+    """Per-user daily-count anomaly z-scores: day counts scored
+    against the user's own mean/std over present days with all-int64
+    moments and ONE sqrt + ONE division, so z bit-matches the SQL
+    replay; constant-count users emit NULL z; |z| > 3 flags;
+    ``aggregates.daily_anomaly``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import daily_anomaly
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return daily_anomaly(ev, "user_id", "ts", z_thresh=3.0)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -2977,6 +3010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap_value": w_twap_value,
         "decayed_user_value": w_decayed_user_value,
         "cs_user_counts": w_cs_user_counts,
+        "last_touch": w_last_touch,
+        "daily_anomaly": w_daily_anomaly,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5026,4 +5061,38 @@ def oracle_sql() -> dict[str, str]:
             FROM dots JOIN nrm x ON x.doc_id = doc_a
                       JOIN nrm y ON y.doc_id = doc_b
             WHERE dot::HUGEINT * dot * 25 >= 16 * x.n2::HUGEINT * y.n2""",
+        "last_touch": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            t AS (SELECT event_id, user_id, ts, event_type FROM events
+                  WHERE event_type IN ('click', 'view'))
+            SELECT p.event_id AS conversion_id, p.user_id,
+                   p.ts AS conv_ts, t.event_id AS touch_id,
+                   t.event_type AS touch_type, t.ts AS touch_ts
+            FROM p LEFT JOIN t
+              ON t.user_id = p.user_id AND t.ts < p.ts
+             AND t.ts >= p.ts - INTERVAL 7 DAY
+            QUALIFY row_number() OVER (
+                PARTITION BY p.event_id
+                ORDER BY t.ts DESC NULLS LAST,
+                         t.event_id DESC NULLS LAST) = 1""",
+        "daily_anomaly": """
+            WITH d AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS day, count(*)::BIGINT AS cnt
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT user_id, count(*)::BIGINT AS n_days,
+                     sum(cnt)::BIGINT AS s, sum(cnt * cnt)::BIGINT AS q
+              FROM d GROUP BY 1)
+            SELECT d.user_id, d.day, d.cnt, m.n_days, m.s, m.q,
+                   CASE WHEN m.n_days * m.q - m.s * m.s > 0 THEN
+                     CAST(m.n_days * d.cnt - m.s AS DOUBLE)
+                       / sqrt(CAST(m.n_days * m.q - m.s * m.s
+                                   AS DOUBLE)) END AS z,
+                   CASE WHEN m.n_days * m.q - m.s * m.s > 0 THEN
+                     abs(CAST(m.n_days * d.cnt - m.s AS DOUBLE)
+                         / sqrt(CAST(m.n_days * m.q - m.s * m.s
+                                     AS DOUBLE))) > 3.0 END AS is_anomaly
+            FROM d JOIN m USING (user_id)""",
     }

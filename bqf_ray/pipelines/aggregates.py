@@ -2354,3 +2354,99 @@ def decayed_sum(ds, key_col: str, ts_col: str, value_col: str,
         return batch.drop_columns(["shadow"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_anomaly(ds, key_col: str, ts_col: str, z_thresh: float = 3.0,
+                  day_s: int = 86400, num_buckets: int = 32):
+    """Per-key daily-count anomaly z-scores: count events per
+    ``(key, day)``, then score each present day against THAT key's
+    population mean/std over its present days.  The z-score is exact
+    in the IEEE sense — all moments stay int64
+    (``n`` days, ``S = Σc``, ``Q = Σc²``) and
+    ``z = (n·c − S) / sqrt(n·Q − S²)`` is ONE int→double cast pair,
+    one sqrt and one division, so it bit-matches the SQL replay of the
+    same expression (a running float mean/var would not).  Keys whose
+    counts are all equal (``n·Q == S²``) emit NULL ``z`` /
+    ``is_anomaly``; ``is_anomaly = |z| > z_thresh`` otherwise.
+
+    Plan: per-batch ``(key, day)`` count partials (map-side combine),
+    ONE key-bucket shuffle so every key's days co-locate, in-bucket
+    lexsort + ``np.add.reduceat`` folds for the per-key moments — no
+    per-key loop.  ``n·Q`` is shadow-guarded against the 2^62 exact
+    envelope.  Output ``(key_col, day, cnt, n_days, s, q, z,
+    is_anomaly)``.
+    """
+    NB = int(num_buckets)
+    day_us = np.int64(day_s) * 1_000_000
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.column(key_col).null_count or \
+                batch.column(ts_col).null_count:
+            raise ValueError("daily_anomaly: null key/ts row")
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        d = (np.asarray(batch.column(ts_col)).astype("datetime64[us]")
+             .astype(np.int64) // day_us) * day_us
+        part = pa.table({"k": pa.array(k), "d": pa.array(d)}).group_by(
+            ["k", "d"]).aggregate([([], "count_all")])
+        kk = np.asarray(part.column("k"), dtype=np.int64)
+        return pa.table({
+            "k": part.column("k"), "d": part.column("d"),
+            "c": pc.cast(part.column("count_all"), pa.int64()),
+            "__bucket": pa.array((kk % NB).astype(np.int64))})
+
+    def score(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        if not len(k):
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "day": pa.array([], pa.timestamp("us")),
+                "cnt": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64()),
+                "z": pa.array([], pa.float64()),
+                "is_anomaly": pa.array([], pa.bool_())})
+        d = np.asarray(group.column("d"), dtype=np.int64)
+        c = np.asarray(group.column("c"), dtype=np.int64)
+        order = np.lexsort((d, k))
+        ks, ds_, cs = k[order], d[order], c[order]
+        # fold same (key, day) partials from different input blocks
+        same = np.zeros(len(ks), dtype=bool)
+        same[1:] = (ks[1:] == ks[:-1]) & (ds_[1:] == ds_[:-1])
+        cell = np.flatnonzero(~same)
+        cc = np.add.reduceat(cs, cell)
+        kc, dc = ks[cell], ds_[cell]
+        first = np.ones(len(kc), dtype=bool)
+        first[1:] = kc[1:] != kc[:-1]
+        start = np.flatnonzero(first)
+        n_days = np.diff(np.append(start, len(kc)))
+        s = np.add.reduceat(cc, start)
+        q = np.add.reduceat(cc * cc, start)
+        shadow = n_days.astype(np.float64) * q.astype(np.float64)
+        if len(shadow) and shadow.max() >= float(2 ** 62):
+            raise OverflowError(
+                "daily_anomaly: n·Q exceeds the int64 exact envelope "
+                "(2^62); split the key range or shorten the horizon")
+        reps = n_days
+        n_r = np.repeat(n_days, reps)
+        s_r = np.repeat(s, reps)
+        q_r = np.repeat(q, reps)
+        rad = (n_r * q_r - s_r * s_r).astype(np.float64)
+        ok = rad > 0.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(ok, (n_r * cc - s_r).astype(np.float64)
+                         / np.sqrt(rad), np.nan)
+        anom = np.abs(z) > float(z_thresh)
+        return pa.table({
+            key_col: pa.array(kc),
+            "day": pa.array(dc.astype("datetime64[us]"),
+                            pa.timestamp("us")),
+            "cnt": pa.array(cc),
+            "n_days": pa.array(n_r),
+            "s": pa.array(s_r), "q": pa.array(q_r),
+            "z": pa.array(z, pa.float64(), mask=~ok),
+            "is_anomaly": pa.array(anom, pa.bool_(), mask=~ok)})
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(score,
+                                            batch_format="pyarrow"))

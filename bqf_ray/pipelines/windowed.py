@@ -1428,3 +1428,110 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, id_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(twap,
                                             batch_format="pyarrow"))
+
+
+def last_touch_attribution(ds, key_col: str, ts_col: str, id_col: str,
+                           type_col: str, conversion_type: str,
+                           touch_types: list[str],
+                           window_us: int | None = None,
+                           num_buckets: int = 32):
+    """Last-touch attribution: for every *conversion* event, the most
+    recent *touch* event by the same key with ``touch.ts`` STRICTLY
+    before ``conv.ts`` (and, when ``window_us`` is set, within the
+    lookback window ``touch.ts >= conv.ts − window_us``); ties on equal
+    touch ``ts`` break to the larger ``id_col``, matching the SQL
+    ``ORDER BY t.ts DESC, t.id DESC ... rn = 1`` replay.  Conversions
+    with no eligible touch emit NULL touch columns (LEFT semantics).
+
+    Plan: rows not in ``{conversion_type} ∪ touch_types`` drop at the
+    read map (column/row prune), then ONE key-bucket shuffle; in-bucket
+    a lexsort on ``(key, ts, role, id)`` — role orders touches AFTER
+    conversions at equal ts so a strict-< scan falls out of a single
+    ``np.maximum.accumulate`` over touch positions, validated against
+    per-key segment starts (no per-key loop, no self-join blow-up).
+    Output ``(conversion_id, key_col, conv_ts, touch_id, touch_type,
+    touch_ts)`` with nullable touch columns.
+    """
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+    touch_set = list(dict.fromkeys(touch_types))
+    if conversion_type in touch_set:
+        raise ValueError("last_touch_attribution: conversion_type must "
+                         "not be a touch type")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        typ = batch.column(type_col)
+        is_conv = pc.equal(typ, conversion_type)
+        is_touch = pc.is_in(typ, value_set=pa.array(touch_set))
+        keep = pc.fill_null(pc.or_(is_conv, is_touch), False)
+        sub = batch.filter(keep)
+        if sub.column(key_col).null_count or \
+                sub.column(ts_col).null_count:
+            raise ValueError("last_touch_attribution: null key/ts row")
+        k = np.asarray(sub.column(key_col), dtype=np.int64)
+        role = np.asarray(pc.fill_null(pc.is_in(
+            sub.column(type_col), value_set=pa.array(touch_set)),
+            False)).astype(np.int64)          # 0 conversion, 1 touch
+        return pa.table({
+            "k": pa.array(k),
+            "t": pa.array(np.asarray(sub.column(ts_col)).astype(
+                "datetime64[us]").astype(np.int64)),
+            "i": pc.cast(sub.column(id_col), pa.int64()),
+            "role": pa.array(role),
+            "typ": sub.column(type_col),
+            "__bucket": pa.array((k % NB).astype(np.int64))})
+
+    def attribute(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        if not len(k):
+            return pa.table({
+                "conversion_id": pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "conv_ts": pa.array([], pa.timestamp("us")),
+                "touch_id": pa.array([], pa.int64()),
+                "touch_type": pa.array([], pa.string()),
+                "touch_ts": pa.array([], pa.timestamp("us"))})
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        role = np.asarray(group.column("role"), dtype=np.int64)
+        order = np.lexsort((i, role, t, k))
+        ks, ts_, is_, rs = k[order], t[order], i[order], role[order]
+        n = len(ks)
+        pos = np.arange(n, dtype=np.int64)
+        touch = rs == 1
+        last_touch = np.maximum.accumulate(np.where(touch, pos, -1))
+        first = np.ones(n, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        start_idx = np.flatnonzero(first)
+        counts = np.diff(np.append(start_idx, n))
+        seg_start = np.repeat(start_idx, counts)
+        conv_pos = np.flatnonzero(~touch)
+        att = last_touch[conv_pos]
+        ok = att >= seg_start[conv_pos]
+        safe = np.where(ok, att, 0)
+        if window_us is not None:
+            ok &= ts_[safe] >= ts_[conv_pos] - np.int64(window_us)
+            safe = np.where(ok, att, 0)
+        # gather touch columns; invalid rows -> null via masked arrays
+        # (typ is in pre-sort order, so sorted position p reads
+        # typ[order[p]])
+        touch_id = pa.array(is_[safe], pa.int64(), mask=~ok)
+        touch_ts = pa.array(ts_[safe].astype("datetime64[us]"),
+                            pa.timestamp("us"), mask=~ok)
+        touch_type = pc.if_else(
+            pa.array(ok),
+            pc.take(group.column("typ"), pa.array(order[safe])),
+            pa.scalar(None, pa.string()))
+        return pa.table({
+            "conversion_id": pa.array(is_[conv_pos]),
+            key_col: pa.array(ks[conv_pos]),
+            "conv_ts": pa.array(ts_[conv_pos].astype("datetime64[us]"),
+                                pa.timestamp("us")),
+            "touch_id": touch_id,
+            "touch_type": touch_type,
+            "touch_ts": touch_ts})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(attribute,
+                                            batch_format="pyarrow"))
