@@ -240,8 +240,12 @@ def distinctive_terms(ds, top: int = 3, text_col: str = "text",
         tok_col = group.column("token")
         if isinstance(tok_col, pa.ChunkedArray):
             tok_col = tok_col.combine_chunks()
-        tok = tok_col.to_numpy(zero_copy_only=False).astype("U")
-        order = np.lexsort((tok, df_, -tf, d))
+        # np.unique on the OBJECT array: codes carry exact lexicographic
+        # (code-point == UTF-8 byte) order; astype("U") would strip
+        # trailing NULs and merge/ misorder such tokens
+        _, tok_codes = np.unique(
+            tok_col.to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((tok_codes, df_, -tf, d))
         ds_, = (d[order],)
         new = np.concatenate([[True], ds_[1:] != ds_[:-1]])
         starts = np.flatnonzero(new)
@@ -314,7 +318,12 @@ def cap_per_key(ds, key_col: str = "source", id_col: str = "doc_id",
         kcol = tbl.column(key_col)
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
-        k = kcol.to_numpy(zero_copy_only=False).astype("U")
+        # dictionary codes, not astype("U"): "U" strips trailing NULs
+        # (merging distinct keys) and renders nulls as the literal
+        # string "None"; codes group any byte content exactly, with
+        # all nulls as one -1 group
+        enc = kcol.dictionary_encode()
+        k = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
         ids = np.asarray(tbl.column(id_col), dtype=np.int64)
         order = np.lexsort((ids, k))
         ks = k[order]

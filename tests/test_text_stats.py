@@ -139,3 +139,34 @@ def test_docs_with_all_terms(ray_session):
                               ["a", "b", "c"]).to_pandas()
     assert sorted(got["doc_id"]) == [0, 3]
     assert set(got["n_terms_hit"]) == {3}
+
+
+def test_cap_per_key_trailing_nul_and_none_keys(ray_session):
+    """Keys differing only in a trailing NUL, a null key, and the
+    LITERAL string "None" are four distinct capping groups (the
+    astype("U") regression merged them)."""
+    import ray
+    import pyarrow as pa
+    from bqf_ray.pipelines.text_stats import cap_per_key
+    keys = ["a", "a", "a\x00", "a\x00", None, None, "None", "None"]
+    tbl = pa.table({"source": pa.array(keys, pa.string()),
+                    "doc_id": pa.array(range(8), pa.int64())})
+    out = cap_per_key(ray.data.from_arrow(tbl), "source", "doc_id",
+                      max_rows=1).to_pandas()
+    # one survivor per distinct key -> 4 rows, lowest id each
+    assert sorted(out["doc_id"]) == [0, 2, 4, 6]
+
+
+def test_distinctive_terms_trailing_nul_token_order(ray_session):
+    """Token tie-break must order by full byte content: 'b' < 'b\\x00'
+    (astype("U") stripped the NUL, making them compare equal)."""
+    import ray
+    import pyarrow as pa
+    from bqf_ray.pipelines.text_stats import distinctive_terms
+    # one doc, two tokens equal on (tf, df) so the token string is the
+    # deciding tie-break for top=1
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["b\x00 b"], pa.string())})
+    out = distinctive_terms(ray.data.from_arrow(tbl),
+                            top=1).to_pandas()
+    assert len(out) == 1 and out.loc[0, "token"] == "b"
