@@ -2603,6 +2603,21 @@ def w_daily_anomaly(sf_dir):
     return daily_anomaly(ev, "user_id", "ts", z_thresh=3.0)
 
 
+def w_dbscan_embeddings(sf_dir):
+    """DBSCAN over the embeddings table (cosine ≥ 0.3 ε-ball,
+    min_pts=3 neighbors excluding self): deterministic labels — core
+    components labeled by MIN core id, borders take the MIN core-
+    neighbor label, noise NULL; ε-pairs ride the auto-routed
+    exact/LSH-blocked pair engine, components via union-find /
+    pointer-jumping; ``clustering.dbscan_embeddings``."""
+    import ray
+
+    from bqf_ray.pipelines.clustering import dbscan_embeddings
+    em = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return dbscan_embeddings(em, sim_threshold=0.3, min_pts=3)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -3012,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cs_user_counts": w_cs_user_counts,
         "last_touch": w_last_touch,
         "daily_anomaly": w_daily_anomaly,
+        "dbscan_embeddings": w_dbscan_embeddings,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5095,4 +5111,46 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(m.n_days * m.q - m.s * m.s
                                      AS DOUBLE))) > 3.0 END AS is_anomaly
             FROM d JOIN m USING (user_id)""",
+        "dbscan_embeddings": """
+            WITH RECURSIVE nv AS (
+              SELECT vec_id, embedding,
+                     sqrt((SELECT sum(x.a::DOUBLE * x.a::DOUBLE)
+                           FROM (SELECT unnest(embedding) AS a) x)) AS nrm
+              FROM embeddings),
+            pr AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM nv a JOIN nv b ON a.vec_id <> b.vec_id
+              WHERE (SELECT sum(x.u::DOUBLE * x.v::DOUBLE)
+                     FROM (SELECT unnest(a.embedding) AS u,
+                                  unnest(b.embedding) AS v) x)
+                    / (a.nrm * b.nrm) >= 0.3),
+            core AS (SELECT a AS id FROM pr GROUP BY a
+                     HAVING count(*) >= 3),
+            ce AS (SELECT p.a, p.b FROM pr p
+                   JOIN core x ON x.id = p.a
+                   JOIN core y ON y.id = p.b),
+            reach(src, dst) AS (
+              SELECT a, b FROM ce
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN ce s ON s.a = r.dst),
+            clab AS (
+              SELECT c.id,
+                     COALESCE(LEAST(c.id, m.mn), c.id)::BIGINT
+                         AS cluster_id
+              FROM core c LEFT JOIN (SELECT src, MIN(dst) AS mn
+                                     FROM reach GROUP BY src) m
+                ON m.src = c.id),
+            blab AS (
+              SELECT p.a AS id, MIN(cl.cluster_id)::BIGINT AS cluster_id
+              FROM pr p JOIN clab cl ON cl.id = p.b
+              WHERE p.a NOT IN (SELECT id FROM core)
+              GROUP BY p.a)
+            SELECT e.vec_id,
+                   CASE WHEN c2.id IS NOT NULL THEN 'core'
+                        WHEN b.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   COALESCE(c2.cluster_id, b.cluster_id) AS cluster_id
+            FROM embeddings e
+            LEFT JOIN clab c2 ON c2.id = e.vec_id
+            LEFT JOIN blab b ON b.id = e.vec_id""",
     }

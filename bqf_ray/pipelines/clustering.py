@@ -194,3 +194,176 @@ def kmeans_cluster_stats(ds, k: int = 8, iters: int = 5,
             .groupby("cluster")
             .aggregate(Sum("pn", alias_name="n"),
                        Sum("pin", alias_name="inertia")))
+
+
+def _in_sorted(sorted_arr: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Membership of x in a sorted int64 array (vectorized)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(x), dtype=bool)
+    i = np.minimum(np.searchsorted(sorted_arr, x), len(sorted_arr) - 1)
+    return sorted_arr[i] == x
+
+
+def dbscan_embeddings(ds, sim_threshold: float = 0.3, min_pts: int = 3,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      mode: str = "auto", num_buckets: int = 64):
+    """Density clustering (DBSCAN, Ester et al. 1996) over an embedding
+    column with COSINE similarity ≥ ``sim_threshold`` as the ε-ball.
+    ``min_pts`` counts NEIGHBORS EXCLUDING the point itself (classic
+    |N_ε(p)| ≥ minPts including p is this with ``min_pts+1``).
+
+    Deterministic label rule (order-independent, unlike textbook
+    seed-order DBSCAN): a cluster is a connected component of the
+    core-core neighbor graph labeled by its MINIMUM core id; border
+    points (non-core with ≥1 core neighbor) take the MIN label among
+    their core neighbors; everything else is noise (NULL label).
+
+    Plan: the ε-pair table comes from :func:`bqf_ray.pipelines.dedup.
+    embedding_dup_pairs` (auto exact-broadcast / LSH-blocked route —
+    past the broadcast budget recall follows the blocked plan's
+    documented banding curve); degrees ride ONE bucketed exchange;
+    the core id array, component labels and border labels are
+    NODE-sized driver/broadcast state (the kcore/bfs envelope —
+    ~80 MB per 10M cores) with components from
+    :func:`bqf_ray.pipelines.graph.connected_components` (union-find
+    under the edge budget, pointer-jumping past it).  The corpus
+    itself streams; only pair/node tables shuffle.
+    Output ``(id_col, role: core|border|noise, cluster_id: nullable)``.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.dedup import embedding_dup_pairs
+    from bqf_ray.pipelines.graph import connected_components
+    from bqf_ray.stages.partition import bucketed_agg
+
+    proj = ds.select_columns([id_col, vec_col])
+    pairs = embedding_dup_pairs(
+        proj, threshold=sim_threshold, vec_col=vec_col, id_col=id_col,
+        mode=mode).materialize()       # consumed 3×: degree/core/border
+
+    def sym_deg(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        node = np.concatenate([a, b])
+        t = pa.table({"node": pa.array(node),
+                      "d": pa.array(np.ones(len(node), np.int64))})
+        return (t.group_by(["node"]).aggregate([("d", "sum")])
+                .rename_columns(["node", "d"]))
+
+    deg = bucketed_agg(pairs.map_batches(sym_deg, batch_format="pyarrow"),
+                       ["node"], [("d", "sum", "deg")],
+                       num_buckets=num_buckets)
+    if min_pts <= 0:
+        # zero-neighbor points have NO pair row (degree table misses
+        # them) but deg=0 ≥ min_pts makes every point core
+        parts = [np.asarray(b.column(id_col), dtype=np.int64)
+                 for b in proj.select_columns([id_col])
+                              .iter_batches(batch_format="pyarrow")]
+    else:
+        parts = [np.asarray(b.filter(pc.greater_equal(
+                     b.column("deg"), pa.scalar(int(min_pts), pa.int64())))
+                     .column("node"), dtype=np.int64)
+                 for b in deg.iter_batches(batch_format="pyarrow")]
+    core = (np.sort(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+    core_ref = ray.put(core)
+
+    class CoreEdges:
+        def __init__(self):
+            self.core = ray.get(core_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("id_a"), dtype=np.int64)
+            b = np.asarray(batch.column("id_b"), dtype=np.int64)
+            keep = _in_sorted(self.core, a) & _in_sorted(self.core, b)
+            return pa.table({"id_a": pa.array(a[keep]),
+                             "id_b": pa.array(b[keep])})
+
+    cc = connected_components(
+        pairs.map_batches(CoreEdges, batch_format="pyarrow",
+                          concurrency=2), "id_a", "id_b")
+    lab_nodes, lab_vals = [], []
+    for b in cc.iter_batches(batch_format="pyarrow"):
+        lab_nodes.append(np.asarray(b.column("doc_id"), dtype=np.int64))
+        lab_vals.append(np.asarray(b.column("cluster_id"),
+                                   dtype=np.int64))
+    nodes = (np.concatenate(lab_nodes) if lab_nodes
+             else np.empty(0, np.int64))
+    vals = (np.concatenate(lab_vals) if lab_vals
+            else np.empty(0, np.int64))
+    # isolated cores (no core neighbor) form singleton clusters
+    srt = np.sort(nodes)
+    iso = core[~_in_sorted(srt, core)]
+    nodes = np.concatenate([nodes, iso])
+    vals = np.concatenate([vals, iso])
+    o = np.argsort(nodes)
+    labels_ref = ray.put((nodes[o], vals[o]))
+
+    class BorderMin:
+        """(non-core node, MIN core-neighbor label) partials."""
+
+        def __init__(self):
+            self.core = ray.get(core_ref)
+            self.lnodes, self.lvals = ray.get(labels_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("id_a"), dtype=np.int64)
+            b = np.asarray(batch.column("id_b"), dtype=np.int64)
+            am = _in_sorted(self.core, a)
+            bm = _in_sorted(self.core, b)
+            # non-core endpoint paired with the core side's label
+            n1, c1 = a[~am & bm], b[~am & bm]
+            n2, c2 = b[am & ~bm], a[am & ~bm]
+            node = np.concatenate([n1, n2])
+            cidx = np.searchsorted(self.lnodes,
+                                   np.concatenate([c1, c2]))
+            t = pa.table({"node": pa.array(node),
+                          "lab": pa.array(self.lvals[cidx]
+                                          if len(node) else
+                                          np.empty(0, np.int64))})
+            return (t.group_by(["node"]).aggregate([("lab", "min")])
+                    .rename_columns(["node", "lab"]))
+
+    border = bucketed_agg(
+        pairs.map_batches(BorderMin, batch_format="pyarrow",
+                          concurrency=2),
+        ["node"], [("lab", "min", "lab")], num_buckets=num_buckets)
+    bn, bv = [], []
+    for b in border.iter_batches(batch_format="pyarrow"):
+        bn.append(np.asarray(b.column("node"), dtype=np.int64))
+        bv.append(np.asarray(b.column("lab"), dtype=np.int64))
+    bnodes = np.concatenate(bn) if bn else np.empty(0, np.int64)
+    bvals = np.concatenate(bv) if bv else np.empty(0, np.int64)
+    o = np.argsort(bnodes)
+    border_ref = ray.put((bnodes[o], bvals[o]))
+
+    class Assemble:
+        def __init__(self):
+            self.core = ray.get(core_ref)
+            self.lnodes, self.lvals = ray.get(labels_ref)
+            self.bnodes, self.bvals = ray.get(border_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            is_core = _in_sorted(self.core, ids)
+            is_border = _in_sorted(self.bnodes, ids)
+            lab = np.zeros(len(ids), dtype=np.int64)
+            if len(self.lnodes):
+                ci = np.minimum(np.searchsorted(self.lnodes, ids),
+                                len(self.lnodes) - 1)
+                lab = np.where(is_core, self.lvals[ci], lab)
+            if len(self.bnodes):
+                bi = np.minimum(np.searchsorted(self.bnodes, ids),
+                                len(self.bnodes) - 1)
+                lab = np.where(is_border, self.bvals[bi], lab)
+            role = np.where(is_core, "core",
+                            np.where(is_border, "border", "noise"))
+            ok = is_core | is_border
+            return pa.table({
+                id_col: pa.array(ids),
+                "role": pa.array(role.astype(object), pa.string()),
+                "cluster_id": pa.array(lab, pa.int64(), mask=~ok)})
+
+    return ds.select_columns([id_col]).map_batches(
+        Assemble, batch_format="pyarrow", concurrency=2)

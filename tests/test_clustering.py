@@ -94,3 +94,94 @@ def test_quantize_guard():
         _quantize(np.full((1, 128), 4.0), 1 << 20)
     _quantize(np.full((1, 32), 4.0), 1 << 20)    # same |x|, smaller dim: ok
     _quantize(np.full((1, 128), 0.9), 1 << 20)   # inside the envelope
+
+
+def _brute_dbscan(x, sim_threshold, min_pts):
+    """Numpy reference for the deterministic DBSCAN label rule:
+    core components labeled by MIN core id, borders take the MIN
+    core-neighbor label, everything else noise."""
+    n = len(x)
+    m = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    sim = m @ m.T
+    adj = (sim >= sim_threshold)
+    np.fill_diagonal(adj, False)
+    deg = adj.sum(axis=1)
+    is_core = deg >= min_pts
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        if not is_core[i]:
+            continue
+        for j in np.nonzero(adj[i] & is_core)[0]:
+            ri, rj = find(i), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    roles, labels = [], []
+    for i in range(n):
+        if is_core[i]:
+            roles.append("core")
+            labels.append(find(i))
+        else:
+            cores = np.nonzero(adj[i] & is_core)[0]
+            if len(cores):
+                roles.append("border")
+                labels.append(min(find(int(c)) for c in cores))
+            else:
+                roles.append("noise")
+                labels.append(None)
+    return roles, labels
+
+
+@pytest.mark.parametrize("min_pts,thr", [(3, 0.8), (1, 0.9), (50, 0.5)])
+def test_dbscan_matches_brute(ray_session, min_pts, thr):
+    import ray
+
+    from bqf_ray.pipelines.clustering import dbscan_embeddings
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1.0, size=(4, 12))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = [c + rng.normal(0, 0.12, size=(60, 12)) for c in centers]
+    # add isolated outliers (noise / singleton-core candidates)
+    pts.append(rng.normal(0, 1.0, size=(12, 12)))
+    x = np.concatenate(pts).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1), pa.float32()), 12).cast(
+            pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = (dbscan_embeddings(ds, sim_threshold=thr, min_pts=min_pts,
+                             mode="exact")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    roles, labels = _brute_dbscan(x.astype(np.float64), thr, min_pts)
+    assert got["role"].tolist() == roles
+    got_lab = [None if pd_isna else int(v)
+               for v, pd_isna in zip(got["cluster_id"],
+                                     got["cluster_id"].isna())]
+    assert got_lab == labels
+
+
+def test_dbscan_isolated_core_singleton(ray_session):
+    """min_pts=0 makes every point core; points with no neighbor at all
+    must still form singleton clusters labeled by their own id."""
+    import ray
+
+    from bqf_ray.pipelines.clustering import dbscan_embeddings
+    x = np.eye(4, dtype=np.float32)        # orthogonal: cosine 0 apart
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1), pa.float32()), 4).cast(
+            pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    got = (dbscan_embeddings(ds, sim_threshold=0.5, min_pts=0,
+                             mode="exact")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert got["role"].tolist() == ["core"] * 4
+    assert got["cluster_id"].tolist() == [0, 1, 2, 3]

@@ -1,19 +1,13 @@
-"""High-cardinality stress for the grouped-sketch surface (r2 verdict
-#8): the sf fixtures have ≤200 groups; here the grouped HLL paths,
-grouped_top_terms and the grouped t-digest UDAF face 1M–10M distinct
-keys, where the unique-key-shuffle lesson from pivot/dedup_spans says
-plans degrade.
+"""High-cardinality stress for the grouped-sketch surface (VERDICT r2
+item #8): the sf fixtures have ≤200 group keys, so this measures the
+native blob-per-group UDAF path vs the sparse-register plan where the
+unique-key-shuffle lesson predicts divergence.
 
-Measures, with the cold-touch canary on every row:
-- grouped_hll_sparse at KEYS distinct keys (the sparse-register plan);
-- sketch_agg native grouped HLL at KEYS//32 keys (blob-per-group: one
-  Python serde round trip per (block, group) — the moderate-cardinality
-  surface, timed here to document WHERE the crossover sits);
-- grouped_top_terms at KEYS keys;
-- build_grouped t-digest at KEYS//8 keys.
-
-Run: python tools/stress_grouped_sketch.py [n_rows] [n_keys]
-"""
+Ops: grouped_hll_sparse at 2M and 10M keys; the sketch_agg UDAF
+groupby at 100k and 1M keys (same rows — the crossover row); and
+grouped_top_terms over 10M synthesized short docs with 1M keys.
+Deterministic synthetic inputs; per-op wall + rows/s + canary.
+Run: python tools/stress_grouped_sketch.py [N]."""
 import os
 import sys
 import time
@@ -23,13 +17,21 @@ import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402
 import ray  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
-KEYS = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ray.init(address="local", num_cpus=CPUS, include_dashboard=False)
 
 from tools.canary import cold_touch_mb_s  # noqa: E402
-from bqf_ray.functions.hashing import fmix64  # noqa: E402
+
+MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _h(i):
+    x = i.astype(np.uint64) * MIX
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return x
 
 
 def run(name, fn, rows):
@@ -37,95 +39,68 @@ def run(name, fn, rows):
     t0 = time.time()
     n = fn()
     dt = time.time() - t0
-    print(f"{name:28s} {dt:8.1f}s  {rows/dt:12.0f} rows/s  ({n} out)  "
+    print(f"{name:34s} {dt:8.1f}s  {rows/dt:12.0f} rows/s  ({n} out)  "
           f"[canary {c:.0f} MB/s]", flush=True)
 
 
-SHARD = 2_000_000
-spec = pa.table({"start": list(range(0, N, SHARD))})
+ids = np.arange(N, dtype=np.int64)
+h = _h(ids)
 
 
-def gen(n_keys):
-    def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for s0 in batch["start"].to_pylist():
-            n = min(SHARD, N - s0)
-            i = np.arange(s0, s0 + n, dtype=np.uint64)
-            key = (fmix64(i) % np.uint64(n_keys)).astype(np.int64)
-            val = (fmix64(i + np.uint64(N)) % np.uint64(100_000)) \
-                .astype(np.int64)
-            out.append(pa.table({"k": pa.array(key), "v": pa.array(val)}))
-        return pa.concat_tables(out)
-    return fn
+def table_for(nk):
+    return pa.table({
+        "k": pa.array((h % np.uint64(nk)).astype(np.int64)),
+        "v": pa.array(ids)})
 
 
-base = (ray.data.from_arrow(spec).repartition(max(1, N // SHARD))
-        .map_batches(gen(KEYS), batch_format="pyarrow", batch_size=1)
-        .materialize())
-print(f"rows={N:,} keys={KEYS:,} cpus={CPUS}", flush=True)
+def do_sparse(nk):
+    def f():
+        from bqf_ray.pipelines.aggregates import grouped_hll_sparse
+        ds = ray.data.from_arrow(table_for(nk)).repartition(64)
+        return grouped_hll_sparse(ds, "k", "v", p=12).count()
+    return f
 
-# ---- 1. sparse-register grouped HLL at full cardinality ---------------
-from bqf_ray.pipelines.aggregates import grouped_hll_sparse  # noqa: E402
 
-run(f"grouped_hll_sparse {KEYS//1_000_000}M keys",
-    lambda: grouped_hll_sparse(base, "k", "v", p=12).count(), N)
+run("grouped_hll_sparse (2M keys)", do_sparse(2_000_000), N)
+run("grouped_hll_sparse (10M keys)", do_sparse(10_000_000), N)
 
-# ---- 2. native sketch_agg grouped HLL at reduced cardinality ----------
-if os.environ.get("STRESS_SKIP_NATIVE") != "1":
-    from bqf_ray.sketches.hll import HyperLogLog  # noqa: E402
-    from bqf_ray.stages.udaf import sketch_agg  # noqa: E402
 
-    NK = KEYS // 32
-    nat = (ray.data.from_arrow(spec).repartition(max(1, N // SHARD))
-           .map_batches(gen(NK), batch_format="pyarrow", batch_size=1)
-           .materialize())
-    run(f"sketch_agg hll {NK//1000}k keys",
-        lambda: nat.groupby("k").aggregate(
+def do_udaf(nk):
+    def f():
+        from bqf_ray.sketches.hll import HyperLogLog
+        from bqf_ray.stages.udaf import sketch_agg
+        ds = ray.data.from_arrow(table_for(nk)).repartition(64)
+        return ds.groupby("k").aggregate(
             sketch_agg(lambda: HyperLogLog(p=12), on="v",
-                       finalize="estimate", name="est")).count(), N)
-
-# ---- 3. grouped_top_terms at full key cardinality ----------------------
-from bqf_ray.pipelines.text_stats import grouped_top_terms  # noqa: E402
-
-VOCAB = np.array([f"tok{i}" for i in range(4096)])
+                       finalize="estimate", name="est")).count()
+    return f
 
 
-def to_docs(batch: pa.Table) -> pa.Table:
-    k = np.asarray(batch.column("k"), dtype=np.int64)
-    v = np.asarray(batch.column("v"), dtype=np.int64)
-    words = VOCAB[v % 4096]
-    text = np.char.add(np.char.add(words, " "), VOCAB[(v * 7 + 1) % 4096])
-    return pa.table({"key": pa.array(np.char.add("s", k.astype("U"))),
-                     "text": pa.array(text)})
+run("hll UDAF groupby (100k keys)", do_udaf(100_000), N)
+run("hll UDAF groupby (1M keys)", do_udaf(1_000_000), N)
 
 
-docs = base.map_batches(to_docs, batch_format="pyarrow").materialize()
-run(f"grouped_top_terms {KEYS//1_000_000}M keys",
-    lambda: grouped_top_terms(docs, key_col="key", k=3,
-                              text_col="text").count(), N)
+def do_top_terms():
+    from bqf_ray.pipelines.text_stats import grouped_top_terms
+    # 10M short docs, 1M keys, zipf-ish 50k-token vocab
+    u = (h >> np.uint64(11)).astype(np.float64) / 2**53
+    vocab = np.array([f"t{i}" for i in range(50_000)])
+    toks = vocab[(u * u * 50_000).astype(np.int64)]
+    t2 = vocab[(_h(ids + 3) % np.uint64(50_000)).astype(np.int64)]
+    t3 = vocab[(_h(ids + 9) % np.uint64(50_000)).astype(np.int64)]
+    import pyarrow.compute as pc
+    text = pc.binary_join_element_wise(
+        pa.array(toks), pa.array(t2), pa.array(t3), " ")
+    tbl = pa.table({
+        "key": pa.array((h % np.uint64(1_000_000)).astype(np.int64)
+                        ).cast(pa.string()),
+        "text": text})
+    ds = ray.data.from_arrow(tbl).repartition(64)
 
-# ---- 4. grouped quantiles: vectorized DDSketch at FULL cardinality ----
-#      vs build_grouped t-digest (sketch-object-per-group) at KEYS//8
-from bqf_ray.pipelines.aggregates import grouped_dd_quantiles  # noqa: E402
+    def f():
+        return grouped_top_terms(ds, "key", k=3, text_col="text").count()
+    return f
 
-run(f"grouped_dd_quantiles {KEYS//1_000_000}M keys",
-    lambda: grouped_dd_quantiles(base, "k", "v",
-                                 qs=(0.25, 0.5, 0.75)).count(), N)
 
-if os.environ.get("STRESS_SKIP_NATIVE") != "1":
-    from bqf_ray.sketches.tdigest import TDigest  # noqa: E402
-    from bqf_ray.stages.sketch_stage import build_grouped  # noqa: E402
-
-    TK = KEYS // 8
-    td = (ray.data.from_arrow(spec).repartition(max(1, N // SHARD))
-          .map_batches(gen(TK), batch_format="pyarrow", batch_size=1)
-          .materialize())
-
-    def vals(batch: pa.Table) -> np.ndarray:
-        return np.asarray(batch.column("v"), dtype=np.float64)
-
-    run(f"build_grouped tdigest {TK//1000}k keys",
-        lambda: build_grouped(td, "k", vals,
-                              lambda: TDigest(delta=100)).count(), N)
-
+run("grouped_top_terms (1M keys)", do_top_terms(), N)
 ray.shutdown()
