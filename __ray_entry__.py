@@ -2603,6 +2603,21 @@ def w_daily_anomaly(sf_dir):
     return daily_anomaly(ev, "user_id", "ts", z_thresh=3.0)
 
 
+def w_spearman_user(sf_dir):
+    """Per-user Spearman rank correlation between event value and
+    event time: tie-averaged ranks kept exact in centered doubled-rank
+    integer units (Σe = 0 by construction), three int64 component sums
+    per key ride ONE bucketed exchange, rho = Σeₓe_y/(√Σeₓ²·√Σe_y²)
+    in one IEEE expression that bit-matches the RANK+peer-window SQL
+    replay; ``aggregates.grouped_spearman``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_spearman
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value", "ts"])
+    return grouped_spearman(ev, "user_id", "value", "ts")
+
+
 def w_dbscan_embeddings(sf_dir):
     """DBSCAN over the embeddings table (cosine ≥ 0.3 ε-ball,
     min_pts=3 neighbors excluding self): deterministic labels — core
@@ -3028,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": w_last_touch,
         "daily_anomaly": w_daily_anomaly,
         "dbscan_embeddings": w_dbscan_embeddings,
+        "spearman_user": w_spearman_user,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5111,6 +5127,34 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(m.n_days * m.q - m.s * m.s
                                      AS DOUBLE))) > 3.0 END AS is_anomaly
             FROM d JOIN m USING (user_id)""",
+        "spearman_user": """
+            WITH f AS (
+              SELECT user_id, value AS x, ts AS y FROM events
+              WHERE value IS NOT NULL AND isfinite(value)
+                AND ts IS NOT NULL),
+            r AS (
+              SELECT user_id,
+                     2*RANK() OVER (PARTITION BY user_id ORDER BY x)
+                       + COUNT(*) OVER (PARTITION BY user_id, x) - 1
+                       - (COUNT(*) OVER (PARTITION BY user_id) + 1)
+                       AS ex,
+                     2*RANK() OVER (PARTITION BY user_id ORDER BY y)
+                       + COUNT(*) OVER (PARTITION BY user_id, y) - 1
+                       - (COUNT(*) OVER (PARTITION BY user_id) + 1)
+                       AS ey
+              FROM f),
+            s AS (
+              SELECT user_id, count(*) AS n,
+                     CAST(sum(ex*ey) AS BIGINT) AS s_xy,
+                     CAST(sum(ex*ex) AS BIGINT) AS sxx,
+                     CAST(sum(ey*ey) AS BIGINT) AS syy
+              FROM r GROUP BY user_id)
+            SELECT user_id, n, s_xy,
+                   CASE WHEN n >= 2 AND sxx > 0 AND syy > 0 THEN
+                     CAST(s_xy AS DOUBLE)
+                       / (sqrt(CAST(sxx AS DOUBLE))
+                          * sqrt(CAST(syy AS DOUBLE))) END AS rho
+            FROM s""",
         "dbscan_embeddings": """
             WITH RECURSIVE nv AS (
               SELECT vec_id, embedding,

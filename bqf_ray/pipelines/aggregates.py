@@ -2450,3 +2450,131 @@ def daily_anomaly(ds, key_col: str, ts_col: str, z_thresh: float = 3.0,
     return (ds.map_batches(pre, batch_format="pyarrow")
             .groupby("__bucket").map_groups(score,
                                             batch_format="pyarrow"))
+
+
+def grouped_spearman(ds, key_col: str, x_col: str, y_col: str,
+                     num_buckets: int = 32,
+                     max_group_rows: int = 1_000_000):
+    """Per-group Spearman rank correlation with DETERMINISTIC floats.
+
+    Tie-averaged ranks stay EXACT by working in CENTERED DOUBLED rank
+    units: a tie run spanning 1-based ranks [first, last] has doubled
+    average rank ``first + last`` (= ``2·RANK() + peers − 1`` in SQL),
+    and subtracting the per-key constant ``n + 1`` centers it so
+    ``Σe = 0`` identically.  The three surviving component sums
+    (Σeₓe_y, Σeₓ², Σe_y²) accumulate as exact int64 (|e| < n ⇒ the
+    sums cap at n³ < 2^60 under the ``max_group_rows`` ≤ 2^20
+    envelope — loud raise past it) and ONE IEEE expression
+    ``rho = Σeₓe_y / (√Σeₓ² · √Σe_y²)`` bit-matches the SQL replay
+    (RANK + peer-count + key-count windows).
+
+    Rows with a null/NaN on either value column are excluded; null
+    keys form ONE group (SQL GROUP BY semantics).  Unlike
+    :func:`grouped_correlation`, ranks are a per-key ORDER statistic,
+    so the pruned raw ``(key, x, y)`` rows ride ONE key-bucketed
+    exchange (no map-side pre-aggregation is possible); keys never
+    split across buckets, so the fold emits final per-key rows.
+    Output ``(key_col, n, s_xy, rho)`` — ``rho`` NULL when n < 2 or
+    either side is constant within the key.
+    """
+    from bqf_ray.pipelines.audit import _key_codes
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+
+    def _f64(col) -> np.ndarray:
+        arr = np.asarray(col)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64) \
+                      .astype(np.float64)
+        return arr.astype(np.float64)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        sub = batch.select([key_col, x_col, y_col])
+        ok = pc.and_(sub.column(x_col).is_valid(),
+                     sub.column(y_col).is_valid())
+        for c in (x_col, y_col):
+            if pa.types.is_floating(sub.schema.field(c).type):
+                ok = pc.and_(ok, pc.fill_null(
+                    pc.is_finite(sub.column(c)), False))
+        sub = sub.filter(ok)
+        k = sub.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        bkt = (_col_hash64(k) % np.uint64(B)).astype(np.int64)
+        return sub.append_column("__bucket", pa.array(bkt))
+
+    def _centered_doubled_ranks(kc: np.ndarray, v: np.ndarray,
+                                counts_per_el: np.ndarray) -> np.ndarray:
+        """e = (first+last doubled avg rank) − (n_key + 1), exact int64.
+        Run boundaries come from integer key codes + value equality on
+        null-free floats (no Arrow-null pitfalls here by construction).
+        """
+        order = np.lexsort((v, kc))
+        ks, vs = kc[order], v[order]
+        key_new = np.empty(len(ks), dtype=bool)
+        key_new[:1] = True
+        key_new[1:] = ks[1:] != ks[:-1]
+        key_starts = np.flatnonzero(key_new)
+        seg_id = np.cumsum(key_new) - 1
+        pos1 = (np.arange(len(ks), dtype=np.int64)
+                - key_starts[seg_id] + 1)          # 1-based rank in key
+        run_new = key_new.copy()
+        run_new[1:] |= vs[1:] != vs[:-1]
+        run_starts = np.flatnonzero(run_new)
+        run_len = np.diff(np.append(run_starts, len(ks)))
+        d_run = 2 * pos1[run_starts] + run_len - 1  # first + last
+        e_sorted = (np.repeat(d_run, run_len)
+                    - (counts_per_el[order] + 1))
+        e = np.empty(len(ks), dtype=np.int64)
+        e[order] = e_sorted
+        return e
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not group.num_rows:
+            return pa.table({key_col: k.slice(0, 0),
+                             "n": pa.array([], pa.int64()),
+                             "s_xy": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.float64())})
+        kc = _key_codes(k)
+        x = _f64(group.column(x_col))
+        y = _f64(group.column(y_col))
+        order_k = np.argsort(kc, kind="stable")
+        kc_s = kc[order_k]
+        key_new = np.empty(len(kc_s), dtype=bool)
+        key_new[:1] = True
+        key_new[1:] = kc_s[1:] != kc_s[:-1]
+        key_starts = np.flatnonzero(key_new)
+        counts = np.diff(np.append(key_starts, len(kc_s))) \
+                   .astype(np.int64)
+        if counts.max() > max_group_rows:
+            raise ValueError(
+                "grouped_spearman: a key has "
+                f"{int(counts.max())} rows > max_group_rows="
+                f"{max_group_rows} — the exact int64 rank envelope "
+                "(Σe² < n³ ≤ 2^60) ends here; sample or pre-quantize "
+                "the hot key upstream")
+        cnt_per_el = np.empty(len(kc), dtype=np.int64)
+        cnt_per_el[order_k] = np.repeat(counts, counts)
+        ex = _centered_doubled_ranks(kc, x, cnt_per_el)
+        ey = _centered_doubled_ranks(kc, y, cnt_per_el)
+        exs, eys = ex[order_k], ey[order_k]
+        s_xy = np.add.reduceat(exs * eys, key_starts)
+        s_xx = np.add.reduceat(exs * exs, key_starts)
+        s_yy = np.add.reduceat(eys * eys, key_starts)
+        ok = (counts >= 2) & (s_xx > 0) & (s_yy > 0)
+        denom = np.sqrt(np.where(ok, s_xx, 1).astype(np.float64)) \
+            * np.sqrt(np.where(ok, s_yy, 1).astype(np.float64))
+        rho = np.where(ok, s_xy.astype(np.float64) / denom, np.nan)
+        return pa.table({
+            key_col: k.take(pa.array(order_k[key_starts])),
+            "n": pa.array(counts),
+            "s_xy": pa.array(s_xy),
+            "rho": pa.array(rho, pa.float64(), mask=~ok)})
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(fold, batch_format="pyarrow"))

@@ -375,3 +375,67 @@ def test_rrf_fuse_rejects_float_metrics(ray_session):
     with pytest.raises((TypeError, Exception), match="must be integer"):
         rrf_fuse(ray.data.from_arrow(tbl), [("s", True)], "doc_id",
                  top=5).to_pandas()
+
+
+def test_grouped_spearman_matches_pandas(ray_session):
+    """Tie-heavy random groups vs pandas rank().corr(rank()) — the
+    centered doubled-rank integer path must agree to float precision
+    (bit-exactness vs SQL is the oracle's job)."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_spearman
+    rng = np.random.default_rng(5)
+    n = 12000
+    k = rng.integers(0, 29, n)
+    x = np.round(rng.normal(size=n), 1)
+    y = np.round(x * 0.5 + rng.normal(size=n), 0)
+    x[rng.random(n) < 0.05] = np.nan             # dropped rows
+    tbl = pa.table({"k": pa.array(k), "x": pa.array(x),
+                    "y": pa.array(y)})
+    got = (grouped_spearman(ray.data.from_arrow(tbl).repartition(7),
+                            "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = pd.DataFrame({"k": k, "x": x, "y": y}).dropna()
+    ref = (df.groupby("k")
+             .apply(lambda g: pd.Series(
+                 {"n": len(g), "rho": g.x.rank().corr(g.y.rank())}),
+                 include_groups=False).reset_index())
+    m = got.merge(ref, on="k", suffixes=("", "_ref"))
+    assert len(m) == 29 and (m.n == m.n_ref).all()
+    assert np.allclose(m.rho, m.rho_ref, atol=1e-12)
+
+
+def test_grouped_spearman_edges(ray_session):
+    """Constant side → NULL rho; n=1 key → NULL; null keys ONE group;
+    perfect monotone pair → rho exactly ±1.0."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_spearman
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3, 3, None, None], pa.int64()),
+        "x": pa.array([1.0, 2.0, 3.0, 5.0, 7.0, 7.0, 1.0, 2.0]),
+        "y": pa.array([10.0, 20.0, 30.0, 1.0, 4.0, 9.0, 5.0, 3.0])})
+    got = (grouped_spearman(ray.data.from_arrow(tbl), "k", "x", "y")
+           .to_pandas())
+    got["k"] = got["k"].astype("Int64")
+    by = {(None if pd.isna(r.k) else int(r.k)): r
+          for r in got.itertuples()}
+    # rho = s/(√s·√s): IEEE √s·√s ≠ s for s=8, and the SQL replay
+    # shares the exact expression — assert THAT value, not 1.0
+    assert by[1].rho == 8.0 / (np.sqrt(8.0) * np.sqrt(8.0))
+    assert pd.isna(by[2].rho)                    # n = 1
+    assert pd.isna(by[3].rho)                    # constant x side
+    assert by[None].rho == -2.0 / (np.sqrt(2.0) * np.sqrt(2.0))
+    assert by[None].n == 2
+
+
+def test_grouped_spearman_envelope_raise(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_spearman
+    tbl = pa.table({"k": pa.array(np.zeros(50, np.int64)),
+                    "x": pa.array(np.arange(50.0)),
+                    "y": pa.array(np.arange(50.0))})
+    with pytest.raises(Exception, match="max_group_rows"):
+        (grouped_spearman(ray.data.from_arrow(tbl), "k", "x", "y",
+                          max_group_rows=10).to_pandas())
