@@ -2603,6 +2603,41 @@ def w_daily_anomaly(sf_dir):
     return daily_anomaly(ev, "user_id", "ts", z_thresh=3.0)
 
 
+def w_snapshot_delta(sf_dir):
+    """CDC change-log GENERATION between two deterministic order
+    snapshots (old = keys %7≠0, new = keys %5≠0 with price+1.0 on
+    %3=0): keyed I/U/D rows with null-safe payload compare; unchanged
+    keys cancel in-bucket; the inverse of merge_changes (roundtrip
+    property-tested); ``relational.snapshot_delta``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.relational import snapshot_delta
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def mk_old(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+        return b.filter(pa.array(k % 7 != 0))
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+        b = b.filter(pa.array(k % 5 != 0))
+        k = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+        bump = pa.array(k % 3 == 0)
+        price = pc.if_else(
+            bump, pc.add(b.column("o_totalprice"), pa.scalar(1.0)),
+            b.column("o_totalprice"))
+        return b.set_column(b.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", price)
+
+    old = orders.map_batches(mk_old, batch_format="pyarrow")
+    new = orders.map_batches(mk_new, batch_format="pyarrow")
+    return snapshot_delta(old, new, "o_orderkey",
+                          ["o_orderstatus", "o_totalprice"])
+
+
 def w_spearman_user(sf_dir):
     """Per-user Spearman rank correlation between event value and
     event time: tie-averaged ranks kept exact in centered doubled-rank
@@ -3044,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_anomaly": w_daily_anomaly,
         "dbscan_embeddings": w_dbscan_embeddings,
         "spearman_user": w_spearman_user,
+        "snapshot_delta": w_snapshot_delta,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5127,6 +5163,25 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(m.n_days * m.q - m.s * m.s
                                      AS DOUBLE))) > 3.0 END AS is_anomaly
             FROM d JOIN m USING (user_id)""",
+        "snapshot_delta": """
+            WITH old AS (
+              SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 7 <> 0),
+            new AS (
+              SELECT o_orderkey AS k, o_orderstatus,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 5 <> 0)
+            SELECT COALESCE(o.k, n.k) AS o_orderkey,
+                   CASE WHEN o.k IS NULL THEN 'I'
+                        WHEN n.k IS NULL THEN 'D'
+                        ELSE 'U' END AS op,
+                   n.o_orderstatus, n.o_totalprice
+            FROM old o FULL OUTER JOIN new n ON o.k = n.k
+            WHERE o.k IS NULL OR n.k IS NULL
+               OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""",
         "spearman_user": """
             WITH f AS (
               SELECT user_id, value AS x, ts AS y FROM events

@@ -924,3 +924,131 @@ def survivorship(ds, key_col: str, order_col: str, cols: list[str],
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def snapshot_delta(old_ds, new_ds, key: str, payload_cols: list[str],
+                   num_buckets: int = 64, op_col: str = "op"):
+    """Generate a CDC change log from two keyed snapshots — the inverse
+    of :func:`merge_changes`: ``merge_changes(old, snapshot_delta(old,
+    new), …)`` reproduces ``new`` exactly (property-tested).  For every
+    key: present only in ``new`` → ``I`` (insert, new payload), only in
+    ``old`` → ``D`` (delete, null payload), in both with any payload
+    column distinct (null-safe ``IS DISTINCT FROM``) → ``U`` (update,
+    new payload); identical rows emit nothing.
+
+    Both snapshots must be unique per key and null-key free (loud
+    raise — a diff over ambiguous keys is meaningless).  Plan: tag
+    sides, ONE key-hash bucket exchange over the union (the
+    :func:`merge_changes` shape), per-bucket resolution is one Arrow
+    sort + vectorized run detection + per-column null-safe compares —
+    unchanged keys cancel in-bucket and never reach the output.
+    Output ``(key, op_col, *payload_cols)``.
+    """
+    import pyarrow.compute as pc
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.pipelines.audit import _key_codes
+
+    B = int(num_buckets)
+    cols = [key, *payload_cols]
+
+    def _bucket_of(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or \
+                pa.types.is_large_string(col.type):
+            kh = xxhash64_array(col)
+        else:
+            kh = np.asarray(col, dtype=np.int64).view(np.uint64)
+        return (kh % np.uint64(B)).astype(np.int64)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch.column(key)
+            if col.null_count:
+                raise ValueError("snapshot_delta: null keys")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = batch.select(cols)
+            t = t.append_column("__side", pa.array(
+                np.full(len(batch), side, dtype=np.int8)))
+            return t.append_column("__bucket", pa.array(_bucket_of(col)))
+        return fn
+
+    def _distinct(a: pa.Array, b: pa.Array) -> np.ndarray:
+        """Null-safe IS DISTINCT FROM, vectorized."""
+        av = np.asarray(a.is_valid())
+        bv = np.asarray(b.is_valid())
+        neq = np.asarray(pc.fill_null(pc.not_equal(a, b), False))
+        return (av != bv) | (av & bv & neq)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = {key: g.column(key).combine_chunks().slice(0, 0)
+                 if isinstance(g.column(key), pa.ChunkedArray)
+                 else g.column(key).slice(0, 0),
+                 op_col: pa.array([], pa.string()),
+                 **{c: g.column(c).combine_chunks().slice(0, 0)
+                    if isinstance(g.column(c), pa.ChunkedArray)
+                    else g.column(c).slice(0, 0)
+                    for c in payload_cols}}
+        if not g.num_rows:
+            return pa.table(empty)
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                            ("__side", "ascending")])
+        g = g.take(idx)
+        k = g.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = _key_codes(k)
+        side = np.asarray(g.column("__side"), dtype=np.int8)
+        n = len(codes)
+        new_run = np.empty(n, dtype=bool)
+        new_run[:1] = True
+        new_run[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        if lens.max() > 2 or \
+                (side[starts[lens == 2]] !=
+                 np.int8(0)).any() or \
+                (side[starts[lens == 2] + 1] != np.int8(1)).any():
+            raise ValueError("snapshot_delta: duplicate key within a "
+                             "snapshot — inputs must be unique per key")
+        single = starts[lens == 1]
+        ins = single[side[single] == 1]
+        dels = single[side[single] == 0]
+        pair_old = starts[lens == 2]
+        pair_new = pair_old + 1
+        if len(pair_old):
+            changed = np.zeros(len(pair_old), dtype=bool)
+            oi = pa.array(pair_old, pa.int64())
+            ni = pa.array(pair_new, pa.int64())
+            for c in payload_cols:
+                col = g.column(c)
+                changed |= _distinct(col.take(oi).combine_chunks(),
+                                     col.take(ni).combine_chunks())
+            upd = pair_new[changed]
+        else:
+            upd = np.empty(0, dtype=np.int64)
+        take_new = np.concatenate([ins, upd])
+        out_rows = np.concatenate([take_new, dels])
+        ops = np.concatenate([
+            np.repeat("I", len(ins)), np.repeat("U", len(upd)),
+            np.repeat("D", len(dels))]).astype(object)
+        sub = g.take(pa.array(out_rows, pa.int64()))
+        data = {key: sub.column(key),
+                op_col: pa.array(ops, pa.string())}
+        nd = len(dels)
+        for c in payload_cols:
+            col = sub.column(c).combine_chunks() \
+                if isinstance(sub.column(c), pa.ChunkedArray) \
+                else sub.column(c)
+            if nd:
+                mask = np.zeros(len(sub), dtype=bool)
+                mask[len(take_new):] = True       # delete rows → null
+                col = pc.if_else(pa.array(mask),
+                                 pa.scalar(None, col.type), col)
+            data[c] = col
+        return pa.table(data)
+
+    both = (old_ds.map_batches(tag(0), batch_format="pyarrow")
+            .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
+    return (both.groupby("__bucket")
+            .map_groups(resolve, batch_format="pyarrow"))

@@ -443,3 +443,65 @@ def test_survivorship(ray_session):
         if len(nn) and pd.isna(last_row["a"]):
             diffs += 1
     assert diffs > 0
+
+
+def test_snapshot_delta_matches_reference_and_roundtrips(ray_session):
+    """I/U/D classification vs a pandas set reference, null-safe payload
+    compare, D rows null payload — and the defining property:
+    merge_changes(old, snapshot_delta(old, new)) == new."""
+    import ray
+
+    from bqf_ray.pipelines.relational import merge_changes, snapshot_delta
+    rng = np.random.default_rng(3)
+    n = 3000
+    keys = np.arange(n, dtype=np.int64)
+    val = rng.integers(0, 50, n).astype(np.float64)
+    st = rng.choice(["A", "B", None], n, p=[0.45, 0.45, 0.1])
+    old = pa.table({"k": keys[keys % 7 != 0], "v": val[keys % 7 != 0],
+                    "s": pa.array(st[keys % 7 != 0])})
+    nv = np.where(keys % 3 == 0, val + 1.0, val)
+    new = pa.table({"k": keys[keys % 5 != 0], "v": nv[keys % 5 != 0],
+                    "s": pa.array(st[keys % 5 != 0])})
+    d_old = ray.data.from_arrow(old).repartition(6)
+    d_new = ray.data.from_arrow(new).repartition(4)
+    delta = snapshot_delta(d_old, d_new, "k", ["v", "s"]).materialize()
+    df = delta.to_pandas()
+
+    o = old.to_pandas().set_index("k")
+    nn = new.to_pandas().set_index("k")
+    both = sorted(set(o.index) & set(nn.index))
+    ob, nb = o.loc[both], nn.loc[both]
+    ch = (ob.v != nb.v) | (ob.s.fillna("\0") != nb.s.fillna("\0"))
+    assert sorted(df[df.op == "I"].k) == sorted(set(nn.index) - set(o.index))
+    assert sorted(df[df.op == "D"].k) == sorted(set(o.index) - set(nn.index))
+    assert sorted(df[df.op == "U"].k) == sorted(np.array(both)[ch.values])
+    assert df[df.op == "D"].v.isna().all()
+    assert df[df.op == "D"].s.isna().all()
+
+    chg = delta.map_batches(
+        lambda b: b.append_column(
+            "seq", pa.array(np.ones(len(b), np.int64))),
+        batch_format="pyarrow")
+    merged = (merge_changes(d_old, chg, "k", "seq", "op", ["v", "s"])
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    ref = new.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged[["k", "v", "s"]],
+                                  ref[["k", "v", "s"]])
+
+
+def test_snapshot_delta_rejects_duplicates_and_null_keys(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.relational import snapshot_delta
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "v": pa.array([1.0, 2.0])})
+    uni = pa.table({"k": pa.array([1], pa.int64()),
+                    "v": pa.array([1.0])})
+    with pytest.raises(Exception, match="unique per key"):
+        snapshot_delta(ray.data.from_arrow(dup),
+                       ray.data.from_arrow(uni), "k", ["v"]).to_pandas()
+    nk = pa.table({"k": pa.array([None], pa.int64()),
+                   "v": pa.array([1.0])})
+    with pytest.raises(Exception, match="null keys"):
+        snapshot_delta(ray.data.from_arrow(nk),
+                       ray.data.from_arrow(uni), "k", ["v"]).to_pandas()
