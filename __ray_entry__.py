@@ -1271,6 +1271,42 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
               f"FROM r{int(iters)}")
 
 
+def _hits_oracle_sql(rounds: int = 2, scale_bits: int = 20) -> str:
+    """Unrolled-CTE SQL equivalent of ``graph.hits`` over the
+    supplier→part lineitem multigraph — BIT-EXACT: each half-step is
+    (join → Σ over edges → COALESCE 0 → floor-div by
+    max(1, max >> scale_bits)), so 2 rounds unroll to 4 CTE triples
+    (the ``_pagerank_oracle_sql`` strategy)."""
+    parts = ["""e AS MATERIALIZED (
+      SELECT l_suppkey::BIGINT AS s,
+             (l_partkey + 10000000)::BIGINT AS t FROM lineitem),
+    nd AS MATERIALIZED (SELECT s AS node FROM e
+                        UNION SELECT t FROM e),
+    h0 AS (SELECT node, 1::BIGINT AS v FROM nd)"""]
+    names = []
+    for k in range(int(rounds)):
+        for out, src, fcol, tcol in ((f"a{k + 1}", f"h{k}", "s", "t"),
+                                     (f"h{k + 1}", f"a{k + 1}", "t", "s")):
+            parts.append(f"""{out}r AS MATERIALIZED (
+      SELECT e.{tcol} AS node, sum(x.v)::BIGINT AS v
+      FROM e JOIN {src} x ON e.{fcol} = x.node GROUP BY 1)""")
+            parts.append(f"""{out}f AS MATERIALIZED (
+      SELECT nd.node, COALESCE(r.v, 0)::BIGINT AS v
+      FROM nd LEFT JOIN {out}r r USING (node))""")
+            parts.append(f"""{out} AS MATERIALIZED (
+      SELECT node,
+             v // GREATEST(1::BIGINT,
+                           (SELECT max(v) FROM {out}f)
+                               >> {int(scale_bits)}) AS v
+      FROM {out}f)""")
+            names.append(out)
+    last_a, last_h = names[-2], names[-1]
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+    SELECT a.node AS node, h.v::BIGINT AS hub, a.v::BIGINT AS auth
+    FROM {last_a} a JOIN {last_h} h ON a.node = h.node""")
+
+
 def w_pagerank_types(sf_dir):
     """Bit-deterministic integer-unit PageRank over the event-type
     transition multigraph.  Iterative, but DuckDB-EXACT anyway: the
@@ -2603,6 +2639,32 @@ def w_daily_anomaly(sf_dir):
     return daily_anomaly(ev, "user_id", "ts", z_thresh=3.0)
 
 
+def w_hits_supplier_parts(sf_dir):
+    """HITS hubs/authorities (Kleinberg 1999) over the supplier→part
+    supply multigraph: each lineitem row is one directed edge (parts
+    offset by 10^7 into a disjoint id space; parallel edges each
+    contribute — documented multigraph semantics).  Iterative but
+    DuckDB-EXACT: the deterministic integer rescale after every
+    half-step (v // max(1, max(v) >> 20)) unrolls each of the 4
+    half-steps (rounds=2) to a join+sum+max CTE — the ``bpe_merges``
+    strategy; ``graph.hits``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.graph import hits
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_partkey"])
+    edges = li.map_batches(
+        lambda t: pa.table({
+            "s": t.column("l_suppkey"),
+            "t": pc.add(t.column("l_partkey"),
+                        pa.scalar(10_000_000, pa.int64()))}),
+        batch_format="pyarrow")
+    nodes, hub, auth = hits(edges, "s", "t", rounds=2, scale_bits=20)
+    return pd.DataFrame({"node": nodes, "hub": hub, "auth": auth})
+
+
 def w_snapshot_delta(sf_dir):
     """CDC change-log GENERATION between two deterministic order
     snapshots (old = keys %7≠0, new = keys %5≠0 with price+1.0 on
@@ -3080,6 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_embeddings": w_dbscan_embeddings,
         "spearman_user": w_spearman_user,
         "snapshot_delta": w_snapshot_delta,
+        "hits_supplier_parts": w_hits_supplier_parts,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5252,4 +5315,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN clab c2 ON c2.id = e.vec_id
             LEFT JOIN blab b ON b.id = e.vec_id""",
+        "hits_supplier_parts": _hits_oracle_sql(rounds=2, scale_bits=20),
     }

@@ -106,3 +106,81 @@ def test_pagerank_overflow_guard():
     unit = min(1 << 40, (1 << 62) // (n * d_num * w_max))
     assert unit >= 1 << 20                    # 10^8 nodes still safe
     assert n * unit * d_num * w_max <= 1 << 62
+
+
+def _seq_hits(s, t, rounds, scale_bits=20):
+    """Sequential reference for graph.hits with identical integer
+    arithmetic (np.add.at scatter instead of the distributed fold)."""
+    nodes = np.unique(np.concatenate([s, t]))
+
+    def half(vec, f, to):
+        out = np.zeros(len(nodes), np.int64)
+        np.add.at(out, np.searchsorted(nodes, to),
+                  vec[np.searchsorted(nodes, f)])
+        q = max(1, int(out.max()) >> scale_bits)
+        return out // np.int64(q)
+
+    hub = np.ones(len(nodes), np.int64)
+    auth = np.zeros(len(nodes), np.int64)
+    for _ in range(rounds):
+        auth = half(hub, s, t)
+        hub = half(auth, t, s)
+    return nodes, hub, auth
+
+
+def test_hits_bit_equals_sequential(ray_session):
+    """Random directed multigraph (parallel edges included on purpose):
+    distributed hits() is bit-identical to the sequential reference
+    under two different partitionings."""
+    import ray
+
+    from bqf_ray.pipelines.graph import hits
+    rng = np.random.default_rng(11)
+    m = 5000
+    s = rng.integers(0, 120, m).astype(np.int64)
+    t = rng.integers(200, 290, m).astype(np.int64)
+    tbl = pa.table({"src": pa.array(s), "dst": pa.array(t)})
+    rn, rh, ra = _seq_hits(s, t, rounds=3)
+    for parts in (3, 11):
+        nodes, hub, auth = hits(ray.data.from_arrow(tbl).repartition(parts),
+                                "src", "dst", rounds=3)
+        assert list(nodes) == list(rn)
+        assert list(hub) == list(rh)
+        assert list(auth) == list(ra)
+
+
+def test_hits_star_ranking(ray_session):
+    """All sources point at node 0 plus one stray edge: node 0 must be
+    the top authority, the multi-edge source the top hub; parallel
+    edges each contribute (documented multigraph semantics)."""
+    import ray
+
+    from bqf_ray.pipelines.graph import hits
+    s = np.array([1, 2, 3, 4, 4, 9], dtype=np.int64)
+    t = np.array([0, 0, 0, 0, 0, 5], dtype=np.int64)
+    nodes, hub, auth = hits(
+        ray.data.from_arrow(pa.table({"src": pa.array(s),
+                                      "dst": pa.array(t)})),
+        "src", "dst", rounds=2)
+    nl = list(nodes)
+    assert auth[nl.index(0)] == max(auth)
+    assert hub[nl.index(4)] == max(hub)          # two parallel edges
+    assert hub[nl.index(4)] > hub[nl.index(1)]
+    rn, rh, ra = _seq_hits(s, t, rounds=2)
+    assert list(auth) == list(ra) and list(hub) == list(rh)
+
+
+def test_hits_empty_and_degree_guard(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import hits
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64())}))
+    nodes, hub, auth = hits(empty, "src", "dst", rounds=2)
+    assert len(nodes) == len(hub) == len(auth) == 0
+    one = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="degree"):
+        hits(one, "src", "dst", rounds=1, scale_bits=61)
