@@ -2639,6 +2639,36 @@ def w_daily_anomaly(sf_dir):
     return daily_anomaly(ev, "user_id", "ts", z_thresh=3.0)
 
 
+def w_rollup_orders(sf_dir):
+    """GROUP BY ROLLUP(status, priority) over orders: ONE corpus
+    exchange at the finest level, coarser levels re-aggregate the tiny
+    finest TABLE (decomposable partials — count re-sums); grp_* flags
+    = SQL GROUPING() disambiguate rolled-up nulls from genuinely-null
+    keys; cents-exact sums; ``aggregates.rollup``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import rollup
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
+                 "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(batch.column("o_totalprice"))
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(cents)})
+
+    return rollup(o.map_batches(add_cents, batch_format="pyarrow"),
+                  ["o_orderstatus", "o_orderpriority"],
+                  [("o_orderkey", "count", "n_orders"),
+                   ("cents", "sum", "sum_cents"),
+                   ("cents", "min", "min_cents")], num_buckets=16)
+
+
 def w_hits_supplier_parts(sf_dir):
     """HITS hubs/authorities (Kleinberg 1999) over the supplier→part
     supply multigraph: each lineitem row is one directed edge (parts
@@ -3143,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_user": w_spearman_user,
         "snapshot_delta": w_snapshot_delta,
         "hits_supplier_parts": w_hits_supplier_parts,
+        "rollup_orders": w_rollup_orders,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5316,4 +5347,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN clab c2 ON c2.id = e.vec_id
             LEFT JOIN blab b ON b.id = e.vec_id""",
         "hits_supplier_parts": _hits_oracle_sql(rounds=2, scale_bits=20),
+        "rollup_orders": """
+            WITH o AS (SELECT o_orderstatus, o_orderpriority,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus)::BIGINT AS grp_o_orderstatus,
+                   GROUPING(o_orderpriority)::BIGINT
+                       AS grp_o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   sum(cents)::BIGINT AS sum_cents,
+                   min(cents)::BIGINT AS min_cents
+            FROM o
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
     }

@@ -2578,3 +2578,110 @@ def grouped_spearman(ds, key_col: str, x_col: str, y_col: str,
     return (ds.map_batches(prune, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def grouping_sets(ds, key_cols: list[str],
+                  aggs: list[tuple[str, str, str]],
+                  sets: list[list[str]], num_buckets: int = 64,
+                  combine_local: bool = True):
+    """``GROUP BY GROUPING SETS`` in ONE corpus exchange.
+
+    The corpus is aggregated once at the FINEST level (``key_cols``,
+    which every requested set must be a subset of) through
+    :func:`bqf_ray.stages.partition.bucketed_agg`; each coarser set then
+    re-aggregates the finest TABLE — decomposable partials (count
+    re-sums, sum/min/max idempotent-merge), so super-aggregates never
+    touch the corpus again.  ``aggs``: [(col, fn, out)] with fn in
+    sum/min/max/count (SQL semantics: count = non-null, sum/min/max
+    skip nulls, all-null groups yield null).
+
+    Output columns: every key in ``key_cols`` (null where rolled up)
+    + ``grp_<key>`` BIGINT 0/1 flags (SQL ``GROUPING(key)`` — the flag,
+    not the null, disambiguates genuinely-null key values from rolled-up
+    positions) + the agg outputs.  One output Dataset (union of the
+    per-set tables).  The grand-total set ``[]`` folds per-block
+    partials of the finest table, never the corpus.
+    """
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_agg
+
+    keys = list(key_cols)
+    for s in sets:
+        extra = set(s) - set(keys)
+        if extra:
+            raise ValueError(f"grouping_sets: set {s} has keys {extra} "
+                             "outside key_cols")
+    _REAGG = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+    for _, fn, _ in aggs:
+        if fn not in _REAGG:
+            raise ValueError(f"grouping_sets: non-decomposable fn {fn!r}")
+
+    finest = bucketed_agg(ds, keys, aggs, num_buckets=num_buckets,
+                          combine_local=combine_local).materialize()
+    schema = finest.schema()
+    ktype = {k: schema.base_schema.field(k).type for k in keys}
+
+    def finish(sub_keys: list[str]):
+        """Attach null rolled-up keys + grp flags, fix column order."""
+        def fn(t: pa.Table) -> pa.Table:
+            cols, names = [], []
+            for k in keys:
+                if k in sub_keys:
+                    cols.append(t.column(k))
+                else:
+                    cols.append(pa.nulls(len(t), type=ktype[k]))
+                names.append(k)
+            for k in keys:
+                flag = 0 if k in sub_keys else 1
+                cols.append(pa.array(
+                    np.full(len(t), flag, dtype=np.int64)))
+                names.append(f"grp_{k}")
+            for _, _, out in aggs:
+                cols.append(t.column(out))
+                names.append(out)
+            return pa.table(dict(zip(names, cols)))
+        return fn
+
+    outs = []
+    for s in sets:
+        sub = [k for k in keys if k in s]       # canonical order
+        if sub == keys:
+            lvl = finest
+        elif sub:
+            lvl = bucketed_agg(
+                finest, sub, [(out, _REAGG[fn], out) for _, fn, out in aggs],
+                num_buckets=num_buckets, combine_local=False)
+        else:                                   # grand total
+            # per-block partial fold, then one tiny final combine
+            def block_fold(t: pa.Table) -> pa.Table:
+                return t.group_by([], use_threads=False).aggregate(
+                    [(out, _REAGG[fn]) for _, fn, out in aggs]
+                ).rename_columns([out for _, _, out in aggs])
+            lvl = (finest.map_batches(block_fold, batch_format="pyarrow")
+                   .repartition(1)
+                   .map_batches(block_fold, batch_format="pyarrow"))
+        outs.append(lvl.map_batches(finish(sub), batch_format="pyarrow"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def rollup(ds, key_cols: list[str], aggs: list[tuple[str, str, str]],
+           **kw):
+    """``GROUP BY ROLLUP(key_cols...)`` — prefix grouping sets
+    (finest → … → grand total); see :func:`grouping_sets`."""
+    sets = [list(key_cols[:i]) for i in range(len(key_cols), -1, -1)]
+    return grouping_sets(ds, key_cols, aggs, sets, **kw)
+
+
+def cube(ds, key_cols: list[str], aggs: list[tuple[str, str, str]],
+         **kw):
+    """``GROUP BY CUBE(key_cols...)`` — all 2^k key subsets; see
+    :func:`grouping_sets`."""
+    from itertools import combinations
+    keys = list(key_cols)
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets(ds, keys, aggs, sets, **kw)

@@ -1,0 +1,84 @@
+"""grouping_sets / rollup / cube vs DuckDB GROUP BY GROUPING SETS —
+exact rows incl. null key values (grp flags disambiguate) and all-null
+aggregate groups."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bqf_ray.pipelines.aggregates import cube, grouping_sets, rollup
+
+
+def _fixture():
+    rng = np.random.default_rng(7)
+    n = 5000
+    a = rng.choice(["x", "y", "z", None], n, p=[0.4, 0.3, 0.2, 0.1])
+    b = rng.integers(0, 5, n).astype(np.int64)
+    v = rng.integers(-50, 50, n).astype(np.int64)
+    v_null = np.where(rng.random(n) < 0.15, None, v)
+    return pd.DataFrame({"a": a, "b": b,
+                         "v": pd.array(v_null, dtype="Int64")})
+
+
+def _ref(df, sets_sql):
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(f"""
+        SELECT a, b, GROUPING(a)::BIGINT AS grp_a,
+               GROUPING(b)::BIGINT AS grp_b,
+               count(v)::BIGINT AS n_v, sum(v)::BIGINT AS sum_v,
+               min(v)::BIGINT AS min_v
+        FROM t GROUP BY GROUPING SETS {sets_sql}""").df()
+
+
+def _norm(df):
+    return (df.astype({"n_v": "Int64", "sum_v": "Int64", "min_v": "Int64"})
+            .sort_values(["grp_a", "grp_b", "a", "b"],
+                         na_position="first")
+            .reset_index(drop=True))
+
+
+AGGS = [("v", "count", "n_v"), ("v", "sum", "sum_v"), ("v", "min", "min_v")]
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_rollup_matches_duckdb(ray_session, parts):
+    import ray
+    df = _fixture()
+    got = rollup(ray.data.from_pandas(df).repartition(parts),
+                 ["a", "b"], AGGS, num_buckets=8).to_pandas()
+    ref = _ref(df, "((a, b), (a), ())")
+    pd.testing.assert_frame_equal(_norm(got), _norm(ref),
+                                  check_dtype=False)
+
+
+def test_cube_and_explicit_sets(ray_session):
+    import ray
+    df = _fixture()
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = cube(ds, ["a", "b"], AGGS, num_buckets=8).to_pandas()
+    ref = _ref(df, "((a, b), (a), (b), ())")
+    pd.testing.assert_frame_equal(_norm(got), _norm(ref),
+                                  check_dtype=False)
+    got2 = grouping_sets(ds, ["a", "b"], AGGS, [["b"]],
+                         num_buckets=8).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    ref2 = con.execute("""
+        SELECT NULL AS a, b, 1::BIGINT AS grp_a, 0::BIGINT AS grp_b,
+               count(v)::BIGINT AS n_v, sum(v)::BIGINT AS sum_v,
+               min(v)::BIGINT AS min_v
+        FROM t GROUP BY b""").df()
+    pd.testing.assert_frame_equal(_norm(got2), _norm(ref2),
+                                  check_dtype=False)
+
+
+def test_grouping_sets_validation(ray_session):
+    import ray
+    ds = ray.data.from_pandas(_fixture())
+    with pytest.raises(ValueError, match="outside key_cols"):
+        grouping_sets(ds, ["a"], AGGS, [["b"]])
+    with pytest.raises(ValueError, match="non-decomposable"):
+        grouping_sets(ds, ["a"], [("v", "avg", "m")], [["a"]])
