@@ -1569,13 +1569,16 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
 
     Plan: one cached (s, t) edge projection; per round two edge scans
     with the current score vector broadcast via ``ray.put`` and two
-    node-sized ``groupby().Sum`` folds — the rank-vector-on-driver
+    node-sized ``bucketed_sum`` folds (1-int hash-bucket exchange;
+    the plain ``groupby().Sum`` form was 12× slower at 10M edges,
+    BASELINE.md) — the rank-vector-on-driver
     envelope documented at :func:`pagerank` (~10^8 nodes; shard past
     it).  Returns ``(nodes, hub, auth)`` int64 arrays (hub init = 1,
     so round-1 authority = in-degree).
     """
     import ray
-    from ray.data.aggregate import Sum
+
+    from bqf_ray.stages.partition import bucketed_sum
 
     def edge_cols(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1599,10 +1602,10 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
             "din": pa.array(np.concatenate(
                 [np.zeros(len(su), np.int64), tc.astype(np.int64)]))})
 
-    nd = (edges.map_batches(node_partials, batch_format="pyarrow")
-          .groupby("node").aggregate(Sum("dout", alias_name="dout"),
-                                     Sum("din", alias_name="din"))
-          .to_pandas())
+    nd = bucketed_sum(edges.map_batches(node_partials,
+                                        batch_format="pyarrow"),
+                      ["node"], {"dout": "dout", "din": "din"}
+                      ).to_pandas()
     if len(nd) == 0:                 # empty groupby: no columns at all
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
@@ -1630,9 +1633,9 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
             return pa.table({"node": pa.array(tu),
                              "partial": pa.array(sums)})
 
-        got = (edges.map_batches(contrib, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("partial", alias_name="v"))
-               .to_pandas())
+        got = bucketed_sum(edges.map_batches(contrib,
+                                             batch_format="pyarrow"),
+                           ["node"], {"partial": "v"}).to_pandas()
         out = np.zeros(n, dtype=np.int64)
         gi = np.searchsorted(nodes, got["node"].to_numpy())
         out[gi] = got["v"].to_numpy().astype(np.int64)
