@@ -2760,6 +2760,24 @@ def w_dbscan_embeddings(sf_dir):
     return dbscan_embeddings(em, sim_threshold=0.3, min_pts=3)
 
 
+def w_link_pred_copurchase(sf_dir):
+    """Common-neighbor link prediction over the part co-purchase
+    graph: every NON-edge part pair sharing ≥20 neighbors, with exact
+    cn / degrees and neighborhood Jaccard in one IEEE division.
+    Wedges per center vertex (_segment_pairs), (pair, cn) partials
+    pre-summed locally, ONE pair-hash exchange folds cn AND drops
+    existing edges in the same bucket; degrees attach budget-gated;
+    ``graph.link_prediction``."""
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges, link_prediction
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return link_prediction(cooccurrence_edges(li, "l_orderkey",
+                                              "l_partkey"),
+                           min_cn=20)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -3174,6 +3192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": w_snapshot_delta,
         "hits_supplier_parts": w_hits_supplier_parts,
         "rollup_orders": w_rollup_orders,
+        "link_pred_copurchase": w_link_pred_copurchase,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5276,6 +5295,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.k IS NULL OR n.k IS NULL
                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""",
+        "link_pred_copurchase": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            adj AS (SELECT a AS c, b AS n FROM e0
+                    UNION ALL SELECT b AS c, a AS n FROM e0),
+            deg AS (SELECT c AS v, count(*)::BIGINT AS d
+                    FROM adj GROUP BY c),
+            cn AS (SELECT a1.n AS u, a2.n AS w, count(*)::BIGINT AS cn
+                   FROM adj a1 JOIN adj a2
+                     ON a1.c = a2.c AND a1.n < a2.n
+                   GROUP BY a1.n, a2.n),
+            nb AS (SELECT cn.u, cn.w, cn.cn
+                   FROM cn LEFT JOIN e0
+                     ON e0.a = cn.u AND e0.b = cn.w
+                   WHERE e0.a IS NULL AND cn.cn >= 20)
+            SELECT nb.u AS a, nb.w AS b, nb.cn,
+                   du.d AS deg_a, dw.d AS deg_b,
+                   CAST(nb.cn AS DOUBLE)
+                     / CAST(du.d + dw.d - nb.cn AS DOUBLE) AS jaccard
+            FROM nb JOIN deg du ON du.v = nb.u
+                    JOIN deg dw ON dw.v = nb.w""",
         "spearman_user": """
             WITH f AS (
               SELECT user_id, value AS x, ts AS y FROM events

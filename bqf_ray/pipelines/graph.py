@@ -456,9 +456,14 @@ def canonical_edges(edges_ds, a_col: str = "a", b_col: str = "b",
 
 
 def attach_degrees(edges, num_buckets: int = 64, mode: str = "auto",
-                   broadcast_budget_bytes: int = 1 << 30):
+                   broadcast_budget_bytes: int = 1 << 30,
+                   deg_edges=None):
     """Exact vertex degrees over canonical edges, attached to BOTH
-    endpoints (``deg_a``, ``deg_b``).
+    endpoints (``deg_a``, ``deg_b``).  With ``deg_edges`` given,
+    degrees are counted over THAT edge set instead while still
+    attaching to ``edges``'s endpoints (e.g. candidate pairs scored
+    against the original graph's degrees in :func:`link_prediction`);
+    every ``edges`` endpoint must then appear in ``deg_edges``.
 
     Two plans, budget-gated like ``dedup.verify_pairs``:
 
@@ -486,7 +491,8 @@ def attach_degrees(edges, num_buckets: int = 64, mode: str = "auto",
         return pa.table({"v": pa.array(uv),
                          "c": pa.array(cnt.astype(np.int64))})
 
-    deg = bucketed_sum(edges.map_batches(endpoints, batch_format="pyarrow"),
+    deg = bucketed_sum((deg_edges if deg_edges is not None else edges)
+                       .map_batches(endpoints, batch_format="pyarrow"),
                        ["v"], {"c": "deg"},
                        num_buckets=B).materialize()
 
@@ -1648,3 +1654,152 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
         auth = _half(hub, "s", "t")      # authority ← Σ hub over in-edges
         hub = _half(auth, "t", "s")      # hub ← Σ auth over out-edges
     return nodes, hub, auth
+
+
+def link_prediction(edges_ds, a_col: str = "a", b_col: str = "b",
+                    min_cn: int = 2, num_buckets: int = 64,
+                    max_degree: int | None = None,
+                    mode: str = "auto",
+                    broadcast_budget_bytes: int = 1 << 30):
+    """Common-neighbor link prediction over an undirected graph: for
+    every NON-edge pair ``(a, b)`` with at least ``min_cn`` shared
+    neighbors, emit exact ``(a, b, cn, deg_a, deg_b, jaccard)`` where
+    ``jaccard = cn / (deg_a + deg_b - cn)`` is the neighborhood-Jaccard
+    score in ONE IEEE division (bit-matches the SQL replay).
+
+    Plan (all exchanges 1-int hash buckets, no global sort):
+
+    1. canonicalize edges once (materialized — consumed three times:
+       wedges, anti-join tags, degrees);
+    2. wedge pairs per CENTER vertex (center-hash bucketed, the
+       vectorized :func:`_segment_pairs`), locally pre-summed to
+       ``(pair, cn)`` partials before leaving the bucket task;
+    3. ONE pair-hash exchange folds exact ``cn`` AND removes existing
+       edges in the same bucket (edges ride the union tagged — the
+       anti-join costs no extra shuffle);
+    4. degrees attach via :func:`attach_degrees`'s budget-gated
+       broadcast / bucketed plans.
+
+    ``max_degree`` (optional) skips wedge generation at hub centers
+    with more neighbors — the standard hub cutoff that bounds the
+    deg² wedge blowup; ``cn`` then UNDERCOUNTS pairs whose only shared
+    neighbors are hubs (documented estimator bias; leave ``None`` for
+    the exact/oracle path).  Candidate volume is bounded by
+    Σ_c deg(c)² over kept centers; size ``min_cn`` to the graph.
+
+    Reference scope: the reference engine has no graph surface — this
+    is part of the training-data/graph suite (SURVEY.md §2 additions).
+    """
+    import ray  # noqa: F401  (dataset ops only)
+
+    from bqf_ray.functions.hashing import fmix64
+
+    B = int(num_buckets)
+    if min_cn < 1:
+        raise ValueError("min_cn must be >= 1")
+    edges = canonical_edges(edges_ds, a_col, b_col, num_buckets=B)
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        ctr = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        bkt = (fmix64(ctr.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        return pa.table({"c": pa.array(ctr), "n": pa.array(nbr),
+                         "__bucket": pa.array(bkt)})
+
+    def gen_pairs(grp: pa.Table) -> pa.Table:
+        c = np.asarray(grp.column("c"), dtype=np.int64)
+        n = np.asarray(grp.column("n"), dtype=np.int64)
+        if max_degree is not None:
+            # drop whole hub centers (not a truncated sample of their
+            # neighbors — truncation would make cn partition-dependent)
+            order = np.lexsort((n, c))
+            c, n = c[order], n[order]
+            starts = np.concatenate([[True], c[1:] != c[:-1]]) \
+                if len(c) else np.empty(0, dtype=bool)
+            seg = np.cumsum(starts) - 1
+            sizes = np.bincount(seg) if len(c) else np.empty(0, np.int64)
+            keep = sizes[seg] <= int(max_degree)
+            c, n = c[keep], n[keep]
+        x, y = _segment_pairs(c, n)
+        wa, wb = np.minimum(x, y), np.maximum(x, y)
+        # local pre-sum: (pair, count) partials leave the task, not
+        # raw wedges
+        order = np.lexsort((wb, wa))
+        wa, wb = wa[order], wb[order]
+        new = np.concatenate([[True], (wa[1:] != wa[:-1])
+                              | (wb[1:] != wb[:-1])]) \
+            if len(wa) else np.empty(0, dtype=bool)
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, len(wa))).astype(np.int64)
+        wa, wb = wa[idx], wb[idx]
+        bkt = (_pair_hash64(wa, wb) % np.uint64(B)).astype(np.int64)
+        return pa.table({
+            "a": pa.array(wa), "b": pa.array(wb), "cn": pa.array(cnt),
+            "__side": pa.array(np.zeros(len(wa), dtype=np.int8)),
+            "__bucket": pa.array(bkt)})
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        bkt = (_pair_hash64(a, b) % np.uint64(B)).astype(np.int64)
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b),
+            "cn": pa.array(np.zeros(len(a), dtype=np.int64)),
+            "__side": pa.array(np.ones(len(a), dtype=np.int8)),
+            "__bucket": pa.array(bkt)})
+
+    thresh = np.int64(min_cn)
+
+    def fold_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        a = np.asarray(g.column("a"), dtype=np.int64)
+        b = np.asarray(g.column("b"), dtype=np.int64)
+        cn = np.asarray(g.column("cn"), dtype=np.int64)
+        em = side == 1
+        ea, eb = a[em], b[em]
+        pm = ~em
+        a, b, cn = a[pm], b[pm], cn[pm]
+        if not len(a):
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cn": pa.array([], pa.int64())})
+        order = np.lexsort((b, a))
+        a, b, cn = a[order], b[order], cn[order]
+        new = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        seg = np.cumsum(new) - 1
+        tot = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+        np.add.at(tot, seg, cn)
+        ua, ub = a[new], b[new]
+        keep = tot >= thresh
+        if len(ea):
+            st = np.empty(len(ea), dtype=[("a", "<i8"), ("b", "<i8")])
+            st["a"], st["b"] = ea, eb
+            st.sort(order=("a", "b"))
+            qt = np.empty(len(ua), dtype=st.dtype)
+            qt["a"], qt["b"] = ua, ub
+            pos = np.minimum(np.searchsorted(st, qt), len(st) - 1)
+            keep &= ~(st[pos] == qt)
+        return pa.table({"a": pa.array(ua[keep]), "b": pa.array(ub[keep]),
+                         "cn": pa.array(tot[keep])})
+
+    pairs = (edges.map_batches(wedges, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(gen_pairs, batch_format="pyarrow")
+             .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+             .groupby("__bucket")
+             .map_groups(fold_bucket, batch_format="pyarrow"))
+
+    scored = attach_degrees(pairs, num_buckets=B, mode=mode,
+                            broadcast_budget_bytes=broadcast_budget_bytes,
+                            deg_edges=edges)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cn = np.asarray(batch.column("cn"), dtype=np.int64)
+        da = np.asarray(batch.column("deg_a"), dtype=np.int64)
+        db = np.asarray(batch.column("deg_b"), dtype=np.int64)
+        jac = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
+        return batch.append_column("jaccard", pa.array(jac))
+
+    return scored.map_batches(score, batch_format="pyarrow")

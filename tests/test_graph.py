@@ -406,3 +406,84 @@ def test_transition_probs_matches_pandas(ray_session):
         got, ref.sort_values(["from_type", "to_type"])
         .reset_index(drop=True), check_dtype=False)
     assert np.allclose(got.groupby("from_type")["p"].sum(), 1.0)
+
+
+def _ref_link_prediction(a, b, min_cn, max_degree=None):
+    """Brute-force: neighbor sets, candidate = non-edge pair sharing
+    >= min_cn neighbors (through non-hub centers when capped)."""
+    edges = set()
+    nbr = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x == y:
+            continue
+        edges.add((min(x, y), max(x, y)))
+        nbr.setdefault(x, set()).add(y)
+        nbr.setdefault(y, set()).add(x)
+    deg = {v: len(s) for v, s in nbr.items()}
+    from collections import Counter
+    cn = Counter()
+    for c, s in nbr.items():
+        if max_degree is not None and len(s) > max_degree:
+            continue
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                cn[(ss[i], ss[j])] += 1
+    out = {}
+    for (u, w), c in cn.items():
+        if c >= min_cn and (u, w) not in edges:
+            out[(u, w)] = (c, deg[u], deg[w],
+                           float(c) / float(deg[u] + deg[w] - c))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "bucketed"])
+@pytest.mark.parametrize("seed,min_cn", [(0, 1), (1, 2), (2, 3)])
+def test_link_prediction_matches_brute_force(ray_session, mode, seed,
+                                             min_cn):
+    import ray
+
+    from bqf_ray.pipelines.graph import link_prediction
+    a, b = _rand_edges(seed, n_nodes=60, n_edges=150)
+    want = _ref_link_prediction(a, b, min_cn)
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)}))
+    got = link_prediction(ds, min_cn=min_cn, num_buckets=7,
+                          mode=mode).to_pandas()
+    have = {(int(r.a), int(r.b)): (int(r.cn), int(r.deg_a),
+                                   int(r.deg_b), float(r.jaccard))
+            for r in got.itertuples()}
+    assert have == want
+    assert len(got) == len(got.drop_duplicates(["a", "b"]))
+
+
+def test_link_prediction_max_degree_hub_cutoff(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import link_prediction
+    # hub 0 -> 1..9 (deg 9, above the cutoff), plus 1-2, 10-1, 10-2:
+    # leaf-leaf pairs through the hub vanish, but (0, 10) survives via
+    # the small centers 1 and 2 (cn = 2)
+    a = np.array([0] * 9 + [1, 10, 10], dtype=np.int64)
+    b = np.array(list(range(1, 10)) + [2, 1, 2], dtype=np.int64)
+    want = _ref_link_prediction(a, b, 1, max_degree=5)
+    assert (0, 10) in want and want[(0, 10)][0] == 2  # test is non-vacuous
+    assert all(u != 0 or w == 10 for (u, w) in want)  # hub wedges gone
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)}))
+    got = link_prediction(ds, min_cn=1, max_degree=5,
+                          num_buckets=3).to_pandas()
+    have = {(int(r.a), int(r.b)): (int(r.cn), int(r.deg_a),
+                                   int(r.deg_b), float(r.jaccard))
+            for r in got.itertuples()}
+    assert have == want
+
+
+def test_link_prediction_min_cn_validation(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import link_prediction
+    ds = ray.data.from_arrow(pa.table({"a": pa.array([1]),
+                                       "b": pa.array([2])}))
+    with pytest.raises(ValueError):
+        link_prediction(ds, min_cn=0)
