@@ -2778,6 +2778,31 @@ def w_link_pred_copurchase(sf_dir):
                            min_cn=20)
 
 
+def w_late_events(sf_dir):
+    """Streaming watermark / late-data detection: per event (in a
+    deterministic Knuth-hash arrival order), the watermark = MAX(ts)
+    over all STRICTLY earlier arrivals and a 15-day lateness flag.
+    Global ordered prefix-max with NO global sort — per-cell maxima
+    fold through one tiny exchange, the driver prefix-maxes the sorted
+    cell table (the pagerank-style envelope) and broadcasts it, then
+    one cell-bucket exchange stitches strict in-cell running maxima;
+    ``windowed.watermark_scan``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import watermark_scan
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        arr = (eid * np.int64(2654435761)) % np.int64(4294967296)
+        return pa.table({"arrival": pa.array(arr), "ts": batch.column("ts")})
+
+    return watermark_scan(ev.map_batches(arrival, batch_format="pyarrow"),
+                          "arrival", "ts",
+                          lateness_us=15 * 86400 * 1_000_000)
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -3193,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_parts": w_hits_supplier_parts,
         "rollup_orders": w_rollup_orders,
         "link_pred_copurchase": w_link_pred_copurchase,
+        "late_events": w_late_events,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5320,6 +5346,20 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(du.d + dw.d - nb.cn AS DOUBLE) AS jaccard
             FROM nb JOIN deg du ON du.v = nb.u
                     JOIN deg dw ON dw.v = nb.w""",
+        "late_events": """
+            WITH a AS (
+              SELECT (event_id * 2654435761) % 4294967296 AS arrival, ts
+              FROM events),
+            w AS (
+              SELECT arrival, ts,
+                     MAX(ts) OVER (ORDER BY arrival
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS watermark
+              FROM a)
+            SELECT arrival, ts, watermark,
+                   (watermark IS NOT NULL
+                    AND ts < watermark - INTERVAL '15' DAY) AS is_late
+            FROM w""",
         "spearman_user": """
             WITH f AS (
               SELECT user_id, value AS x, ts AS y FROM events

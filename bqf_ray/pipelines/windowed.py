@@ -1535,3 +1535,108 @@ def last_touch_attribution(ds, key_col: str, ts_col: str, id_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(attribute,
                                             batch_format="pyarrow"))
+
+
+def watermark_scan(ds, order_col: str, ts_col: str, lateness_us: int,
+                   cell_bits: int = 20, num_buckets: int = 64):
+    """Out-of-order / late-data detection over an arrival stream: for
+    each row, ``watermark`` = MAX(``ts_col``) over all rows STRICTLY
+    earlier in ``order_col`` (the streaming watermark at that row's
+    arrival) and ``is_late`` = watermark known AND ``ts < watermark −
+    lateness_us`` — SQL ``MAX(ts) OVER (ORDER BY order ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    A GLOBAL ordered prefix aggregate with NO global sort — the
+    two-pass distributed scan.  Pass 1 folds per-CELL maxima (cell =
+    ``order >> cell_bits``, monotone in order) through one tiny
+    map-side-combined exchange; the driver takes an exclusive
+    prefix-max over the sorted cell table (cells ≪ rows — the driver
+    envelope, like pagerank's node vector; widen ``cell_bits`` if the
+    cell table outgrows it) and broadcasts it.  Pass 2 buckets rows by
+    ``cell % B`` (whole cells co-located), sorts each bucket once by
+    (cell, order), and stitches ``max(cell-exclusive prefix, strict
+    in-cell running max)``; the in-cell pass loops over CELLS in the
+    bucket (≈ cells/B iterations), never over rows.  The first row
+    overall gets a NULL watermark.
+
+    ``order_col`` values must be UNIQUE int64 — ties make the strict
+    prefix nondeterministic, so duplicates raise loudly (equal values
+    always share a cell, hence a bucket: detection is complete).
+    Output: ``(order_col, ts_col, watermark, is_late)``.
+    """
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_agg
+
+    B = int(num_buckets)
+    CB = int(cell_bits)
+    NEG = np.int64(np.iinfo(np.int64).min)
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch.column(order_col), dtype=np.int64)
+        t = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                    ).astype(np.int64)
+        cells = o >> CB
+        uc, inv = np.unique(cells, return_inverse=True)
+        mx = np.full(len(uc), NEG, dtype=np.int64)
+        np.maximum.at(mx, inv, t)
+        return pa.table({"cell": pa.array(uc), "mx": pa.array(mx)})
+
+    cm = bucketed_agg(ds.map_batches(cell_partials, batch_format="pyarrow"),
+                      ["cell"], [("mx", "max", "mx")],
+                      num_buckets=B).to_pandas()
+    order_c = np.argsort(cm["cell"].to_numpy().astype(np.int64))
+    cells_sorted = cm["cell"].to_numpy().astype(np.int64)[order_c]
+    mx_sorted = cm["mx"].to_numpy().astype(np.int64)[order_c]
+    excl = (np.concatenate([[NEG],
+                            np.maximum.accumulate(mx_sorted)[:-1]])
+            if len(mx_sorted) else np.empty(0, dtype=np.int64))
+    ref = ray.put((cells_sorted, excl))
+
+    late = np.int64(lateness_us)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch.column(order_col), dtype=np.int64)
+        t = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                    ).astype(np.int64)
+        cells = o >> CB
+        return pa.table({"o": pa.array(o), "t": pa.array(t),
+                         "cell": pa.array(cells),
+                         "__bucket": pa.array(cells % np.int64(B))})
+
+    def stitch(g: pa.Table) -> pa.Table:
+        cs, es = ray.get(ref)  # zero-copy plasma read
+        o = np.asarray(g.column("o"), dtype=np.int64)
+        t = np.asarray(g.column("t"), dtype=np.int64)
+        c = np.asarray(g.column("cell"), dtype=np.int64)
+        order = np.lexsort((o, c))
+        o, t, c = o[order], t[order], c[order]
+        if len(o) > 1 and (o[1:] == o[:-1]).any():
+            raise ValueError(
+                f"watermark_scan: duplicate {order_col} values — the "
+                "strict-prefix watermark is undefined under ties")
+        strict = np.full(len(t), NEG, dtype=np.int64)
+        starts = np.concatenate([[True], c[1:] != c[:-1]]) \
+            if len(c) else np.empty(0, dtype=bool)
+        seg_off = np.flatnonzero(starts)
+        seg_end = np.append(seg_off[1:], len(t))
+        for s, e in zip(seg_off.tolist(), seg_end.tolist()):
+            if e - s > 1:
+                strict[s + 1:e] = np.maximum.accumulate(t[s:e - 1])
+        base = es[np.searchsorted(cs, c)] if len(c) else \
+            np.empty(0, dtype=np.int64)
+        wm = np.maximum(base, strict)
+        known = wm != NEG
+        # avoid NEG - late wraparound on unknown rows
+        is_late = known & (t < np.where(known, wm, t) - late)
+        return pa.table({
+            order_col: pa.array(o),
+            ts_col: pa.array(t.astype("datetime64[us]"),
+                             pa.timestamp("us")),
+            "watermark": pa.array(wm.astype("datetime64[us]"),
+                                  pa.timestamp("us"), mask=~known),
+            "is_late": pa.array(is_late)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(stitch, batch_format="pyarrow"))
