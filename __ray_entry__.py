@@ -2803,6 +2803,41 @@ def w_late_events(sf_dir):
                           lateness_us=15 * 86400 * 1_000_000)
 
 
+def w_purchases_pit_signup(sf_dir):
+    """Point-in-time enrichment: each purchase attaches the user's
+    LATEST signup value whose 7-day validity window still covers the
+    purchase ts (expired winner → NULL, no fallback — the TTL'd-
+    dimension semantics a plain as-of join can't express).  ONE key
+    co-partition, vectorized in-bucket merge; ``relational.pit_join``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.relational import pit_join
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def facts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return b.select(["event_id", "user_id", "ts"])
+
+    def dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "signup"))
+        week = pa.scalar(7 * 86400 * 1_000_000, pa.duration("us"))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "valid_from": b.column("ts"),
+            "valid_to": pc.cast(pc.add(b.column("ts"), week),
+                                pa.timestamp("us")),
+            "tid": b.column("event_id"),
+            "signup_value": b.column("value")})
+
+    return pit_join(ev.map_batches(facts, batch_format="pyarrow"),
+                    ev.map_batches(dim, batch_format="pyarrow"),
+                    by="user_id", ts_col="ts",
+                    tie_col="tid", suffix="")
+
+
 def w_survivor_events(sf_dir):
     """Golden-record survivorship: per user, the LAST NON-NULL value
     of each field by event_id (per-COLUMN last-writer-wins — rows
@@ -3219,6 +3254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": w_rollup_orders,
         "link_pred_copurchase": w_link_pred_copurchase,
         "late_events": w_late_events,
+        "purchases_pit_signup": w_purchases_pit_signup,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5360,6 +5396,27 @@ def oracle_sql() -> dict[str, str]:
                    (watermark IS NOT NULL
                     AND ts < watermark - INTERVAL '15' DAY) AS is_late
             FROM w""",
+        "purchases_pit_signup": """
+            WITH dim AS (
+              SELECT user_id, ts AS valid_from,
+                     ts + INTERVAL '7' DAY AS valid_to,
+                     event_id AS tid, value AS sv
+              FROM events WHERE event_type = 'signup'),
+            facts AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            cand AS (
+              SELECT f.event_id, d.sv, d.valid_to, f.ts AS fts,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY f.event_id
+                       ORDER BY d.valid_from DESC, d.tid DESC) AS rn
+              FROM facts f JOIN dim d
+                ON d.user_id = f.user_id AND d.valid_from <= f.ts)
+            SELECT f.event_id, f.user_id, f.ts,
+                   CASE WHEN c.fts < c.valid_to THEN c.sv END
+                     AS signup_value
+            FROM facts f LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+              USING (event_id)""",
         "spearman_user": """
             WITH f AS (
               SELECT user_id, value AS x, ts AS y FROM events

@@ -1052,3 +1052,124 @@ def snapshot_delta(old_ds, new_ds, key: str, payload_cols: list[str],
             .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
     return (both.groupby("__bucket")
             .map_groups(resolve, batch_format="pyarrow"))
+
+
+def pit_join(left_ds, dim_ds, by: str, ts_col: str,
+             valid_from: str = "valid_from", valid_to: str = "valid_to",
+             tie_col: str | None = None, how: str = "left",
+             num_buckets: int = 32, suffix: str = "_dim"):
+    """Point-in-time (validity-interval) join — the SCD2 enrichment
+    operator: each left fact row attaches the dimension version whose
+    ``[valid_from, valid_to)`` interval contains ``ts_col`` for the
+    same ``by`` key.  Among candidates the LATEST ``valid_from`` ≤ ts
+    wins (ties by largest ``tie_col``); a winner with ``valid_to`` ≤
+    ts is EXPIRED — unlike a plain as-of join the fact then matches
+    nothing (TTL'd dimensions leave gaps).  ``valid_to`` NULL = open.
+
+    ``how="left"`` keeps unmatched/expired facts with null dimension
+    columns; ``"inner"`` drops them.
+
+    Plan: ONE ``by % B`` bucket co-partition of both sides (the
+    :func:`asof_join` exchange shape), then a vectorized in-bucket
+    merge: lexsort combined rows by (key, t, tie, side) with left
+    rows last at exact ties (``valid_from <= ts`` is inclusive), one
+    running maximum over dimension positions, same-key + expiry
+    validation.  No per-fact search, no interval explosion.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"unsupported how={how!r}")
+    B = int(num_buckets)
+    left_cols = list(left_ds.schema().names)
+    dim_names = dim_ds.schema().names
+    attr_cols = [c for c in dim_names
+                 if c not in (by, valid_from, valid_to, tie_col)]
+    out_attrs = [c + suffix for c in attr_cols]
+    IMAX = np.int64(np.iinfo(np.int64).max)
+
+    def _us(col) -> np.ndarray:
+        arr = np.asarray(col)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(by), dtype=np.int64)
+        return (batch.append_column("__bucket", pa.array(k % np.int64(B)))
+                .append_column("__side", pa.array(
+                    np.ones(len(batch), dtype=np.int8))))
+
+    def tag_dim(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(by), dtype=np.int64)
+        names = [c + suffix if c in attr_cols else c
+                 for c in batch.column_names]
+        batch = batch.rename_columns(names)
+        return (batch.append_column("__bucket", pa.array(k % np.int64(B)))
+                .append_column("__side", pa.array(
+                    np.zeros(len(batch), dtype=np.int8))))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        l_tbl = group.filter(pa.array(side == 1)).select(left_cols)
+        d_keep = [by, valid_from] + ([valid_to] if valid_to in dim_names
+                                     else []) \
+            + ([tie_col] if tie_col else []) + out_attrs
+        d_tbl = group.filter(pa.array(side == 0)).select(d_keep)
+        nl, nd = len(l_tbl), len(d_tbl)
+        empty = np.empty(0, dtype=np.int64)
+        l_by = np.asarray(l_tbl.column(by), dtype=np.int64) if nl else empty
+        l_ts = _us(l_tbl.column(ts_col)) if nl else empty
+        d_by = np.asarray(d_tbl.column(by), dtype=np.int64) if nd else empty
+        d_from = _us(d_tbl.column(valid_from)) if nd else empty
+        d_tie = (np.asarray(d_tbl.column(tie_col), dtype=np.int64)
+                 if (tie_col and nd) else np.zeros(nd, dtype=np.int64))
+        key = np.concatenate([d_by, l_by])
+        t = np.concatenate([d_from, l_ts])
+        tie = np.concatenate([d_tie, np.full(nl, IMAX)])
+        sd = np.concatenate([np.zeros(nd, dtype=np.int8),
+                             np.ones(nl, dtype=np.int8)])
+        src = np.concatenate([np.arange(nd), np.arange(nl)])
+        order = np.lexsort((sd, tie, t, key))
+        key_s, sd_s, src_s = key[order], sd[order], src[order]
+        lastd = np.maximum.accumulate(
+            np.where(sd_s == 0, np.arange(len(order)), -1))
+        lpos = np.flatnonzero(sd_s == 1)
+        p = lastd[lpos]
+        valid = (p >= 0) & (key_s[np.maximum(p, 0)] == key_s[lpos])
+        l_rows = src_s[lpos]
+        # position 0 can hold a LEFT row when a fact has no prior dim
+        # version — clamp unmatched entries to dim index 0 (masked out)
+        d_rows = np.where(valid, src_s[np.maximum(p, 0)], 0)
+        if valid.any() and valid_to in dim_names:
+            import pyarrow.compute as pc
+            vt_null = pc.is_null(
+                d_tbl.column(valid_to)).to_numpy(zero_copy_only=False)
+            vt_us = np.where(vt_null, IMAX,
+                             _us_masked(np.asarray(d_tbl.column(valid_to))))
+            # expired winner = NO match (do not fall back to an older
+            # version: its interval also ended before ts by latest-
+            # start-wins over non-overlapping histories)
+            valid &= l_ts[l_rows] < vt_us[d_rows]
+        if how == "inner":
+            l_rows, d_rows = l_rows[valid], d_rows[valid]
+            valid = np.ones(len(l_rows), dtype=bool)
+        out = l_tbl.take(pa.array(l_rows))
+        idx = pa.array(np.where(valid, d_rows, -1), pa.int64(),
+                       mask=~valid)
+        for c in out_attrs:
+            out = out.append_column(c, d_tbl.column(c).take(idx))
+        return out
+
+    def _us_masked(arr: np.ndarray) -> np.ndarray:
+        if np.issubdtype(arr.dtype, np.datetime64):
+            a = arr.astype("datetime64[us]")
+            out = a.astype(np.int64)
+            return np.where(np.isnat(a), 0, out)
+        if arr.dtype == object:
+            return np.array([0 if v is None else int(v) for v in arr],
+                            dtype=np.int64)
+        return arr.astype(np.int64)
+
+    return (left_ds.map_batches(tag_left, batch_format="pyarrow")
+            .union(dim_ds.map_batches(tag_dim, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow"))
