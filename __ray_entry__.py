@@ -3060,6 +3060,52 @@ def w_priority_sample_by_source(sf_dir):
                                    key_col="doc_id", salt="r3")
 
 
+def w_quarantine_lineitem(sf_dir):
+    """Validation / quarantine split: lineitem rows violating any of
+    three business rules, with a ``reasons`` column naming every rule
+    tripped (rule order) — the dead-letter side of a validate-then-
+    route ingest; ``audit.validate_rows`` (stateless zero-shuffle)."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from bqf_ray.pipelines.audit import validate_rows
+
+    def _gt(col, thr):
+        def fn(b: pa.Table) -> np.ndarray:
+            return np.asarray(_pc.fill_null(
+                _pc.greater(b.column(col), thr), False), dtype=bool)
+        return fn
+
+    def _ge(col, thr):
+        def fn(b: pa.Table) -> np.ndarray:
+            return np.asarray(_pc.fill_null(
+                _pc.greater_equal(b.column(col), thr), False), dtype=bool)
+        return fn
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_tax", "l_quantity",
+                 "l_discount"])
+    return validate_rows(li,
+                         [("high_tax", _gt("l_tax", 0.06)),
+                          ("bulk_qty", _ge("l_quantity", 45.0)),
+                          ("deep_disc", _gt("l_discount", 0.08))],
+                         ["l_orderkey", "l_linenumber"])
+
+
+def w_benford_prices(sf_dir):
+    """Benford leading-digit audit of o_totalprice: per digit 1..9 the
+    exact count over half-even cents, total n, and share = cnt/n in
+    one IEEE division; ``audit.benford_digits`` (per-batch bincount
+    partials, one 9-row fold)."""
+    import ray
+
+    from bqf_ray.pipelines.audit import benford_digits
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_totalprice"])
+    return benford_digits(orders, "o_totalprice", scale=100)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -3255,6 +3301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred_copurchase": w_link_pred_copurchase,
         "late_events": w_late_events,
         "purchases_pit_signup": w_purchases_pit_signup,
+        "quarantine_lineitem": w_quarantine_lineitem,
+        "benford_prices": w_benford_prices,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5502,4 +5550,35 @@ def oracle_sql() -> dict[str, str]:
                    min(cents)::BIGINT AS min_cents
             FROM o
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+        "quarantine_lineitem": """
+            WITH f AS (
+              SELECT l_orderkey, l_linenumber,
+                     (l_tax > 0.06) AS r0,
+                     (l_quantity >= 45) AS r1,
+                     (l_discount > 0.08) AS r2
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   concat_ws(',',
+                             CASE WHEN r0 THEN 'high_tax' END,
+                             CASE WHEN r1 THEN 'bulk_qty' END,
+                             CASE WHEN r2 THEN 'deep_disc' END) AS reasons
+            FROM f
+            WHERE r0 OR r1 OR r2""",
+        "benford_prices": """
+            WITH c AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND ROUND(o_totalprice * 100) > 0),
+            g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit,
+                         count(*)::BIGINT AS cnt
+                  FROM c GROUP BY 1),
+            t AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS n FROM g)
+            SELECT d.digit, COALESCE(g.cnt, 0)::BIGINT AS cnt, t.n AS n,
+                   CASE WHEN t.n = 0 THEN 0.0
+                        ELSE COALESCE(g.cnt, 0)::DOUBLE / t.n
+                   END AS share
+            FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+            LEFT JOIN g USING (digit) CROSS JOIN t""",
     }

@@ -303,3 +303,92 @@ def grouped_checksum(ds, key_col: str, cols: list[str],
     return (ds.map_batches(pre, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold,
                                             batch_format="pyarrow"))
+
+
+def validate_rows(ds, rules, id_cols: list[str]):
+    """Validation / quarantine split: rows violating ANY rule, with a
+    ``reasons`` column naming every rule they trip (comma-joined in
+    the rules' given order) — the dead-letter side of a
+    validate-then-route ingestion stage.
+
+    ``rules`` is an ordered list of ``(name, fn)`` where ``fn(batch:
+    pa.Table) -> np.ndarray[bool]`` marks VIOLATIONS.  Stateless
+    zero-shuffle pass; reason strings assemble via a 2^k lookup table
+    (k = len(rules) ≤ 16), never a per-row Python loop.  Clean rows
+    are simply dropped — route them separately with the inverse filter
+    when a pipeline needs both halves."""
+    if not 0 < len(rules) <= 16:
+        raise ValueError("1..16 rules required")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate rule names")
+    lookup = np.array([",".join(n for i, n in enumerate(names)
+                                if code >> i & 1)
+                       for code in range(1 << len(names))], dtype=object)
+
+    def split(batch: pa.Table) -> pa.Table:
+        codes = np.zeros(len(batch), dtype=np.int64)
+        for i, (_, fn) in enumerate(rules):
+            m = np.asarray(fn(batch), dtype=bool)
+            if m.shape != (len(batch),):
+                raise ValueError(f"rule {names[i]!r} returned shape "
+                                 f"{m.shape}, want ({len(batch)},)")
+            codes |= m.astype(np.int64) << i
+        bad = codes > 0
+        out = batch.filter(pa.array(bad)).select(id_cols)
+        return out.append_column(
+            "reasons", pa.array(lookup[codes[bad]], pa.string()))
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def benford_digits(ds, value_col: str, scale: int = 100):
+    """Leading-digit distribution (Benford's-law audit) of a positive
+    numeric column: per digit 1..9 the exact count, the total, and
+    ``share = cnt / n`` in one IEEE division.  Values are fixed-point
+    scaled (``round(v * scale)``, half-even like SQL's ROUND) so the
+    leading digit is taken from an exact integer — the digit comes
+    from the decimal STRING on both sides (no float log10 edge).
+    Non-positive / null / non-finite values are excluded.  Per-batch
+    digit bincounts fold through a single 9-row reduce."""
+    import pyarrow.compute as pc
+
+    S = int(scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            keep = pc.and_(keep, pc.is_finite(pc.fill_null(v, 0.0)))
+        v = pc.multiply(pc.cast(v, pa.float64()), pa.scalar(float(S)))
+        cents = pc.round(v, ndigits=0, round_mode="half_to_even")
+        keep = pc.and_(keep, pc.greater(pc.fill_null(cents, 0.0),
+                                        pa.scalar(0.0)))
+        ints = pc.cast(pc.if_else(keep, cents, pa.scalar(0.0)),
+                       pa.int64())
+        first = pc.utf8_slice_codeunits(pc.cast(ints, pa.string()), 0, 1)
+        d = np.asarray(pc.cast(first, pa.int64()))
+        d = d[np.asarray(keep, dtype=bool)]
+        cnt = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10,
+                                                     dtype=np.int64)),
+                         "cnt": pa.array(cnt)})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("digit"), dtype=np.int64)
+        c = np.asarray(batch.column("cnt"), dtype=np.int64)
+        tot = np.zeros(10, dtype=np.int64)
+        np.add.at(tot, d, c)
+        cnt = tot[1:10]
+        n = np.int64(cnt.sum())
+        share = (cnt.astype(np.float64) / np.float64(n)) if n \
+            else np.zeros(9, dtype=np.float64)
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "n": pa.array(np.full(9, n)),
+            "share": pa.array(share)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow"))

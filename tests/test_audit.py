@@ -159,3 +159,68 @@ def test_grouped_checksum_invariance_and_tamper(ray_session):
     changed = a["checksum"] != d["checksum"]
     assert changed.sum() == 1                # only the tampered key
     assert a.loc[changed, "k"].iloc[0] == k[17]
+
+
+def test_validate_rows_reasons_exact(ray_session):
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.pipelines.audit import validate_rows
+    rng = np.random.default_rng(7)
+    n = 2000
+    q = rng.integers(1, 51, n)
+    d = rng.integers(0, 11, n) / 100.0
+    tbl = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                    "q": pa.array(q, pa.int64()),
+                    "d": pa.array(d, pa.float64())})
+    rules = [
+        ("bulk", lambda b: np.asarray(
+            pc.greater_equal(b.column("q"), 45), dtype=bool)),
+        ("deep", lambda b: np.asarray(
+            pc.greater(b.column("d"), 0.08), dtype=bool)),
+    ]
+    out = validate_rows(ray.data.from_arrow(tbl).repartition(7),
+                        rules, ["id"]).to_pandas()
+    expect = {}
+    for i in range(n):
+        rs = [nm for nm, cond in (("bulk", q[i] >= 45),
+                                  ("deep", d[i] > 0.08)) if cond]
+        if rs:
+            expect[i] = ",".join(rs)
+    got = dict(zip(out["id"], out["reasons"]))
+    assert got == expect
+    with pytest.raises(ValueError):
+        validate_rows(ray.data.from_arrow(tbl), [], ["id"])
+    with pytest.raises(ValueError):
+        validate_rows(ray.data.from_arrow(tbl),
+                      [("a", rules[0][1]), ("a", rules[1][1])], ["id"])
+
+
+def test_benford_digits_matches_bruteforce(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.audit import benford_digits
+    rng = np.random.default_rng(11)
+    n = 5000
+    v = np.exp(rng.uniform(0, 12, n))          # spans many magnitudes
+    v[::97] = 0.0                               # excluded (non-positive)
+    v[::101] = -3.5                             # excluded
+    vals = pa.array(v, pa.float64())
+    vals = pa.concat_arrays([vals.combine_chunks() if hasattr(
+        vals, "combine_chunks") else vals, pa.array([None], pa.float64())])
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(9)
+    out = benford_digits(ds, "v", scale=100).to_pandas() \
+        .sort_values("digit").reset_index(drop=True)
+    # brute force: half-even fixed-point, leading decimal digit
+    cents = np.float64(v) * 100.0
+    ints = np.asarray(
+        pa.compute.round(pa.array(cents), ndigits=0,
+                         round_mode="half_to_even").cast(pa.int64()))
+    ints = ints[ints > 0]
+    lead = np.array([int(str(x)[0]) for x in ints])
+    cnt = np.bincount(lead, minlength=10)[1:10]
+    assert list(out["digit"]) == list(range(1, 10))
+    assert list(out["cnt"]) == list(cnt)
+    assert out["n"].nunique() == 1 and out["n"][0] == cnt.sum()
+    np.testing.assert_array_equal(
+        out["share"].to_numpy(), cnt.astype(np.float64) / float(cnt.sum()))
