@@ -3093,6 +3093,21 @@ def w_quarantine_lineitem(sf_dir):
                          ["l_orderkey", "l_linenumber"])
 
 
+def w_inactive_customers(sf_dir):
+    """Orphan-key referential audit: customers with NO events (the
+    anti side of the FK check events.user_id → customer.c_custkey) —
+    ``relational.semi_join(anti=True)``, ONE key-co-partitioned
+    exchange, the right side ships only distinct keys."""
+    import ray
+
+    from bqf_ray.pipelines.relational import semi_join
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return semi_join(cust, ev, "c_custkey", "user_id", anti=True)
+
+
 def w_benford_prices(sf_dir):
     """Benford leading-digit audit of o_totalprice: per digit 1..9 the
     exact count over half-even cents, total n, and share = cnt/n in
@@ -3303,6 +3318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_pit_signup": w_purchases_pit_signup,
         "quarantine_lineitem": w_quarantine_lineitem,
         "benford_prices": w_benford_prices,
+        "inactive_customers": w_inactive_customers,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5581,4 +5597,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS share
             FROM (SELECT UNNEST(range(1, 10)) AS digit) d
             LEFT JOIN g USING (digit) CROSS JOIN t""",
+        "inactive_customers": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)""",
     }
