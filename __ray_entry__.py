@@ -3093,6 +3093,46 @@ def w_quarantine_lineitem(sf_dir):
                          ["l_orderkey", "l_linenumber"])
 
 
+def w_event_ntiles(sf_dir):
+    """Per-user NTILE(4) in (ts, event_id) order — SQL tile-size
+    semantics exactly; ``ranking.grouped_ntile`` (one key-bucket
+    shuffle, tiles from integer arithmetic on in-key positions)."""
+    import ray
+
+    from bqf_ray.pipelines.ranking import grouped_ntile
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    return grouped_ntile(ev, "user_id", "ts", "event_id", 4)
+
+
+def w_kendall_user(sf_dir):
+    """Per-user Kendall tau-b between event time and value — exact
+    int64 concordance components (s, tie counts) via in-bucket
+    vectorized pair expansion, one IEEE final expression;
+    ``aggregates.grouped_kendall``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_kendall
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return grouped_kendall(ev, "user_id", "ts", "value")
+
+
+def w_resampled_value(sf_dir):
+    """Per-user 6-hour-grid LOCF resample of value (grid points are
+    epoch-aligned multiples of 21600 s between the user's first and
+    last event; ties at equal ts resolve to max event_id) —
+    ``windowed.resample_locf`` (one key-bucket shuffle, vectorized
+    in-bucket grid generation + maximum.accumulate fill)."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import resample_locf
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return resample_locf(ev, 21600)
+
+
 def w_inactive_customers(sf_dir):
     """Orphan-key referential audit: customers with NO events (the
     anti side of the FK check events.user_id → customer.c_custkey) —
@@ -3319,6 +3359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quarantine_lineitem": w_quarantine_lineitem,
         "benford_prices": w_benford_prices,
         "inactive_customers": w_inactive_customers,
+        "event_ntiles": w_event_ntiles,
+        "kendall_user": w_kendall_user,
+        "resampled_value": w_resampled_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -5602,4 +5645,64 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)""",
+        "event_ntiles": """
+            SELECT event_id,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)::BIGINT AS tile
+            FROM events""",
+        "kendall_user": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) AS x, value AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)),
+            p AS (
+              SELECT a.user_id AS k,
+                     COUNT(*)::BIGINT AS np,
+                     SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                OR (a.x > b.x AND a.y > b.y) THEN 1
+                              WHEN a.x = b.x OR a.y = b.y THEN 0
+                              ELSE -1 END)::BIGINT AS s,
+                     SUM((a.x = b.x)::INT)::BIGINT AS n1,
+                     SUM((a.y = b.y)::INT)::BIGINT AS n2
+              FROM e a JOIN e b
+                ON a.user_id = b.user_id AND a.event_id < b.event_id
+              GROUP BY 1),
+            n AS (SELECT user_id AS k, COUNT(*)::BIGINT AS n
+                  FROM e GROUP BY 1)
+            SELECT n.k AS user_id, n.n,
+                   COALESCE(p.s, 0) AS s,
+                   CASE WHEN n.n >= 2 AND p.np > p.n1 AND p.np > p.n2
+                        THEN p.s::DOUBLE / (sqrt((p.np - p.n1)::DOUBLE)
+                                            * sqrt((p.np - p.n2)::DOUBLE))
+                   END AS tau
+            FROM n LEFT JOIN p ON p.k = n.k""",
+        "resampled_value": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tu, value
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)),
+            b AS (SELECT user_id,
+                         ((min(tu) + 21600000000 - 1) // 21600000000)
+                             * 21600000000 AS gf,
+                         (max(tu) // 21600000000) * 21600000000 AS gl
+                  FROM e GROUP BY 1),
+            g AS (SELECT user_id,
+                         UNNEST(range(gf, gl + 1, 21600000000)) AS gt
+                  FROM b WHERE gl >= gf),
+            u AS (SELECT user_id, tu AS o, 0 AS tag, event_id AS eid,
+                         value FROM e
+                  UNION ALL
+                  SELECT user_id, gt, 1, NULL, NULL FROM g),
+            f AS (SELECT user_id, o, tag,
+                         last_value(value IGNORE NULLS) OVER (
+                             PARTITION BY user_id
+                             ORDER BY o, tag, eid NULLS LAST
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS value
+                  FROM u)
+            SELECT user_id, make_timestamp(o) AS grid_ts, value
+            FROM f WHERE tag = 1""",
     }

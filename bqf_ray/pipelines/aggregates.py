@@ -2685,3 +2685,125 @@ def cube(ds, key_cols: list[str], aggs: list[tuple[str, str, str]],
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in combinations(keys, r)]
     return grouping_sets(ds, keys, aggs, sets, **kw)
+
+
+def grouped_kendall(ds, key_col: str, x_col: str, y_col: str,
+                    num_buckets: int = 32,
+                    max_group_rows: int = 8192):
+    """Per-group Kendall tau-b with DETERMINISTIC floats — the
+    concordance companion to :func:`grouped_spearman`.
+
+    Every within-key pair (i < j by row identity) is classified exactly
+    in int64: ``s = n_concordant − n_discordant`` (pairs tied on either
+    side contribute 0), ``n1`` = pairs tied on x, ``n2`` = pairs tied
+    on y, ``np`` = C(n,2); ``tau_b = s / (√(np−n1) · √(np−n2))`` in ONE
+    IEEE expression that bit-matches the SQL self-join replay.  NULL
+    when n < 2 or either side is constant within the key.
+
+    Pairs are an O(n²)-per-key statistic with no decomposable partial
+    form, so the pruned raw ``(key, x, y)`` rows ride ONE key-bucketed
+    exchange and each key's pairs expand VECTORIZED inside its bucket
+    (the segment-pair trick from ``graph.cooccurrence_edges`` — repeat
+    + offset arithmetic, no Python pair loop).  ``max_group_rows``
+    bounds the quadratic blowup (default 8192 rows/key ⇒ ≤ 33.5M pairs
+    per hot key) with a loud raise — sample or pre-quantize hot keys
+    upstream, exactly the :func:`grouped_spearman` envelope contract.
+
+    Rows with a null/NaN/±inf on either value column are excluded;
+    null keys form ONE group.  Timestamps compare as exact int64 µs.
+    Output ``(key_col, n, s, tau)``.
+    """
+    from bqf_ray.pipelines.audit import _key_codes
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+
+    def _vals(col) -> np.ndarray:
+        arr = np.asarray(col)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.float64)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        sub = batch.select([key_col, x_col, y_col])
+        ok = pc.and_(sub.column(x_col).is_valid(),
+                     sub.column(y_col).is_valid())
+        for c in (x_col, y_col):
+            if pa.types.is_floating(sub.schema.field(c).type):
+                ok = pc.and_(ok, pc.fill_null(
+                    pc.is_finite(sub.column(c)), False))
+        sub = sub.filter(ok)
+        k = sub.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        bkt = (_col_hash64(k) % np.uint64(B)).astype(np.int64)
+        return sub.append_column("__bucket", pa.array(bkt))
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not group.num_rows:
+            return pa.table({key_col: k.slice(0, 0),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "tau": pa.array([], pa.float64())})
+        kc = _key_codes(k)
+        x = _vals(group.column(x_col))
+        y = _vals(group.column(y_col))
+        order = np.argsort(kc, kind="stable")
+        ks, xs, ys = kc[order], x[order], y[order]
+        nrows = len(ks)
+        key_new = np.empty(nrows, dtype=bool)
+        key_new[:1] = True
+        key_new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(key_new)
+        counts = np.diff(np.append(starts, nrows)).astype(np.int64)
+        if counts.max() > max_group_rows:
+            raise ValueError(
+                "grouped_kendall: a key has "
+                f"{int(counts.max())} rows > max_group_rows="
+                f"{max_group_rows} — the exact O(n²) pair envelope "
+                "ends here; sample or pre-quantize the hot key "
+                "upstream")
+        # segment pair expansion: row i pairs with the r_i rows after
+        # it in its key segment
+        seg_end = np.repeat(starts + counts, counts)
+        idx = np.arange(nrows, dtype=np.int64)
+        r = seg_end - idx - 1
+        first = np.repeat(idx, r)
+        off = (np.arange(r.sum(), dtype=np.int64)
+               - np.repeat(np.cumsum(r) - r, r))
+        second = first + off + 1
+        dx = np.sign(xs[second] - xs[first]).astype(np.int64)
+        dy = np.sign(ys[second] - ys[first]).astype(np.int64)
+        # per-key folds: pairs are key-contiguous (first is sorted)
+        pair_starts = np.cumsum(
+            np.concatenate([[0], counts * (counts - 1) // 2]))[:-1]
+        has = counts >= 2
+        ps = pair_starts[has]
+
+        def seg_sum(v):
+            out = np.zeros(len(counts), dtype=np.int64)
+            if len(ps):
+                out[has] = np.add.reduceat(v, ps)
+            return out
+
+        s = seg_sum(dx * dy)
+        n1 = seg_sum((dx == 0).astype(np.int64))
+        n2 = seg_sum((dy == 0).astype(np.int64))
+        npair = counts * (counts - 1) // 2
+        ok = (counts >= 2) & (npair > n1) & (npair > n2)
+        denom = (np.sqrt(np.where(ok, npair - n1, 1).astype(np.float64))
+                 * np.sqrt(np.where(ok, npair - n2, 1)
+                           .astype(np.float64)))
+        tau = np.where(ok, s.astype(np.float64) / denom, np.nan)
+        return pa.table({
+            key_col: k.take(pa.array(order[starts])),
+            "n": pa.array(counts),
+            "s": pa.array(s),
+            "tau": pa.array(tau, pa.float64(), mask=~ok)})
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(fold, batch_format="pyarrow"))

@@ -456,3 +456,57 @@ def rrf_fuse(ds, metrics: list[tuple[str, bool]], id_col: str,
     scored = clean.map_batches(score, batch_format="pyarrow")
     return global_top_n(scored, ["rrf", id_col], int(top),
                         descending=[True, False])
+
+
+def grouped_ntile(ds, key_col: str, ts_col: str, id_col: str, n: int,
+                  num_buckets: int = 32):
+    """Per-key ``NTILE(n) OVER (PARTITION BY key ORDER BY ts, id)`` —
+    SQL tile semantics exactly: the first ``cnt % n`` tiles get
+    ``cnt // n + 1`` rows, the rest ``cnt // n``.  Same one-bucket-
+    shuffle shape as ``windowed.grouped_row_numbers``: keys never split
+    across buckets, tiles come from one lexsort + integer arithmetic on
+    the 0-based in-key position (no per-key loop).  Output
+    ``(id_col, tile)``."""
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+    K = int(n)
+    if K < 1:
+        raise ValueError("ntile n must be >= 1")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def tile_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        order = np.lexsort((i, t, u))
+        us = u[order]
+        pos = np.arange(len(us), dtype=np.int64)
+        first = np.concatenate([[True], us[1:] != us[:-1]])
+        starts = pos[first]
+        cnt_run = np.diff(np.append(starts, len(us)))
+        r = pos - np.repeat(starts, cnt_run)           # 0-based in key
+        c = np.repeat(cnt_run, cnt_run)                # key size per row
+        big = c % K                                    # tiles of size+1
+        size_big = c // K + 1
+        small = np.maximum(c // K, 1)                  # guard c < K
+        cut = big * size_big
+        tile = np.where(r < cut, r // size_big,
+                        big + (r - cut) // small) + 1
+        return pa.table({id_col: pa.array(i[order]),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(tile_bucket, batch_format="pyarrow"))

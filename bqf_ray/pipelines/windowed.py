@@ -1640,3 +1640,102 @@ def watermark_scan(ds, order_col: str, ts_col: str, lateness_us: int,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(stitch, batch_format="pyarrow"))
+
+
+def resample_locf(ds, step_s: int, value_col: str = "value",
+                  ts_col: str = "ts", key_col: str = "user_id",
+                  id_col: str = "event_id", num_buckets: int = 32):
+    """Per-key time-grid resample with last-observation-carried-forward
+    — the feature-pipeline regularizer: for every epoch-aligned grid
+    point ``g`` (multiples of ``step_s``) with ``first_obs ≤ g ≤
+    last_obs`` within the key, emit the value of the key's last
+    observation at or before ``g`` (ties on equal ts resolve to the
+    max ``id`` — deterministic).
+
+    Plan: ONE key-bucket shuffle; inside the bucket the per-key grids
+    are GENERATED vectorized (repeat + arange offset arithmetic from
+    per-segment min/max — no per-key loop), merged with the events by
+    one lexsort ``(key, ts, tag, id)`` (events before grid at equal
+    ts), and filled by a single ``maximum.accumulate`` over event row
+    indices — every grid row is preceded in-key by its first
+    observation, so no cross-key leak is possible.  Grid size per key
+    is span/step: pick ``step_s`` near the native event cadence so
+    output ≈ input (the grid never materializes on the driver).
+
+    Rows with null ts or null/NaN value are excluded.  Output
+    ``(key_col, grid_ts [timestamp µs], value [float64])``."""
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+    STEP = int(step_s) * 1_000_000
+    if STEP <= 0:
+        raise ValueError("step_s must be positive")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(batch.column(ts_col).is_valid(),
+                     batch.column(value_col).is_valid())
+        if pa.types.is_floating(batch.schema.field(value_col).type):
+            ok = pc.and_(ok, pc.fill_null(
+                pc.is_finite(batch.column(value_col)), False))
+        batch = batch.filter(ok)
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def fill_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.float64)
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "grid_ts": pa.array([], pa.timestamp("us")),
+                          value_col: pa.array([], pa.float64())})
+        if len(u) == 0:
+            return empty
+        order = np.lexsort((i, t, u))
+        u, t, i, v = u[order], t[order], i[order], v[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(u)))
+        mn = t[starts]
+        mx = t[starts + counts - 1]
+        gf = -(-mn // STEP) * STEP                # ceil to grid
+        gl = (mx // STEP) * STEP                  # floor to grid
+        ng = np.maximum((gl - gf) // STEP + 1, 0)
+        total = int(ng.sum())
+        if total == 0:
+            return empty
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), ng)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(ng) - ng, ng))
+        g_u = u[starts][seg]
+        g_t = gf[seg] + within * STEP
+        # merge events (tag 0) + grid (tag 1); at equal (key, ts)
+        # events sort first, max id last — maximum.accumulate then
+        # carries the latest observation index into each grid row
+        au = np.concatenate([u, g_u])
+        at = np.concatenate([t, g_t])
+        tag = np.concatenate([np.zeros(len(u), dtype=np.int8),
+                              np.ones(total, dtype=np.int8)])
+        ai = np.concatenate([i, np.zeros(total, dtype=np.int64)])
+        morder = np.lexsort((ai, tag, at, au))
+        mtag = tag[morder]
+        src = np.where(mtag == 0,
+                       np.arange(len(morder), dtype=np.int64), -1)
+        filled = np.maximum.accumulate(src)
+        gmask = mtag == 1
+        ev_pos = morder[filled[gmask]]            # index into event half
+        return pa.table({
+            key_col: pa.array(au[morder][gmask]),
+            "grid_ts": pa.array(at[morder][gmask]
+                                .astype("datetime64[us]")),
+            value_col: pa.array(v[ev_pos])})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(fill_bucket, batch_format="pyarrow"))

@@ -1,0 +1,131 @@
+"""grouped_ntile SQL tile semantics; grouped_kendall vs scipy-free brute
+force; resample_locf vs a per-key pandas LOCF reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(n=4000, keys=23, seed=5, dup_ts=True):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, keys, n)
+    base = np.int64(1_700_000_000_000_000)
+    t = base + rng.integers(0, 500_000, n) * np.int64(1_000_000)
+    if dup_ts:                        # force equal-ts ties
+        t[::7] = t[3::7][: len(t[::7])] if len(t[3::7]) >= len(t[::7]) \
+            else t[::7]
+    v = rng.normal(50, 20, n).round(2)
+    return pa.table({
+        "user_id": pa.array(u, pa.int64()),
+        "ts": pa.array(t.astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(v, pa.float64())})
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_grouped_ntile_sql_semantics(ray_session, k):
+    import duckdb
+    import ray
+
+    from bqf_ray.pipelines.ranking import grouped_ntile
+    tbl = _events()
+    got = grouped_ntile(ray.data.from_arrow(tbl).repartition(6),
+                        "user_id", "ts", "event_id", k).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("e", tbl)
+    exp = con.execute(f"""
+        SELECT event_id, NTILE({k}) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)::BIGINT AS tile
+        FROM e ORDER BY event_id""").fetch_df()
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_grouped_kendall_bruteforce(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_kendall
+    tbl = _events(n=800, keys=9)
+    # knock some rows to null / nan
+    v = tbl.column("value").to_numpy(zero_copy_only=False).copy()
+    v[::53] = np.nan
+    tbl = tbl.set_column(3, "value", pa.array(v, pa.float64()))
+    got = grouped_kendall(ray.data.from_arrow(tbl).repartition(5),
+                          "user_id", "ts", "value").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    df = tbl.to_pandas().dropna(subset=["value", "ts"])
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        x = g["ts"].astype("int64").to_numpy()
+        y = g["value"].to_numpy()
+        n = len(g)
+        dx = np.sign(x[None, :] - x[:, None])
+        dy = np.sign(y[None, :] - y[:, None])
+        iu = np.triu_indices(n, 1)
+        s = int((dx[iu] * dy[iu]).sum())
+        n1 = int((dx[iu] == 0).sum())
+        n2 = int((dy[iu] == 0).sum())
+        npair = n * (n - 1) // 2
+        if n >= 2 and npair > n1 and npair > n2:
+            tau = np.float64(s) / (np.sqrt(np.float64(npair - n1))
+                                   * np.sqrt(np.float64(npair - n2)))
+        else:
+            tau = np.nan
+        rows.append((uid, n, s, tau))
+    exp = pd.DataFrame(rows, columns=["user_id", "n", "s", "tau"]) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_grouped_kendall_envelope_raise(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_kendall
+    tbl = _events(n=300, keys=1)
+    with pytest.raises(Exception, match="max_group_rows"):
+        grouped_kendall(ray.data.from_arrow(tbl), "user_id", "ts",
+                        "value", max_group_rows=100).take_all()
+
+
+@pytest.mark.parametrize("step_s", [1, 97, 50_000])
+def test_resample_locf_reference(ray_session, step_s):
+    import ray
+
+    from bqf_ray.pipelines.windowed import resample_locf
+    tbl = _events(n=1500, keys=11)
+    got = resample_locf(ray.data.from_arrow(tbl).repartition(7),
+                        step_s).to_pandas() \
+        .sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+    df = tbl.to_pandas()
+    step = step_s * 1_000_000
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        tu = g["ts"].astype("int64").to_numpy()
+        vv = g["value"].to_numpy()
+        gf = -(-tu.min() // step) * step
+        gl = (tu.max() // step) * step
+        for gt in range(gf, gl + 1, step):
+            sel = tu <= gt
+            rows.append((uid, gt, vv[np.flatnonzero(sel)[-1]]))
+    exp = pd.DataFrame(rows, columns=["user_id", "grid_ts", "value"])
+    exp["grid_ts"] = exp["grid_ts"].astype("datetime64[us]")
+    exp = exp.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_resample_locf_equal_ts_max_id_wins(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.windowed import resample_locf
+    t0 = np.int64(1_000_000_000_000_000)
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array(np.array([t0, t0, t0 + 2_000_000],
+                                dtype=np.int64).astype("datetime64[us]")),
+        "event_id": pa.array([10, 11, 12], pa.int64()),
+        "value": pa.array([5.0, 7.0, 9.0], pa.float64())})
+    out = resample_locf(ray.data.from_arrow(tbl), 1).to_pandas() \
+        .sort_values("grid_ts").reset_index(drop=True)
+    assert list(out["value"]) == [7.0, 7.0, 9.0]   # max id at t0 wins
