@@ -1271,6 +1271,34 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
               f"FROM r{int(iters)}")
 
 
+def _sssp_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled-CTE SQL equivalent of ``graph.sssp`` over the part
+    co-purchase graph weighted by shared-order counts — exact int64:
+    each round is (relax over both edge directions → MIN per node),
+    the textbook bounded-recursion Bellman-Ford replay."""
+    head = """WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pc AS MATERIALIZED (
+      SELECT a.p AS a, b.p AS b, count(*)::BIGINT AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2),
+    e AS MATERIALIZED (SELECT a AS s, b AS t, w FROM pc
+                       UNION ALL SELECT b, a, w FROM pc),
+    d0 AS (SELECT DISTINCT s AS node, 0::BIGINT AS dist
+           FROM e WHERE s % 97 = 0)"""
+    steps = []
+    for r in range(1, int(rounds) + 1):
+        steps.append(f"""d{r} AS (
+      SELECT node, MIN(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.t AS node, d{r - 1}.dist + e.w AS dist
+        FROM d{r - 1} JOIN e ON e.s = d{r - 1}.node)
+      GROUP BY node)""")
+    return (head + ",\n" + ",\n".join(steps)
+            + f"\nSELECT node, dist FROM d{int(rounds)}")
+
+
 def _hits_oracle_sql(rounds: int = 2, scale_bits: int = 20) -> str:
     """Unrolled-CTE SQL equivalent of ``graph.hits`` over the
     supplier→part lineitem multigraph — BIT-EXACT: each half-step is
@@ -3133,6 +3161,40 @@ def w_resampled_value(sf_dir):
     return resample_locf(ev, 21600)
 
 
+def w_sssp_parts(sf_dir):
+    """Bounded-round weighted shortest paths over the part
+    co-purchase graph (edge weight = shared-order count, seeds =
+    partkey % 97 == 0): 4 Bellman-Ford rounds, one linear edge scan
+    each with the distance vector broadcast; ``graph.sssp`` — exact
+    int64 vs the unrolled-CTE replay."""
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges, sssp
+    from bqf_ray.stages.partition import bucketed_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    weighted = bucketed_sum(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        .map_batches(one, batch_format="pyarrow"),
+        ["a", "b"], {"__one": "w"}, combine_local=True).materialize()
+    parts = []
+    for t in ray.get(weighted.to_arrow_refs()):
+        if t.num_rows:
+            parts.append(np.unique(np.asarray(t.column("a"),
+                                              dtype=np.int64)))
+            parts.append(np.unique(np.asarray(t.column("b"),
+                                              dtype=np.int64)))
+    nodes = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+    return sssp(weighted, nodes[nodes % 97 == 0], rounds=4)
+
+
 def w_inactive_customers(sf_dir):
     """Orphan-key referential audit: customers with NO events (the
     anti side of the FK check events.user_id → customer.c_custkey) —
@@ -3360,6 +3422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": w_benford_prices,
         "inactive_customers": w_inactive_customers,
         "event_ntiles": w_event_ntiles,
+        "sssp_parts": w_sssp_parts,
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -5595,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN clab c2 ON c2.id = e.vec_id
             LEFT JOIN blab b ON b.id = e.vec_id""",
         "hits_supplier_parts": _hits_oracle_sql(rounds=2, scale_bits=20),
+        "sssp_parts": _sssp_oracle_sql(rounds=4),
         "rollup_orders": """
             WITH o AS (SELECT o_orderstatus, o_orderpriority,
                               CAST(floor(o_totalprice * 100 + 0.5)

@@ -1803,3 +1803,82 @@ def link_prediction(edges_ds, a_col: str = "a", b_col: str = "b",
         return batch.append_column("jaccard", pa.array(jac))
 
     return scored.map_batches(score, batch_format="pyarrow")
+
+
+def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
+         a_col: str = "a", b_col: str = "b", w_col: str = "w"):
+    """Fixed-round Bellman-Ford single-source (multi-seed) shortest
+    paths over an UNDIRECTED weighted edge Dataset: after R rounds,
+    ``(node, dist)`` holds the exact min-cost path using ≤ R edges
+    from the seed set — the bounded-recursion SSSP a SQL unrolled-CTE
+    replay computes, and (early-stop detected) the true Dijkstra
+    distances once no round improves anything.  Weights must be
+    POSITIVE int64 (loud raise on null/≤0 — zero/negative cycles void
+    the fixed-round equality).
+
+    Plan (the :func:`bfs_hops` / :func:`pagerank` envelope): the
+    ``(nodes, dist)`` vector broadcasts once per round (``ray.put``);
+    each round is ONE linear ``map_batches`` scan over the edges
+    emitting per-batch MIN-folded candidate relaxations, and the
+    driver folds candidates against the current vector (vertex-sized
+    arrays — the documented ~10^8-node driver envelope; shard the
+    vector past it).  No shuffle after edge materialization."""
+    import ray
+
+    R = int(rounds)
+    nodes = np.unique(np.asarray(seeds, dtype=np.int64))
+    dist = np.zeros(len(nodes), dtype=np.int64)
+    if not len(nodes):
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    edges = edges_ds.materialize()
+    for _ in range(R):
+        ref = ray.put((nodes, dist))
+
+        def relax(batch: pa.Table) -> pa.Table:
+            nd, dd = ray.get(ref)
+            if batch.column(w_col).null_count:
+                raise ValueError("sssp: null weight")
+            a = np.asarray(batch.column(a_col), dtype=np.int64)
+            b = np.asarray(batch.column(b_col), dtype=np.int64)
+            w = np.asarray(batch.column(w_col), dtype=np.int64)
+            if len(w) and w.min() <= 0:
+                raise ValueError("sssp: weights must be positive "
+                                 "(zero/negative edges void the "
+                                 "fixed-round contract)")
+            outs, outd = [], []
+            for x, y in ((a, b), (b, a)):
+                ix = np.searchsorted(nd, x)
+                hit = (ix < len(nd)) \
+                    & (nd[np.minimum(ix, len(nd) - 1)] == x)
+                outs.append(y[hit])
+                outd.append(dd[ix[hit]] + w[hit])
+            cn = np.concatenate(outs)
+            cd = np.concatenate(outd)
+            if len(cn):                      # local min-fold per node
+                order = np.lexsort((cd, cn))
+                cn, cd = cn[order], cd[order]
+                first = np.concatenate([[True], cn[1:] != cn[:-1]])
+                cn, cd = cn[first], cd[first]
+            return pa.table({"node": pa.array(cn), "d": pa.array(cd)})
+
+        got = edges.map_batches(relax, batch_format="pyarrow") \
+            .to_pandas()
+        if not len(got):
+            break
+        cn = got["node"].to_numpy().astype(np.int64)
+        cd = got["d"].to_numpy().astype(np.int64)
+        order = np.lexsort((cd, cn))
+        cn, cd = cn[order], cd[order]
+        first = np.concatenate([[True], cn[1:] != cn[:-1]])
+        cn, cd = cn[first], cd[first]
+        merged = np.union1d(nodes, cn)
+        nd_new = np.full(len(merged), np.iinfo(np.int64).max)
+        pos_old = np.searchsorted(merged, nodes)
+        nd_new[pos_old] = dist
+        pos_c = np.searchsorted(merged, cn)
+        nd_new[pos_c] = np.minimum(nd_new[pos_c], cd)
+        if len(merged) == len(nodes) and (nd_new == dist).all():
+            break                            # converged = true SSSP
+        nodes, dist = merged, nd_new
+    return pa.table({"node": pa.array(nodes), "dist": pa.array(dist)})
