@@ -3161,6 +3161,36 @@ def w_resampled_value(sf_dir):
     return resample_locf(ev, 21600)
 
 
+def w_nearest_click(sf_dir):
+    """For every purchase, the SAME-user click nearest in time (either
+    direction; equidistant resolves to the past) — LEFT semantics;
+    clicks pre-deduped to unique (user, ts) keeping min event_id so
+    the payload is deterministic; ``relational.nearest_join`` (one
+    co-partitioned exchange, two linear sweeps per bucket)."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from bqf_ray.pipelines.relational import nearest_join
+    from bqf_ray.stages.partition import bucketed_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def side(et):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(_pc.equal(b.column("event_type"), et)) \
+                .drop_columns(["event_type"])
+        return fn
+
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    clicks = bucketed_agg(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ["user_id", "ts"], [("event_id", "min", "event_id")])
+    return nearest_join(purchases, clicks, on="ts", by="user_id",
+                        how="left")
+
+
 def w_sssp_parts(sf_dir):
     """Bounded-round weighted shortest paths over the part
     co-purchase graph (edge weight = shared-order count, seeds =
@@ -3423,6 +3453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": w_inactive_customers,
         "event_ntiles": w_event_ntiles,
         "sssp_parts": w_sssp_parts,
+        "nearest_click": w_nearest_click,
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -5659,6 +5690,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN blab b ON b.id = e.vec_id""",
         "hits_supplier_parts": _hits_oracle_sql(rounds=2, scale_bits=20),
         "sssp_parts": _sssp_oracle_sql(rounds=4),
+        "nearest_click": """
+            WITH c AS (SELECT user_id, ts, min(event_id) AS event_id
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY 1, 2),
+            p AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.user_id, p.ts, p.event_id,
+                   c.ts AS ts_r, c.event_id AS event_id_r
+            FROM p LEFT JOIN c ON p.user_id = c.user_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.event_id
+                ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                         c.ts) = 1""",
         "rollup_orders": """
             WITH o AS (SELECT o_orderstatus, o_orderpriority,
                               CAST(floor(o_totalprice * 100 + 0.5)

@@ -1173,3 +1173,103 @@ def pit_join(left_ds, dim_ds, by: str, ts_col: str,
             .union(dim_ds.map_batches(tag_dim, batch_format="pyarrow"))
             .groupby("__bucket")
             .map_groups(merge_bucket, batch_format="pyarrow"))
+
+
+def nearest_join(left_ds, right_ds, on: str, by: str,
+                 num_buckets: int = 32, suffix: str = "_r",
+                 how: str = "inner"):
+    """Nearest-neighbor temporal join: for every left row, attach the
+    right row sharing ``by`` whose ``on`` is CLOSEST in absolute
+    distance — either direction, ties (equidistant past vs future)
+    resolve to the PAST row.  The bidirectional companion to
+    :func:`asof_join` (sensor alignment, nearest-quote matching).
+
+    Same plan as :func:`asof_join`: bucket-co-partition both sides on
+    ``by % B`` (one groupby shuffle), one merged lexsort per bucket
+    with rights before lefts at equal ``on``, then TWO linear sweeps —
+    a running maximum (last right at-or-before) and a reversed running
+    minimum (first right strictly after) — pick the closer, validate
+    same-key.  The right side must be unique on ``(by, on)`` for a
+    deterministic payload (dedupe upstream; equal-ts duplicate rights
+    make the winner partitioning-dependent, same caveat asof_join
+    documents).  ``how="left"`` keeps unmatched left rows with null
+    right columns."""
+    B = int(num_buckets)
+    left_cols = list(left_ds.schema().names)
+    right_cols = [c for c in right_ds.schema().names if c != by]
+
+    def to_i64(col) -> np.ndarray:
+        arr = np.asarray(col)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(by), dtype=np.int64)
+            return (batch.append_column("__bucket",
+                                        pa.array(k % np.int64(B)))
+                    .append_column("__side", pa.array(
+                        np.full(len(batch), side, dtype=np.int8))))
+        return fn
+
+    def rename_right(batch: pa.Table) -> pa.Table:
+        names = [c + suffix if c in right_cols else c
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    right_cols_final = [c + suffix for c in right_cols]
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"))
+        l_tbl = group.filter(pa.array(side == 0)).select(left_cols)
+        r_tbl = group.filter(pa.array(side == 1)).select(
+            [by] + right_cols_final)
+        nl, nr = len(l_tbl), len(r_tbl)
+        l_by = np.asarray(l_tbl.column(by), dtype=np.int64) if nl else \
+            np.empty(0, dtype=np.int64)
+        l_on = to_i64(l_tbl.column(on)) if nl else \
+            np.empty(0, dtype=np.int64)
+        r_by = np.asarray(r_tbl.column(by), dtype=np.int64) if nr else \
+            np.empty(0, dtype=np.int64)
+        r_on = to_i64(r_tbl.column(on + suffix)) if nr else \
+            np.empty(0, dtype=np.int64)
+        key = np.concatenate([r_by, l_by])
+        t = np.concatenate([r_on, l_on])
+        sd = np.concatenate([np.zeros(nr, dtype=np.int8),
+                             np.ones(nl, dtype=np.int8)])
+        src = np.concatenate([np.arange(nr), np.arange(nl)])
+        order = np.lexsort((sd, t, key))     # rights first at ties
+        key_s, t_s, sd_s, src_s = (key[order], t[order], sd[order],
+                                   src[order])
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        back = np.maximum.accumulate(np.where(sd_s == 0, pos, -1))
+        fwd = np.minimum.accumulate(
+            np.where(sd_s == 0, pos, n)[::-1])[::-1]
+        lpos = np.flatnonzero(sd_s == 1)
+        pb, pf = back[lpos], fwd[lpos]
+        vb = (pb >= 0) & (key_s[np.maximum(pb, 0)] == key_s[lpos])
+        vf = (pf < n) & (key_s[np.minimum(pf, n - 1)] == key_s[lpos])
+        db = t_s[lpos] - t_s[np.maximum(pb, 0)]
+        df = t_s[np.minimum(pf, n - 1)] - t_s[lpos]
+        use_b = vb & (~vf | (db <= df))      # equidistant → past
+        p = np.where(use_b, pb, np.where(vf, pf, -1))
+        valid = p >= 0
+        l_rows = src_s[lpos]
+        r_rows = np.where(valid, src_s[np.maximum(p, 0)], -1)
+        if how == "inner":
+            l_rows, r_rows = l_rows[valid], r_rows[valid]
+            valid = np.ones(len(l_rows), dtype=bool)
+        out = l_tbl.take(pa.array(l_rows))
+        idx = pa.array(r_rows, pa.int64(), mask=~valid)
+        for c in right_cols_final:
+            out = out.append_column(c, r_tbl.column(c).take(idx))
+        return out
+
+    left_tagged = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right_tagged = (right_ds.map_batches(tag(1), batch_format="pyarrow")
+                    .map_batches(rename_right, batch_format="pyarrow"))
+    return (left_tagged.union(right_tagged)
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow"))
