@@ -2272,7 +2272,13 @@ def cs_heavy_counts(ds, col: str, m: int = 128, width: int = 8192,
     n_total = int(folds["pn"].sum())
     f2 = int(folds["pf2"].sum())
     thresh = n_total / (m + 1.0)
-    heavy = per_key.filter(lambda row: row["cnt"] > thresh).to_pandas()
+    heavy = per_key.map_batches(
+        lambda b: b.filter(pc.greater(b.column("cnt"),
+                                      pa.scalar(thresh))),
+        batch_format="pyarrow").to_pandas()
+    if heavy.empty:                 # all-empty datasets lose columns
+        heavy = pd.DataFrame({col: pd.Series([], dtype=np.int64),
+                              "cnt": pd.Series([], dtype=np.int64)})
 
     cs = build_sketch(
         ds,
