@@ -1221,6 +1221,66 @@ def w_event_transitions(sf_dir):
     return transition_counts(ev)
 
 
+def _ppr_oracle_sql(iters: int = 6, seed_type: str = "click") -> str:
+    """Unrolled-CTE SQL equivalent of ``graph.pagerank(restart_nodes=
+    [seed])`` over the event-type transition multigraph — BIT-EXACT
+    like _pagerank_oracle_sql, with the restart distribution and every
+    round's leftover respread over the SEED set only (exact divmod,
+    +1 remainder to the lowest seed positions)."""
+    parts = [f"""nxt AS MATERIALIZED (SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+    edges AS MATERIALIZED (SELECT from_type AS s, to_type AS t, count(*)::BIGINT AS w
+              FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    nodes AS MATERIALIZED (SELECT type,
+                     (ROW_NUMBER() OVER (ORDER BY type) - 1)::BIGINT AS pos
+              FROM (SELECT s AS type FROM edges
+                    UNION SELECT t FROM edges)),
+    seeds AS MATERIALIZED (SELECT type,
+                     (ROW_NUMBER() OVER (ORDER BY type) - 1)::BIGINT AS spos
+              FROM nodes WHERE type = '{seed_type}'),
+    deg AS MATERIALIZED (SELECT s AS type, sum(w)::BIGINT AS deg FROM edges GROUP BY 1),
+    params AS MATERIALIZED (SELECT (SELECT count(*) FROM nodes)::BIGINT AS n,
+                      (SELECT count(*) FROM seeds)::BIGINT AS ns,
+                      LEAST((1::BIGINT << 40),
+                            (1::BIGINT << 62)
+                              // ((SELECT count(*) FROM nodes)::BIGINT
+                                  * 17 * (SELECT max(w) FROM edges))) AS unit),
+    r0 AS MATERIALIZED (SELECT nd.type, nd.pos,
+                   CASE WHEN sd.type IS NULL THEN 0
+                        ELSE (p.n * p.unit) // p.ns
+                             + CASE WHEN sd.spos < (p.n * p.unit) % p.ns
+                                    THEN 1 ELSE 0 END END AS r
+              FROM nodes nd LEFT JOIN seeds sd ON sd.type = nd.type,
+                   params p)"""]
+    for k in range(int(iters)):
+        parts.append(f"""d{k} AS MATERIALIZED (
+      SELECT e.t AS type,
+             sum((r.r * 17 * e.w) // (20 * dg.deg))::BIGINT AS delivered
+      FROM edges e JOIN r{k} r ON r.type = e.s
+                   JOIN deg dg ON dg.type = e.s
+      GROUP BY 1)""")
+        parts.append(f"""l{k} AS MATERIALIZED (
+      SELECT p.ns AS ns,
+             p.n * p.unit
+               - COALESCE((SELECT sum(delivered) FROM d{k}), 0) AS leftover
+      FROM params p)""")
+        parts.append(f"""r{k + 1} AS MATERIALIZED (
+      SELECT nd.type, nd.pos,
+             COALESCE(d.delivered, 0)
+               + CASE WHEN sd.type IS NULL THEN 0
+                      ELSE (SELECT leftover // ns FROM l{k})
+                           + CASE WHEN sd.spos <
+                                      (SELECT leftover % ns FROM l{k})
+                                  THEN 1 ELSE 0 END END AS r
+      FROM nodes nd LEFT JOIN d{k} d ON d.type = nd.type
+                    LEFT JOIN seeds sd ON sd.type = nd.type)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT type AS event_type, r::BIGINT AS rank_int "
+              f"FROM r{int(iters)}")
+
+
 def _pagerank_oracle_sql(iters: int = 8) -> str:
     """Unrolled-CTE SQL equivalent of ``graph.pagerank`` over the
     event-type transition multigraph — BIT-EXACT, not a bound: every
@@ -1360,6 +1420,33 @@ def w_pagerank_types(sf_dir):
     return pd.DataFrame({
         "event_type": [types[i] for i in nodes],
         "rank_int": np.array([int(r) for r in ranks], dtype=np.int64)})
+
+
+def w_ppr_types(sf_dir):
+    """Personalized PageRank (restart on the 'click' type) over the
+    event-type transition multigraph — same bit-exact integer scheme
+    as pagerank_types with the restart/leftover mass respread over
+    the seed set only; ``graph.pagerank(restart_nodes=...)``."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.graph import pagerank, transition_counts
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    tc = transition_counts(ev).to_pandas()       # label-pair-sized
+    types = sorted(set(tc["from_type"]) | set(tc["to_type"]))
+    tmap = {t: i for i, t in enumerate(types)}
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(tc["from_type"].map(tmap).to_numpy(dtype=np.int64)),
+        "dst": pa.array(tc["to_type"].map(tmap).to_numpy(dtype=np.int64)),
+        "n": pa.array(tc["n"].to_numpy(dtype=np.int64))}))
+    nodes, ranks, _ = pagerank(
+        edges, "src", "dst", iters=6, weight_col="n",
+        restart_nodes=np.array([tmap["click"]], dtype=np.int64))
+    return pd.DataFrame({
+        "event_type": [types[i] for i in nodes],
+        "rank_int": ranks.astype(np.int64)})
 
 
 def w_kmeans_clusters(sf_dir):
@@ -3454,6 +3541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_ntiles": w_event_ntiles,
         "sssp_parts": w_sssp_parts,
         "nearest_click": w_nearest_click,
+        "ppr_types": w_ppr_types,
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -4401,6 +4489,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, count(*)::BIGINT AS n
             FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2""",
         "pagerank_types": _pagerank_oracle_sql(iters=8),
+        "ppr_types": _ppr_oracle_sql(iters=6, seed_type="click"),
         "mg_frequent_users": """
             SELECT user_id, count(*)::BIGINT AS cnt
             FROM events GROUP BY user_id

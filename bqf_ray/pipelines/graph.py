@@ -225,7 +225,8 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
 
 def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
              d_den: int = 20, iters: int = 10,
-             weight_col: str | None = None):
+             weight_col: str | None = None,
+             restart_nodes: "np.ndarray | None" = None):
     """Bit-deterministic distributed PageRank over an edge Dataset.
 
     Integer-unit power iteration (damping ``d = d_num/d_den``, default
@@ -248,6 +249,13 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     materialize beyond the one cached (s, t, w) projection.  Returns
     ``(node_ids, ranks_int, unit)`` with ranks summing to
     ``n_nodes · unit``.
+
+    ``restart_nodes`` personalizes the walk (PPR): the initial mass
+    AND every round's undelivered mass (teleport + dangling + floor
+    residue) respread over the SEED set only — exact divmod, the +1
+    remainder going to the lowest-id seeds — instead of uniformly over
+    all nodes.  Seeds must exist in the graph (loud raise).  Total
+    mass stays exactly ``n_nodes · unit`` either way.
     """
     import ray
     from ray.data.aggregate import Max, Sum
@@ -305,7 +313,22 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     # ≤ 2^62, hence every per-edge product, per-node sum, and the total
     # mass n·UNIT stay < 2^63 — object-dtype/python-int arithmetic buys
     # nothing and costs O(n) Python per iteration (r2 verdict #4).
-    ranks = np.full(n, UNIT, dtype=np.int64)
+    spos = None
+    if restart_nodes is not None:
+        seeds = np.unique(np.asarray(restart_nodes, dtype=np.int64))
+        if not len(seeds):
+            raise ValueError("pagerank: empty restart_nodes")
+        spos = np.searchsorted(nodes, seeds)
+        ok = (spos < n) & (nodes[np.minimum(spos, n - 1)] == seeds)
+        if not ok.all():
+            raise ValueError("pagerank: restart node(s) absent from "
+                             f"the graph: {seeds[~ok][:5].tolist()}")
+        ranks = np.zeros(n, dtype=np.int64)
+        base, rem = divmod(n * UNIT, len(seeds))
+        ranks[spos] = base
+        ranks[spos[:rem]] += 1
+    else:
+        ranks = np.full(n, UNIT, dtype=np.int64)
     for _ in range(int(iters)):
         ref = ray.put((nodes, ranks, deg))
 
@@ -332,9 +355,14 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
         # (teleport + dangling + floor-div residue) uniformly —
         # vectorized divmod respread, bit-identical to per-node divmod
         delivered = int(new.sum())          # ≤ n·UNIT < 2^63: exact
-        base, rem = divmod(n * UNIT - delivered, n)
-        new += np.int64(base)
-        new[:rem] += 1                      # pos < rem gets the +1
+        if spos is not None:                # PPR: respread to seeds
+            base, rem = divmod(n * UNIT - delivered, len(spos))
+            new[spos] += np.int64(base)
+            new[spos[:rem]] += 1            # lowest-id seeds get the +1
+        else:
+            base, rem = divmod(n * UNIT - delivered, n)
+            new += np.int64(base)
+            new[:rem] += 1                  # pos < rem gets the +1
         ranks = new
 
     return nodes, ranks, UNIT

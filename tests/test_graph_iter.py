@@ -184,3 +184,66 @@ def test_hits_empty_and_degree_guard(ray_session):
         "dst": pa.array([2], type=pa.int64())}))
     with pytest.raises(ValueError, match="degree"):
         hits(one, "src", "dst", rounds=1, scale_bits=61)
+
+
+def _seq_ppr(s, t, w, seeds, iters, d_num=17, d_den=20):
+    """Sequential PPR reference: restart + leftover respread over the
+    seed set only (exact divmod, +1 to lowest seed positions)."""
+    nn = np.unique(np.concatenate([s, t]))
+    deg = np.zeros(len(nn), dtype=np.int64)
+    si = np.searchsorted(nn, s)
+    np.add.at(deg, si, w)
+    w_max = max(int(w.max(initial=1)), 1)
+    unit = min(1 << 40, (1 << 62) // (len(nn) * d_num * w_max))
+    sp = np.searchsorted(nn, np.unique(seeds))
+    r = np.zeros(len(nn), dtype=np.int64)
+    base, rem = divmod(len(nn) * unit, len(sp))
+    r[sp] = base
+    r[sp[:rem]] += 1
+    ti = np.searchsorted(nn, t)
+    for _ in range(iters):
+        c = (r[si] * d_num * w) // (d_den * deg[si])
+        new = np.zeros(len(nn), dtype=np.int64)
+        np.add.at(new, ti, c)
+        leftover = len(nn) * unit - int(new.sum())
+        base, rem = divmod(leftover, len(sp))
+        new[sp] += base
+        new[sp[:rem]] += 1
+        r = new
+    return nn, r, unit
+
+
+def test_ppr_bit_equals_sequential_and_invariance(ray_session):
+    import ray
+    rng = np.random.default_rng(21)
+    E = 2200
+    s = rng.integers(0, 150, E).astype(np.int64)
+    t = rng.integers(0, 150, E).astype(np.int64)
+    w = rng.integers(1, 7, E).astype(np.int64)
+    seeds = np.array([3, 77], dtype=np.int64)
+    tbl = pa.table({"src": pa.array(s), "dst": pa.array(t),
+                    "w": pa.array(w)})
+    nodes, ranks, unit = pagerank(
+        ray.data.from_arrow(tbl).repartition(6), "src", "dst",
+        iters=5, weight_col="w", restart_nodes=seeds)
+    rn, rr, ru = _seq_ppr(s, t, w, seeds, 5)
+    assert list(nodes) == list(rn) and unit == ru
+    np.testing.assert_array_equal(np.asarray(ranks, dtype=np.int64), rr)
+    # mass conservation + partitioning invariance
+    assert int(np.asarray(ranks, dtype=np.int64).sum()) \
+        == len(nodes) * unit
+    n2, r2, _ = pagerank(ray.data.from_arrow(tbl).repartition(13),
+                         "src", "dst", iters=5, weight_col="w",
+                         restart_nodes=seeds)
+    np.testing.assert_array_equal(np.asarray(ranks, dtype=np.int64),
+                                  np.asarray(r2, dtype=np.int64))
+
+
+def test_ppr_rejects_absent_seed(ray_session):
+    import ray
+    import pytest as _pt
+    tbl = pa.table({"src": pa.array([1, 2], pa.int64()),
+                    "dst": pa.array([2, 3], pa.int64())})
+    with _pt.raises(ValueError, match="absent"):
+        pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=2,
+                 restart_nodes=np.array([99]))
