@@ -1331,6 +1331,35 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
               f"FROM r{int(iters)}")
 
 
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 2) -> str:
+    """Unrolled-CTE SQL equivalent of ``graph.ktruss`` over the part
+    co-purchase graph: each round recomputes per-edge triangle support
+    (the edge_support_copurchase triple-join) over the surviving edge
+    set and keeps support ≥ k−2 — exact fixed-round peel replay."""
+    parts = ["""e0 AS MATERIALIZED (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey)"""]
+    for r in range(int(rounds)):
+        parts.append(f"""tri{r} AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e{r} e1 JOIN e{r} e2 ON e2.a = e1.b
+                   JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b)""")
+        parts.append(f"""sup{r} AS (
+              SELECT a, b, count(*)::BIGINT AS s FROM (
+                SELECT x AS a, y AS b FROM tri{r}
+                UNION ALL SELECT y, z FROM tri{r}
+                UNION ALL SELECT x, z FROM tri{r}) GROUP BY 1, 2)""")
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
+              SELECT e.a, e.b FROM e{r} e LEFT JOIN sup{r} s
+                USING (a, b)
+              WHERE COALESCE(s.s, 0) >= {int(k) - 2})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT a, b FROM e{int(rounds)}")
+
+
 def _sssp_oracle_sql(rounds: int = 4) -> str:
     """Unrolled-CTE SQL equivalent of ``graph.sssp`` over the part
     co-purchase graph weighted by shared-order counts — exact int64:
@@ -3248,6 +3277,19 @@ def w_resampled_value(sf_dir):
     return resample_locf(ev, 21600)
 
 
+def w_ktruss_parts(sf_dir):
+    """4-truss of the part co-purchase graph after 2 peel rounds
+    (edges in ≥ 2 triangles among survivors) — ``graph.ktruss``, one
+    broadcast wedge-closure + edge fold + filter per round."""
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges, ktruss
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return ktruss(cooccurrence_edges(li, "l_orderkey", "l_partkey"),
+                  k=4, rounds=2)
+
+
 def w_nearest_click(sf_dir):
     """For every purchase, the SAME-user click nearest in time (either
     direction; equidistant resolves to the past) — LEFT semantics;
@@ -3542,6 +3584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parts": w_sssp_parts,
         "nearest_click": w_nearest_click,
         "ppr_types": w_ppr_types,
+        "ktruss_parts": w_ktruss_parts,
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -4490,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2""",
         "pagerank_types": _pagerank_oracle_sql(iters=8),
         "ppr_types": _ppr_oracle_sql(iters=6, seed_type="click"),
+        "ktruss_parts": _ktruss_oracle_sql(k=4, rounds=2),
         "mg_frequent_users": """
             SELECT user_id, count(*)::BIGINT AS cnt
             FROM events GROUP BY user_id

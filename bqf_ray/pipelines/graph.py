@@ -1910,3 +1910,47 @@ def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
             break                            # converged = true SSSP
         nodes, dist = merged, nd_new
     return pa.table({"node": pa.array(nodes), "dist": pa.array(dist)})
+
+
+def ktruss(edges_ds, k: int, rounds: int = 3,
+           a_col: str = "a", b_col: str = "b", num_buckets: int = 64,
+           broadcast_budget_bytes: int = 1 << 30):
+    """Fixed-round k-truss peel: each round recomputes per-edge
+    triangle support over the SURVIVING edges
+    (:func:`edge_triangle_support`) and drops edges with support
+    < k − 2.  The peel is monotone, so the fixed-round result is a
+    superset of the true k-truss that EQUALS it once converged —
+    detected and early-stopped when a round drops nothing (the
+    :func:`kcore` contract, lifted from vertices to edges).  Returns
+    the surviving canonical ``(a, b)`` edge Dataset.
+
+    Per round: one broadcast wedge-closure pass + one edge-table fold
+    (the edge_triangle_support plan and its ``broadcast_budget_bytes``
+    envelope) + a stateless filter; the edge set only shrinks."""
+    import pyarrow.compute as pc
+
+    K = int(k)
+    if K < 2:
+        raise ValueError("ktruss: k must be >= 2")
+    thr = K - 2
+    cur = canonical_edges(edges_ds, a_col=a_col, b_col=b_col)
+    n_cur = cur.count()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("support"),
+                             pa.scalar(thr))).select(["a", "b"])
+
+    for _ in range(int(rounds)):
+        if n_cur == 0:
+            break
+        sup = edge_triangle_support(
+            cur, num_buckets=num_buckets,
+            broadcast_budget_bytes=broadcast_budget_bytes)
+        cur = sup.map_batches(keep, batch_format="pyarrow") \
+            .materialize()
+        n_new = cur.count()
+        if n_new == n_cur:
+            break                            # converged = true k-truss
+        n_cur = n_new
+    return cur
