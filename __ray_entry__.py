@@ -1331,6 +1331,48 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
               f"FROM r{int(iters)}")
 
 
+def _walks_oracle_sql(walk_len: int = 4, walks_per_seed: int = 3,
+                      salt: str = "r3") -> str:
+    """Unrolled-CTE SQL equivalent of ``graph.random_walks`` over the
+    part co-purchase graph — BIT-EXACT: step k joins the sorted
+    adjacency on ``rn = ('0x' || substr(md5(walk_id|k|node|salt), 1,
+    16))::UBIGINT % deg``, the identical md5-u64 identity the
+    sampling family replays.  Dead-end walks drop out of later joins
+    exactly as the pipeline stops them."""
+    W = int(walks_per_seed)
+    parts = [f"""ce AS MATERIALIZED (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+    adj AS MATERIALIZED (
+      SELECT node, nbr,
+             (ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr)
+               - 1)::UBIGINT AS rn,
+             COUNT(*) OVER (PARTITION BY node)::UBIGINT AS deg
+      FROM (SELECT a AS node, b AS nbr FROM ce
+            UNION ALL SELECT b, a FROM ce)),
+    sd AS (SELECT DISTINCT node FROM adj WHERE node % 97 = 0),
+    w0 AS (SELECT (sd.node * {W} + g.g)::BIGINT AS walk_id,
+                  sd.node AS seed, sd.node AS node
+           FROM sd CROSS JOIN
+                (SELECT UNNEST(range({W}))::BIGINT AS g) g)"""]
+    for k in range(1, int(walk_len) + 1):
+        parts.append(f"""s{k} AS (
+      SELECT w.walk_id, w.seed, a.nbr AS node
+      FROM {'w0' if k == 1 else f's{k - 1}'} w JOIN adj a
+        ON a.node = w.node
+       AND a.rn = ('0x' || substr(md5(w.walk_id::VARCHAR || '|{k}|'
+                     || w.node::VARCHAR || '|{salt}'), 1, 16))::UBIGINT
+                   % a.deg)""")
+    tail = ["SELECT walk_id, seed, 0::BIGINT AS step, node FROM w0"]
+    tail += [f"SELECT walk_id, seed, {k}::BIGINT, node FROM s{k}"
+             for k in range(1, int(walk_len) + 1)]
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL ".join(tail))
+
+
 def _ktruss_oracle_sql(k: int = 3, rounds: int = 2) -> str:
     """Unrolled-CTE SQL equivalent of ``graph.ktruss`` over the part
     co-purchase graph: each round recomputes per-edge triangle support
@@ -3277,6 +3319,34 @@ def w_resampled_value(sf_dir):
     return resample_locf(ev, 21600)
 
 
+def w_walks_parts(sf_dir):
+    """Deterministic random-walk corpus (3 walks × 4 steps from every
+    partkey % 97 == 0 seed) over the part co-purchase graph, md5-u64
+    hash-chosen steps — ``graph.random_walks``: adjacency CSR
+    broadcast once, ONE map_batches pass advances each walk partition
+    all steps locally (zero per-step exchanges)."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (canonical_edges,
+                                         cooccurrence_edges,
+                                         random_walks)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    edges = canonical_edges(cooccurrence_edges(li, "l_orderkey",
+                                               "l_partkey"))
+    parts = []
+    for t in ray.get(edges.to_arrow_refs()):
+        if t.num_rows:
+            parts.append(np.unique(np.asarray(t.column("a"),
+                                              dtype=np.int64)))
+            parts.append(np.unique(np.asarray(t.column("b"),
+                                              dtype=np.int64)))
+    nodes = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+    return random_walks(edges, nodes[nodes % 97 == 0], walk_len=4,
+                        walks_per_seed=3, salt="r3", algo="md5")
+
+
 def w_ktruss_parts(sf_dir):
     """4-truss of the part co-purchase graph after 2 peel rounds
     (edges in ≥ 2 triangles among survivors) — ``graph.ktruss``, one
@@ -3585,6 +3655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_click": w_nearest_click,
         "ppr_types": w_ppr_types,
         "ktruss_parts": w_ktruss_parts,
+        "walks_parts": w_walks_parts,
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
@@ -4534,6 +4605,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_types": _pagerank_oracle_sql(iters=8),
         "ppr_types": _ppr_oracle_sql(iters=6, seed_type="click"),
         "ktruss_parts": _ktruss_oracle_sql(k=4, rounds=2),
+        "walks_parts": _walks_oracle_sql(walk_len=4, walks_per_seed=3,
+                                         salt="r3"),
         "mg_frequent_users": """
             SELECT user_id, count(*)::BIGINT AS cnt
             FROM events GROUP BY user_id

@@ -1954,3 +1954,108 @@ def ktruss(edges_ds, k: int, rounds: int = 3,
             break                            # converged = true k-truss
         n_cur = n_new
     return cur
+
+
+def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
+                 walks_per_seed: int = 4, salt: str = "w",
+                 algo: str = "md5", a_col: str = "a", b_col: str = "b",
+                 broadcast_budget_bytes: int = 1 << 30):
+    """Deterministic node2vec-style random-walk corpus over an
+    UNDIRECTED graph: ``walks_per_seed`` walks of ``walk_len`` steps
+    from every seed, where step ``k`` at node ``v`` moves to sorted
+    neighbor ``H(walk_id|k|v|salt) % deg(v)`` — hash-chosen, so the
+    corpus is BIT-DETERMINISTIC under any partitioning and (with
+    ``algo="md5"``) replayable in ANSI SQL via the
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` identity the sampling
+    family uses.  ``algo="xx64"`` swaps in the vectorized xxhash64 for
+    the scale path (same structure, not SQL-replayable).  Walks that
+    reach a degree-0 / absent node stop early; every walk emits its
+    step-0 seed row.  ``walk_id = seed · walks_per_seed + j``.
+
+    Plan: walks are embarrassingly parallel GIVEN the adjacency — the
+    canonical edge list folds into a CSR (sorted nodes, indptr, sorted
+    neighbors) under ``broadcast_budget_bytes`` (16 B/edge, loud raise
+    past it — the :func:`edge_triangle_support` envelope), ships ONCE
+    via ``ray.put``, and ONE ``map_batches`` pass advances each walk
+    partition all ``walk_len`` steps locally (a numpy loop over steps,
+    vectorized across walks).  No per-step exchange at all.  Output
+    ``(walk_id, seed, step, node)``."""
+    import ray
+
+    from bqf_ray.functions.hashing import (md5_hash64_array,
+                                           xxhash64_array)
+
+    L, W = int(walk_len), int(walks_per_seed)
+    if L < 1 or W < 1:
+        raise ValueError("walk_len and walks_per_seed must be >= 1")
+    hash_fn = {"md5": md5_hash64_array, "xx64": xxhash64_array}[algo]
+    edges = canonical_edges(edges_ds, a_col=a_col, b_col=b_col)
+
+    # fold adjacency to a CSR under the broadcast budget
+    n_edges = edges.count()
+    if 16 * n_edges > broadcast_budget_bytes:
+        raise ValueError(
+            f"random_walks: {n_edges} edges × 16 B exceed the "
+            f"{broadcast_budget_bytes} B broadcast budget — shard the "
+            "walk frontier through a per-step co-partitioned exchange "
+            "instead (the semi_join plan) for a larger tier")
+    parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    if parts:
+        at = pa.concat_tables(parts)
+        ea = np.asarray(at.column("a"), dtype=np.int64)
+        eb = np.asarray(at.column("b"), dtype=np.int64)
+        src = np.concatenate([ea, eb])
+        dst = np.concatenate([eb, ea])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        indptr = np.searchsorted(src, np.append(nodes,
+                                                np.iinfo(np.int64).max))
+    else:
+        nodes = np.empty(0, dtype=np.int64)
+        dst = np.empty(0, dtype=np.int64)
+        indptr = np.zeros(1, dtype=np.int64)
+    ref = ray.put((nodes, indptr.astype(np.int64), dst))
+
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    wid = (seeds[:, None] * W
+           + np.arange(W, dtype=np.int64)[None, :]).ravel()
+    walks = ray.data.from_arrow(pa.table({
+        "walk_id": pa.array(wid),
+        "seed": pa.array(np.repeat(seeds, W))}))
+
+    def advance(batch: pa.Table) -> pa.Table:
+        nd, ip, nb = ray.get(ref)
+        w = np.asarray(batch.column("walk_id"), dtype=np.int64)
+        sd = np.asarray(batch.column("seed"), dtype=np.int64)
+        out_w, out_s, out_k, out_n = [w], [sd], \
+            [np.zeros(len(w), dtype=np.int64)], [sd]
+        cur = sd
+        alive = np.ones(len(w), dtype=bool)
+        for k in range(1, L + 1):
+            pos = np.searchsorted(nd, cur)
+            ok = alive & (pos < len(nd)) \
+                & (nd[np.minimum(pos, max(len(nd) - 1, 0))] == cur) \
+                if len(nd) else np.zeros(len(w), dtype=bool)
+            deg = np.where(ok, ip[np.minimum(pos + 1, len(ip) - 1)]
+                           - ip[np.minimum(pos, len(ip) - 1)], 0)
+            ok &= deg > 0
+            if not ok.any():
+                break
+            keys = np.array([f"{a}|{k}|{b}|{salt}" for a, b in
+                             zip(w[ok], cur[ok])], dtype=object)
+            h = hash_fn(pa.array(keys, pa.string()))
+            idx = h % deg[ok].astype(np.uint64)
+            nxt = cur.copy()
+            nxt[ok] = nb[ip[pos[ok]] + idx.astype(np.int64)]
+            out_w.append(w[ok])
+            out_s.append(sd[ok])
+            out_k.append(np.full(int(ok.sum()), k, dtype=np.int64))
+            out_n.append(nxt[ok])
+            cur, alive = nxt, ok
+        return pa.table({"walk_id": pa.array(np.concatenate(out_w)),
+                         "seed": pa.array(np.concatenate(out_s)),
+                         "step": pa.array(np.concatenate(out_k)),
+                         "node": pa.array(np.concatenate(out_n))})
+
+    return walks.map_batches(advance, batch_format="pyarrow")
