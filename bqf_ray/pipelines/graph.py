@@ -258,7 +258,8 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     mass stays exactly ``n_nodes · unit`` either way.
     """
     import ray
-    from ray.data.aggregate import Max, Sum
+
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
 
     def edge_cols(batch: pa.Table) -> pa.Table:
         w = (np.asarray(batch.column(weight_col), dtype=np.int64)
@@ -290,10 +291,16 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
                 [np.full(len(su), int(w.max(initial=1))),
                  np.ones(len(tu), dtype=np.int64)]))})
 
-    nd = (edges.map_batches(node_partials, batch_format="pyarrow")
-          .groupby("node").aggregate(Sum("deg", alias_name="deg"),
-                                     Max("wmax", alias_name="wmax"))
-          .to_pandas())
+    # node-sized folds ride the 1-int hash-bucket exchange (the HITS
+    # port measured 12.5x over the native sort-based groupby at 10M
+    # edges — same shape here)
+    nd = bucketed_agg(
+        edges.map_batches(node_partials, batch_format="pyarrow"),
+        ["node"], [("deg", "sum", "deg"), ("wmax", "max", "wmax")]
+    ).to_pandas()
+    if len(nd) == 0:                 # empty groupby: no columns at all
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), 1 << 40)
     nodes = nd["node"].to_numpy()
     order = np.argsort(nodes)
     nodes = nodes[order]
@@ -345,12 +352,13 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
             return pa.table({"node": pa.array(tu),
                              "partial": pa.array(sums)})
 
-        got = (edges.map_batches(contrib, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("partial", alias_name="r"))
-               .to_pandas())
+        got = bucketed_sum(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], {"partial": "r"}).to_pandas()
         new = np.zeros(n, dtype=np.int64)
-        gi = np.searchsorted(nodes, got["node"].to_numpy())
-        new[gi] = got["r"].to_numpy().astype(np.int64)
+        if len(got):
+            gi = np.searchsorted(nodes, got["node"].to_numpy())
+            new[gi] = got["r"].to_numpy().astype(np.int64)
         # conserve mass exactly: respread everything not delivered
         # (teleport + dangling + floor-div residue) uniformly —
         # vectorized divmod respread, bit-identical to per-node divmod
