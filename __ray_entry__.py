@@ -2246,6 +2246,20 @@ def w_autocorr_value(sf_dir):
     return lag_autocorr_components(ev)
 
 
+def w_cusum_user_value(sf_dir):
+    """Exact CUSUM changepoint per user: the (ts, event_id)-ordered
+    split t* maximizing |n·S_t − t·S_n| over integer cents, earliest
+    tie — one key-bucketed exchange, segmented reduceat scoring;
+    ``windowed.cusum_changepoint``."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import cusum_changepoint
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return cusum_changepoint(ev)
+
+
 def w_mad_chars(sf_dir):
     """Exact per-language median + MAD of n_chars (robust location /
     spread, the outlier-resistant normalization statistic): two
@@ -3658,6 +3672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walks_parts": w_walks_parts,
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
+        "cusum_user_value": w_cusum_user_value,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4843,6 +4858,28 @@ def oracle_sql() -> dict[str, str]:
                    SUM(pv*v)::BIGINT AS sxy, SUM(pv*pv)::BIGINT AS sxx,
                    SUM(v*v)::BIGINT AS syy
             FROM o2 WHERE pv IS NOT NULL GROUP BY 1""",
+        "cusum_user_value": """
+            WITH f AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            w AS (SELECT user_id, ts, v,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS t,
+                         SUM(v) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS s,
+                         COUNT(*) OVER (PARTITION BY user_id) AS n,
+                         SUM(v) OVER (PARTITION BY user_id) AS total
+                  FROM f),
+            d AS (SELECT user_id, n, total, t, ts,
+                         abs(n*s - t*total) AS dd FROM w WHERE t < n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY dd DESC, t) AS rk FROM d)
+            SELECT user_id, n::BIGINT AS n, total::BIGINT AS total,
+                   t::BIGINT AS t_star, ts AS ts_split,
+                   dd::BIGINT AS d_max
+            FROM r WHERE rk = 1""",
         "user_event_trail": """
             SELECT user_id, count(*)::BIGINT AS n,
                    string_agg(event_type, ','

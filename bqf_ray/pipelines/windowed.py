@@ -1739,3 +1739,126 @@ def resample_locf(ds, step_s: int, value_col: str = "value",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(fill_bucket, batch_format="pyarrow"))
+
+
+def cusum_changepoint(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", value_col: str = "value",
+                      scale: int = 100, num_buckets: int = 64,
+                      max_rows_per_key: int = 1 << 20):
+    """Exact CUSUM changepoint per key: over the key's stream ordered
+    by ``(ts, id)``, the split position ``t*`` maximizing the scaled
+    CUSUM deviation ``D_t = |n·S_t − t·S_n|`` for ``t ∈ [1, n−1]``
+    (``S_t`` = prefix sum of the integer-scaled values), EARLIEST t on
+    ties — the integer form of max_t |S_t − (t/n)·S_n| (Page 1954 /
+    binary-segmentation split scoring), kept in int64 so the operator
+    is SQL-oracle-exact.  Keys with a single surviving row have no
+    interior split and are dropped (mirror ``WHERE t < n``).
+
+    The statistic needs every prefix of the key's stream, so (like
+    ``grouped_spearman``'s ranks) it cannot pre-aggregate: raw
+    ``(key, ts, id, v)`` rows — pruned to 4 columns at the read — ride
+    ONE key-hash-bucketed exchange and each bucket scores all its keys
+    in one lexsort + vectorized segmented prefix/argmax pass (reduceat
+    folds, no per-key loop).  Hot-key envelope is loud: a key past
+    ``max_rows_per_key`` (or an overflow-unsafe ``n²·max|v|``) raises
+    rather than silently wrapping.
+
+    Values scale as ``floor(v·scale + 0.5)``; null/NaN values are
+    excluded row-wise (mirror with ``WHERE v IS NOT NULL``).  Output:
+    ``(key_col, n, total, t_star, ts_split, d_max)``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import _col_hash64
+
+    NB = np.uint64(int(num_buckets))
+    SC = float(scale)
+    CAP = int(max_rows_per_key)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(v, 0.0))))
+        batch = batch.filter(pc.and_(keep,
+                                     pc.is_valid(batch.column(key_col))))
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        mv = np.floor(np.asarray(batch.column(value_col),
+                                 dtype=np.float64) * SC + 0.5
+                      ).astype(np.int64)
+        return pa.table({
+            "k": batch.column(key_col), "t": pa.array(ts),
+            "i": pa.array(np.asarray(batch.column(id_col),
+                                     dtype=np.int64)),
+            "v": pa.array(mv),
+            "__bucket": pa.array((_col_hash64(batch.column(key_col))
+                                  % NB).astype(np.int64))})
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        k = group.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        empty = pa.table({
+            key_col: k.slice(0, 0),
+            "n": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64()),
+            "t_star": pa.array([], pa.int64()),
+            "ts_split": pa.array([], pa.timestamp("us")),
+            "d_max": pa.array([], pa.int64())})
+        if not group.num_rows:
+            return empty
+        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        order = np.lexsort((i, t, kc))
+        kc, t, v = kc[order], t[order], v[order]
+        n = len(kc)
+        new = np.r_[True, kc[1:] != kc[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        seg_n = ends - starts
+        n_max = int(seg_n.max())
+        if n_max > CAP:
+            raise ValueError(
+                f"cusum_changepoint: a key holds {n_max} rows > "
+                f"max_rows_per_key={CAP}; raise the envelope "
+                f"explicitly if n²·max|v| stays under 2^62")
+        vmax = int(np.abs(v).max()) if n else 0
+        if n_max and vmax and 2 * n_max * n_max * vmax >= 2 ** 62:
+            raise ValueError(
+                f"cusum_changepoint: n_max={n_max}, max|v|={vmax} "
+                f"overflow-unsafe for the int64 n·S_t − t·S_n fold")
+        # segmented prefix sums and local positions
+        pref = np.cumsum(v)
+        seg_off = np.repeat(pref[starts] - v[starts], seg_n)
+        s_t = pref - seg_off                       # S_t within key
+        t_loc = (np.arange(n, dtype=np.int64)
+                 - np.repeat(starts, seg_n) + 1)   # 1-based t
+        tot = np.repeat(s_t[ends - 1], seg_n)      # S_n per key
+        nn = np.repeat(seg_n, seg_n)
+        d = np.abs(nn * s_t - t_loc * tot)
+        interior = t_loc < nn                      # t ∈ [1, n−1]
+        d = np.where(interior, d, np.int64(-1))
+        d_max = np.maximum.reduceat(d, starts)
+        keep_seg = seg_n >= 2                      # n==1 ⇒ no interior t
+        # earliest position attaining the max, per segment
+        big = np.int64(n)
+        cand = np.where(d == np.repeat(d_max, seg_n),
+                        np.arange(n, dtype=np.int64), big)
+        t_pos = np.minimum.reduceat(cand, starts)
+        ks = k.take(pa.array(order[starts]))
+        sel = pa.array(keep_seg)
+        return pa.table({
+            key_col: ks,
+            "n": pa.array(seg_n.astype(np.int64)),
+            "total": pa.array(s_t[ends - 1]),
+            "t_star": pa.array(np.where(keep_seg, t_loc[np.minimum(
+                t_pos, n - 1)], 0)),
+            "ts_split": pa.array(t[np.minimum(t_pos, n - 1)]
+                                 .astype("datetime64[us]")),
+            "d_max": pa.array(np.where(keep_seg, d_max, 0))}).filter(sel)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(score_bucket, batch_format="pyarrow"))
