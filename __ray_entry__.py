@@ -2260,6 +2260,20 @@ def w_cusum_user_value(sf_dir):
     return cusum_changepoint(ev)
 
 
+def w_fd_orders(sf_dir):
+    """Functional-dependency discovery over orders' key/status/priority
+    columns: exact (n_total, n_det, n_pairs, violations, holds) per
+    ordered pair — g3 repair counts from one combined corpus exchange;
+    ``audit.fd_discover``."""
+    import ray
+
+    from bqf_ray.pipelines.audit import fd_discover
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=cols)
+    return fd_discover(orders, cols)
+
+
 def w_mad_chars(sf_dir):
     """Exact per-language median + MAD of n_chars (robust location /
     spread, the outlier-resistant normalization statistic): two
@@ -3673,6 +3687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_user": w_kendall_user,
         "resampled_value": w_resampled_value,
         "cusum_user_value": w_cusum_user_value,
+        "fd_orders": w_fd_orders,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4880,6 +4895,66 @@ def oracle_sql() -> dict[str, str]:
                    t::BIGINT AS t_star, ts AS ts_split,
                    dd::BIGINT AS d_max
             FROM r WHERE rk = 1""",
+        "fd_orders": """
+            SELECT 'o_orderkey' AS det_col, 'o_orderstatus' AS dep_col,
+                   SUM(s)::BIGINT AS n_total, COUNT(*)::BIGINT AS n_det,
+                   SUM(np)::BIGINT AS n_pairs,
+                   SUM(s-mx)::BIGINT AS violations,
+                   (SUM(s-mx)=0)::BIGINT AS holds
+            FROM (SELECT det, SUM(n) AS s, MAX(n) AS mx,
+                         COUNT(*) AS np
+                  FROM (SELECT o_orderkey AS det, o_orderstatus AS dep,
+                               COUNT(*)::BIGINT AS n
+                        FROM orders GROUP BY 1, 2) GROUP BY det)
+            UNION ALL
+            SELECT 'o_orderkey', 'o_orderpriority',
+                   SUM(s)::BIGINT, COUNT(*)::BIGINT, SUM(np)::BIGINT,
+                   SUM(s-mx)::BIGINT, (SUM(s-mx)=0)::BIGINT
+            FROM (SELECT det, SUM(n) AS s, MAX(n) AS mx,
+                         COUNT(*) AS np
+                  FROM (SELECT o_orderkey AS det,
+                               o_orderpriority AS dep,
+                               COUNT(*)::BIGINT AS n
+                        FROM orders GROUP BY 1, 2) GROUP BY det)
+            UNION ALL
+            SELECT 'o_orderstatus', 'o_orderkey',
+                   SUM(s)::BIGINT, COUNT(*)::BIGINT, SUM(np)::BIGINT,
+                   SUM(s-mx)::BIGINT, (SUM(s-mx)=0)::BIGINT
+            FROM (SELECT det, SUM(n) AS s, MAX(n) AS mx,
+                         COUNT(*) AS np
+                  FROM (SELECT o_orderstatus AS det, o_orderkey AS dep,
+                               COUNT(*)::BIGINT AS n
+                        FROM orders GROUP BY 1, 2) GROUP BY det)
+            UNION ALL
+            SELECT 'o_orderstatus', 'o_orderpriority',
+                   SUM(s)::BIGINT, COUNT(*)::BIGINT, SUM(np)::BIGINT,
+                   SUM(s-mx)::BIGINT, (SUM(s-mx)=0)::BIGINT
+            FROM (SELECT det, SUM(n) AS s, MAX(n) AS mx,
+                         COUNT(*) AS np
+                  FROM (SELECT o_orderstatus AS det,
+                               o_orderpriority AS dep,
+                               COUNT(*)::BIGINT AS n
+                        FROM orders GROUP BY 1, 2) GROUP BY det)
+            UNION ALL
+            SELECT 'o_orderpriority', 'o_orderkey',
+                   SUM(s)::BIGINT, COUNT(*)::BIGINT, SUM(np)::BIGINT,
+                   SUM(s-mx)::BIGINT, (SUM(s-mx)=0)::BIGINT
+            FROM (SELECT det, SUM(n) AS s, MAX(n) AS mx,
+                         COUNT(*) AS np
+                  FROM (SELECT o_orderpriority AS det,
+                               o_orderkey AS dep,
+                               COUNT(*)::BIGINT AS n
+                        FROM orders GROUP BY 1, 2) GROUP BY det)
+            UNION ALL
+            SELECT 'o_orderpriority', 'o_orderstatus',
+                   SUM(s)::BIGINT, COUNT(*)::BIGINT, SUM(np)::BIGINT,
+                   SUM(s-mx)::BIGINT, (SUM(s-mx)=0)::BIGINT
+            FROM (SELECT det, SUM(n) AS s, MAX(n) AS mx,
+                         COUNT(*) AS np
+                  FROM (SELECT o_orderpriority AS det,
+                               o_orderstatus AS dep,
+                               COUNT(*)::BIGINT AS n
+                        FROM orders GROUP BY 1, 2) GROUP BY det)""",
         "user_event_trail": """
             SELECT user_id, count(*)::BIGINT AS n,
                    string_agg(event_type, ','

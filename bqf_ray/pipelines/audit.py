@@ -392,3 +392,105 @@ def benford_digits(ds, value_col: str, scale: int = 100):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(fold, batch_format="pyarrow"))
+
+
+def fd_discover(ds, cols: list[str], num_buckets: int = 64,
+                max_cols: int = 6):
+    """Single-level functional-dependency DISCOVERY over a column set:
+    for every ordered pair ``det → dep`` of ``cols``, the exact
+    satisfaction profile ``(n_total, n_det, n_pairs, violations,
+    holds)`` where ``violations`` is the g3-style repair count
+    ``Σ_det (n_det_rows − majority_dep_count)`` — 0 iff the FD holds
+    exactly — the per-pair check TANE/Metanome run at each lattice
+    level (Huhtala et al. 1999), done profile-style for all pairs in
+    one corpus pass.
+
+    Plan: ONE exploded corpus exchange — each block emits, per pair,
+    its rows as ``(pair_id, det_str, dep_str, 1)`` (values stringified
+    injectively; nulls stay null and group as ONE value per SQL
+    semantics via ``bucketed_agg``'s null-key handling) with a
+    map-side combiner, so the shuffle carries distinct
+    (pair, det, dep) triples per block, not p·n rows.  Two further
+    exchanges fold counts → per-det majorities → per-pair profiles
+    over rapidly-shrinking tables.  The p·(p−1) explosion is the
+    operator's cost knob: ``max_cols`` raises loudly past 6 columns
+    (30 pairs) — widen explicitly for a deliberate profiling sweep.
+
+    Output: one row per ordered pair, ``(det_col, dep_col, n_total,
+    n_det, n_pairs, violations, holds)``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("fd_discover needs at least 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"fd_discover: duplicate columns in {cols}")
+    if len(cols) > int(max_cols):
+        raise ValueError(
+            f"fd_discover: {len(cols)} columns = "
+            f"{len(cols)*(len(cols)-1)} ordered pairs explode the "
+            f"corpus; pass max_cols explicitly for a deliberate sweep")
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        strs = {c: pc.cast(batch.column(c), pa.string()) for c in cols}
+        parts = []
+        for pid, (a, b) in enumerate(pairs):
+            parts.append(pa.table({
+                "pair": pa.array(np.full(len(batch), pid,
+                                         dtype=np.int64)),
+                "d": strs[a], "e": strs[b],
+                "one": pa.array(np.ones(len(batch), dtype=np.int64))}))
+        return pa.concat_tables(parts)
+
+    counts = bucketed_sum(ds.map_batches(explode, batch_format="pyarrow"),
+                          ["pair", "d", "e"], {"one": "n"},
+                          num_buckets=num_buckets, combine_local=True)
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(len(batch), dtype=np.int64)))
+
+    per_det = bucketed_agg(counts.map_batches(add_one,
+                                              batch_format="pyarrow"),
+                           ["pair", "d"],
+                           [("n", "sum", "s"), ("n", "max", "mx"),
+                            ("one", "sum", "np_")],
+                           num_buckets=num_buckets)
+
+    def viol_prep(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s"), dtype=np.int64)
+        mx = np.asarray(batch.column("mx"), dtype=np.int64)
+        return pa.table({
+            "pair": batch.column("pair"), "s": pa.array(s),
+            "viol": pa.array(s - mx),
+            "np_": batch.column("np_"),
+            "one": pa.array(np.ones(len(s), dtype=np.int64))})
+
+    per_pair = bucketed_agg(per_det.map_batches(viol_prep,
+                                                batch_format="pyarrow"),
+                            ["pair"],
+                            [("s", "sum", "n_total"),
+                             ("one", "sum", "n_det"),
+                             ("np_", "sum", "n_pairs"),
+                             ("viol", "sum", "violations")],
+                            num_buckets=8)
+
+    det_names = pa.array([a for a, _ in pairs], pa.string())
+    dep_names = pa.array([b for _, b in pairs], pa.string())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pid = np.asarray(batch.column("pair"), dtype=np.int64)
+        viol = np.asarray(batch.column("violations"), dtype=np.int64)
+        return pa.table({
+            "det_col": det_names.take(pa.array(pid)),
+            "dep_col": dep_names.take(pa.array(pid)),
+            "n_total": batch.column("n_total"),
+            "n_det": batch.column("n_det"),
+            "n_pairs": batch.column("n_pairs"),
+            "violations": batch.column("violations"),
+            "holds": pa.array((viol == 0).astype(np.int64))})
+
+    return per_pair.map_batches(finish, batch_format="pyarrow")

@@ -224,3 +224,60 @@ def test_benford_digits_matches_bruteforce(ray_session):
     assert out["n"].nunique() == 1 and out["n"][0] == cnt.sum()
     np.testing.assert_array_equal(
         out["share"].to_numpy(), cnt.astype(np.float64) / float(cnt.sum()))
+
+
+# ---------------------------------------------------------------------------
+# fd_discover
+# ---------------------------------------------------------------------------
+
+def _fd_brute(df, cols):
+    import itertools
+    rows = []
+    for a, b in itertools.permutations(cols, 2):
+        c = df.groupby([a, b], dropna=False).size().reset_index(name="n")
+        per = c.groupby(a, dropna=False)["n"]
+        s, mx, npair = per.sum(), per.max(), per.size()
+        viol = int((s - mx).sum())
+        rows.append((a, b, int(s.sum()), len(s), int(npair.sum()),
+                     viol, int(viol == 0)))
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["det_col", "dep_col", "n_total",
+                                       "n_det", "n_pairs", "violations",
+                                       "holds"])
+
+
+def test_fd_discover_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.audit import fd_discover
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "a": rng.integers(0, 8, n),
+        "b": rng.choice(["x", "y", None], n),           # null dep/det
+        "c": rng.integers(0, 8, n) * 10})               # c = f(a)? no
+    df["d"] = df["a"] * 2                               # a -> d holds
+    cols = ["a", "b", "c", "d"]
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (fd_discover(ds, cols).to_pandas()
+           .sort_values(["det_col", "dep_col"]).reset_index(drop=True))
+    exp = (_fd_brute(df, cols)
+           .sort_values(["det_col", "dep_col"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+    assert got.set_index(["det_col", "dep_col"])["holds"]["a", "d"] == 1
+
+
+def test_fd_discover_validation():
+    import pytest
+
+    from bqf_ray.pipelines.audit import fd_discover
+    with pytest.raises(ValueError, match="at least 2"):
+        fd_discover(None, ["a"])
+    with pytest.raises(ValueError, match="duplicate"):
+        fd_discover(None, ["a", "a"])
+    with pytest.raises(ValueError, match="ordered pairs"):
+        fd_discover(None, list("abcdefg"))
