@@ -2260,6 +2260,36 @@ def w_cusum_user_value(sf_dir):
     return cusum_changepoint(ev)
 
 
+def w_cuckoo_parts_revoked(sf_dir):
+    """Cuckoo-filter revocation membership (insert → delete → probe):
+    build over unique p_partkey, delete parts with a returned lineitem
+    in the sampled order set, probe per brand.  zero_fn is exact by
+    construction (stash never drops); fp_ok checks the published
+    2b/2^f bound on deleted keys; ``relational.cuckoo_revocation_check``."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray
+
+    from bqf_ray.pipelines.relational import cuckoo_revocation_check
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand"])
+
+    def returned_sample(batch: _pa.Table) -> _pa.Table:
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        keep = _pc.and_(
+            _pc.equal(batch.column("l_returnflag"), "R"),
+            _pa.array(ok % 19 == 0))
+        return batch.filter(keep)
+
+    rev = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_partkey", "l_returnflag",
+                                          "l_orderkey"])
+           .map_batches(returned_sample, batch_format="pyarrow"))
+    return cuckoo_revocation_check(part, rev, "p_partkey", "p_brand",
+                                   revoked_key_col="l_partkey")
+
+
 def w_fd_orders(sf_dir):
     """Functional-dependency discovery over orders' key/status/priority
     columns: exact (n_total, n_det, n_pairs, violations, holds) per
@@ -3688,6 +3718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resampled_value": w_resampled_value,
         "cusum_user_value": w_cusum_user_value,
         "fd_orders": w_fd_orders,
+        "cuckoo_parts_revoked": w_cuckoo_parts_revoked,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4895,6 +4926,19 @@ def oracle_sql() -> dict[str, str]:
                    t::BIGINT AS t_star, ts AS ts_split,
                    dd::BIGINT AS d_max
             FROM r WHERE rk = 1""",
+        "cuckoo_parts_revoked": """
+            SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+                   SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_revoked,
+                   SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_valid,
+                   TRUE AS zero_fn, TRUE AS fp_ok
+            FROM part LEFT JOIN (SELECT DISTINCT l_partkey AS k
+                                 FROM lineitem
+                                 WHERE l_returnflag = 'R'
+                                   AND l_orderkey % 19 = 0) r
+              ON p_partkey = r.k
+            GROUP BY 1""",
         "fd_orders": """
             SELECT 'o_orderkey' AS det_col, 'o_orderstatus' AS dep_col,
                    SUM(s)::BIGINT AS n_total, COUNT(*)::BIGINT AS n_det,

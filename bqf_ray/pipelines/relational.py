@@ -1273,3 +1273,124 @@ def nearest_join(left_ds, right_ds, on: str, by: str,
     return (left_tagged.union(right_tagged)
             .groupby("__bucket")
             .map_groups(merge_bucket, batch_format="pyarrow"))
+
+
+def cuckoo_revocation_check(universe_ds, revoked_ds, key_col: str,
+                            group_col: str, revoked_key_col: str | None = None,
+                            fp: float = 0.01, expected_keys: int | None = None,
+                            num_buckets: int = 32, bound_slack: float = 3.0):
+    """Deletable-membership maintenance with a cuckoo filter (Fan et al.
+    2014) — the revocation companion to :func:`bloom_semi_join`: build
+    the filter over a UNIQUE-key universe (distributed per-partition
+    build + tree merge), DELETE a revoked key set, then probe every
+    universe row and report per-group exact counts beside the filter's
+    two contracts:
+
+    - ``zero_fn``: every still-valid key queries positive.  This is
+      DETERMINISTIC, not probabilistic: copies(pair, fp) equals the
+      number of inserted keys mapping there, each successful delete
+      removes exactly one copy, and the stash never drops — so a valid
+      key always has ≥1 surviving copy.
+    - ``fp_ok``: revoked keys query positive only at the published
+      false-positive rate ``≤ 2b/2^f`` (checked with ``bound_slack``×
+      multiplicative + small additive binomial slack per group).
+
+    The revoked side must be a SUBSET of the universe keys (raises
+    loudly otherwise — deleting never-inserted keys is undefined for
+    cuckoo filters, paper §2.2) and is collected DISTINCT to the driver
+    (node-sized envelope, the bfs/pagerank broadcast rule); the filter
+    ships once via ``ray.put``.  Output: ``(group_col, n_parts,
+    n_revoked, n_valid, zero_fn, fp_ok)``."""
+    import ray
+
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    from bqf_ray.stages.partition import bucketed_sum
+    from bqf_ray.stages.sketch_stage import build_sketch
+
+    rkey = revoked_key_col or key_col
+
+    def distinct_block(batch: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(batch.column(rkey), dtype=np.int64))
+        return pa.table({rkey: pa.array(k)})
+
+    parts = [np.asarray(b.column(rkey), dtype=np.int64)
+             for b in revoked_ds.select_columns([rkey])
+             .map_batches(distinct_block, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    revoked = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, dtype=np.int64)
+
+    ukey_ds = universe_ds.select_columns([key_col, group_col])
+    n = int(expected_keys) if expected_keys is not None \
+        else max(int(ukey_ds.count()), 1)
+
+    def keys_of(batch: pa.Table):
+        return np.asarray(batch.column(key_col),
+                          dtype=np.int64).view(np.uint64), None
+
+    cf = build_sketch(ukey_ds, keys_of,
+                      lambda: CuckooFilter.from_capacity(n, fp=fp))
+    ok = cf.delete_batch(revoked.view(np.uint64))
+    if not ok.all():
+        raise ValueError(
+            f"cuckoo_revocation_check: {int((~ok).sum())} revoked keys "
+            f"were never in the universe (delete is defined only for "
+            f"inserted keys)")
+    cf_ref = ray.put(cf)
+    rev_ref = ray.put(revoked)
+
+    class Probe:
+        def __init__(self):
+            self.cf = ray.get(cf_ref)
+            self.revoked = ray.get(rev_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(key_col), dtype=np.int64)
+            member = self.cf.contains_batch(k.view(np.uint64))
+            is_rev = np.isin(k, self.revoked)
+            g = batch.column(group_col)
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            codes = np.unique(np.asarray(g), return_inverse=True)[1]
+            m = codes.max() + 1 if len(codes) else 0
+
+            def cnt(mask):
+                out = np.zeros(m, dtype=np.int64)
+                np.add.at(out, codes[mask], 1)
+                return out
+
+            first = np.zeros(m, dtype=np.int64)
+            first[codes[::-1]] = np.arange(len(codes))[::-1]
+            return pa.table({
+                group_col: g.take(pa.array(first)),
+                "n_parts": pa.array(cnt(np.ones(len(k), dtype=bool))),
+                "n_revoked": pa.array(cnt(is_rev)),
+                "n_member_valid": pa.array(cnt(member & ~is_rev)),
+                "n_member_revoked": pa.array(cnt(member & is_rev))})
+
+    sums = bucketed_sum(
+        ukey_ds.map_batches(Probe, batch_format="pyarrow",
+                            concurrency=(1, 8)),
+        [group_col],
+        {"n_parts": "n_parts", "n_revoked": "n_revoked",
+         "n_member_valid": "n_member_valid",
+         "n_member_revoked": "n_member_revoked"},
+        num_buckets=num_buckets)
+
+    bound = 2.0 * cf.slots / float(1 << cf.fbits)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        npart = np.asarray(batch.column("n_parts"), dtype=np.int64)
+        nrev = np.asarray(batch.column("n_revoked"), dtype=np.int64)
+        nmv = np.asarray(batch.column("n_member_valid"), dtype=np.int64)
+        nmr = np.asarray(batch.column("n_member_revoked"), dtype=np.int64)
+        nval = npart - nrev
+        return pa.table({
+            group_col: batch.column(group_col),
+            "n_parts": pa.array(npart),
+            "n_revoked": pa.array(nrev),
+            "n_valid": pa.array(nval),
+            "zero_fn": pa.array(nmv == nval),
+            "fp_ok": pa.array(nmr <= nrev * bound * bound_slack + 3)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

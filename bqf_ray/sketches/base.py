@@ -102,7 +102,8 @@ class MergeableSketch(ABC):
         if tname not in _REGISTRY:
             # fresh worker process: populate the registry
             import importlib
-            for mod in ("bqf", "hll", "countmin", "bloom", "tdigest", "kll"):
+            for mod in ("bqf", "hll", "countmin", "bloom", "tdigest",
+                        "kll", "cuckoo"):
                 importlib.import_module(f"bqf_ray.sketches.{mod}")
         cls = _REGISTRY[tname]
         pos = 8 + hlen

@@ -352,3 +352,101 @@ def test_ams_f2_config_mismatch_raises():
     a, b = AmsF2(depth=4, seed=1), AmsF2(depth=4, seed=2)
     with pytest.raises(Exception):
         a.merge(b)
+
+
+# ---------------------------------------------------------------------------
+# CuckooFilter
+# ---------------------------------------------------------------------------
+
+def _cuckoo_keys(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.unique(rng.integers(0, 2 ** 63, n,
+                                  dtype=np.int64).view(np.uint64))
+
+
+def _pair_multiset(f):
+    """Canonical (min-of-pair, fp) content multiset — position within a
+    pair is layout, not content."""
+    bkts, fps = f.enumerate_slots()
+    alt = f._alt(bkts.astype(np.int64), fps)
+    return sorted(zip(np.minimum(bkts, alt).tolist(), fps.tolist()))
+
+
+def test_cuckoo_zero_fn_and_fp_bound():
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    keys = _cuckoo_keys(50_000)
+    cf = CuckooFilter.from_capacity(len(keys), fp=0.01, seed=1)
+    cf.update_batch(keys)
+    assert cf.contains_batch(keys).all(), "false negative"
+    rng = np.random.default_rng(9)
+    neg = np.setdiff1d(rng.integers(0, 2 ** 63, 200_000,
+                                    dtype=np.int64).view(np.uint64), keys)
+    fpr = cf.contains_batch(neg).mean()
+    assert fpr <= (2 * cf.slots / 2 ** cf.fbits) * 1.5
+
+
+def test_cuckoo_delete_same_bucket_copies():
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    keys = _cuckoo_keys(40_000, seed=3)
+    cf = CuckooFilter.from_capacity(len(keys), fp=0.01, seed=1)
+    cf.update_batch(keys)
+    half = keys[: len(keys) // 2]
+    assert cf.delete_batch(half).all()        # incl. shared-(pair,fp) keys
+    assert cf.contains_batch(keys[len(keys) // 2:]).all()
+
+
+def test_cuckoo_merge_content_multiset_order_independent():
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    keys = _cuckoo_keys(30_000, seed=5)
+    a, b, c = keys[::3], keys[1::3], keys[2::3]
+
+    def build(ks):
+        f = CuckooFilter.from_capacity(len(keys), fp=0.01, seed=2)
+        f.update_batch(ks)
+        return f
+
+    m1 = build(a).merge(build(b)).merge(build(c))
+    m2 = build(c).merge(build(a).merge(build(b)))
+    assert _pair_multiset(m1) == _pair_multiset(m2)
+    assert m1.contains_batch(keys).all() and m2.contains_batch(keys).all()
+
+
+def test_cuckoo_serde_roundtrip():
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    keys = _cuckoo_keys(5_000, seed=7)
+    cf = CuckooFilter.from_capacity(len(keys), fp=0.02, seed=4)
+    cf.update_batch(keys)
+    cf.delete_batch(keys[:100])
+    r = MergeableSketch.from_bytes(cf.to_bytes())
+    assert _pair_multiset(r) == _pair_multiset(cf)
+    assert (r.contains_batch(keys) == cf.contains_batch(keys)).all()
+
+
+def test_cuckoo_overload_raises_loudly():
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    t = CuckooFilter(n_buckets=8, slots=4, fbits=12, seed=0, stash_cap=4)
+    with pytest.raises(RuntimeError, match="overloaded"):
+        t.update_batch(np.arange(600, dtype=np.uint64))
+
+
+def test_cuckoo_config_validation():
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    with pytest.raises(ValueError, match="power of 2"):
+        CuckooFilter(n_buckets=100)
+    with pytest.raises(ValueError, match="fbits"):
+        CuckooFilter(fbits=20)
+
+
+def test_cuckoo_revocation_zero_fn_deterministic():
+    """Valid keys stay members after ANY subset of deletes (copy-count
+    argument) — stress with a fp-collision-heavy small fingerprint."""
+    from bqf_ray.sketches.cuckoo import CuckooFilter
+    keys = _cuckoo_keys(8_000, seed=11)
+    cf = CuckooFilter(n_buckets=1 << 12, slots=4, fbits=6, seed=3,
+                      stash_cap=512)
+    cf.update_batch(keys)
+    rng = np.random.default_rng(1)
+    revoked = keys[rng.random(len(keys)) < 0.5]
+    assert cf.delete_batch(revoked).all()
+    valid = np.setdiff1d(keys, revoked)
+    assert cf.contains_batch(valid).all()
