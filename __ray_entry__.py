@@ -2618,6 +2618,18 @@ def w_docs_all_terms(sf_dir):
     return docs_with_all_terms(docs, ["join", "hash", "scan"])
 
 
+def w_phrase_docs(sf_dir):
+    """Exact-phrase retrieval ('big order scan' at consecutive token
+    positions): one stateless zero-shuffle corpus pass, L-way shifted
+    equality over the flat token stream; ``text_stats.phrase_search``."""
+    import ray
+
+    from bqf_ray.pipelines.text_stats import phrase_search
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return phrase_search(docs, ["big", "order", "scan"])
+
+
 def w_weighted_quantiles_price(sf_dir):
     """Exact weighted PERCENTILE_DISC(.25/.5/.75) of l_extendedprice
     cents weighted by l_quantity per returnflag — general-q weighted
@@ -3719,6 +3731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_user_value": w_cusum_user_value,
         "fd_orders": w_fd_orders,
         "cuckoo_parts_revoked": w_cuckoo_parts_revoked,
+        "phrase_docs": w_phrase_docs,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4926,6 +4939,27 @@ def oracle_sql() -> dict[str, str]:
                    t::BIGINT AS t_star, ts AS ts_split,
                    dd::BIGINT AS d_max
             FROM r WHERE rk = 1""",
+        "phrase_docs": """
+            WITH raw AS (SELECT doc_id,
+                                unnest(string_split_regex(text, '\\s+'))
+                                  AS token,
+                                generate_subscripts(
+                                  string_split_regex(text, '\\s+'), 1)
+                                  AS pos0
+                         FROM documents),
+            tok AS (SELECT doc_id, token,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos0) AS p
+                    FROM raw WHERE token <> '')
+            SELECT a.doc_id, COUNT(*)::BIGINT AS n_matches,
+                   MIN(a.p)::BIGINT AS first_pos
+            FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                                 AND b.p = a.p + 1
+                       JOIN tok c ON c.doc_id = a.doc_id
+                                 AND c.p = a.p + 2
+            WHERE a.token = 'big' AND b.token = 'order'
+              AND c.token = 'scan'
+            GROUP BY 1""",
         "cuckoo_parts_revoked": """
             SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
                    SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)

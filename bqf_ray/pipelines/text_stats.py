@@ -919,3 +919,61 @@ def docs_with_all_terms(ds, query_terms: list[str],
                              np.full(len(full), K, dtype=np.int64))})
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Exact-phrase retrieval: documents containing the query tokens at
+    CONSECUTIVE positions — the positional-index phrase query (the
+    ordered companion to :func:`docs_with_all_terms`), evaluated as ONE
+    stateless corpus pass with NO shuffle: tokenize each document
+    (whitespace, empties dropped — the shared house tokenization),
+    then a vectorized L-way shifted equality over the flat token
+    stream, masked to windows that stay inside one document.  The loop
+    is over the L phrase words (a small constant), never over rows.
+
+    Output: ``(id_col, n_matches, first_pos)`` for matching documents;
+    ``first_pos`` is the 1-based token position of the earliest match
+    (`row_number` semantics, matching the SQL positional-join replay).
+    """
+    from bqf_ray.functions.tokenize import tokenize_column
+
+    words = list(phrase)
+    if not words or any(not w or w.split() != [w] for w in words):
+        raise ValueError(f"phrase must be non-empty whitespace-free "
+                         f"tokens, got {phrase!r}")
+    L = len(words)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        flat, offs = tokenize_column(batch.column(text_col))
+        n = len(flat)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64()),
+                          "first_pos": pa.array([], pa.int64())})
+        if n < L:
+            return empty
+        m = np.asarray(pc.equal(flat, words[0])).copy()[:n - L + 1]
+        for j in range(1, L):
+            ej = np.asarray(pc.equal(flat, words[j]))
+            m &= ej[j:n - L + 1 + j]
+        # window must not cross a document boundary
+        starts = np.flatnonzero(m)
+        if not len(starts):
+            return empty
+        doc_a = np.searchsorted(offs, starts, side="right") - 1
+        doc_b = np.searchsorted(offs, starts + L - 1, side="right") - 1
+        keep = doc_a == doc_b
+        starts, doc_a = starts[keep], doc_a[keep]
+        if not len(starts):
+            return empty
+        uniq, inv, cnt = np.unique(doc_a, return_inverse=True,
+                                   return_counts=True)
+        first = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, starts)
+        first_pos = first - offs[uniq] + 1      # 1-based within doc
+        return pa.table({id_col: pa.array(ids[uniq]),
+                         "n_matches": pa.array(cnt.astype(np.int64)),
+                         "first_pos": pa.array(first_pos)})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

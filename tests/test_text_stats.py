@@ -170,3 +170,67 @@ def test_distinctive_terms_trailing_nul_token_order(ray_session):
     out = distinctive_terms(ray.data.from_arrow(tbl),
                             top=1).to_pandas()
     assert len(out) == 1 and out.loc[0, "token"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_brute(ray_session):
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.text_stats import phrase_search
+    rng = np.random.default_rng(4)
+    vocab = ["a", "b", "c", "dd"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(300)]
+    texts += ["", "   ", "a  b\tc", "b c b c b c"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    phrase = ["b", "c"]
+    exp = []
+    for did, t in zip(df["doc_id"], df["text"]):
+        toks = t.split()
+        hits = [i + 1 for i in range(len(toks) - 1)
+                if toks[i:i + 2] == phrase]
+        if hits:
+            exp.append((did, len(hits), hits[0]))
+    exp = pd.DataFrame(exp, columns=["doc_id", "n_matches", "first_pos"])
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = (phrase_search(ds, phrase).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_phrase_search_overlaps_and_single_token(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.text_stats import phrase_search
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a a a a", "x a"]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = phrase_search(ds, ["a", "a"]).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_matches"] == 3 and got.loc[1, "first_pos"] == 1
+    assert 2 not in got.index
+    got1 = phrase_search(ds, ["a"]).to_pandas().set_index("doc_id")
+    assert got1.loc[1, "n_matches"] == 4
+    assert got1.loc[2, "first_pos"] == 2
+
+
+def test_phrase_search_validation():
+    import pytest
+
+    from bqf_ray.pipelines.text_stats import phrase_search
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search(None, [])
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search(None, ["ok", "two words"])
