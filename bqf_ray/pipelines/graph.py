@@ -1193,7 +1193,13 @@ def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
     from bqf_ray.stages.partition import bucketed_sum
 
     B = int(num_buckets)
-    edges = canonical_edges(edges_ds, a_col=a_col, b_col=b_col)
+    # materialize the canonical edge list ONCE: count(), the broadcast
+    # collection, and the support-0 union below would otherwise each
+    # re-execute the upstream edge construction (a shuffle); the list
+    # is bounded by broadcast_budget_bytes, so holding its blocks is
+    # within the same envelope the broadcast already commits to
+    edges = canonical_edges(edges_ds, a_col=a_col,
+                            b_col=b_col).materialize()
     n_edges = edges.count()
     if n_edges * 16 > broadcast_budget_bytes:
         raise ValueError(
@@ -1941,7 +1947,10 @@ def ktruss(edges_ds, k: int, rounds: int = 3,
     if K < 2:
         raise ValueError("ktruss: k must be >= 2")
     thr = K - 2
-    cur = canonical_edges(edges_ds, a_col=a_col, b_col=b_col)
+    # materialized once: every round's support pass + the count would
+    # otherwise re-execute the upstream edge construction per use
+    cur = canonical_edges(edges_ds, a_col=a_col,
+                          b_col=b_col).materialize()
     n_cur = cur.count()
 
     def keep(batch: pa.Table) -> pa.Table:
