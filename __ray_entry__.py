@@ -2260,6 +2260,21 @@ def w_cusum_user_value(sf_dir):
     return cusum_changepoint(ev)
 
 
+def w_ks_click_purchase(sf_dir):
+    """Exact two-sample KS distance per user between click and purchase
+    value distributions — integer cross-product max with one final IEEE
+    division; ``aggregates.grouped_ks``."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_ks
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type",
+                                        "value"])
+    a = ev.filter(expr="event_type == 'click'")
+    b = ev.filter(expr="event_type == 'purchase'")
+    return grouped_ks(a, b, "user_id", "value")
+
+
 def w_cuckoo_parts_revoked(sf_dir):
     """Cuckoo-filter revocation membership (insert → delete → probe):
     build over unique p_partkey, delete parts with a returned lineitem
@@ -3732,6 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_orders": w_fd_orders,
         "cuckoo_parts_revoked": w_cuckoo_parts_revoked,
         "phrase_docs": w_phrase_docs,
+        "ks_click_purchase": w_ks_click_purchase,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
@@ -4939,6 +4955,30 @@ def oracle_sql() -> dict[str, str]:
                    t::BIGINT AS t_star, ts AS ts_split,
                    dd::BIGINT AS d_max
             FROM r WHERE rk = 1""",
+        "ks_click_purchase": """
+            WITH u AS (SELECT user_id, value AS v,
+                              CASE WHEN event_type='click' THEN 0
+                                   ELSE 1 END AS s
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')
+                         AND value IS NOT NULL),
+            c AS (SELECT user_id, v, s,
+                         SUM(CASE WHEN s=0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY v) AS ca,
+                         SUM(CASE WHEN s=1 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY v) AS cb,
+                         SUM(CASE WHEN s=0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id) AS na,
+                         SUM(CASE WHEN s=1 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id) AS nb
+                  FROM u)
+            SELECT user_id, MAX(na)::BIGINT AS n_a,
+                   MAX(nb)::BIGINT AS n_b,
+                   MAX(ABS(ca*nb - cb*na))::BIGINT AS d_int,
+                   (MAX(ABS(ca*nb - cb*na))::DOUBLE
+                    / (MAX(na)*MAX(nb))) AS ks_stat
+            FROM c GROUP BY user_id
+            HAVING MAX(na) > 0 AND MAX(nb) > 0""",
         "phrase_docs": """
             WITH raw AS (SELECT doc_id,
                                 unnest(string_split_regex(text, '\\s+'))

@@ -2813,3 +2813,109 @@ def grouped_kendall(ds, key_col: str, x_col: str, y_col: str,
     return (ds.map_batches(prune, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def grouped_ks(ds_a, ds_b, key_col: str, value_col: str,
+               num_buckets: int = 64, max_rows_per_key: int = 1 << 20):
+    """Exact two-sample Kolmogorov–Smirnov distance per key — the
+    distribution-drift STATISTIC companion to the per-group drift
+    histograms: ``D = max_v |F_a(v) − F_b(v)|`` over the pooled value
+    points, kept exact as the integer cross-product
+    ``d_int = max |c_a·n_b − c_b·n_a|`` (cumulative counts are
+    tie-inclusive, SQL's default RANGE window frame) with ONE final
+    IEEE division ``ks = d_int/(n_a·n_b)``.  Keys present on only one
+    side are dropped (an empirical CDF needs both samples; mirror with
+    ``HAVING`` both counts > 0).
+
+    Like every exact order statistic here (spearman/kendall), the
+    pooled rows cannot pre-aggregate: pruned ``(key, v, side)`` rows
+    ride ONE key-hash-bucketed exchange; each bucket lexsorts once and
+    scores all its keys with segmented cumsums evaluated at
+    end-of-tie-run positions (reduceat folds, no per-key loop).  Loud
+    ``max_rows_per_key`` envelope; the int64 cross product is safe to
+    2^31 rows/key.  Null/NaN values are excluded row-wise.
+
+    Output: ``(key_col, n_a, n_b, d_int, ks_stat)``."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import _col_hash64
+
+    NB = np.uint64(int(num_buckets))
+    CAP = int(max_rows_per_key)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch.column(value_col)
+            keep = pc.and_(pc.is_valid(v),
+                           pc.is_valid(batch.column(key_col)))
+            if pa.types.is_floating(v.type):
+                keep = pc.and_(keep, pc.invert(
+                    pc.is_nan(pc.fill_null(v, 0.0))))
+            batch = batch.filter(keep)
+            return pa.table({
+                "k": batch.column(key_col),
+                "v": pc.cast(batch.column(value_col), pa.float64()),
+                "s": pa.array(np.full(batch.num_rows, side,
+                                      dtype=np.int8)),
+                "__bucket": pa.array(
+                    (_col_hash64(batch.column(key_col)) % NB
+                     ).astype(np.int64))})
+        return fn
+
+    pooled = (ds_a.map_batches(tag(0), batch_format="pyarrow")
+              .union(ds_b.map_batches(tag(1), batch_format="pyarrow")))
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        k = group.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        empty = pa.table({
+            key_col: k.slice(0, 0),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "d_int": pa.array([], pa.int64()),
+            "ks_stat": pa.array([], pa.float64())})
+        if not group.num_rows:
+            return empty
+        kc = np.unique(np.asarray(k), return_inverse=True)[1]
+        v = np.asarray(group.column("v"), dtype=np.float64)
+        s = np.asarray(group.column("s"), dtype=np.int64)
+        order = np.lexsort((v, kc))
+        kc, v, s = kc[order], v[order], s[order]
+        n = len(kc)
+        new = np.r_[True, kc[1:] != kc[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        seg_n = ends - starts
+        if int(seg_n.max()) > CAP:
+            raise ValueError(
+                f"grouped_ks: a key holds {int(seg_n.max())} rows > "
+                f"max_rows_per_key={CAP}")
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), seg_n)
+        # tie-inclusive cumulative counts per side within each key
+        cb_all = np.cumsum(s)
+        ca_all = np.cumsum(1 - s)
+        off_b = np.repeat(cb_all[starts] - s[starts], seg_n)
+        off_a = np.repeat(ca_all[starts] - (1 - s[starts]), seg_n)
+        cb = cb_all - off_b
+        ca = ca_all - off_a
+        nb = np.repeat(cb[ends - 1], seg_n)
+        na = np.repeat(ca[ends - 1], seg_n)
+        # evaluate only at the LAST row of each equal-value run (the
+        # tie-inclusive CDF step point)
+        run_end = np.r_[(kc[1:] != kc[:-1]) | (v[1:] != v[:-1]), True]
+        d = np.abs(ca * nb - cb * na)
+        d = np.where(run_end, d, np.int64(-1))
+        d_max = np.maximum.reduceat(d, starts)
+        n_a = ca[ends - 1]
+        n_b = cb[ends - 1]
+        keep = (n_a > 0) & (n_b > 0)
+        ks = np.where(keep, d_max / np.maximum(n_a * n_b, 1), 0.0)
+        out = pa.table({
+            key_col: k.take(pa.array(order[starts])),
+            "n_a": pa.array(n_a), "n_b": pa.array(n_b),
+            "d_int": pa.array(d_max), "ks_stat": pa.array(ks)})
+        return out.filter(pa.array(keep))
+
+    return (pooled.groupby("__bucket")
+            .map_groups(score_bucket, batch_format="pyarrow"))

@@ -90,3 +90,68 @@ def test_cusum_envelope_raises(ray_session):
     with pytest.raises(Exception, match="max_rows_per_key"):
         cusum_changepoint(_ds(pa.Table.from_pandas(df)),
                           max_rows_per_key=4).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# grouped_ks (shares the ordered-per-key exchange family)
+# ---------------------------------------------------------------------------
+
+def _ks_brute(da, db):
+    """scipy-free exact two-sample KS per key over tie-inclusive CDFs."""
+    out = {}
+    keys = set(da["k"]) & set(db["k"])
+    for k in keys:
+        va = np.sort(da[da["k"] == k]["v"].to_numpy())
+        vb = np.sort(db[db["k"] == k]["v"].to_numpy())
+        na, nb = len(va), len(vb)
+        pts = np.unique(np.r_[va, vb])
+        ca = np.searchsorted(va, pts, side="right")
+        cb = np.searchsorted(vb, pts, side="right")
+        d = np.abs(ca * nb - cb * na).max()
+        out[k] = (na, nb, int(d), d / (na * nb))
+    return out
+
+
+@pytest.mark.parametrize("seed,parts", [(0, 4), (3, 1)])
+def test_grouped_ks_matches_brute(ray_session, seed, parts):
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_ks
+    rng = np.random.default_rng(seed)
+    na, nb = 700, 500
+    da = pd.DataFrame({"k": rng.integers(0, 12, na),
+                       "v": rng.normal(0, 1, na).round(1)})
+    db = pd.DataFrame({"k": rng.integers(0, 15, nb),   # some keys b-only
+                       "v": rng.normal(0.4, 1.3, nb).round(1)})
+    da.loc[rng.random(na) < 0.04, "v"] = np.nan
+    dsa = ray.data.from_arrow(pa.Table.from_pandas(da)).repartition(parts)
+    dsb = ray.data.from_arrow(pa.Table.from_pandas(db)).repartition(parts)
+    got = grouped_ks(dsa, dsb, "k", "v").to_pandas()
+    exp = _ks_brute(da[da["v"].notna()], db)
+    assert set(got["k"]) == set(exp)
+    for _, r in got.iterrows():
+        ena, enb, ed, eks = exp[r["k"]]
+        assert (r["n_a"], r["n_b"], r["d_int"]) == (ena, enb, ed)
+        assert r["ks_stat"] == pytest.approx(eks, abs=0, rel=0)
+
+
+def test_grouped_ks_identical_distributions_zero(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_ks
+    df = pd.DataFrame({"k": np.zeros(50, dtype=np.int64),
+                       "v": np.tile(np.arange(10.0), 5)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = grouped_ks(ds, ds, "k", "v").to_pandas()
+    assert len(got) == 1 and got["d_int"].iloc[0] == 0
+
+
+def test_grouped_ks_envelope_raises(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_ks
+    df = pd.DataFrame({"k": np.zeros(40, dtype=np.int64),
+                       "v": np.arange(40.0)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    with pytest.raises(Exception, match="max_rows_per_key"):
+        grouped_ks(ds, ds, "k", "v", max_rows_per_key=8).to_pandas()
