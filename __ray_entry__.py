@@ -1947,6 +1947,19 @@ def w_mg_frequent_users(sf_dir):
     return mg_heavy_keys(ev, "user_id", m=128)
 
 
+def w_bitmap_distinct_users(sf_dir):
+    """EXACT per-event-type distinct users through the Roaring-style
+    CompressedBitmap sketch on the native aggregate surface — the exact
+    end of the mergeable-UDAF spectrum (HLL's approximate counterpart
+    is ``lang_distinct_hll``), so the oracle is bit-exact
+    COUNT(DISTINCT), no bound flag."""
+    import ray
+    from bqf_ray.pipelines.aggregates import grouped_distinct_bitmap
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return grouped_distinct_bitmap(ev, "event_type", "user_id")
+
+
 def w_ddsketch_quantiles(sf_dir):
     """DDSketch (relative-error quantile sketch) over events.value:
     estimate must sit within α·exact of the exact PERCENTILE_DISC
@@ -3662,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (parity-covered; rotate into the driver
         #     window next round) ---
         "mg_frequent_users": w_mg_frequent_users,
+        "bitmap_distinct_users": w_bitmap_distinct_users,
         "ddsketch_quantiles": w_ddsketch_quantiles,
         "theta_click_purchase": w_theta_click_purchase,
         "join_size_cm": w_join_size_cm,
@@ -4701,6 +4715,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS cnt
             FROM events GROUP BY user_id
             HAVING count(*) > (SELECT count(*) FROM events) / 129.0""",
+        "bitmap_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "ddsketch_quantiles": """
             WITH v AS (SELECT value FROM events
                        WHERE value IS NOT NULL AND NOT isnan(value))

@@ -1061,6 +1061,38 @@ def grouped_distinct_hll(ds, key_col: str, text_col: str = "text",
                          <= sigmas * rse for k in keys]})
 
 
+def grouped_distinct_bitmap(ds, key_col: str, value_col: str):
+    """Per-key EXACT distinct count of a dense integer id column via the
+    :class:`~bqf_ray.sketches.bitmap.CompressedBitmap` sketch on the
+    NATIVE aggregate surface — the exact end of the mergeable-UDAF
+    spectrum (vs HLL's approximate end), so the oracle is bit-exact
+    ``COUNT(DISTINCT ...)``, not a bound flag.
+
+    Plan: ``groupby(key).aggregate(sketch_agg(CompressedBitmap))`` —
+    mappers fold each block's ids into per-(block, key) bitmap partials
+    (Roaring-style ≤8 KiB containers), reducers union them.  Suits
+    CATEGORICAL key cardinality (one blob per group rides the engine
+    shuffle); for high-cardinality keys use
+    :func:`grouped_distinct_hll(sparse=True) <grouped_distinct_hll>`'s
+    register-partial plan instead.  Returns ``(key, n_distinct)``
+    sorted by key."""
+    import pandas as pd
+
+    from bqf_ray.sketches.bitmap import CompressedBitmap
+    from bqf_ray.stages.udaf import sketch_agg
+
+    rows = (ds.groupby(key_col)
+            .aggregate(sketch_agg(CompressedBitmap, on=value_col,
+                                  prepare="int",
+                                  finalize=lambda sk: int(sk.count()),
+                                  name="n_distinct"))
+            .take_all())
+    rows.sort(key=lambda r: r[key_col])
+    return pd.DataFrame({
+        key_col: [r[key_col] for r in rows],
+        "n_distinct": np.array([r["n_distinct"] for r in rows], np.int64)})
+
+
 def grouped_tdigest_check(ds, key_col: str, value_col: str,
                           q: float = 0.5, lo: float = 0.45,
                           hi: float = 0.55):

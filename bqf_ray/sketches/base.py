@@ -103,7 +103,7 @@ class MergeableSketch(ABC):
             # fresh worker process: populate the registry
             import importlib
             for mod in ("bqf", "hll", "countmin", "bloom", "tdigest",
-                        "kll", "cuckoo"):
+                        "kll", "cuckoo", "bitmap"):
                 importlib.import_module(f"bqf_ray.sketches.{mod}")
         cls = _REGISTRY[tname]
         pos = 8 + hlen

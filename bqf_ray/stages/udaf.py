@@ -74,7 +74,22 @@ def prepare_value(col) -> np.ndarray:
     return vals[~np.isnan(vals)]
 
 
-_PREPARES = {"hash": prepare_hash, "value": prepare_value}
+def prepare_int(col) -> np.ndarray:
+    """Column → raw uint64 of an integer column (nulls dropped) — for
+    EXACT dense-domain sketches (CompressedBitmap) where hashing would
+    destroy chunk locality and exactness is the point."""
+    arr = _to_array(col).drop_null()
+    vals = arr.to_numpy(zero_copy_only=False)
+    if not np.issubdtype(vals.dtype, np.integer):
+        raise TypeError(f"prepare='int' needs an integer column, got {arr.type}")
+    v = vals.astype(np.int64)
+    if (v < 0).any():
+        raise ValueError("prepare='int' requires non-negative keys")
+    return v.view(np.uint64)
+
+
+_PREPARES = {"hash": prepare_hash, "value": prepare_value,
+             "int": prepare_int}
 
 
 def sketch_agg(factory, on: str, *, prepare="hash", weight_col: str | None = None,
