@@ -3235,6 +3235,19 @@ def w_frequent_pairs(sf_dir):
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def w_assoc_rules_parts(sf_dir):
+    """Directed association rules (confidence/lift) from the A-priori
+    pair table — both floats are single-expression IEEE over the exact
+    int64 supports, so the oracle recomputes them bit-exactly."""
+    import ray
+
+    from bqf_ray.pipelines.graph import association_rules
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_support=2, min_conf=0.08)
+
+
 def w_column_mi(sf_dir):
     """Exact contingency components of mutual information / lift
     between two categorical columns (lang x source of documents):
@@ -3688,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f2_tokens": w_f2_tokens,
         "cdc_merge": w_cdc_merge,
         "frequent_pairs": w_frequent_pairs,
+        "assoc_rules_parts": w_assoc_rules_parts,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -5355,6 +5369,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s sa ON sa.i = p.a JOIN s sb ON sb.i = p.b
             CROSS JOIN ng
             WHERE p.c_ab >= 2""",
+        "assoc_rules_parts": """
+            WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                        FROM lineitem),
+            p AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS c_ab
+                  FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i
+                  GROUP BY 1, 2),
+            s AS (SELECT i, count(*)::BIGINT AS c FROM gi GROUP BY 1),
+            ng AS (SELECT count(DISTINCT g)::BIGINT AS n FROM gi),
+            pairs AS (SELECT p.a, p.b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+                             ng.n
+                      FROM p JOIN s sa ON sa.i = p.a
+                             JOIN s sb ON sb.i = p.b CROSS JOIN ng
+                      WHERE p.c_ab >= 2),
+            rules AS (
+              SELECT a AS antecedent, b AS consequent, c_ab,
+                     c_a AS c_ante, c_b AS c_cons, n AS n_groups FROM pairs
+              UNION ALL
+              SELECT b, a, c_ab, c_b, c_a, n FROM pairs)
+            SELECT antecedent, consequent, c_ab, c_ante, c_cons, n_groups,
+                   c_ab / c_ante AS confidence,
+                   (c_ab * n_groups) / (c_ante * c_cons) AS lift
+            FROM rules WHERE c_ab / c_ante >= 0.08""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

@@ -1082,6 +1082,57 @@ def frequent_itemsets(ds, group_col: str, item_col: str,
     return with_b.map_batches(add_ng, batch_format="pyarrow")
 
 
+def association_rules(ds, group_col: str, item_col: str,
+                      min_support: int = 2, min_conf: float = 0.0,
+                      num_buckets: int = 64):
+    """Directed association rules from the A-priori pair table: each
+    frequent unordered pair {a, b} yields both rules a⇒b and b⇒a with
+
+        confidence = c_ab / c_ante          (one IEEE division of exact ints)
+        lift       = (c_ab·n_groups) / (c_ante·c_cons)
+
+    computed from :func:`frequent_itemsets`'s exact int64 supports, so
+    both floats are single-expression IEEE over exact integers —
+    bit-identical to a SQL recompute (no order-dependent float sums).
+    The rule expansion and filtering run as a zero-shuffle
+    ``map_batches`` over the (already small) frequent-pair table.
+
+    Output ``(antecedent, consequent, c_ab, c_ante, c_cons, n_groups,
+    confidence, lift)`` with ``confidence >= min_conf``."""
+    pairs = frequent_itemsets(ds, group_col, item_col,
+                              min_support=min_support,
+                              num_buckets=num_buckets)
+    mc = float(min_conf)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        c_ab = np.asarray(batch.column("c_ab"), dtype=np.int64)
+        c_a = np.asarray(batch.column("c_a"), dtype=np.int64)
+        c_b = np.asarray(batch.column("c_b"), dtype=np.int64)
+        n = np.asarray(batch.column("n_groups"), dtype=np.int64)
+        ante = np.concatenate([a, b])
+        cons = np.concatenate([b, a])
+        cab2 = np.concatenate([c_ab, c_ab])
+        c_ante = np.concatenate([c_a, c_b])
+        c_cons = np.concatenate([c_b, c_a])
+        n2 = np.concatenate([n, n])
+        conf = cab2.astype(np.float64) / c_ante
+        lift = (cab2 * n2).astype(np.float64) / (c_ante * c_cons)
+        keep = conf >= mc
+        return pa.table({
+            "antecedent": pa.array(ante[keep]),
+            "consequent": pa.array(cons[keep]),
+            "c_ab": pa.array(cab2[keep]),
+            "c_ante": pa.array(c_ante[keep]),
+            "c_cons": pa.array(c_cons[keep]),
+            "n_groups": pa.array(n2[keep]),
+            "confidence": pa.array(conf[keep]),
+            "lift": pa.array(lift[keep])})
+
+    return pairs.map_batches(expand, batch_format="pyarrow")
+
+
 def bfs_hops(edges_ds, seeds: np.ndarray, max_hops: int = 8,
              a_col: str = "a", b_col: str = "b",
              pre_canonical: bool = False):

@@ -240,6 +240,44 @@ def test_frequent_itemsets_matches_brute_force(ray_session, mode):
     assert got_rows == exp
 
 
+def test_association_rules_matches_brute_force(ray_session):
+    import itertools
+    from collections import Counter
+
+    import ray
+
+    from bqf_ray.pipelines.graph import association_rules
+    rng = np.random.RandomState(4)
+    g = rng.randint(0, 50, 700).astype(np.int64)
+    i = rng.randint(0, 20, 700).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(g),
+                                       "i": pa.array(i)})).repartition(5)
+    got = association_rules(ds, "g", "i", min_support=3,
+                            min_conf=0.25, num_buckets=8).to_pandas()
+    baskets = {gv: sorted(set(i[g == gv])) for gv in np.unique(g)}
+    c_ab = Counter()
+    c_i = Counter()
+    for items in baskets.values():
+        for it in items:
+            c_i[it] += 1
+        for a, b in itertools.combinations(items, 2):
+            c_ab[(a, b)] += 1
+    n = len(baskets)
+    exp = []
+    for (a, b), c in c_ab.items():
+        if c < 3:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            conf = c / c_i[ante]
+            if conf >= 0.25:
+                exp.append((ante, cons, c, c_i[ante], c_i[cons], n,
+                            conf, (c * n) / (c_i[ante] * c_i[cons])))
+    got_rows = sorted(zip(got["antecedent"], got["consequent"], got["c_ab"],
+                          got["c_ante"], got["c_cons"], got["n_groups"],
+                          got["confidence"], got["lift"]))
+    assert got_rows == sorted(exp)         # floats bit-exact: same IEEE exprs
+
+
 def _brute_kcore(edges: set[tuple[int, int]], k: int):
     """Sequential synchronous peel to convergence; returns
     {node: in_core_degree} (nodes with >=1 in-core edge)."""
