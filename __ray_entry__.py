@@ -3235,6 +3235,51 @@ def w_frequent_pairs(sf_dir):
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def w_key_sample_revenue(sf_dir):
+    """Correlated KEY-level sample join (orders ⋈ lineitem at rate 0.2
+    on the same md5 key predicate both sides — join groups survive
+    whole, so per-priority revenue scales by 1/rate unbiasedly); exact
+    integer-cents sums over the sample, scale-up as one IEEE division.
+    The oracle replays the identical predicate, join and sums."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.relational import key_sample_join
+    from bqf_ray.stages.partition import bucketed_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_extendedprice"])
+          .map_batches(lambda b: b.rename_columns(
+              ["o_orderkey", "l_extendedprice"]), batch_format="pyarrow"))
+    joined = key_sample_join(orders, li, "o_orderkey", rate=0.2,
+                             salt="ks3", algo="md5", num_buckets=16)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice_r"),
+                           dtype=np.float64)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(np.rint(price * 100).astype(np.int64)),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    sums = bucketed_sum(joined.map_batches(cents, batch_format="pyarrow"),
+                        ["o_orderpriority"],
+                        {"cents": "revenue_cents", "one": "n_rows"},
+                        num_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rc = np.asarray(batch.column("revenue_cents"), dtype=np.int64)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_rows": batch.column("n_rows"),
+            "revenue_cents": pa.array(rc),
+            "est_total_cents": pa.array(rc.astype(np.float64) / 0.2)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def w_assoc_rules_parts(sf_dir):
     """Directed association rules (confidence/lift) from the A-priori
     pair table — both floats are single-expression IEEE over the exact
@@ -3702,6 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge": w_cdc_merge,
         "frequent_pairs": w_frequent_pairs,
         "assoc_rules_parts": w_assoc_rules_parts,
+        "key_sample_revenue": w_key_sample_revenue,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -5391,6 +5437,22 @@ def oracle_sql() -> dict[str, str]:
                    c_ab / c_ante AS confidence,
                    (c_ab * n_groups) / (c_ante * c_cons) AS lift
             FROM rules WHERE c_ab / c_ante >= 0.08""",
+        "key_sample_revenue": """
+            WITH so AS (SELECT o_orderkey, o_orderpriority FROM orders
+                        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR
+                                                  || 'ks3'), 1, 16))::UBIGINT
+                              < 3689348814741910528),
+            sl AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+                   WHERE ('0x' || substr(md5(l_orderkey::VARCHAR
+                                             || 'ks3'), 1, 16))::UBIGINT
+                         < 3689348814741910528)
+            SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                     / 0.2 AS est_total_cents
+            FROM so JOIN sl ON sl.l_orderkey = so.o_orderkey
+            GROUP BY o_orderpriority""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

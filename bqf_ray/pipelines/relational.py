@@ -1394,3 +1394,32 @@ def cuckoo_revocation_check(universe_ds, revoked_ds, key_col: str,
             "fp_ok": pa.array(nmr <= nrev * bound * bound_slack + 3)})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def key_sample_join(left_ds, right_ds, key: str, rate: float,
+                    salt: str = "", algo: str = "md5",
+                    num_buckets: int = 32, how: str = "inner",
+                    suffix: str = "_r"):
+    """CORRELATED key-level sampling join — the unbiased join-sample
+    trick (Vengerov et al., "Join size estimation subject to filter
+    conditions", VLDB 2015 lineage): independently Bernoulli-sampling
+    ROWS of both tables retains a joining pair only with probability
+    rate², and join-group sizes bias any aggregate estimate.  Sampling
+    the JOIN KEY with the SAME hash predicate on both sides instead
+    keeps every join group intact with probability ``rate``, so any
+    per-group aggregate over the sampled join scales by 1/rate
+    unbiasedly.
+
+    Deterministic and resume-stable (content-hash predicate, no RNG
+    state); with ``algo="md5"`` a SQL engine replays the exact sample:
+    ``('0x'||substr(md5(key::VARCHAR||salt),1,16))::UBIGINT <
+    rate·2^64``.  The sampled sides then join via the explicit bucket
+    co-partition of :func:`partitioned_hash_join` — the shuffle moves
+    ``rate`` of each table, which is the point: estimate joins at 100 TB
+    by shuffling 1 TB."""
+    from bqf_ray.pipelines.sampling import hash_sample
+
+    ls = hash_sample(left_ds, rate, key_col=key, salt=salt, algo=algo)
+    rs = hash_sample(right_ds, rate, key_col=key, salt=salt, algo=algo)
+    return partitioned_hash_join(ls, rs, key, num_buckets=num_buckets,
+                                 how=how, suffix=suffix)

@@ -505,3 +505,38 @@ def test_snapshot_delta_rejects_duplicates_and_null_keys(ray_session):
     with pytest.raises(Exception, match="null keys"):
         snapshot_delta(ray.data.from_arrow(nk),
                        ray.data.from_arrow(uni), "k", ["v"]).to_pandas()
+
+
+def test_key_sample_join_correlated_and_unbiased_shape(ray_session):
+    """Key-level correlated sampling: every join GROUP is kept whole or
+    dropped whole (never partially), and the sampled join equals the
+    full join filtered to the sampled key set — the property that makes
+    1/rate scale-up unbiased."""
+    import ray
+
+    from bqf_ray.pipelines.relational import key_sample_join
+    from bqf_ray.pipelines.sampling import _key_u64, _threshold
+
+    rng = np.random.RandomState(2)
+    lk = np.arange(300, dtype=np.int64)
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(lk * 10)})
+    rk = rng.randint(0, 300, 900).astype(np.int64)
+    right = pa.table({"k": pa.array(rk), "rv": pa.array(rk + 1)})
+    got = key_sample_join(ray.data.from_arrow(left).repartition(4),
+                          ray.data.from_arrow(right).repartition(4),
+                          "k", rate=0.3, salt="t", algo="md5",
+                          num_buckets=8).to_pandas()
+
+    thr = np.uint64(_threshold(0.3))
+    u = _key_u64(pa.table({"k": pa.array(lk)}), "k", "t", "md5")
+    kept = set(lk[u < thr].tolist())
+    # sampled join == full join restricted to kept keys
+    full = left.to_pandas().merge(
+        right.to_pandas().rename(columns={"rv": "rv"}), on="k")
+    exp = full[full["k"].isin(kept)]
+    assert sorted(zip(got["k"], got["lv"], got["rv_r"])) == \
+        sorted(zip(exp["k"], exp["lv"], exp["rv"]))
+    # group-atomicity: observed key multiplicities match the full join's
+    obs = got.groupby("k").size().to_dict()
+    expc = exp.groupby("k").size().to_dict()
+    assert obs == expc
