@@ -3235,6 +3235,21 @@ def w_frequent_pairs(sf_dir):
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def w_bootstrap_ci_value(sf_dir):
+    """Per-event-type CI for mean(value) via deterministic md5
+    hash-bootstrap half-sample replicates (B=40, ranks 2/39) — exact
+    integer-cents replicate sums, one IEEE division per mean, so the
+    oracle replays every replicate bit-exactly."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import bootstrap_mean_ci
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "event_id", "value"])
+    return bootstrap_mean_ci(ev, "event_type", "value", "event_id",
+                             n_reps=40, rate=0.5, salt="bs",
+                             lo_rank=2, hi_rank=39)
+
+
 def w_key_sample_revenue(sf_dir):
     """Correlated KEY-level sample join (orders ⋈ lineitem at rate 0.2
     on the same md5 key predicate both sides — join groups survive
@@ -3748,6 +3763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs": w_frequent_pairs,
         "assoc_rules_parts": w_assoc_rules_parts,
         "key_sample_revenue": w_key_sample_revenue,
+        "bootstrap_ci_value": w_bootstrap_ci_value,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -5453,6 +5469,32 @@ def oracle_sql() -> dict[str, str]:
                      / 0.2 AS est_total_cents
             FROM so JOIN sl ON sl.l_orderkey = so.o_orderkey
             GROUP BY o_orderpriority""",
+        "bootstrap_ci_value": """
+            WITH v AS (SELECT event_type, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS units
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            reps AS (SELECT unnest(generate_series(0, 39)) AS rep),
+            m AS (SELECT v.event_type, r.rep, sum(v.units)::BIGINT AS su,
+                         count(*)::BIGINT AS n
+                  FROM v CROSS JOIN reps r
+                  WHERE ('0x' || substr(md5(v.event_id::VARCHAR || 'bs'
+                                            || r.rep::VARCHAR),
+                                        1, 16))::UBIGINT
+                        < 9223372036854775808
+                  GROUP BY 1, 2),
+            mm AS (SELECT event_type, su / n AS mean FROM m),
+            sel AS (SELECT event_type, mean,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY mean) AS rk
+                    FROM mm),
+            f AS (SELECT event_type, sum(units)::BIGINT AS fs,
+                         count(*)::BIGINT AS fn FROM v GROUP BY 1)
+            SELECT f.event_type, f.fn AS n, f.fs / f.fn AS mean,
+                   lo.mean AS ci_lo, hi.mean AS ci_hi
+            FROM f
+            JOIN sel lo ON lo.event_type = f.event_type AND lo.rk = 2
+            JOIN sel hi ON hi.event_type = f.event_type AND hi.rk = 39""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

@@ -2951,3 +2951,99 @@ def grouped_ks(ds_a, ds_b, key_col: str, value_col: str,
 
     return (pooled.groupby("__bucket")
             .map_groups(score_bucket, batch_format="pyarrow"))
+
+
+def bootstrap_mean_ci(ds, key_col: str, value_col: str, id_col: str,
+                      n_reps: int = 40, rate: float = 0.5,
+                      salt: str = "bs", lo_rank: int | None = None,
+                      hi_rank: int | None = None, scale: int = 100,
+                      num_buckets: int = 16):
+    """Per-key confidence interval for mean(value) via DETERMINISTIC
+    hash-bootstrap half-sampling (m-out-of-n bootstrap, Bickel/Götze/
+    van Zwet 1997 family): replicate ``b`` keeps row ``r`` iff
+    ``md5(id || salt || b) < rate·2^64`` — no RNG state, stable across
+    partitioning/resume, and a SQL engine replays every replicate
+    exactly.  Values fold as exact integer units (``round(v·scale)``),
+    so every replicate sum is order-independent int64 and each
+    replicate mean is ONE IEEE division — the whole statistic is
+    bit-reproducible, unlike resampling with an RNG.
+
+    Plan: one corpus pass computes per-(key, replicate) partial
+    ``(sum_units, n)`` — the B membership tests are vectorized md5
+    batches, the partial fold is one ``np.add.at`` over (key, rep)
+    codes — then ONE bucketed exchange over (key, rep) folds partials
+    (B·n_keys rows, tiny), and the driver sorts each key's B replicate
+    means to select the CI order statistics (value-only: tie order
+    cannot change the selected value).
+
+    Returns a pandas frame ``(key, n, mean, ci_lo, ci_hi)`` where
+    ``mean`` is the full-sample mean and the CI bounds are the
+    ``lo_rank``/``hi_rank``-th smallest replicate means (1-based;
+    default ⌈0.025·B⌉ / B+1−⌈0.025·B⌉)."""
+    import pandas as pd
+
+    from bqf_ray.pipelines.sampling import _key_u64, _threshold
+    from bqf_ray.stages.partition import bucketed_sum
+
+    B = int(n_reps)
+    thr = np.uint64(_threshold(rate))
+    s = int(scale)
+    lo_r = int(lo_rank) if lo_rank is not None else max(1, -(-B * 25 // 1000))
+    hi_r = int(hi_rank) if hi_rank is not None else B + 1 - (
+        int(lo_rank) if lo_rank is not None else max(1, -(-B * 25 // 1000)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = batch.column(value_col)
+        valid = pc.and_(cols.is_valid(), pc.invert(pc.is_nan(
+            cols.fill_null(0.0))))
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch.schema
+                                               .field(key_col).type),
+                             "rep": pa.array([], pa.int64()),
+                             "su": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = np.asarray(batch.column(value_col), dtype=np.float64)
+        units = np.rint(v * s).astype(np.int64)
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        kcode = np.asarray(enc.indices, dtype=np.int64)
+        n_k = len(enc.dictionary)
+        # rep = B is the FULL (unsampled) stream for the full-sample mean
+        sums = np.zeros((n_k, B + 1), dtype=np.int64)
+        cnts = np.zeros((n_k, B + 1), dtype=np.int64)
+        np.add.at(sums, (kcode, B), units)
+        np.add.at(cnts, (kcode, B), 1)
+        for b in range(B):
+            u = _key_u64(batch, id_col, f"{salt}{b}", "md5")
+            m = u < thr
+            np.add.at(sums, (kcode[m], b), units[m])
+            np.add.at(cnts, (kcode[m], b), 1)
+        ki, rep = np.nonzero(cnts)
+        return pa.table({
+            key_col: enc.dictionary.take(pa.array(ki)),
+            "rep": pa.array(rep.astype(np.int64)),
+            "su": pa.array(sums[ki, rep]),
+            "n": pa.array(cnts[ki, rep])})
+
+    folded = bucketed_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                          [key_col, "rep"], {"su": "su", "n": "n"},
+                          num_buckets=num_buckets).to_pandas()
+
+    out = []
+    for k, grp in folded.groupby(key_col, sort=True):
+        full = grp[grp["rep"] == B]
+        reps = grp[grp["rep"] < B]
+        means = np.sort(reps["su"].to_numpy(np.int64).astype(np.float64)
+                        / reps["n"].to_numpy(np.int64))
+        if len(means) < B or len(full) != 1:
+            raise ValueError(
+                f"key {k!r}: {len(means)}/{B} replicates non-empty — "
+                "raise rate or n_reps for sparse keys")
+        fs, fn = int(full["su"].iloc[0]), int(full["n"].iloc[0])
+        out.append((k, fn, float(fs) / fn,
+                    float(means[lo_r - 1]), float(means[hi_r - 1])))
+    return pd.DataFrame(out, columns=[key_col, "n", "mean",
+                                      "ci_lo", "ci_hi"])

@@ -190,3 +190,54 @@ def test_grouped_priority_sample_matches_pandas(ray_session):
     assert list(got["doc_id"]) == list(keep["doc_id"])
     assert np.array_equal(got["est_weight"].to_numpy(),
                           keep["est_weight"].to_numpy())
+
+
+def test_bootstrap_mean_ci_matches_brute_force_replay(ray_session):
+    """The whole statistic is deterministic: a pandas replay of the
+    same md5 replicate predicates reproduces mean/ci_lo/ci_hi
+    bit-exactly, regardless of partitioning."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.aggregates import bootstrap_mean_ci
+    from bqf_ray.pipelines.sampling import _key_u64, _threshold
+
+    rng = np.random.RandomState(8)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y"], size=n),
+        "rid": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.gamma(3.0, 10.0, size=n), 2)})
+    B, rate = 16, 0.5
+    got = bootstrap_mean_ci(
+        ray.data.from_pandas(df).repartition(7), "k", "v", "rid",
+        n_reps=B, rate=rate, salt="t", lo_rank=2, hi_rank=15)
+
+    thr = np.uint64(_threshold(rate))
+    units = np.rint(df["v"].to_numpy() * 100).astype(np.int64)
+    for _, row in got.iterrows():
+        m = (df["k"] == row["k"]).to_numpy()
+        assert row["n"] == m.sum()
+        assert row["mean"] == float(units[m].sum()) / m.sum()
+        means = []
+        for b in range(B):
+            u = _key_u64(pa.table({"rid": pa.array(df["rid"])}),
+                         "rid", f"t{b}", "md5")
+            keep = m & (u < thr)
+            means.append(float(units[keep].sum()) / keep.sum())
+        means.sort()
+        assert row["ci_lo"] == means[1] and row["ci_hi"] == means[14]
+        assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+
+
+def test_bootstrap_mean_ci_raises_on_sparse_key(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+
+    from bqf_ray.pipelines.aggregates import bootstrap_mean_ci
+    df = pd.DataFrame({"k": ["solo"], "rid": [1], "v": [5.0]})
+    with pytest.raises(ValueError, match="replicates non-empty"):
+        bootstrap_mean_ci(ray.data.from_pandas(df), "k", "v", "rid",
+                          n_reps=8, rate=0.5)
