@@ -3235,6 +3235,19 @@ def w_frequent_pairs(sf_dir):
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def w_eh_window_events(sf_dir):
+    """DGIM exponential-histogram trailing-window counts (sliding-
+    window sketch: O(L·log n) state per time slice, ordered fold of
+    partials); the by-construction ⌈straddler/2⌉ bound is asserted
+    against the exact count, which the oracle recomputes."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return eh_window_counts(ev, [3600, 86400, 604800, 1814400],
+                            L=32, num_partitions=16)
+
+
 def w_bootstrap_ci_value(sf_dir):
     """Per-event-type CI for mean(value) via deterministic md5
     hash-bootstrap half-sample replicates (B=40, ranks 2/39) — exact
@@ -3764,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules_parts": w_assoc_rules_parts,
         "key_sample_revenue": w_key_sample_revenue,
         "bootstrap_ci_value": w_bootstrap_ci_value,
+        "eh_window_events": w_eh_window_events,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -5495,6 +5509,16 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             JOIN sel lo ON lo.event_type = f.event_type AND lo.rk = 2
             JOIN sel hi ON hi.event_type = f.event_type AND hi.rk = 39""",
+        "eh_window_events": """
+            WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+            w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT
+                         AS window_s)
+            SELECT w.window_s,
+                   (SELECT count(*) FROM events, mx
+                    WHERE epoch_us(ts) > mx.m - w.window_s * 1000000)::BIGINT
+                     AS n_exact,
+                   TRUE AS within_bound
+            FROM w""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

@@ -1,0 +1,98 @@
+"""DGIM exponential histogram — windowed-count sketch contract.
+
+The structural guarantee under test: for ANY cut, |estimate − exact| ≤
+the emitted ⌈straddler/2⌉ bound, after single builds AND after ordered
+folds of time-range partials; plus the size-class invariant, state
+compactness, and the distributed pipeline end-to-end."""
+
+import numpy as np
+import pytest
+
+from bqf_ray.sketches.dgim import ExponentialHistogram
+
+
+def _check_all_cuts(eh, ts, cuts, L):
+    for cut in cuts:
+        est, bound = eh.estimate_after(int(cut))
+        exact = int((ts > cut).sum())
+        assert abs(est - exact) <= bound, (cut, est, exact, bound)
+        if exact > 4 * L:
+            # published relative bound (1/(2L) for single builds; ≤
+            # 1/(L−1) after adjacent-only fold compaction) + slack
+            assert abs(est - exact) / exact <= 1.0 / (L - 1) + 1e-9
+
+
+@pytest.mark.parametrize("L", [4, 8, 32])
+def test_single_build_bound_and_invariants(L):
+    rng = np.random.RandomState(L)
+    n = 60_000
+    ts = np.sort(rng.randint(0, 5_000_000, size=n)).astype(np.int64)
+    eh = ExponentialHistogram.from_sorted(ts, L=L)
+    assert eh.n == n and eh.sizes.sum() == n
+    assert (np.diff(eh.ends) >= 0).all()
+    _, cnts = np.unique(eh.sizes, return_counts=True)
+    assert (cnts <= L + 1).all()                   # canonical size classes
+    assert len(eh.sizes) <= (L + 1) * (int(np.log2(n)) + 2)
+    _check_all_cuts(eh, ts, rng.randint(-1, 5_000_001, size=200), L)
+    # boundary semantics: strict ts > cut
+    est, bound = eh.estimate_after(int(ts[-1]))
+    assert est == 0 and bound == 0
+    whole, b0 = eh.estimate_after(int(ts[0]) - 1)
+    assert whole == n and b0 == 0                  # no span contains the cut
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ordered_fold_preserves_bound(seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(5_000, 80_000)
+    ts = np.sort(rng.randint(0, 1_000_000, size=n)).astype(np.int64)
+    splits = np.sort(rng.choice(n, rng.randint(1, 19), replace=False))
+    L = 16
+    eh = ExponentialHistogram(L=L)
+    for p in np.split(ts, splits):
+        eh.merge_newer(ExponentialHistogram.from_sorted(p, L=L))
+    assert eh.n == n
+    assert (np.diff(eh.ends) >= 0).all()
+    _check_all_cuts(eh, ts, rng.randint(0, 1_000_000, size=150), L)
+    # state stays fold-bounded, far below the stream
+    assert len(eh.sizes) < (L + 1) * 64
+
+
+def test_merge_rejects_overlap_and_l_mismatch():
+    a = ExponentialHistogram.from_sorted(np.array([1, 5, 9]), L=4)
+    b = ExponentialHistogram.from_sorted(np.array([7, 11]), L=4)
+    with pytest.raises(ValueError, match="ordered merge"):
+        a.merge_newer(b)
+    c = ExponentialHistogram.from_sorted(np.array([20]), L=8)
+    with pytest.raises(ValueError, match="L mismatch"):
+        a.merge_newer(c)
+    with pytest.raises(ValueError, match="ascending"):
+        ExponentialHistogram.from_sorted(np.array([3, 1]), L=4)
+
+
+def test_arrays_roundtrip():
+    rng = np.random.RandomState(9)
+    ts = np.sort(rng.randint(0, 99_999, size=7_000)).astype(np.int64)
+    eh = ExponentialHistogram.from_sorted(ts, L=8)
+    back = ExponentialHistogram.from_arrays(*eh.to_arrays())
+    for cut in rng.randint(0, 99_999, size=40):
+        assert back.estimate_after(int(cut)) == eh.estimate_after(int(cut))
+
+
+def test_eh_window_counts_pipeline(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_counts
+    rng = np.random.RandomState(3)
+    base = np.int64(1_700_000_000_000_000)
+    us = base + np.sort(rng.randint(0, 30 * 86_400_000_000, size=20_000,
+                                    dtype=np.int64))
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]")})
+    got = eh_window_counts(ray.data.from_pandas(df).repartition(9),
+                           [3600, 86400, 604800], L=32, num_partitions=8)
+    hi = int(us.max())
+    for _, row in got.iterrows():
+        exact = int((us > hi - row["window_s"] * 1_000_000).sum())
+        assert row["n_exact"] == exact
+        assert bool(row["within_bound"])
