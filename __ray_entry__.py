@@ -2471,6 +2471,19 @@ def w_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def w_freq_directions_cov(sf_dir):
+    """Frequent-Directions matrix sketch (ℓ=16 rows stand in for the
+    full n×64 embedding matrix): spectral covariance error certified
+    against BOTH its own Σδ certificate and the published 2‖A‖²_F/ℓ
+    bound, with the exact ‖A‖²_F an int64 the oracle recomputes."""
+    import ray
+
+    from bqf_ray.pipelines.embeddings import frequent_directions_cov
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return frequent_directions_cov(ds, ell=16, scale=1000)
+
+
 def w_chars_hist_by_source(sf_dir):
     """Exact per-source equi-width histogram of n_chars (the drift /
     PSI input table): local (group, bin) bincount partials through the
@@ -3794,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_daily": w_trending_daily,
         "edge_support_copurchase": w_edge_support,
         "embedding_covariance": w_embedding_covariance,
+        "freq_directions_cov": w_freq_directions_cov,
         "chars_hist_by_source": w_chars_hist_by_source,
         "embedding_dim_quantiles": w_embedding_dim_quantiles,
         "bm25_query": w_bm25_query,
@@ -5360,6 +5374,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT i::BIGINT AS i, j::BIGINT AS j, s FROM p
             UNION ALL SELECT i::BIGINT, j::BIGINT, s FROM m
             UNION ALL SELECT i::BIGINT, j::BIGINT, s FROM c""",
+        "freq_directions_cov": """
+            WITH q AS (SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                         * 1000 + 0.5) AS BIGINT) AS q
+                       FROM embeddings WHERE embedding IS NOT NULL)
+            SELECT 16::BIGINT AS ell, 64::BIGINT AS d,
+                   (SELECT count(*) FROM embeddings
+                    WHERE embedding IS NOT NULL)::BIGINT AS n,
+                   sum(q * q)::BIGINT AS frob_sq,
+                   TRUE AS within_published_bound,
+                   TRUE AS within_certificate
+            FROM q""",
         "edge_support_copurchase": """
             WITH e0 AS (
               SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,

@@ -450,3 +450,66 @@ def test_cuckoo_revocation_zero_fn_deterministic():
     assert cf.delete_batch(revoked).all()
     valid = np.setdiff1d(keys, revoked)
     assert cf.contains_batch(valid).all()
+
+
+# -- Frequent Directions ----------------------------------------------
+
+def _fd_ref(A):
+    G = A.astype(np.int64).T @ A.astype(np.int64)
+    return G.astype(np.float64)
+
+
+@pytest.mark.parametrize("tree_seed", [0, 1, 2])
+def test_frequent_directions_bounds_under_merge_trees(tree_seed):
+    """Structural certificate (err ≤ Σδ) and published bound
+    (err ≤ 2‖A‖²_F/ℓ) hold under arbitrary merge trees; frob/n fold
+    exactly as integers."""
+    from bqf_ray.sketches.freqdir import FrequentDirections
+    rng = np.random.RandomState(7)
+    n, d, ell = 6_000, 24, 12
+    W = rng.randn(d, d) * np.linspace(3, 0.1, d)   # correlated columns
+    A = np.rint((rng.randn(n, d) @ W) * 50)
+    parts = []
+    for chunk in np.array_split(A, 9):
+        f = FrequentDirections(ell=ell, d=d)
+        f.update_batch(chunk)
+        parts.append(f)
+    fd = _random_merge_tree(parts, np.random.RandomState(tree_seed))
+    assert fd.n == n
+    assert fd.frob_sq == int((A.astype(np.int64) ** 2).sum())
+    G = _fd_ref(A)
+    err = fd.spectral_error_vs(G)
+    assert err <= fd.delta_sum * (1 + 1e-9) + 1e-6
+    assert fd.delta_sum <= fd.published_bound() + 1e-6
+    # the sketch is USEFUL, not just bounded: error well under the top
+    # eigenvalue for correlated data
+    top = np.abs(np.linalg.eigvalsh(G)).max()
+    assert err < 0.5 * top
+
+
+def test_frequent_directions_serde_and_validation():
+    from bqf_ray.sketches.base import MergeableSketch
+    from bqf_ray.sketches.freqdir import FrequentDirections
+    rng = np.random.RandomState(1)
+    fd = FrequentDirections(ell=8, d=16)
+    fd.update_batch(np.rint(rng.randn(500, 16) * 100))
+    back = MergeableSketch.from_bytes(fd.to_bytes())
+    assert np.array_equal(back.B, fd.B)
+    assert (back.n, back.frob_sq, back.delta_sum) == \
+        (fd.n, fd.frob_sq, fd.delta_sum)
+    with pytest.raises(ValueError, match="quantized integers"):
+        fd.update_batch(rng.randn(5, 16))          # unquantized floats
+    with pytest.raises(ValueError, match="expected"):
+        fd.update_batch(np.zeros((3, 7)))
+
+
+def test_frequent_directions_psd_underestimate():
+    """FD always UNDER-estimates: AᵀA − BᵀB ≽ 0."""
+    from bqf_ray.sketches.freqdir import FrequentDirections
+    rng = np.random.RandomState(3)
+    A = np.rint(rng.randn(3_000, 20) * 30)
+    fd = FrequentDirections(ell=10, d=20)
+    for chunk in np.array_split(A, 5):
+        fd.update_batch(chunk)
+    diff = _fd_ref(A) - fd.cov_estimate()
+    assert np.linalg.eigvalsh(diff).min() >= -1e-6
