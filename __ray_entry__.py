@@ -2471,6 +2471,18 @@ def w_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def w_supplier_fanout(sf_dir):
+    """Superspreaders: top-20 suppliers by EXACT distinct-part count —
+    pair-bucketed dedupe, key-bucketed count fold, per-block top-k
+    funnel (no global sort); ties by ascending key."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import superspreaders
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_partkey"])
+    return superspreaders(li, "l_suppkey", "l_partkey", k=20)
+
+
 def w_freq_directions_cov(sf_dir):
     """Frequent-Directions matrix sketch (ℓ=16 rows stand in for the
     full n×64 embedding matrix): spectral covariance error certified
@@ -3808,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_copurchase": w_edge_support,
         "embedding_covariance": w_embedding_covariance,
         "freq_directions_cov": w_freq_directions_cov,
+        "supplier_fanout": w_supplier_fanout,
         "chars_hist_by_source": w_chars_hist_by_source,
         "embedding_dim_quantiles": w_embedding_dim_quantiles,
         "bm25_query": w_bm25_query,
@@ -5385,6 +5398,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_published_bound,
                    TRUE AS within_certificate
             FROM q""",
+        "supplier_fanout": """
+            SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT
+                     AS n_partners
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY n_partners DESC, l_suppkey LIMIT 20""",
         "edge_support_copurchase": """
             WITH e0 AS (
               SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,

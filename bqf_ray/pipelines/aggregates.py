@@ -3047,3 +3047,48 @@ def bootstrap_mean_ci(ds, key_col: str, value_col: str, id_col: str,
                     float(means[lo_r - 1]), float(means[hi_r - 1])))
     return pd.DataFrame(out, columns=[key_col, "n", "mean",
                                       "ci_lo", "ci_hi"])
+
+
+def superspreaders(ds, key_col: str, partner_col: str, k: int = 20,
+                   num_buckets: int = 64):
+    """Top-k keys by EXACT distinct-partner count ("superspreaders" /
+    fan-out census: hosts touching the most distinct URLs, suppliers
+    stocking the most distinct parts).  COUNT(DISTINCT) per key at
+    scale without per-key sets: the pair space is what must dedupe, so
+
+    1. distinct (key, partner) pairs — ONE pair-hash bucketed exchange,
+       in-bucket exact dedupe (buckets partition the pair space);
+    2. exact per-key counts — per-bucket count partials pre-aggregated
+       before ONE key-bucketed sum exchange;
+    3. global top-k — per-block top-k partials, ≤ k rows per block to
+       a final merge (:func:`global_top_n`; no global sort).
+
+    Ties break by ascending key (the SQL determinism rule).  Returns
+    ``(key, n_partners)``, largest first."""
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.stages.partition import _col_hash64, bucketed_sum
+
+    B = int(num_buckets)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, partner_col])
+        hk = _col_hash64(t.column(key_col))
+        hp = _col_hash64(t.column(partner_col))
+        pb = fmix64(hk ^ (hp * np.uint64(0x9E3779B97F4A7C15)))
+        t = t.append_column("__pb", pa.array(
+            (pb % np.uint64(B)).astype(np.int64)))
+        # per-batch dedupe shrinks the exchange
+        return t.group_by([key_col, partner_col, "__pb"]).aggregate([])
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by([key_col, partner_col]).aggregate([])
+        return (g.group_by([key_col])
+                .aggregate([([key_col], "count")])
+                .rename_columns([key_col, "pn"]))
+
+    counts = bucketed_sum(
+        (ds.map_batches(pre, batch_format="pyarrow")
+         .groupby("__pb").map_groups(count_bucket, batch_format="pyarrow")),
+        [key_col], {"pn": "n_partners"}, num_buckets=B)
+    return global_top_n(counts, ["n_partners", key_col], int(k),
+                        descending=[True, False])

@@ -82,3 +82,24 @@ def test_grouping_sets_validation(ray_session):
         grouping_sets(ds, ["a"], AGGS, [["b"]])
     with pytest.raises(ValueError, match="non-decomposable"):
         grouping_sets(ds, ["a"], [("v", "avg", "m")], [["a"]])
+
+
+def test_superspreaders_exact_topk(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.aggregates import superspreaders
+    rng = np.random.RandomState(6)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": rng.zipf(1.5, n).clip(max=500).astype(np.int64),
+        "p": rng.randint(0, 800, n).astype(np.int64)})
+    got = superspreaders(ray.data.from_pandas(df).repartition(7),
+                         "k", "p", k=15, num_buckets=8).to_pandas()
+    truth = (df.drop_duplicates().groupby("k").size()
+             .reset_index(name="n_partners")
+             .sort_values(["n_partners", "k"], ascending=[False, True])
+             .head(15).reset_index(drop=True))
+    assert list(got["k"]) == list(truth["k"])
+    assert list(got["n_partners"]) == list(truth["n_partners"])
