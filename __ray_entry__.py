@@ -3273,6 +3273,19 @@ def w_eh_window_events(sf_dir):
                             L=32, num_partitions=16)
 
 
+def w_eh_window_value(sf_dir):
+    """Sum exponential histogram: trailing-window SUM of value-cents
+    estimated from geometric-cumulative buckets, certificate asserted
+    against exact integer-cent window sums the oracle recomputes."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_sums
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    return eh_window_sums(ev, [86400, 604800, 1814400], L=32,
+                          num_partitions=16)
+
+
 def w_bootstrap_ci_value(sf_dir):
     """Per-event-type CI for mean(value) via deterministic md5
     hash-bootstrap half-sample replicates (B=40, ranks 2/39) — exact
@@ -3803,6 +3816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_sample_revenue": w_key_sample_revenue,
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "eh_window_events": w_eh_window_events,
+        "eh_window_value": w_eh_window_value,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -5560,6 +5574,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM events, mx
                     WHERE epoch_us(ts) > mx.m - w.window_s * 1000000)::BIGINT
                      AS n_exact,
+                   TRUE AS within_bound
+            FROM w""",
+        "eh_window_value": """
+            WITH v AS (SELECT epoch_us(ts) AS t,
+                              CAST(round(value * 100) AS BIGINT) AS units
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            mx AS (SELECT max(t) AS m FROM v),
+            w AS (SELECT unnest([86400, 604800, 1814400])::BIGINT
+                         AS window_s)
+            SELECT w.window_s,
+                   (SELECT COALESCE(sum(units), 0) FROM v, mx
+                    WHERE v.t > mx.m - w.window_s * 1000000)::BIGINT
+                     AS sum_units_exact,
                    TRUE AS within_bound
             FROM w""",
         "priority_sample_orders": """

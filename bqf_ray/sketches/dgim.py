@@ -208,3 +208,129 @@ class ExponentialHistogram:
         self.sizes = np.asarray(sizes, dtype=np.int64)
         self.ends = np.asarray(ends, dtype=np.int64)
         return self
+
+
+class ExponentialHistogramSum:
+    """Windowed-SUM exponential histogram over non-negative integer
+    values (revenue cents, token counts) — the sum generalization of
+    DGIM (Datar et al. 2002 §5 treat a value-v arrival as v unit
+    arrivals; exploding is infeasible in batch, so buckets here are
+    formed by GEOMETRIC CELLS of the newest-first cumulative sum:
+    bucket boundaries fall where cumsum crosses powers of (1 + 1/L),
+    giving every bucket sum ≤ ~(newer sum)/L directly).
+
+    Shares the count sketch's estimate machinery: bucket spans
+    partition time, exactly one straddles a cut, counted at half its
+    sum ⇒ |estimate − exact| ≤ ⌈straddler_sum/2⌉ BY CONSTRUCTION (the
+    emitted certificate), with relative error ≈ 1/L + v_max/window_sum
+    (tested with slack).  Ordered merge re-cells the concatenated
+    bucket list on the grown cumulative axis — merged buckets stay
+    within ~2 cell widths because members obeyed their own (narrower)
+    cells when created.  Fully vectorized: build and merge are a
+    cumsum + log + segment-sum."""
+
+    def __init__(self, L: int = 32):
+        if L < 1:
+            raise ValueError("L >= 1")
+        self.L = int(L)
+        self._lg = np.log1p(1.0 / self.L)
+        self.sums = np.empty(0, dtype=np.int64)    # oldest → newest
+        self.ends = np.empty(0, dtype=np.int64)
+        self.total = 0
+        self.n = 0
+        self.min_ts: int | None = None
+        self.max_ts: int | None = None
+
+    def _recell(self, sums: np.ndarray, ends: np.ndarray):
+        """(oldest→newest bucket lists) → merged per geometric cell of
+        the newest-first cumulative axis."""
+        if len(sums) == 0:
+            return sums, ends
+        s_desc = sums[::-1].astype(np.float64)      # newest first
+        c = np.cumsum(s_desc)
+        g = np.floor(np.log(np.maximum(c, 1.0)) / self._lg).astype(np.int64)
+        # segment-sum consecutive equal cells (g nondecreasing)
+        bounds = np.nonzero(np.diff(g))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        stops = np.concatenate((bounds, [len(g)]))
+        cs = np.concatenate(([0], np.cumsum(sums[::-1])))
+        out_s = (cs[stops] - cs[starts]).astype(np.int64)
+        out_e = ends[::-1][starts]                  # newest end of segment
+        return out_s[::-1].copy(), out_e[::-1].copy()
+
+    @classmethod
+    def from_sorted(cls, ts: np.ndarray, values: np.ndarray, L: int = 32
+                    ) -> "ExponentialHistogramSum":
+        self = cls(L)
+        ts = np.asarray(ts, dtype=np.int64)
+        v = np.asarray(values, dtype=np.int64)
+        if len(ts) != len(v):
+            raise ValueError("ts/values length mismatch")
+        if len(ts) == 0:
+            return self
+        if len(ts) > 1 and (np.diff(ts) < 0).any():
+            raise ValueError("timestamps must be ascending")
+        if (v < 0).any():
+            raise ValueError("values must be non-negative")
+        self.sums, self.ends = self._recell(v, ts)
+        self.total = int(v.sum())
+        self.n = len(ts)
+        self.min_ts, self.max_ts = int(ts[0]), int(ts[-1])
+        return self
+
+    def merge_newer(self, other: "ExponentialHistogramSum"
+                    ) -> "ExponentialHistogramSum":
+        if self.L != other.L:
+            raise ValueError(f"L mismatch: {self.L} != {other.L}")
+        if other.n == 0:
+            return self
+        if self.n == 0:
+            self.sums, self.ends = other.sums.copy(), other.ends.copy()
+            self.total, self.n = other.total, other.n
+            self.min_ts, self.max_ts = other.min_ts, other.max_ts
+            return self
+        if other.min_ts < self.max_ts:
+            raise ValueError(
+                f"ordered merge requires other.min_ts ({other.min_ts}) >= "
+                f"self.max_ts ({self.max_ts}); repartition by time range")
+        self.sums, self.ends = self._recell(
+            np.concatenate([self.sums, other.sums]),
+            np.concatenate([self.ends, other.ends]))
+        self.total += other.total
+        self.n += other.n
+        self.max_ts = other.max_ts
+        return self
+
+    def estimate_after(self, cut: int) -> tuple[int, int]:
+        """(estimated sum of values with ts > cut, certificate bound)."""
+        if self.n == 0:
+            return 0, 0
+        i = int(np.searchsorted(self.ends, cut, side="right"))
+        if i >= len(self.ends):
+            return 0, 0
+        inside = int(self.sums[i + 1:].sum())
+        straddler = int(self.sums[i])
+        if i == 0 and self.min_ts is not None and self.min_ts > cut:
+            return inside + straddler, 0
+        return inside + straddler - straddler // 2, (straddler + 1) // 2
+
+    def state_nbytes(self) -> int:
+        return int(self.sums.nbytes + self.ends.nbytes)
+
+    def to_arrays(self):
+        return (np.int64(self.L), np.int64(self.n), np.int64(self.total),
+                np.int64(-1 if self.min_ts is None else self.min_ts),
+                np.int64(-1 if self.max_ts is None else self.max_ts),
+                self.sums, self.ends)
+
+    @classmethod
+    def from_arrays(cls, L, n, total, min_ts, max_ts, sums, ends
+                    ) -> "ExponentialHistogramSum":
+        self = cls(int(L))
+        self.n = int(n)
+        self.total = int(total)
+        self.min_ts = None if int(min_ts) < 0 else int(min_ts)
+        self.max_ts = None if int(max_ts) < 0 else int(max_ts)
+        self.sums = np.asarray(sums, dtype=np.int64)
+        self.ends = np.asarray(ends, dtype=np.int64)
+        return self

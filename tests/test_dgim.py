@@ -96,3 +96,64 @@ def test_eh_window_counts_pipeline(ray_session):
         exact = int((us > hi - row["window_s"] * 1_000_000).sum())
         assert row["n_exact"] == exact
         assert bool(row["within_bound"])
+
+
+# -- sum variant ------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_eh_sum_bound_single_and_folded(seed):
+    from bqf_ray.sketches.dgim import ExponentialHistogramSum as EHS
+    rng = np.random.RandomState(seed)
+    n = rng.randint(3_000, 60_000)
+    ts = np.sort(rng.randint(0, 800_000, size=n)).astype(np.int64)
+    v = rng.randint(0, 2_000, size=n).astype(np.int64)
+    L = 32
+    splits = np.sort(rng.choice(n, rng.randint(1, 15), replace=False))
+    eh = EHS(L=L)
+    for ps, pv in zip(np.split(ts, splits), np.split(v, splits)):
+        eh.merge_newer(EHS.from_sorted(ps, pv, L=L))
+    assert eh.total == int(v.sum()) and eh.sums.sum() == int(v.sum())
+    assert (np.diff(eh.ends) >= 0).all()
+    vmax = int(v.max())
+    for cut in rng.randint(-1, 800_001, size=120):
+        est, bound = eh.estimate_after(int(cut))
+        exact = int(v[ts > cut].sum())
+        assert abs(est - exact) <= bound, (cut, est, exact, bound)
+        if exact > 30 * vmax:
+            # ~1/L relative + v_max additive, with slack
+            assert abs(est - exact) <= exact / L + vmax
+    # state is sketch-sized, not stream-sized
+    assert len(eh.sums) < 40 * L
+
+
+def test_eh_sum_rejects_bad_input():
+    from bqf_ray.sketches.dgim import ExponentialHistogramSum as EHS
+    with pytest.raises(ValueError, match="non-negative"):
+        EHS.from_sorted(np.array([1, 2]), np.array([1, -1]), L=4)
+    with pytest.raises(ValueError, match="ascending"):
+        EHS.from_sorted(np.array([2, 1]), np.array([1, 1]), L=4)
+    a = EHS.from_sorted(np.array([5, 9]), np.array([1, 2]), L=4)
+    b = EHS.from_sorted(np.array([7]), np.array([3]), L=4)
+    with pytest.raises(ValueError, match="ordered merge"):
+        a.merge_newer(b)
+
+
+def test_eh_window_sums_pipeline(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_sums
+    rng = np.random.RandomState(5)
+    base = np.int64(1_700_000_000_000_000)
+    us = base + np.sort(rng.randint(0, 20 * 86_400_000_000, size=15_000,
+                                    dtype=np.int64))
+    vals = np.round(rng.gamma(2.0, 30.0, size=15_000), 2)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"), "value": vals})
+    got = eh_window_sums(ray.data.from_pandas(df).repartition(8),
+                         [3600, 86400, 604800], L=32, num_partitions=8)
+    units = np.rint(vals * 100).astype(np.int64)
+    hi = int(us.max())
+    for _, row in got.iterrows():
+        exact = int(units[us > hi - row["window_s"] * 1_000_000].sum())
+        assert row["sum_units_exact"] == exact
+        assert bool(row["within_bound"])
