@@ -2471,6 +2471,20 @@ def w_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def w_join_hot_users(sf_dir):
+    """Join-skew pre-flight: top-20 users by exact click×purchase join
+    contribution (c_l·c_r) — one key-bucketed count exchange, per-block
+    top-k funnel; the planner signal behind salting/broadcast routing."""
+    import ray
+
+    from bqf_ray.pipelines.relational import join_hot_keys
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    return join_hot_keys(clicks, buys, "user_id", k=20)
+
+
 def w_supplier_fanout(sf_dir):
     """Superspreaders: top-20 suppliers by EXACT distinct-part count —
     pair-bucketed dedupe, key-bucketed count fold, per-block top-k
@@ -3835,6 +3849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": w_embedding_covariance,
         "freq_directions_cov": w_freq_directions_cov,
         "supplier_fanout": w_supplier_fanout,
+        "join_hot_users": w_join_hot_users,
         "chars_hist_by_source": w_chars_hist_by_source,
         "embedding_dim_quantiles": w_embedding_dim_quantiles,
         "bm25_query": w_bm25_query,
@@ -5417,6 +5432,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_partners
             FROM lineitem GROUP BY l_suppkey
             ORDER BY n_partners DESC, l_suppkey LIMIT 20""",
+        "join_hot_users": """
+            WITH l AS (SELECT user_id AS key, count(*)::BIGINT AS c
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+            r AS (SELECT user_id AS key, count(*)::BIGINT AS c
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT COALESCE(l.key, r.key) AS key,
+                   COALESCE(l.c, 0)::BIGINT AS c_left,
+                   COALESCE(r.c, 0)::BIGINT AS c_right,
+                   (COALESCE(l.c, 0) * COALESCE(r.c, 0))::BIGINT
+                     AS contribution
+            FROM l FULL JOIN r ON l.key = r.key
+            ORDER BY contribution DESC, COALESCE(l.key, r.key) LIMIT 20""",
         "edge_support_copurchase": """
             WITH e0 AS (
               SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,

@@ -1423,3 +1423,58 @@ def key_sample_join(left_ds, right_ds, key: str, rate: float,
     rs = hash_sample(right_ds, rate, key_col=key, salt=salt, algo=algo)
     return partitioned_hash_join(ls, rs, key, num_buckets=num_buckets,
                                  how=how, suffix=suffix)
+
+
+def join_hot_keys(left_ds, right_ds, left_key: str,
+                  right_key: str | None = None, k: int = 20,
+                  num_buckets: int = 64):
+    """Join-skew diagnosis — the shuffle-planner's pre-flight check at
+    100 TB: for an equi-join, each key contributes ``c_left · c_right``
+    output rows, so one hot key (a bot user, an empty-string URL, a
+    default timestamp) can dominate the whole exchange.  This reports
+    the top-k keys by exact contribution BEFORE anyone pays for the
+    join, the signal that drives the library's own mitigations
+    (salting via ``stages.partition.add_salt``, broadcast/semi-join
+    routing, key quarantine).
+
+    Plan: per-batch (key, side) count partials pre-aggregated, ONE
+    key-bucketed exchange; buckets pivot sides wide and compute exact
+    ``contribution = c_left · c_right`` plus local top-k partials;
+    :func:`~bqf_ray.pipelines.aggregates.global_top_n` funnels ≤ k
+    rows per block (no global sort).  Keys absent from a side count 0
+    (contribution 0 — never hot).  Ties break by ascending key.
+    Returns ``(key, c_left, c_right, contribution)``, largest first."""
+    from bqf_ray.pipelines.aggregates import global_top_n
+    from bqf_ray.stages.partition import bucketed_sum
+
+    rk = right_key or left_key
+
+    def count_side(key_col: str, out_side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table({"key": batch.column(key_col)})
+            g = (t.group_by(["key"]).aggregate([("key", "count")])
+                 .rename_columns(["key", "pn"]))
+            z = np.zeros(len(g), dtype=np.int64)
+            pn = np.asarray(g.column("pn"), dtype=np.int64)
+            return pa.table({
+                "key": g.column("key"),
+                "pl": pa.array(pn if out_side == "l" else z),
+                "pr": pa.array(pn if out_side == "r" else z)})
+        return fn
+
+    both = (left_ds.map_batches(count_side(left_key, "l"),
+                                batch_format="pyarrow")
+            .union(right_ds.map_batches(count_side(rk, "r"),
+                                        batch_format="pyarrow")))
+    counts = bucketed_sum(both, ["key"],
+                          {"pl": "c_left", "pr": "c_right"},
+                          num_buckets=num_buckets)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        cl = np.asarray(batch.column("c_left"), dtype=np.int64)
+        cr = np.asarray(batch.column("c_right"), dtype=np.int64)
+        return batch.append_column("contribution", pa.array(cl * cr))
+
+    return global_top_n(counts.map_batches(contrib, batch_format="pyarrow"),
+                        ["contribution", "key"], int(k),
+                        descending=[True, False])

@@ -540,3 +540,31 @@ def test_key_sample_join_correlated_and_unbiased_shape(ray_session):
     obs = got.groupby("k").size().to_dict()
     expc = exp.groupby("k").size().to_dict()
     assert obs == expc
+
+
+def test_join_hot_keys_exact_contributions(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.relational import join_hot_keys
+    rng = np.random.RandomState(1)
+    lk = rng.zipf(1.4, 5000).clip(max=200).astype(np.int64)
+    rk = rng.zipf(1.4, 4000).clip(max=250).astype(np.int64)
+    got = join_hot_keys(
+        ray.data.from_arrow(pa.table({"a": pa.array(lk)})).repartition(5),
+        ray.data.from_arrow(pa.table({"b": pa.array(rk)})).repartition(4),
+        "a", right_key="b", k=10, num_buckets=8).to_pandas()
+    cl = pd.Series(lk).value_counts()
+    cr = pd.Series(rk).value_counts()
+    keys = sorted(set(cl.index) | set(cr.index))
+    ref = pd.DataFrame({
+        "key": keys,
+        "c_left": [int(cl.get(k, 0)) for k in keys],
+        "c_right": [int(cr.get(k, 0)) for k in keys]})
+    ref["contribution"] = ref["c_left"] * ref["c_right"]
+    ref = (ref.sort_values(["contribution", "key"],
+                           ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["key", "c_left", "c_right",
+                                    "contribution"]], ref)
