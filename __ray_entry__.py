@@ -3287,6 +3287,19 @@ def w_eh_window_events(sf_dir):
                             L=32, num_partitions=16)
 
 
+def w_eh_window_by_type(sf_dir):
+    """Per-event-type DGIM windowed counts (one EH per (key, slice),
+    folded per key; global-clock cuts) — grouped streaming-window
+    sketch with per-key certificates vs SQL-exact counts."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_counts_by_key
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return eh_window_counts_by_key(ev, "event_type", [86400, 604800],
+                                   L=16, num_partitions=8)
+
+
 def w_eh_window_value(sf_dir):
     """Sum exponential histogram: trailing-window SUM of value-cents
     estimated from geometric-cumulative buckets, certificate asserted
@@ -3831,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
+        "eh_window_by_type": w_eh_window_by_type,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -5617,6 +5631,17 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_units_exact,
                    TRUE AS within_bound
             FROM w""",
+        "eh_window_by_type": """
+            WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+            w AS (SELECT unnest([86400, 604800])::BIGINT AS window_s),
+            k AS (SELECT DISTINCT event_type FROM events)
+            SELECT k.event_type, w.window_s,
+                   (SELECT count(*) FROM events e, mx
+                    WHERE e.event_type = k.event_type
+                      AND epoch_us(e.ts) > mx.m - w.window_s * 1000000
+                   )::BIGINT AS n_exact,
+                   TRUE AS within_bound
+            FROM k CROSS JOIN w""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

@@ -2059,3 +2059,106 @@ def eh_window_sums(ds, windows_s: list[int], ts_col: str = "ts",
         rows.append((w, int(exact[w]), abs(est - exact[w]) <= bound))
     return pd.DataFrame(rows, columns=["window_s", "sum_units_exact",
                                        "within_bound"])
+
+
+def eh_window_counts_by_key(ds, key_col: str, windows_s: list[int],
+                            ts_col: str = "ts", L: int = 32,
+                            num_partitions: int = 16):
+    """GROUPED trailing-window counts through per-key DGIM exponential
+    histograms: one sketch per (key, time slice), folded per key in
+    slice order — per-key state is O(L·log n_key), so a categorical
+    key simply multiplies the (tiny) partial table, never the stream.
+    Window cuts are anchored at the GLOBAL max timestamp (one shared
+    clock, the cross-key-comparable convention).
+
+    Same certificate contract as :func:`eh_window_counts`, per key:
+    returns ``(key, window_s, n_exact, within_bound)`` with the exact
+    side recomputed independently (SQL-checkable)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from bqf_ray.sketches.dgim import ExponentialHistogram
+
+    P = int(num_partitions)
+    wins = [int(w) for w in windows_s]
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column(key_col).is_valid())
+        return pa.table({
+            "k": t.column(key_col),
+            "ts_us": t.column(ts_col).cast(pa.int64())})
+
+    us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    env = us.aggregate(Min("ts_us", alias_name="lo"),
+                       Max("ts_us", alias_name="hi"))
+    lo, hi = int(env["lo"]), int(env["hi"])
+    span = max(hi - lo + 1, 1)
+
+    def slice_pid(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch.column("ts_us"), dtype=np.int64)
+        return batch.append_column(
+            "__pid", pa.array(((t - lo) * P) // span))
+
+    def build_eh(group: pa.Table) -> pa.Table:
+        t = np.sort(np.asarray(group.column("ts_us"), dtype=np.int64))
+        eh = ExponentialHistogram.from_sorted(t, L=L)
+        _, n, mn, mx, sizes, ends = eh.to_arrays()
+        return pa.table({
+            "k": group.column("k").slice(0, 1),
+            "pid": pa.array([int(group.column("__pid")[0].as_py())],
+                            pa.int64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "min_ts": pa.array([int(mn)], pa.int64()),
+            "max_ts": pa.array([int(mx)], pa.int64()),
+            "sizes": pa.array([sizes.tobytes()], pa.binary()),
+            "ends": pa.array([ends.tobytes()], pa.binary())})
+
+    parts = (us.map_batches(slice_pid, batch_format="pyarrow")
+             .groupby(["k", "__pid"])
+             .map_groups(build_eh, batch_format="pyarrow")
+             .take_all())
+    parts.sort(key=lambda r: (str(r["k"]), r["pid"]))
+    ehs: dict = {}
+    for r in parts:
+        eh = ehs.setdefault(r["k"], ExponentialHistogram(L=L))
+        eh.merge_newer(ExponentialHistogram.from_arrays(
+            L, r["n"], r["min_ts"], r["max_ts"],
+            np.frombuffer(r["sizes"], dtype=np.int64),
+            np.frombuffer(r["ends"], dtype=np.int64)))
+
+    cuts = {w: hi - w * 1_000_000 for w in wins}
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = batch.column("k")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        nk = len(enc.dictionary)
+        t = np.asarray(batch.column("ts_us"), dtype=np.int64)
+        ks, ws, ns = [], [], []
+        for w in wins:
+            cnt = np.bincount(code[t > cuts[w]], minlength=nk)
+            ks.append(np.arange(nk))
+            ws.append(np.full(nk, w, dtype=np.int64))
+            ns.append(cnt.astype(np.int64))
+        return pa.table({
+            "k": enc.dictionary.take(pa.array(np.concatenate(ks))),
+            "window_s": pa.array(np.concatenate(ws)),
+            "pn": pa.array(np.concatenate(ns))})
+
+    exact = {(r["k"], r["window_s"]): r["n"] for r in
+             (us.map_batches(exact_partial, batch_format="pyarrow")
+              .groupby(["k", "window_s"])
+              .aggregate(Sum("pn", alias_name="n")).take_all())}
+
+    rows = []
+    for k in sorted(ehs, key=str):
+        for w in wins:
+            est, bound = ehs[k].estimate_after(cuts[w])
+            ex = int(exact.get((k, w), 0))
+            rows.append((k, w, ex, abs(est - ex) <= bound))
+    return pd.DataFrame(rows, columns=[key_col, "window_s", "n_exact",
+                                       "within_bound"])

@@ -157,3 +157,26 @@ def test_eh_window_sums_pipeline(ray_session):
         exact = int(units[us > hi - row["window_s"] * 1_000_000].sum())
         assert row["sum_units_exact"] == exact
         assert bool(row["within_bound"])
+
+
+def test_eh_window_counts_by_key_pipeline(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_counts_by_key
+    rng = np.random.RandomState(11)
+    n = 12_000
+    base = np.int64(1_700_000_000_000_000)
+    us = base + rng.randint(0, 14 * 86_400_000_000, size=n, dtype=np.int64)
+    keys = rng.choice(["a", "b", "c"], size=n)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"), "k": keys})
+    got = eh_window_counts_by_key(
+        ray.data.from_pandas(df).repartition(7), "k",
+        [3600, 86400, 604800], L=16, num_partitions=6)
+    hi = int(us.max())                      # global clock
+    assert len(got) == 3 * 3
+    for _, row in got.iterrows():
+        m = keys == row["k"]
+        exact = int((us[m] > hi - row["window_s"] * 1_000_000).sum())
+        assert row["n_exact"] == exact
+        assert bool(row["within_bound"])
