@@ -3287,6 +3287,19 @@ def w_eh_window_events(sf_dir):
                             L=32, num_partitions=16)
 
 
+def w_resampled_interp_value(sf_dir):
+    """Per-user 6h-grid LINEAR-interpolation resample (companion to
+    the LOCF `resampled_value`): fixed IEEE interpolation expression
+    over exact µs integers, mirrored verbatim in SQL."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import resample_interp
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "value"])
+    return resample_interp(ev, 21600)
+
+
 def w_eh_window_by_type(sf_dir):
     """Per-event-type DGIM windowed counts (one EH per (key, slice),
     folded per key; global-clock cuts) — grouped streaming-window
@@ -3845,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
+        "resampled_interp_value": w_resampled_interp_value,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -6553,4 +6567,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM u)
             SELECT user_id, make_timestamp(o) AS grid_ts, value
             FROM f WHERE tag = 1""",
+        "resampled_interp_value": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS tu, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)),
+            o AS (SELECT user_id, tu, value FROM e WHERE rn = 1),
+            b AS (SELECT user_id,
+                         ((min(tu) + 21600000000 - 1) // 21600000000)
+                             * 21600000000 AS gf,
+                         (max(tu) // 21600000000) * 21600000000 AS gl
+                  FROM o GROUP BY 1),
+            g AS (SELECT user_id,
+                         UNNEST(range(gf, gl + 1, 21600000000)) AS gt
+                  FROM b WHERE gl >= gf),
+            p AS (SELECT g.user_id, g.gt, o.tu, o.value,
+                         ROW_NUMBER() OVER (PARTITION BY g.user_id, g.gt
+                                            ORDER BY o.tu DESC) AS rk
+                  FROM g JOIN o ON o.user_id = g.user_id
+                                AND o.tu <= g.gt),
+            nx AS (SELECT g.user_id, g.gt, o.tu, o.value,
+                          ROW_NUMBER() OVER (PARTITION BY g.user_id, g.gt
+                                             ORDER BY o.tu ASC) AS rk
+                   FROM g JOIN o ON o.user_id = g.user_id
+                                 AND o.tu > g.gt)
+            SELECT p.user_id, make_timestamp(p.gt) AS grid_ts,
+                   CASE WHEN p.tu = p.gt THEN p.value
+                        ELSE p.value + (n.value - p.value) *
+                             ((p.gt - p.tu)::DOUBLE / (n.tu - p.tu)) END
+                     AS value
+            FROM p LEFT JOIN nx n ON n.user_id = p.user_id
+                                  AND n.gt = p.gt AND n.rk = 1
+            WHERE p.rk = 1""",
     }

@@ -2162,3 +2162,116 @@ def eh_window_counts_by_key(ds, key_col: str, windows_s: list[int],
             rows.append((k, w, ex, abs(est - ex) <= bound))
     return pd.DataFrame(rows, columns=[key_col, "window_s", "n_exact",
                                        "within_bound"])
+
+
+def resample_interp(ds, step_s: int, value_col: str = "value",
+                    ts_col: str = "ts", key_col: str = "user_id",
+                    id_col: str = "event_id", num_buckets: int = 32):
+    """Per-key time-grid resample with LINEAR INTERPOLATION — the
+    companion to :func:`resample_locf` for continuous signals: for
+    every epoch-aligned grid point ``g`` with ``first_obs ≤ g ≤
+    last_obs`` within the key, emit the value interpolated between the
+    bracketing observations,
+
+        v = v₁ + (v₂ − v₁) · ratio,   ratio = (g − t₁) / (t₂ − t₁)
+
+    (a fixed IEEE expression over exact µs integers, mirrored verbatim
+    in the SQL oracle — no order-dependent float folds).  Observations
+    first collapse to ONE per (key, ts) (max ``id`` wins — the LOCF
+    tie rule), so ``t₂ > t₁`` strictly; a grid point landing exactly
+    on an observation takes its value.
+
+    Same shape as LOCF: ONE key-bucket shuffle; per-key grids
+    generated vectorized; bracketing found by one forward
+    ``maximum.accumulate`` (prev) and one reverse pass (next) over a
+    single merged lexsort — no per-key loop, no driver grid.  Output
+    ``(key_col, grid_ts [timestamp µs], value [float64])``."""
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+    STEP = int(step_s) * 1_000_000
+    if STEP <= 0:
+        raise ValueError("step_s must be positive")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(batch.column(ts_col).is_valid(),
+                     batch.column(value_col).is_valid())
+        if pa.types.is_floating(batch.schema.field(value_col).type):
+            ok = pc.and_(ok, pc.fill_null(
+                pc.is_finite(batch.column(value_col)), False))
+        batch = batch.filter(ok)
+        uid = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(ts_col)).astype("datetime64[us]"
+                                                     ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(batch.column(id_col), pa.int64()),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def interp_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.float64)
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "grid_ts": pa.array([], pa.timestamp("us")),
+                          value_col: pa.array([], pa.float64())})
+        if len(u) == 0:
+            return empty
+        order = np.lexsort((i, t, u))
+        u, t, v = u[order], t[order], v[order]
+        # collapse to one observation per (u, t): LAST in order = max id
+        last = np.concatenate([(u[1:] != u[:-1]) | (t[1:] != t[:-1]),
+                               [True]])
+        u, t, v = u[last], t[last], v[last]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(u)))
+        mn = t[starts]
+        mx = t[starts + counts - 1]
+        gf = -(-mn // STEP) * STEP
+        gl = (mx // STEP) * STEP
+        ng = np.maximum((gl - gf) // STEP + 1, 0)
+        total = int(ng.sum())
+        if total == 0:
+            return empty
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), ng)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(ng) - ng, ng))
+        g_u = u[starts][seg]
+        g_t = gf[seg] + within * STEP
+        # merged order: obs (tag 0) before grid at equal (key, ts)
+        au = np.concatenate([u, g_u])
+        at = np.concatenate([t, g_t])
+        tag = np.concatenate([np.zeros(len(u), dtype=np.int8),
+                              np.ones(total, dtype=np.int8)])
+        morder = np.lexsort((tag, at, au))
+        mtag = tag[morder]
+        n_m = len(morder)
+        src = np.where(mtag == 0, np.arange(n_m, dtype=np.int64), -1)
+        prev_pos = np.maximum.accumulate(src)          # last obs ≤ g
+        # next obs strictly after in the merged order = first obs with
+        # ts > g (equal-ts obs sorted BEFORE the grid row)
+        nxt = np.where(mtag == 0, np.arange(n_m, dtype=np.int64), n_m)
+        next_pos = np.minimum.accumulate(nxt[::-1])[::-1]
+        gmask = mtag == 1
+        p_idx = morder[prev_pos[gmask]]                # into obs half
+        t1, v1 = t[p_idx], v[p_idx]
+        gt = at[morder][gmask]
+        exact = t1 == gt
+        # clamp: where exact, next is unused (avoid n_m sentinel deref)
+        np_pos = next_pos[gmask]
+        np_pos = np.where(exact, prev_pos[gmask], np_pos)
+        n_idx = morder[np_pos]
+        t2, v2 = t[n_idx], v[n_idx]
+        ratio = (gt - t1).astype(np.float64) / (t2 - t1 + exact)
+        out_v = np.where(exact, v1, v1 + (v2 - v1) * ratio)
+        return pa.table({
+            key_col: pa.array(au[morder][gmask]),
+            "grid_ts": pa.array(gt.astype("datetime64[us]")),
+            value_col: pa.array(out_v)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(interp_bucket, batch_format="pyarrow"))

@@ -129,3 +129,49 @@ def test_resample_locf_equal_ts_max_id_wins(ray_session):
     out = resample_locf(ray.data.from_arrow(tbl), 1).to_pandas() \
         .sort_values("grid_ts").reset_index(drop=True)
     assert list(out["value"]) == [7.0, 7.0, 9.0]   # max id at t0 wins
+
+
+def test_resample_interp_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import resample_interp
+    rng = np.random.RandomState(2)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 30, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (np.int64(1_700_000_000_000_000)
+               + rng.randint(0, 8 * 86_400_000_000, n)
+               ).astype("datetime64[us]"),
+        "value": np.round(rng.gamma(2, 20, n), 2)})
+    # duplicate-ts rows exercise the max-id collapse
+    dup = df.iloc[:50].copy()
+    dup["event_id"] += n
+    dup["value"] += 1.0
+    df = pd.concat([df, dup], ignore_index=True)
+    STEP = 21_600 * 1_000_000
+    got = (resample_interp(ray.data.from_pandas(df).repartition(6), 21_600)
+           .to_pandas().sort_values(["user_id", "grid_ts"])
+           .reset_index(drop=True))
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = (g.sort_values(["ts", "event_id"])
+             .drop_duplicates("ts", keep="last"))
+        t = g["ts"].astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        lo, hi = -(-t.min() // STEP) * STEP, (t.max() // STEP) * STEP
+        for gt in range(lo, hi + 1, STEP):
+            j = np.searchsorted(t, gt, side="right") - 1
+            if t[j] == gt:
+                val = v[j]
+            else:
+                k = np.searchsorted(t, gt, side="left")
+                ratio = np.float64(gt - t[j]) / (t[k] - t[j])
+                val = v[j] + (v[k] - v[j]) * ratio
+            rows.append((uid, gt, val))
+    ref = pd.DataFrame(rows, columns=["user_id", "grid_ts", "value"])
+    ref["grid_ts"] = ref["grid_ts"].astype("datetime64[us]")
+    ref = (ref.sort_values(["user_id", "grid_ts"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
