@@ -3341,6 +3341,23 @@ def w_bootstrap_ci_value(sf_dir):
                              lo_rank=2, hi_rank=39)
 
 
+def w_recs_copurchase(sf_dir):
+    """Item-to-item recommendations: top-3 co-purchase partners per
+    part by lift (conf tiebreak, then consequent) — association_rules
+    into the per-key top-n funnel, no whole-group materialization."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_top_n
+    from bqf_ray.pipelines.graph import association_rules
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_support=2, min_conf=0.0)
+    return grouped_top_n(rules, "antecedent",
+                         ["lift", "confidence", "consequent"], 3,
+                         descending=[True, True, False])
+
+
 def w_key_sample_revenue(sf_dir):
     """Correlated KEY-level sample join (orders ⋈ lineitem at rate 0.2
     on the same md5 key predicate both sides — join groups survive
@@ -3854,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs": w_frequent_pairs,
         "assoc_rules_parts": w_assoc_rules_parts,
         "key_sample_revenue": w_key_sample_revenue,
+        "recs_copurchase": w_recs_copurchase,
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
@@ -5579,6 +5597,36 @@ def oracle_sql() -> dict[str, str]:
                    c_ab / c_ante AS confidence,
                    (c_ab * n_groups) / (c_ante * c_cons) AS lift
             FROM rules WHERE c_ab / c_ante >= 0.08""",
+        "recs_copurchase": """
+            WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                        FROM lineitem),
+            p AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS c_ab
+                  FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i
+                  GROUP BY 1, 2),
+            s AS (SELECT i, count(*)::BIGINT AS c FROM gi GROUP BY 1),
+            ng AS (SELECT count(DISTINCT g)::BIGINT AS n FROM gi),
+            pairs AS (SELECT p.a, p.b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+                             ng.n
+                      FROM p JOIN s sa ON sa.i = p.a
+                             JOIN s sb ON sb.i = p.b CROSS JOIN ng
+                      WHERE p.c_ab >= 2),
+            rules AS (
+              SELECT a AS antecedent, b AS consequent, c_ab,
+                     c_a AS c_ante, c_b AS c_cons, n AS n_groups FROM pairs
+              UNION ALL
+              SELECT b, a, c_ab, c_b, c_a, n FROM pairs),
+            full_rules AS (
+              SELECT antecedent, consequent, c_ab, c_ante, c_cons,
+                     n_groups, c_ab / c_ante AS confidence,
+                     (c_ab * n_groups) / (c_ante * c_cons) AS lift
+              FROM rules)
+            SELECT * FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY antecedent
+                          ORDER BY lift DESC, confidence DESC,
+                                   consequent) AS rk
+              FROM full_rules)
+            WHERE rk <= 3""",
         "key_sample_revenue": """
             WITH so AS (SELECT o_orderkey, o_orderpriority FROM orders
                         WHERE ('0x' || substr(md5(o_orderkey::VARCHAR
