@@ -2458,6 +2458,21 @@ def w_edge_support(sf_dir):
         cooccurrence_edges(li, "l_orderkey", "l_partkey"))
 
 
+def w_clustering_copurchase(sf_dir):
+    """Per-node Watts-Strogatz clustering coefficient over the part
+    co-purchase graph: Σ edge-support per endpoint = 2·t(v) and degree
+    ride ONE node-bucketed exchange; coefficient is a single IEEE
+    division of exact ints (SQL-replayed)."""
+    import ray
+
+    from bqf_ray.pipelines.graph import (clustering_coefficients,
+                                         cooccurrence_edges)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return clustering_coefficients(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
 def w_embedding_covariance(sf_dir):
     """Exact int64 Gram/covariance components of the embedding table:
     per-batch qᵀq int64 matmul partials (order-independent, bit-exact
@@ -3892,6 +3907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_purity": w_source_purity,
         "trending_daily": w_trending_daily,
         "edge_support_copurchase": w_edge_support,
+        "clustering_copurchase": w_clustering_copurchase,
         "embedding_covariance": w_embedding_covariance,
         "freq_directions_cov": w_freq_directions_cov,
         "supplier_fanout": w_supplier_fanout,
@@ -5506,6 +5522,30 @@ def oracle_sql() -> dict[str, str]:
                       UNION ALL SELECT x, z FROM tri) GROUP BY 1, 2)
             SELECT e0.a, e0.b, COALESCE(sup.s, 0)::BIGINT AS support
             FROM e0 LEFT JOIN sup USING (a, b)""",
+        "clustering_copurchase": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                              GREATEST(l1.l_partkey, l2.l_partkey) AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey <> l2.l_partkey),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                         JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+            sup AS (SELECT a, b, count(*)::BIGINT AS s FROM (
+                      SELECT x AS a, y AS b FROM tri
+                      UNION ALL SELECT y, z FROM tri
+                      UNION ALL SELECT x, z FROM tri) GROUP BY 1, 2),
+            es AS (SELECT e0.a, e0.b, COALESCE(sup.s, 0)::BIGINT AS s
+                   FROM e0 LEFT JOIN sup USING (a, b)),
+            nodes AS (SELECT a AS node, s FROM es
+                      UNION ALL SELECT b, s FROM es),
+            agg AS (SELECT node, sum(s)::BIGINT AS sum_support,
+                           count(*)::BIGINT AS degree
+                    FROM nodes GROUP BY 1)
+            SELECT node, degree, sum_support,
+                   sum_support / (degree * (degree - 1)) AS clustering
+            FROM agg WHERE degree >= 2""",
         "scd2_events": """
             SELECT event_id, user_id, ts AS valid_from,
                    lead(ts) OVER (PARTITION BY user_id

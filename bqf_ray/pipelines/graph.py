@@ -2127,3 +2127,51 @@ def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
                          "node": pa.array(np.concatenate(out_n))})
 
     return walks.map_batches(advance, batch_format="pyarrow")
+
+
+def clustering_coefficients(edges_ds, a_col: str = "a", b_col: str = "b",
+                            num_buckets: int = 64,
+                            broadcast_budget_bytes: int = 1 << 30):
+    """Per-node local clustering coefficient — Watts–Strogatz
+    ``c(v) = 2·t(v) / (d(v)·(d(v)−1))`` with ``t(v)`` the triangles
+    through v, computed WITHOUT per-node neighbor sets: per-edge
+    triangle support already satisfies ``Σ_{(v,u)} support = 2·t(v)``,
+    so one endpoint-explode of :func:`edge_triangle_support`'s output
+    carrying ``(support, 1)`` partials and ONE node-bucketed sum give
+    both ``2t(v)`` and ``d(v)`` in the same exchange.  The coefficient
+    is a single IEEE division of exact int64s — SQL-replayable.
+    Nodes with ``d < 2`` have no defined coefficient and are dropped
+    (mirror ``WHERE degree >= 2``).  Output ``(node, degree,
+    sum_support, clustering)``."""
+    from bqf_ray.stages.partition import bucketed_sum
+
+    sup = edge_triangle_support(
+        edges_ds, a_col=a_col, b_col=b_col, num_buckets=num_buckets,
+        broadcast_budget_bytes=broadcast_budget_bytes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column(a_col), dtype=np.int64)
+        b = np.asarray(batch.column(b_col), dtype=np.int64)
+        s = np.asarray(batch.column("support"), dtype=np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "ps": pa.array(np.concatenate([s, s])),
+            "pd": pa.array(np.ones(2 * len(a), dtype=np.int64))})
+
+    sums = bucketed_sum(sup.map_batches(explode, batch_format="pyarrow"),
+                        ["node"], {"ps": "sum_support", "pd": "degree"},
+                        num_buckets=num_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("degree"), dtype=np.int64)
+        ss = np.asarray(batch.column("sum_support"), dtype=np.int64)
+        keep = d >= 2
+        d, ss = d[keep], ss[keep]
+        return pa.table({
+            "node": pa.array(np.asarray(batch.column("node"),
+                                        dtype=np.int64)[keep]),
+            "degree": pa.array(d),
+            "sum_support": pa.array(ss),
+            "clustering": pa.array(ss.astype(np.float64) / (d * (d - 1)))})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -525,3 +525,36 @@ def test_link_prediction_min_cn_validation(ray_session):
                                        "b": pa.array([2])}))
     with pytest.raises(ValueError):
         link_prediction(ds, min_cn=0)
+
+
+def test_clustering_coefficients_matches_brute_force(ray_session):
+    import itertools
+
+    import ray
+
+    from bqf_ray.pipelines.graph import clustering_coefficients
+    rng = np.random.RandomState(8)
+    a = rng.randint(0, 40, 400).astype(np.int64)
+    b = rng.randint(0, 40, 400).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)})).repartition(4)
+    got = (clustering_coefficients(ds, num_buckets=8).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b)}
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    for _, row in got.iterrows():
+        v = row["node"]
+        nb = adj[v]
+        d = len(nb)
+        t = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                if (min(x, y), max(x, y)) in edges)
+        assert d >= 2 and row["degree"] == d
+        assert row["sum_support"] == 2 * t
+        assert row["clustering"] == np.float64(2 * t) / (d * (d - 1))
+    # every node with degree >= 2 present
+    assert set(got["node"]) == {v for v in adj if len(adj[v]) >= 2}
