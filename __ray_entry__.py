@@ -3341,6 +3341,19 @@ def w_eh_window_value(sf_dir):
                           num_partitions=16)
 
 
+def w_welch_click_purchase(sf_dir):
+    """Per-user Welch t between click and purchase values: six exact
+    integer-cent moments in ONE key-bucketed exchange, t as one fixed
+    IEEE expression — components AND statistic SQL-bit-exact."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_welch_ttest
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+    return grouped_welch_ttest(ev, "user_id", "event_type",
+                               "click", "purchase", "value")
+
+
 def w_bootstrap_ci_value(sf_dir):
     """Per-event-type CI for mean(value) via deterministic md5
     hash-bootstrap half-sample replicates (B=40, ranks 2/39) — exact
@@ -3888,6 +3901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_sample_revenue": w_key_sample_revenue,
         "recs_copurchase": w_recs_copurchase,
         "bootstrap_ci_value": w_bootstrap_ci_value,
+        "welch_click_purchase": w_welch_click_purchase,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
@@ -5709,6 +5723,32 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             JOIN sel lo ON lo.event_type = f.event_type AND lo.rk = 2
             JOIN sel hi ON hi.event_type = f.event_type AND hi.rk = 39""",
+        "welch_click_purchase": """
+            WITH v AS (SELECT user_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS u
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                         AND user_id IS NOT NULL
+                         AND event_type IN ('click', 'purchase')),
+            m AS (SELECT user_id,
+                    count(*) FILTER (event_type = 'click')::BIGINT AS n_a,
+                    COALESCE(sum(u) FILTER (event_type = 'click'),
+                             0)::BIGINT AS s_a,
+                    COALESCE(sum(u * u) FILTER (event_type = 'click'),
+                             0)::BIGINT AS q_a,
+                    count(*) FILTER (event_type = 'purchase')::BIGINT
+                      AS n_b,
+                    COALESCE(sum(u) FILTER (event_type = 'purchase'),
+                             0)::BIGINT AS s_b,
+                    COALESCE(sum(u * u) FILTER (event_type = 'purchase'),
+                             0)::BIGINT AS q_b
+                  FROM v GROUP BY 1)
+            SELECT user_id, n_a, n_b, s_a, s_b, q_a, q_b,
+                   ((s_a / n_a) - (s_b / n_b)) /
+                   sqrt(((q_a - s_a * (s_a / n_a)) / (n_a - 1)) / n_a
+                        + ((q_b - s_b * (s_b / n_b)) / (n_b - 1)) / n_b)
+                     AS t_stat
+            FROM m WHERE n_a >= 2 AND n_b >= 2""",
         "eh_window_events": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT

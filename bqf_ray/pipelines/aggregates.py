@@ -3092,3 +3092,93 @@ def superspreaders(ds, key_col: str, partner_col: str, k: int = 20,
         [key_col], {"pn": "n_partners"}, num_buckets=B)
     return global_top_n(counts, ["n_partners", key_col], int(k),
                         descending=[True, False])
+
+
+def grouped_welch_ttest(ds, key_col: str, group_col: str, a: str, b: str,
+                        value_col: str, scale: int = 100,
+                        num_buckets: int = 32):
+    """Per-key Welch two-sample t statistic between condition ``a`` and
+    condition ``b`` rows — the parametric member of the two-sample
+    family (the exact-distribution member is the grouped KS distance).
+    All moments fold as EXACT integer units (``round(v·scale)``): each
+    batch emits ONE row per key carrying both sides' six int64 moments
+    (n, Σu, Σu²), so a single key-bucketed sum exchange co-locates and
+    folds everything, and the statistic is one fixed IEEE expression
+    over exact ints, mirrored verbatim in SQL:
+
+        m = s/n,  var = (q − s·(s/n)) / (n−1),
+        t = (m_a − m_b) / sqrt(var_a/n_a + var_b/n_b)
+
+    Keys need n ≥ 2 on BOTH sides (variance defined) — others are
+    dropped (mirror ``HAVING``).  Returns ``(key, n_a, n_b, s_a, s_b,
+    q_a, q_b, t_stat)`` — components oracle-exact, t bit-exact."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import bucketed_sum
+
+    SC = float(scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        ok = pc.and_(col.is_valid(), batch.column(key_col).is_valid())
+        if pa.types.is_floating(col.type):
+            ok = pc.and_(ok, pc.invert(pc.is_nan(col.fill_null(0.0))))
+        t = batch.filter(ok)
+        g = t.column(group_col)
+        keep = pc.or_(pc.equal(g, a), pc.equal(g, b))
+        t = t.filter(pc.fill_null(keep, False))
+        names = [key_col, "pna", "psa", "pqa", "pnb", "psb", "pqb"]
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({key_col: pa.array([], batch.schema
+                                               .field(key_col).type),
+                             **{c: e for c in names[1:]}})
+        v = np.asarray(t.column(value_col), dtype=np.float64)
+        u = np.rint(v * SC).astype(np.int64)
+        side = np.where(np.asarray(pc.equal(t.column(group_col), a)), 0, 1)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        kc = np.asarray(enc.indices, dtype=np.int64)
+        nk = len(enc.dictionary)
+        code = kc * 2 + side
+        n = np.bincount(code, minlength=2 * nk).astype(np.int64)
+        s = np.bincount(code, weights=u.astype(np.float64),
+                        minlength=2 * nk).astype(np.int64)
+        q = np.bincount(code, weights=(u * u).astype(np.float64),
+                        minlength=2 * nk).astype(np.int64)
+        n, s, q = (x.reshape(nk, 2) for x in (n, s, q))
+        return pa.table({
+            key_col: enc.dictionary,
+            "pna": pa.array(n[:, 0]), "psa": pa.array(s[:, 0]),
+            "pqa": pa.array(q[:, 0]),
+            "pnb": pa.array(n[:, 1]), "psb": pa.array(s[:, 1]),
+            "pqb": pa.array(q[:, 1])})
+
+    sums = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        [key_col],
+                        {"pna": "n_a", "psa": "s_a", "pqa": "q_a",
+                         "pnb": "n_b", "psb": "s_b", "pqb": "q_b"},
+                        num_buckets=num_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        na = np.asarray(batch.column("n_a"), dtype=np.int64)
+        nb = np.asarray(batch.column("n_b"), dtype=np.int64)
+        keep = (na >= 2) & (nb >= 2)
+        t = batch.filter(pa.array(keep))
+        na, nb = na[keep], nb[keep]
+        sa = np.asarray(t.column("s_a"), dtype=np.int64)
+        sb = np.asarray(t.column("s_b"), dtype=np.int64)
+        qa = np.asarray(t.column("q_a"), dtype=np.int64)
+        qb = np.asarray(t.column("q_b"), dtype=np.int64)
+        ma = sa / na
+        mb = sb / nb
+        va = (qa - sa * (sa / na)) / (na - 1)
+        vb = (qb - sb * (sb / nb)) / (nb - 1)
+        tstat = (ma - mb) / np.sqrt(va / na + vb / nb)
+        return t.select([key_col, "n_a", "n_b", "s_a", "s_b",
+                         "q_a", "q_b"]).append_column(
+            "t_stat", pa.array(tstat, pa.float64()))
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -103,3 +103,38 @@ def test_superspreaders_exact_topk(ray_session):
              .head(15).reset_index(drop=True))
     assert list(got["k"]) == list(truth["k"])
     assert list(got["n_partners"]) == list(truth["n_partners"])
+
+
+def test_grouped_welch_matches_reference(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_welch_ttest
+    rng = np.random.RandomState(3)
+    n = 8000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 25, n).astype(np.int64),
+        "grp": rng.choice(["x", "y", "z"], size=n),
+        "v": np.round(rng.gamma(2, 15, n), 2)})
+    got = (grouped_welch_ttest(
+        ray.data.from_pandas(df).repartition(6), "k", "grp", "x", "y",
+        "v", num_buckets=8).to_pandas()
+        .sort_values("k").reset_index(drop=True))
+    u = np.rint(df["v"].to_numpy() * 100).astype(np.int64)
+    seen = 0
+    for k in sorted(df["k"].unique()):
+        ua = u[(df["k"] == k) & (df["grp"] == "x")]
+        ub = u[(df["k"] == k) & (df["grp"] == "y")]
+        if len(ua) < 2 or len(ub) < 2:
+            continue
+        row = got[got["k"] == k].iloc[0]
+        assert (row["n_a"], row["s_a"], row["q_a"]) == \
+            (len(ua), ua.sum(), (ua * ua).sum())
+        # Welch t against the independent float reference
+        va = ua.var(ddof=1)
+        vb = ub.var(ddof=1)
+        t_ref = (ua.mean() - ub.mean()) / np.sqrt(va / len(ua)
+                                                  + vb / len(ub))
+        assert row["t_stat"] == pytest.approx(t_ref, rel=1e-12)
+        seen += 1
+    assert seen == len(got) > 10
