@@ -3341,6 +3341,20 @@ def w_eh_window_value(sf_dir):
                           num_partitions=16)
 
 
+def w_linear_attribution(sf_dir):
+    """Linear multi-touch attribution: each purchase splits its cents
+    equally over the user's clicks in the trailing 7-day window —
+    pair-granular output, one IEEE division per row (no float
+    accumulation), SQL-bit-exact."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import linear_attribution
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "event_type", "value"])
+    return linear_attribution(ev, 7 * 86400)
+
+
 def w_welch_click_purchase(sf_dir):
     """Per-user Welch t between click and purchase values: six exact
     integer-cent moments in ONE key-bucketed exchange, t as one fixed
@@ -3902,6 +3916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recs_copurchase": w_recs_copurchase,
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "welch_click_purchase": w_welch_click_purchase,
+        "linear_attribution": w_linear_attribution,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
@@ -5749,6 +5764,25 @@ def oracle_sql() -> dict[str, str]:
                         + ((q_b - s_b * (s_b / n_b)) / (n_b - 1)) / n_b)
                      AS t_stat
             FROM m WHERE n_a >= 2 AND n_b >= 2""",
+        "linear_attribution": """
+            WITH c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS tc
+                       FROM events
+                       WHERE event_type = 'click' AND user_id IS NOT NULL
+                         AND ts IS NOT NULL),
+            p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS tp,
+                         CAST(round(COALESCE(value, 0) * 100) AS BIGINT)
+                           AS cents
+                  FROM events
+                  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                    AND ts IS NOT NULL),
+            j AS (SELECT p.user_id, c.cid, p.pid, p.cents
+                  FROM p JOIN c ON c.user_id = p.user_id
+                       AND c.tc >= p.tp - 604800000000
+                       AND c.tc < p.tp),
+            n AS (SELECT pid, count(*)::BIGINT AS nw FROM j GROUP BY 1)
+            SELECT j.user_id, j.cid AS touch_id, j.pid AS conversion_id,
+                   n.nw AS n_window_touches, j.cents / n.nw AS credit
+            FROM j JOIN n USING (pid)""",
         "eh_window_events": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT

@@ -2275,3 +2275,102 @@ def resample_interp(ds, step_s: int, value_col: str = "value",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(interp_bucket, batch_format="pyarrow"))
+
+
+def linear_attribution(ds, window_s: int, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       touch_type: str = "click",
+                       convert_type: str = "purchase",
+                       value_col: str = "value", scale: int = 100,
+                       num_buckets: int = 32):
+    """LINEAR multi-touch attribution (the equal-credit counterpart to
+    ``last_touch``): every conversion of value ``v`` splits its credit
+    equally over the key's touch events in the trailing window
+    ``[t_conv − W, t_conv)``.  Credit stays PAIR-GRANULAR —
+    ``(touch, conversion, v_cents / n_window)`` — one IEEE division of
+    exact ints per row, never a float accumulation, so the whole
+    operator is SQL-bit-exact (summing per touch downstream is the
+    caller's float-tolerance decision, not this operator's).
+
+    Plan: ONE key-bucket shuffle; inside a bucket, touches sort by a
+    fused ``(key << 43) | Δts`` integer (Δts = offset from the
+    bucket's min ts — 43 bits ≈ 278 years of µs headroom against the
+    key shift), so every conversion's window is TWO global
+    ``searchsorted`` probes (no per-key loop); pair expansion is
+    repeat + offset arithmetic.  Conversions with no in-window touch
+    yield nothing (the unattributed/direct share is derivable by
+    anti-join).  Output ``(key, touch_id, conversion_id,
+    n_window_touches, credit)``."""
+    import pyarrow.compute as pc
+
+    NB = int(num_buckets)
+    W_US = int(window_s) * 1_000_000
+    SC = float(scale)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        g = batch.column(type_col)
+        keep = pc.or_(pc.equal(g, touch_type), pc.equal(g, convert_type))
+        keep = pc.and_(pc.fill_null(keep, False),
+                       pc.and_(batch.column(key_col).is_valid(),
+                               batch.column(ts_col).is_valid()))
+        t = batch.filter(keep)
+        uid = np.asarray(t.column(key_col), dtype=np.int64)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        is_conv = np.asarray(pc.equal(t.column(type_col), convert_type))
+        val = np.asarray(pc.cast(pc.fill_null(t.column(value_col), 0.0),
+                                 pa.float64()))
+        return pa.table({
+            "u": pa.array(uid), "t": pa.array(ts),
+            "i": pc.cast(t.column(id_col), pa.int64()),
+            "conv": pa.array(is_conv),
+            "cents": pa.array(np.rint(np.nan_to_num(val) * SC)
+                              .astype(np.int64)),
+            "__bucket": pa.array((uid % NB).astype(np.int64))})
+
+    def attribute(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        t = np.asarray(group.column("t"), dtype=np.int64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        conv = np.asarray(group.column("conv"))
+        cents = np.asarray(group.column("cents"), dtype=np.int64)
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "touch_id": pa.array([], pa.int64()),
+            "conversion_id": pa.array([], pa.int64()),
+            "n_window_touches": pa.array([], pa.int64()),
+            "credit": pa.array([], pa.float64())})
+        tu, tt, ti = u[~conv], t[~conv], i[~conv]
+        cu, ct, ci, cc = u[conv], t[conv], i[conv], cents[conv]
+        if len(tu) == 0 or len(cu) == 0:
+            return empty
+        t0 = int(t.min())
+        if int(t.max()) - t0 >= (1 << 43):
+            raise ValueError("ts span exceeds the 43-bit fuse window")
+        fuse = (tu << np.int64(43)) | (tt - t0)
+        order = np.argsort(fuse, kind="stable")
+        fuse, ti_s = fuse[order], ti[order]
+        lo = np.searchsorted(fuse, (cu << np.int64(43))
+                             | np.maximum(ct - W_US - t0, 0))
+        hi = np.searchsorted(fuse, (cu << np.int64(43)) | (ct - t0))
+        n = hi - lo
+        keep = n > 0
+        cu, ci, cc, lo, n = cu[keep], ci[keep], cc[keep], lo[keep], n[keep]
+        if len(cu) == 0:
+            return empty
+        total = int(n.sum())
+        seg = np.repeat(np.arange(len(cu), dtype=np.int64), n)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(n) - n, n))
+        tpos = lo[seg] + within
+        return pa.table({
+            key_col: pa.array(cu[seg]),
+            "touch_id": pa.array(ti_s[tpos]),
+            "conversion_id": pa.array(ci[seg]),
+            "n_window_touches": pa.array(n[seg]),
+            "credit": pa.array(cc[seg].astype(np.float64) / n[seg])})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(attribute, batch_format="pyarrow"))

@@ -175,3 +175,46 @@ def test_resample_interp_matches_brute_force(ray_session):
     ref = (ref.sort_values(["user_id", "grid_ts"])
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+
+def test_linear_attribution_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import linear_attribution
+    rng = np.random.RandomState(9)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (np.int64(1_700_000_000_000_000)
+               + rng.randint(0, 10 * 86_400_000_000, n)
+               ).astype("datetime64[us]"),
+        "event_type": rng.choice(["click", "purchase", "view"], n,
+                                 p=[0.5, 0.2, 0.3]),
+        "value": np.round(rng.gamma(2, 20, n), 2)})
+    W = 2 * 86400
+    got = (linear_attribution(ray.data.from_pandas(df).repartition(6), W)
+           .to_pandas()
+           .sort_values(["conversion_id", "touch_id"])
+           .reset_index(drop=True))
+    tus = df["ts"].astype("int64")
+    exp = []
+    for _, p in df[df["event_type"] == "purchase"].iterrows():
+        tp = int(tus[_])
+        m = ((df["event_type"] == "click")
+             & (df["user_id"] == p["user_id"])
+             & (tus >= tp - W * 1_000_000) & (tus < tp))
+        nw = int(m.sum())
+        if nw == 0:
+            continue
+        cents = int(np.rint(p["value"] * 100))
+        for cid in df.loc[m, "event_id"]:
+            exp.append((p["user_id"], cid, p["event_id"], nw,
+                        np.float64(cents) / nw))
+    ref = (pd.DataFrame(exp, columns=["user_id", "touch_id",
+                                      "conversion_id",
+                                      "n_window_touches", "credit"])
+           .sort_values(["conversion_id", "touch_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
