@@ -3182,3 +3182,79 @@ def grouped_welch_ttest(ds, key_col: str, group_col: str, a: str, b: str,
             "t_stat", pa.array(tstat, pa.float64()))
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_normal_equations(ds, key_col: str, y_col: str,
+                             x_cols: list[str], scales: list[int],
+                             y_scale: int = 100, num_buckets: int = 32):
+    """Per-key multi-feature OLS as EXACT integer normal-equation
+    components — the matrix generalization of the 1-feature
+    ``grouped_regression``: for features x₁..x_p (plus intercept) emit
+    every entry of XᵀX and Xᵀy as int64 sums of quantized units, ONE
+    key-bucketed exchange.  The solve (a p+1 × p+1 SPD system) is a
+    driver/consumer-side float step on a key-count-sized table — kept
+    OUT of the operator so the distributed part stays bit-exact and
+    SQL-oracle-checkable (the k-means/covariance determinism rule).
+
+    Output one row per key: ``n``, ``sx_i``, ``sy``, ``sxx_i_j``
+    (i ≤ j), ``sxy_i`` — column names enumerate indices, e.g.
+    ``sxx_0_1``.  Nulls/NaNs in y or any x drop the row (mirror
+    ``WHERE`` every column IS NOT NULL)."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.stages.partition import bucketed_sum
+
+    p = len(x_cols)
+    if len(scales) != p:
+        raise ValueError("scales must align with x_cols")
+
+    names = (["pn"] + [f"sx_{i}" for i in range(p)] + ["sy"]
+             + [f"sxx_{i}_{j}" for i in range(p) for j in range(i, p)]
+             + [f"sxy_{i}" for i in range(p)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column(key_col).is_valid()
+        for c in [y_col] + x_cols:
+            col = batch.column(c)
+            keep = pc.and_(keep, col.is_valid())
+            if pa.types.is_floating(col.type):
+                keep = pc.and_(keep, pc.invert(pc.is_nan(
+                    col.fill_null(0.0))))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({key_col: pa.array([], batch.schema
+                                               .field(key_col).type),
+                             **{c: e for c in names}})
+        y = np.rint(np.asarray(t.column(y_col), dtype=np.float64)
+                    * y_scale).astype(np.int64)
+        X = np.stack([np.rint(np.asarray(t.column(c), dtype=np.float64)
+                              * s).astype(np.int64)
+                      for c, s in zip(x_cols, scales)], axis=1)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        kc = np.asarray(enc.indices, dtype=np.int64)
+        nk = len(enc.dictionary)
+        cols = {}
+        cols["pn"] = np.bincount(kc, minlength=nk).astype(np.int64)
+
+        def fold(vals):
+            return np.bincount(kc, weights=vals.astype(np.float64),
+                               minlength=nk).astype(np.int64)
+
+        for i in range(p):
+            cols[f"sx_{i}"] = fold(X[:, i])
+        cols["sy"] = fold(y)
+        for i in range(p):
+            for j in range(i, p):
+                cols[f"sxx_{i}_{j}"] = fold(X[:, i] * X[:, j])
+        for i in range(p):
+            cols[f"sxy_{i}"] = fold(X[:, i] * y)
+        return pa.table({key_col: enc.dictionary,
+                         **{c: pa.array(cols[c]) for c in names}})
+
+    out_names = {c: ("n" if c == "pn" else c) for c in names}
+    return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        [key_col], out_names, num_buckets=num_buckets)
