@@ -3341,6 +3341,23 @@ def w_eh_window_value(sf_dir):
                           num_partitions=16)
 
 
+def w_regression_components_lineitem(sf_dir):
+    """Per-returnflag 2-feature OLS normal-equation components
+    (price ~ quantity + discount): every XᵀX/Xᵀy entry an exact int64
+    sum of quantized units in ONE key-bucketed exchange; the float
+    solve stays downstream so the operator is SQL-bit-exact."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_normal_equations
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice",
+                                        "l_quantity", "l_discount"])
+    return grouped_normal_equations(li, "l_returnflag",
+                                    "l_extendedprice",
+                                    ["l_quantity", "l_discount"],
+                                    scales=[100, 100], y_scale=100)
+
+
 def w_linear_attribution(sf_dir):
     """Linear multi-touch attribution: each purchase splits its cents
     equally over the user's clicks in the trailing 7-day window —
@@ -3917,6 +3934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "welch_click_purchase": w_welch_click_purchase,
         "linear_attribution": w_linear_attribution,
+        "regression_components_lineitem": w_regression_components_lineitem,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
@@ -5783,6 +5801,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.user_id, j.cid AS touch_id, j.pid AS conversion_id,
                    n.nw AS n_window_touches, j.cents / n.nw AS credit
             FROM j JOIN n USING (pid)""",
+        "regression_components_lineitem": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS y,
+                              CAST(round(l_quantity * 100) AS BIGINT)
+                                AS x0,
+                              CAST(round(l_discount * 100) AS BIGINT)
+                                AS x1
+                       FROM lineitem
+                       WHERE l_returnflag IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                         AND l_discount IS NOT NULL)
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   sum(x0)::BIGINT AS sx_0, sum(x1)::BIGINT AS sx_1,
+                   sum(y)::BIGINT AS sy,
+                   sum(x0 * x0)::BIGINT AS sxx_0_0,
+                   sum(x0 * x1)::BIGINT AS sxx_0_1,
+                   sum(x1 * x1)::BIGINT AS sxx_1_1,
+                   sum(x0 * y)::BIGINT AS sxy_0,
+                   sum(x1 * y)::BIGINT AS sxy_1
+            FROM q GROUP BY 1""",
         "eh_window_events": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT

@@ -138,3 +138,44 @@ def test_grouped_welch_matches_reference(ray_session):
         assert row["t_stat"] == pytest.approx(t_ref, rel=1e-12)
         seen += 1
     assert seen == len(got) > 10
+
+
+def test_grouped_normal_equations_solves_planted_relation(ray_session):
+    """Components are exact ints AND the downstream solve recovers a
+    planted linear relation."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_normal_equations
+    rng = np.random.RandomState(4)
+    n = 20_000
+    x0 = np.round(rng.uniform(0, 50, n), 2)
+    x1 = np.round(rng.uniform(0, 0.1, n), 2)
+    y = np.round(3.0 * x0 - 40.0 * x1 + 7.0
+                 + rng.normal(0, 0.005, n), 2)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], n), "y": y,
+                       "x0": x0, "x1": x1})
+    got = (grouped_normal_equations(
+        ray.data.from_pandas(df).repartition(7), "k", "y",
+        ["x0", "x1"], scales=[100, 100], y_scale=100,
+        num_buckets=8).to_pandas().sort_values("k")
+        .reset_index(drop=True))
+    for _, row in got.iterrows():
+        m = (df["k"] == row["k"]).to_numpy()
+        q0 = np.rint(x0[m] * 100).astype(np.int64)
+        q1 = np.rint(x1[m] * 100).astype(np.int64)
+        qy = np.rint(y[m] * 100).astype(np.int64)
+        assert row["n"] == m.sum()
+        assert row["sxx_0_1"] == (q0 * q1).sum()
+        assert row["sxy_1"] == (q1 * qy).sum()
+        # solve the 3x3 normal system (unit domain): beta ~ planted
+        A = np.array([[row["n"], row["sx_0"], row["sx_1"]],
+                      [row["sx_0"], row["sxx_0_0"], row["sxx_0_1"]],
+                      [row["sx_1"], row["sxx_0_1"], row["sxx_1_1"]]],
+                     dtype=np.float64)
+        b = np.array([row["sy"], row["sxy_0"], row["sxy_1"]],
+                     dtype=np.float64)
+        beta = np.linalg.solve(A, b)          # [intercept, b0, b1] in units
+        assert beta[1] == pytest.approx(3.0, abs=0.01)
+        assert beta[2] == pytest.approx(-40.0, abs=0.5)
+        assert beta[0] == pytest.approx(700.0, abs=5.0)   # 7.00 in cents
