@@ -3341,6 +3341,21 @@ def w_eh_window_value(sf_dir):
                           num_partitions=16)
 
 
+def w_target_encode_priority(sf_dir):
+    """Leave-one-out target encoding of order priority by totalprice:
+    exact per-key (n, Σcents) broadcast once, one IEEE division per
+    row, leakage-safe by construction; SQL-bit-exact."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import target_encode_loo
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey",
+                                            "o_orderpriority",
+                                            "o_totalprice"])
+    return target_encode_loo(orders, "o_orderpriority", "o_totalprice",
+                             "o_orderkey")
+
+
 def w_regression_components_lineitem(sf_dir):
     """Per-returnflag 2-feature OLS normal-equation components
     (price ~ quantity + discount): every XᵀX/Xᵀy entry an exact int64
@@ -3935,6 +3950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_click_purchase": w_welch_click_purchase,
         "linear_attribution": w_linear_attribution,
         "regression_components_lineitem": w_regression_components_lineitem,
+        "target_encode_priority": w_target_encode_priority,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
@@ -5823,6 +5839,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(x0 * y)::BIGINT AS sxy_0,
                    sum(x1 * y)::BIGINT AS sxy_1
             FROM q GROUP BY 1""",
+        "target_encode_priority": """
+            WITH q AS (SELECT o_orderkey,
+                              o_orderpriority AS k,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS u
+                       FROM orders
+                       WHERE o_orderpriority IS NOT NULL
+                         AND o_totalprice IS NOT NULL),
+            s AS (SELECT k, count(*)::BIGINT AS n, sum(u)::BIGINT AS s
+                  FROM q GROUP BY 1)
+            SELECT q.o_orderkey, q.k AS o_orderpriority,
+                   (s.s - q.u) / (s.n - 1) AS target_loo
+            FROM q JOIN s USING (k) WHERE s.n >= 2""",
         "eh_window_events": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT

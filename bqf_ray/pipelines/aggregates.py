@@ -3258,3 +3258,68 @@ def grouped_normal_equations(ds, key_col: str, y_col: str,
     out_names = {c: ("n" if c == "pn" else c) for c in names}
     return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
                         [key_col], out_names, num_buckets=num_buckets)
+
+
+def target_encode_loo(ds, key_col: str, y_col: str, id_col: str,
+                      scale: int = 100, num_buckets: int = 32):
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature map (each row's encoding excludes its OWN target):
+    ``loo_i = (Σ_k u − u_i) / (n_k − 1)`` with u the integer-unit
+    target.  Components are exact ints, the encoding one IEEE division
+    per row — SQL-bit-exact.
+
+    Plan: per-key ``(n, Σu)`` in ONE bucketed exchange (key-count
+    sized), shipped once via the shared broadcast group lookup
+    (``ray.put``, no per-task reserialization); the encode pass is a
+    zero-shuffle ``map_batches``.  Keys with ``n < 2`` have no
+    leave-one-out value and their rows are dropped (mirror
+    ``WHERE n >= 2``).  Output ``(id, key, target_loo)``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_sum
+
+    SC = float(scale)
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        col = batch.column(y_col)
+        keep = pc.and_(col.is_valid(), batch.column(key_col).is_valid())
+        if pa.types.is_floating(col.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(col.fill_null(0.0))))
+        t = batch.filter(keep)
+        v = np.asarray(t.column(y_col), dtype=np.float64)
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            key_col: t.column(key_col),
+            "u": pa.array(np.rint(v * SC).astype(np.int64))})
+
+    units = ds.map_batches(to_units, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch.column(key_col),
+                      "pn": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "ps": batch.column("u")})
+        return (t.group_by([key_col])
+                .aggregate([("pn", "sum"), ("ps", "sum")])
+                .rename_columns([key_col, "pn", "ps"]))
+
+    sums = bucketed_sum(units.map_batches(partial, batch_format="pyarrow"),
+                        [key_col], {"pn": "n", "ps": "s"},
+                        num_buckets=num_buckets)
+    ref = _group_lookup_build(sums.materialize(), key_col, ["n", "s"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        khs, n_arr, s_arr = ray.get(ref)
+        pos, hit = _group_lookup_probe(khs, batch.column(key_col))
+        n = n_arr[pos].astype(np.int64)
+        s = s_arr[pos].astype(np.int64)
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        keep = hit & (n >= 2)
+        t = batch.filter(pa.array(keep))
+        loo = (s[keep] - u[keep]) / (n[keep] - 1)
+        return pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "target_loo": pa.array(loo, pa.float64())})
+
+    return units.map_batches(encode, batch_format="pyarrow")

@@ -179,3 +179,34 @@ def test_grouped_normal_equations_solves_planted_relation(ray_session):
         assert beta[1] == pytest.approx(3.0, abs=0.01)
         assert beta[2] == pytest.approx(-40.0, abs=0.5)
         assert beta[0] == pytest.approx(700.0, abs=5.0)   # 7.00 in cents
+
+
+def test_target_encode_loo_leakage_safe(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.aggregates import target_encode_loo
+    rng = np.random.RandomState(5)
+    n = 6000
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c", "solo"], n,
+                        p=[0.5, 0.3, 0.1999, 0.0001]),
+        "y": np.round(rng.gamma(3, 25, n), 2)})
+    # force exactly one 'solo' row: its key must be dropped (n < 2)
+    df.loc[df["k"] == "solo", "k"] = "a"
+    df.loc[0, "k"] = "solo"
+    got = (target_encode_loo(ray.data.from_pandas(df).repartition(6),
+                             "k", "y", "rid", num_buckets=8)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    u = np.rint(df["y"].to_numpy() * 100).astype(np.int64)
+    assert "solo" not in set(got["k"])
+    assert len(got) == n - 1
+    for _, row in got.sample(200, random_state=0).iterrows():
+        m = (df["k"] == row["k"]).to_numpy()
+        i = int(row["rid"])
+        exp = np.float64(u[m].sum() - u[i]) / (m.sum() - 1)
+        assert row["target_loo"] == exp
+        # leakage check: encoding differs from the naive all-rows mean
+        naive = u[m].sum() / m.sum()
+        assert row["target_loo"] != naive or u[i] == naive
