@@ -208,6 +208,26 @@ def cmd_checksum(args):
             ray.shutdown()
 
 
+def cmd_curate(args):
+    """End-to-end corpus curation (lang/quality filter → exact dedup →
+    near-dup removal) over a documents parquet, written through the
+    resumable partitioned sink; prints per-stage survivor counts."""
+    import ray
+    owns = _init_ray(args)
+    try:
+        ds = ray.data.read_parquet(args.input)
+        from bqf_ray.pipelines.curate import curate_corpus
+        stats, _ = curate_corpus(
+            ds, min_quality=args.min_quality,
+            near_threshold=args.near_threshold,
+            out_dir=args.output, out_buckets=args.partitions)
+        for stage, n in stats:
+            print(f"{stage}: {n}")
+    finally:
+        if owns:
+            ray.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bqf_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -256,6 +276,14 @@ def main(argv=None):
     ix.add_argument("-c", "--count-size", type=int, default=8)
     ix.add_argument("--partitions", type=int, default=16)
     ix.set_defaults(fn=cmd_index)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("-i", "--input", required=True)
+    cu.add_argument("-o", "--output", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--near-threshold", type=float, default=0.8)
+    cu.add_argument("--partitions", type=int, default=16)
+    cu.set_defaults(fn=cmd_curate)
 
     up = sub.add_parser("update")
     up.add_argument("-b", "--bqf", required=True)

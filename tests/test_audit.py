@@ -281,3 +281,22 @@ def test_fd_discover_validation():
         fd_discover(None, ["a", "a"])
     with pytest.raises(ValueError, match="ordered pairs"):
         fd_discover(None, list("abcdefg"))
+
+
+def test_cli_curate_e2e(ray_session, capsys, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bqf_ray import cli
+    out_dir = str(tmp_path / "curated")
+    cli.main(["curate", "-i", "/root/testdata/sf0.001/documents.parquet",
+              "-o", out_dir, "--partitions", "4"])
+    out = capsys.readouterr().out
+    lines = dict(ln.split(": ") for ln in out.strip().splitlines()
+                 if ": " in ln)
+    assert int(lines["input"]) == 500
+    assert (int(lines["input"]) >= int(lines["lang_quality"])
+            >= int(lines["exact_dedup"]) >= int(lines["near_dedup"]) > 0)
+    import glob
+    files = glob.glob(f"{out_dir}/part=*/*.parquet")
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    assert n_rows == int(lines["near_dedup"])
