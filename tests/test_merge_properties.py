@@ -13,6 +13,7 @@ import pytest
 
 from bqf_ray.functions.hashing import fmix64
 from bqf_ray.sketches.base import MergeableSketch
+from bqf_ray.sketches.bitmap import CompressedBitmap
 from bqf_ray.sketches.bloom import BlockedBloom
 from bqf_ray.sketches.countmin import CountMin
 from bqf_ray.sketches.hll import HyperLogLog
@@ -36,6 +37,9 @@ def _random_merge_tree(parts, rng):
 
 EXACT_FACTORIES = [
     lambda: HyperLogLog(p=10),
+    # worst-case chunk layout for the bitmap: full-range hashed keys
+    # make every chunk a singleton array container
+    lambda: CompressedBitmap(),
     lambda: CountMin(width=512, depth=4, seed=2),
     lambda: BlockedBloom(n_bits=1 << 16, k=5, seed=2),
 ]
