@@ -3315,6 +3315,19 @@ def w_resampled_interp_value(sf_dir):
     return resample_interp(ev, 21600)
 
 
+def w_window_quantiles_value(sf_dir):
+    """Sliding-window quantiles from mergeable per-day KLL panes
+    (cell-aligned trailing windows — the exact side replays the
+    identical row set); per-(window, q) distributed rank check."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_quantile_sketch
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    return window_quantile_sketch(ev, [3 * 86400, 604800, 1814400],
+                                  qs=(0.25, 0.5, 0.75))
+
+
 def w_eh_window_by_type(sf_dir):
     """Per-event-type DGIM windowed counts (one EH per (key, slice),
     folded per key; global-clock cuts) — grouped streaming-window
@@ -3954,6 +3967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
+        "window_quantiles_value": w_window_quantiles_value,
         "resampled_interp_value": w_resampled_interp_value,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
@@ -5887,6 +5901,23 @@ def oracle_sql() -> dict[str, str]:
                    )::BIGINT AS n_exact,
                    TRUE AS within_bound
             FROM k CROSS JOIN w""",
+        "window_quantiles_value": """
+            WITH us AS (SELECT (epoch_us(ts) // 86400000000)
+                               * 86400000000 AS cell
+                        FROM events
+                        WHERE ts IS NOT NULL AND value IS NOT NULL
+                          AND NOT isnan(value)),
+            hi AS (SELECT max(cell) AS h FROM us),
+            w AS (SELECT unnest([259200, 604800, 1814400])::BIGINT
+                         AS window_s),
+            qq AS (SELECT unnest(['0.25', '0.50', '0.75']) AS q)
+            SELECT w.window_s, qq.q,
+                   (SELECT count(*) FROM us, hi
+                    WHERE us.cell > hi.h + 86400000000 - 1
+                                    - w.window_s * 1000000)::BIGINT
+                     AS n_window,
+                   TRUE AS within_bound
+            FROM w CROSS JOIN qq""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

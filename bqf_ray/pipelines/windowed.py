@@ -2374,3 +2374,98 @@ def linear_attribution(ds, window_s: int, key_col: str = "user_id",
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(attribute, batch_format="pyarrow"))
+
+
+def window_quantile_sketch(ds, windows_s: list[int],
+                           qs: tuple = (0.25, 0.5, 0.75),
+                           ts_col: str = "ts", value_col: str = "value",
+                           cell_s: int = 86400, k: int = 200,
+                           tol: float = 0.03):
+    """Sliding-window QUANTILES from mergeable per-pane KLL sketches —
+    the quantile member of the windowed-sketch family (counts/sums are
+    the exponential histograms): values fold into one KLL per
+    epoch-aligned time CELL (``cell_s`` panes, the Flink-pane layout),
+    and any CELL-ALIGNED trailing window is answered by merging the
+    panes inside it (KLL merge is associative — no re-scan of the
+    stream).  Window membership is cell-granular by definition —
+    ``floor(ts/cell)·cell > t_max − W`` — so the exact side and a SQL
+    oracle replay the IDENTICAL row set and the published KLL rank
+    bound applies cleanly (no partial-pane pollution).
+
+    The rank check is distributed: one pass counts rows ≤ each
+    (window, q) estimate inside its window, and
+    ``|rank − q| ≤ tol`` is asserted per row.  Returns
+    ``(window_s, q, n_window, within_bound)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from bqf_ray.sketches.kll import KLL
+    from bqf_ray.stages.udaf import sketch_agg
+
+    CELL = int(cell_s) * 1_000_000
+    wins = [int(w) for w in windows_s]
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column(value_col)
+        keep = pc.and_(col.is_valid(), batch.column(ts_col).is_valid())
+        if pa.types.is_floating(col.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(col.fill_null(0.0))))
+        t = batch.filter(keep)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        return pa.table({
+            "cell": pa.array((ts // CELL) * CELL),
+            "v": pa.array(np.asarray(t.column(value_col),
+                                     dtype=np.float64))})
+
+    us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    hi = int(us.aggregate(Max("cell", alias_name="hi"))["hi"])
+
+    cells = (us.groupby("cell")
+             .aggregate(sketch_agg(lambda: KLL(k=k, seed=7), on="v",
+                                   prepare="value", name="blob"))
+             .take_all())
+    from bqf_ray.sketches.base import MergeableSketch
+    cuts = {w: hi + CELL - 1 - w * 1_000_000 for w in wins}
+    # cell-aligned membership: cell > t_max_cell_end − W  ⇔  cell > cut
+    ests = {}
+    for w in wins:
+        blobs = [r["blob"] for r in cells if r["cell"] > cuts[w]]
+        if not blobs:
+            continue
+        sk = MergeableSketch.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            sk.merge(MergeableSketch.from_bytes(b))
+        for q in qs:
+            ests[(w, q)] = float(sk.quantile(q))
+
+    pairs = sorted(ests)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("cell"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.float64)
+        le, n = [], []
+        for (w, q) in pairs:
+            m = c > cuts[w]
+            le.append(int((v[m] <= ests[(w, q)]).sum()))
+            n.append(int(m.sum()))
+        return pa.table({
+            "window_s": pa.array([p[0] for p in pairs], pa.int64()),
+            "q": pa.array([f"{p[1]:.2f}" for p in pairs]),
+            "ple": pa.array(le, pa.int64()),
+            "pn": pa.array(n, pa.int64())})
+
+    folded = (us.map_batches(rank_partial, batch_format="pyarrow")
+              .groupby(["window_s", "q"])
+              .aggregate(Sum("ple", alias_name="le"),
+                         Sum("pn", alias_name="n")).take_all())
+    rows = []
+    for r in sorted(folded, key=lambda r: (r["window_s"], r["q"])):
+        n = int(r["n"])
+        rank = r["le"] / n if n else 0.0
+        rows.append((r["window_s"], r["q"], n,
+                     abs(rank - float(r["q"])) <= tol))
+    return pd.DataFrame(rows, columns=["window_s", "q", "n_window",
+                                       "within_bound"])

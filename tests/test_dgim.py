@@ -180,3 +180,30 @@ def test_eh_window_counts_by_key_pipeline(ray_session):
         exact = int((us[m] > hi - row["window_s"] * 1_000_000).sum())
         assert row["n_exact"] == exact
         assert bool(row["within_bound"])
+
+
+def test_window_quantile_sketch_rank_bound(ray_session):
+    """Per-pane KLL merge answers cell-aligned trailing windows within
+    the rank tolerance, verified against numpy exact quantile ranks."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_quantile_sketch
+    rng = np.random.RandomState(7)
+    n = 30_000
+    base = np.int64(1_700_000_000_000_000)
+    us = base + rng.randint(0, 20 * 86_400_000_000, size=n,
+                            dtype=np.int64)
+    vals = rng.gamma(2.0, 30.0, size=n)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"), "value": vals})
+    got = window_quantile_sketch(
+        ray.data.from_pandas(df).repartition(8),
+        [2 * 86400, 7 * 86400], qs=(0.25, 0.5, 0.75), k=200, tol=0.03)
+    CELL = 86_400_000_000
+    cells = (us // CELL) * CELL
+    hi = int(cells.max())
+    assert len(got) == 6
+    for _, row in got.iterrows():
+        m = cells > hi + CELL - 1 - row["window_s"] * 1_000_000
+        assert row["n_window"] == int(m.sum())
+        assert bool(row["within_bound"])
