@@ -3315,6 +3315,19 @@ def w_resampled_interp_value(sf_dir):
     return resample_interp(ev, 21600)
 
 
+def w_window_heavy_users(sf_dir):
+    """Trailing-window frequent users from per-day Misra-Gries panes:
+    deterministic candidate guarantee + one shared recount pass makes
+    each window EXACTLY ``HAVING cnt > n_w/(m+1)`` — SQL-exact."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_heavy_hitters
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return window_heavy_hitters(ev, [604800, 1814400], "user_id",
+                                m=256)
+
+
 def w_window_quantiles_value(sf_dir):
     """Sliding-window quantiles from mergeable per-day KLL panes
     (cell-aligned trailing windows — the exact side replays the
@@ -3968,6 +3981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
         "window_quantiles_value": w_window_quantiles_value,
+        "window_heavy_users": w_window_heavy_users,
         "resampled_interp_value": w_resampled_interp_value,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
@@ -5918,6 +5932,23 @@ def oracle_sql() -> dict[str, str]:
                      AS n_window,
                    TRUE AS within_bound
             FROM w CROSS JOIN qq""",
+        "window_heavy_users": """
+            WITH us AS (SELECT (epoch_us(ts) // 86400000000)
+                               * 86400000000 AS cell, user_id
+                        FROM events
+                        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            hi AS (SELECT max(cell) AS h FROM us),
+            w AS (SELECT unnest([604800, 1814400])::BIGINT AS window_s),
+            mem AS (SELECT w.window_s, us.user_id
+                    FROM w JOIN us ON us.cell >
+                         (SELECT h FROM hi) + 86400000000 - 1
+                         - w.window_s * 1000000),
+            nw AS (SELECT window_s, count(*)::BIGINT AS n
+                   FROM mem GROUP BY 1)
+            SELECT m.window_s, m.user_id, count(*)::BIGINT AS cnt
+            FROM mem m JOIN nw ON nw.window_s = m.window_s
+            GROUP BY m.window_s, m.user_id, nw.n
+            HAVING count(*) > nw.n / 257.0""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

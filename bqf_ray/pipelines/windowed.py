@@ -2469,3 +2469,117 @@ def window_quantile_sketch(ds, windows_s: list[int],
                      abs(rank - float(r["q"])) <= tol))
     return pd.DataFrame(rows, columns=["window_s", "q", "n_window",
                                        "within_bound"])
+
+
+def window_heavy_hitters(ds, windows_s: list[int], key_col: str,
+                         ts_col: str = "ts", m: int = 64,
+                         cell_s: int = 86400):
+    """Trailing-window frequent keys from mergeable per-pane
+    Misra–Gries summaries — the heavy-hitter member of the pane family
+    (counts/sums = exponential histograms, quantiles = KLL panes):
+    each epoch-aligned cell keeps an O(m) MG summary; a cell-aligned
+    trailing window merges its panes, whose DETERMINISTIC guarantee
+    (every key with window frequency > n_w/(m+1) survives the merge)
+    makes the output EXACTLY ``GROUP BY key HAVING cnt > n_w/(m+1)``
+    after one candidate-recount pass — SQL-oracle-exact per window.
+
+    Plan: one projection pass (cell, key) → per-cell MG blobs on the
+    native aggregate surface → per-window pane merge (driver,
+    O(panes·m)) → ONE distributed recount pass shared by all windows
+    (per-batch: member-mask × broadcast candidate membership, partial
+    (window, key) counts) → threshold filter.  Output ``(window_s,
+    key, cnt)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.sketches.base import MergeableSketch
+    from bqf_ray.sketches.misragries import MisraGries
+    from bqf_ray.stages.udaf import sketch_agg
+
+    CELL = int(cell_s) * 1_000_000
+    wins = [int(w) for w in windows_s]
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(batch.column(key_col).is_valid(),
+                       batch.column(ts_col).is_valid())
+        t = batch.filter(keep)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        return pa.table({"cell": pa.array((ts // CELL) * CELL),
+                         "k": t.column(key_col)})
+
+    us = ds.map_batches(to_cells, batch_format="pyarrow").materialize()
+    hi = int(us.aggregate(Max("cell", alias_name="hi"))["hi"])
+    cuts = {w: hi + CELL - 1 - w * 1_000_000 for w in wins}
+
+    panes = (us.groupby("cell")
+             .aggregate(sketch_agg(lambda: MisraGries(m=m), on="k",
+                                   prepare="hash", name="blob"))
+             .take_all())
+    cand: dict[int, np.ndarray] = {}
+    for w in wins:
+        blobs = [r["blob"] for r in panes if r["cell"] > cuts[w]]
+        if not blobs:
+            cand[w] = np.empty(0, dtype=np.uint64)
+            continue
+        mg = MergeableSketch.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            mg.merge(MergeableSketch.from_bytes(b))
+        cand[w] = np.sort(mg.candidates()[0])
+    ref = ray.put(cand)
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch.column("cell"), dtype=np.int64)
+            keys = batch.column("k")
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            h = fmix64(np.asarray(keys).astype(np.int64).view(np.uint64))
+            outs = []
+            for w in wins:
+                member = c > cuts[w]
+                cw = self.cand[w]
+                pos = np.searchsorted(cw, h)
+                is_cand = np.zeros(len(h), dtype=bool)
+                inb = pos < len(cw)
+                if len(cw):
+                    is_cand[inb] = cw[pos[inb]] == h[inb]
+                sel = member & is_cand
+                t = pa.table({"k": keys.filter(pa.array(sel))})
+                g = (t.group_by(["k"]).aggregate([("k", "count")])
+                     .rename_columns(["k", "pc"]))
+                outs.append(pa.table({
+                    "window_s": pa.array(
+                        np.full(len(g), w, dtype=np.int64)),
+                    "k": g.column("k"),
+                    "pc": g.column("pc"),
+                    "pn": pa.array(np.zeros(len(g), dtype=np.int64))}))
+                # window row count partial rides a separate null-key row
+                outs.append(pa.table({
+                    "window_s": pa.array([w], pa.int64()),
+                    "k": pa.array([None], t.schema.field("k").type),
+                    "pc": pa.array([0], pa.int64()),
+                    "pn": pa.array([int(member.sum())], pa.int64())}))
+            return pa.concat_tables(outs)
+
+    folded = (us.map_batches(Recount, concurrency=4,
+                             batch_format="pyarrow")
+              .groupby(["window_s", "k"])
+              .aggregate(Sum("pc", alias_name="cnt"),
+                         Sum("pn", alias_name="nw")).take_all())
+    n_w = {r["window_s"]: int(r["nw"]) for r in folded if r["k"] is None}
+    rows = [(r["window_s"], r["k"], int(r["cnt"]))
+            for r in folded
+            if r["k"] is not None
+            and int(r["cnt"]) > n_w[r["window_s"]] / (m + 1)]
+    rows.sort()
+    out = pd.DataFrame(rows, columns=["window_s", key_col, "cnt"])
+    if not len(out):                       # dtype-stable empty frame
+        out = out.astype({"window_s": "int64", "cnt": "int64"})
+    return out

@@ -207,3 +207,34 @@ def test_window_quantile_sketch_rank_bound(ray_session):
         m = cells > hi + CELL - 1 - row["window_s"] * 1_000_000
         assert row["n_window"] == int(m.sum())
         assert bool(row["within_bound"])
+
+
+def test_window_heavy_hitters_exact(ray_session):
+    import collections
+
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_heavy_hitters
+    rng = np.random.RandomState(1)
+    n = 20_000
+    base = np.int64(1_700_000_000_000_000)
+    us = base + rng.randint(0, 15 * 86_400_000_000, n, dtype=np.int64)
+    keys = rng.zipf(1.3, n).clip(max=5000).astype(np.int64)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"),
+                       "user_id": keys})
+    m = 32
+    got = window_heavy_hitters(ray.data.from_pandas(df).repartition(7),
+                               [3 * 86400, 10 * 86400], "user_id", m=m)
+    CELL = 86_400_000_000
+    cells = (us // CELL) * CELL
+    hi = int(cells.max())
+    for w in (3 * 86400, 10 * 86400):
+        memb = cells > hi + CELL - 1 - w * 1_000_000
+        nw = int(memb.sum())
+        cnt = collections.Counter(keys[memb])
+        exp = sorted((w, k, c) for k, c in cnt.items()
+                     if c > nw / (m + 1))
+        gg = got[got["window_s"] == w]
+        assert sorted(zip(gg["window_s"], gg["user_id"],
+                          gg["cnt"])) == exp
