@@ -1911,6 +1911,11 @@ def eh_window_counts(ds, windows_s: list[int], ts_col: str = "ts",
     us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
     env = us.aggregate(Min("ts_us", alias_name="lo"),
                        Max("ts_us", alias_name="hi"))
+    if env is None or env["lo"] is None:       # empty stream
+        return pd.DataFrame({"window_s": pd.Series(wins, dtype="int64"),
+                             "n_exact": pd.Series([0] * len(wins),
+                                                  dtype="int64"),
+                             "within_bound": [True] * len(wins)})
     lo, hi = int(env["lo"]), int(env["hi"])
     span = max(hi - lo + 1, 1)
 
@@ -2003,6 +2008,11 @@ def eh_window_sums(ds, windows_s: list[int], ts_col: str = "ts",
     us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
     env = us.aggregate(Min("ts_us", alias_name="lo"),
                        Max("ts_us", alias_name="hi"))
+    if env is None or env["lo"] is None:       # empty stream
+        return pd.DataFrame({"window_s": pd.Series(wins, dtype="int64"),
+                             "sum_units_exact": pd.Series(
+                                 [0] * len(wins), dtype="int64"),
+                             "within_bound": [True] * len(wins)})
     lo, hi = int(env["lo"]), int(env["hi"])
     span = max(hi - lo + 1, 1)
 
@@ -2092,6 +2102,11 @@ def eh_window_counts_by_key(ds, key_col: str, windows_s: list[int],
     us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
     env = us.aggregate(Min("ts_us", alias_name="lo"),
                        Max("ts_us", alias_name="hi"))
+    if env is None or env["lo"] is None:       # empty stream
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "window_s": pd.Series([], dtype="int64"),
+                             "n_exact": pd.Series([], dtype="int64"),
+                             "within_bound": pd.Series([], dtype="bool")})
     lo, hi = int(env["lo"]), int(env["hi"])
     span = max(hi - lo + 1, 1)
 
@@ -2421,7 +2436,13 @@ def window_quantile_sketch(ds, windows_s: list[int],
                                      dtype=np.float64))})
 
     us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
-    hi = int(us.aggregate(Max("cell", alias_name="hi"))["hi"])
+    env = us.aggregate(Max("cell", alias_name="hi"))
+    if env is None or env["hi"] is None:       # empty stream
+        return pd.DataFrame({"window_s": pd.Series([], dtype="int64"),
+                             "q": pd.Series([], dtype="object"),
+                             "n_window": pd.Series([], dtype="int64"),
+                             "within_bound": pd.Series([], dtype="bool")})
+    hi = int(env["hi"])
 
     cells = (us.groupby("cell")
              .aggregate(sketch_agg(lambda: KLL(k=k, seed=7), on="v",
@@ -2512,7 +2533,12 @@ def window_heavy_hitters(ds, windows_s: list[int], key_col: str,
                          "k": t.column(key_col)})
 
     us = ds.map_batches(to_cells, batch_format="pyarrow").materialize()
-    hi = int(us.aggregate(Max("cell", alias_name="hi"))["hi"])
+    env = us.aggregate(Max("cell", alias_name="hi"))
+    if env is None or env["hi"] is None:       # empty stream
+        return pd.DataFrame({"window_s": pd.Series([], dtype="int64"),
+                             key_col: pd.Series([], dtype="object"),
+                             "cnt": pd.Series([], dtype="int64")})
+    hi = int(env["hi"])
     cuts = {w: hi + CELL - 1 - w * 1_000_000 for w in wins}
 
     panes = (us.groupby("cell")

@@ -238,3 +238,31 @@ def test_window_heavy_hitters_exact(ray_session):
         gg = got[got["window_s"] == w]
         assert sorted(zip(gg["window_s"], gg["user_id"],
                           gg["cnt"])) == exp
+
+
+def test_pane_pipelines_empty_input(ray_session):
+    """Every pane-family pipeline degrades gracefully on an empty
+    stream (typed empty/zero frames, no crash on the env fold)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.windowed import (eh_window_counts,
+                                            eh_window_counts_by_key,
+                                            eh_window_sums,
+                                            window_heavy_hitters,
+                                            window_quantile_sketch)
+    empty = ray.data.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64())}))
+    c = eh_window_counts(empty, [3600])
+    assert list(c["n_exact"]) == [0] and list(c["within_bound"]) == [True]
+    s = eh_window_sums(empty, [3600])
+    assert list(s["sum_units_exact"]) == [0]
+    k = eh_window_counts_by_key(empty, "user_id", [3600])
+    assert len(k) == 0
+    q = window_quantile_sketch(empty, [3600])
+    assert len(q) == 0
+    h = window_heavy_hitters(empty, [3600], "user_id")
+    assert len(h) == 0
