@@ -3072,6 +3072,11 @@ def superspreaders(ds, key_col: str, partner_col: str, k: int = 20,
 
     def pre(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col, partner_col])
+        # SQL COUNT(DISTINCT partner) semantics: null key or partner
+        # contributes nothing
+        import pyarrow.compute as pc
+        t = t.filter(pc.and_(t.column(key_col).is_valid(),
+                             t.column(partner_col).is_valid()))
         hk = _col_hash64(t.column(key_col))
         hp = _col_hash64(t.column(partner_col))
         pb = fmix64(hk ^ (hp * np.uint64(0x9E3779B97F4A7C15)))

@@ -1451,7 +1451,11 @@ def join_hot_keys(left_ds, right_ds, left_key: str,
 
     def count_side(key_col: str, out_side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            t = pa.table({"key": batch.column(key_col)})
+            col = batch.column(key_col)
+            # null keys never match an equi-join: drop them here so the
+            # top-k funnel's rank codes never see a null
+            t = pa.table({"key": col.drop_null() if col.null_count
+                          else col})
             g = (t.group_by(["key"]).aggregate([("key", "count")])
                  .rename_columns(["key", "pn"]))
             z = np.zeros(len(g), dtype=np.int64)
