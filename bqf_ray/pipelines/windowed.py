@@ -2309,11 +2309,11 @@ def linear_attribution(ds, window_s: int, key_col: str = "user_id",
     caller's float-tolerance decision, not this operator's).
 
     Plan: ONE key-bucket shuffle; inside a bucket, touches sort by a
-    fused ``(key << 43) | Δts`` integer (Δts = offset from the
-    bucket's min ts — 43 bits ≈ 278 years of µs headroom against the
-    key shift), so every conversion's window is TWO global
-    ``searchsorted`` probes (no per-key loop); pair expansion is
-    repeat + offset arithmetic.  Conversions with no in-window touch
+    fused ``(key_code << 43) | Δts`` integer (key_code = in-bucket
+    dense code, so any raw key domain fits; Δts = offset from the
+    bucket's min ts — 43 bits ≈ 278 years of µs headroom), so every
+    conversion's window is TWO global ``searchsorted`` probes (no
+    per-key loop); pair expansion is repeat + offset arithmetic.  Conversions with no in-window touch
     yield nothing (the unattributed/direct share is derivable by
     anti-join).  Output ``(key, touch_id, conversion_id,
     n_window_touches, credit)``."""
@@ -2363,12 +2363,21 @@ def linear_attribution(ds, window_s: int, key_col: str = "user_id",
         t0 = int(t.min())
         if int(t.max()) - t0 >= (1 << 43):
             raise ValueError("ts span exceeds the 43-bit fuse window")
-        fuse = (tu << np.int64(43)) | (tt - t0)
+        # densify keys to in-bucket codes so (code << 43) never
+        # overflows int64 regardless of the raw key domain
+        uniq, codes = np.unique(np.concatenate([tu, cu]),
+                                return_inverse=True)
+        if len(uniq) >= (1 << 20):
+            raise ValueError("linear_attribution: > 2^20 distinct keys "
+                             "in one bucket — raise num_buckets")
+        tcode = codes[:len(tu)].astype(np.int64)
+        ccode = codes[len(tu):].astype(np.int64)
+        fuse = (tcode << np.int64(43)) | (tt - t0)
         order = np.argsort(fuse, kind="stable")
         fuse, ti_s = fuse[order], ti[order]
-        lo = np.searchsorted(fuse, (cu << np.int64(43))
+        lo = np.searchsorted(fuse, (ccode << np.int64(43))
                              | np.maximum(ct - W_US - t0, 0))
-        hi = np.searchsorted(fuse, (cu << np.int64(43)) | (ct - t0))
+        hi = np.searchsorted(fuse, (ccode << np.int64(43)) | (ct - t0))
         n = hi - lo
         keep = n > 0
         cu, ci, cc, lo, n = cu[keep], ci[keep], cc[keep], lo[keep], n[keep]
