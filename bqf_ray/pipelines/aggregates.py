@@ -3204,7 +3204,11 @@ def grouped_normal_equations(ds, key_col: str, y_col: str,
     Output one row per key: ``n``, ``sx_i``, ``sy``, ``sxx_i_j``
     (i ≤ j), ``sxy_i`` — column names enumerate indices, e.g.
     ``sxx_0_1``.  Nulls/NaNs in y or any x drop the row (mirror
-    ``WHERE`` every column IS NOT NULL)."""
+    ``WHERE`` every column IS NOT NULL).  Overflow envelope: per-block
+    partials ride float64 bincount weights, exact while
+    ``max|q_i·q_j| · block_rows < 2^53`` (quantized units ≤ ~1e6 at
+    4096-row blocks); the folded totals are int64 —
+    ``max|q_i·q_j| · n < 2^63``."""
     import pyarrow.compute as pc
 
     from bqf_ray.stages.partition import bucketed_sum
