@@ -3315,6 +3315,32 @@ def w_resampled_interp_value(sf_dir):
     return resample_interp(ev, 21600)
 
 
+def w_window_distinct_users_bitmap(sf_dir):
+    """EXACT distinct users per cell-aligned trailing window via
+    per-pane compressed-bitmap unions — bit-exact COUNT(DISTINCT)
+    oracle, the exact counterpart of the windowed-HLL path."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_distinct_bitmap
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return window_distinct_bitmap(ev, [259200, 604800, 1814400],
+                                  "user_id")
+
+
+def w_window_sample_events(sf_dir):
+    """Deterministic bottom-k window sample: the 20 smallest
+    md5(event_id) hashes per trailing window via mergeable per-pane
+    bottom-k partials — SQL replays the exact sample."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_sample
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_id"])
+    return window_sample(ev, [604800, 1814400], 20, "event_id",
+                         salt="ws3")
+
+
 def w_window_heavy_users(sf_dir):
     """Trailing-window frequent users from per-day Misra-Gries panes:
     deterministic candidate guarantee + one shared recount pass makes
@@ -3982,6 +4008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eh_window_by_type": w_eh_window_by_type,
         "window_quantiles_value": w_window_quantiles_value,
         "window_heavy_users": w_window_heavy_users,
+        "window_distinct_users_bitmap": w_window_distinct_users_bitmap,
+        "window_sample_events": w_window_sample_events,
         "resampled_interp_value": w_resampled_interp_value,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
@@ -5949,6 +5977,39 @@ def oracle_sql() -> dict[str, str]:
             FROM mem m JOIN nw ON nw.window_s = m.window_s
             GROUP BY m.window_s, m.user_id, nw.n
             HAVING count(*) > nw.n / 257.0""",
+        "window_distinct_users_bitmap": """
+            WITH us AS (SELECT (epoch_us(ts) // 86400000000)
+                               * 86400000000 AS cell, user_id
+                        FROM events
+                        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            hi AS (SELECT max(cell) AS h FROM us),
+            w AS (SELECT unnest([259200, 604800, 1814400])::BIGINT
+                         AS window_s)
+            SELECT w.window_s,
+                   (SELECT count(DISTINCT user_id) FROM us, hi
+                    WHERE us.cell > hi.h + 86400000000 - 1
+                                    - w.window_s * 1000000)::BIGINT
+                     AS n_distinct
+            FROM w""",
+        "window_sample_events": """
+            WITH us AS (SELECT (epoch_us(ts) // 86400000000)
+                               * 86400000000 AS cell, event_id,
+                              ('0x' || substr(md5(event_id::VARCHAR
+                                                  || 'ws3'),
+                                              1, 16))::UBIGINT AS h
+                        FROM events
+                        WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+            hi AS (SELECT max(cell) AS h FROM us),
+            w AS (SELECT unnest([604800, 1814400])::BIGINT AS window_s)
+            SELECT window_s, event_id AS id, rk FROM (
+              SELECT w.window_s, us.event_id,
+                     ROW_NUMBER() OVER (PARTITION BY w.window_s
+                                        ORDER BY us.h, us.event_id)
+                       AS rk
+              FROM w JOIN us ON us.cell >
+                   (SELECT h FROM hi) + 86400000000 - 1
+                   - w.window_s * 1000000)
+            WHERE rk <= 20""",
         "priority_sample_orders": """
             WITH p AS (
               SELECT o_orderkey, o_totalprice AS weight,

@@ -2618,3 +2618,124 @@ def window_heavy_hitters(ds, windows_s: list[int], key_col: str,
     if not len(out):                       # dtype-stable empty frame
         out = out.astype({"window_s": "int64", "cnt": "int64"})
     return out
+
+
+def window_distinct_bitmap(ds, windows_s: list[int], key_col: str,
+                           ts_col: str = "ts", cell_s: int = 86400):
+    """EXACT distinct keys per cell-aligned trailing window via
+    per-pane compressed bitmaps (``sketches.bitmap.CompressedBitmap``):
+    pane merges are idempotent set unions, so any window is the union
+    of its panes — the exact counterpart of the per-window HLL path
+    (``windowed_distinct``'s sketch mode) for dense id domains, with a
+    bit-exact ``COUNT(DISTINCT)`` oracle instead of a bound flag.
+    Returns ``(window_s, n_distinct)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max
+
+    from bqf_ray.sketches.base import MergeableSketch
+    from bqf_ray.sketches.bitmap import CompressedBitmap
+    from bqf_ray.stages.udaf import sketch_agg
+
+    CELL = int(cell_s) * 1_000_000
+    wins = [int(w) for w in windows_s]
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(batch.column(key_col).is_valid(),
+                       batch.column(ts_col).is_valid())
+        t = batch.filter(keep)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        return pa.table({"cell": pa.array((ts // CELL) * CELL),
+                         "k": t.column(key_col)})
+
+    us = ds.map_batches(to_cells, batch_format="pyarrow").materialize()
+    env = us.aggregate(Max("cell", alias_name="hi"))
+    if env is None or env["hi"] is None:
+        return pd.DataFrame({"window_s": pd.Series(wins, dtype="int64"),
+                             "n_distinct": pd.Series([0] * len(wins),
+                                                     dtype="int64")})
+    hi = int(env["hi"])
+    cuts = {w: hi + CELL - 1 - w * 1_000_000 for w in wins}
+    panes = (us.groupby("cell")
+             .aggregate(sketch_agg(CompressedBitmap, on="k",
+                                   prepare="int", name="blob"))
+             .take_all())
+    rows = []
+    for w in wins:
+        bm = CompressedBitmap()
+        for r in panes:
+            if r["cell"] > cuts[w]:
+                bm.merge(MergeableSketch.from_bytes(r["blob"]))
+        rows.append((w, bm.count()))
+    return pd.DataFrame(rows, columns=["window_s", "n_distinct"]) \
+        .astype({"window_s": "int64", "n_distinct": "int64"})
+
+
+def window_sample(ds, windows_s: list[int], k: int, id_col: str,
+                  ts_col: str = "ts", salt: str = "",
+                  cell_s: int = 86400):
+    """DETERMINISTIC uniform sample of each cell-aligned trailing
+    window: the k smallest md5(id||salt) hashes among window members —
+    a mergeable per-pane bottom-k (pane partials hold each pane's k
+    smallest; window = k smallest of the union), so the sample is
+    EXACT and stable under any partitioning, and a SQL engine replays
+    it verbatim (``ORDER BY hash LIMIT k`` within the window).
+    Returns ``(window_s, id, rk)`` with rk 1..k by ascending hash."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max
+
+    from bqf_ray.pipelines.sampling import _key_u64
+
+    CELL = int(cell_s) * 1_000_000
+    wins = [int(w) for w in windows_s]
+    K = int(k)
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(batch.column(id_col).is_valid(),
+                       batch.column(ts_col).is_valid())
+        t = batch.filter(keep)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        u = _key_u64(t, id_col, salt, "md5")
+        return pa.table({"cell": pa.array((ts // CELL) * CELL),
+                         "i": pa.compute.cast(t.column(id_col),
+                                              pa.int64()),
+                         "h": pa.array(u.view(np.int64))})
+
+    us = ds.map_batches(to_cells, batch_format="pyarrow").materialize()
+    env = us.aggregate(Max("cell", alias_name="hi"))
+    if env is None or env["hi"] is None:
+        return pd.DataFrame({"window_s": pd.Series([], dtype="int64"),
+                             "id": pd.Series([], dtype="int64"),
+                             "rk": pd.Series([], dtype="int64")})
+    hi = int(env["hi"])
+    cuts = {w: hi + CELL - 1 - w * 1_000_000 for w in wins}
+
+    def pane_bottomk(group: pa.Table) -> pa.Table:
+        h = np.asarray(group.column("h"), dtype=np.int64).view(np.uint64)
+        i = np.asarray(group.column("i"), dtype=np.int64)
+        order = np.lexsort((i, h))[:K]        # id tiebreak: determinism
+        return pa.table({
+            "cell": group.column("cell").slice(0, 1)
+                    .take(pa.array(np.zeros(len(order), np.int64))),
+            "i": pa.array(i[order]),
+            "h": pa.array(h[order].view(np.int64))})
+
+    panes = (us.groupby("cell")
+             .map_groups(pane_bottomk, batch_format="pyarrow")
+             .take_all())
+    rows = []
+    for w in wins:
+        hh = np.array([r["h"] for r in panes if r["cell"] > cuts[w]],
+                      dtype=np.int64).view(np.uint64)
+        ii = np.array([r["i"] for r in panes if r["cell"] > cuts[w]],
+                      dtype=np.int64)
+        order = np.lexsort((ii, hh))[:K]
+        for rk, j in enumerate(order, 1):
+            rows.append((w, int(ii[j]), rk))
+    return pd.DataFrame(rows, columns=["window_s", "id", "rk"]) \
+        .astype({"window_s": "int64", "id": "int64", "rk": "int64"})

@@ -266,3 +266,44 @@ def test_pane_pipelines_empty_input(ray_session):
     assert len(q) == 0
     h = window_heavy_hitters(empty, [3600], "user_id")
     assert len(h) == 0
+
+
+def test_window_distinct_bitmap_and_sample_exact(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import (window_distinct_bitmap,
+                                            window_sample)
+    rng = np.random.RandomState(2)
+    n = 8000
+    base = np.int64(1_700_000_000_000_000)
+    us = base + rng.randint(0, 12 * 86_400_000_000, n, dtype=np.int64)
+    keys = rng.randint(0, 900, n).astype(np.int64)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"),
+                       "user_id": keys,
+                       "event_id": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    CELL = 86_400_000_000
+    cells = (us // CELL) * CELL
+    hi = int(cells.max())
+
+    d = window_distinct_bitmap(ds, [2 * 86400, 8 * 86400], "user_id")
+    for _, row in d.iterrows():
+        m = cells > hi + CELL - 1 - row["window_s"] * 1_000_000
+        assert row["n_distinct"] == len(np.unique(keys[m]))
+
+    s = window_sample(ds, [2 * 86400, 8 * 86400], 7, "event_id",
+                      salt="t")
+    hs = np.array([int(hashlib.md5(f"{i}t".encode())
+                       .hexdigest()[:16], 16) for i in range(n)],
+                  dtype=np.uint64)
+    for w in (2 * 86400, 8 * 86400):
+        m = cells > hi + CELL - 1 - w * 1_000_000
+        ids = np.arange(n)[m]
+        order = np.lexsort((ids, hs[m]))[:7]
+        exp = [(w, int(ids[j]), rk)
+               for rk, j in enumerate(order, 1)]
+        gg = s[s["window_s"] == w]
+        assert list(zip(gg["window_s"], gg["id"], gg["rk"])) == exp
