@@ -3393,6 +3393,59 @@ def w_eh_window_value(sf_dir):
                           num_partitions=16)
 
 
+def w_order_reconciliation(sf_dir):
+    """Cross-table financial reconciliation per order status: header
+    total vs exact integer-cent sum of line prices through the bucket
+    co-partitioned LEFT join — exact match/orphan counts and |Δ|
+    sums/maxima, all int64 (SQL-bit-exact)."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.relational import partitioned_hash_join
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderstatus",
+                                            "o_totalprice"])
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_extendedprice"])
+          .map_batches(lambda b: pa.table({
+              "o_orderkey": b.column("l_orderkey"),
+              "lc": pa.array(np.rint(np.asarray(
+                  b.column("l_extendedprice"), dtype=np.float64) * 100)
+                  .astype(np.int64))}), batch_format="pyarrow"))
+    sums = bucketed_sum(li, ["o_orderkey"], {"lc": "line_cents"},
+                        num_buckets=16)
+    joined = partitioned_hash_join(orders, sums, "o_orderkey",
+                                   num_buckets=16, how="left")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        oc = np.rint(np.asarray(batch.column("o_totalprice"),
+                                dtype=np.float64) * 100).astype(np.int64)
+        lc_col = batch.column("line_cents_r")
+        if isinstance(lc_col, pa.ChunkedArray):
+            lc_col = lc_col.combine_chunks()
+        orphan = np.asarray(lc_col.is_null())
+        lc = np.asarray(lc_col.fill_null(0), dtype=np.int64)
+        d = np.where(orphan, np.int64(0), np.abs(oc - lc))
+        return pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "n": pa.array(np.ones(len(batch), np.int64)),
+            "n_orphan": pa.array(orphan.astype(np.int64)),
+            "n_match": pa.array(((~orphan) & (d == 0)).astype(np.int64)),
+            "abs_diff": pa.array(d),
+            "max_diff": pa.array(d)})
+
+    return bucketed_agg(joined.map_batches(partial, batch_format="pyarrow"),
+                        ["o_orderstatus"],
+                        [("n", "sum", "n_orders"),
+                         ("n_orphan", "sum", "n_orphan"),
+                         ("n_match", "sum", "n_match"),
+                         ("abs_diff", "sum", "sum_abs_diff_cents"),
+                         ("max_diff", "max", "max_abs_diff_cents")],
+                        num_buckets=4)
+
+
 def w_target_encode_priority(sf_dir):
     """Leave-one-out target encoding of order priority by totalprice:
     exact per-key (n, Σcents) broadcast once, one IEEE division per
@@ -4003,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": w_linear_attribution,
         "regression_components_lineitem": w_regression_components_lineitem,
         "target_encode_priority": w_target_encode_priority,
+        "order_reconciliation": w_order_reconciliation,
         "eh_window_events": w_eh_window_events,
         "eh_window_value": w_eh_window_value,
         "eh_window_by_type": w_eh_window_by_type,
@@ -5908,6 +5962,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.o_orderkey, q.k AS o_orderpriority,
                    (s.s - q.u) / (s.n - 1) AS target_loo
             FROM q JOIN s USING (k) WHERE s.n >= 2""",
+        "order_reconciliation": """
+            WITH s AS (SELECT l_orderkey,
+                              sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT))::BIGINT AS lc
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT o.o_orderstatus,
+                         CAST(round(o.o_totalprice * 100) AS BIGINT)
+                           AS oc,
+                         s.lc
+                  FROM orders o LEFT JOIN s
+                    ON s.l_orderkey = o.o_orderkey),
+            d AS (SELECT o_orderstatus,
+                         CASE WHEN lc IS NULL THEN 0
+                              ELSE abs(oc - lc) END AS d,
+                         (lc IS NULL)::BIGINT AS orph,
+                         (lc IS NOT NULL AND oc = lc)::BIGINT AS mtch
+                  FROM j)
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                   sum(orph)::BIGINT AS n_orphan,
+                   sum(mtch)::BIGINT AS n_match,
+                   sum(d)::BIGINT AS sum_abs_diff_cents,
+                   max(d)::BIGINT AS max_abs_diff_cents
+            FROM d GROUP BY 1""",
         "eh_window_events": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT
