@@ -3302,6 +3302,19 @@ def w_eh_window_events(sf_dir):
                             L=32, num_partitions=16)
 
 
+def w_eh_window_value_by_type(sf_dir):
+    """Per-event-type trailing-window SUM estimates (grouped sum EH —
+    completes the windowed {count,sum}×{global,per-key} matrix);
+    per-key certificates vs SQL-exact integer-cent window sums."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_sums_by_key
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return eh_window_sums_by_key(ev, "event_type", [604800, 1814400],
+                                 L=16, num_partitions=8)
+
+
 def w_resampled_interp_value(sf_dir):
     """Per-user 6h-grid LINEAR-interpolation resample (companion to
     the LOCF `resampled_value`): fixed IEEE interpolation expression
@@ -4065,6 +4078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users_bitmap": w_window_distinct_users_bitmap,
         "window_sample_events": w_window_sample_events,
         "resampled_interp_value": w_resampled_interp_value,
+        "eh_window_value_by_type": w_eh_window_value_by_type,
         "column_mi": w_column_mi,
         "weighted_median_price": w_weighted_median_price,
         "winsorize_chars": w_winsorize_chars,
@@ -6018,6 +6032,22 @@ def oracle_sql() -> dict[str, str]:
                     WHERE e.event_type = k.event_type
                       AND epoch_us(e.ts) > mx.m - w.window_s * 1000000
                    )::BIGINT AS n_exact,
+                   TRUE AS within_bound
+            FROM k CROSS JOIN w""",
+        "eh_window_value_by_type": """
+            WITH v AS (SELECT event_type, epoch_us(ts) AS t,
+                              CAST(round(value * 100) AS BIGINT) AS u
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                         AND value IS NOT NULL AND NOT isnan(value)),
+            mx AS (SELECT max(t) AS m FROM v),
+            w AS (SELECT unnest([604800, 1814400])::BIGINT AS window_s),
+            k AS (SELECT DISTINCT event_type FROM v)
+            SELECT k.event_type, w.window_s,
+                   (SELECT COALESCE(sum(u), 0) FROM v, mx
+                    WHERE v.event_type = k.event_type
+                      AND v.t > mx.m - w.window_s * 1000000)::BIGINT
+                     AS sum_units_exact,
                    TRUE AS within_bound
             FROM k CROSS JOIN w""",
         "window_quantiles_value": """

@@ -2739,3 +2739,125 @@ def window_sample(ds, windows_s: list[int], k: int, id_col: str,
             rows.append((w, int(ii[j]), rk))
     return pd.DataFrame(rows, columns=["window_s", "id", "rk"]) \
         .astype({"window_s": "int64", "id": "int64", "rk": "int64"})
+
+
+def eh_window_sums_by_key(ds, key_col: str, windows_s: list[int],
+                          ts_col: str = "ts", value_col: str = "value",
+                          scale: int = 100, L: int = 32,
+                          num_partitions: int = 16):
+    """GROUPED trailing-window SUM estimates — completes the windowed
+    matrix ({count, sum} × {global, per-key}): one
+    :class:`~bqf_ray.sketches.dgim.ExponentialHistogramSum` per
+    (key, time slice), folded per key in slice order, global-clock
+    cuts, per-key certificates vs independently-folded exact
+    integer-unit sums.  Returns ``(key, window_s, sum_units_exact,
+    within_bound)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from bqf_ray.sketches.dgim import ExponentialHistogramSum
+
+    P = int(num_partitions)
+    wins = [int(w) for w in windows_s]
+    SC = float(scale)
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column(value_col)
+        keep = pc.and_(col.is_valid(), pc.and_(
+            batch.column(key_col).is_valid(),
+            batch.column(ts_col).is_valid()))
+        if pa.types.is_floating(col.type):
+            keep = pc.and_(keep, pc.invert(pc.is_nan(col.fill_null(0.0))))
+        t = batch.filter(keep)
+        v = np.asarray(t.column(value_col), dtype=np.float64)
+        return pa.table({
+            "k": t.column(key_col),
+            "ts_us": t.column(ts_col).cast(pa.int64()),
+            "units": pa.array(np.rint(v * SC).astype(np.int64))})
+
+    us = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    env = us.aggregate(Min("ts_us", alias_name="lo"),
+                       Max("ts_us", alias_name="hi"))
+    if env is None or env["lo"] is None:
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "window_s": pd.Series([], dtype="int64"),
+                             "sum_units_exact": pd.Series([],
+                                                          dtype="int64"),
+                             "within_bound": pd.Series([], dtype="bool")})
+    lo, hi = int(env["lo"]), int(env["hi"])
+    span = max(hi - lo + 1, 1)
+
+    def slice_pid(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch.column("ts_us"), dtype=np.int64)
+        return batch.append_column(
+            "__pid", pa.array(((t - lo) * P) // span))
+
+    def build_eh(group: pa.Table) -> pa.Table:
+        t = np.asarray(group.column("ts_us"), dtype=np.int64)
+        v = np.asarray(group.column("units"), dtype=np.int64)
+        order = np.argsort(t, kind="stable")
+        eh = ExponentialHistogramSum.from_sorted(t[order], v[order], L=L)
+        _, n, total, mn, mx, sums, ends = eh.to_arrays()
+        return pa.table({
+            "k": group.column("k").slice(0, 1),
+            "pid": pa.array([int(group.column("__pid")[0].as_py())],
+                            pa.int64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "total": pa.array([int(total)], pa.int64()),
+            "min_ts": pa.array([int(mn)], pa.int64()),
+            "max_ts": pa.array([int(mx)], pa.int64()),
+            "sums": pa.array([sums.tobytes()], pa.binary()),
+            "ends": pa.array([ends.tobytes()], pa.binary())})
+
+    parts = (us.map_batches(slice_pid, batch_format="pyarrow")
+             .groupby(["k", "__pid"])
+             .map_groups(build_eh, batch_format="pyarrow").take_all())
+    parts.sort(key=lambda r: (str(r["k"]), r["pid"]))
+    ehs: dict = {}
+    for r in parts:
+        eh = ehs.setdefault(r["k"], ExponentialHistogramSum(L=L))
+        eh.merge_newer(ExponentialHistogramSum.from_arrays(
+            L, r["n"], r["total"], r["min_ts"], r["max_ts"],
+            np.frombuffer(r["sums"], dtype=np.int64),
+            np.frombuffer(r["ends"], dtype=np.int64)))
+
+    cuts = {w: hi - w * 1_000_000 for w in wins}
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = batch.column("k")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        nk = len(enc.dictionary)
+        t = np.asarray(batch.column("ts_us"), dtype=np.int64)
+        v = np.asarray(batch.column("units"), dtype=np.int64)
+        ks, ws, ss = [], [], []
+        for w in wins:
+            m = t > cuts[w]
+            s = np.bincount(code[m], weights=v[m].astype(np.float64),
+                            minlength=nk).astype(np.int64)
+            ks.append(np.arange(nk))
+            ws.append(np.full(nk, w, dtype=np.int64))
+            ss.append(s)
+        return pa.table({
+            "k": enc.dictionary.take(pa.array(np.concatenate(ks))),
+            "window_s": pa.array(np.concatenate(ws)),
+            "ps": pa.array(np.concatenate(ss))})
+
+    exact = {(r["k"], r["window_s"]): r["s"] for r in
+             (us.map_batches(exact_partial, batch_format="pyarrow")
+              .groupby(["k", "window_s"])
+              .aggregate(Sum("ps", alias_name="s")).take_all())}
+
+    rows = []
+    for k in sorted(ehs, key=str):
+        for w in wins:
+            est, bound = ehs[k].estimate_after(cuts[w])
+            ex = int(exact.get((k, w), 0))
+            rows.append((k, w, ex, abs(est - ex) <= bound))
+    return pd.DataFrame(rows, columns=[key_col, "window_s",
+                                       "sum_units_exact", "within_bound"])

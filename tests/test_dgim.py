@@ -307,3 +307,28 @@ def test_window_distinct_bitmap_and_sample_exact(ray_session):
                for rk, j in enumerate(order, 1)]
         gg = s[s["window_s"] == w]
         assert list(zip(gg["window_s"], gg["id"], gg["rk"])) == exp
+
+
+def test_eh_window_sums_by_key_pipeline(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import eh_window_sums_by_key
+    rng = np.random.RandomState(13)
+    n = 12_000
+    base = np.int64(1_700_000_000_000_000)
+    us = base + rng.randint(0, 14 * 86_400_000_000, n, dtype=np.int64)
+    keys = rng.choice(["a", "b", "c"], size=n)
+    vals = np.round(rng.gamma(2.0, 25.0, size=n), 2)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"), "k": keys,
+                       "value": vals})
+    got = eh_window_sums_by_key(
+        ray.data.from_pandas(df).repartition(7), "k",
+        [86400, 604800], L=16, num_partitions=6)
+    units = np.rint(vals * 100).astype(np.int64)
+    hi = int(us.max())
+    assert len(got) == 6
+    for _, row in got.iterrows():
+        m = (keys == row["k"]) & (us > hi - row["window_s"] * 1_000_000)
+        assert row["sum_units_exact"] == int(units[m].sum())
+        assert bool(row["within_bound"])
