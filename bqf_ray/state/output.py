@@ -113,3 +113,84 @@ def read_resumable_parquet(root: str):
     paths = [os.path.join(_part_dir(root, v), "data.parquet")
              for v in sorted(finished_partitions(root))]
     return ray.data.read_parquet(paths)
+
+
+def compact_partitions(src_root: str, dst_root: str,
+                       target_bytes: int = 128 << 20):
+    """Small-files compaction for a resumable-sink directory: bin-pack
+    finished ``part=`` directories (sizes from their verified ``_DONE``
+    markers) into ~``target_bytes`` groups — the many-small-outputs →
+    few-read-efficient-files maintenance step every partitioned sink
+    eventually needs.  Deterministic (sorted parts, first-fit), atomic
+    per group (tmp+rename + ``_DONE`` with member manifest), and
+    RESUMABLE like the sink itself: re-running skips groups whose
+    marker verifies, so a killed compaction continues where it
+    stopped.  Each group is read+written inside one Ray task (groups
+    are independent — the job parallelizes across them).
+
+    Returns per-group metadata ``(group, parts, rows, bytes)``."""
+    import ray
+
+    if not os.path.isdir(src_root):
+        raise FileNotFoundError(src_root)
+    parts = sorted(finished_partitions(src_root))
+    if not parts:
+        return []
+    sizes = {}
+    for p in parts:
+        with open(os.path.join(_part_dir(src_root, p), "_DONE")) as f:
+            sizes[p] = int(json.load(f)["bytes"])
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for p in parts:                       # first-fit over sorted parts
+        if cur and acc + sizes[p] > target_bytes:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(p)
+        acc += sizes[p]
+    if cur:
+        groups.append(cur)
+
+    os.makedirs(dst_root, exist_ok=True)
+    done = finished_partitions(dst_root)
+
+    def write_group(batch: pa.Table) -> pa.Table:
+        out = {"part": [], "parts": [], "rows": [], "bytes": []}
+        for row in batch.to_pylist():
+            gid = row["gid"]
+            members = row["members"].split(",")
+            if str(gid) in done:
+                continue
+            tbl = pa.concat_tables([
+                pq.read_table(os.path.join(_part_dir(src_root, p),
+                                           "data.parquet"))
+                for p in members], promote_options="default")
+            d = _part_dir(dst_root, gid)
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".data.parquet.tmp.{os.getpid()}")
+            pq.write_table(tbl, tmp)
+            path = os.path.join(d, "data.parquet")
+            os.replace(tmp, path)
+            with open(path, "rb") as f:
+                sha = hashlib.sha256(f.read()).hexdigest()
+            size = os.path.getsize(path)
+            marker_tmp = os.path.join(d, f"._DONE.tmp.{os.getpid()}")
+            with open(marker_tmp, "w") as f:
+                json.dump({"rows": len(tbl), "bytes": size,
+                           "sha256": sha, "members": members}, f)
+            os.replace(marker_tmp, os.path.join(d, "_DONE"))
+            out["part"].append(str(gid))
+            out["parts"].append(len(members))
+            out["rows"].append(len(tbl))
+            out["bytes"].append(size)
+        return pa.table({"part": pa.array(out["part"]),
+                         "parts": pa.array(out["parts"], pa.int64()),
+                         "rows": pa.array(out["rows"], pa.int64()),
+                         "bytes": pa.array(out["bytes"], pa.int64())})
+
+    items = ray.data.from_items(
+        [{"gid": f"g{gi:05d}", "members": ",".join(g)}
+         for gi, g in enumerate(groups)])
+    return (items.map_batches(write_group, batch_format="pyarrow",
+                              batch_size=1).take_all())

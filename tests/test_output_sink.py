@@ -65,3 +65,40 @@ def test_bucketed_write(events_ds, tmp_path):
     assert sum(m["rows"] for m in meta) == 4000
     got = read_resumable_parquet(root).to_pandas()
     assert len(got) == 4000
+
+
+def test_compact_partitions_resumable(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from bqf_ray.state.output import (compact_partitions,
+                                      finished_partitions,
+                                      read_resumable_parquet,
+                                      resumable_write_parquet)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    n = 5000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64) % 37),
+                  "v": pa.array(np.arange(n, dtype=np.int64))})
+    resumable_write_parquet(ray.data.from_arrow(t).repartition(6),
+                            src, "k")
+    assert len(finished_partitions(src)) == 37
+    # bin-pack tiny parts into few groups
+    meta = compact_partitions(src, dst, target_bytes=40_000)
+    groups = finished_partitions(dst)
+    assert 1 < len(groups) < 37
+    assert sum(m["rows"] for m in meta) == n
+    # content preserved exactly (multiset equality)
+    back = read_resumable_parquet(dst).to_pandas()
+    assert sorted(back["v"]) == list(range(n))
+    # resume: re-running writes nothing new
+    meta2 = compact_partitions(src, dst, target_bytes=40_000)
+    assert meta2 == []
+    # member manifest present
+    gid = sorted(groups)[0]
+    import json
+    with open(os.path.join(dst, f"part={gid}", "_DONE")) as f:
+        assert len(json.load(f)["members"]) >= 1
