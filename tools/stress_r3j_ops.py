@@ -71,7 +71,25 @@ def do_hh():
     return len(out)
 
 
+def do_distinct():
+    from bqf_ray.pipelines.windowed import window_distinct_bitmap
+    out = window_distinct_bitmap(_stream(), [7 * 86400, 30 * 86400],
+                                 "user_id")
+    return int(out["n_distinct"].sum())
+
+
+def do_sample():
+    from bqf_ray.pipelines.windowed import window_sample
+    ids_ds = _stream()
+    # sample by synthetic event id: reuse user_id column as id domain
+    out = window_sample(ids_ds, [7 * 86400, 30 * 86400], 100, "user_id",
+                        salt="s")
+    return len(out)
+
+
 if __name__ == "__main__":
     run("window_quantile_sketch", do_quant, N)
     run("window_heavy_hitters (m=64)", do_hh, N)
+    run("window_distinct_bitmap", do_distinct, N)
+    run("window_sample (k=100, md5)", do_sample, N)
     ray.shutdown()
