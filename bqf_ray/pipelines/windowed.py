@@ -2083,7 +2083,12 @@ def eh_window_counts_by_key(ds, key_col: str, windows_s: list[int],
 
     Same certificate contract as :func:`eh_window_counts`, per key:
     returns ``(key, window_s, n_exact, within_bound)`` with the exact
-    side recomputed independently (SQL-checkable)."""
+    side recomputed independently (SQL-checkable).
+
+    Envelope: the driver folds ``n_keys × num_partitions`` O(bytes)
+    pane partials — categorical-to-moderate key cardinality.  Past
+    ~100k·P partial rows, shard the fold (group partials by key-hash
+    bucket, fold per bucket in tasks) before raising P."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Max, Min, Sum
@@ -2751,7 +2756,8 @@ def eh_window_sums_by_key(ds, key_col: str, windows_s: list[int],
     (key, time slice), folded per key in slice order, global-clock
     cuts, per-key certificates vs independently-folded exact
     integer-unit sums.  Returns ``(key, window_s, sum_units_exact,
-    within_bound)``."""
+    within_bound)``.  Same driver-fold envelope as
+    :func:`eh_window_counts_by_key` (n_keys × P pane partials)."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Max, Min, Sum
