@@ -3505,6 +3505,39 @@ def w_linear_attribution(sf_dir):
     return linear_attribution(ev, 7 * 86400)
 
 
+def w_value_drift_halves(sf_dir):
+    """Temporal drift test: per-event-type Welch t between the early
+    and late time halves (cut = exact PERCENTILE_DISC(0.5) of
+    epoch-µs; µs ints < 2^53 travel float64 exactly) — the six integer
+    moments and the statistic are SQL-bit-exact."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.aggregates import (grouped_exact_quantiles,
+                                              grouped_welch_ttest)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"one": pa.array(np.ones(len(batch), np.int64)),
+                         "tu": batch.column("ts").cast(pa.int64())})
+
+    med = grouped_exact_quantiles(
+        ev.map_batches(to_us, batch_format="pyarrow"), "one", "tu",
+        qs=(0.5,))
+    cut = np.int64(med.take_all()[0]["q_50"])
+
+    def side(batch: pa.Table) -> pa.Table:
+        tu = np.asarray(batch.column("ts").cast(pa.int64()))
+        return batch.append_column(
+            "half", pa.array(np.where(tu <= cut, "early", "late")))
+
+    return grouped_welch_ttest(ev.map_batches(side,
+                                              batch_format="pyarrow"),
+                               "event_type", "half", "early", "late",
+                               "value")
+
+
 def w_welch_click_purchase(sf_dir):
     """Per-user Welch t between click and purchase values: six exact
     integer-cent moments in ONE key-bucketed exchange, t as one fixed
@@ -4066,6 +4099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recs_copurchase": w_recs_copurchase,
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "welch_click_purchase": w_welch_click_purchase,
+        "value_drift_halves": w_value_drift_halves,
         "linear_attribution": w_linear_attribution,
         "regression_components_lineitem": w_regression_components_lineitem,
         "target_encode_priority": w_target_encode_priority,
@@ -5917,6 +5951,34 @@ def oracle_sql() -> dict[str, str]:
                              0)::BIGINT AS q_b
                   FROM v GROUP BY 1)
             SELECT user_id, n_a, n_b, s_a, s_b, q_a, q_b,
+                   ((s_a / n_a) - (s_b / n_b)) /
+                   sqrt(((q_a - s_a * (s_a / n_a)) / (n_a - 1)) / n_a
+                        + ((q_b - s_b * (s_b / n_b)) / (n_b - 1)) / n_b)
+                     AS t_stat
+            FROM m WHERE n_a >= 2 AND n_b >= 2""",
+        "value_drift_halves": """
+            WITH cut AS (SELECT quantile_disc(epoch_us(ts), 0.5) AS c
+                         FROM events),
+            v AS (SELECT event_type,
+                         CASE WHEN epoch_us(ts) <= (SELECT c FROM cut)
+                              THEN 'early' ELSE 'late' END AS half,
+                         CAST(round(value * 100) AS BIGINT) AS u
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)
+                    AND event_type IS NOT NULL),
+            m AS (SELECT event_type,
+                    count(*) FILTER (half = 'early')::BIGINT AS n_a,
+                    COALESCE(sum(u) FILTER (half = 'early'),
+                             0)::BIGINT AS s_a,
+                    COALESCE(sum(u * u) FILTER (half = 'early'),
+                             0)::BIGINT AS q_a,
+                    count(*) FILTER (half = 'late')::BIGINT AS n_b,
+                    COALESCE(sum(u) FILTER (half = 'late'),
+                             0)::BIGINT AS s_b,
+                    COALESCE(sum(u * u) FILTER (half = 'late'),
+                             0)::BIGINT AS q_b
+                  FROM v GROUP BY 1)
+            SELECT event_type, n_a, n_b, s_a, s_b, q_a, q_b,
                    ((s_a / n_a) - (s_b / n_b)) /
                    sqrt(((q_a - s_a * (s_a / n_a)) / (n_a - 1)) / n_a
                         + ((q_b - s_b * (s_b / n_b)) / (n_b - 1)) / n_b)
