@@ -3505,6 +3505,55 @@ def w_linear_attribution(sf_dir):
     return linear_attribution(ev, 7 * 86400)
 
 
+def w_dow_hour_profile(sf_dir):
+    """Seasonality heatmap: exact counts per (day-of-week, hour,
+    event_type) via pure integer epoch arithmetic (shared verbatim
+    with SQL — no calendar-library drift), one bucketed count."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        tu = np.asarray(batch.column("ts").cast(pa.int64()))
+        return pa.table({
+            "dow": pa.array(((tu // 86_400_000_000) + 4) % 7),
+            "hour": pa.array((tu // 3_600_000_000) % 24),
+            "event_type": batch.column("event_type"),
+            "one": pa.array(np.ones(len(batch), np.int64))})
+
+    return bucketed_sum(ev.map_batches(pre, batch_format="pyarrow"),
+                        ["dow", "hour", "event_type"], {"one": "n"},
+                        num_buckets=16)
+
+
+def w_peak_hourly_rate(sf_dir):
+    """Per-user peak hourly event rate (rate-limit / bot signal):
+    exact tumbling-hour counts then a per-user max — two pre-aggregated
+    exchanges, SQL window replay."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        tu = np.asarray(batch.column("ts").cast(pa.int64()))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "hour": pa.array((tu // 3_600_000_000) * 3_600_000_000),
+            "one": pa.array(np.ones(len(batch), np.int64))})
+
+    hourly = bucketed_sum(ev.map_batches(pre, batch_format="pyarrow"),
+                          ["user_id", "hour"], {"one": "n"},
+                          num_buckets=32)
+    return bucketed_agg(hourly, ["user_id"],
+                        [("n", "max", "peak_hourly")], num_buckets=16)
+
+
 def w_value_drift_halves(sf_dir):
     """Temporal drift test: per-event-type Welch t between the early
     and late time halves (cut = exact PERCENTILE_DISC(0.5) of
@@ -4100,6 +4149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_value": w_bootstrap_ci_value,
         "welch_click_purchase": w_welch_click_purchase,
         "value_drift_halves": w_value_drift_halves,
+        "dow_hour_profile": w_dow_hour_profile,
+        "peak_hourly_rate": w_peak_hourly_rate,
         "linear_attribution": w_linear_attribution,
         "regression_components_lineitem": w_regression_components_lineitem,
         "target_encode_priority": w_target_encode_priority,
@@ -6061,6 +6112,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(d)::BIGINT AS sum_abs_diff_cents,
                    max(d)::BIGINT AS max_abs_diff_cents
             FROM d GROUP BY 1""",
+        "dow_hour_profile": """
+            SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2, 3""",
+        "peak_hourly_rate": """
+            WITH h AS (SELECT user_id,
+                              (epoch_us(ts) // 3600000000)
+                                * 3600000000 AS hour,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, max(n)::BIGINT AS peak_hourly
+            FROM h GROUP BY 1""",
         "eh_window_events": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             w AS (SELECT unnest([3600, 86400, 604800, 1814400])::BIGINT
