@@ -3354,6 +3354,19 @@ def w_window_sample_events(sf_dir):
                          salt="ws3")
 
 
+def w_window_type_counts_bqf(sf_dir):
+    """Trailing-window SATURATED event-type counts through per-pane
+    BQF merges — the reference's exact-count codec (clamp at 2^c−1)
+    joined to the pane architecture; oracle LEAST(count(*), 255)."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_counts_bqf
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return window_counts_bqf(ev, [604800, 1814400], "event_type",
+                             count_size=8)
+
+
 def w_window_heavy_users(sf_dir):
     """Trailing-window frequent users from per-day Misra-Gries panes:
     deterministic candidate guarantee + one shared recount pass makes
@@ -4160,6 +4173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eh_window_by_type": w_eh_window_by_type,
         "window_quantiles_value": w_window_quantiles_value,
         "window_heavy_users": w_window_heavy_users,
+        "window_type_counts_bqf": w_window_type_counts_bqf,
         "window_distinct_users_bitmap": w_window_distinct_users_bitmap,
         "window_sample_events": w_window_sample_events,
         "resampled_interp_value": w_resampled_interp_value,
@@ -6210,6 +6224,20 @@ def oracle_sql() -> dict[str, str]:
             FROM mem m JOIN nw ON nw.window_s = m.window_s
             GROUP BY m.window_s, m.user_id, nw.n
             HAVING count(*) > nw.n / 257.0""",
+        "window_type_counts_bqf": """
+            WITH us AS (SELECT (epoch_us(ts) // 86400000000)
+                               * 86400000000 AS cell, event_type
+                        FROM events
+                        WHERE ts IS NOT NULL
+                          AND event_type IS NOT NULL),
+            hi AS (SELECT max(cell) AS h FROM us),
+            w AS (SELECT unnest([604800, 1814400])::BIGINT AS window_s)
+            SELECT w.window_s, us.event_type,
+                   LEAST(count(*), 255)::BIGINT AS cnt
+            FROM w JOIN us ON us.cell >
+                 (SELECT h FROM hi) + 86400000000 - 1
+                 - w.window_s * 1000000
+            GROUP BY 1, 2""",
         "window_distinct_users_bitmap": """
             WITH us AS (SELECT (epoch_us(ts) // 86400000000)
                                * 86400000000 AS cell, user_id

@@ -2867,3 +2867,73 @@ def eh_window_sums_by_key(ds, key_col: str, windows_s: list[int],
             rows.append((k, w, ex, abs(est - ex) <= bound))
     return pd.DataFrame(rows, columns=[key_col, "window_s",
                                        "sum_units_exact", "within_bound"])
+
+
+def window_counts_bqf(ds, windows_s: list[int], key_col: str,
+                      ts_col: str = "ts", count_size: int = 8,
+                      q: int = 10, cell_s: int = 86400):
+    """Trailing-window SATURATED counts through per-pane Backpack
+    Quotient Filters — the reference's core counting structure
+    (/root/reference/src/bqf_ec.cpp:120-154) joined to the pane
+    architecture: one BqfEc per epoch-aligned cell, cell-aligned
+    windows answered by pane merges (BQF merge = enumerate + rebuild,
+    associative), counts clamping at ``2^count_size − 1`` exactly as
+    the reference's exact-count codec — so the oracle is
+    ``LEAST(count(*), 2^c−1)`` per (window, key), bit-exact.
+    Returns ``(window_s, key, cnt)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max
+
+    from bqf_ray.functions.hashing import xxhash64_array
+    from bqf_ray.sketches.base import MergeableSketch
+    from bqf_ray.sketches.bqf import BqfEc
+    from bqf_ray.stages.udaf import sketch_agg
+
+    CELL = int(cell_s) * 1_000_000
+    wins = [int(w) for w in windows_s]
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(batch.column(key_col).is_valid(),
+                       batch.column(ts_col).is_valid())
+        t = batch.filter(keep)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        return pa.table({"cell": pa.array((ts // CELL) * CELL),
+                         "k": t.column(key_col)})
+
+    us = ds.map_batches(to_cells, batch_format="pyarrow").materialize()
+    env = us.aggregate(Max("cell", alias_name="hi"))
+    if env is None or env["hi"] is None:
+        return pd.DataFrame({"window_s": pd.Series([], dtype="int64"),
+                             key_col: pd.Series([], dtype="object"),
+                             "cnt": pd.Series([], dtype="int64")})
+    hi = int(env["hi"])
+    cuts = {w: hi + CELL - 1 - w * 1_000_000 for w in wins}
+
+    panes = (us.groupby("cell")
+             .aggregate(sketch_agg(
+                 lambda: BqfEc(q=q, count_size=count_size),
+                 on="k", prepare="hash", name="blob"))
+             .take_all())
+    # distinct keys (tiny here; the corpus form rides distinct_values)
+    keys = sorted({r["k"] for r in
+                   us.groupby("k").count().take_all()})
+    kh = xxhash64_array(pa.array([str(x) for x in keys]))
+
+    rows = []
+    for w in wins:
+        blobs = [r["blob"] for r in panes if r["cell"] > cuts[w]]
+        if not blobs:
+            continue
+        sk = MergeableSketch.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            sk.merge(MergeableSketch.from_bytes(b))
+        cnt = sk.query_batch(kh).astype(np.int64)
+        for kk, c in zip(keys, cnt):
+            if c > 0:
+                rows.append((w, kk, int(c)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["window_s", key_col, "cnt"]) \
+        .astype({"window_s": "int64", "cnt": "int64"})

@@ -332,3 +332,32 @@ def test_eh_window_sums_by_key_pipeline(ray_session):
         m = (keys == row["k"]) & (us > hi - row["window_s"] * 1_000_000)
         assert row["sum_units_exact"] == int(units[m].sum())
         assert bool(row["within_bound"])
+
+
+def test_window_counts_bqf_saturated_exact(ray_session):
+    import collections
+
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import window_counts_bqf
+    rng = np.random.RandomState(3)
+    n = 9000
+    base = np.int64(1_700_000_000_000_000)
+    us = base + rng.randint(0, 12 * 86_400_000_000, n, dtype=np.int64)
+    keys = rng.choice([f"t{i}" for i in range(12)], n)
+    df = pd.DataFrame({"ts": us.astype("datetime64[us]"), "k": keys})
+    got = window_counts_bqf(ray.data.from_pandas(df).repartition(6),
+                            [2 * 86400, 9 * 86400], "k",
+                            count_size=6)          # cap 63: saturation real
+    CELL = 86_400_000_000
+    cells = (us // CELL) * CELL
+    hi = int(cells.max())
+    for w in (2 * 86400, 9 * 86400):
+        memb = cells > hi + CELL - 1 - w * 1_000_000
+        cnt = collections.Counter(keys[memb])
+        exp = sorted((w, k, min(c, 63)) for k, c in cnt.items())
+        gg = got[got["window_s"] == w]
+        assert sorted(zip(gg["window_s"], gg["k"], gg["cnt"])) == exp
+    # saturation actually engaged somewhere
+    assert (got["cnt"] == 63).any()
