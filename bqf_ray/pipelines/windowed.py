@@ -2937,3 +2937,85 @@ def window_counts_bqf(ds, windows_s: list[int], key_col: str,
     rows.sort()
     return pd.DataFrame(rows, columns=["window_s", key_col, "cnt"]) \
         .astype({"window_s": "int64", "cnt": "int64"})
+
+
+def update_pane_store(ds, root: str, ts_col: str = "ts", L: int = 32,
+                      cell_s: int = 86400):
+    """INCREMENTAL pane maintenance — the crawl-loop form of the
+    windowed sketches: per-cell DGIM partials persist through the
+    resumable partitioned sink (``state/output.py`` — atomic ``_DONE``
+    markers per ``part=<cell>``), so a re-run after new data builds
+    ONLY cells without a verified marker; finished panes are never
+    recomputed or even read.
+
+    Watermark contract (documented, loud): a cell is written once seen
+    — callers must feed CLOSED cells only (drop the trailing open cell
+    upstream, the standard watermark rule); late rows for a finished
+    cell are ignored by the skip.  Returns the per-run write metadata
+    (one row per NEW cell)."""
+    import ray
+
+    from bqf_ray.sketches.dgim import ExponentialHistogram
+    from bqf_ray.state.output import resumable_write_parquet
+
+    CELL = int(cell_s) * 1_000_000
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column(ts_col).is_valid())
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]"
+                                                 ).astype(np.int64)
+        return pa.table({"cell": pa.array((ts // CELL) * CELL),
+                         "ts_us": pa.array(ts)})
+
+    def build_pane(group: pa.Table) -> pa.Table:
+        t = np.sort(np.asarray(group.column("ts_us"), dtype=np.int64))
+        eh = ExponentialHistogram.from_sorted(t, L=L)
+        _, n, mn, mx, sizes, ends = eh.to_arrays()
+        return pa.table({
+            "cell": group.column("cell").slice(0, 1),
+            "n": pa.array([int(n)], pa.int64()),
+            "min_ts": pa.array([int(mn)], pa.int64()),
+            "max_ts": pa.array([int(mx)], pa.int64()),
+            "sizes": pa.array([sizes.tobytes()], pa.binary()),
+            "ends": pa.array([ends.tobytes()], pa.binary())})
+
+    panes = (ds.map_batches(to_cells, batch_format="pyarrow")
+             .groupby("cell").map_groups(build_pane,
+                                         batch_format="pyarrow"))
+    return resumable_write_parquet(panes, root, "cell")
+
+
+def query_pane_store(root: str, windows_s: list[int], L: int = 32,
+                     cell_s: int = 86400):
+    """Answer trailing-window counts from a persisted pane store: read
+    the O(bytes) pane blobs (finished cells only), ordered-fold per
+    window.  No event data is touched — the store IS the state.
+    Returns ``(window_s, estimate, bound, n_total)``; the estimate
+    carries the DGIM certificate ``|est − exact| ≤ bound``."""
+    import pandas as pd
+
+    from bqf_ray.sketches.dgim import ExponentialHistogram
+    from bqf_ray.state.output import read_resumable_parquet
+
+    CELL = int(cell_s) * 1_000_000
+    rows = sorted(read_resumable_parquet(root).take_all(),
+                  key=lambda r: r["cell"])
+    if not rows:
+        return pd.DataFrame({"window_s": pd.Series([], dtype="int64"),
+                             "estimate": pd.Series([], dtype="int64"),
+                             "bound": pd.Series([], dtype="int64"),
+                             "n_total": pd.Series([], dtype="int64")})
+    eh = ExponentialHistogram(L=L)
+    for r in rows:
+        eh.merge_newer(ExponentialHistogram.from_arrays(
+            L, r["n"], r["min_ts"], r["max_ts"],
+            np.frombuffer(r["sizes"], dtype=np.int64),
+            np.frombuffer(r["ends"], dtype=np.int64)))
+    hi_cell = int(rows[-1]["cell"])
+    out = []
+    for w in [int(x) for x in windows_s]:
+        cut = hi_cell + CELL - 1 - w * 1_000_000
+        est, bound = eh.estimate_after(cut)
+        out.append((w, est, bound, eh.n))
+    return pd.DataFrame(out, columns=["window_s", "estimate", "bound",
+                                      "n_total"])

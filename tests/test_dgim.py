@@ -361,3 +361,42 @@ def test_window_counts_bqf_saturated_exact(ray_session):
         assert sorted(zip(gg["window_s"], gg["k"], gg["cnt"])) == exp
     # saturation actually engaged somewhere
     assert (got["cnt"] == 63).any()
+
+
+def test_pane_store_incremental_update_and_query(ray_session, tmp_path):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import (query_pane_store,
+                                            update_pane_store)
+    rng = np.random.RandomState(4)
+    base = np.int64(1_700_000_000_000_000)
+    CELL = 86_400_000_000
+    us_all = base + np.sort(rng.randint(0, 12 * CELL, size=9000,
+                                        dtype=np.int64))
+    bound = ((base + 8 * CELL) // CELL) * CELL   # ALIGNED watermark:
+    early = us_all[us_all < bound]               # only closed cells fed
+    root = str(tmp_path / "panes")
+
+    def mk(us):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"ts": us.astype("datetime64[us]")})).repartition(5)
+
+    n_early = len(np.unique((early // CELL) * CELL))
+    n_all = len(np.unique((us_all // CELL) * CELL))
+    meta1 = update_pane_store(mk(early), root)
+    assert len(meta1) == n_early                   # one pane per cell
+    # incremental run over the FULL stream: only the new cells write
+    meta2 = update_pane_store(mk(us_all), root)
+    assert len(meta2) == n_all - n_early > 0
+    assert {m["part"] for m in meta1}.isdisjoint(
+        {m["part"] for m in meta2})
+    # window answers from the store carry the DGIM certificate
+    got = query_pane_store(root, [2 * 86400, 9 * 86400])
+    cells = (us_all // CELL) * CELL
+    hi = int(cells.max())
+    for _, row in got.iterrows():
+        cut = hi + CELL - 1 - row["window_s"] * 1_000_000
+        exact = int((us_all > cut).sum())
+        assert abs(row["estimate"] - exact) <= row["bound"]
+        assert row["n_total"] == len(us_all)
