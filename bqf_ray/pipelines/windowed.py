@@ -2885,10 +2885,9 @@ def window_counts_bqf(ds, windows_s: list[int], key_col: str,
     import ray
     from ray.data.aggregate import Max
 
-    from bqf_ray.functions.hashing import xxhash64_array
     from bqf_ray.sketches.base import MergeableSketch
     from bqf_ray.sketches.bqf import BqfEc
-    from bqf_ray.stages.udaf import sketch_agg
+    from bqf_ray.stages.udaf import prepare_hash, sketch_agg
 
     CELL = int(cell_s) * 1_000_000
     wins = [int(w) for w in windows_s]
@@ -2917,10 +2916,13 @@ def window_counts_bqf(ds, windows_s: list[int], key_col: str,
                  lambda: BqfEc(q=q, count_size=count_size),
                  on="k", prepare="hash", name="blob"))
              .take_all())
-    # distinct keys (tiny here; the corpus form rides distinct_values)
+    # distinct keys (tiny here; the corpus form rides distinct_values);
+    # probe hashes MUST mirror the build's prepare_hash exactly (string
+    # xxh64 vs int fmix64 differ) — share the function, not a re-code
     keys = sorted({r["k"] for r in
                    us.groupby("k").count().take_all()})
-    kh = xxhash64_array(pa.array([str(x) for x in keys]))
+    karr = pa.array(keys)
+    kh = prepare_hash(karr)
 
     rows = []
     for w in wins:

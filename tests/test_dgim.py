@@ -345,7 +345,9 @@ def test_window_counts_bqf_saturated_exact(ray_session):
     n = 9000
     base = np.int64(1_700_000_000_000_000)
     us = base + rng.randint(0, 12 * 86_400_000_000, n, dtype=np.int64)
-    keys = rng.choice([f"t{i}" for i in range(12)], n)
+    # INT keys: the probe must share the build's prepare_hash (int
+    # fmix64, not string xxh64) — regression for the hash-mismatch bug
+    keys = rng.randint(0, 12, n).astype(np.int64)
     df = pd.DataFrame({"ts": us.astype("datetime64[us]"), "k": keys})
     got = window_counts_bqf(ray.data.from_pandas(df).repartition(6),
                             [2 * 86400, 9 * 86400], "k",

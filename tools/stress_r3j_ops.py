@@ -87,9 +87,29 @@ def do_sample():
     return len(out)
 
 
+def do_bqf():
+    from bqf_ray.pipelines.windowed import window_counts_bqf
+    out = window_counts_bqf(_stream(), [7 * 86400, 30 * 86400],
+                            "user_id", count_size=8, q=14)
+    return len(out)
+
+
+def do_pane_store(tmp="/tmp/stress_pane_store"):
+    import shutil
+
+    from bqf_ray.pipelines.windowed import (query_pane_store,
+                                            update_pane_store)
+    shutil.rmtree(tmp, ignore_errors=True)
+    update_pane_store(_stream(), tmp)
+    out = query_pane_store(tmp, [7 * 86400, 30 * 86400])
+    return int(out["n_total"].iloc[0])
+
+
 if __name__ == "__main__":
     run("window_quantile_sketch", do_quant, N)
     run("window_heavy_hitters (m=64)", do_hh, N)
     run("window_distinct_bitmap", do_distinct, N)
     run("window_sample (k=100, md5)", do_sample, N)
+    run("window_counts_bqf (q=14)", do_bqf, N)
+    run("pane_store build+query", do_pane_store, N)
     ray.shutdown()
