@@ -278,6 +278,50 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_region_nation_share(sf_dir):
+    """Hierarchical percent-of-parent: nation revenue as a share of
+    its region's total — the star-schema broadcast plan with exact
+    integer-cent sums; each share ONE IEEE division (SQL-bit-exact)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from bqf_ray.pipelines.relational import broadcast_join
+    from bqf_ray.stages.partition import bucketed_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey",
+                  right_on="r_regionkey")[["c_custkey", "n_name",
+                                           "r_name"]]
+           .rename(columns={"c_custkey": "o_custkey"}))
+    joined = broadcast_join(orders, dim, key="o_custkey")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(batch.column("o_totalprice")) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"r_name": batch.column("r_name"),
+                         "n_name": batch.column("n_name"),
+                         "c": pa.array(cents)})
+
+    sums = bucketed_sum(joined.map_batches(pre, batch_format="pyarrow"),
+                        ["r_name", "n_name"], {"c": "revenue_cents"},
+                        num_buckets=8).to_pandas()
+    totals = sums.groupby("r_name")["revenue_cents"].sum().to_dict()
+    sums["share"] = [np.float64(c) / totals[r] for r, c in
+                     zip(sums["r_name"], sums["revenue_cents"])]
+    return sums.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 def q_nation_revenue(sf_dir):
     """Broadcast dimension join: orders ⨝ customer ⨝ nation → revenue per
     nation (cents-exact sums)."""
@@ -4091,6 +4135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slots 51+: driver-green in r02 (or parity-covered) ---
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
+        "region_nation_share": w_region_nation_share,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -6550,6 +6595,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang""",
+        "region_nation_share": """
+            WITH j AS (SELECT r.r_name, n.n_name,
+                              CAST(floor(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS c
+                       FROM orders o
+                       JOIN customer cu ON cu.c_custkey = o.o_custkey
+                       JOIN nation n ON n.n_nationkey = cu.c_nationkey
+                       JOIN region r ON r.r_regionkey = n.n_regionkey),
+            s AS (SELECT r_name, n_name, sum(c)::BIGINT AS revenue_cents
+                  FROM j GROUP BY 1, 2),
+            t AS (SELECT r_name, sum(revenue_cents)::BIGINT AS total
+                  FROM s GROUP BY 1)
+            SELECT s.r_name, s.n_name, s.revenue_cents,
+                   s.revenue_cents / t.total AS share
+            FROM s JOIN t USING (r_name)""",
         "nation_revenue": """
             SELECT n.n_name,
                    sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0
