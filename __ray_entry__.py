@@ -278,6 +278,33 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_session_bounce(sf_dir):
+    """Bounce analysis over gap-based sessions: per session-length
+    bucket (1, 2-4, 5+ events) exact session counts + total events —
+    the engagement-distribution report; composed on session_windows'
+    one-shuffle vectorized plan, SQL replays the session assignment."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.windowed import session_windows
+    from bqf_ray.stages.partition import bucketed_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    sess = session_windows(ev, gap_s=1800)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_events"), dtype=np.int64)
+        bucket = np.where(n == 1, "bounce",
+                          np.where(n <= 4, "short", "engaged"))
+        return pa.table({"bucket": pa.array(bucket),
+                         "one": pa.array(np.ones(len(n), np.int64)),
+                         "ev": pa.array(n)})
+
+    return bucketed_sum(sess.map_batches(pre, batch_format="pyarrow"),
+                        ["bucket"], {"one": "n_sessions",
+                                     "ev": "n_events"}, num_buckets=4)
+
+
 def w_region_nation_share(sf_dir):
     """Hierarchical percent-of-parent: nation revenue as a share of
     its region's total — the star-schema broadcast plan with exact
@@ -4136,6 +4163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q_lang_counts_salted,
         "nation_revenue": q_nation_revenue,
         "region_nation_share": w_region_nation_share,
+        "session_bounce": w_session_bounce,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4630,6 +4658,25 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "session_bounce": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x),
+            g AS (SELECT user_id, sid, count(*)::BIGINT AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT CASE WHEN n = 1 THEN 'bounce'
+                        WHEN n <= 4 THEN 'short'
+                        ELSE 'engaged' END AS bucket,
+                   count(*)::BIGINT AS n_sessions,
+                   sum(n)::BIGINT AS n_events
+            FROM g GROUP BY 1""",
         "sliding_events": """
             SELECT make_timestamp(ws) AS window_start, event_type,
                    count(*)::BIGINT AS n_events,
