@@ -278,6 +278,27 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_gap_quantiles_by_user(sf_dir):
+    """Exact PERCENTILE_DISC quantiles of inter-event gaps per user —
+    cadence fingerprinting: lag_diff's one-shuffle gap pass feeds the
+    selection-exact grouped quantiles (second exchange); SQL replays
+    LAG + quantile_disc."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_exact_quantiles
+    from bqf_ray.pipelines.windowed import lag_diff
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("lag_diff").is_valid())
+
+    gaps = (lag_diff(ev, value_col="ts", keep_key=True)
+            .map_batches(drop_null, batch_format="pyarrow"))
+    return grouped_exact_quantiles(gaps, "user_id", "lag_diff",
+                                   qs=(0.5, 0.9))
+
+
 def w_session_bounce(sf_dir):
     """Bounce analysis over gap-based sessions: per session-length
     bucket (1, 2-4, 5+ events) exact session counts + total events —
@@ -4164,6 +4185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": q_nation_revenue,
         "region_nation_share": w_region_nation_share,
         "session_bounce": w_session_bounce,
+        "gap_quantiles_by_user": w_gap_quantiles_by_user,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4658,6 +4680,18 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "gap_quantiles_by_user": """
+            WITH g AS (SELECT user_id,
+                              date_diff('microsecond',
+                                        LAG(ts) OVER (
+                                            PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                                        ts) AS d
+                       FROM events)
+            SELECT user_id, count(*)::BIGINT AS n,
+                   quantile_disc(d, 0.5)::DOUBLE AS q_50,
+                   quantile_disc(d, 0.9)::DOUBLE AS q_90
+            FROM g WHERE d IS NOT NULL GROUP BY 1""",
         "session_bounce": """
             WITH x AS (
               SELECT user_id, ts,

@@ -603,7 +603,7 @@ def rolling_window_sum(ds, k: int, value_col: str = "value",
 
 def lag_diff(ds, value_col: str = "ts", ts_col: str = "ts",
              key_col: str = "user_id", id_col: str = "event_id",
-             num_buckets: int = 32):
+             num_buckets: int = 32, keep_key: bool = False):
     """Per-row LAG difference per key: for every event, ``value −
     previous value`` in ``(ts, id)`` order (SQL ``v − LAG(v) OVER
     (PARTITION BY key ORDER BY ts, id)``); null for each key's first
@@ -633,18 +633,22 @@ def lag_diff(ds, value_col: str = "ts", ts_col: str = "ts",
         i = np.asarray(group.column("i"), dtype=np.int64)
         v = np.asarray(group.column("v"), dtype=np.int64)
         if len(u) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "lag_diff": pa.array([], pa.int64())})
+            cols = {id_col: pa.array([], pa.int64()),
+                    "lag_diff": pa.array([], pa.int64())}
+            if keep_key:
+                cols[key_col] = pa.array([], pa.int64())
+            return pa.table(cols)
         order = np.lexsort((i, t, u))
         u, t, i, v = u[order], t[order], i[order], v[order]
         d = np.empty(len(v), dtype=np.int64)
         d[1:] = v[1:] - v[:-1]
         d[0] = 0
         first = np.concatenate([[True], u[1:] != u[:-1]])
-        return pa.table({
-            id_col: pa.array(i),
-            "lag_diff": pa.array(d, mask=first),   # first-of-key → null
-        })
+        cols = {id_col: pa.array(i),
+                "lag_diff": pa.array(d, mask=first)}  # first-of-key → null
+        if keep_key:
+            cols[key_col] = pa.array(u)
+        return pa.table(cols)
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
