@@ -278,6 +278,44 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_round_value_audit(sf_dir):
+    """Round-number bias audit (fraud/entry-error signal): per
+    event_type the share of values landing on whole currency units
+    (cents % 100 == 0) — exact integer counts, share one IEEE
+    division."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column("value")
+        keep = pc.and_(col.is_valid(), pc.invert(pc.is_nan(
+            col.fill_null(0.0))))
+        t = batch.filter(keep)
+        cents = np.rint(np.asarray(t.column("value"),
+                                   dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "whole": pa.array((cents % 100 == 0).astype(np.int64))})
+
+    sums = bucketed_sum(ev.map_batches(pre, batch_format="pyarrow"),
+                        ["event_type"], {"one": "n", "whole": "n_whole"},
+                        num_buckets=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        w = np.asarray(batch.column("n_whole"), dtype=np.int64)
+        return batch.append_column(
+            "whole_share", pa.array(w / n, pa.float64()))
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def w_gap_quantiles_by_user(sf_dir):
     """Exact PERCENTILE_DISC quantiles of inter-event gaps per user —
     cadence fingerprinting: lag_diff's one-shuffle gap pass feeds the
@@ -4186,6 +4224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_share": w_region_nation_share,
         "session_bounce": w_session_bounce,
         "gap_quantiles_by_user": w_gap_quantiles_by_user,
+        "round_value_audit": w_round_value_audit,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4680,6 +4719,16 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "round_value_audit": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value))
+            SELECT event_type, count(*)::BIGINT AS n,
+                   count(*) FILTER (c % 100 = 0)::BIGINT AS n_whole,
+                   count(*) FILTER (c % 100 = 0) / count(*)
+                     AS whole_share
+            FROM v GROUP BY 1""",
         "gap_quantiles_by_user": """
             WITH g AS (SELECT user_id,
                               date_diff('microsecond',
