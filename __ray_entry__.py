@@ -278,6 +278,40 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_oom_value_histogram(sf_dir):
+    """Order-of-magnitude histogram — the BqfOom codec's floor-power-
+    of-2 semantics (ref:src/bqf_oom.cpp:118-125) as a grouped
+    aggregate: counts per (event_type, floor(log2(cents))) bucket,
+    exact int64 keys and counts."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.stages.partition import bucketed_sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column("value")
+        keep = pc.and_(col.is_valid(), pc.invert(pc.is_nan(
+            col.fill_null(0.0))))
+        t = batch.filter(keep)
+        cents = np.rint(np.asarray(t.column("value"),
+                                   dtype=np.float64) * 100).astype(np.int64)
+        pos = cents > 0
+        t = t.filter(pa.array(pos))
+        oom = np.floor(np.log2(cents[pos].astype(np.float64))
+                       ).astype(np.int64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "oom": pa.array(oom),
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    return bucketed_sum(ev.map_batches(pre, batch_format="pyarrow"),
+                        ["event_type", "oom"], {"one": "n"},
+                        num_buckets=8)
+
+
 def w_round_value_audit(sf_dir):
     """Round-number bias audit (fraud/entry-error signal): per
     event_type the share of values landing on whole currency units
@@ -4225,6 +4259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounce": w_session_bounce,
         "gap_quantiles_by_user": w_gap_quantiles_by_user,
         "round_value_audit": w_round_value_audit,
+        "oom_value_histogram": w_oom_value_histogram,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4719,6 +4754,15 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "oom_value_histogram": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value))
+            SELECT event_type,
+                   CAST(floor(log2(c)) AS BIGINT) AS oom,
+                   count(*)::BIGINT AS n
+            FROM v WHERE c > 0 GROUP BY 1, 2""",
         "round_value_audit": """
             WITH v AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS c
