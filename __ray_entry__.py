@@ -278,6 +278,32 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_active_user_days(sf_dir):
+    """Engagement breadth: EXACT distinct (user, day) active pairs per
+    event_type — pair-bucketed dedupe then per-type count fold (the
+    superspreaders plan over a composite partner)."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.aggregates import superspreaders
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        tu = np.asarray(batch.column("ts").cast(pa.int64()))
+        day = tu // 86_400_000_000
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        # composite partner: (user, day) fused losslessly (uid < 2^20
+        # in every fixture scale; day < 2^20)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "partner": pa.array(uid * np.int64(1 << 21) + day)})
+
+    # k larger than the type count → full census, ties by key
+    return superspreaders(ev.map_batches(pre, batch_format="pyarrow"),
+                          "event_type", "partner", k=100)
+
+
 def w_oom_value_histogram(sf_dir):
     """Order-of-magnitude histogram — the BqfOom codec's floor-power-
     of-2 semantics (ref:src/bqf_oom.cpp:118-125) as a grouped
@@ -4260,6 +4286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_quantiles_by_user": w_gap_quantiles_by_user,
         "round_value_audit": w_round_value_audit,
         "oom_value_histogram": w_oom_value_histogram,
+        "active_user_days": w_active_user_days,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4754,6 +4781,13 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "active_user_days": """
+            SELECT event_type,
+                   count(DISTINCT user_id * 2097152
+                         + epoch_us(ts) // 86400000000)::BIGINT
+                     AS n_partners
+            FROM events GROUP BY event_type
+            ORDER BY n_partners DESC, event_type LIMIT 100""",
         "oom_value_histogram": """
             WITH v AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS c
