@@ -278,6 +278,46 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_vocab_growth(sf_dir):
+    """Heaps-law vocabulary growth: |vocab after first N docs| for a
+    doc-count grid — each token's FIRST document (min doc_id) in one
+    token-bucketed min fold, then grid counts; exact, no re-scans per
+    grid point."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.stages.partition import bucketed_agg
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    GRID = [100, 1000, 10000, 100000, 1000000]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        toks, offsets = tokenize_column(batch.column("text"))
+        docs_id = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        did = np.repeat(docs_id, np.diff(offsets))
+        t = pa.table({"token": toks, "doc_id": pa.array(did)})
+        g = (t.group_by(["token"]).aggregate([("doc_id", "min")])
+             .rename_columns(["token", "m"]))
+        return g
+
+    firsts = bucketed_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                          ["token"], [("m", "min", "first_doc")],
+                          num_buckets=32)
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch.column("first_doc"), dtype=np.int64)
+        return pa.table({
+            "n_docs": pa.array(GRID, pa.int64()),
+            "pv": pa.array([int((f < g).sum()) for g in GRID],
+                           pa.int64())})
+
+    return (firsts.map_batches(grid_partial, batch_format="pyarrow")
+            .groupby("n_docs")
+            .aggregate(Sum("pv", alias_name="vocab_size")))
+
+
 def w_active_user_days(sf_dir):
     """Engagement breadth: EXACT distinct (user, day) active pairs per
     event_type — pair-bucketed dedupe then per-type count fold (the
@@ -4287,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "round_value_audit": w_round_value_audit,
         "oom_value_histogram": w_oom_value_histogram,
         "active_user_days": w_active_user_days,
+        "vocab_growth": w_vocab_growth,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4781,6 +4822,19 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "vocab_growth": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split_regex(text, '\\s+'))
+                                 AS token
+                        FROM documents),
+            f AS (SELECT token, min(doc_id) AS fd FROM tk
+                  WHERE token <> '' GROUP BY 1),
+            g AS (SELECT unnest([100, 1000, 10000, 100000,
+                                 1000000])::BIGINT AS n_docs)
+            SELECT g.n_docs,
+                   (SELECT count(*) FROM f
+                    WHERE f.fd < g.n_docs)::BIGINT AS vocab_size
+            FROM g""",
         "active_user_days": """
             SELECT event_type,
                    count(DISTINCT user_id * 2097152
