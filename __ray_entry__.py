@@ -278,6 +278,81 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_dedup_ratio_by_source(sf_dir):
+    """Dedup pressure report: per source, how many docs are exact
+    duplicates (same 8-token content prefix as an earlier doc) — the
+    curation-planning statistic; ratio one IEEE division of exact
+    counts."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.stages.partition import bucketed_sum
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # all-Arrow 8-token prefix: split → slice → join (no row loop)
+        toks, offsets = tokenize_column(batch.column("text"))
+        starts = offsets[:-1]
+        stops = np.minimum(starts + 8, offsets[1:])
+        lens = (stops - starts).astype(np.int32)
+        lens64 = lens.astype(np.int64)
+        total = int(lens64.sum())
+        idx = (np.repeat(starts, lens64)
+               + (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(lens64) - lens64, lens64)))
+        lists = pa.ListArray.from_arrays(
+            np.concatenate([[0], np.cumsum(lens64)]).astype(np.int32),
+            toks.take(pa.array(idx)))
+        pfx = pc.binary_join(lists, " ")
+        return pa.table({"pfx": pfx, "doc_id": batch.column("doc_id"),
+                         "source": batch.column("source")})
+
+    from bqf_ray.functions.hashing import xxhash64_array
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = xxhash64_array(batch.column("pfx"))
+        return batch.append_column(
+            "__kb", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def dup_flags(group: pa.Table) -> pa.Table:
+        # the bucket holds EVERY row of each of its pfx keys (buckets
+        # partition the key space) — exact in-bucket min + compare,
+        # exact STRING keys (no hash-collision key merging)
+        import pyarrow.compute as pc
+        did = np.asarray(group.column("doc_id"), dtype=np.int64)
+        keys = group.column("pfx")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        mins = np.full(len(enc.dictionary), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        np.minimum.at(mins, code, did)
+        return pa.table({
+            "source": group.column("source"),
+            "one": pa.array(np.ones(len(did), np.int64)),
+            "dup": pa.array((did != mins[code]).astype(np.int64))})
+
+    flags = (docs.map_batches(key_rows, batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__kb")
+             .map_groups(dup_flags, batch_format="pyarrow"))
+    sums = bucketed_sum(flags, ["source"],
+                        {"one": "n_docs", "dup": "n_dupes"},
+                        num_buckets=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        d = np.asarray(batch.column("n_dupes"), dtype=np.int64)
+        return batch.append_column("dup_ratio",
+                                   pa.array(d / n, pa.float64()))
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def w_vocab_growth(sf_dir):
     """Heaps-law vocabulary growth: |vocab after first N docs| for a
     doc-count grid — each token's FIRST document (min doc_id) in one
@@ -4328,6 +4403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oom_value_histogram": w_oom_value_histogram,
         "active_user_days": w_active_user_days,
         "vocab_growth": w_vocab_growth,
+        "dedup_ratio_by_source": w_dedup_ratio_by_source,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4822,6 +4898,20 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "dedup_ratio_by_source": """
+            WITH k AS (SELECT doc_id, source,
+                              array_to_string(
+                                  (string_split_regex(text,
+                                                      '\\s+'))[1:8],
+                                  ' ') AS pfx
+                       FROM documents),
+            f AS (SELECT pfx, min(doc_id) AS fd FROM k GROUP BY 1)
+            SELECT k.source, count(*)::BIGINT AS n_docs,
+                   count(*) FILTER (k.doc_id <> f.fd)::BIGINT
+                     AS n_dupes,
+                   count(*) FILTER (k.doc_id <> f.fd) / count(*)
+                     AS dup_ratio
+            FROM k JOIN f USING (pfx) GROUP BY 1""",
         "vocab_growth": """
             WITH tk AS (SELECT doc_id,
                                unnest(string_split_regex(text, '\\s+'))
