@@ -278,6 +278,75 @@ def q_lang_counts_salted(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def w_vocab_contribution(sf_dir):
+    """Which sources mint the vocabulary: tokens attributed to the
+    source of their FIRST document (min doc_id fold → int-key
+    co-partitioned join back to doc metadata) — per-source counts of
+    first-seen tokens."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.functions.tokenize import tokenize_column
+    from bqf_ray.stages.partition import bucketed_agg, bucketed_sum
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        toks, offsets = tokenize_column(batch.column("text"))
+        did = np.repeat(np.asarray(batch.column("doc_id"),
+                                   dtype=np.int64), np.diff(offsets))
+        t = pa.table({"token": toks, "doc_id": pa.array(did)})
+        return (t.group_by(["token"]).aggregate([("doc_id", "min")])
+                .rename_columns(["token", "m"]))
+
+    firsts = bucketed_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                          ["token"], [("m", "min", "doc_id")],
+                          num_buckets=32)
+    # attach source in-bucket: co-partition doc metadata (side 0) and
+    # first-token rows (side 1) on doc_id % B, resolve per bucket
+    B = 16
+
+    def tag_meta(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(d), "source": batch.column("source"),
+            "w": pa.array(np.zeros(len(d), np.int64)),
+            "__jb": pa.array(d % B)})
+
+    def tag_first(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "source": pa.array([""] * len(d), pa.string()),
+            "w": pa.array(np.ones(len(d), np.int64)),
+            "__jb": pa.array(d % B)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        w = np.asarray(group.column("w"), dtype=np.int64)
+        src_col = group.column("source")
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        is_meta = w == 0
+        md = d[is_meta]
+        order = np.argsort(md, kind="stable")
+        ms = src_col.filter(pa.array(is_meta)).take(pa.array(order))
+        pos = np.searchsorted(md[order], d[~is_meta])
+        t = pa.table({"source": ms.take(pa.array(pos)),
+                      "one": pa.array(np.ones(int((~is_meta).sum()),
+                                              np.int64))})
+        return (t.group_by(["source"]).aggregate([("one", "sum")])
+                .rename_columns(["source", "pn"]))
+
+    flags = (docs.map_batches(tag_meta, batch_format="pyarrow")
+             .union(firsts.map_batches(tag_first,
+                                       batch_format="pyarrow"))
+             .groupby("__jb")
+             .map_groups(resolve, batch_format="pyarrow"))
+    return bucketed_sum(flags, ["source"], {"pn": "n_first_tokens"},
+                        num_buckets=4)
+
+
 def w_dedup_ratio_by_source(sf_dir):
     """Dedup pressure report: per source, how many docs are exact
     duplicates (same 8-token content prefix as an earlier doc) — the
@@ -4404,6 +4473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_user_days": w_active_user_days,
         "vocab_growth": w_vocab_growth,
         "dedup_ratio_by_source": w_dedup_ratio_by_source,
+        "vocab_contribution": w_vocab_contribution,
         "priority_revenue": q_priority_revenue,
         "token_counts": q_token_counts,
         "bqf_token_counts": q_bqf_token_counts,
@@ -4898,6 +4968,16 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*)::BIGINT AS n_events,
                    sum(mv)/1000000.0 AS sum_value
             FROM s GROUP BY user_id, sid""",
+        "vocab_contribution": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split_regex(text, '\\s+'))
+                                 AS token
+                        FROM documents),
+            f AS (SELECT token, min(doc_id) AS fd FROM tk
+                  WHERE token <> '' GROUP BY 1)
+            SELECT d.source, count(*)::BIGINT AS n_first_tokens
+            FROM f JOIN documents d ON d.doc_id = f.fd
+            GROUP BY 1""",
         "dedup_ratio_by_source": """
             WITH k AS (SELECT doc_id, source,
                               array_to_string(

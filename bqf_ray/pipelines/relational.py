@@ -452,10 +452,22 @@ def partitioned_hash_join(left_ds, right_ds, key: str, num_buckets: int = 32,
     jt = {"inner": "inner", "left": "left outer",
           "full": "full outer"}[how]
 
+    def _side(group: pa.Table, mask: np.ndarray, cols: list,
+              types: dict) -> pa.Table:
+        sub = group.filter(pa.array(mask))
+        # a bucket whose blocks all came from ONE side can lack the
+        # other side's columns entirely (union schema alignment is
+        # per-block): degrade to a TYPED empty table, never a KeyError
+        if any(c not in sub.schema.names for c in cols):
+            return pa.table({c: pa.array([], types[c]) for c in cols})
+        return sub.select(cols)
+
     def join_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        lt = group.filter(pa.array(side == 0)).select(left_cols)
-        rt = group.filter(pa.array(side == 1)).select(right_cols_final)
+        lt = _side(group, side == 0, left_cols,
+                   {n: fields[n] for n in left_cols})
+        rt = _side(group, side == 1, right_cols_final,
+                   {n: fields[n] for n in right_cols_final})
         if how == "inner" and (lt.num_rows == 0 or rt.num_rows == 0):
             return pa.table({n: pa.array([], fields[n])
                              for n in out_names})
