@@ -1906,7 +1906,10 @@ def eh_window_counts(ds, windows_s: list[int], ts_col: str = "ts",
     wins = [int(w) for w in windows_s]
 
     def to_us(batch: pa.Table) -> pa.Table:
-        return pa.table({"ts_us": batch.column(ts_col).cast(pa.int64())})
+        # null-ts hygiene matches eh_window_sums_by_key: a null would
+        # survive the cast and crash the downstream int64 view
+        t = batch.filter(batch.column(ts_col).is_valid())
+        return pa.table({"ts_us": t.column(ts_col).cast(pa.int64())})
 
     # materialized ONCE: the minimal (8 B/row) projection feeds three
     # consumers (envelope, EH build, exact counts) — without this each
@@ -2094,6 +2097,7 @@ def eh_window_counts_by_key(ds, key_col: str, windows_s: list[int],
     ~100k·P partial rows, shard the fold (group partials by key-hash
     bucket, fold per bucket in tasks) before raising P."""
     import pandas as pd
+    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
@@ -2103,7 +2107,8 @@ def eh_window_counts_by_key(ds, key_col: str, windows_s: list[int],
     wins = [int(w) for w in windows_s]
 
     def to_us(batch: pa.Table) -> pa.Table:
-        t = batch.filter(batch.column(key_col).is_valid())
+        t = batch.filter(pc.and_(batch.column(key_col).is_valid(),
+                                 batch.column(ts_col).is_valid()))
         return pa.table({
             "k": t.column(key_col),
             "ts_us": t.column(ts_col).cast(pa.int64())})
@@ -2532,10 +2537,9 @@ def window_heavy_hitters(ds, windows_s: list[int], key_col: str,
     import ray
     from ray.data.aggregate import Max, Sum
 
-    from bqf_ray.functions.hashing import fmix64
     from bqf_ray.sketches.base import MergeableSketch
     from bqf_ray.sketches.misragries import MisraGries
-    from bqf_ray.stages.udaf import sketch_agg
+    from bqf_ray.stages.udaf import prepare_hash, sketch_agg
 
     CELL = int(cell_s) * 1_000_000
     wins = [int(w) for w in windows_s]
@@ -2584,7 +2588,12 @@ def window_heavy_hitters(ds, windows_s: list[int], key_col: str,
             keys = batch.column("k")
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
-            h = fmix64(np.asarray(keys).astype(np.int64).view(np.uint64))
+            # probe hashes MUST mirror the MG build's prepare_hash
+            # exactly (string keys go through xxhash64, floats through
+            # their bit pattern) — an inline integer re-hash would never
+            # match the candidate set for non-int key columns.  Keys are
+            # already null-filtered upstream, so lengths stay aligned.
+            h = prepare_hash(keys)
             outs = []
             for w in wins:
                 member = c > cuts[w]

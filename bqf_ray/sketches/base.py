@@ -100,11 +100,17 @@ class MergeableSketch(ABC):
         cfg = head["config"]
         tname = cfg.pop("__type__")
         if tname not in _REGISTRY:
-            # fresh worker process: populate the registry
+            # Fresh worker process: populate the registry by importing
+            # EVERY module in the sketches package (built dynamically so
+            # a new @register'd sketch can never be orphaned here — a
+            # tree_merge task may deserialize any registered blob on a
+            # worker that never ran the partial stage).
             import importlib
-            for mod in ("bqf", "hll", "countmin", "bloom", "tdigest",
-                        "kll", "cuckoo", "bitmap"):
-                importlib.import_module(f"bqf_ray.sketches.{mod}")
+            import pkgutil
+
+            import bqf_ray.sketches as _pkg
+            for info in pkgutil.iter_modules(_pkg.__path__):
+                importlib.import_module(f"bqf_ray.sketches.{info.name}")
         cls = _REGISTRY[tname]
         pos = 8 + hlen
         arrays = {}

@@ -161,7 +161,17 @@ def compact_partitions(src_root: str, dst_root: str,
             gid = row["gid"]
             members = row["members"].split(",")
             if str(gid) in done:
-                continue
+                # Resume safety: positional gids are only valid if the
+                # source partition set hasn't shifted since the partial
+                # compaction — first-fit membership moves when src_root
+                # gains partitions, so a stale gid would silently drop
+                # the shifted-in parts.  Compare the recorded manifest
+                # and REWRITE on mismatch instead of skipping.
+                with open(os.path.join(_part_dir(dst_root, str(gid)),
+                                       "_DONE")) as f:
+                    prev = json.load(f).get("members")
+                if prev == members:
+                    continue
             tbl = pa.concat_tables([
                 pq.read_table(os.path.join(_part_dir(src_root, p),
                                            "data.parquet"))
