@@ -4403,68 +4403,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
-    # 50 entries.  Round-2's window proved entries 1-50 green (48 PASS +
-    # 2 no_oracle, CORRECTNESS_r02.json), so round 3 rotates the 50
-    # never-driver-checked oracle-backed queries to the front — including
-    # pagerank_types/kmeans_clusters, whose new oracles close the
-    # no_oracle gap.  Everything after slot 50 keeps local parity-suite
-    # coverage (tests/test_oracle_parity.py runs ALL oracles at sf0.001
-    # with the same row/schema/value gate).
+    # 50 entries.  Cumulative r1∪r2∪r3 driver windows proved 105 distinct
+    # names green; round 4 rotates in 50 of the ~121 oracle-backed queries
+    # that have never been driver-checked (all green in the local
+    # driver-gate clone, tests/test_oracle_parity.py, at sf0.001).
     return {
-        # --- slots 1-50: rotated in for the round-3 driver window ---
-        "event_ranks": w_event_ranks,
-        "table_checksum": w_table_checksum,
-        "grouped_disc_quantiles": w_grouped_disc_quantiles,
-        "value_k_correlation": w_value_k_correlation,
-        "iqr_outliers": w_iqr_outliers,
-        "scrape_fields": w_scrape_fields,
-        "token_set_overlap": w_token_set_overlap,
-        "click_purchase_band": w_click_purchase_band,
-        "hll_distinct": w_hll_distinct,
-        "lang_distinct_hll": w_lang_distinct_hll,
-        "top_terms_per_source": w_top_terms_per_source,
-        "tdigest_by_type": w_tdigest_by_type,
-        "tdigest_quantiles": w_quantiles_value,
-        "kll_quantiles": w_kll_quantiles_price,
-        "grouped_quantiles": w_grouped_quantiles,
-        "range_partition": w_range_partition,
-        "heavy_hitters": w_heavy_hitters,
-        "minhash_pairs": w_minhash_pairs,
-        "simhash_fingerprints": w_simhash_fingerprints,
-        "simhash_dups": w_simhash_dups,
-        "dedup_lines": w_dedup_lines,
-        "boilerplate_lines": w_boilerplate_lines,
-        "dup_clusters": w_dup_clusters,
-        "near_dup_survivors": w_near_dup_survivors,
-        "hash_sample": w_hash_sample,
-        "train_split": w_train_split,
-        "stratified_sample": w_stratified_sample,
-        "mixture_rebalance": w_mixture_rebalance,
-        "doc_chunks": w_doc_chunks,
-        "dedup_spans": w_dedup_spans,
-        "incremental_dedup": w_incremental_dedup,
-        "customer_orders_left": w_customer_orders_left,
-        "embedding_decontaminate": w_embedding_decontaminate,
-        "knn_join": w_knn_join,
-        "normalize_text": w_normalize_text,
-        "normalized_dedup": w_normalized_dedup,
-        "lang_id": w_lang_id,
-        "quality": w_quality,
-        "sessions": w_sessions,
-        "sliding_events": w_sliding_events,
-        "knn_ivf_recall": w_knn_ivf_recall,
-        "knn_pq_recall": w_knn_pq_recall,
-        "knn_ivfpq_recall": w_knn_ivfpq_recall,
-        "knn_lsh_recall": w_knn_lsh_recall,
-        "curation_stats": w_curation_stats,
-        "bottomk_distinct": w_bottomk_distinct,
-        "embedding_dups_blocked": w_embedding_dups_blocked,
-        "window_distinct_hll": w_window_distinct_hll,
-        "pagerank_types": w_pagerank_types,
-        "kmeans_clusters": w_kmeans_clusters,
-        # --- slots 51+: driver-green in r02 (or parity-covered) ---
-        "lang_counts": q_lang_counts_salted,
-        "nation_revenue": q_nation_revenue,
+        # --- slots 1-50: round-4 driver window — never driver-checked,
+        #     oracle-backed (parity-suite green at sf0.001) ---
         "region_nation_share": w_region_nation_share,
         "session_bounce": w_session_bounce,
         "gap_quantiles_by_user": w_gap_quantiles_by_user,
@@ -4474,57 +4419,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": w_vocab_growth,
         "dedup_ratio_by_source": w_dedup_ratio_by_source,
         "vocab_contribution": w_vocab_contribution,
-        "priority_revenue": q_priority_revenue,
-        "token_counts": q_token_counts,
-        "bqf_token_counts": q_bqf_token_counts,
-        "first_repeat_tokens": q_first_repeat_tokens,
-        "exact_dedup": q_exact_dedup,
-        "doc_stats": q_doc_stats,
-        "distinct_tokens": q_distinct_tokens,
-        "pricing_summary": q_pricing_summary,
-        "tumbling_events": q_tumbling_events,
-        "jaccard_dups": q_jaccard_dups,
-        "knn": q_knn,
-        "embedding_dups": q_embedding_dups,
-        "probe_fimpera": q_probe_fimpera,
-        "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
-        "ngram_lm": q_ngram_lm,
-        "distinctive_terms": q_distinctive_terms,
-        "pack_chunks": q_pack_chunks,
-        "scrub_pii": q_scrub_pii,
-        "bpe_merges": w_bpe_merges,
-        "bpe_encode_counts": w_bpe_encode_counts,
-        "embedding_stats": q_embedding_stats,
-        "cap_per_source": q_cap_per_source,
-        "asof_clicks": q_asof_clicks,
-        "value_bands": q_value_bands,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "window_distinct_users": q_window_distinct_users,
-        "json_rollup": w_json_rollup,
-        "profile_docs": w_profile_docs,
-        "customers_no_urgent": w_customers_no_urgent,
-        "rollup_revenue": w_rollup_revenue,
-        "cube_revenue": w_cube_revenue,
-        "key_census_diff": w_key_census_diff,
-        "event_pivot": w_event_pivot,
-        "funnel_click_purchase": w_funnel,
-        "retention_cohorts": w_retention,
-        "rolling_sum": w_rolling_sum,
-        "top_orders": w_top_orders,
-        "event_gaps": w_event_gaps,
-        "value_histogram": w_value_histogram,
-        "ntile_value": w_ntile_value,
-        "fuzzy_names": w_fuzzy_names,
-        "postings": w_postings,
-        "collocations": w_collocations,
-        "event_transitions": w_event_transitions,
-        "dedup_within": w_dedup_within,
-        "containment": w_containment,
-        "value_ranks": w_value_ranks,
-        "url_canon": w_url_canon,
-        # --- round-3 additions (parity-covered; rotate into the driver
-        #     window next round) ---
         "mg_frequent_users": w_mg_frequent_users,
         "bitmap_distinct_users": w_bitmap_distinct_users,
         "ddsketch_quantiles": w_ddsketch_quantiles,
@@ -4566,6 +4460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_chars": w_winsorize_chars,
         "zorder_orders": w_zorder_orders,
         "concurrent_sessions": w_concurrent_sessions,
+        # --- slots 51+: remaining never-driver-checked oracled queries
+        #     (rotate into the round-5 window) ---
         "pareto_orders": w_pareto_orders,
         "user_mode_event": w_user_mode_event,
         "autocorr_value": w_autocorr_value,
@@ -4639,6 +4535,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuckoo_parts_revoked": w_cuckoo_parts_revoked,
         "phrase_docs": w_phrase_docs,
         "ks_click_purchase": w_ks_click_purchase,
+        # --- driver-green in an earlier round (r1-r3 windows) ---
+        "event_ranks": w_event_ranks,
+        "table_checksum": w_table_checksum,
+        "grouped_disc_quantiles": w_grouped_disc_quantiles,
+        "value_k_correlation": w_value_k_correlation,
+        "iqr_outliers": w_iqr_outliers,
+        "scrape_fields": w_scrape_fields,
+        "token_set_overlap": w_token_set_overlap,
+        "click_purchase_band": w_click_purchase_band,
+        "hll_distinct": w_hll_distinct,
+        "lang_distinct_hll": w_lang_distinct_hll,
+        "top_terms_per_source": w_top_terms_per_source,
+        "tdigest_by_type": w_tdigest_by_type,
+        "tdigest_quantiles": w_quantiles_value,
+        "kll_quantiles": w_kll_quantiles_price,
+        "grouped_quantiles": w_grouped_quantiles,
+        "range_partition": w_range_partition,
+        "heavy_hitters": w_heavy_hitters,
+        "minhash_pairs": w_minhash_pairs,
+        "simhash_fingerprints": w_simhash_fingerprints,
+        "simhash_dups": w_simhash_dups,
+        "dedup_lines": w_dedup_lines,
+        "boilerplate_lines": w_boilerplate_lines,
+        "dup_clusters": w_dup_clusters,
+        "near_dup_survivors": w_near_dup_survivors,
+        "hash_sample": w_hash_sample,
+        "train_split": w_train_split,
+        "stratified_sample": w_stratified_sample,
+        "mixture_rebalance": w_mixture_rebalance,
+        "doc_chunks": w_doc_chunks,
+        "dedup_spans": w_dedup_spans,
+        "incremental_dedup": w_incremental_dedup,
+        "customer_orders_left": w_customer_orders_left,
+        "embedding_decontaminate": w_embedding_decontaminate,
+        "knn_join": w_knn_join,
+        "normalize_text": w_normalize_text,
+        "normalized_dedup": w_normalized_dedup,
+        "lang_id": w_lang_id,
+        "quality": w_quality,
+        "sessions": w_sessions,
+        "sliding_events": w_sliding_events,
+        "knn_ivf_recall": w_knn_ivf_recall,
+        "knn_pq_recall": w_knn_pq_recall,
+        "knn_ivfpq_recall": w_knn_ivfpq_recall,
+        "knn_lsh_recall": w_knn_lsh_recall,
+        "curation_stats": w_curation_stats,
+        "bottomk_distinct": w_bottomk_distinct,
+        "embedding_dups_blocked": w_embedding_dups_blocked,
+        "window_distinct_hll": w_window_distinct_hll,
+        "pagerank_types": w_pagerank_types,
+        "kmeans_clusters": w_kmeans_clusters,
+        "lang_counts": q_lang_counts_salted,
+        "nation_revenue": q_nation_revenue,
+        "priority_revenue": q_priority_revenue,
+        "token_counts": q_token_counts,
+        "bqf_token_counts": q_bqf_token_counts,
+        "first_repeat_tokens": q_first_repeat_tokens,
+        "exact_dedup": q_exact_dedup,
+        "doc_stats": q_doc_stats,
+        "distinct_tokens": q_distinct_tokens,
+        "pricing_summary": q_pricing_summary,
+        "tumbling_events": q_tumbling_events,
+        "jaccard_dups": q_jaccard_dups,
+        "knn": q_knn,
+        "embedding_dups": q_embedding_dups,
+        "probe_fimpera": q_probe_fimpera,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "ngram_lm": q_ngram_lm,
+        "distinctive_terms": q_distinctive_terms,
+        "pack_chunks": q_pack_chunks,
+        "scrub_pii": q_scrub_pii,
+        "bpe_merges": w_bpe_merges,
+        "bpe_encode_counts": w_bpe_encode_counts,
+        "embedding_stats": q_embedding_stats,
+        "cap_per_source": q_cap_per_source,
+        "asof_clicks": q_asof_clicks,
+        "value_bands": q_value_bands,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "window_distinct_users": q_window_distinct_users,
+        "json_rollup": w_json_rollup,
+        "profile_docs": w_profile_docs,
+        "customers_no_urgent": w_customers_no_urgent,
+        "rollup_revenue": w_rollup_revenue,
+        "cube_revenue": w_cube_revenue,
+        "key_census_diff": w_key_census_diff,
+        "event_pivot": w_event_pivot,
+        "funnel_click_purchase": w_funnel,
+        "retention_cohorts": w_retention,
+        "rolling_sum": w_rolling_sum,
+        "top_orders": w_top_orders,
+        "event_gaps": w_event_gaps,
+        "value_histogram": w_value_histogram,
+        "ntile_value": w_ntile_value,
+        "fuzzy_names": w_fuzzy_names,
+        "postings": w_postings,
+        "collocations": w_collocations,
+        "event_transitions": w_event_transitions,
+        "dedup_within": w_dedup_within,
+        "containment": w_containment,
+        "value_ranks": w_value_ranks,
+        "url_canon": w_url_canon,
         # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
