@@ -226,7 +226,9 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
 def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
              d_den: int = 20, iters: int = 10,
              weight_col: str | None = None,
-             restart_nodes: "np.ndarray | None" = None):
+             restart_nodes: "np.ndarray | None" = None,
+             mode: str = "auto", node_budget: int = 20_000_000,
+             num_shards: int = 16, output: str = "arrays"):
     """Bit-deterministic distributed PageRank over an edge Dataset.
 
     Integer-unit power iteration (damping ``d = d_num/d_den``, default
@@ -256,6 +258,25 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     remainder going to the lowest-id seeds — instead of uniformly over
     all nodes.  Seeds must exist in the graph (loud raise).  Total
     mass stays exactly ``n_nodes · unit`` either way.
+
+    **Plans** (``mode``): ``"broadcast"`` holds the (node, rank, deg)
+    vector on the driver and re-``ray.put``s it each round — fastest
+    while vertex-sized arrays fit driver RAM.  ``"sharded"`` holds the
+    vector in ``num_shards`` range-partitioned shard ACTORS: edges are
+    co-bucketed by source range once, each contribution task reads only
+    the shard(s) its batch touches, and per-round contributions flow
+    through one partial-aggregated exchange to the destination shards —
+    nothing node-sized ever lands on the driver (web-graph node
+    counts).  ``"auto"`` (default) picks sharded past ``node_budget``
+    nodes.  Both plans are BIT-IDENTICAL: same integer units, same
+    floor-div-before-sum contributions, same lowest-id remainder
+    respread (asserted by tests/test_graph_iter.py).
+
+    ``output="dataset"`` returns a ``ray.data.Dataset`` of
+    ``(node, rank)`` (plus the unit as an attribute-free second return)
+    built from per-shard Arrow refs — use it at scale so the result
+    never materializes on the driver; ``"arrays"`` (default) returns
+    the legacy ``(node_ids, ranks_int, unit)`` tuple.
     """
     import ray
 
@@ -294,13 +315,25 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     # node-sized folds ride the 1-int hash-bucket exchange (the HITS
     # port measured 12.5x over the native sort-based groupby at 10M
     # edges — same shape here)
-    nd = bucketed_agg(
+    nd_ds = bucketed_agg(
         edges.map_batches(node_partials, batch_format="pyarrow"),
-        ["node"], [("deg", "sum", "deg"), ("wmax", "max", "wmax")]
-    ).to_pandas()
+        ["node"], [("deg", "sum", "deg"), ("wmax", "max", "wmax")])
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"pagerank: unknown mode {mode!r}")
+    if mode != "broadcast":
+        nd_ds = nd_ds.materialize()
+        n_nodes = nd_ds.count()
+        if mode == "sharded" or n_nodes > int(node_budget):
+            return _pagerank_sharded(
+                edges, nd_ds, n_nodes, d_num=d_num, d_den=d_den,
+                iters=iters, restart_nodes=restart_nodes,
+                num_shards=num_shards, output=output)
+    nd = nd_ds.to_pandas()
     if len(nd) == 0:                 # empty groupby: no columns at all
-        return (np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.int64), 1 << 40)
+        empty = (np.empty(0, dtype=np.int64),
+                 np.empty(0, dtype=np.int64), 1 << 40)
+        return (_rank_arrays_to_dataset(*empty)
+                if output == "dataset" else empty)
     nodes = nd["node"].to_numpy()
     order = np.argsort(nodes)
     nodes = nodes[order]
@@ -373,7 +406,284 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
             new[:rem] += 1                  # pos < rem gets the +1
         ranks = new
 
+    if output == "dataset":
+        return _rank_arrays_to_dataset(nodes, ranks, UNIT)
     return nodes, ranks, UNIT
+
+
+def _rank_arrays_to_dataset(nodes, ranks, unit):
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "unit": pa.array(np.full(len(nodes), unit, dtype=np.int64))}))
+
+
+class _PRShard:
+    """One range-partitioned shard of the PageRank node state.
+
+    Holds ``(nodes_sorted, deg, ranks)`` for its node-id range plus the
+    shard's global offset (count of nodes in lower shards), so the
+    "lowest-id ``rem`` nodes get the +1" respread is local arithmetic.
+    Mutations are sequenced by the driver: ``stage_contribs`` (from the
+    destination-bucket reduce groups) → ``commit`` (zeros + staged
+    sums, returns delivered mass) → ``respread`` — each phase behind a
+    ``ray.get`` barrier, so reads (``get_state``) only ever see fully
+    committed rounds."""
+
+    def __init__(self):
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.deg = np.empty(0, dtype=np.int64)
+        self.ranks = np.empty(0, dtype=np.int64)
+        self._wmax = 1
+        self._pend_nodes = None
+        self._pend_sums = None
+        self._new = None
+        self._spos = None           # PPR: positions of seeds, sorted
+
+    def init_shard(self, nodes, deg, wmax):
+        order = np.argsort(nodes)
+        self.nodes = nodes[order].astype(np.int64)
+        self.deg = deg[order].astype(np.int64)
+        self._wmax = int(wmax.max(initial=1))
+        return len(self.nodes), self._wmax
+
+    def set_seeds(self, seeds):
+        """Sorted seed ids claimed for this shard → positions; returns
+        the ids NOT found so the driver can raise with names."""
+        pos = np.searchsorted(self.nodes, seeds)
+        ok = (pos < len(self.nodes)) \
+            & (self.nodes[np.minimum(pos, len(self.nodes) - 1)] == seeds)
+        self._spos = pos[ok]
+        return seeds[~ok]
+
+    def init_ranks(self, fill, seed_base=0, seed_plus1=0):
+        if self._spos is None:
+            self.ranks = np.full(len(self.nodes), fill, dtype=np.int64)
+        else:
+            self.ranks = np.zeros(len(self.nodes), dtype=np.int64)
+            self.ranks[self._spos] = seed_base
+            self.ranks[self._spos[:seed_plus1]] += 1
+
+    def get_state(self):
+        return self.nodes, self.ranks, self.deg
+
+    def stage_contribs(self, nodes, sums):
+        self._pend_nodes = nodes
+        self._pend_sums = sums
+
+    def commit(self):
+        new = np.zeros(len(self.nodes), dtype=np.int64)
+        if self._pend_nodes is not None and len(self._pend_nodes):
+            idx = np.searchsorted(self.nodes, self._pend_nodes)
+            new[idx] = self._pend_sums
+        self._pend_nodes = self._pend_sums = None
+        self._new = new
+        return int(new.sum())
+
+    def respread(self, base, plus1):
+        """Uniform respread: +base everywhere, +1 to the first
+        ``plus1`` (lowest-id) nodes of this shard (driver pre-clips
+        ``plus1`` by shard offsets)."""
+        self._new += np.int64(base)
+        self._new[:plus1] += 1
+        self.ranks, self._new = self._new, None
+
+    def respread_seeds(self, base, plus1):
+        self._new[self._spos] += np.int64(base)
+        self._new[self._spos[:plus1]] += 1
+        self.ranks, self._new = self._new, None
+
+    def n_seeds(self):
+        return 0 if self._spos is None else len(self._spos)
+
+    def state_table(self, unit):
+        return pa.table({
+            "node": pa.array(self.nodes),
+            "rank": pa.array(self.ranks),
+            "unit": pa.array(np.full(len(self.nodes), unit,
+                                     dtype=np.int64))})
+
+
+# per-worker-process shard-state cache for the sharded-plan contribution
+# tasks: keyed (round_token, shard); a token change (new round) clears
+# it, so a worker holds at most the shards its current round's batches
+# touch (edges are co-bucketed by source range, so that is ~P/W shards,
+# not the whole vector)
+_PR_SHARD_CACHE: dict = {}
+
+
+def _pr_cached_state(actors, token, p):
+    import ray
+    stale = [k for k in _PR_SHARD_CACHE if k[0] != token]
+    for k in stale:
+        del _PR_SHARD_CACHE[k]
+    key = (token, p)
+    if key not in _PR_SHARD_CACHE:
+        _PR_SHARD_CACHE[key] = ray.get(actors[p].get_state.remote())
+    return _PR_SHARD_CACHE[key]
+
+
+def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
+                      restart_nodes, num_shards, output):
+    """Node-sharded PageRank plan: see :func:`pagerank` docstring.
+
+    Driver state is O(num_shards); the rank/deg vector lives in shard
+    actors; edges shuffle ONCE (co-bucket by source range); each round
+    is one edge scan + one partial-aggregated contribution exchange +
+    O(P) actor RPCs."""
+    import ray
+
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    if n == 0:
+        empty = (np.empty(0, dtype=np.int64),
+                 np.empty(0, dtype=np.int64), 1 << 40)
+        return (_rank_arrays_to_dataset(*empty)
+                if output == "dataset" else empty)
+    P = max(1, min(int(num_shards), n))
+    bounds = (quantile_boundaries(nd_ds, "node", P)
+              if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(col):
+        return np.searchsorted(
+            bounds, np.asarray(col, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    Shard = ray.remote(num_cpus=0)(_PRShard)
+    actors = [Shard.remote() for _ in range(P)]
+
+    def init_groups(group: pa.Table) -> pa.Table:
+        p = int(group.column("__sp")[0].as_py())
+        cnt, wmax = ray.get(actors[p].init_shard.remote(
+            np.asarray(group.column("node"), dtype=np.int64),
+            np.asarray(group.column("deg"), dtype=np.int64),
+            np.asarray(group.column("wmax"), dtype=np.int64)))
+        return pa.table({"p": pa.array([p], pa.int64()),
+                         "cnt": pa.array([cnt], pa.int64()),
+                         "wmax": pa.array([wmax], pa.int64())})
+
+    def add_sp(col_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__sp", pa.array(route(batch.column(col_name))))
+        return fn
+
+    init = (nd_ds.map_batches(add_sp("node"), batch_format="pyarrow")
+            .groupby("__sp").map_groups(init_groups,
+                                        batch_format="pyarrow")
+            .to_pandas())
+    counts = np.zeros(P, dtype=np.int64)
+    counts[init["p"].to_numpy()] = init["cnt"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    assert int(counts.sum()) == n
+    w_max = max(int(init["wmax"].max()), 1)
+    UNIT = min(1 << 40, (1 << 62) // (n * d_num * w_max))
+    if UNIT < (1 << 20):
+        raise ValueError(
+            f"pagerank: n·d_num·w_max = {n * d_num * w_max} leaves "
+            "< 2^20 integer precision per node even sharded — lower "
+            "d_num or split the graph")
+
+    # PPR seed registration: shards claim their sorted-seed slices, so
+    # "lowest-id seeds get the +1" is (seed_offset, clip) arithmetic
+    n_seeds = 0
+    seed_offsets = np.zeros(P, dtype=np.int64)
+    if restart_nodes is not None:
+        seeds = np.unique(np.asarray(restart_nodes, dtype=np.int64))
+        if not len(seeds):
+            raise ValueError("pagerank: empty restart_nodes")
+        sp = route(seeds)
+        missing = ray.get([
+            actors[p].set_seeds.remote(seeds[sp == p])
+            for p in range(P)])
+        bad = np.concatenate(missing)
+        if len(bad):
+            raise ValueError("pagerank: restart node(s) absent from "
+                             f"the graph: {bad[:5].tolist()}")
+        per_shard = np.asarray(
+            ray.get([a.n_seeds.remote() for a in actors]))
+        n_seeds = int(per_shard.sum())
+        seed_offsets = np.concatenate([[0], np.cumsum(per_shard)[:-1]])
+        base, rem = divmod(n * UNIT, n_seeds)
+        ray.get([actors[p].init_ranks.remote(
+            0, seed_base=base,
+            seed_plus1=int(np.clip(rem - seed_offsets[p], 0,
+                                   per_shard[p])))
+            for p in range(P)])
+    else:
+        ray.get([a.init_ranks.remote(UNIT) for a in actors])
+
+    # co-bucket edges by source range ONCE; every round's contribution
+    # tasks then touch only the shard(s) their batch's bucket covers
+    edges_b = (edges.map_batches(add_sp("s"), batch_format="pyarrow")
+               .groupby("__sp")
+               .map_groups(lambda t: t, batch_format="pyarrow")
+               .materialize())
+
+    for it in range(int(iters)):
+        token = f"{id(actors[0])}-{it}"
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            sp = np.asarray(batch.column("__sp"), dtype=np.int64)
+            s = np.asarray(batch.column("s"), dtype=np.int64)
+            t = np.asarray(batch.column("t"), dtype=np.int64)
+            w = np.asarray(batch.column("w"), dtype=np.int64)
+            outs_n, outs_c = [], []
+            for p in np.unique(sp):
+                m = sp == p
+                nn, rr, dd = _pr_cached_state(actors, token, int(p))
+                si = np.searchsorted(nn, s[m])
+                c = (rr[si] * d_num * w[m]) // (d_den * dd[si])
+                tu, inv = np.unique(t[m], return_inverse=True)
+                sums = np.zeros(len(tu), dtype=np.int64)
+                np.add.at(sums, inv, c)
+                outs_n.append(tu)
+                outs_c.append(sums)
+            node = np.concatenate(outs_n) if outs_n \
+                else np.empty(0, dtype=np.int64)
+            csum = np.concatenate(outs_c) if outs_c \
+                else np.empty(0, dtype=np.int64)
+            return pa.table({"node": pa.array(node),
+                             "partial": pa.array(csum),
+                             "__tp": pa.array(route(node))})
+
+        def reduce_stage(group: pa.Table) -> pa.Table:
+            p = int(group.column("__tp")[0].as_py())
+            gn = np.asarray(group.column("node"), dtype=np.int64)
+            gs = np.asarray(group.column("partial"), dtype=np.int64)
+            tu, inv = np.unique(gn, return_inverse=True)
+            sums = np.zeros(len(tu), dtype=np.int64)
+            np.add.at(sums, inv, gs)
+            ray.get(actors[p].stage_contribs.remote(tu, sums))
+            return pa.table({"p": pa.array([p], pa.int64())})
+
+        (edges_b.map_batches(contrib, batch_format="pyarrow")
+         .groupby("__tp")
+         .map_groups(reduce_stage, batch_format="pyarrow")
+         .materialize())
+        delivered = sum(ray.get([a.commit.remote() for a in actors]))
+        if restart_nodes is not None:
+            base, rem = divmod(n * UNIT - delivered, n_seeds)
+            per_shard_seeds = np.asarray(
+                ray.get([a.n_seeds.remote() for a in actors]))
+            ray.get([actors[p].respread_seeds.remote(
+                base, int(np.clip(rem - seed_offsets[p], 0,
+                                  per_shard_seeds[p])))
+                for p in range(P)])
+        else:
+            base, rem = divmod(n * UNIT - delivered, n)
+            ray.get([actors[p].respread.remote(
+                base, int(np.clip(rem - offsets[p], 0, counts[p])))
+                for p in range(P)])
+
+    refs = [a.state_table.remote(UNIT) for a in actors]
+    if output == "dataset":
+        return ray.data.from_arrow_refs(refs)
+    tables = ray.get(refs)
+    tbl = pa.concat_tables(tables)
+    return (np.asarray(tbl.column("node"), dtype=np.int64),
+            np.asarray(tbl.column("rank"), dtype=np.int64), UNIT)
 
 
 def _segment_pairs(sort_key: np.ndarray, values: np.ndarray
