@@ -2208,8 +2208,147 @@ def link_prediction(edges_ds, a_col: str = "a", b_col: str = "b",
     return scored.map_batches(score, batch_format="pyarrow")
 
 
+class _SsspShard:
+    """One range-partitioned shard of the SSSP distance vector: sorted
+    node ids + best-known dist for this id range.  ``merge`` min-folds
+    a candidate batch (order-independent, so sharded results are
+    bit-identical to the broadcast fold) and reports whether anything
+    improved — the driver's convergence signal."""
+
+    def __init__(self):
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.dist = np.empty(0, dtype=np.int64)
+
+    def init_shard(self, nodes, dist):
+        order = np.argsort(nodes)
+        self.nodes = nodes[order].astype(np.int64)
+        self.dist = dist[order].astype(np.int64)
+
+    def get_state(self):
+        return self.nodes, self.dist
+
+    def merge(self, cn, cd):
+        merged = np.union1d(self.nodes, cn)
+        nd_new = np.full(len(merged), np.iinfo(np.int64).max)
+        nd_new[np.searchsorted(merged, self.nodes)] = self.dist
+        pos = np.searchsorted(merged, cn)
+        np.minimum.at(nd_new, pos, cd)
+        changed = (len(merged) != len(self.nodes)
+                   or not np.array_equal(
+                       nd_new[np.searchsorted(merged, self.nodes)],
+                       self.dist))
+        self.nodes, self.dist = merged, nd_new
+        return bool(changed)
+
+    def state_table(self):
+        return pa.table({"node": pa.array(self.nodes),
+                         "dist": pa.array(self.dist)})
+
+
+def _sssp_sharded(edges, nodes0, dist0, rounds, num_shards):
+    """Sharded continuation of :func:`sssp`: the dist vector lives in
+    range-partitioned shard actors, edges are doubled (one row per
+    direction) and co-bucketed by source range ONCE, and each round is
+    one edge scan + one min-folded candidate exchange.  Driver state is
+    O(num_shards)."""
+    import ray
+
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    P = max(1, int(num_shards))
+    # boundaries must cover the FULL endpoint space (the frontier grows
+    # into ids the current state has never seen)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("x").combine_chunks()
+            if isinstance(batch.column("x"), pa.ChunkedArray)
+            else batch.column("x"),
+            batch.column("y").combine_chunks()
+            if isinstance(batch.column("y"), pa.ChunkedArray)
+            else batch.column("y")])})
+
+    bounds = (quantile_boundaries(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "node", P) if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(arr):
+        return np.searchsorted(
+            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    Shard = ray.remote(num_cpus=0)(_SsspShard)
+    actors = [Shard.remote() for _ in range(P)]
+    sp = route(nodes0)
+    ray.get([actors[p].init_shard.remote(nodes0[sp == p],
+                                         dist0[sp == p])
+             for p in range(P)])
+
+    def add_xp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__xp", pa.array(route(batch.column("x"))))
+
+    edges_b = (edges.map_batches(add_xp, batch_format="pyarrow")
+               .groupby("__xp")
+               .map_groups(lambda t: t, batch_format="pyarrow")
+               .materialize())
+
+    for it in range(int(rounds)):
+        token = f"sssp-{id(actors[0])}-{it}"
+
+        def relax(batch: pa.Table) -> pa.Table:
+            xp = np.asarray(batch.column("__xp"), dtype=np.int64)
+            x = np.asarray(batch.column("x"), dtype=np.int64)
+            y = np.asarray(batch.column("y"), dtype=np.int64)
+            w = np.asarray(batch.column("w"), dtype=np.int64)
+            outs_n, outs_d = [], []
+            for p in np.unique(xp):
+                m = xp == p
+                nn, dd = _pr_cached_state(actors, token, int(p))
+                if not len(nn):       # shard not yet reached
+                    continue
+                ix = np.searchsorted(nn, x[m])
+                hit = (ix < len(nn)) \
+                    & (nn[np.minimum(ix, len(nn) - 1)] == x[m])
+                outs_n.append(y[m][hit])
+                outs_d.append(dd[ix[hit]] + w[m][hit])
+            cn = (np.concatenate(outs_n) if outs_n
+                  else np.empty(0, dtype=np.int64))
+            cd = (np.concatenate(outs_d) if outs_d
+                  else np.empty(0, dtype=np.int64))
+            if len(cn):                      # local min-fold per node
+                order = np.lexsort((cd, cn))
+                cn, cd = cn[order], cd[order]
+                first = np.concatenate([[True], cn[1:] != cn[:-1]])
+                cn, cd = cn[first], cd[first]
+            return pa.table({"node": pa.array(cn), "d": pa.array(cd),
+                             "__yp": pa.array(route(cn))})
+
+        def fold(group: pa.Table) -> pa.Table:
+            p = int(group.column("__yp")[0].as_py())
+            gn = np.asarray(group.column("node"), dtype=np.int64)
+            gd = np.asarray(group.column("d"), dtype=np.int64)
+            order = np.lexsort((gd, gn))
+            gn, gd = gn[order], gd[order]
+            first = np.concatenate([[True], gn[1:] != gn[:-1]])
+            ch = ray.get(actors[p].merge.remote(gn[first], gd[first]))
+            return pa.table({"p": pa.array([p], pa.int64()),
+                             "changed": pa.array([ch])})
+
+        got = (edges_b.map_batches(relax, batch_format="pyarrow")
+               .groupby("__yp")
+               .map_groups(fold, batch_format="pyarrow")
+               .to_pandas())
+        if not len(got) or not got["changed"].any():
+            break                            # converged = true SSSP
+    tbl = pa.concat_tables(
+        ray.get([a.state_table.remote() for a in actors]))
+    return tbl
+
+
 def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
-         a_col: str = "a", b_col: str = "b", w_col: str = "w"):
+         a_col: str = "a", b_col: str = "b", w_col: str = "w",
+         mode: str = "auto", node_budget: int = 20_000_000,
+         num_shards: int = 16):
     """Fixed-round Bellman-Ford single-source (multi-seed) shortest
     paths over an UNDIRECTED weighted edge Dataset: after R rounds,
     ``(node, dist)`` holds the exact min-cost path using ≤ R edges
@@ -2224,8 +2363,16 @@ def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
     each round is ONE linear ``map_batches`` scan over the edges
     emitting per-batch MIN-folded candidate relaxations, and the
     driver folds candidates against the current vector (vertex-sized
-    arrays — the documented ~10^8-node driver envelope; shard the
-    vector past it).  No shuffle after edge materialization."""
+    arrays).  No shuffle after edge materialization.
+
+    Past ``node_budget`` settled nodes the ``auto`` plan hands the
+    remaining rounds to a SHARDED continuation (``mode="sharded"``
+    starts there): the dist vector lives in ``num_shards``
+    range-partitioned :class:`_SsspShard` actors, edges are doubled
+    and co-bucketed by source range once, and each round is one edge
+    scan + one min-folded candidate exchange — driver state O(P).
+    Min-folds are order-independent, so both plans return identical
+    tables (asserted in tests)."""
     import ray
 
     R = int(rounds)
@@ -2234,8 +2381,36 @@ def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
     if not len(nodes):
         return pa.table({"node": pa.array([], pa.int64()),
                          "dist": pa.array([], pa.int64())})
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"sssp: unknown mode {mode!r}")
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.column(w_col).null_count:
+            raise ValueError("sssp: null weight")
+        a = np.asarray(batch.column(a_col), dtype=np.int64)
+        b = np.asarray(batch.column(b_col), dtype=np.int64)
+        w = np.asarray(batch.column(w_col), dtype=np.int64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("sssp: weights must be positive "
+                             "(zero/negative edges void the "
+                             "fixed-round contract)")
+        return pa.table({"x": pa.array(np.concatenate([a, b])),
+                         "y": pa.array(np.concatenate([b, a])),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    if mode == "sharded":
+        return _sssp_sharded(
+            edges_ds.map_batches(both_dirs, batch_format="pyarrow"),
+            nodes, dist, R, num_shards)
     edges = edges_ds.materialize()
-    for _ in range(R):
+    for rnd in range(R):
+        if mode == "auto" and len(nodes) > int(node_budget):
+            # dist vector outgrew the driver envelope: hand the
+            # remaining rounds to the sharded continuation (same
+            # min-fold semantics → same result)
+            return _sssp_sharded(
+                edges.map_batches(both_dirs, batch_format="pyarrow"),
+                nodes, dist, R - rnd, num_shards)
         ref = ray.put((nodes, dist))
 
         def relax(batch: pa.Table) -> pa.Table:

@@ -62,3 +62,41 @@ def test_sssp_empty_seeds(ray_session):
                     "w": pa.array([3], pa.int64())})
     out = sssp(ray.data.from_arrow(tbl), np.array([], dtype=np.int64))
     assert out.num_rows == 0
+
+
+def _rand_wgraph(seed, E=2500, N=300):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "a": pa.array(rng.integers(0, N, E).astype(np.int64)),
+        "b": pa.array(rng.integers(0, N, E).astype(np.int64)),
+        "w": pa.array(rng.integers(1, 9, E).astype(np.int64))})
+
+
+def test_sssp_sharded_equals_broadcast(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import sssp
+    tbl = _rand_wgraph(21)
+    seeds = np.array([0, 7], dtype=np.int64)
+    a = sssp(ray.data.from_arrow(tbl).repartition(5), seeds, rounds=5,
+             mode="broadcast").to_pandas().sort_values("node")
+    b = sssp(ray.data.from_arrow(tbl).repartition(5), seeds, rounds=5,
+             mode="sharded", num_shards=6).to_pandas().sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["dist"].tolist() == b["dist"].tolist()
+
+
+def test_sssp_auto_handoff_equals_broadcast(ray_session):
+    """node_budget=10 forces the mid-run handoff to the sharded
+    continuation; the final table must still be identical."""
+    import ray
+
+    from bqf_ray.pipelines.graph import sssp
+    tbl = _rand_wgraph(33, E=1500, N=200)
+    seeds = np.array([3], dtype=np.int64)
+    a = sssp(ray.data.from_arrow(tbl), seeds, rounds=6,
+             mode="broadcast").to_pandas().sort_values("node")
+    b = sssp(ray.data.from_arrow(tbl), seeds, rounds=6, mode="auto",
+             node_budget=10, num_shards=4).to_pandas().sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["dist"].tolist() == b["dist"].tolist()
