@@ -1747,8 +1747,162 @@ def path_ngram_counts(ds, n: int = 3, key_col: str = "user_id",
 # k-core decomposition (fixed-round synchronous peel)
 # ---------------------------------------------------------------------------
 
+class _KcoreShard:
+    """Range-partitioned shard of the k-core alive/degree state.
+
+    Each round the driver sequences: ``stage`` (summed neighbor-alive
+    indicators for this shard's nodes, from the reduce groups) →
+    ``commit(K)`` (restricted degree = staged where still alive; peel;
+    report changed) — both behind ``ray.get`` barriers, so reads only
+    see fully committed rounds."""
+
+    def __init__(self):
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.alive = np.empty(0, dtype=bool)
+        self.deg = np.empty(0, dtype=np.int64)
+        self._pend = None
+
+    def init_shard(self, nodes):
+        self.nodes = np.sort(np.unique(nodes.astype(np.int64)))
+        self.alive = np.ones(len(self.nodes), dtype=bool)
+        self.deg = np.zeros(len(self.nodes), dtype=np.int64)
+
+    def get_state(self):
+        return self.nodes, self.alive
+
+    def stage(self, nodes, sums):
+        self._pend = (nodes, sums)
+
+    def commit(self, K, peel=True):
+        deg = np.zeros(len(self.nodes), dtype=np.int64)
+        if self._pend is not None and len(self._pend[0]):
+            idx = np.searchsorted(self.nodes, self._pend[0])
+            deg[idx] = self._pend[1]
+        self._pend = None
+        deg[~self.alive] = 0          # restricted to both-alive edges
+        self.deg = deg
+        if not peel:
+            return False, int(self.alive.sum())
+        nxt = self.alive & (deg >= K)
+        changed = bool((nxt != self.alive).any())
+        self.alive = nxt
+        return changed, int(nxt.sum())
+
+    def state_table(self, min_deg):
+        keep = self.alive & (self.deg >= min_deg)
+        return pa.table({"node": pa.array(self.nodes[keep]),
+                         "core_deg": pa.array(self.deg[keep])})
+
+
+def _kcore_sharded(edges, K, rounds, ca, cb, num_shards):
+    """Sharded k-core peel: alive/degree vectors in range-partitioned
+    shard actors; doubled edges co-bucketed by source range once; each
+    round one edge scan (emit 1 per alive source) + one summed
+    exchange + O(P) RPCs.  Mirrors the broadcast plan's round
+    semantics exactly (restricted degree, synchronous peel, early
+    convergence, final extra degree pass)."""
+    import ray
+
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    P = max(1, int(num_shards))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column(ca), dtype=np.int64)
+        b = np.asarray(batch.column(cb), dtype=np.int64)
+        return pa.table({"x": pa.array(np.concatenate([a, b])),
+                         "y": pa.array(np.concatenate([b, a]))})
+
+    ed2 = edges.map_batches(both_dirs, batch_format="pyarrow")
+    bounds = (quantile_boundaries(ed2, "x", P)
+              if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(arr):
+        return np.searchsorted(
+            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    Shard = ray.remote(num_cpus=0)(_KcoreShard)
+    actors = [Shard.remote() for _ in range(P)]
+
+    def add_xp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__xp", pa.array(route(batch.column("x"))))
+
+    edges_b = (ed2.map_batches(add_xp, batch_format="pyarrow")
+               .groupby("__xp")
+               .map_groups(lambda t: t, batch_format="pyarrow")
+               .materialize())
+
+    def init_groups(group: pa.Table) -> pa.Table:
+        p = int(group.column("__xp")[0].as_py())
+        ray.get(actors[p].init_shard.remote(
+            np.asarray(group.column("x"), dtype=np.int64)))
+        return pa.table({"p": pa.array([p], pa.int64())})
+
+    (edges_b.select_columns(["x", "__xp"])
+     .groupby("__xp").map_groups(init_groups, batch_format="pyarrow")
+     .materialize())
+
+    def one_pass(token, peel):
+        def contrib(batch: pa.Table) -> pa.Table:
+            xp = np.asarray(batch.column("__xp"), dtype=np.int64)
+            x = np.asarray(batch.column("x"), dtype=np.int64)
+            y = np.asarray(batch.column("y"), dtype=np.int64)
+            outs_n, outs_c = [], []
+            for p in np.unique(xp):
+                m = xp == p
+                nn, al = _pr_cached_state(actors, token, int(p))
+                ok = al[np.searchsorted(nn, x[m])]
+                tu, cnt = np.unique(y[m][ok], return_counts=True)
+                outs_n.append(tu)
+                outs_c.append(cnt.astype(np.int64))
+            node = (np.concatenate(outs_n) if outs_n
+                    else np.empty(0, dtype=np.int64))
+            c = (np.concatenate(outs_c) if outs_c
+                 else np.empty(0, dtype=np.int64))
+            return pa.table({"node": pa.array(node),
+                             "c": pa.array(c),
+                             "__yp": pa.array(route(node))})
+
+        def fold(group: pa.Table) -> pa.Table:
+            p = int(group.column("__yp")[0].as_py())
+            gn = np.asarray(group.column("node"), dtype=np.int64)
+            gc = np.asarray(group.column("c"), dtype=np.int64)
+            tu, inv = np.unique(gn, return_inverse=True)
+            sums = np.zeros(len(tu), dtype=np.int64)
+            np.add.at(sums, inv, gc)
+            ray.get(actors[p].stage.remote(tu, sums))
+            return pa.table({"p": pa.array([p], pa.int64())})
+
+        (edges_b.map_batches(contrib, batch_format="pyarrow")
+         .groupby("__yp")
+         .map_groups(fold, batch_format="pyarrow")
+         .materialize())
+        res = ray.get([a.commit.remote(K, peel) for a in actors])
+        return (any(ch for ch, _ in res),
+                sum(na for _, na in res))
+
+    for it in range(int(rounds)):
+        changed, n_alive = one_pass(f"kc-{id(actors[0])}-{it}", True)
+        if not n_alive:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "core_deg": pa.array([], pa.int64())})
+        if not changed:
+            # converged: deg was computed within alive == next alive,
+            # so it already IS the in-core degree — emit survivors
+            return pa.concat_tables(ray.get(
+                [a.state_table.remote(K) for a in actors]))
+    # not converged within R rounds: one more restricted degree pass
+    one_pass(f"kc-{id(actors[0])}-final", False)
+    return pa.concat_tables(ray.get(
+        [a.state_table.remote(1) for a in actors]))
+
+
 def kcore(edges_ds, k: int, rounds: int = 6,
-          a_col: str = "a", b_col: str = "b", pre_canonical: bool = False):
+          a_col: str = "a", b_col: str = "b", pre_canonical: bool = False,
+          mode: str = "auto", node_budget: int = 20_000_000,
+          num_shards: int = 16):
     """R-round synchronous k-core peel over an UNDIRECTED edge Dataset:
     each round drops — all at once — every surviving node whose degree
     among survivors is < ``k``; after ``rounds`` rounds, emit
@@ -1768,17 +1922,24 @@ def kcore(edges_ds, k: int, rounds: int = 6,
     plasma via ``ray.put``) emitting per-batch endpoint-count partials,
     folded into a vertex-sized degree table on the driver — the same
     documented ~10^8-node driver envelope as :func:`bfs_hops` /
-    :func:`pagerank`; shard the alive set past it.  No shuffle after
-    the canonicalization.
+    :func:`pagerank`.  No shuffle after the canonicalization.
+    ``mode="sharded"`` (or ``auto`` past ``node_budget`` vertices)
+    replays the peel with the alive/degree vectors in range-partitioned
+    shard actors (:func:`_kcore_sharded`) — identical output, driver
+    state O(num_shards).
     """
     import ray
 
     K = int(k)
     assert K >= 1, "k-core needs k >= 1"
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"kcore: unknown mode {mode!r}")
     edges = (edges_ds if pre_canonical
              else canonical_edges(edges_ds, a_col=a_col, b_col=b_col))
     ca, cb = (a_col, b_col) if pre_canonical else ("a", "b")
     edges = edges.materialize()
+    if mode == "sharded":
+        return _kcore_sharded(edges, K, rounds, ca, cb, num_shards)
 
     def degrees(alive_ref):
         """Vertex degree table restricted to alive nodes (None = all)."""
@@ -1813,6 +1974,12 @@ def kcore(edges_ds, k: int, rounds: int = 6,
     alive = None
     for _ in range(int(rounds)):
         nodes, deg = degrees(alive_ref)
+        if mode == "auto" and len(nodes) > int(node_budget):
+            # vertex table outgrew the driver envelope: replay the
+            # peel sharded from the start (peeling is deterministic,
+            # so the replay is free of divergence; the one wasted
+            # degree pass is the price of late detection)
+            return _kcore_sharded(edges, K, rounds, ca, cb, num_shards)
         nxt = nodes[deg >= K]                      # already sorted
         if alive is not None and len(nxt) == len(alive) \
                 and np.array_equal(nxt, alive):
@@ -1837,9 +2004,159 @@ def kcore(edges_ds, k: int, rounds: int = 6,
 # label propagation communities (fixed-round synchronous LPA)
 # ---------------------------------------------------------------------------
 
+class _LpaShard:
+    """Range-partitioned shard of the LPA label vector: sorted node
+    ids + current labels.  ``stage`` receives the per-node argmax
+    picks for this shard's range; ``commit`` applies them
+    synchronously and reports whether anything moved."""
+
+    def __init__(self):
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.labels = np.empty(0, dtype=np.int64)
+        self._pend = None
+
+    def init_shard(self, nodes):
+        self.nodes = np.sort(np.unique(nodes.astype(np.int64)))
+        self.labels = self.nodes.copy()
+
+    def get_state(self):
+        return self.nodes, self.labels
+
+    def stage(self, v, lab):
+        self._pend = (v, lab)
+
+    def commit(self):
+        new = self.labels.copy()
+        if self._pend is not None and len(self._pend[0]):
+            new[np.searchsorted(self.nodes, self._pend[0])] = \
+                self._pend[1]
+        self._pend = None
+        changed = bool((new != self.labels).any())
+        self.labels = new
+        return changed
+
+    def state_table(self):
+        return pa.table({"node": pa.array(self.nodes),
+                         "community": pa.array(self.labels)})
+
+
+def _lpa_sharded(edges, rounds, ca, cb, num_shards):
+    """Sharded synchronous LPA: label vector in range-partitioned
+    shard actors; doubled edges co-bucketed by source range once; each
+    round one edge scan emitting pre-counted ``(neighbor, my_label)``
+    partials + ONE exchange keyed by the neighbor's shard, with the
+    per-node argmax (max count, ties → smallest label — identical to
+    the broadcast plan's ``grouped_top_n`` ordering) computed inside
+    the reduce group."""
+    import ray
+
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    P = max(1, int(num_shards))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column(ca), dtype=np.int64)
+        b = np.asarray(batch.column(cb), dtype=np.int64)
+        return pa.table({"x": pa.array(np.concatenate([a, b])),
+                         "y": pa.array(np.concatenate([b, a]))})
+
+    ed2 = edges.map_batches(both_dirs, batch_format="pyarrow")
+    bounds = (quantile_boundaries(ed2, "x", P)
+              if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(arr):
+        return np.searchsorted(
+            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    Shard = ray.remote(num_cpus=0)(_LpaShard)
+    actors = [Shard.remote() for _ in range(P)]
+
+    def add_xp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__xp", pa.array(route(batch.column("x"))))
+
+    edges_b = (ed2.map_batches(add_xp, batch_format="pyarrow")
+               .groupby("__xp")
+               .map_groups(lambda t: t, batch_format="pyarrow")
+               .materialize())
+
+    def init_groups(group: pa.Table) -> pa.Table:
+        p = int(group.column("__xp")[0].as_py())
+        ray.get(actors[p].init_shard.remote(
+            np.asarray(group.column("x"), dtype=np.int64)))
+        return pa.table({"p": pa.array([p], pa.int64())})
+
+    got = (edges_b.select_columns(["x", "__xp"])
+           .groupby("__xp")
+           .map_groups(init_groups, batch_format="pyarrow")
+           .to_pandas())
+    if not len(got):
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "community": pa.array([], pa.int64())})
+
+    for it in range(int(rounds)):
+        token = f"lpa-{id(actors[0])}-{it}"
+
+        def emit(batch: pa.Table) -> pa.Table:
+            xp = np.asarray(batch.column("__xp"), dtype=np.int64)
+            x = np.asarray(batch.column("x"), dtype=np.int64)
+            y = np.asarray(batch.column("y"), dtype=np.int64)
+            outs_v, outs_l, outs_c = [], [], []
+            for p in np.unique(xp):
+                m = xp == p
+                nn, lb = _pr_cached_state(actors, token, int(p))
+                nl = lb[np.searchsorted(nn, x[m])]
+                key = np.stack([y[m], nl], axis=1)
+                uk, cnt = np.unique(key, axis=0, return_counts=True)
+                outs_v.append(uk[:, 0])
+                outs_l.append(uk[:, 1])
+                outs_c.append(cnt.astype(np.int64))
+            v = (np.concatenate(outs_v) if outs_v
+                 else np.empty(0, dtype=np.int64))
+            lab = (np.concatenate(outs_l) if outs_l
+                   else np.empty(0, dtype=np.int64))
+            c = (np.concatenate(outs_c) if outs_c
+                 else np.empty(0, dtype=np.int64))
+            return pa.table({"v": pa.array(v), "lab": pa.array(lab),
+                             "c": pa.array(c),
+                             "__vp": pa.array(route(v))})
+
+        def pick(group: pa.Table) -> pa.Table:
+            p = int(group.column("__vp")[0].as_py())
+            v = np.asarray(group.column("v"), dtype=np.int64)
+            lab = np.asarray(group.column("lab"), dtype=np.int64)
+            c = np.asarray(group.column("c"), dtype=np.int64)
+            # fold partials to exact (v, lab) counts
+            key = np.stack([v, lab], axis=1)
+            uk, inv = np.unique(key, axis=0, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            uv, ul = uk[:, 0], uk[:, 1]
+            # per-v argmax: max count, ties → smallest label
+            order = np.lexsort((ul, -sums, uv))
+            uv, ul = uv[order], ul[order]
+            first = np.concatenate([[True], uv[1:] != uv[:-1]]) \
+                if len(uv) else np.empty(0, dtype=bool)
+            ray.get(actors[p].stage.remote(uv[first], ul[first]))
+            return pa.table({"p": pa.array([p], pa.int64())})
+
+        (edges_b.map_batches(emit, batch_format="pyarrow")
+         .groupby("__vp")
+         .map_groups(pick, batch_format="pyarrow")
+         .materialize())
+        changed = ray.get([a.commit.remote() for a in actors])
+        if not any(changed):          # fixpoint: identity rounds
+            break
+    return pa.concat_tables(
+        ray.get([a.state_table.remote() for a in actors]))
+
+
 def label_propagation(edges_ds, rounds: int = 3,
                       a_col: str = "a", b_col: str = "b",
-                      pre_canonical: bool = False, num_buckets: int = 32):
+                      pre_canonical: bool = False, num_buckets: int = 32,
+                      mode: str = "auto", node_budget: int = 20_000_000,
+                      num_shards: int = 16):
     """Fixed-round SYNCHRONOUS label propagation (Raghavan et al. 2007,
     made deterministic): labels start as node ids; each round EVERY
     node simultaneously adopts the most frequent label among its
@@ -1860,16 +2177,23 @@ def label_propagation(edges_ds, rounds: int = 3,
     :func:`bqf_ray.pipelines.aggregates.grouped_top_n` (per-block
     top-1 partials, no whole group materialized).  Two bucketed
     exchanges per round, both bounded by the edge count.
+    ``mode="sharded"`` (or ``auto`` past ``node_budget`` vertices)
+    holds the label vector in range-partitioned shard actors instead
+    (:func:`_lpa_sharded`) — identical labels, driver state O(P).
     """
     import ray
 
     from bqf_ray.pipelines.aggregates import grouped_top_n
     from bqf_ray.stages.partition import bucketed_agg
 
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"label_propagation: unknown mode {mode!r}")
     edges = (edges_ds if pre_canonical
              else canonical_edges(edges_ds, a_col=a_col, b_col=b_col))
     ca, cb = (a_col, b_col) if pre_canonical else ("a", "b")
     edges = edges.materialize()
+    if mode == "sharded":
+        return _lpa_sharded(edges, rounds, ca, cb, num_shards)
 
     # vertex table: per-block unique endpoints folded once (driver
     # envelope, same as bfs_hops' visited array)
@@ -1884,6 +2208,10 @@ def label_propagation(edges_ds, rounds: int = 3,
         return pa.table({"node": pa.array([], pa.int64()),
                          "community": pa.array([], pa.int64())})
     nodes = np.unique(np.concatenate(parts))
+    if mode == "auto" and len(nodes) > int(node_budget):
+        # label vector outgrew the driver envelope — replay sharded
+        # (deterministic synchronous rounds, so identical labels)
+        return _lpa_sharded(edges, rounds, ca, cb, num_shards)
     labels = nodes.copy()
 
     for _ in range(int(rounds)):
@@ -1959,8 +2287,180 @@ def transition_probs(ds, key_col: str = "user_id", ts_col: str = "ts",
                                              batch_size=None)
 
 
+class _HitsShard:
+    """Range-partitioned shard of the HITS hub/auth vectors."""
+
+    def __init__(self):
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.hub = np.empty(0, dtype=np.int64)
+        self.auth = np.empty(0, dtype=np.int64)
+        self._pend = None
+        self._out = None
+
+    def init_shard(self, nodes):
+        self.nodes = np.sort(np.unique(nodes.astype(np.int64)))
+        self.hub = np.ones(len(self.nodes), dtype=np.int64)
+        self.auth = np.zeros(len(self.nodes), dtype=np.int64)
+
+    def get_vec(self, which):
+        return self.nodes, (self.hub if which == "hub" else self.auth)
+
+    def stage(self, nodes, sums):
+        self._pend = (nodes, sums)
+
+    def commit_half(self):
+        out = np.zeros(len(self.nodes), dtype=np.int64)
+        if self._pend is not None and len(self._pend[0]):
+            out[np.searchsorted(self.nodes, self._pend[0])] = \
+                self._pend[1]
+        self._pend = None
+        self._out = out
+        return int(out.max(initial=0))
+
+    def scale_into(self, q, which):
+        v = self._out // np.int64(q)
+        self._out = None
+        if which == "hub":
+            self.hub = v
+        else:
+            self.auth = v
+
+    def state_table(self):
+        return pa.table({"node": pa.array(self.nodes),
+                         "hub": pa.array(self.hub),
+                         "auth": pa.array(self.auth)})
+
+
+def _hits_sharded(edges, rounds, scale_bits, num_shards, output):
+    """Sharded HITS: hub/auth vectors in range-partitioned shard
+    actors; the edge projection is co-bucketed TWICE, once by source
+    range and once by destination range (the two half-steps read
+    opposite sides), each half-step is one edge scan + one summed
+    exchange + a P-sized max fold for the deterministic integer
+    rescale — bit-identical to the broadcast plan."""
+    import ray
+
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    P = max(1, int(num_shards))
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s"), dtype=np.int64)
+        t = np.asarray(batch.column("t"), dtype=np.int64)
+        return pa.table({"node": pa.array(np.concatenate([s, t]))})
+
+    bounds = (quantile_boundaries(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "node", P) if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(arr):
+        return np.searchsorted(
+            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    Shard = ray.remote(num_cpus=0)(_HitsShard)
+    actors = [Shard.remote() for _ in range(P)]
+
+    def bucket_by(col):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__fp", pa.array(route(batch.column(col))))
+        return (edges.map_batches(add, batch_format="pyarrow")
+                .groupby("__fp")
+                .map_groups(lambda t: t, batch_format="pyarrow")
+                .materialize())
+
+    edges_bs = bucket_by("s")        # half-step auth←hub reads hub(s)
+    edges_bt = bucket_by("t")        # half-step hub←auth reads auth(t)
+
+    def init_groups(group: pa.Table) -> pa.Table:
+        p = int(group.column("__np")[0].as_py())
+        ray.get(actors[p].init_shard.remote(
+            np.asarray(group.column("node"), dtype=np.int64)))
+        return pa.table({"p": pa.array([p], pa.int64())})
+
+    def add_np(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__np", pa.array(route(batch.column("node"))))
+
+    got = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .map_batches(add_np, batch_format="pyarrow")
+           .groupby("__np")
+           .map_groups(init_groups, batch_format="pyarrow")
+           .to_pandas())
+    if not len(got):
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+
+    def half(ebs, from_col, to_col, which_read, which_write, token):
+        def contrib(batch: pa.Table) -> pa.Table:
+            fp = np.asarray(batch.column("__fp"), dtype=np.int64)
+            f = np.asarray(batch.column(from_col), dtype=np.int64)
+            t = np.asarray(batch.column(to_col), dtype=np.int64)
+            outs_n, outs_c = [], []
+            for p in np.unique(fp):
+                m = fp == p
+                # token embeds the half-step AND the vector read, so
+                # the shared (token, p) cache key is unambiguous
+                stale = [k for k in _PR_SHARD_CACHE if k[0] != token]
+                for k in stale:
+                    del _PR_SHARD_CACHE[k]
+                key = (token, int(p))
+                if key not in _PR_SHARD_CACHE:
+                    _PR_SHARD_CACHE[key] = ray.get(
+                        actors[int(p)].get_vec.remote(which_read))
+                nn, vv = _PR_SHARD_CACHE[key]
+                c = vv[np.searchsorted(nn, f[m])]
+                tu, inv = np.unique(t[m], return_inverse=True)
+                sums = np.zeros(len(tu), dtype=np.int64)
+                np.add.at(sums, inv, c)
+                outs_n.append(tu)
+                outs_c.append(sums)
+            node = (np.concatenate(outs_n) if outs_n
+                    else np.empty(0, dtype=np.int64))
+            c = (np.concatenate(outs_c) if outs_c
+                 else np.empty(0, dtype=np.int64))
+            return pa.table({"node": pa.array(node),
+                             "partial": pa.array(c),
+                             "__tp": pa.array(route(node))})
+
+        def fold(group: pa.Table) -> pa.Table:
+            p = int(group.column("__tp")[0].as_py())
+            gn = np.asarray(group.column("node"), dtype=np.int64)
+            gs = np.asarray(group.column("partial"), dtype=np.int64)
+            tu, inv = np.unique(gn, return_inverse=True)
+            sums = np.zeros(len(tu), dtype=np.int64)
+            np.add.at(sums, inv, gs)
+            ray.get(actors[p].stage.remote(tu, sums))
+            return pa.table({"p": pa.array([p], pa.int64())})
+
+        (ebs.map_batches(contrib, batch_format="pyarrow")
+         .groupby("__tp")
+         .map_groups(fold, batch_format="pyarrow")
+         .materialize())
+        gmax = max(ray.get([a.commit_half.remote() for a in actors]))
+        q = max(1, gmax >> scale_bits)
+        ray.get([a.scale_into.remote(q, which_write) for a in actors])
+
+    for it in range(int(rounds)):
+        half(edges_bs, "s", "t", "hub", "auth",
+             f"hits-{id(actors[0])}-{it}a")
+        half(edges_bt, "t", "s", "auth", "hub",
+             f"hits-{id(actors[0])}-{it}b")
+
+    refs = [a.state_table.remote() for a in actors]
+    if output == "dataset":
+        return ray.data.from_arrow_refs(refs)
+    tbl = pa.concat_tables(ray.get(refs))
+    return (np.asarray(tbl.column("node"), dtype=np.int64),
+            np.asarray(tbl.column("hub"), dtype=np.int64),
+            np.asarray(tbl.column("auth"), dtype=np.int64))
+
+
 def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
-         scale_bits: int = 20):
+         scale_bits: int = 20, mode: str = "auto",
+         node_budget: int = 20_000_000, num_shards: int = 16,
+         output: str = "arrays"):
     """Bit-deterministic HITS hubs/authorities (Kleinberg 1999, JACM
     46(5)) over a directed edge Dataset, fixed-round like
     :func:`label_propagation` / :func:`kcore`.
@@ -1981,9 +2481,12 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
     node-sized ``bucketed_sum`` folds (1-int hash-bucket exchange;
     the plain ``groupby().Sum`` form was 12× slower at 10M edges,
     BASELINE.md) — the rank-vector-on-driver
-    envelope documented at :func:`pagerank` (~10^8 nodes; shard past
-    it).  Returns ``(nodes, hub, auth)`` int64 arrays (hub init = 1,
-    so round-1 authority = in-degree).
+    envelope documented at :func:`pagerank`.  ``mode="sharded"`` (or
+    ``auto`` past ``node_budget`` nodes) holds hub/auth in
+    range-partitioned shard actors (:func:`_hits_sharded`) —
+    bit-identical, driver state O(P).  Returns ``(nodes, hub, auth)``
+    int64 arrays (hub init = 1, so round-1 authority = in-degree), or
+    a Dataset with ``output="dataset"``.
     """
     import ray
 
@@ -2011,10 +2514,28 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
             "din": pa.array(np.concatenate(
                 [np.zeros(len(su), np.int64), tc.astype(np.int64)]))})
 
-    nd = bucketed_sum(edges.map_batches(node_partials,
-                                        batch_format="pyarrow"),
-                      ["node"], {"dout": "dout", "din": "din"}
-                      ).to_pandas()
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"hits: unknown mode {mode!r}")
+    nd_ds = bucketed_sum(edges.map_batches(node_partials,
+                                           batch_format="pyarrow"),
+                         ["node"], {"dout": "dout", "din": "din"})
+    if mode != "broadcast":
+        nd_ds = nd_ds.materialize()
+        n_nodes = nd_ds.count()
+        if mode == "sharded" or n_nodes > int(node_budget):
+            from ray.data.aggregate import Max
+            env = nd_ds.aggregate(Max("dout", alias_name="o"),
+                                  Max("din", alias_name="i"))
+            deg_max = max(int(env["o"] or 0), int(env["i"] or 0), 1)
+            if deg_max >= (1 << (62 - scale_bits - 1)):
+                raise ValueError(
+                    f"hits: max degree {deg_max} ≥ "
+                    f"2^{62 - scale_bits - 1} breaks the int64 "
+                    "half-step sum envelope — lower scale_bits or "
+                    "pre-aggregate parallel edges")
+            return _hits_sharded(edges, rounds, scale_bits,
+                                 num_shards, output)
+    nd = nd_ds.to_pandas()
     if len(nd) == 0:                 # empty groupby: no columns at all
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
@@ -2056,6 +2577,11 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
     for _ in range(int(rounds)):
         auth = _half(hub, "s", "t")      # authority ← Σ hub over in-edges
         hub = _half(auth, "t", "s")      # hub ← Σ auth over out-edges
+    if output == "dataset":
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes), "hub": pa.array(hub),
+            "auth": pa.array(auth)}))
     return nodes, hub, auth
 
 
