@@ -2227,15 +2227,16 @@ def w_media_dups(sf_dir):
     """Image near-dup pairs over the deterministic media table: the
     table contains exact duplicate payload generators only by chance,
     so duplicate rows are injected by unioning the table with itself
-    under shifted ids — every image must pair with its copy.  Non-SQL
-    (binary perceptual hash); rows-only driver check, pytest-verified."""
+    under shifted ids — every image must pair with its copy.  Images
+    are REAL PNGs (pure-stdlib decode).  Non-SQL (binary perceptual
+    hash); rows-only driver check, pytest-verified."""
     import pyarrow.parquet as pq
     from bqf_ray.functions.hashing import xxhash64_array
     from bqf_ray.pipelines.multimodal import media_dup_pairs
     from bqf_ray.sources.media import media_dataset
     n = min(pq.ParquetFile(f"{sf_dir}/documents.parquet"
                            ).metadata.num_rows, 2000)
-    ds = media_dataset(n, seed=7, parallelism=4)
+    ds = media_dataset(n, seed=7, parallelism=4, real_formats=True)
 
     # media_dataset reuses media_id 0..shard-1 per shard: re-key by
     # content hash (even), duplicates get the odd sibling id — every
@@ -2255,13 +2256,14 @@ def w_media_dups(sf_dir):
 
 def w_media_features(sf_dir):
     """Multimodal plumbing: deterministic media table sized to the sf's
-    documents count → decode + feature-extract actor pools.  (Binary
-    payloads; real-codec boundary stubbed — see pipelines/multimodal.py.)"""
+    documents count — images as REAL PNG, audio as REAL WAV PCM
+    (pure-stdlib codecs, sources/codecs.py; video stays RAWM) →
+    decode + feature-extract actor pools."""
     import pyarrow.parquet as pq
     from bqf_ray.pipelines.multimodal import media_feature_pipeline
     from bqf_ray.sources.media import media_dataset
     n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    ds = media_dataset(n, seed=7, parallelism=4)
+    ds = media_dataset(n, seed=7, parallelism=4, real_formats=True)
     out = media_feature_pipeline(ds, concurrency=2)
 
     def drop_features(batch):
@@ -4392,6 +4394,33 @@ def w_benford_prices(sf_dir):
     return benford_digits(orders, "o_totalprice", scale=100)
 
 
+def w_media_decode_stats(sf_dir):
+    """REAL-PNG codec check with a SQL oracle: per doc id < 2000, a PNG
+    is built from deterministic pixels (all five scanline filters
+    cycled), decoded by the pure-stdlib zlib+unfilter decoder
+    (``sources/codecs.py``), and per-image pixel stats emitted; the
+    oracle recomputes the stats from the pixel formula alone, so any
+    filter/stride/chunking defect breaks value equality."""
+    import ray
+
+    from bqf_ray.pipelines.multimodal import png_decode_stats
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return png_decode_stats(docs, max_id=2000)
+
+
+def w_media_audio_stats(sf_dir):
+    """REAL-WAV codec check with a SQL oracle (``w_media_decode_stats``'s
+    audio sibling): 16-bit PCM encode → RIFF parse → sample stats vs
+    the arithmetic recomputation."""
+    import ray
+
+    from bqf_ray.pipelines.multimodal import wav_decode_stats
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return wav_decode_stats(docs, max_id=2000)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4462,6 +4491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": w_concurrent_sessions,
         # --- slots 51+: remaining never-driver-checked oracled queries
         #     (rotate into the round-5 window) ---
+        "media_decode_stats": w_media_decode_stats,
+        "media_audio_stats": w_media_audio_stats,
         "pareto_orders": w_pareto_orders,
         "user_mode_event": w_user_mode_event,
         "autocorr_value": w_autocorr_value,
@@ -7707,4 +7738,41 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN nx n ON n.user_id = p.user_id
                                   AND n.gt = p.gt AND n.rk = 1
             WHERE p.rk = 1""",
+        # real-codec oracles: the Ray side ENCODES deterministic
+        # pixels/samples into actual PNG/WAV bytes and DECODES them
+        # with the pure-stdlib codecs; SQL recomputes the stats from
+        # the generator formula alone — equality proves the zlib/
+        # filter/RIFF round trip bit-exact
+        "media_decode_stats": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+            px AS (
+              SELECT d.doc_id,
+                     (16 + d.doc_id % 17)::BIGINT AS w,
+                     (16 + d.doc_id % 13)::BIGINT AS h,
+                     ((d.doc_id * 2654435761 + i.i * 40503) % 256)
+                       ::BIGINT AS p
+              FROM d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, (16 + d.doc_id % 17) * (16 + d.doc_id % 13)
+                          - 1)) AS i) i)
+            SELECT doc_id, w AS width, h AS height,
+                   SUM(p)::BIGINT AS px_sum,
+                   MIN(p)::BIGINT AS px_min,
+                   MAX(p)::BIGINT AS px_max
+            FROM px GROUP BY doc_id, w, h""",
+        "media_audio_stats": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+            s AS (
+              SELECT d.doc_id,
+                     (256 + d.doc_id % 200)::BIGINT AS n,
+                     (((d.doc_id * 48271 + i.i * 12820163) % 65536)
+                      - 32768)::BIGINT AS v
+              FROM d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, 256 + d.doc_id % 200 - 1)) AS i) i)
+            SELECT doc_id, n AS n_samples,
+                   SUM(v)::BIGINT AS s_sum,
+                   MIN(v)::BIGINT AS s_min,
+                   MAX(v)::BIGINT AS s_max
+            FROM s GROUP BY doc_id, n""",
     }

@@ -8,12 +8,13 @@ The engineering contract for 100 TB multimodal pipelines:
 - decode / resize / feature-extract / frame-sample are ACTOR-POOL
   ``map_batches`` stages (model/codec setup in ``__init__``, work per
   batch), with small ``batch_size`` because rows are megabytes;
-- the codec boundary is explicit: this container has no PIL/ffmpeg, so
-  :func:`bqf_ray.sources.media.decode_header` understands only the
-  deterministic RAWM fake container and raises ``NotImplementedError`` for
-  real formats — swap real decoders in at that single point; every other
-  line (schemas, actor signatures, batch sizing, output layout) is real
-  and tested.
+- the codec boundary is explicit: :func:`bqf_ray.sources.media.
+  decode_payload` decodes the deterministic RAWM container plus REAL
+  PNG and WAV PCM via the pure-stdlib codecs in
+  :mod:`bqf_ray.sources.codecs` (zlib + scanline unfiltering / RIFF
+  parsing); entropy-coded formats (JPEG/MP3/H.264) still raise
+  ``NotImplementedError`` at that single point — swap PIL/ffmpeg in
+  there in production.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from bqf_ray.sources.media import decode_header
+from bqf_ray.sources.media import decode_header, decode_payload
 
 
 class DecodeMedia:
@@ -37,11 +38,11 @@ class DecodeMedia:
         widths, heights, frames, nbytes, ok = [], [], [], [], []
         for blob in batch.column(self.payload_col).to_pylist():
             try:
-                _, w, h, f, off = decode_header(blob)
+                _, w, h, f, data = decode_payload(blob)
                 widths.append(w)
                 heights.append(h)
                 frames.append(f)
-                nbytes.append(len(blob) - off)
+                nbytes.append(int(data.nbytes))
                 ok.append(True)
             except (NotImplementedError, Exception):
                 widths.append(0)
@@ -71,18 +72,16 @@ class ResizeImages:
         out = []
         for blob in batch.column(self.payload_col).to_pylist():
             try:
-                kind, w, h, f, off = decode_header(blob)
-            except NotImplementedError:
+                kind, w, h, f, img = decode_payload(blob)
+            except (NotImplementedError, ValueError):
                 out.append(None)
                 continue
             if kind != 0:
                 out.append(None)
                 continue
-            img = np.frombuffer(blob, dtype=np.uint8,
-                                count=w * h, offset=off).reshape(h, w)
             yi = (np.arange(self.out_h) * h // self.out_h)
             xi = (np.arange(self.out_w) * w // self.out_w)
-            out.append(img[yi][:, xi].tobytes())
+            out.append(np.ascontiguousarray(img[yi][:, xi]).tobytes())
         return batch.append_column("resized", pa.array(out, pa.binary()))
 
 
@@ -101,12 +100,15 @@ class MediaFeatures:
         feats = []
         for blob in batch.column(self.payload_col).to_pylist():
             try:
-                _, w, h, f, off = decode_header(blob)
-                data = np.frombuffer(blob, dtype=np.uint8, offset=off
-                                     ).astype(np.float64)
-            except NotImplementedError:
+                _, w, h, f, data = decode_payload(blob)
+            except (NotImplementedError, ValueError):
                 feats.append([0.0] * self.DIM)
                 continue
+            data = data.reshape(-1).astype(np.float64)
+            if data.size and (data.min() < 0 or data.max() > 255):
+                # 16-bit PCM → byte domain; exact inverse of the
+                # generator's s = p·257 − 32768 ((p·257)>>8 == p)
+                data = np.floor_divide(data + 32768.0, 256.0)
             hist, _ = np.histogram(data, bins=self.bins)
             v = np.concatenate([
                 hist / max(len(data), 1),
@@ -207,14 +209,14 @@ class PHashImages:
         out = []
         for blob in batch.column(self.payload_col).to_pylist():
             try:
-                kind, w, h, f, off = decode_header(blob)
+                # decode INSIDE the try: a truncated payload raises
+                # ValueError and must become a null hash, not a dead task
+                kind, w, h, f, img = decode_payload(blob)
                 if kind != 0 or w < 1 or h < 1:
                     out.append(None)
                     continue
-                # frombuffer INSIDE the try: a truncated payload raises
-                # ValueError and must become a null hash, not a dead task
-                img = np.frombuffer(blob, dtype=np.uint8,
-                                    count=w * h, offset=off).reshape(h, w)
+                if img.ndim == 3:     # RGB(A) → channel-mean grayscale
+                    img = img.astype(np.float64).mean(axis=2)
             except (NotImplementedError, struct.error, ValueError,
                     TypeError, IndexError):
                 out.append(None)
@@ -239,3 +241,80 @@ def media_dup_pairs(media_ds, max_hamming: int = 3,
     return fingerprint_dup_pairs(hashed.select_columns([id_col, "phash"]),
                                  "phash", id_col=id_col,
                                  max_hamming=max_hamming)
+
+
+def png_decode_stats(docs, id_col: str = "doc_id", max_id: int = 2000,
+                     concurrency: int = 2):
+    """Oracle-checkable REAL-PNG decode: per doc id below ``max_id``, a
+    PNG is encoded from deterministic pixels
+    ``p(i) = (id·2654435761 + i·40503) mod 256`` over a
+    ``(16 + id mod 17) × (16 + id mod 13)`` grid — the encoder cycles
+    all five scanline filters — then DECODED with the pure-stdlib
+    decoder (:func:`bqf_ray.sources.codecs.png_decode`: zlib inflate +
+    unfiltering), emitting ``(doc_id, width, height, px_sum, px_min,
+    px_max)``.  A DuckDB oracle recomputes the same stats from the
+    pixel formula alone, so any codec defect (filter math, stride,
+    chunking) breaks value equality."""
+    from bqf_ray.sources.codecs import png_decode, png_encode
+
+    class EncodeDecode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            ids = ids[ids < max_id]
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for did in ids:
+                w = int(16 + did % 17)
+                h = int(16 + did % 13)
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((did * 2654435761 + i * 40503) % 256
+                      ).astype(np.uint8)
+                img = png_decode(png_encode(px.reshape(h, w)))
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(img.astype(np.int64).sum()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            return pa.table({k: pa.array(v, pa.int64())
+                             for k, v in out.items()})
+
+    return docs.map_batches(EncodeDecode, batch_format="pyarrow",
+                            batch_size=256, concurrency=concurrency,
+                            num_cpus=0.5)
+
+
+def wav_decode_stats(docs, id_col: str = "doc_id", max_id: int = 2000,
+                     concurrency: int = 2):
+    """Oracle-checkable REAL-WAV decode (:func:`png_decode_stats`'s
+    audio sibling): 16-bit PCM samples
+    ``s(i) = ((id·48271 + i·12820163) mod 65536) − 32768`` over
+    ``n = 256 + id mod 200`` frames, RIFF-encoded then decoded with
+    the stdlib parser; emits ``(doc_id, n_samples, s_sum, s_min,
+    s_max)`` for the SQL oracle to recompute arithmetically."""
+    from bqf_ray.sources.codecs import wav_decode, wav_encode
+
+    class EncodeDecode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            ids = ids[ids < max_id]
+            out = {"doc_id": [], "n_samples": [], "s_sum": [],
+                   "s_min": [], "s_max": []}
+            for did in ids:
+                n = int(256 + did % 200)
+                i = np.arange(n, dtype=np.int64)
+                s = (((did * 48271 + i * 12820163) % 65536) - 32768
+                     ).astype(np.int16)
+                back, rate = wav_decode(wav_encode(s, rate=16_000,
+                                                   bits=16))
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(int(back.shape[0]))
+                out["s_sum"].append(int(back.astype(np.int64).sum()))
+                out["s_min"].append(int(back.min()))
+                out["s_max"].append(int(back.max()))
+            return pa.table({k: pa.array(v, pa.int64())
+                             for k, v in out.items()})
+
+    return docs.map_batches(EncodeDecode, batch_format="pyarrow",
+                            batch_size=256, concurrency=concurrency,
+                            num_cpus=0.5)

@@ -1,9 +1,12 @@
 """Deterministic synthetic media table — multimodal plumbing fixture.
 
 Real crawl pipelines carry images/audio/video as opaque ``binary`` columns
-with typed metadata.  The container has no image/audio codecs (PIL/ffmpeg
-absent — see pipelines/multimodal.py for the stub boundary), so this
-source emits a deterministic fake container format "RAWM":
+with typed metadata.  Images and audio decode as REAL formats — PNG and
+WAV PCM via the pure-stdlib codecs in :mod:`bqf_ray.sources.codecs`
+(``generate_media(real_formats=True)`` emits them); entropy-coded
+formats (JPEG/MP3/video) stay behind the ``NotImplementedError``
+boundary in :func:`decode_header` (PIL/ffmpeg absent).  The default
+fixture format is the deterministic fake container "RAWM":
 
     RAWM | kind(1B: 0=img,1=audio,2=video) | w(u16) | h(u16) | frames(u16)
          | payload bytes (seeded, w*h per frame / 2*w samples for audio)
@@ -32,36 +35,92 @@ def decode_header(blob: bytes) -> tuple[int, int, int, int, int]:
     """→ (kind, w, h, frames, payload_offset); raises on foreign formats."""
     if blob[:4] != MAGIC:
         raise NotImplementedError(
-            "real image/audio codecs are not available in this environment; "
-            "only the RAWM fake container is decodable (stub boundary — "
-            "swap in PIL/ffmpeg decoders here in production)")
+            "not a RAWM container — PNG/WAV go through decode_payload "
+            "(pure-stdlib codecs in sources/codecs.py); JPEG/MP3/video "
+            "codecs are not available in this environment (stub "
+            "boundary — swap in PIL/ffmpeg decoders here in production)")
     kind, w, h, frames = struct.unpack("<BHHH", blob[4:11])
     return kind, w, h, frames, 11
 
 
-def generate_media(n_rows: int, seed: int = 42):
-    """Deterministic media table → pyarrow.Table."""
+def decode_payload(blob: bytes):
+    """Universal decode: → ``(kind, w, h, frames, data)`` with ``data``
+    a numpy array of decoded pixels/samples.
+
+    Dispatches on magic bytes: RAWM (synthetic container), PNG
+    (:func:`bqf_ray.sources.codecs.png_decode` — real zlib+filter
+    decode), WAV PCM (:func:`bqf_ray.sources.codecs.wav_decode`).
+    Anything else raises ``NotImplementedError`` (the documented
+    real-codec boundary for entropy-coded formats).
+
+    Shapes: image → (h, w) or (h, w, ch) uint8; audio → (n,) or
+    (n, ch) int; video (RAWM only) → (frames, h, w) uint8."""
+    from bqf_ray.sources.codecs import PNG_MAGIC, png_decode, wav_decode
+
+    if blob[:8] == PNG_MAGIC:
+        img = png_decode(blob)
+        h, w = img.shape[:2]
+        return 0, w, h, 1, img
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        samples, _rate = wav_decode(blob)
+        n = samples.shape[0]
+        ch = samples.shape[1] if samples.ndim > 1 else 1
+        return 1, n, ch, 1, samples
+    kind, w, h, frames, off = decode_header(blob)   # RAWM or raise
+    data = np.frombuffer(blob, dtype=np.uint8, offset=off)
+    if kind == 0:
+        data = data[:w * h].reshape(h, w)
+    elif kind == 2:
+        data = data[:w * h * frames].reshape(frames, h, w)
+    return kind, w, h, frames, data
+
+
+def generate_media(n_rows: int, seed: int = 42,
+                   real_formats: bool = False):
+    """Deterministic media table → pyarrow.Table.
+
+    ``real_formats=True`` emits images as REAL PNG and audio as REAL
+    WAV PCM (pure-stdlib codecs, sources/codecs.py) built from the
+    same deterministic pixel/sample generators — video stays RAWM
+    (no public-stdlib video codec)."""
     import pyarrow as pa
+
+    from bqf_ray.sources.codecs import png_encode, wav_encode
 
     rng = np.random.RandomState(seed)
     ids, kinds, blobs, mimes = [], [], [], []
     for i in range(n_rows):
         kind = int(rng.randint(0, 3))
+        mime = _MIMES[KINDS[kind]]
         if kind == 0:          # image
             w, h, frames = int(rng.randint(16, 64)), int(rng.randint(16, 64)), 1
             payload = rng.randint(0, 256, w * h, dtype=np.int64).astype(np.uint8)
+            if real_formats:
+                blob = png_encode(payload.reshape(h, w))
+                mime = "image/png"
+            else:
+                blob = encode_media(kind, w, h, frames, payload.tobytes())
         elif kind == 1:        # audio: 2*w samples, h=1
             w, h, frames = int(rng.randint(128, 1024)), 1, 1
             payload = rng.randint(0, 256, 2 * w, dtype=np.int64).astype(np.uint8)
+            if real_formats:
+                samples = (payload.astype(np.int64) * 257 - 32768
+                           ).astype(np.int16)
+                blob = wav_encode(samples, rate=16_000, bits=16)
+                mime = "audio/wav"
+                w = len(samples)        # decoded n_samples
+            else:
+                blob = encode_media(kind, w, h, frames, payload.tobytes())
         else:                  # video: frames of w*h
             w, h = int(rng.randint(8, 32)), int(rng.randint(8, 32))
             frames = int(rng.randint(2, 12))
             payload = rng.randint(0, 256, w * h * frames,
                                   dtype=np.int64).astype(np.uint8)
+            blob = encode_media(kind, w, h, frames, payload.tobytes())
         ids.append(i)
         kinds.append(KINDS[kind])
-        blobs.append(encode_media(kind, w, h, frames, payload.tobytes()))
-        mimes.append(_MIMES[KINDS[kind]])
+        blobs.append(blob)
+        mimes.append(mime)
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "kind": pa.array(kinds, pa.string()),
@@ -70,7 +129,8 @@ def generate_media(n_rows: int, seed: int = 42):
     })
 
 
-def media_dataset(n_rows: int, seed: int = 42, parallelism: int = 4):
+def media_dataset(n_rows: int, seed: int = 42, parallelism: int = 4,
+                  real_formats: bool = False):
     import ray
     import pyarrow as pa
 
@@ -81,7 +141,7 @@ def media_dataset(n_rows: int, seed: int = 42, parallelism: int = 4):
                          "seed": [sd for _, sd in specs]})
 
     def make(batch):
-        out = [generate_media(int(n), int(sd))
+        out = [generate_media(int(n), int(sd), real_formats=real_formats)
                for n, sd in zip(batch["n"].to_pylist(), batch["seed"].to_pylist())]
         return pa.concat_tables(out)
 

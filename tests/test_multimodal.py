@@ -142,3 +142,91 @@ def test_phash_truncated_blob_is_null(ray_session):
     assert out[0] is not None and out[1] is None
     with pytest.raises(AssertionError):
         PHashImages(grid=4)
+
+
+# --- real codecs (sources/codecs.py) ---------------------------------------
+
+def test_png_roundtrip_all_shapes():
+    from bqf_ray.sources.codecs import png_decode, png_encode
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1), (7, 5), (23, 31), (16, 16, 3), (9, 11, 4),
+                  (64, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        back = png_decode(png_encode(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def test_png_rejects_foreign_and_unsupported():
+    import pytest as _pt
+
+    from bqf_ray.sources.codecs import png_decode
+    with _pt.raises(ValueError, match="not a PNG"):
+        png_decode(b"JFIF....")
+
+
+def test_wav_roundtrip():
+    from bqf_ray.sources.codecs import wav_decode, wav_encode
+    rng = np.random.RandomState(6)
+    s16 = rng.randint(-32768, 32768, 500).astype(np.int16)
+    back, rate = wav_decode(wav_encode(s16, rate=44_100, bits=16))
+    assert rate == 44_100 and (back == s16).all()
+    st = rng.randint(-32768, 32768, (300, 2)).astype(np.int16)
+    back2, _ = wav_decode(wav_encode(st, bits=16))
+    assert back2.shape == (300, 2) and (back2 == st).all()
+    s8 = rng.randint(0, 256, 200).astype(np.uint8)
+    back3, _ = wav_decode(wav_encode(s8, bits=8))
+    assert (back3 == s8).all()
+
+
+def test_decode_payload_dispatch(ray_session):
+    """PNG / WAV / RAWM all decode through the one entry point; JPEG
+    magic still raises the documented boundary error."""
+    import pytest as _pt
+
+    from bqf_ray.sources.codecs import png_encode, wav_encode
+    from bqf_ray.sources.media import decode_payload, encode_media
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (12, 9)).astype(np.uint8)
+    k, w, h, f, data = decode_payload(png_encode(img))
+    assert (k, w, h, f) == (0, 9, 12, 1) and (data == img).all()
+    s = rng.randint(-32768, 32768, 333).astype(np.int16)
+    k, w, h, f, data = decode_payload(wav_encode(s))
+    assert (k, w, h, f) == (1, 333, 1, 1) and (data == s).all()
+    raw = rng.randint(0, 256, 6 * 4).astype(np.uint8)
+    k, w, h, f, data = decode_payload(encode_media(0, 6, 4, 1, raw.tobytes()))
+    assert (k, w, h) == (0, 6, 4) and (data == raw.reshape(4, 6)).all()
+    with _pt.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_phash_identical_for_png_and_rawm(ray_session):
+    """The same pixels through PNG and RAWM must produce the same
+    perceptual hash — the codec layer is transparent to dedup."""
+    import ray
+
+    from bqf_ray.pipelines.multimodal import PHashImages
+    from bqf_ray.sources.codecs import png_encode
+    from bqf_ray.sources.media import encode_media
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (40, 30)).astype(np.uint8)
+    t = pa.table({"payload": pa.array(
+        [png_encode(img), encode_media(0, 30, 40, 1, img.tobytes())],
+        pa.binary())})
+    out = PHashImages()(t)
+    ph = out.column("phash").to_pylist()
+    assert ph[0] is not None and ph[0] == ph[1]
+
+
+def test_media_feature_pipeline_real_formats(ray_session):
+    """Real PNG/WAV rows flow through decode→features with ok=True."""
+    import ray
+
+    from bqf_ray.pipelines.multimodal import media_feature_pipeline
+    from bqf_ray.sources.media import media_dataset
+    out = media_feature_pipeline(
+        media_dataset(200, seed=3, parallelism=2, real_formats=True),
+        concurrency=2).to_pandas()
+    assert len(out) == 200
+    assert out["ok"].all()
+    assert (out["features"].apply(len) == 20).all()
