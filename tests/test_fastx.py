@@ -91,3 +91,72 @@ def test_cli_filter_fastx_e2e(ray_session, tmp_path):
     from bqf_ray.functions.dna import sequence_kmers, decode
     expected = {decode(int(c), 21) for c in sequence_kmers(seq, 21)}
     assert kmers == expected and len(kmers) == 4
+
+
+# --- intra-file byte-range splits ------------------------------------------
+
+def _mk_fastq(path, n, seed=0, multi=False):
+    rng = np.random.RandomState(seed)
+    with open(path, "wb") as f:
+        for i in range(n):
+            L = int(rng.randint(20, 120))
+            seq = bytes(rng.choice(list(b"ACGT"), L).astype(np.uint8))
+            # qualities deliberately include '@' and '+' bytes — the
+            # phase-lock must not misanchor on them
+            qual = bytes(rng.randint(ord('@') - 2, ord('I'), L,
+                                     dtype=np.int64).astype(np.uint8))
+            f.write(b"@read" + str(i).encode() + b" extra meta\n"
+                    + seq + b"\n+\n" + qual + b"\n")
+
+
+def _mk_fasta(path, n, seed=1):
+    rng = np.random.RandomState(seed)
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(b">ctg" + str(i).encode() + b" desc\n")
+            for _ in range(int(rng.randint(1, 5))):   # multi-line seqs
+                L = int(rng.randint(10, 80))
+                f.write(bytes(rng.choice(list(b"ACGT"), L)
+                              .astype(np.uint8)) + b"\n")
+
+
+@pytest.mark.parametrize("split", [256, 1024, 7777])
+def test_fastq_split_equals_whole(ray_session, tmp_path, split):
+    import ray
+
+    from bqf_ray.sources.fastx import read_fastx
+    fq = tmp_path / "big.fastq"
+    _mk_fastq(str(fq), 400, seed=3)
+    whole = (read_fastx([str(fq)], include_quality=True, split_size=None)
+             .to_pandas().sort_values("name").reset_index(drop=True))
+    split_df = (read_fastx([str(fq)], include_quality=True,
+                           split_size=split)
+                .to_pandas().sort_values("name").reset_index(drop=True))
+    assert len(whole) == 400
+    assert whole.equals(split_df)
+
+
+@pytest.mark.parametrize("split", [128, 999])
+def test_fasta_split_equals_whole(ray_session, tmp_path, split):
+    import ray
+
+    from bqf_ray.sources.fastx import read_fastx
+    fa = tmp_path / "big.fasta"
+    _mk_fasta(str(fa), 300, seed=5)
+    whole = (read_fastx([str(fa)], split_size=None)
+             .to_pandas().sort_values("name").reset_index(drop=True))
+    split_df = (read_fastx([str(fa)], split_size=split)
+                .to_pandas().sort_values("name").reset_index(drop=True))
+    assert len(whole) == 300
+    assert whole.equals(split_df)
+
+
+def test_parse_tables_match_lists():
+    """Vectorized Arrow assembly ≡ the list API on tricky inputs."""
+    from bqf_ray.sources.fastx import (parse_fasta_bytes,
+                                       parse_fasta_table)
+    data = (b">a desc\nACGT\nTTGG\n>b\nC\n>empty\n>c\tx\nGG\n")
+    t = parse_fasta_table(data)
+    n, s = parse_fasta_bytes(data)
+    assert t.column("name").to_pylist() == n == ["a", "b", "empty", "c"]
+    assert t.column("seq").to_pylist() == s == ["ACGTTTGG", "C", "", "GG"]
