@@ -368,14 +368,114 @@ class _QuotientFilterKernel(MergeableSketch):
         pc = _popcount64(self._occupieds).astype(np.int64)
         self._occ_prefix = np.concatenate([[0], np.cumsum(pc)[:-1]])
 
-    def resize(self, n: int = 1) -> None:
-        """Grow quotient by ``n`` bits (contract of
-        /root/reference/src/rsqf.cpp:418-437 / abstract_bqf.cpp:302-479)."""
+    def resize(self, n: int = 1, chunk_runs: int = 1 << 14) -> None:
+        """Grow quotient by ``n`` bits — STREAMING (contract of
+        /root/reference/src/rsqf.cpp:418-437 / abstract_bqf.cpp:302-479,
+        memory profile included).
+
+        Key identity: splitting ``key = rem·2^q + quot`` at ``q+n``
+        gives ``quot' = (rem mod 2^n)·2^q + quot`` and
+        ``rem' = rem >> n`` — so the new layout is exactly the old
+        elements filtered by ``rem mod 2^n = j`` for j = 0..2^n−1, in
+        old run order, concatenated in j order.  The resize therefore
+        streams the old runs ``2^n`` times in ``chunk_runs``-run
+        chunks, emitting elements in final sorted order and growing
+        the new layout incrementally (greedy run placement with a
+        carried fill position, split-run continuation handled by
+        re-opening the previous run).
+
+        Allocations: the new layout arrays once (O(2^q_new) words +
+        element-bounded select caches) and O(chunk) scratch — NOT the
+        old path's full enumerate (16 B/elem) + lexsort (~40 B/elem)
+        scratch, which is what let an actor near its memory ceiling
+        grow the way the reference's in-place pass does (tested with a
+        tracemalloc peak assertion)."""
         self._compact()
-        keys, counts = self._enumerate_built()
         assert self.q + n < self.hash_bits
-        self.q += n
-        self._build(keys, counts)
+        old_q = self._built_q
+        q2 = self.q + n
+        if self.elements_inside == 0:
+            self.q = q2
+            self._alloc_empty()
+            return
+        c = U64(self.count_size)
+        cmask = (U64(1) << c) - U64(1)
+        low_mask = U64((1 << n) - 1)
+        nq2 = 1 << q2
+        cap2 = nq2 + self._SLACK
+        slots2 = np.zeros(cap2, dtype=np.uint64)
+        occ2 = np.zeros((nq2 + 63) // 64, dtype=np.uint64)
+        run2 = np.zeros((cap2 + 63) // 64, dtype=np.uint64)
+        uq_buf = np.empty(self.elements_inside, dtype=np.int64)
+        end_buf = np.empty(self.elements_inside, dtype=np.int64)
+        k = 0
+        last_end = np.int64(-1)
+        last_quot = np.int64(-2)
+        old_uq = self._occ_quots
+        old_ends = self._runend_pos
+        old_starts = np.maximum(
+            old_uq, np.concatenate([[-1], old_ends[:-1]]) + 1)
+        old_lens = old_ends - old_starts + 1
+        for j in range(1 << n):
+            jq = np.int64(j) << np.int64(old_q)
+            for r0 in range(0, len(old_uq), int(chunk_runs)):
+                sl = slice(r0, r0 + int(chunk_runs))
+                st, ln = old_starts[sl], old_lens[sl]
+                m = int(ln.sum())
+                off = np.concatenate([[0], np.cumsum(ln)[:-1]])
+                pos = np.repeat(st, ln) + \
+                    (np.arange(m) - np.repeat(off, ln))
+                vals = self._slots[pos]
+                rem = (vals >> c) if self.count_size else vals
+                sel = (rem & low_mask) == U64(j)
+                if not sel.any():
+                    continue
+                quots = np.repeat(old_uq[sl], ln)[sel] + jq
+                rems2 = rem[sel] >> U64(n)
+                cnts = (vals[sel] & cmask) if self.count_size else None
+                uq2, rc2 = np.unique(quots, return_counts=True)
+                D = np.cumsum(rc2)
+                prev_d = np.concatenate([[0], D[:-1]])
+                arr = uq2 - 1 - prev_d
+                cont = k > 0 and uq2[0] == last_quot
+                arr[0] = max(arr[0], last_end)
+                g = np.maximum.accumulate(arr)
+                ends2 = g + D
+                starts2 = ends2 - rc2 + 1
+                if ends2[-1] >= cap2:       # adversarial skew fallback
+                    cap2 = int(ends2[-1]) + 64 + self._SLACK
+                    grown = np.zeros(cap2, dtype=np.uint64)
+                    grown[:len(slots2)] = slots2
+                    slots2 = grown
+                    grown_r = np.zeros((cap2 + 63) // 64,
+                                       dtype=np.uint64)
+                    grown_r[:len(run2)] = run2
+                    run2 = grown_r
+                pos2 = np.repeat(starts2, rc2) + \
+                    (np.arange(len(quots)) - np.repeat(prev_d, rc2))
+                slots2[pos2] = ((rems2 << c) | cnts) if self.count_size \
+                    else rems2
+                _set_bits(occ2, uq2)
+                if cont:                    # re-open the split run
+                    e = int(end_buf[k - 1])
+                    run2[e >> 6] &= ~(U64(1) << U64(e & 63))
+                    k -= 1
+                _set_bits(run2, ends2)
+                uq_buf[k:k + len(uq2)] = uq2
+                end_buf[k:k + len(uq2)] = ends2
+                k += len(uq2)
+                last_quot = uq2[-1]
+                last_end = ends2[-1]
+        self.q = q2
+        self._built_q = q2
+        self._slots = slots2
+        self._occupieds = occ2
+        self._runends = run2
+        self._extent = int(last_end) + 1
+        self._occ_quots = uq_buf[:k].copy()
+        self._runend_pos = end_buf[:k].copy()
+        pc = _popcount64(occ2).astype(np.int64)
+        self._occ_prefix = np.concatenate([[0], np.cumsum(pc)[:-1]])
 
     # --- queries -----------------------------------------------------------
 

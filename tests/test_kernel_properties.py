@@ -108,3 +108,51 @@ def test_debug_dump_readable():
     s = f.debug_dump(max_slots=40)
     assert "q=7" in s and "occ" in s and "run" in s
     assert len(s.splitlines()) > 3
+
+
+@pytest.mark.parametrize("chunk_runs", [1, 3, 17])
+def test_streaming_resize_chunked_equivalence(chunk_runs):
+    """Tiny chunk sizes force split-run continuation across chunk
+    boundaries in every pass — state must still equal a fresh build."""
+    keys = _keys(3000, 9)
+    counts = np.random.RandomState(10).randint(1, 60, 3000).astype(np.uint64)
+    a = BqfEc(q=8, count_size=5, auto_resize=False)
+    a.update_batch(keys, counts)
+    a.resize(1, chunk_runs=chunk_runs)
+    b = BqfEc(q=9, count_size=5, auto_resize=False)
+    b.update_batch(keys, counts)
+    for name, arr in a._state_arrays().items():
+        np.testing.assert_array_equal(arr, b._state_arrays()[name],
+                                      err_msg=f"{name} chunk={chunk_runs}")
+
+
+def test_streaming_resize_peak_allocation():
+    """The resize pass allocates the new layout once plus chunk-bounded
+    scratch — NOT the old enumerate(16 B/elem) + lexsort(~40 B/elem)
+    scratch.  tracemalloc peak during resize must stay within the new
+    layout size + a fixed chunk allowance (the bulk-_build path would
+    blow this budget several times over at this element count)."""
+    import tracemalloc
+
+    n = 400_000
+    keys = _keys(n, 12)
+    f = BqfEc(q=20, count_size=4, auto_resize=False)
+    f.update_batch(keys)
+    f._compact()
+    nq2 = 1 << 21
+    cap2 = nq2 + f._SLACK
+    n_runs = len(f._occ_quots)
+    layout_bytes = (cap2 * 8                       # slots
+                    + ((nq2 + 63) // 64) * 8       # occupieds
+                    + ((cap2 + 63) // 64) * 8 * 2  # runends (+ grow copy)
+                    + ((nq2 + 63) // 64) * 8 * 2   # occ_prefix + cumsum tmp
+                    + 4 * n * 8                    # uq/end bufs + trims
+                    + 3 * n_runs * 8)              # old-run routing arrays
+    chunk_allowance = (1 << 14) * 8 * 24           # per-chunk scratch arrays
+    tracemalloc.start()
+    f.resize(1)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert f.elements_inside == len(np.unique(keys))
+    assert peak <= layout_bytes + chunk_allowance, \
+        f"resize peak {peak} exceeds layout {layout_bytes} + chunk budget"
