@@ -1183,8 +1183,13 @@ def mg_heavy_keys(ds, col: str, m: int = 128):
                              concurrency=2)
               .groupby(col).aggregate(Sum("partial", alias_name="cnt")))
     thresh = n_total / (m + 1.0)
-    return counts.filter(
-        lambda row: row["cnt"] > thresh)
+
+    def above(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater(batch.column("cnt"),
+                                       pa.scalar(thresh)))
+
+    return counts.map_batches(above, batch_format="pyarrow")
 
 
 def cm_self_join_size(ds, col: str, width: int = 8192, depth: int = 5,

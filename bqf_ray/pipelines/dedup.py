@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from bqf_ray.plans import plan_log
 import pyarrow.compute as pc
 
 from bqf_ray.functions.hashing import fmix64, xxhash64_array
@@ -191,6 +193,8 @@ def verify_pairs(cand_ds, sets_ds, threshold: float, num_buckets: int = 64,
         sets_ds = sets_ds.materialize()
         size = sets_ds.size_bytes() or 0
         mode = "broadcast" if size <= broadcast_budget_bytes else "copartition"
+        plan_log("verify_pairs", mode, set_bytes=size,
+                 budget_bytes=broadcast_budget_bytes)
     if mode == "broadcast":
         return _verify_broadcast(cand_ds, sets_ds.materialize(), threshold,
                                  id_col)
@@ -1013,6 +1017,8 @@ def dedup_lines(ds, min_count: int = 2, sep: str = "\n",
         dups = dups.materialize()      # counted then re-read: execute once
         n_dup = dups.count()
         mode = "broadcast" if n_dup <= broadcast_budget else "semijoin"
+        plan_log("dedup_lines", mode, n_dup=n_dup,
+                 budget=broadcast_budget)
 
     def _split(batch: pa.Table):
         texts = batch.column(text_col)
@@ -1196,6 +1202,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
         proj = proj.materialize()
         size = proj.size_bytes() or 0
         mode = ("exact" if size <= broadcast_budget_bytes else "blocked")
+        plan_log("embedding_dup_pairs", mode, table_bytes=size,
+                 budget_bytes=broadcast_budget_bytes)
     if mode == "blocked":
         return embedding_dup_pairs_blocked(proj, threshold=threshold,
                                            vec_col=vec_col, id_col=id_col)
@@ -1412,6 +1420,8 @@ def dedup_spans(ds, window: int = 50, min_count: int = 2,
         dups = dups.materialize()      # counted then re-read: execute once
         n_dup = dups.count()
         mode = "broadcast" if n_dup <= broadcast_budget else "semijoin"
+        plan_log("dedup_spans", mode, n_dup=n_dup,
+                 budget=broadcast_budget)
 
     def _rebuild_docs(batch_ids, toks, offs, dup_starts):
         """Coverage diff array over the flat token space → kept text."""

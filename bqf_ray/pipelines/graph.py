@@ -24,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from bqf_ray.plans import plan_log
+
 
 def _uf_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Union-find over edge arrays → (nodes, min-node-id label per node).
@@ -74,6 +76,8 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         pairs = pairs.materialize()    # counted then re-read: execute once
         n_edges = pairs.count()
         mode = "driver" if n_edges <= int(driver_edge_budget) else "dist"
+        plan_log("connected_components", mode, n_edges=n_edges,
+                 budget=int(driver_edge_budget))
 
     if mode == "driver":
         tbls = [b.select([a_col, b_col])
@@ -324,6 +328,9 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
         nd_ds = nd_ds.materialize()
         n_nodes = nd_ds.count()
         if mode == "sharded" or n_nodes > int(node_budget):
+            if mode == "auto":
+                plan_log("pagerank", "sharded", n_nodes=n_nodes,
+                         node_budget=int(node_budget))
             return _pagerank_sharded(
                 edges, nd_ds, n_nodes, d_num=d_num, d_den=d_den,
                 iters=iters, restart_nodes=restart_nodes,
@@ -843,9 +850,12 @@ def attach_degrees(edges, num_buckets: int = 64, mode: str = "auto",
                        num_buckets=B).materialize()
 
     if mode == "auto":
+        n_deg = deg.count()
         mode = ("broadcast"
-                if 16 * deg.count() <= int(broadcast_budget_bytes)
+                if 16 * n_deg <= int(broadcast_budget_bytes)
                 else "bucketed")
+        plan_log("attach_degrees", mode, deg_bytes=16 * n_deg,
+                 budget_bytes=int(broadcast_budget_bytes))
 
     if mode == "broadcast":
         blocks = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
@@ -1032,6 +1042,8 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         mode = ("broadcast"
                 if 16 * n_edges <= int(broadcast_budget_bytes)
                 else "bucketed")
+        plan_log("triangle_count", mode, edge_bytes=16 * n_edges,
+                 budget_bytes=int(broadcast_budget_bytes))
     if mode == "broadcast":
         return _triangle_count_broadcast(edges, n_edges, B)
     attached = attach_degrees(edges, num_buckets=B, mode="bucketed")
@@ -1353,9 +1365,12 @@ def frequent_itemsets(ds, group_col: str, item_col: str,
         ["g"], [("g", "count", "c")], num_buckets=B).count())
 
     if mode == "auto":
+        n_sup = support.count()
         mode = ("broadcast"
-                if 16 * support.count() <= int(broadcast_budget_bytes)
+                if 16 * n_sup <= int(broadcast_budget_bytes)
                 else "bucketed")
+        plan_log("edge_triangle_support", mode, support_bytes=16 * n_sup,
+                 budget_bytes=int(broadcast_budget_bytes))
 
     if mode == "broadcast":
         blocks = [t for t in ray.get(support.to_arrow_refs())
@@ -1975,6 +1990,8 @@ def kcore(edges_ds, k: int, rounds: int = 6,
     for _ in range(int(rounds)):
         nodes, deg = degrees(alive_ref)
         if mode == "auto" and len(nodes) > int(node_budget):
+            plan_log("kcore", "sharded", n_nodes=len(nodes),
+                     node_budget=int(node_budget))
             # vertex table outgrew the driver envelope: replay the
             # peel sharded from the start (peeling is deterministic,
             # so the replay is free of divergence; the one wasted
@@ -2209,8 +2226,8 @@ def label_propagation(edges_ds, rounds: int = 3,
                          "community": pa.array([], pa.int64())})
     nodes = np.unique(np.concatenate(parts))
     if mode == "auto" and len(nodes) > int(node_budget):
-        # label vector outgrew the driver envelope — replay sharded
-        # (deterministic synchronous rounds, so identical labels)
+        plan_log("label_propagation", "sharded", n_nodes=len(nodes),
+                 node_budget=int(node_budget))
         return _lpa_sharded(edges, rounds, ca, cb, num_shards)
     labels = nodes.copy()
 
@@ -2523,6 +2540,9 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
         nd_ds = nd_ds.materialize()
         n_nodes = nd_ds.count()
         if mode == "sharded" or n_nodes > int(node_budget):
+            if mode == "auto":
+                plan_log("hits", "sharded", n_nodes=n_nodes,
+                         node_budget=int(node_budget))
             from ray.data.aggregate import Max
             env = nd_ds.aggregate(Max("dout", alias_name="o"),
                                   Max("din", alias_name="i"))
@@ -2931,6 +2951,8 @@ def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
     edges = edges_ds.materialize()
     for rnd in range(R):
         if mode == "auto" and len(nodes) > int(node_budget):
+            plan_log("sssp", "sharded", n_nodes=len(nodes),
+                     node_budget=int(node_budget))
             # dist vector outgrew the driver envelope: hand the
             # remaining rounds to the sharded continuation (same
             # min-fold semantics → same result)

@@ -19,6 +19,8 @@ import ray  # noqa: E402
 def main():
     name = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    import logging
+    logging.getLogger("bqf_ray.plans").setLevel(logging.INFO)
     ray.init(address="local",
              num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "16")),
              include_dashboard=False)
@@ -34,6 +36,11 @@ def main():
         print(f"non-Dataset result: {type(res).__name__} "
               f"shape={getattr(res, 'shape', None)}")
     print(f"total_sec={time.time() - t0:.2f}")
+    from bqf_ray.plans import recent_plans
+    for p in recent_plans():
+        detail = " ".join(f"{k}={v}" for k, v in p.items()
+                          if k not in ("op", "plan"))
+        print(f"plan: {p['op']} -> {p['plan']} ({detail})")
     ray.shutdown()
 
 
