@@ -4394,6 +4394,22 @@ def w_benford_prices(sf_dir):
     return benford_digits(orders, "o_totalprice", scale=100)
 
 
+def w_kendall_types_binned(sf_dir):
+    """Quantized per-event-type Kendall tau-b (64 equal-width bins
+    between each key's min/max, exact contingency-table concordance,
+    O(n + B²) per key) with an exact integer newly-tied-pair error
+    bound — ``aggregates.grouped_kendall_binned``, the scale path past
+    the exact kernel's O(n²) pair envelope.  Every column (s, tau,
+    binned tie pairs, bound) hash-matches the SQL replay."""
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_kendall_binned
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    return grouped_kendall_binned(ev, "event_type", "value", "ts",
+                                  bins=64)
+
+
 def w_media_decode_stats(sf_dir):
     """REAL-PNG codec check with a SQL oracle: per doc id < 2000, a PNG
     is built from deterministic pixels (all five scanline filters
@@ -4491,6 +4507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": w_concurrent_sessions,
         # --- slots 51+: remaining never-driver-checked oracled queries
         #     (rotate into the round-5 window) ---
+        "kendall_types_binned": w_kendall_types_binned,
         "media_decode_stats": w_media_decode_stats,
         "media_audio_stats": w_media_audio_stats,
         "pareto_orders": w_pareto_orders,
@@ -7738,6 +7755,62 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN nx n ON n.user_id = p.user_id
                                   AND n.gt = p.gt AND n.rk = 1
             WHERE p.rk = 1""",
+        "kendall_types_binned": """
+            WITH e AS (
+              SELECT event_type AS k, event_id,
+                     value::DOUBLE AS x, epoch_us(ts)::DOUBLE AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)),
+            mm AS (SELECT k, min(x) AS mnx, max(x) AS mxx,
+                          min(y) AS mny, max(y) AS mxy,
+                          COUNT(*)::BIGINT AS n
+                   FROM e GROUP BY 1),
+            b AS (SELECT e.k, e.event_id,
+                         CASE WHEN m.mxx > m.mnx THEN LEAST(FLOOR(
+                              (e.x - m.mnx) / (m.mxx - m.mnx) * 64), 63)
+                              ELSE 0 END::BIGINT AS bx,
+                         CASE WHEN m.mxy > m.mny THEN LEAST(FLOOR(
+                              (e.y - m.mny) / (m.mxy - m.mny) * 64), 63)
+                              ELSE 0 END::BIGINT AS by
+                  FROM e JOIN mm m ON m.k = e.k),
+            p AS (SELECT a.k,
+                         COUNT(*)::BIGINT AS np,
+                         SUM(CASE WHEN (a.bx < c.bx AND a.by < c.by)
+                                    OR (a.bx > c.bx AND a.by > c.by)
+                                  THEN 1
+                                  WHEN a.bx = c.bx OR a.by = c.by THEN 0
+                                  ELSE -1 END)::BIGINT AS s,
+                         SUM((a.bx = c.bx)::INT)::BIGINT AS n1,
+                         SUM((a.by = c.by)::INT)::BIGINT AS n2
+                  FROM b a JOIN b c
+                    ON a.k = c.k AND a.event_id < c.event_id
+                  GROUP BY 1),
+            tx AS (SELECT k, SUM(c * (c - 1) // 2)::BIGINT AS t
+                   FROM (SELECT k, x, COUNT(*)::BIGINT AS c
+                         FROM e GROUP BY 1, 2) GROUP BY 1),
+            ty AS (SELECT k, SUM(c * (c - 1) // 2)::BIGINT AS t
+                   FROM (SELECT k, y, COUNT(*)::BIGINT AS c
+                         FROM e GROUP BY 1, 2) GROUP BY 1)
+            SELECT mm.k AS event_type, mm.n,
+                   COALESCE(p.s, 0) AS s,
+                   CASE WHEN mm.n >= 2 AND p.np > p.n1 AND p.np > p.n2
+                        THEN p.s::DOUBLE /
+                             (sqrt((p.np - p.n1)::DOUBLE)
+                              * sqrt((p.np - p.n2)::DOUBLE))
+                   END AS tau,
+                   COALESCE(p.n1, 0) AS tied_x_binned,
+                   COALESCE(p.n2, 0) AS tied_y_binned,
+                   CASE WHEN mm.n >= 2 AND p.np > p.n1 AND p.np > p.n2
+                        THEN LEAST(
+                          ((p.n1 - tx.t) + (p.n2 - ty.t)
+                           + p.np)::DOUBLE /
+                          (sqrt((p.np - p.n1)::DOUBLE)
+                           * sqrt((p.np - p.n2)::DOUBLE)) - 1.0, 2.0)
+                   END AS tau_err_bound
+            FROM mm LEFT JOIN p ON p.k = mm.k
+                    LEFT JOIN tx ON tx.k = mm.k
+                    LEFT JOIN ty ON ty.k = mm.k""",
         # real-codec oracles: the Ray side ENCODES deterministic
         # pixels/samples into actual PNG/WAV bytes and DECODES them
         # with the pure-stdlib codecs; SQL recomputes the stats from

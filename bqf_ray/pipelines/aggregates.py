@@ -2852,6 +2852,165 @@ def grouped_kendall(ds, key_col: str, x_col: str, y_col: str,
             .map_groups(fold, batch_format="pyarrow"))
 
 
+def grouped_kendall_binned(ds, key_col: str, x_col: str, y_col: str,
+                           bins: int = 64, num_buckets: int = 32):
+    """Quantized Kendall tau-b — the SCALE path past
+    :func:`grouped_kendall`'s ``max_group_rows`` envelope (r3 verdict
+    next-step #8): per key, x and y are binned into ``bins``
+    equal-width cells between the key's min and max
+    (``bx = min(⌊(x−min)/(max−min)·B⌋, B−1)`` — one IEEE expression a
+    SQL oracle replays bit-exactly), and tau-b is computed EXACTLY on
+    the binned values from the B×B contingency table — O(n + B²) per
+    key instead of O(n²), so a 10M-row hot key costs one linear pass.
+
+    Quantization only converts cross-pairs into ties (bin order
+    preserves value order), so the result is exact tau-b of the
+    coarsened variables, and the emitted ``tau_err_bound`` is a valid
+    (conservative) bound on ``|tau_binned − tau_exact|``:
+    with T = newly-tied pairs (binned ties minus exact-value ties,
+    both exact integers), ``|s_b − s_e| ≤ T`` and the exact
+    denominator is ≥ the binned one, giving
+    ``bound = min((T + C(n,2))/denom − 1, 2)`` — every output column
+    is deterministic and SQL-recomputable, so the whole row
+    hash-matches the oracle (no weak rows-only check).
+
+    Output ``(key_col, n, s, tau, tied_x_binned, tied_y_binned,
+    tau_err_bound)``; tau/bound NULL when n < 2 or a side is constant
+    (all pairs tied)."""
+    from bqf_ray.pipelines.audit import _key_codes
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(bins)
+    NB = int(num_buckets)
+
+    def _vals(col) -> np.ndarray:
+        arr = np.asarray(col)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64) \
+                .astype(np.float64)
+        return arr.astype(np.float64)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        sub = batch.select([key_col, x_col, y_col])
+        ok = pc.and_(sub.column(x_col).is_valid(),
+                     sub.column(y_col).is_valid())
+        for c in (x_col, y_col):
+            if pa.types.is_floating(sub.schema.field(c).type):
+                ok = pc.and_(ok, pc.fill_null(
+                    pc.is_finite(sub.column(c)), False))
+        sub = sub.filter(ok)
+        k = sub.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        bkt = (_col_hash64(k) % np.uint64(NB)).astype(np.int64)
+        return sub.append_column("__bucket", pa.array(bkt))
+
+    def _bin(v, starts, counts):
+        mn = np.minimum.reduceat(v, starts)
+        mx = np.maximum.reduceat(v, starts)
+        mn_r, mx_r = np.repeat(mn, counts), np.repeat(mx, counts)
+        span = mx_r > mn_r
+        b = np.zeros(len(v), dtype=np.int64)
+        if span.any():
+            b[span] = np.minimum(
+                np.floor((v[span] - mn_r[span])
+                         / (mx_r[span] - mn_r[span]) * B), B - 1
+            ).astype(np.int64)
+        return b
+
+    def _tie_pairs(kseg, v, nkeys):
+        """Per-key Σ C(c,2) over exact value groups."""
+        order = np.lexsort((v, kseg))
+        ks_, vs_ = kseg[order], v[order]
+        new = np.concatenate([[True],
+                              (ks_[1:] != ks_[:-1]) | (vs_[1:] != vs_[:-1])])
+        st = np.flatnonzero(new)
+        c = np.diff(np.append(st, len(ks_))).astype(np.int64)
+        out = np.zeros(nkeys, dtype=np.int64)
+        np.add.at(out, ks_[st], c * (c - 1) // 2)
+        return out
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not group.num_rows:
+            return pa.table({key_col: k.slice(0, 0),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "tau": pa.array([], pa.float64()),
+                             "tied_x_binned": pa.array([], pa.int64()),
+                             "tied_y_binned": pa.array([], pa.int64()),
+                             "tau_err_bound": pa.array([], pa.float64())})
+        kc = _key_codes(k)
+        x = _vals(group.column(x_col))
+        y = _vals(group.column(y_col))
+        order = np.argsort(kc, kind="stable")
+        ks_, xs, ys = kc[order], x[order], y[order]
+        nrows = len(ks_)
+        key_new = np.concatenate([[True], ks_[1:] != ks_[:-1]])
+        starts = np.flatnonzero(key_new)
+        counts = np.diff(np.append(starts, nrows)).astype(np.int64)
+        nkeys = len(starts)
+        kseg = np.repeat(np.arange(nkeys), counts)
+        bx = _bin(xs, starts, counts)
+        by = _bin(ys, starts, counts)
+        # exact-value tie pairs (for the error bound)
+        tx_exact = _tie_pairs(kseg, xs, nkeys)
+        ty_exact = _tie_pairs(kseg, ys, nkeys)
+        # contingency cells per key
+        code = kseg * (B * B) + bx * B + by
+        cells, ccnt = np.unique(code, return_counts=True)
+        ckey = cells // (B * B)
+        cbx = (cells // B) % B
+        cby = cells % B
+        cell_starts = np.flatnonzero(
+            np.concatenate([[True], ckey[1:] != ckey[:-1]]))
+        cell_counts = np.diff(np.append(cell_starts, len(cells)))
+        s = np.zeros(nkeys, dtype=np.int64)
+        n1 = np.zeros(nkeys, dtype=np.int64)
+        n2 = np.zeros(nkeys, dtype=np.int64)
+        for ki in range(nkeys):
+            sl = slice(cell_starts[ki], cell_starts[ki] + cell_counts[ki])
+            dbx, dby, dn = cbx[sl], cby[sl], ccnt[sl].astype(np.int64)
+            dense = np.zeros((B, B), dtype=np.int64)
+            dense[dbx, dby] = dn
+            R = dense.cumsum(axis=0).cumsum(axis=1)   # inclusive prefix
+            # pairs with (bx' < bx, by' < by) → concordant with cell
+            ll = np.where((dbx > 0) & (dby > 0),
+                          R[dbx - 1, dby - 1], 0)
+            # pairs with (bx' < bx, by' > by) → discordant
+            lg = np.where(dbx > 0,
+                          R[dbx - 1, B - 1] - R[dbx - 1, dby], 0)
+            s[ki] = int((dn * (ll - lg)).sum())
+            rowm = dense.sum(axis=1)
+            colm = dense.sum(axis=0)
+            n1[ki] = int((rowm * (rowm - 1) // 2).sum())
+            n2[ki] = int((colm * (colm - 1) // 2).sum())
+        npair = counts * (counts - 1) // 2
+        ok = (counts >= 2) & (npair > n1) & (npair > n2)
+        denom = (np.sqrt(np.where(ok, npair - n1, 1).astype(np.float64))
+                 * np.sqrt(np.where(ok, npair - n2, 1)
+                           .astype(np.float64)))
+        tau = np.where(ok, s.astype(np.float64) / denom, np.nan)
+        T = (n1 - tx_exact) + (n2 - ty_exact)
+        bound = np.where(
+            ok, np.minimum((T + npair).astype(np.float64) / denom - 1.0,
+                           2.0), np.nan)
+        return pa.table({
+            key_col: k.take(pa.array(order[starts])),
+            "n": pa.array(counts),
+            "s": pa.array(s),
+            "tau": pa.array(tau, pa.float64(), mask=~ok),
+            "tied_x_binned": pa.array(n1),
+            "tied_y_binned": pa.array(n2),
+            "tau_err_bound": pa.array(bound, pa.float64(), mask=~ok)})
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 def grouped_ks(ds_a, ds_b, key_col: str, value_col: str,
                num_buckets: int = 64, max_rows_per_key: int = 1 << 20):
     """Exact two-sample Kolmogorov–Smirnov distance per key — the

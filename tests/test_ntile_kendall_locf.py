@@ -218,3 +218,45 @@ def test_linear_attribution_matches_brute_force(ray_session):
            .sort_values(["conversion_id", "touch_id"])
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+
+def test_grouped_kendall_binned_bound_holds(ray_session):
+    """Quantized tau is within its emitted error bound of the exact
+    tau on every key (random data, ties included)."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.aggregates import (grouped_kendall,
+                                              grouped_kendall_binned)
+    rng = np.random.RandomState(2)
+    n = 6000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 6, n),
+        "x": rng.randint(0, 50, n).astype(np.float64),
+        "y": rng.randn(n)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    exact = grouped_kendall(ds, "k", "x", "y").to_pandas() \
+        .set_index("k").sort_index()
+    ds2 = ray.data.from_pandas(df).repartition(5)
+    binned = grouped_kendall_binned(ds2, "k", "x", "y", bins=32) \
+        .to_pandas().set_index("k").sort_index()
+    assert list(exact.index) == list(binned.index)
+    assert (binned["n"] == exact["n"]).all()
+    gap = (binned["tau"] - exact["tau"]).abs()
+    assert (gap <= binned["tau_err_bound"] + 1e-12).all()
+    # binning at B=32 on 50 distinct x values loses little: sanity
+    assert gap.max() < 0.2
+
+
+def test_grouped_kendall_binned_constant_side(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.aggregates import grouped_kendall_binned
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2],
+                       "x": [3.0, 3.0, 3.0, 1.0, 2.0],
+                       "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = grouped_kendall_binned(ray.data.from_pandas(df), "k", "x", "y",
+                                 bins=8).to_pandas().set_index("k")
+    assert np.isnan(out.loc[1, "tau"])          # constant x → all tied
+    assert out.loc[2, "tau"] == 1.0
