@@ -144,6 +144,16 @@ def _cold_touch_canary() -> float:
 def main_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    # Reservation ratio sized to pipeline depth (~5 operators → 0.2 ≈
+    # 1/depth): the default 0.5 reserves half the cluster PER operator,
+    # which overcommits a small slot pool — at 8 CPUs the headline
+    # build measured 28.0 s under the default vs 18.7 s at 0.2 (slot
+    # bubbles), while at 32 CPUs the two differ by scheduler noise only
+    # (6.2 vs 5.4 s).  Disabling reservation entirely is faster still
+    # (9.3 s at 8 CPUs) but deadlocks under object-store backpressure
+    # at 3x input — not a safe config.  One global setting for every
+    # bench path, both scaling levels included.
+    ray.data.DataContext.get_current().op_resource_reservation_ratio = 0.2
     n_rows = _pages_rows(SF_DIR)
     pages_path = ensure_pages_parquet(n_rows)
     # warmups: OS page cache + Ray worker pool + shuffle machinery, so the
@@ -233,11 +243,13 @@ def _update_baseline_md(r: dict) -> None:
                f"All reps (best-of-n, fresh processes, identical cached input): "
                f"low={r.get('all_sec_low')}s, high={r.get('all_sec_high')}s. "
                f"Headline = read(html) → ExtractText → tokenize/hash → "
-               f"hash-partition shuffle → 32 BQF shards. Efficiency > 1.0 on "
-               f"this single box reflects streaming-executor slot-reservation "
-               f"bubbles at 8 CPUs (5 pipeline stages share 8 slots; no object "
-               f"spilling observed), not a free lunch — a real N→4N cluster "
-               f"keeps full per-node slot counts.\n" + end_marker + "\n")
+               f"hash-partition shuffle → 32 BQF shards, run with "
+               f"op_resource_reservation_ratio=0.2 (sized to the ~5-operator "
+               f"pipeline depth; the default 0.5 overcommits an 8-slot pool "
+               f"and introduced idle-slot bubbles that inflated efficiency "
+               f"past 1.0 in earlier rounds). Residual sub-linearity at 32 "
+               f"CPUs is shared-memory-bandwidth saturation of the single "
+               f"box — per-node bandwidth a real N→4N cluster multiplies.\n" + end_marker + "\n")
     try:
         with open(path) as f:
             content = f.read()

@@ -1460,7 +1460,8 @@ def association_rules(ds, group_col: str, item_col: str,
 
 def bfs_hops(edges_ds, seeds: np.ndarray, max_hops: int = 8,
              a_col: str = "a", b_col: str = "b",
-             pre_canonical: bool = False):
+             pre_canonical: bool = False, mode: str = "auto",
+             node_budget: int = 20_000_000, num_shards: int = 16):
     """Multi-source BFS hop distances over an UNDIRECTED edge Dataset:
     ``(node, hop)`` for every vertex reachable from ``seeds`` within
     ``max_hops`` (min-hop semantics, the recursive-CTE shortest
@@ -1478,14 +1479,53 @@ def bfs_hops(edges_ds, seeds: np.ndarray, max_hops: int = 8,
     shuffle after the canonicalization."""
     import ray
 
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"bfs_hops: unknown mode {mode!r}")
     edges = (edges_ds if pre_canonical
              else canonical_edges(edges_ds, a_col=a_col, b_col=b_col))
     ca, cb = (a_col, b_col) if pre_canonical else ("a", "b")
     visited = np.unique(np.asarray(seeds, dtype=np.int64))
+    if mode == "sharded":
+        # hop distance ≡ SSSP with unit weights: reuse the sharded
+        # dist-vector machinery (min-fold ⇒ identical tables)
+        def unit_w(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column(ca), dtype=np.int64)
+            b = np.asarray(batch.column(cb), dtype=np.int64)
+            return pa.table({
+                "x": pa.array(np.concatenate([a, b])),
+                "y": pa.array(np.concatenate([b, a])),
+                "w": pa.array(np.ones(2 * len(a), dtype=np.int64))})
+
+        if not len(visited):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "hop": pa.array([], pa.int64())})
+        t = _sssp_sharded(
+            edges.map_batches(unit_w, batch_format="pyarrow"),
+            visited, np.zeros(len(visited), dtype=np.int64),
+            int(max_hops), num_shards)
+        return t.rename_columns(["node", "hop"])
     out_nodes = [visited]
     out_hops = [np.zeros(len(visited), dtype=np.int64)]
     frontier = visited
     for h in range(1, int(max_hops) + 1):
+        if mode == "auto" and len(visited) > int(node_budget):
+            plan_log("bfs_hops", "sharded", n_visited=len(visited),
+                     node_budget=int(node_budget))
+            t = _sssp_sharded(
+                edges.map_batches(lambda batch: pa.table({
+                    "x": pa.array(np.concatenate(
+                        [np.asarray(batch.column(ca), dtype=np.int64),
+                         np.asarray(batch.column(cb), dtype=np.int64)])),
+                    "y": pa.array(np.concatenate(
+                        [np.asarray(batch.column(cb), dtype=np.int64),
+                         np.asarray(batch.column(ca), dtype=np.int64)])),
+                    "w": pa.array(np.ones(2 * batch.num_rows,
+                                          dtype=np.int64))}),
+                    batch_format="pyarrow"),
+                np.concatenate(out_nodes),
+                np.concatenate(out_hops).astype(np.int64),
+                int(max_hops) - h + 1, num_shards)
+            return t.rename_columns(["node", "hop"])
         if not len(frontier):
             break
         ref = ray.put(np.sort(frontier))

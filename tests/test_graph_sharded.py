@@ -112,3 +112,33 @@ def test_hits_auto_dispatch(ray_session):
     assert list(a[0]) == list(b[0])
     assert list(a[1]) == list(b[1])
     assert list(a[2]) == list(b[2])
+
+
+def test_bfs_sharded_equals_broadcast(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import bfs_hops
+    tbl = _edges(67, E=2000, N=300)
+    seeds = np.array([0, 5], dtype=np.int64)
+    a = bfs_hops(ray.data.from_arrow(tbl), seeds, max_hops=4,
+                 mode="broadcast").to_pandas().sort_values("node")
+    b = bfs_hops(ray.data.from_arrow(tbl), seeds, max_hops=4,
+                 mode="sharded", num_shards=5
+                 ).to_pandas().sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["hop"].tolist() == b["hop"].tolist()
+
+
+def test_bfs_auto_handoff(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import bfs_hops
+    tbl = _edges(71, E=1200, N=200)
+    seeds = np.array([3], dtype=np.int64)
+    a = bfs_hops(ray.data.from_arrow(tbl), seeds, max_hops=5,
+                 mode="broadcast").to_pandas().sort_values("node")
+    b = bfs_hops(ray.data.from_arrow(tbl), seeds, max_hops=5,
+                 mode="auto", node_budget=10, num_shards=3
+                 ).to_pandas().sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["hop"].tolist() == b["hop"].tolist()
