@@ -4410,6 +4410,19 @@ def w_kendall_types_binned(sf_dir):
                                   bins=64)
 
 
+def w_quality_linear(sf_dir):
+    """Hashed bag-of-words linear quality classifier (fasttext shape):
+    md5 feature hashing mod 512, deterministic integer weights, exact
+    int64 margin numerator + one IEEE division —
+    ``text_stats.linear_text_scores``, zero-shuffle."""
+    import ray
+
+    from bqf_ray.pipelines.text_stats import linear_text_scores
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return linear_text_scores(docs, dim=512)
+
+
 def w_media_decode_stats(sf_dir):
     """REAL-PNG codec check with a SQL oracle: per doc id < 2000, a PNG
     is built from deterministic pixels (all five scanline filters
@@ -4507,6 +4520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": w_concurrent_sessions,
         # --- slots 51+: remaining never-driver-checked oracled queries
         #     (rotate into the round-5 window) ---
+        "quality_linear": w_quality_linear,
         "kendall_types_binned": w_kendall_types_binned,
         "media_decode_stats": w_media_decode_stats,
         "media_audio_stats": w_media_audio_stats,
@@ -7755,6 +7769,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN nx n ON n.user_id = p.user_id
                                   AND n.gt = p.gt AND n.rk = 1
             WHERE p.rk = 1""",
+        "quality_linear": """
+            WITH toks AS (
+              SELECT doc_id, token
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(text, '\\s+'))
+                             AS token
+                    FROM documents)
+              WHERE token <> ''),
+            w AS (
+              SELECT doc_id,
+                     (((('0x' || substr(md5(token), 1, 16))::UBIGINT
+                        % 512)::BIGINT * 2654435761) % 2001 - 1000)
+                       ::BIGINT AS wi
+              FROM toks),
+            agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     SUM(wi)::BIGINT AS w_sum
+              FROM w GROUP BY 1)
+            SELECT doc_id, n_tokens, w_sum,
+                   w_sum::DOUBLE / (1000.0 * n_tokens) AS margin,
+                   (w_sum > 0) AS keep
+            FROM agg""",
         "kendall_types_binned": """
             WITH e AS (
               SELECT event_type AS k, event_id,

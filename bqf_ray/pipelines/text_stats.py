@@ -977,3 +977,50 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
                          "first_pos": pa.array(first_pos)})
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def linear_text_scores(ds, dim: int = 512, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Deterministic hashed bag-of-words LINEAR classifier — the
+    fasttext-style quality-filter shape at 100 TB, with every number
+    SQL-replayable (no model file, no float accumulation ambiguity):
+
+    - feature index ``f(token) = md5_64(token) mod dim`` (the
+      cross-engine md5 convention — ``('0x'||substr(md5(t),1,16))
+      ::UBIGINT`` in ANSI SQL);
+    - integer weight ``w(f) = (f·2654435761) mod 2001 − 1000`` — a
+      deterministic pseudo-random weight in [−1000, 1000] standing in
+      for trained parameters (swap in a real weight table broadcast
+      via ``ray.put`` in production; the plumbing is identical);
+    - per-doc margin = ``Σ w / (1000·n_tokens)`` with the sum exact in
+      int64 and ONE final IEEE division, so the float bit-matches SQL.
+
+    Output ``(doc_id, n_tokens, w_sum, margin, keep)`` — one row per
+    doc with ≥1 token; ``keep = w_sum > 0`` is the filter decision.
+    Stateless vectorized pass: tokenize (Arrow C++), hash distinct
+    tokens once, segment-sum by doc — no shuffle at all."""
+    from bqf_ray.functions.hashing import md5_hash64_array
+    from bqf_ray.functions.tokenize import tokenize_column
+
+    D = np.uint64(int(dim))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        toks, offs = tokenize_column(batch.column(text_col))
+        h = md5_hash64_array(toks)
+        f = (h % D).astype(np.int64)
+        wi = (f * 2654435761) % 2001 - 1000
+        n = np.diff(offs)
+        has = n > 0
+        wsum = np.add.reduceat(
+            wi, offs[:-1][has]) if has.any() else np.empty(0, np.int64)
+        nt = n[has]
+        margin = wsum.astype(np.float64) / (1000.0 * nt)
+        return pa.table({
+            id_col: pa.array(ids[has]),
+            "n_tokens": pa.array(nt),
+            "w_sum": pa.array(wsum),
+            "margin": pa.array(margin),
+            "keep": pa.array(wsum > 0)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -234,3 +234,31 @@ def test_phrase_search_validation():
         phrase_search(None, [])
     with pytest.raises(ValueError, match="phrase"):
         phrase_search(None, ["ok", "two words"])
+
+
+def test_linear_text_scores(ray_session):
+    """Hashed-BoW linear scorer: margins match a per-doc recomputation
+    with the same md5 feature hashing; empty docs drop out."""
+    import hashlib
+
+    import ray
+
+    from bqf_ray.pipelines.text_stats import linear_text_scores
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the quick brown fox", "", "one token"])})
+    out = (linear_text_scores(ray.data.from_arrow(docs), dim=512)
+           .to_pandas().set_index("doc_id"))
+    assert list(out.index) == [1, 3]          # empty doc dropped
+
+    def ref(tokens):
+        s = 0
+        for t in tokens:
+            f = int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % 512
+            s += (f * 2654435761) % 2001 - 1000
+        return s
+
+    assert out.loc[1, "w_sum"] == ref("the quick brown fox".split())
+    assert out.loc[3, "n_tokens"] == 2
+    assert out.loc[1, "margin"] == out.loc[1, "w_sum"] / (1000.0 * 4)
+    assert bool(out.loc[1, "keep"]) == (out.loc[1, "w_sum"] > 0)
