@@ -4410,6 +4410,19 @@ def w_kendall_types_binned(sf_dir):
                                   bins=64)
 
 
+def w_chi2_source_lang(sf_dir):
+    """Cell-wise chi-square independence decomposition of documents
+    source × lang: exact integer cell/marginal counts from one
+    (a,b)-bucketed exchange, per-cell chi² term in one fixed-shape IEEE
+    expression — ``audit.chi2_cells``."""
+    import ray
+
+    from bqf_ray.pipelines.audit import chi2_cells
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+    return chi2_cells(docs, "source", "lang")
+
+
 def w_quality_linear(sf_dir):
     """Hashed bag-of-words linear quality classifier (fasttext shape):
     md5 feature hashing mod 512, deterministic integer weights, exact
@@ -4520,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": w_concurrent_sessions,
         # --- slots 51+: remaining never-driver-checked oracled queries
         #     (rotate into the round-5 window) ---
+        "chi2_source_lang": w_chi2_source_lang,
         "quality_linear": w_quality_linear,
         "kendall_types_binned": w_kendall_types_binned,
         "media_decode_stats": w_media_decode_stats,
@@ -7769,6 +7783,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN nx n ON n.user_id = p.user_id
                                   AND n.gt = p.gt AND n.rk = 1
             WHERE p.rk = 1""",
+        "chi2_source_lang": """
+            WITH cells AS (
+              SELECT source, lang, COUNT(*)::BIGINT AS o
+              FROM documents GROUP BY 1, 2),
+            ra AS (SELECT source, SUM(o)::BIGINT AS row_n
+                   FROM cells GROUP BY 1),
+            cb AS (SELECT lang, SUM(o)::BIGINT AS col_n
+                   FROM cells GROUP BY 1),
+            t AS (SELECT SUM(o)::BIGINT AS n FROM cells)
+            SELECT c.source, c.lang, c.o, ra.row_n, cb.col_n, t.n,
+                   ((c.o::DOUBLE * t.n - ra.row_n::DOUBLE * cb.col_n)
+                    * (c.o::DOUBLE * t.n - ra.row_n::DOUBLE * cb.col_n))
+                   / ((t.n::DOUBLE * ra.row_n) * cb.col_n) AS term
+            FROM cells c
+            JOIN ra ON ra.source = c.source
+            JOIN cb ON cb.lang = c.lang
+            CROSS JOIN t""",
         "quality_linear": """
             WITH toks AS (
               SELECT doc_id, token

@@ -494,3 +494,66 @@ def fd_discover(ds, cols: list[str], num_buckets: int = 64,
             "holds": pa.array((viol == 0).astype(np.int64))})
 
     return per_pair.map_batches(finish, batch_format="pyarrow")
+
+
+def chi2_cells(ds, a_col: str, b_col: str, num_buckets: int = 32):
+    """Per-cell chi-square independence decomposition between two
+    categorical columns — the drift/association audit beside
+    :func:`column_mi`-style scores, emitted CELL-WISE so every float is
+    one fixed-shape IEEE expression (a single global chi² would need a
+    cross-cell float SUM whose order no SQL engine pins down).
+
+    For each observed cell (a, b): ``o`` = cell count, ``row_n`` /
+    ``col_n`` = marginals, ``n`` = total (all exact int64 from ONE
+    (a,b)-bucketed exchange + two tiny marginal folds of the
+    cell-sized table), and the cell's chi² term
+    ``term = d·d / ((n·row_n)·col_n)`` with
+    ``d = o·n − row_n·col_n`` (every product evaluated in double,
+    left-associated — bit-matching the SQL replay).  ``Σ term`` over
+    the emitted rows is the chi² statistic with
+    ``(R−1)(C−1)`` dof; the standardized residual is ``sign(d)·√term``.
+    Null values group as their own category on each side (the bucketed
+    null-safe grouper)."""
+    from bqf_ray.stages.partition import bucketed_agg
+
+    cells = bucketed_agg(
+        ds.select_columns([a_col, b_col]),
+        [a_col, b_col], [(a_col, "count", "o")],
+        num_buckets=num_buckets, combine_local=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        o = np.asarray(batch.column("o"), dtype=np.int64)
+        # +1: null codes are -1 and would alias the LAST category
+        # through negative indexing
+        ac = _key_codes(a) + 1
+        bc = _key_codes(b) + 1
+        ra = np.zeros(int(ac.max()) + 1 if len(ac) else 0,
+                      dtype=np.int64)
+        np.add.at(ra, ac, o)
+        cb = np.zeros(int(bc.max()) + 1 if len(bc) else 0,
+                      dtype=np.int64)
+        np.add.at(cb, bc, o)
+        n = int(o.sum())
+        row_n = ra[ac]
+        col_n = cb[bc]
+        d = o.astype(np.float64) * n - \
+            row_n.astype(np.float64) * col_n
+        term = d * d / ((float(n) * row_n) * col_n)
+        return pa.table({
+            a_col: a, b_col: b,
+            "o": pa.array(o),
+            "row_n": pa.array(row_n),
+            "col_n": pa.array(col_n),
+            "n": pa.array(np.full(len(o), n, dtype=np.int64)),
+            "term": pa.array(term)})
+
+    # the cell table is (|A|·|B|)-sized — one block is the right plan
+    return cells.repartition(1).map_batches(finish,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

@@ -300,3 +300,37 @@ def test_cli_curate_e2e(ray_session, capsys, tmp_path):
     files = glob.glob(f"{out_dir}/part=*/*.parquet")
     n_rows = sum(pq.read_metadata(f).num_rows for f in files)
     assert n_rows == int(lines["near_dedup"])
+
+
+def test_chi2_cells_matches_scipy_shape(ray_session):
+    """Per-cell terms sum to the classic chi² statistic (recomputed
+    with pandas crosstab), marginals exact, null category kept."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.audit import chi2_cells
+    rng = np.random.RandomState(4)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2]),
+        "b": rng.choice(["u", "v"], n)})
+    df.loc[:20, "b"] = None
+    out = chi2_cells(ray.data.from_pandas(df).repartition(4),
+                     "a", "b").to_pandas()
+    ct = df.fillna("__null__").groupby(["a", "b"]).size()
+    assert len(out) == len(ct)
+    n_tot = out["n"].iloc[0]
+    assert n_tot == n
+    # exact marginals per cell
+    for _, r in out.iterrows():
+        akey = r["a"]
+        bkey = r["b"] if r["b"] is not None else "__null__"
+        assert r["o"] == ct[(akey, bkey)]
+    # Σ term == chi² from expected counts
+    exp_chi2 = 0.0
+    for (ak, bk), o in ct.items():
+        ra = ct.groupby(level=0).sum()[ak]
+        cb = ct.groupby(level=1).sum()[bk]
+        e = ra * cb / n
+        exp_chi2 += (o - e) ** 2 / e
+    assert abs(out["term"].sum() - exp_chi2) < 1e-6 * max(exp_chi2, 1)
