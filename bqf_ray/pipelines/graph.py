@@ -3097,10 +3097,143 @@ def ktruss(edges_ds, k: int, rounds: int = 3,
     return cur
 
 
+class _CsrShard:
+    """Range-partitioned CSR slice for the sharded walk plan: each
+    shard holds the COMPLETE sorted neighbor list of every node in its
+    range (edges arrive doubled and co-bucketed by source range), so
+    the hash-chosen step rule sees the same sorted adjacency the
+    broadcast CSR would."""
+
+    def __init__(self):
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.indptr = np.zeros(1, dtype=np.int64)
+        self.nbrs = np.empty(0, dtype=np.int64)
+
+    def init_shard(self, src, dst):
+        order = np.lexsort((dst, src))
+        src, self.nbrs = src[order], dst[order]
+        self.nodes = np.unique(src)
+        self.indptr = np.searchsorted(
+            src, np.append(self.nodes, np.iinfo(np.int64).max)
+        ).astype(np.int64)
+
+    def get_state(self):
+        return self.nodes, self.indptr, self.nbrs
+
+
+def _random_walks_sharded(edges, seeds, L, W, salt, algo, num_shards):
+    """Sharded walk tier (past the CSR broadcast budget): adjacency in
+    range-partitioned :class:`_CsrShard` actors, the walk frontier
+    routed to its current node's shard each step — L frontier-sized
+    exchanges instead of an edge-sized broadcast; the step rule is the
+    same ``H(walk_id|k|v|salt) % deg(v)`` over the same sorted
+    neighbor order, so the corpus is bit-identical to the broadcast
+    plan."""
+    import ray
+
+    from bqf_ray.functions.hashing import (md5_hash64_array,
+                                           xxhash64_array)
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    hash_fn = {"md5": md5_hash64_array, "xx64": xxhash64_array}[algo]
+    P = max(1, int(num_shards))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        return pa.table({"x": pa.array(np.concatenate([a, b])),
+                         "y": pa.array(np.concatenate([b, a]))})
+
+    ed2 = edges.map_batches(both_dirs, batch_format="pyarrow")
+    bounds = (quantile_boundaries(ed2, "x", P)
+              if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(arr):
+        return np.searchsorted(
+            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    Shard = ray.remote(num_cpus=0)(_CsrShard)
+    actors = [Shard.remote() for _ in range(P)]
+    token = f"walks-{id(actors[0])}"
+
+    def add_xp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__xp", pa.array(route(batch.column("x"))))
+
+    def init_groups(group: pa.Table) -> pa.Table:
+        p = int(group.column("__xp")[0].as_py())
+        ray.get(actors[p].init_shard.remote(
+            np.asarray(group.column("x"), dtype=np.int64),
+            np.asarray(group.column("y"), dtype=np.int64)))
+        return pa.table({"p": pa.array([p], pa.int64())})
+
+    (ed2.map_batches(add_xp, batch_format="pyarrow")
+     .groupby("__xp").map_groups(init_groups, batch_format="pyarrow")
+     .materialize())
+
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    wid = (seeds[:, None] * W
+           + np.arange(W, dtype=np.int64)[None, :]).ravel()
+    step0 = pa.table({
+        "walk_id": pa.array(wid),
+        "seed": pa.array(np.repeat(seeds, W)),
+        "step": pa.array(np.zeros(len(wid), dtype=np.int64)),
+        "node": pa.array(np.repeat(seeds, W))})
+    outs = [ray.data.from_arrow(step0)]
+    frontier = outs[0]
+
+    for k in range(1, L + 1):
+        def add_cp(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__cp", pa.array(route(batch.column("node"))))
+
+        def step(group: pa.Table, k=k) -> pa.Table:
+            p = int(group.column("__cp")[0].as_py())
+            nd, ip, nb = _pr_cached_state(actors, token, p)
+            w = np.asarray(group.column("walk_id"), dtype=np.int64)
+            sd = np.asarray(group.column("seed"), dtype=np.int64)
+            cur = np.asarray(group.column("node"), dtype=np.int64)
+            if not len(nd):
+                return step0.slice(0, 0)
+            pos = np.searchsorted(nd, cur)
+            ok = (pos < len(nd)) \
+                & (nd[np.minimum(pos, len(nd) - 1)] == cur)
+            deg = np.where(ok, ip[np.minimum(pos + 1, len(ip) - 1)]
+                           - ip[np.minimum(pos, len(ip) - 1)], 0)
+            ok &= deg > 0
+            if not ok.any():
+                return step0.slice(0, 0)
+            keys = np.array([f"{a}|{k}|{b}|{salt}" for a, b in
+                             zip(w[ok], cur[ok])], dtype=object)
+            h = hash_fn(pa.array(keys, pa.string()))
+            idx = h % deg[ok].astype(np.uint64)
+            nxt = nb[ip[pos[ok]] + idx.astype(np.int64)]
+            return pa.table({
+                "walk_id": pa.array(w[ok]),
+                "seed": pa.array(sd[ok]),
+                "step": pa.array(np.full(int(ok.sum()), k,
+                                         dtype=np.int64)),
+                "node": pa.array(nxt)})
+
+        frontier = (frontier.map_batches(add_cp, batch_format="pyarrow")
+                    .groupby("__cp")
+                    .map_groups(step, batch_format="pyarrow")
+                    .materialize())
+        if frontier.count() == 0:
+            break
+        outs.append(frontier)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
                  walks_per_seed: int = 4, salt: str = "w",
                  algo: str = "md5", a_col: str = "a", b_col: str = "b",
-                 broadcast_budget_bytes: int = 1 << 30):
+                 broadcast_budget_bytes: int = 1 << 30,
+                 mode: str = "auto", num_shards: int = 16):
     """Deterministic node2vec-style random-walk corpus over an
     UNDIRECTED graph: ``walks_per_seed`` walks of ``walk_len`` steps
     from every seed, where step ``k`` at node ``v`` moves to sorted
@@ -3129,17 +3262,28 @@ def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
     L, W = int(walk_len), int(walks_per_seed)
     if L < 1 or W < 1:
         raise ValueError("walk_len and walks_per_seed must be >= 1")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"random_walks: unknown mode {mode!r}")
     hash_fn = {"md5": md5_hash64_array, "xx64": xxhash64_array}[algo]
     edges = canonical_edges(edges_ds, a_col=a_col, b_col=b_col)
+    if mode == "sharded":
+        return _random_walks_sharded(edges.materialize(), seeds, L, W,
+                                     salt, algo, num_shards)
 
     # fold adjacency to a CSR under the broadcast budget
     n_edges = edges.count()
     if 16 * n_edges > broadcast_budget_bytes:
+        if mode == "auto":
+            plan_log("random_walks", "sharded",
+                     edge_bytes=16 * n_edges,
+                     budget_bytes=int(broadcast_budget_bytes))
+            return _random_walks_sharded(edges.materialize(), seeds,
+                                         L, W, salt, algo, num_shards)
         raise ValueError(
             f"random_walks: {n_edges} edges × 16 B exceed the "
-            f"{broadcast_budget_bytes} B broadcast budget — shard the "
-            "walk frontier through a per-step co-partitioned exchange "
-            "instead (the semi_join plan) for a larger tier")
+            f"{broadcast_budget_bytes} B broadcast budget — use "
+            "mode='sharded' (per-step co-partitioned frontier "
+            "exchange) for the larger tier")
     parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
     if parts:
         at = pa.concat_tables(parts)

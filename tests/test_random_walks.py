@@ -72,6 +72,56 @@ def test_random_walks_isolated_seed_and_budget(ray_session):
     # isolated seed: only the two step-0 rows
     assert sorted(map(tuple, out.to_numpy().tolist())) \
         == [(198, 99, 0, 99), (199, 99, 0, 99)]
+    # explicit broadcast mode still raises past the budget; the auto
+    # default routes to the sharded tier instead (tested below)
     with pytest.raises(ValueError, match="budget"):
         random_walks(ray.data.from_arrow(tbl), np.array([1]),
-                     broadcast_budget_bytes=8).take_all()
+                     broadcast_budget_bytes=8,
+                     mode="broadcast").take_all()
+
+
+def test_walks_sharded_equals_broadcast(ray_session):
+    """The sharded tier must emit the bit-identical corpus (same hash
+    rule over the same sorted adjacency)."""
+    import ray
+
+    from bqf_ray.pipelines.graph import random_walks
+    rng = np.random.default_rng(5)
+    E, N = 3000, 200
+    tbl = pa.table({
+        "a": pa.array(rng.integers(0, N, E).astype(np.int64)),
+        "b": pa.array(rng.integers(0, N, E).astype(np.int64))})
+    seeds = np.array([0, 3, 77], dtype=np.int64)
+    cols = ["walk_id", "step", "node"]
+    a = (random_walks(ray.data.from_arrow(tbl), seeds, walk_len=4,
+                      walks_per_seed=2, mode="broadcast")
+         .to_pandas().sort_values(["walk_id", "step"])
+         .reset_index(drop=True))
+    b = (random_walks(ray.data.from_arrow(tbl), seeds, walk_len=4,
+                      walks_per_seed=2, mode="sharded", num_shards=5)
+         .to_pandas().sort_values(["walk_id", "step"])
+         .reset_index(drop=True))
+    assert a[cols].equals(b[cols])
+
+
+def test_walks_auto_routes_past_budget(ray_session):
+    import ray
+
+    from bqf_ray.pipelines.graph import random_walks
+    rng = np.random.default_rng(9)
+    tbl = pa.table({
+        "a": pa.array(rng.integers(0, 60, 500).astype(np.int64)),
+        "b": pa.array(rng.integers(0, 60, 500).astype(np.int64))})
+    seeds = np.array([1, 2], dtype=np.int64)
+    a = (random_walks(ray.data.from_arrow(tbl), seeds, walk_len=3,
+                      walks_per_seed=1, mode="broadcast")
+         .to_pandas().sort_values(["walk_id", "step"])
+         .reset_index(drop=True))
+    # budget of 1 byte forces the sharded tier through auto
+    b = (random_walks(ray.data.from_arrow(tbl), seeds, walk_len=3,
+                      walks_per_seed=1, mode="auto",
+                      broadcast_budget_bytes=1, num_shards=3)
+         .to_pandas().sort_values(["walk_id", "step"])
+         .reset_index(drop=True))
+    assert a[["walk_id", "step", "node"]].equals(
+        b[["walk_id", "step", "node"]])
