@@ -1473,10 +1473,12 @@ def bfs_hops(edges_ds, seeds: np.ndarray, max_hops: int = 8,
     ``map_batches`` pass over them with the current frontier broadcast
     as a sorted array (``ray.put``, zero-copy in plasma); per-batch
     candidates dedupe locally before the driver folds them against the
-    visited array (vertex-table-sized, the documented ~10^8-node
-    driver envelope — shard the visited set past it).  Rounds =
-    eccentricity ≤ ``max_hops``; each is one linear edge scan, no
-    shuffle after the canonicalization."""
+    visited array (vertex-table-sized).  Rounds = eccentricity ≤
+    ``max_hops``; each is one linear edge scan, no shuffle after the
+    canonicalization.  Past ``node_budget`` visited nodes the ``auto``
+    plan hands off to the sharded SSSP machinery with unit weights
+    (``mode="sharded"`` starts there) — identical (node, hop) table,
+    driver state O(num_shards)."""
     import ray
 
     if mode not in ("auto", "broadcast", "sharded"):
@@ -3248,8 +3250,10 @@ def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
 
     Plan: walks are embarrassingly parallel GIVEN the adjacency — the
     canonical edge list folds into a CSR (sorted nodes, indptr, sorted
-    neighbors) under ``broadcast_budget_bytes`` (16 B/edge, loud raise
-    past it — the :func:`edge_triangle_support` envelope), ships ONCE
+    neighbors) under ``broadcast_budget_bytes`` (16 B/edge; past it the
+    ``auto`` plan routes to :func:`_random_walks_sharded` — adjacency
+    in range-partitioned shard actors, one frontier-sized exchange per
+    step, bit-identical corpus), ships ONCE
     via ``ray.put``, and ONE ``map_batches`` pass advances each walk
     partition all ``walk_len`` steps locally (a numpy loop over steps,
     vectorized across walks).  No per-step exchange at all.  Output
