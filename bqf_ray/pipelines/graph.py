@@ -520,13 +520,18 @@ class _PRShard:
 _PR_SHARD_CACHE: dict = {}
 
 
-def _pr_cached_state(actors, token, p):
+def _pr_cached_state(actors, token, p, max_entries: int = 8):
     import ray
     stale = [k for k in _PR_SHARD_CACHE if k[0] != token]
     for k in stale:
         del _PR_SHARD_CACHE[k]
     key = (token, p)
     if key not in _PR_SHARD_CACHE:
+        # bound worker residency: a static token (e.g. the walk plan's
+        # CSR shards) would otherwise accumulate every shard a worker
+        # ever touches — evict oldest entries FIFO past the cap
+        while len(_PR_SHARD_CACHE) >= max_entries:
+            del _PR_SHARD_CACHE[next(iter(_PR_SHARD_CACHE))]
         _PR_SHARD_CACHE[key] = ray.get(actors[p].get_state.remote())
     return _PR_SHARD_CACHE[key]
 
