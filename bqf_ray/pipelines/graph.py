@@ -698,6 +698,37 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
             np.asarray(tbl.column("rank"), dtype=np.int64), UNIT)
 
 
+def _packed_pair_set(a: np.ndarray, b: np.ndarray):
+    """Sorted membership structure over (a, b) pairs using PLAIN int64
+    keys: node ids compress to vocabulary codes and each pair packs as
+    ``code_a·n + code_b``.  A structured-dtype ``searchsorted`` does
+    per-element void compares — measured ~10-30× slower than the int64
+    probe at the 41M-wedge copurchase scale — so every
+    wedge-closure membership test goes through this instead."""
+    if not len(a):
+        return (np.empty(0, dtype=np.int64), 0,
+                np.empty(0, dtype=np.int64))
+    vu, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(vu)
+    packed = np.sort(inv[:len(a)].astype(np.int64) * n + inv[len(a):])
+    return vu, n, packed
+
+
+def _packed_pair_probe(ps, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Membership of (x, y) pairs in a :func:`_packed_pair_set`."""
+    vu, n, packed = ps
+    if not len(packed) or not len(x):
+        return np.zeros(len(x), dtype=bool)
+    cx = np.searchsorted(vu, x)
+    cy = np.searchsorted(vu, y)
+    ok = ((cx < n) & (vu[np.minimum(cx, n - 1)] == x)
+          & (cy < n) & (vu[np.minimum(cy, n - 1)] == y))
+    q = (np.minimum(cx, n - 1).astype(np.int64) * n
+         + np.minimum(cy, n - 1))
+    pos = np.minimum(np.searchsorted(packed, q), len(packed) - 1)
+    return ok & (packed[pos] == q)
+
+
 def _segment_pairs(sort_key: np.ndarray, values: np.ndarray
                    ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered within-segment value pairs, fully vectorized:
@@ -960,13 +991,11 @@ def _triangle_count_broadcast(edges, n_edges: int, num_buckets: int):
     u = np.where(a_first, a, b)
     v = np.where(a_first, b, a)
     ubkt = (fmix64(u.view(np.uint64)) % np.uint64(B)).astype(np.int64)
-    st = np.empty(len(a), dtype=[("a", "<i8"), ("b", "<i8")])
-    st["a"], st["b"] = a, b
-    st.sort(order=("a", "b"))
-    ref = ray.put((u, v, ubkt, st))
+    ps = _packed_pair_set(a, b)
+    ref = ray.put((u, v, ubkt, ps))
 
     def bucket_task(batch: pa.Table) -> pa.Table:
-        bu, bv, bbkt, bst = ray.get(ref)  # zero-copy plasma reads
+        bu, bv, bbkt, bps = ray.get(ref)  # zero-copy plasma reads
         tri = wed = 0
         for i in np.asarray(batch.column("id"), dtype=np.int64):
             m = bbkt == i
@@ -983,10 +1012,7 @@ def _triangle_count_broadcast(edges, n_edges: int, num_buckets: int):
             idx = np.flatnonzero(new)
             cnt = np.diff(np.append(idx, len(wa)))
             wa, wb = wa[idx], wb[idx]
-            qt = np.empty(len(wa), dtype=bst.dtype)
-            qt["a"], qt["b"] = wa, wb
-            pos = np.minimum(np.searchsorted(bst, qt), len(bst) - 1)
-            hit = bst[pos] == qt
+            hit = _packed_pair_probe(bps, wa, wb)
             tri += int(cnt[hit].sum())
         return pa.table({"tri": pa.array([tri], type=pa.int64()),
                          "wed": pa.array([wed], type=pa.int64())})
@@ -1120,18 +1146,9 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         a = np.asarray(g.column("a"), dtype=np.int64)
         b = np.asarray(g.column("b"), dtype=np.int64)
         w = np.asarray(g.column("wcnt"), dtype=np.int64)
-        st = np.empty(int((side == 1).sum()),
-                      dtype=[("a", "<i8"), ("b", "<i8")])
-        st["a"], st["b"] = a[side == 1], b[side == 1]
-        st.sort(order=("a", "b"))
+        ps = _packed_pair_set(a[side == 1], b[side == 1])
         wm = side == 0
-        qt = np.empty(int(wm.sum()), dtype=st.dtype)
-        qt["a"], qt["b"] = a[wm], b[wm]
-        if len(st) == 0 or len(qt) == 0:
-            hit = np.zeros(len(qt), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(st, qt), len(st) - 1)
-            hit = st[pos] == qt
+        hit = _packed_pair_probe(ps, a[wm], b[wm])
         return pa.table({
             "tri": pa.array([int(w[wm][hit].sum())], type=pa.int64()),
             "wed": pa.array([int(w[wm].sum())], type=pa.int64())})
@@ -1642,13 +1659,11 @@ def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
     u = np.where(a_first, a, b)
     v = np.where(a_first, b, a)
     ubkt = (fmix64(u.view(np.uint64)) % np.uint64(B)).astype(np.int64)
-    st = np.empty(len(a), dtype=[("a", "<i8"), ("b", "<i8")])
-    st["a"], st["b"] = a, b
-    st.sort(order=("a", "b"))
-    ref = ray.put((u, v, ubkt, st))
+    ps = _packed_pair_set(a, b)
+    ref = ray.put((u, v, ubkt, ps))
 
     def bucket_task(batch: pa.Table) -> pa.Table:
-        bu, bv, bbkt, bst = ray.get(ref)  # zero-copy plasma reads
+        bu, bv, bbkt, bps = ray.get(ref)  # zero-copy plasma reads
         ea, eb = [], []
         for i in np.asarray(batch.column("id"), dtype=np.int64):
             m = bbkt == i
@@ -1656,11 +1671,7 @@ def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
             if not len(x):
                 continue
             wa, wb = np.minimum(x, y), np.maximum(x, y)
-            qt = np.empty(len(wa), dtype=bst.dtype)
-            qt["a"], qt["b"] = wa, wb
-            pos = np.minimum(np.searchsorted(bst, qt), len(bst) - 1)
-            hit = (bst[pos] == qt) if len(bst) else \
-                np.zeros(len(wa), dtype=bool)
+            hit = _packed_pair_probe(bps, wa, wb)
             if not hit.any():
                 continue
             cx, cy, cc = x[hit], y[hit], c[hit]
@@ -2770,13 +2781,8 @@ def link_prediction(edges_ds, a_col: str = "a", b_col: str = "b",
         ua, ub = a[new], b[new]
         keep = tot >= thresh
         if len(ea):
-            st = np.empty(len(ea), dtype=[("a", "<i8"), ("b", "<i8")])
-            st["a"], st["b"] = ea, eb
-            st.sort(order=("a", "b"))
-            qt = np.empty(len(ua), dtype=st.dtype)
-            qt["a"], qt["b"] = ua, ub
-            pos = np.minimum(np.searchsorted(st, qt), len(st) - 1)
-            keep &= ~(st[pos] == qt)
+            keep &= ~_packed_pair_probe(_packed_pair_set(ea, eb),
+                                        ua, ub)
         return pa.table({"a": pa.array(ua[keep]), "b": pa.array(ub[keep]),
                          "cn": pa.array(tot[keep])})
 
