@@ -1608,7 +1608,8 @@ def _segment_pairs_keyed(sort_key: np.ndarray, values: np.ndarray):
 
 def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
                           num_buckets: int = 64,
-                          broadcast_budget_bytes: int = 1 << 30):
+                          broadcast_budget_bytes: int = 1 << 30,
+                          pre_canonical: bool = False):
     """Per-EDGE triangle support (how many triangles contain each
     edge) over an undirected edge stream — the cohesion signal k-truss
     peeling, spam-cluster detection, and strong-tie filtering start
@@ -1638,8 +1639,9 @@ def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
     # re-execute the upstream edge construction (a shuffle); the list
     # is bounded by broadcast_budget_bytes, so holding its blocks is
     # within the same envelope the broadcast already commits to
-    edges = canonical_edges(edges_ds, a_col=a_col,
-                            b_col=b_col).materialize()
+    edges = (edges_ds if pre_canonical
+             else canonical_edges(edges_ds, a_col=a_col,
+                                  b_col=b_col)).materialize()
     n_edges = edges.count()
     if n_edges * 16 > broadcast_budget_bytes:
         raise ValueError(
@@ -3098,9 +3100,13 @@ def ktruss(edges_ds, k: int, rounds: int = 3,
     for _ in range(int(rounds)):
         if n_cur == 0:
             break
+        # cur is already canonical (canonicalized once before the
+        # loop; the peel filter preserves canonical form) — skip the
+        # two dedup sorts per round
         sup = edge_triangle_support(
             cur, num_buckets=num_buckets,
-            broadcast_budget_bytes=broadcast_budget_bytes)
+            broadcast_budget_bytes=broadcast_budget_bytes,
+            pre_canonical=True)
         cur = sup.map_batches(keep, batch_format="pyarrow") \
             .materialize()
         n_new = cur.count()
