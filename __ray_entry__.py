@@ -1001,6 +1001,41 @@ def w_near_dup_survivors(sf_dir):
     return near_dup_removal(docs, pairs)
 
 
+def w_dedup_weights(sf_dir):
+    """SoftDeDup loss weights: every doc gets 1/cluster_size from the
+    near-dup pair components (singletons weight 1.0) —
+    ``dedup.soft_dedup_weights`` (components + one co-partitioned left
+    join; the corpus streams)."""
+    from bqf_ray.pipelines.dedup import jaccard_dup_pairs, \
+        soft_dedup_weights
+    docs = _docs(sf_dir)
+    pairs = jaccard_dup_pairs(docs, threshold=0.5, s=3) \
+        .select_columns(["doc_a", "doc_b"])
+    return soft_dedup_weights(docs, pairs)
+
+
+def w_dedup_keep_best(sf_dir):
+    """Quality-aware survivor selection: per near-dup cluster keep the
+    LONGEST doc (chars, ties → min id) — ``dedup.near_dup_keep_best``
+    over a chars quality column."""
+    import pyarrow.compute as _pc
+
+    from bqf_ray.pipelines.dedup import jaccard_dup_pairs, \
+        near_dup_keep_best
+    docs = _docs(sf_dir)
+    pairs = jaccard_dup_pairs(docs, threshold=0.5, s=3) \
+        .select_columns(["doc_a", "doc_b"])
+
+    def with_chars(batch):
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "chars": _pc.utf8_length(batch.column("text"))
+            .cast(pa.int64())})
+
+    q = docs.map_batches(with_chars, batch_format="pyarrow")
+    return near_dup_keep_best(q, pairs, "chars")
+
+
 def w_hash_sample(sf_dir):
     """Deterministic Bernoulli sample via the cross-engine md5 u64."""
     from bqf_ray.pipelines.sampling import hash_sample
@@ -4533,6 +4568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": w_concurrent_sessions,
         # --- slots 51+: remaining never-driver-checked oracled queries
         #     (rotate into the round-5 window) ---
+        "dedup_weights": w_dedup_weights,
+        "dedup_keep_best": w_dedup_keep_best,
         "chi2_source_lang": w_chi2_source_lang,
         "quality_linear": w_quality_linear,
         "kendall_types_binned": w_kendall_types_binned,
@@ -7783,6 +7820,47 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN nx n ON n.user_id = p.user_id
                                   AND n.gt = p.gt AND n.rk = 1
             WHERE p.rk = 1""",
+        "dedup_weights": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+            cc AS (SELECT src AS doc_id,
+                          LEAST(src, MIN(dst))::BIGINT AS cluster_id
+                   FROM reach GROUP BY src),
+            sz AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_n
+                   FROM cc GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(sz.cluster_n, 1) AS cluster_n,
+                   1.0 / COALESCE(sz.cluster_n, 1) AS weight
+            FROM documents d
+            LEFT JOIN cc ON cc.doc_id = d.doc_id
+            LEFT JOIN sz ON sz.cluster_id = cc.cluster_id""",
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+            cc AS (SELECT src AS doc_id,
+                          LEAST(src, MIN(dst))::BIGINT AS cluster_id
+                   FROM reach GROUP BY src),
+            q AS (SELECT doc_id, length(text)::BIGINT AS chars
+                  FROM documents),
+            best AS (
+              SELECT cc.doc_id FROM cc JOIN q USING (doc_id)
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY cc.cluster_id
+                ORDER BY q.chars DESC, cc.doc_id ASC) = 1)
+            SELECT q.doc_id, q.chars FROM q
+            WHERE q.doc_id NOT IN (SELECT doc_id FROM cc)
+               OR q.doc_id IN (SELECT doc_id FROM best)""",
         "chi2_source_lang": """
             WITH cells AS (
               SELECT source, lang, COUNT(*)::BIGINT AS o

@@ -1963,3 +1963,117 @@ def cosine_tf_pairs(ds, threshold: float = 0.8, text_col: str = "text",
             .map_groups(pair_bucket, batch_format="pyarrow")
             .groupby("__pb")
             .map_groups(sum_finish, batch_format="pyarrow"))
+
+
+def soft_dedup_weights(ds, pairs, id_col: str = "doc_id",
+                       num_buckets: int = 32, cc_mode: str = "auto"):
+    """SOFT near-dup handling: instead of dropping duplicates, weight
+    every document by ``1 / cluster_size`` (docs in no pair cluster to
+    themselves with weight 1.0) — the SoftDeDup-style loss-reweighting
+    signal a training pipeline consumes where hard removal would lose
+    coverage.  Returns ``(id_col, cluster_id, cluster_n, weight)`` for
+    EVERY document; ``weight`` is one IEEE division of exact integers.
+
+    Plan: pair components (:func:`bqf_ray.pipelines.graph.
+    connected_components` — union-find under the edge budget, pointer
+    jumping past it) → cluster sizes via one bucketed count over the
+    pair-node-sized table → membership + sizes attach back to the
+    corpus through ONE co-partitioned left join; the corpus streams."""
+    from bqf_ray.pipelines.graph import connected_components
+    from bqf_ray.pipelines.relational import partitioned_hash_join
+    from bqf_ray.stages.partition import bucketed_agg
+
+    cc = connected_components(pairs, mode=cc_mode,
+                              num_buckets=num_buckets)
+    sizes = bucketed_agg(cc, ["cluster_id"],
+                         [("doc_id", "count", "cluster_n")],
+                         num_buckets=num_buckets)
+    ccn = partitioned_hash_join(cc, sizes, key="cluster_id",
+                                num_buckets=num_buckets)
+
+    def canon_names(batch: pa.Table) -> pa.Table:
+        # the join suffixes right-side payload columns with _r
+        names = [c[:-2] if c.endswith("_r") else c
+                 for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    ccn = ccn.map_batches(canon_names, batch_format="pyarrow")
+    ids = ds.select_columns([id_col])
+    if id_col != "doc_id":
+        def ren(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("doc_id")
+            return batch.set_column(i, id_col, batch.column("doc_id"))
+        ccn = ccn.map_batches(ren, batch_format="pyarrow")
+    joined = partitioned_hash_join(ids, ccn, key=id_col,
+                                   num_buckets=num_buckets, how="left")
+    joined = joined.map_batches(canon_names, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column(id_col), dtype=np.int64)
+        cid = batch.column("cluster_id")
+        cn = batch.column("cluster_n")
+        cid = np.asarray(cid.to_pandas().fillna(-1), dtype=np.int64) \
+            if cid.null_count else np.asarray(cid, dtype=np.int64)
+        cnv = np.asarray(cn.to_pandas().fillna(1), dtype=np.int64) \
+            if cn.null_count else np.asarray(cn, dtype=np.int64)
+        cid = np.where(cid < 0, did, cid)
+        return pa.table({
+            id_col: pa.array(did),
+            "cluster_id": pa.array(cid),
+            "cluster_n": pa.array(cnv),
+            "weight": pa.array(1.0 / cnv.astype(np.float64))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def near_dup_keep_best(ds, pairs, quality_col: str,
+                       id_col: str = "doc_id", num_buckets: int = 32,
+                       cc_mode: str = "auto"):
+    """Quality-aware near-dup survivor selection: from each pair-graph
+    component keep the document with the HIGHEST ``quality_col`` (ties
+    → smallest id) instead of :func:`bqf_ray.pipelines.graph.
+    near_dup_removal`'s min-id rule — what a curation pipeline actually
+    wants when duplicates differ in extraction quality.  Documents in
+    no pair survive untouched.  Returns the surviving ``(id_col,
+    quality_col)`` rows.
+
+    Plan: components → quality attaches to the pair-node-sized
+    membership via ONE co-partitioned join against the corpus
+    projection → per-cluster argmax inside a cluster-bucketed group →
+    survivors anti-join back (co-partitioned, the corpus streams)."""
+    from bqf_ray.pipelines.graph import connected_components
+    from bqf_ray.pipelines.relational import (partitioned_hash_join,
+                                              semi_join)
+
+    cc = connected_components(pairs, mode=cc_mode,
+                              num_buckets=num_buckets)
+    proj = ds.select_columns([id_col, quality_col])
+    memb = partitioned_hash_join(cc, proj, key=id_col,
+                                 num_buckets=num_buckets)
+
+    def pick(group: pa.Table) -> pa.Table:
+        did = np.asarray(group.column(id_col), dtype=np.int64)
+        cid = np.asarray(group.column("cluster_id"), dtype=np.int64)
+        # the join suffixes right-side payload columns with _r
+        qname = quality_col if quality_col in group.column_names \
+            else f"{quality_col}_r"
+        q = np.asarray(group.column(qname))
+        order = np.lexsort((did, -q, cid))
+        cid_s, did_s = cid[order], did[order]
+        first = np.concatenate([[True], cid_s[1:] != cid_s[:-1]]) \
+            if len(cid_s) else np.empty(0, dtype=bool)
+        # losers = members that are NOT the per-cluster best
+        return pa.table({id_col: pa.array(did_s[~first])})
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        from bqf_ray.functions.hashing import fmix64
+        cid = np.asarray(batch.column("cluster_id"), dtype=np.int64)
+        return batch.append_column(
+            "__cb", pa.array((fmix64(cid.view(np.uint64))
+                              % np.uint64(num_buckets)).astype(np.int64)))
+
+    losers = (memb.map_batches(add_cb, batch_format="pyarrow")
+              .groupby("__cb")
+              .map_groups(pick, batch_format="pyarrow"))
+    return semi_join(proj, losers, left_key=id_col, right_key=id_col,
+                     num_buckets=num_buckets, anti=True)

@@ -58,3 +58,32 @@ def test_incremental_dedup_rejects_shingle_index(ray_session, tmp_path):
                     checkpoint_dir=ck)
     with pytest.raises(ValueError):
         dedup_incremental(_ds([1], ["x"]), ck)
+
+
+def test_soft_dedup_weights_and_keep_best(ray_session):
+    """Weights: 1/cluster_size, singletons 1.0; keep-best survives the
+    highest-quality member per cluster (tie → min id)."""
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.dedup import (near_dup_keep_best,
+                                         soft_dedup_weights)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "chars": pa.array([10, 50, 50, 7, 9, 3], pa.int64())}))
+    # clusters: {1,2,3} and {4,5}; 6 is a singleton
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 4], pa.int64()),
+        "doc_b": pa.array([2, 3, 5], pa.int64())}))
+    w = (soft_dedup_weights(docs, pairs).to_pandas()
+         .set_index("doc_id").sort_index())
+    assert w.loc[1, "cluster_n"] == 3 and w.loc[1, "weight"] == 1 / 3
+    assert w.loc[4, "cluster_n"] == 2 and w.loc[5, "weight"] == 0.5
+    assert w.loc[6, "cluster_n"] == 1 and w.loc[6, "weight"] == 1.0
+    assert (w.loc[[1, 2, 3], "cluster_id"] == 1).all()
+
+    kept = (near_dup_keep_best(docs, pairs, "chars").to_pandas()
+            .sort_values("doc_id"))
+    # cluster {1,2,3}: 2 and 3 tie on chars=50 → min id 2 survives;
+    # cluster {4,5}: 5 (9 chars) beats 4; singleton 6 survives
+    assert kept["doc_id"].tolist() == [2, 5, 6]
