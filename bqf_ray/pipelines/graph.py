@@ -227,12 +227,30 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
                              out_cols=["from_type", "to_type"],
                              num_buckets=num_buckets)
 
+def _pr_ckpt_config(n, unit, d_num, d_den, weight_col, restart_nodes):
+    """Checkpoint identity: the integer scheme is fully determined by
+    these (plus the input graph, whose identity (n, unit) proxies —
+    the caller owns input lineage, same as the sketch checkpoints)."""
+    import hashlib
+    import json
+    seeds = (np.unique(np.asarray(restart_nodes,
+                                  dtype=np.int64)).tolist()
+             if restart_nodes is not None else None)
+    blob = json.dumps({"n": int(n), "unit": int(unit),
+                       "d_num": int(d_num), "d_den": int(d_den),
+                       "weight_col": weight_col, "seeds": seeds},
+                      sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()
+
+
 def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
              d_den: int = 20, iters: int = 10,
              weight_col: str | None = None,
              restart_nodes: "np.ndarray | None" = None,
              mode: str = "auto", node_budget: int = 20_000_000,
-             num_shards: int = 16, output: str = "arrays"):
+             num_shards: int = 16, output: str = "arrays",
+             checkpoint_dir: str | None = None,
+             checkpoint_every: int = 1):
     """Bit-deterministic distributed PageRank over an edge Dataset.
 
     Integer-unit power iteration (damping ``d = d_num/d_den``, default
@@ -275,6 +293,14 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
     nodes.  Both plans are BIT-IDENTICAL: same integer units, same
     floor-div-before-sum contributions, same lowest-id remainder
     respread (asserted by tests/test_graph_iter.py).
+
+    ``checkpoint_dir`` makes the iteration RESUMABLE: every
+    ``checkpoint_every`` rounds the rank state persists (broadcast: one
+    atomic npz from the driver; sharded: each shard actor writes its
+    own file, nothing node-sized through the driver) under a config
+    hash — a killed job re-run with the same arguments resumes from
+    the last completed round bit-exactly, a mismatched config starts
+    fresh (the sketch-checkpoint contract applied to iteration state).
 
     ``output="dataset"`` returns a ``ray.data.Dataset`` of
     ``(node, rank)`` (plus the unit as an attribute-free second return)
@@ -334,7 +360,9 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
             return _pagerank_sharded(
                 edges, nd_ds, n_nodes, d_num=d_num, d_den=d_den,
                 iters=iters, restart_nodes=restart_nodes,
-                num_shards=num_shards, output=output)
+                num_shards=num_shards, output=output,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every)
     nd = nd_ds.to_pandas()
     if len(nd) == 0:                 # empty groupby: no columns at all
         empty = (np.empty(0, dtype=np.int64),
@@ -376,7 +404,41 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
         ranks[spos[:rem]] += 1
     else:
         ranks = np.full(n, UNIT, dtype=np.int64)
-    for _ in range(int(iters)):
+    start_iter = 0
+    ck_cfg = None
+    if checkpoint_dir is not None:
+        import io
+        import json
+        import os
+        ck_cfg = _pr_ckpt_config(n, UNIT, d_num, d_den, weight_col,
+                                 restart_nodes)
+        meta_p = os.path.join(checkpoint_dir, "pr_meta.json")
+        st_p = os.path.join(checkpoint_dir, "pr_state.npz")
+        if os.path.exists(meta_p) and os.path.exists(st_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            if (meta.get("config") == ck_cfg
+                    and 0 < int(meta.get("iter", 0)) <= int(iters)):
+                dat = np.load(st_p)
+                if np.array_equal(dat["nodes"], nodes):
+                    ranks = dat["ranks"].astype(np.int64)
+                    start_iter = int(meta["iter"])
+
+    def _save_ckpt(it_done: int) -> None:
+        import io
+        import json
+        import os
+
+        from bqf_ray.state.checkpoint import _atomic_write
+        buf = io.BytesIO()
+        np.savez(buf, nodes=nodes, ranks=ranks)
+        _atomic_write(os.path.join(checkpoint_dir, "pr_state.npz"),
+                      buf.getvalue())
+        _atomic_write(os.path.join(checkpoint_dir, "pr_meta.json"),
+                      json.dumps({"config": ck_cfg,
+                                  "iter": it_done}).encode())
+
+    for _it in range(start_iter, int(iters)):
         ref = ray.put((nodes, ranks, deg))
 
         def contrib(batch: pa.Table) -> pa.Table:
@@ -412,6 +474,10 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
             new += np.int64(base)
             new[:rem] += 1                  # pos < rem gets the +1
         ranks = new
+        if checkpoint_dir is not None and (
+                (_it + 1) % int(checkpoint_every) == 0
+                or _it + 1 == int(iters)):
+            _save_ckpt(_it + 1)
 
     if output == "dataset":
         return _rank_arrays_to_dataset(nodes, ranks, UNIT)
@@ -511,6 +577,31 @@ class _PRShard:
             "unit": pa.array(np.full(len(self.nodes), unit,
                                      dtype=np.int64))})
 
+    def save_state(self, dir_, p):
+        """Shard writes its OWN checkpoint file (atomic, deterministic
+        name) — node-sized bytes never pass through the driver.  On a
+        multi-node cluster ``dir_`` must be shared storage, same as the
+        sketch checkpoints."""
+        import io
+        import os
+
+        from bqf_ray.state.checkpoint import _atomic_write
+        buf = io.BytesIO()
+        np.savez(buf, nodes=self.nodes, ranks=self.ranks)
+        _atomic_write(os.path.join(dir_, f"pr_shard_{p:05d}.npz"),
+                      buf.getvalue())
+
+    def load_state(self, dir_, p):
+        import os
+        path = os.path.join(dir_, f"pr_shard_{p:05d}.npz")
+        if not os.path.exists(path):
+            return False
+        dat = np.load(path)
+        if not np.array_equal(dat["nodes"], self.nodes):
+            return False
+        self.ranks = dat["ranks"].astype(np.int64)
+        return True
+
 
 # per-worker-process shard-state cache for the sharded-plan contribution
 # tasks: keyed (round_token, shard); a token change (new round) clears
@@ -537,7 +628,8 @@ def _pr_cached_state(actors, token, p, max_entries: int = 8):
 
 
 def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
-                      restart_nodes, num_shards, output):
+                      restart_nodes, num_shards, output,
+                      checkpoint_dir=None, checkpoint_every=1):
     """Node-sharded PageRank plan: see :func:`pagerank` docstring.
 
     Driver state is O(num_shards); the rank/deg vector lives in shard
@@ -633,7 +725,28 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
                .map_groups(lambda t: t, batch_format="pyarrow")
                .materialize())
 
-    for it in range(int(iters)):
+    start_iter = 0
+    ck_cfg = None
+    if checkpoint_dir is not None:
+        import json
+        import os
+
+        from bqf_ray.state.checkpoint import _atomic_write
+        ck_cfg = _pr_ckpt_config(n, UNIT, d_num, d_den, None,
+                                 restart_nodes)
+        meta_p = os.path.join(checkpoint_dir, "pr_sharded_meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            if (meta.get("config") == ck_cfg and meta.get("P") == P
+                    and 0 < int(meta.get("iter", 0)) <= int(iters)):
+                loaded = ray.get([
+                    actors[p].load_state.remote(checkpoint_dir, p)
+                    for p in range(P)])
+                if all(loaded):
+                    start_iter = int(meta["iter"])
+
+    for it in range(start_iter, int(iters)):
         token = f"{id(actors[0])}-{it}"
 
         def contrib(batch: pa.Table) -> pa.Table:
@@ -688,6 +801,19 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
             ray.get([actors[p].respread.remote(
                 base, int(np.clip(rem - offsets[p], 0, counts[p])))
                 for p in range(P)])
+        if checkpoint_dir is not None and (
+                (it + 1) % int(checkpoint_every) == 0
+                or it + 1 == int(iters)):
+            import json
+            import os
+
+            from bqf_ray.state.checkpoint import _atomic_write
+            ray.get([actors[p].save_state.remote(checkpoint_dir, p)
+                     for p in range(P)])
+            _atomic_write(
+                os.path.join(checkpoint_dir, "pr_sharded_meta.json"),
+                json.dumps({"config": ck_cfg, "P": P,
+                            "iter": it + 1}).encode())
 
     refs = [a.state_table.remote(UNIT) for a in actors]
     if output == "dataset":

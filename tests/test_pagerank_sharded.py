@@ -91,3 +91,29 @@ def test_sharded_single_shard(ray_session):
     b = pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=3,
                  mode="sharded", num_shards=1)
     assert all(int(x) == int(y) for x, y in zip(a[1], b[1]))
+
+
+@pytest.mark.parametrize("mode,shards", [("broadcast", 0), ("sharded", 4)])
+def test_pagerank_checkpoint_resume(ray_session, tmp_path, mode, shards):
+    """3 checkpointed iterations + a resumed run to 6 must equal a
+    direct 6-iteration run bit-for-bit (both plans)."""
+    import ray
+    tbl = _rand_graph(23, E=1500, N=150)
+    kw = dict(mode=mode)
+    if shards:
+        kw["num_shards"] = shards
+    ck = str(tmp_path / f"ck_{mode}")
+    direct = pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=6,
+                      **kw)
+    pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=3,
+             checkpoint_dir=ck, **kw)
+    resumed = pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=6,
+                       checkpoint_dir=ck, **kw)
+    assert list(direct[0]) == list(resumed[0])
+    assert all(int(x) == int(y) for x, y in zip(direct[1], resumed[1]))
+    # stale/foreign checkpoints are ignored (different damping → fresh)
+    other = pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=2,
+                     d_num=4, d_den=5, checkpoint_dir=ck, **kw)
+    ref = pagerank(ray.data.from_arrow(tbl), "src", "dst", iters=2,
+                   d_num=4, d_den=5, **kw)
+    assert all(int(x) == int(y) for x, y in zip(other[1], ref[1]))
