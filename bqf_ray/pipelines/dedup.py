@@ -2047,6 +2047,11 @@ def near_dup_keep_best(ds, pairs, quality_col: str,
 
     cc = connected_components(pairs, mode=cc_mode,
                               num_buckets=num_buckets)
+    if id_col != "doc_id":           # components always emit doc_id
+        def ren(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("doc_id")
+            return batch.set_column(i, id_col, batch.column("doc_id"))
+        cc = cc.map_batches(ren, batch_format="pyarrow")
     proj = ds.select_columns([id_col, quality_col])
     memb = partitioned_hash_join(cc, proj, key=id_col,
                                  num_buckets=num_buckets)

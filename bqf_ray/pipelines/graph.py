@@ -362,7 +362,8 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
                 iters=iters, restart_nodes=restart_nodes,
                 num_shards=num_shards, output=output,
                 checkpoint_dir=checkpoint_dir,
-                checkpoint_every=checkpoint_every)
+                checkpoint_every=checkpoint_every,
+                weight_col=weight_col)
     nd = nd_ds.to_pandas()
     if len(nd) == 0:                 # empty groupby: no columns at all
         empty = (np.empty(0, dtype=np.int64),
@@ -611,6 +612,54 @@ class _PRShard:
 _PR_SHARD_CACHE: dict = {}
 
 
+def _shard_run_id() -> str:
+    """Per-run token component for the worker-side shard cache — a
+    uuid, NOT ``id(actor)``: worker processes outlive queries and a
+    recycled CPython id would silently serve a previous run's cached
+    shard state."""
+    import uuid
+    return uuid.uuid4().hex
+
+
+def _shard_route(ds, col: str, P: int):
+    """Range router over ``ds[col]``: quantile boundaries once →
+    ``route(values) -> shard id`` (monotone, identical everywhere)."""
+    from bqf_ray.stages.partition import quantile_boundaries
+
+    bounds = (quantile_boundaries(ds, col, P)
+              if P > 1 else np.empty(0, dtype=np.float64))
+
+    def route(arr):
+        return np.searchsorted(
+            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
+        ).astype(np.int64)
+
+    return route
+
+
+def _cobucket(ds, route, col: str, part_col: str):
+    """Materialized co-bucket of ``ds`` by ``route(col)`` — the
+    once-per-plan edge exchange every sharded graph plan shares."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            part_col, pa.array(route(batch.column(col))))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby(part_col)
+            .map_groups(lambda t: t, batch_format="pyarrow")
+            .materialize())
+
+
+def _shard_scaffold(ed, col: str, P: int, part_col: str):
+    """One-dataset composition of the above: materialize the (possibly
+    doubled) edge projection ONCE (the boundaries pass AND the
+    co-bucket both read it), route, co-bucket — returns
+    ``(run_id, route, edges_bucketed)``."""
+    ed = ed.materialize()
+    route = _shard_route(ed, col, P)
+    return _shard_run_id(), route, _cobucket(ed, route, col, part_col)
+
+
 def _pr_cached_state(actors, token, p, max_entries: int = 8):
     import ray
     stale = [k for k in _PR_SHARD_CACHE if k[0] != token]
@@ -629,7 +678,8 @@ def _pr_cached_state(actors, token, p, max_entries: int = 8):
 
 def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
                       restart_nodes, num_shards, output,
-                      checkpoint_dir=None, checkpoint_every=1):
+                      checkpoint_dir=None, checkpoint_every=1,
+                      weight_col=None):
     """Node-sharded PageRank plan: see :func:`pagerank` docstring.
 
     Driver state is O(num_shards); the rank/deg vector lives in shard
@@ -638,21 +688,14 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
     O(P) actor RPCs."""
     import ray
 
-    from bqf_ray.stages.partition import quantile_boundaries
-
     if n == 0:
         empty = (np.empty(0, dtype=np.int64),
                  np.empty(0, dtype=np.int64), 1 << 40)
         return (_rank_arrays_to_dataset(*empty)
                 if output == "dataset" else empty)
     P = max(1, min(int(num_shards), n))
-    bounds = (quantile_boundaries(nd_ds, "node", P)
-              if P > 1 else np.empty(0, dtype=np.float64))
-
-    def route(col):
-        return np.searchsorted(
-            bounds, np.asarray(col, dtype=np.int64).astype(np.float64)
-        ).astype(np.int64)
+    route = _shard_route(nd_ds, "node", P)
+    run_id = _shard_run_id()
 
     Shard = ray.remote(num_cpus=0)(_PRShard)
     actors = [Shard.remote() for _ in range(P)]
@@ -720,10 +763,7 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
 
     # co-bucket edges by source range ONCE; every round's contribution
     # tasks then touch only the shard(s) their batch's bucket covers
-    edges_b = (edges.map_batches(add_sp("s"), batch_format="pyarrow")
-               .groupby("__sp")
-               .map_groups(lambda t: t, batch_format="pyarrow")
-               .materialize())
+    edges_b = _cobucket(edges, route, "s", "__sp")
 
     start_iter = 0
     ck_cfg = None
@@ -732,7 +772,7 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
         import os
 
         from bqf_ray.state.checkpoint import _atomic_write
-        ck_cfg = _pr_ckpt_config(n, UNIT, d_num, d_den, None,
+        ck_cfg = _pr_ckpt_config(n, UNIT, d_num, d_den, weight_col,
                                  restart_nodes)
         meta_p = os.path.join(checkpoint_dir, "pr_sharded_meta.json")
         if os.path.exists(meta_p):
@@ -747,7 +787,7 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
                     start_iter = int(meta["iter"])
 
     for it in range(start_iter, int(iters)):
-        token = f"{id(actors[0])}-{it}"
+        token = f"pr-{run_id}-{it}"
 
         def contrib(batch: pa.Table) -> pa.Table:
             sp = np.asarray(batch.column("__sp"), dtype=np.int64)
@@ -1517,7 +1557,7 @@ def frequent_itemsets(ds, group_col: str, item_col: str,
         mode = ("broadcast"
                 if 16 * n_sup <= int(broadcast_budget_bytes)
                 else "bucketed")
-        plan_log("edge_triangle_support", mode, support_bytes=16 * n_sup,
+        plan_log("frequent_itemsets", mode, support_bytes=16 * n_sup,
                  budget_bytes=int(broadcast_budget_bytes))
 
     if mode == "broadcast":
@@ -2004,8 +2044,6 @@ def _kcore_sharded(edges, K, rounds, ca, cb, num_shards):
     convergence, final extra degree pass)."""
     import ray
 
-    from bqf_ray.stages.partition import quantile_boundaries
-
     P = max(1, int(num_shards))
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -2014,26 +2052,11 @@ def _kcore_sharded(edges, K, rounds, ca, cb, num_shards):
         return pa.table({"x": pa.array(np.concatenate([a, b])),
                          "y": pa.array(np.concatenate([b, a]))})
 
-    ed2 = edges.map_batches(both_dirs, batch_format="pyarrow")
-    bounds = (quantile_boundaries(ed2, "x", P)
-              if P > 1 else np.empty(0, dtype=np.float64))
-
-    def route(arr):
-        return np.searchsorted(
-            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
-        ).astype(np.int64)
-
+    run_id, route, edges_b = _shard_scaffold(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        "x", P, "__xp")
     Shard = ray.remote(num_cpus=0)(_KcoreShard)
     actors = [Shard.remote() for _ in range(P)]
-
-    def add_xp(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__xp", pa.array(route(batch.column("x"))))
-
-    edges_b = (ed2.map_batches(add_xp, batch_format="pyarrow")
-               .groupby("__xp")
-               .map_groups(lambda t: t, batch_format="pyarrow")
-               .materialize())
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__xp")[0].as_py())
@@ -2085,7 +2108,7 @@ def _kcore_sharded(edges, K, rounds, ca, cb, num_shards):
                 sum(na for _, na in res))
 
     for it in range(int(rounds)):
-        changed, n_alive = one_pass(f"kc-{id(actors[0])}-{it}", True)
+        changed, n_alive = one_pass(f"kc-{run_id}-{it}", True)
         if not n_alive:
             return pa.table({"node": pa.array([], pa.int64()),
                              "core_deg": pa.array([], pa.int64())})
@@ -2095,7 +2118,7 @@ def _kcore_sharded(edges, K, rounds, ca, cb, num_shards):
             return pa.concat_tables(ray.get(
                 [a.state_table.remote(K) for a in actors]))
     # not converged within R rounds: one more restricted degree pass
-    one_pass(f"kc-{id(actors[0])}-final", False)
+    one_pass(f"kc-{run_id}-final", False)
     return pa.concat_tables(ray.get(
         [a.state_table.remote(1) for a in actors]))
 
@@ -2253,8 +2276,6 @@ def _lpa_sharded(edges, rounds, ca, cb, num_shards):
     the reduce group."""
     import ray
 
-    from bqf_ray.stages.partition import quantile_boundaries
-
     P = max(1, int(num_shards))
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -2263,26 +2284,11 @@ def _lpa_sharded(edges, rounds, ca, cb, num_shards):
         return pa.table({"x": pa.array(np.concatenate([a, b])),
                          "y": pa.array(np.concatenate([b, a]))})
 
-    ed2 = edges.map_batches(both_dirs, batch_format="pyarrow")
-    bounds = (quantile_boundaries(ed2, "x", P)
-              if P > 1 else np.empty(0, dtype=np.float64))
-
-    def route(arr):
-        return np.searchsorted(
-            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
-        ).astype(np.int64)
-
+    run_id, route, edges_b = _shard_scaffold(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        "x", P, "__xp")
     Shard = ray.remote(num_cpus=0)(_LpaShard)
     actors = [Shard.remote() for _ in range(P)]
-
-    def add_xp(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__xp", pa.array(route(batch.column("x"))))
-
-    edges_b = (ed2.map_batches(add_xp, batch_format="pyarrow")
-               .groupby("__xp")
-               .map_groups(lambda t: t, batch_format="pyarrow")
-               .materialize())
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__xp")[0].as_py())
@@ -2299,7 +2305,7 @@ def _lpa_sharded(edges, rounds, ca, cb, num_shards):
                          "community": pa.array([], pa.int64())})
 
     for it in range(int(rounds)):
-        token = f"lpa-{id(actors[0])}-{it}"
+        token = f"lpa-{run_id}-{it}"
 
         def emit(batch: pa.Table) -> pa.Table:
             xp = np.asarray(batch.column("__xp"), dtype=np.int64)
@@ -2543,38 +2549,24 @@ def _hits_sharded(edges, rounds, scale_bits, num_shards, output):
     rescale — bit-identical to the broadcast plan."""
     import ray
 
-    from bqf_ray.stages.partition import quantile_boundaries
-
     P = max(1, int(num_shards))
+    edges = edges.materialize()      # read by boundaries + two buckets
 
     def endpoints(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch.column("s"), dtype=np.int64)
         t = np.asarray(batch.column("t"), dtype=np.int64)
         return pa.table({"node": pa.array(np.concatenate([s, t]))})
 
-    bounds = (quantile_boundaries(
+    route = _shard_route(
         edges.map_batches(endpoints, batch_format="pyarrow"),
-        "node", P) if P > 1 else np.empty(0, dtype=np.float64))
-
-    def route(arr):
-        return np.searchsorted(
-            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
-        ).astype(np.int64)
+        "node", P)
+    run_id = _shard_run_id()
 
     Shard = ray.remote(num_cpus=0)(_HitsShard)
     actors = [Shard.remote() for _ in range(P)]
 
-    def bucket_by(col):
-        def add(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "__fp", pa.array(route(batch.column(col))))
-        return (edges.map_batches(add, batch_format="pyarrow")
-                .groupby("__fp")
-                .map_groups(lambda t: t, batch_format="pyarrow")
-                .materialize())
-
-    edges_bs = bucket_by("s")        # half-step auth←hub reads hub(s)
-    edges_bt = bucket_by("t")        # half-step hub←auth reads auth(t)
+    edges_bs = _cobucket(edges, route, "s", "__fp")  # auth←hub reads hub(s)
+    edges_bt = _cobucket(edges, route, "t", "__fp")  # hub←auth reads auth(t)
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__np")[0].as_py())
@@ -2593,6 +2585,10 @@ def _hits_sharded(edges, rounds, scale_bits, num_shards, output):
            .to_pandas())
     if not len(got):
         z = np.empty(0, dtype=np.int64)
+        if output == "dataset":
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(z), "hub": pa.array(z),
+                "auth": pa.array(z)}))
         return z, z.copy(), z.copy()
 
     def half(ebs, from_col, to_col, which_read, which_write, token):
@@ -2647,9 +2643,9 @@ def _hits_sharded(edges, rounds, scale_bits, num_shards, output):
 
     for it in range(int(rounds)):
         half(edges_bs, "s", "t", "hub", "auth",
-             f"hits-{id(actors[0])}-{it}a")
+             f"hits-{run_id}-{it}a")
         half(edges_bt, "t", "s", "auth", "hub",
-             f"hits-{id(actors[0])}-{it}b")
+             f"hits-{run_id}-{it}b")
 
     refs = [a.state_table.remote() for a in actors]
     if output == "dataset":
@@ -2744,6 +2740,11 @@ def hits(edges_ds, src_col: str, dst_col: str, rounds: int = 2,
     nd = nd_ds.to_pandas()
     if len(nd) == 0:                 # empty groupby: no columns at all
         z = np.empty(0, dtype=np.int64)
+        if output == "dataset":
+            import ray
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(z), "hub": pa.array(z),
+                "auth": pa.array(z)}))
         return z, z.copy(), z.copy()
     nodes = np.sort(nd["node"].to_numpy().astype(np.int64))
     n = len(nodes)
@@ -2980,9 +2981,8 @@ def _sssp_sharded(edges, nodes0, dist0, rounds, num_shards):
     O(num_shards)."""
     import ray
 
-    from bqf_ray.stages.partition import quantile_boundaries
-
     P = max(1, int(num_shards))
+    edges = edges.materialize()      # boundaries + co-bucket read it
     # boundaries must cover the FULL endpoint space (the frontier grows
     # into ids the current state has never seen)
     def endpoints(batch: pa.Table) -> pa.Table:
@@ -2994,14 +2994,10 @@ def _sssp_sharded(edges, nodes0, dist0, rounds, num_shards):
             if isinstance(batch.column("y"), pa.ChunkedArray)
             else batch.column("y")])})
 
-    bounds = (quantile_boundaries(
+    route = _shard_route(
         edges.map_batches(endpoints, batch_format="pyarrow"),
-        "node", P) if P > 1 else np.empty(0, dtype=np.float64))
-
-    def route(arr):
-        return np.searchsorted(
-            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
-        ).astype(np.int64)
+        "node", P)
+    run_id = _shard_run_id()
 
     Shard = ray.remote(num_cpus=0)(_SsspShard)
     actors = [Shard.remote() for _ in range(P)]
@@ -3009,18 +3005,10 @@ def _sssp_sharded(edges, nodes0, dist0, rounds, num_shards):
     ray.get([actors[p].init_shard.remote(nodes0[sp == p],
                                          dist0[sp == p])
              for p in range(P)])
-
-    def add_xp(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__xp", pa.array(route(batch.column("x"))))
-
-    edges_b = (edges.map_batches(add_xp, batch_format="pyarrow")
-               .groupby("__xp")
-               .map_groups(lambda t: t, batch_format="pyarrow")
-               .materialize())
+    edges_b = _cobucket(edges, route, "x", "__xp")
 
     for it in range(int(rounds)):
-        token = f"sssp-{id(actors[0])}-{it}"
+        token = f"sssp-{run_id}-{it}"
 
         def relax(batch: pa.Table) -> pa.Table:
             xp = np.asarray(batch.column("__xp"), dtype=np.int64)
@@ -3278,7 +3266,6 @@ def _random_walks_sharded(edges, seeds, L, W, salt, algo, num_shards):
 
     from bqf_ray.functions.hashing import (md5_hash64_array,
                                            xxhash64_array)
-    from bqf_ray.stages.partition import quantile_boundaries
 
     hash_fn = {"md5": md5_hash64_array, "xx64": xxhash64_array}[algo]
     P = max(1, int(num_shards))
@@ -3289,22 +3276,12 @@ def _random_walks_sharded(edges, seeds, L, W, salt, algo, num_shards):
         return pa.table({"x": pa.array(np.concatenate([a, b])),
                          "y": pa.array(np.concatenate([b, a]))})
 
-    ed2 = edges.map_batches(both_dirs, batch_format="pyarrow")
-    bounds = (quantile_boundaries(ed2, "x", P)
-              if P > 1 else np.empty(0, dtype=np.float64))
-
-    def route(arr):
-        return np.searchsorted(
-            bounds, np.asarray(arr, dtype=np.int64).astype(np.float64)
-        ).astype(np.int64)
-
+    run_id, route, ed2b = _shard_scaffold(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        "x", P, "__xp")
+    token = f"walks-{run_id}"
     Shard = ray.remote(num_cpus=0)(_CsrShard)
     actors = [Shard.remote() for _ in range(P)]
-    token = f"walks-{id(actors[0])}"
-
-    def add_xp(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__xp", pa.array(route(batch.column("x"))))
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__xp")[0].as_py())
@@ -3313,8 +3290,8 @@ def _random_walks_sharded(edges, seeds, L, W, salt, algo, num_shards):
             np.asarray(group.column("y"), dtype=np.int64)))
         return pa.table({"p": pa.array([p], pa.int64())})
 
-    (ed2.map_batches(add_xp, batch_format="pyarrow")
-     .groupby("__xp").map_groups(init_groups, batch_format="pyarrow")
+    (ed2b.groupby("__xp")
+     .map_groups(init_groups, batch_format="pyarrow")
      .materialize())
 
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))

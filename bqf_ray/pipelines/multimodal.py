@@ -19,6 +19,9 @@ The engineering contract for 100 TB multimodal pipelines:
 
 from __future__ import annotations
 
+import struct as _struct
+import zlib as _zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -73,7 +76,8 @@ class ResizeImages:
         for blob in batch.column(self.payload_col).to_pylist():
             try:
                 kind, w, h, f, img = decode_payload(blob)
-            except (NotImplementedError, ValueError):
+            except (NotImplementedError, ValueError, _zlib.error,
+                    _struct.error):
                 out.append(None)
                 continue
             if kind != 0:
@@ -101,7 +105,8 @@ class MediaFeatures:
         for blob in batch.column(self.payload_col).to_pylist():
             try:
                 _, w, h, f, data = decode_payload(blob)
-            except (NotImplementedError, ValueError):
+            except (NotImplementedError, ValueError, _zlib.error,
+                    _struct.error):
                 feats.append([0.0] * self.DIM)
                 continue
             data = data.reshape(-1).astype(np.float64)
@@ -205,7 +210,6 @@ class PHashImages:
         return int(np.packbits(bits).view(">u8")[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import struct
         out = []
         for blob in batch.column(self.payload_col).to_pylist():
             try:
@@ -217,8 +221,8 @@ class PHashImages:
                     continue
                 if img.ndim == 3:     # RGB(A) → channel-mean grayscale
                     img = img.astype(np.float64).mean(axis=2)
-            except (NotImplementedError, struct.error, ValueError,
-                    TypeError, IndexError):
+            except (NotImplementedError, _struct.error, _zlib.error,
+                    ValueError, TypeError, IndexError):
                 out.append(None)
                 continue
             out.append(np.int64(np.uint64(self._hash(img))).item())

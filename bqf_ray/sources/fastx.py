@@ -226,24 +226,39 @@ def _sync_fastq(path: str, pos: int, fsize: int) -> int:
             ls = np.concatenate([[0], ls])
         ls = ls[ls < len(arr)]
         at_eof = base + len(chunk) >= fsize
-        for i in range(len(ls)):
+        L = len(ls)
+        if at_eof:
+            # strip trailing blank lines so the 4-line phase count is
+            # exact to EOF
+            while L and arr[ls[L - 1]] in (0x0A, 0x0D):
+                L -= 1
+        for i in range(L):
             if arr[ls[i]] != ord("@"):
                 continue
-            if i + 2 < len(ls):
+            if at_eof:
+                # EOF pins the phase exactly: a true record start has
+                # (lines to EOF) ≡ 0 mod 4, while a quality/'+'/seq
+                # line sits at offset 3/2/1 — so the remainder test
+                # alone rejects a quality line that begins '@' (Phred
+                # 31), which a pattern-only check would misphase on
+                rem = L - i
+                if rem % 4 != 0 or rem < 4:
+                    continue
                 if arr[ls[i + 2]] != ord("+"):
                     continue
-            elif not at_eof:
-                break                    # need more window
-            if i + 4 < len(ls):
-                if arr[ls[i + 4]] != ord("@"):
+                if i + 4 < L and arr[ls[i + 4]] != ord("@"):
                     continue
-            elif not at_eof:
-                break
-            if i + 6 < len(ls):
-                if arr[ls[i + 6]] != ord("+"):
+                if i + 6 < L and arr[ls[i + 6]] != ord("+"):
                     continue
-            elif not at_eof:
-                break
+                return base + int(ls[i])
+            if i + 6 >= len(ls):
+                break                    # need the full lookahead
+            if arr[ls[i + 2]] != ord("+"):
+                continue
+            if arr[ls[i + 4]] != ord("@"):
+                continue
+            if arr[ls[i + 6]] != ord("+"):
+                continue
             return base + int(ls[i])
         if at_eof:
             return fsize
@@ -266,11 +281,18 @@ def read_fastx(paths, include_quality: bool = False,
     boundaries with the shared deterministic sync functions, so
     adjacent tasks agree and no record is lost or doubled.  Pass
     ``split_size=None`` to parse each file as one task (the old
-    behavior)."""
+    behavior).  ``parallelism`` (when > 0) overrides ``split_size``
+    with ``ceil(total_bytes / parallelism)`` — the requested task
+    count, the old ``override_num_blocks`` meaning."""
+    import math
+
     import ray
 
     if isinstance(paths, (str, os.PathLike)):
         paths = [paths]
+    if parallelism and parallelism > 0:
+        total = sum(os.path.getsize(str(p)) for p in paths)
+        split_size = max(1, math.ceil(total / int(parallelism)))
     specs = {"path": [], "offset": [], "size": [], "fsize": [],
              "fmt": []}
     for p in paths:

@@ -160,3 +160,43 @@ def test_parse_tables_match_lists():
     n, s = parse_fasta_bytes(data)
     assert t.column("name").to_pylist() == n == ["a", "b", "empty", "c"]
     assert t.column("seq").to_pylist() == s == ["ACGTTTGG", "C", "", "GG"]
+
+
+def test_fastq_split_boundary_in_last_record_with_at_quality(
+        ray_session, tmp_path):
+    """A split boundary inside the LAST record whose quality line
+    begins '@' (Phred 31) must not misphase the EOF sync — the 4-line
+    remainder-to-EOF test pins the phase (review finding r4)."""
+    import ray
+
+    from bqf_ray.sources.fastx import read_fastx
+    data = (b"@r0\nACGT\n+\nIIII\n"
+            b"@r1\nACGTACGT\n+\n@IIIIIII\n")
+    fq = tmp_path / "t.fastq"
+    fq.write_bytes(data)
+    whole = (read_fastx([str(fq)], include_quality=True,
+                        split_size=None).to_pandas()
+             .sort_values("name").reset_index(drop=True))
+    assert len(whole) == 2
+    # every possible boundary position must reproduce the whole parse
+    for split in range(4, len(data), 3):
+        got = (read_fastx([str(fq)], include_quality=True,
+                          split_size=split).to_pandas()
+               .sort_values("name").reset_index(drop=True))
+        assert whole.equals(got), f"split={split}"
+
+
+def test_read_fastx_parallelism_param(ray_session, tmp_path):
+    """parallelism>0 maps to a derived split size (the task-count
+    meaning it had before the byte-range rewrite)."""
+    import ray
+
+    from bqf_ray.sources.fastx import read_fastx
+    fq = tmp_path / "p.fastq"
+    _mk_fastq(str(fq), 200, seed=8)
+    whole = (read_fastx([str(fq)], include_quality=True,
+                        split_size=None).to_pandas()
+             .sort_values("name").reset_index(drop=True))
+    par = (read_fastx([str(fq)], include_quality=True, parallelism=7)
+           .to_pandas().sort_values("name").reset_index(drop=True))
+    assert whole.equals(par)
