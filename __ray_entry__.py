@@ -4445,6 +4445,22 @@ def w_kendall_types_binned(sf_dir):
                                   bins=64)
 
 
+def w_ohlc_events(sf_dir):
+    """Per (6h window, event_type) OHLC resample of value: open/close
+    selected by (ts, event_id) order, high/low exact comparisons, n —
+    every output a raw selected value (no float accumulation), so the
+    full row hash-matches the SQL window replay;
+    ``windowed.ohlc_window`` (per-batch one-partial-per-cell pre-agg,
+    cell-bucketed exchange)."""
+    import ray
+
+    from bqf_ray.pipelines.windowed import ohlc_window
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "event_id", "value"])
+    return ohlc_window(ev, size_s=21600)
+
+
 def w_chi2_source_lang(sf_dir):
     """Cell-wise chi-square independence decomposition of documents
     source × lang: exact integer cell/marginal counts from one
@@ -4568,6 +4584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": w_concurrent_sessions,
         # --- slots 51+: remaining never-driver-checked oracled queries
         #     (rotate into the round-5 window) ---
+        "ohlc_events": w_ohlc_events,
         "dedup_weights": w_dedup_weights,
         "dedup_keep_best": w_dedup_keep_best,
         "chi2_source_lang": w_chi2_source_lang,
@@ -7820,6 +7837,25 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN nx n ON n.user_id = p.user_id
                                   AND n.gt = p.gt AND n.rk = 1
             WHERE p.rk = 1""",
+        "ohlc_events": """
+            WITH e AS (
+              SELECT event_type, ts, event_id, value::DOUBLE AS v,
+                     time_bucket(INTERVAL 6 HOUR, ts) AS w
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND event_type IS NOT NULL)
+            SELECT DISTINCT w AS window_start, event_type,
+                   FIRST_VALUE(v) OVER cell_ord AS open,
+                   MAX(v) OVER cell AS high,
+                   MIN(v) OVER cell AS low,
+                   LAST_VALUE(v) OVER cell_ord AS close,
+                   COUNT(*) OVER cell::BIGINT AS n
+            FROM e
+            WINDOW cell AS (PARTITION BY w, event_type),
+                   cell_ord AS (PARTITION BY w, event_type
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)""",
         "dedup_weights": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
             sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -3034,3 +3034,117 @@ def query_pane_store(root: str, windows_s: list[int], L: int = 32,
         out.append((w, est, bound, eh.n))
     return pd.DataFrame(out, columns=["window_s", "estimate", "bound",
                                       "n_total"])
+
+
+def ohlc_window(ds, size_s: int = 21600, ts_col: str = "ts",
+                key_col: str = "event_type", value_col: str = "value",
+                id_col: str = "event_id", num_buckets: int = 32):
+    """Per (window_start, key) OHLC resample — open/high/low/close of
+    ``value_col`` over tumbling windows, the telemetry/market-data
+    downsampling primitive: ``open`` = value of the first row by
+    ``(ts, id)`` in the window, ``close`` = last, ``high``/``low`` =
+    max/min, plus the row count.  Every output is a SELECTED raw value
+    or an exact comparison (no float accumulation), so the whole row
+    bit-matches the SQL window-function replay.
+
+    Plan: per-batch pre-aggregation collapses each (window, key) to
+    ONE partial row carrying (open ts/id/value, close ts/id/value,
+    hi, lo, n); partials ride a (window, key)-bucketed exchange and
+    fold per group with a lexsort — shuffle volume is
+    O(windows × keys × blocks), never the event stream."""
+    import pyarrow.compute as pc
+
+    from bqf_ray.pipelines.audit import _key_codes
+    from bqf_ray.stages.partition import _col_hash64
+
+    B = int(num_buckets)
+    size_us = np.int64(int(size_s)) * 1_000_000
+
+    def _partials(w, kc, ts, ids, v, kvals):
+        order = np.lexsort((ids, ts, kc, w))
+        w_, kc_, ts_, id_, v_ = (w[order], kc[order], ts[order],
+                                 ids[order], v[order])
+        new = np.concatenate([[True], (w_[1:] != w_[:-1])
+                              | (kc_[1:] != kc_[:-1])])
+        st = np.flatnonzero(new)
+        en = np.append(st[1:], len(w_)) - 1
+        cnt = en - st + 1
+        return pa.table({
+            "window_start": pa.array(w_[st]),
+            key_col: kvals.take(pa.array(order[st])),
+            "o_ts": pa.array(ts_[st]), "o_id": pa.array(id_[st]),
+            "open": pa.array(v_[st]),
+            "c_ts": pa.array(ts_[en]), "c_id": pa.array(id_[en]),
+            "close": pa.array(v_[en]),
+            "high": pa.array(np.maximum.reduceat(v_, st)),
+            "low": pa.array(np.minimum.reduceat(v_, st)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(batch.column(ts_col).is_valid(),
+                       pc.and_(batch.column(value_col).is_valid(),
+                               batch.column(key_col).is_valid()))
+        t = batch.filter(keep)
+        ts = np.asarray(t.column(ts_col)).astype("datetime64[us]") \
+            .astype(np.int64)
+        w = (ts // size_us) * size_us
+        k = t.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kc = _key_codes(k)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        v = np.asarray(t.column(value_col), dtype=np.float64)
+        out = _partials(w, kc, ts, ids, v, k)
+        bkt = (_col_hash64(out.column(key_col))
+               + np.asarray(out.column("window_start")).view(np.uint64))
+        return out.append_column(
+            "__b", pa.array((bkt % np.uint64(B)).astype(np.int64)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        w = np.asarray(group.column("window_start"), dtype=np.int64)
+        k = group.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kc = _key_codes(k)
+        o_ts = np.asarray(group.column("o_ts"), dtype=np.int64)
+        o_id = np.asarray(group.column("o_id"), dtype=np.int64)
+        o_v = np.asarray(group.column("open"), dtype=np.float64)
+        c_ts = np.asarray(group.column("c_ts"), dtype=np.int64)
+        c_id = np.asarray(group.column("c_id"), dtype=np.int64)
+        c_v = np.asarray(group.column("close"), dtype=np.float64)
+        hi = np.asarray(group.column("high"), dtype=np.float64)
+        lo = np.asarray(group.column("low"), dtype=np.float64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        order = np.lexsort((o_id, o_ts, kc, w))
+        w_, kc_ = w[order], kc[order]
+        new = np.concatenate([[True], (w_[1:] != w_[:-1])
+                              | (kc_[1:] != kc_[:-1])])
+        st = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        # open: first partial by (o_ts, o_id) — the sort order
+        opens = o_v[order][st]
+        # close: per-seg argmax of (c_ts, c_id)
+        co = np.lexsort((c_id, c_ts, kc, w))
+        seg_c = seg[np.argsort(order)][co]     # segment of each row in co order
+        last_of_seg = np.zeros(len(st), dtype=np.int64)
+        last_of_seg[seg_c] = co                # later rows overwrite
+        closes = c_v[last_of_seg]
+        nsum = np.zeros(len(st), dtype=np.int64)
+        np.add.at(nsum, seg[np.argsort(order)], n)
+        his = np.full(len(st), -np.inf)
+        np.maximum.at(his, seg[np.argsort(order)], hi)
+        los = np.full(len(st), np.inf)
+        np.minimum.at(los, seg[np.argsort(order)], lo)
+        return pa.table({
+            "window_start": pa.array(
+                w_[st].astype("datetime64[us]")),
+            key_col: k.take(pa.array(order[st])),
+            "open": pa.array(opens),
+            "high": pa.array(his),
+            "low": pa.array(los),
+            "close": pa.array(closes),
+            "n": pa.array(nsum)})
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(fold, batch_format="pyarrow"))

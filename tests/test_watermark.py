@@ -78,3 +78,39 @@ def test_watermark_scan_in_order_stream_never_late(ray_session):
                          "seq", "ts", 0, cell_bits=4).to_pandas()
     assert not got["is_late"].any()
     assert got["watermark"].isna().sum() == 1
+
+
+def test_ohlc_window_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.windowed import ohlc_window
+    rng = np.random.RandomState(3)
+    n = 8000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.randint(0, 3 * 86_400_000_000, n).astype(np.int64)
+    df = pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.randn(n)})
+    got = (ohlc_window(ray.data.from_pandas(df).repartition(7),
+                       size_s=21600).to_pandas()
+           .sort_values(["window_start", "event_type"])
+           .reset_index(drop=True))
+    d = df.copy()
+    d["w"] = ((d["ts"].astype("int64") // 21_600_000_000)
+              * 21_600_000_000).astype("datetime64[us]")
+    d = d.sort_values(["w", "event_type", "ts", "event_id"])
+    ref = d.groupby(["w", "event_type"]).agg(
+        open=("value", "first"), high=("value", "max"),
+        low=("value", "min"), close=("value", "last"),
+        n=("value", "size")).reset_index().rename(
+        columns={"w": "window_start"})
+    ref = ref.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+    assert got["window_start"].tolist() == ref["window_start"].tolist()
+    assert got["event_type"].tolist() == ref["event_type"].tolist()
+    for c in ("open", "high", "low", "close"):
+        assert (got[c] == ref[c]).all(), c
+    assert (got["n"] == ref["n"]).all()
