@@ -200,3 +200,35 @@ def test_read_fastx_parallelism_param(ray_session, tmp_path):
     par = (read_fastx([str(fq)], include_quality=True, parallelism=7)
            .to_pandas().sort_values("name").reset_index(drop=True))
     assert whole.equals(par)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 60), seed=st.integers(0, 2**31 - 1),
+       split=st.integers(8, 4000))
+def test_fastq_split_property(ray_session, n, seed, split):
+    """Arbitrary record counts × arbitrary split sizes: the byte-range
+    parse must always equal the whole-file parse (qualities include
+    '@'/'+' bytes on purpose)."""
+    import tempfile
+
+    from bqf_ray.sources.fastx import read_fastx
+    rng = np.random.RandomState(seed)
+    with tempfile.NamedTemporaryFile(suffix=".fastq",
+                                     delete=False) as f:
+        for i in range(n):
+            L = int(rng.randint(1, 90))
+            seq = bytes(rng.choice(list(b"ACGT"), L).astype(np.uint8))
+            qual = bytes(rng.randint(ord('!'), ord('J'), L,
+                                     dtype=np.int64).astype(np.uint8))
+            f.write(b"@q%d x\n" % i + seq + b"\n+\n" + qual + b"\n")
+        path = f.name
+    whole = (read_fastx([path], include_quality=True, split_size=None)
+             .to_pandas().sort_values("name").reset_index(drop=True))
+    got = (read_fastx([path], include_quality=True, split_size=split)
+           .to_pandas().sort_values("name").reset_index(drop=True))
+    assert len(whole) == n
+    assert whole.equals(got)

@@ -230,3 +230,39 @@ def test_media_feature_pipeline_real_formats(ray_session):
     assert len(out) == 200
     assert out["ok"].all()
     assert (out["features"].apply(len) == 20).all()
+
+
+# --- property-based codec checks -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       ch=st.sampled_from([1, 3, 4]), seed=st.integers(0, 2**31 - 1))
+def test_png_roundtrip_property(h, w, ch, seed):
+    from bqf_ray.sources.codecs import png_decode, png_encode
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    back = png_decode(png_encode(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 2000), ch=st.integers(1, 3),
+       bits=st.sampled_from([8, 16]), seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_property(n, ch, bits, seed):
+    from bqf_ray.sources.codecs import wav_decode, wav_encode
+    rng = np.random.RandomState(seed)
+    if bits == 16:
+        s = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+    else:
+        s = rng.randint(0, 256, (n, ch)).astype(np.uint8)
+    if ch == 1:
+        s = s[:, 0]
+    back, rate = wav_decode(wav_encode(s, rate=22_050, bits=bits))
+    assert rate == 22_050
+    assert back.shape == s.shape and (back == s).all()
