@@ -612,6 +612,17 @@ class _PRShard:
 _PR_SHARD_CACHE: dict = {}
 
 
+def _make_shards(cls, P):
+    """P shard actors, num_cpus=0 (short RPC handlers, never compute-
+    bound) and SPREAD-scheduled so a multi-node cluster spreads the
+    node-state memory across nodes instead of stacking it on the head
+    node (single-node: no-op)."""
+    import ray
+    Shard = ray.remote(num_cpus=0)(cls)
+    return [Shard.options(
+        scheduling_strategy="SPREAD").remote() for _ in range(P)]
+
+
 def _shard_run_id() -> str:
     """Per-run token component for the worker-side shard cache — a
     uuid, NOT ``id(actor)``: worker processes outlive queries and a
@@ -697,8 +708,7 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
     route = _shard_route(nd_ds, "node", P)
     run_id = _shard_run_id()
 
-    Shard = ray.remote(num_cpus=0)(_PRShard)
-    actors = [Shard.remote() for _ in range(P)]
+    actors = _make_shards(_PRShard, P)
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__sp")[0].as_py())
@@ -2055,8 +2065,7 @@ def _kcore_sharded(edges, K, rounds, ca, cb, num_shards):
     run_id, route, edges_b = _shard_scaffold(
         edges.map_batches(both_dirs, batch_format="pyarrow"),
         "x", P, "__xp")
-    Shard = ray.remote(num_cpus=0)(_KcoreShard)
-    actors = [Shard.remote() for _ in range(P)]
+    actors = _make_shards(_KcoreShard, P)
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__xp")[0].as_py())
@@ -2287,8 +2296,7 @@ def _lpa_sharded(edges, rounds, ca, cb, num_shards):
     run_id, route, edges_b = _shard_scaffold(
         edges.map_batches(both_dirs, batch_format="pyarrow"),
         "x", P, "__xp")
-    Shard = ray.remote(num_cpus=0)(_LpaShard)
-    actors = [Shard.remote() for _ in range(P)]
+    actors = _make_shards(_LpaShard, P)
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__xp")[0].as_py())
@@ -2562,8 +2570,7 @@ def _hits_sharded(edges, rounds, scale_bits, num_shards, output):
         "node", P)
     run_id = _shard_run_id()
 
-    Shard = ray.remote(num_cpus=0)(_HitsShard)
-    actors = [Shard.remote() for _ in range(P)]
+    actors = _make_shards(_HitsShard, P)
 
     edges_bs = _cobucket(edges, route, "s", "__fp")  # auth←hub reads hub(s)
     edges_bt = _cobucket(edges, route, "t", "__fp")  # hub←auth reads auth(t)
@@ -2999,8 +3006,7 @@ def _sssp_sharded(edges, nodes0, dist0, rounds, num_shards):
         "node", P)
     run_id = _shard_run_id()
 
-    Shard = ray.remote(num_cpus=0)(_SsspShard)
-    actors = [Shard.remote() for _ in range(P)]
+    actors = _make_shards(_SsspShard, P)
     sp = route(nodes0)
     ray.get([actors[p].init_shard.remote(nodes0[sp == p],
                                          dist0[sp == p])
@@ -3280,8 +3286,7 @@ def _random_walks_sharded(edges, seeds, L, W, salt, algo, num_shards):
         edges.map_batches(both_dirs, batch_format="pyarrow"),
         "x", P, "__xp")
     token = f"walks-{run_id}"
-    Shard = ray.remote(num_cpus=0)(_CsrShard)
-    actors = [Shard.remote() for _ in range(P)]
+    actors = _make_shards(_CsrShard, P)
 
     def init_groups(group: pa.Table) -> pa.Table:
         p = int(group.column("__xp")[0].as_py())

@@ -67,6 +67,11 @@ def _string_from_spans(arr: np.ndarray, starts: np.ndarray,
     """Arrow utf8 array whose i-th value is ``arr[starts[i]:ends[i]]``
     — built straight from (offsets, values) buffers."""
     lens = (ends - starts).astype(np.int64)
+    if lens.sum() > np.iinfo(np.int32).max:
+        raise ValueError(
+            "fastx: a single parse block exceeds 2 GiB of record bytes "
+            "(int32 Arrow string offsets) — lower split_size so each "
+            "byte range stays under 2 GiB")
     offsets = np.zeros(len(lens) + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
     values = _mask_gather(arr, starts, ends)
