@@ -819,8 +819,12 @@ def w_bottomk_distinct(sf_dir):
 
 
 def _rank_of_estimates(ds, value_col: str, ests: dict[float, float]):
-    """Exact rank of each estimate: one distributed counting pass
-    (count(v <= est) / N), estimates broadcast."""
+    """Exact rank INTERVAL of each estimate: one distributed counting
+    pass (count(v < est), count(v <= est), N), estimates broadcast.
+    Under heavy value ties any rank inside [#<e, #≤e]/n is a valid
+    rank of the estimate — the point-rank form falsely failed the
+    certificate when an estimate landed on a hot tie run (fuzz
+    finding, r4)."""
     import ray
     qs = np.array(sorted(ests), dtype=np.float64)
     ev = np.array([ests[q] for q in qs], dtype=np.float64)
@@ -833,23 +837,27 @@ def _rank_of_estimates(ds, value_col: str, ests: dict[float, float]):
         def __call__(self, batch: pa.Table) -> pa.Table:
             v = np.asarray(batch.column(value_col), dtype=np.float64)
             le = (v[:, None] <= self.ev[None, :]).sum(axis=0).astype(np.int64)
+            lt = (v[:, None] < self.ev[None, :]).sum(axis=0).astype(np.int64)
             return pa.table({"i": pa.array(np.arange(len(self.ev))),
-                             "le": pa.array(le),
+                             "le": pa.array(le), "lt": pa.array(lt),
                              "n": pa.array(np.full(len(self.ev), len(v),
                                                    dtype=np.int64))})
 
     parts = (ds.map_batches(LeCounts, batch_format="pyarrow", concurrency=2)
              .to_pandas())                  # tiny: len(qs) rows per block
     agg = parts.groupby("i").sum()
-    return qs, (agg["le"] / agg["n"]).to_numpy()
+    n = agg["n"].to_numpy()
+    return (qs, (agg["lt"] / n).to_numpy(), (agg["le"] / n).to_numpy())
 
 
 def _quantile_bound_check(ds, value_col: str, method: str, tol: float):
     import pandas as pd
     from bqf_ray.pipelines.aggregates import value_quantiles
     ests = value_quantiles(ds, value_col, method=method)
-    qs, ranks = _rank_of_estimates(ds, value_col, ests)
-    ok = np.abs(ranks - qs) <= tol
+    qs, lo, hi = _rank_of_estimates(ds, value_col, ests)
+    # within bound iff the estimate's rank interval intersects
+    # [q - tol, q + tol]
+    ok = (lo - tol <= qs) & (qs <= hi + tol)
     return pd.DataFrame({"q": [f"{q:.2f}" for q in qs],
                          "within_bound": [bool(b) for b in ok]})
 
@@ -892,20 +900,25 @@ def w_grouped_quantiles(sf_dir):
             lang = batch.column("lang").to_numpy(zero_copy_only=False)
             v = np.asarray(batch.column("n_chars"), dtype=np.float64)
             le = np.empty(len(self.ests), dtype=np.int64)
+            lt = np.empty(len(self.ests), dtype=np.int64)
             n = np.empty(len(self.ests), dtype=np.int64)
             for i, (g, e) in enumerate(zip(self.langs, self.ests)):
                 m = lang == g
                 le[i] = int((v[m] <= e).sum())
+                lt[i] = int((v[m] < e).sum())
                 n[i] = int(m.sum())
             return pa.table({"i": pa.array(np.arange(len(self.ests))),
-                             "le": pa.array(le), "n": pa.array(n)})
+                             "le": pa.array(le), "lt": pa.array(lt),
+                             "n": pa.array(n)})
 
     parts = (ds.map_batches(GroupRank, batch_format="pyarrow",
                             concurrency=2).to_pandas())
     agg = parts.groupby("i").sum()
-    ranks = (agg["le"] / agg["n"]).to_numpy()
+    lo = (agg["lt"] / agg["n"]).to_numpy()
+    hi = (agg["le"] / agg["n"]).to_numpy()
     qs = est["q"].astype(float).to_numpy()
-    ok = np.abs(ranks - qs) <= 0.02
+    # tie-aware rank-interval certificate (see _rank_of_estimates)
+    ok = (lo - 0.02 <= qs) & (qs <= hi + 0.02)
     return pd.DataFrame({"lang": est["lang"], "q": est["q"],
                          "within_bound": [bool(b) for b in ok]})
 
@@ -925,7 +938,20 @@ def w_range_partition(sf_dir):
     _, counts = range_partition_counts(ds, "value", P, method="kll", k=1024)
     total = int(counts.sum())
     frac = counts / max(total, 1)
-    ok = np.abs(frac - 1.0 / P) <= 0.03
+    # a tied value routes atomically to ONE partition, so the honest
+    # balance certificate widens by the hottest single value's mass
+    # (fuzz finding: a 10% tie spike legitimately breaks ±0.03)
+    from bqf_ray.stages.partition import bucketed_agg
+
+    def one(batch):
+        return pa.table({"v": batch.column("value"),
+                         "c": pa.array(np.ones(batch.num_rows,
+                                               dtype=np.int64))})
+    vc = bucketed_agg(ds.map_batches(one, batch_format="pyarrow"),
+                      ["v"], [("c", "sum", "c")], num_buckets=8,
+                      combine_local=True).to_pandas()
+    hot_share = (float(vc["c"].max()) / max(total, 1)) if len(vc) else 0.0
+    ok = np.abs(frac - 1.0 / P) <= 0.03 + hot_share
     return pd.DataFrame({
         "partition_id": np.arange(P, dtype=np.int64),
         "within_bound": [bool(b) for b in ok],

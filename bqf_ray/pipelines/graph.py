@@ -3432,6 +3432,12 @@ def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
     ref = ray.put((nodes, indptr.astype(np.int64), dst))
 
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if not len(seeds):
+        # typed empty: a map over an empty dataset never executes its
+        # UDF, so the output schema would be lost downstream
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "walk_id": z, "seed": z, "step": z, "node": z}))
     wid = (seeds[:, None] * W
            + np.arange(W, dtype=np.int64)[None, :]).ravel()
     walks = ray.data.from_arrow(pa.table({

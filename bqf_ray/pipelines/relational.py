@@ -90,7 +90,10 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
 
     B = int(num_buckets)
     right_key = right_key or left_key
-    left_cols = list(left_ds.schema().names)
+    sch = left_ds.schema()
+    if sch is None:        # fully-empty left: nothing to (anti-)join
+        return left_ds
+    left_cols = list(sch.names)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column(left_key), dtype=np.int64)

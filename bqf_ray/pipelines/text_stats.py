@@ -866,7 +866,17 @@ def bm25_components(ds, query_terms: list[str], id_col: str = "doc_id",
                 "__one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
             batch_format="pyarrow"),
         ["term"], {"__one": "df"}, num_buckets=8).to_pandas()
-    dfs = dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64)))
+    # an all-miss corpus leaves the grouped table EMPTY with no columns
+    # (ray to_pandas drops schema on fully-empty datasets)
+    dfs = (dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64)))
+           if len(df_tbl.columns) else {})
+    if not dfs:
+        # no term matched anywhere: a typed empty result (an empty
+        # dataset that never ran `attach` would surface schema-less)
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            id_col: z, "term": pa.array([], pa.string()), "tf": z,
+            "dl": z, "df": z, "n_docs": z, "sum_dl": z}))
     df_vec = np.array([int(dfs.get(t, 0)) for t in terms],
                       dtype=np.int64)
     ref = ray.put(df_vec)

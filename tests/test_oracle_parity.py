@@ -30,7 +30,14 @@ def _to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape == (0, 0):
+            # ray to_pandas drops schema on fully-empty datasets
+            try:
+                df = res.schema().base_schema.empty_table().to_pandas()
+            except Exception:
+                pass
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res

@@ -20,7 +20,16 @@ def canon(df):
 
 def topd(res):
     import pyarrow as pa
-    if isinstance(res, ray.data.Dataset): return res.to_pandas()
+    if isinstance(res, ray.data.Dataset):
+        df = res.to_pandas()
+        if df.shape == (0, 0):
+            # ray to_pandas drops the schema on fully-empty datasets;
+            # rebuild the typed empty frame from the dataset schema
+            try:
+                df = res.schema().base_schema.empty_table().to_pandas()
+            except Exception:
+                pass
+        return df
     if isinstance(res, pa.Table): return res.to_pandas()
     return res
 
