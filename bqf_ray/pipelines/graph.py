@@ -2940,7 +2940,15 @@ def link_prediction(edges_ds, a_col: str = "a", b_col: str = "b",
         jac = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
         return batch.append_column("jaccard", pa.array(jac))
 
-    return scored.map_batches(score, batch_format="pyarrow")
+    out = scored.map_batches(score, batch_format="pyarrow")
+    # schema floor: with zero candidate pairs no task ever runs and the
+    # result would surface schema-less (fuzz finding) — union a typed
+    # empty block so downstream always sees the contract columns
+    import ray
+    z = pa.array([], pa.int64())
+    floor = pa.table({"a": z, "b": z, "cn": z, "deg_a": z, "deg_b": z,
+                      "jaccard": pa.array([], pa.float64())})
+    return out.union(ray.data.from_arrow(floor))
 
 
 class _SsspShard:
