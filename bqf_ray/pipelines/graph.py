@@ -1785,44 +1785,165 @@ def _segment_pairs_keyed(sort_key: np.ndarray, values: np.ndarray):
 def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
                           num_buckets: int = 64,
                           broadcast_budget_bytes: int = 1 << 30,
-                          pre_canonical: bool = False):
+                          pre_canonical: bool = False,
+                          mode: str = "auto"):
     """Per-EDGE triangle support (how many triangles contain each
     edge) over an undirected edge stream — the cohesion signal k-truss
     peeling, spam-cluster detection, and strong-tie filtering start
     from.  Output: one row per canonical edge ``(a, b, support)``,
     support 0 included.
 
-    Plan: the :func:`triangle_count` broadcast layout (degrees +
-    orientation + sorted membership computed once on the driver and
-    ``ray.put``) with the closure step emitting PER-EDGE partials
-    instead of a scalar: each closed wedge (x, c, y) credits edges
-    (c,x), (c,y), (x,y); per-bucket partials pre-sum locally, then ONE
-    edge-table-sized ``bucketed_sum`` folds them and a final union
-    restores support-0 edges.  The canonical edge list must fit
-    ``broadcast_budget_bytes`` (16 B/edge — 1 GiB ≈ 67M edges); past
-    it the function raises rather than silently degrade (the
-    fully-bucketed wedge exchange of :func:`triangle_count` is the
-    template to extend if a larger tier is ever needed)."""
+    Two plans, both exact and bit-identical:
+
+    - ``"broadcast"``: the :func:`triangle_count` broadcast layout
+      (degrees + orientation + sorted membership computed once on the
+      driver and ``ray.put``) with the closure step emitting PER-EDGE
+      partials instead of a scalar: each closed wedge (x, c, y)
+      credits edges (c,x), (c,y), (x,y); per-bucket partials pre-sum
+      locally, then ONE edge-table-sized ``bucketed_sum`` folds them
+      and a final union restores support-0 edges.  Requires the
+      canonical edge list to fit ``broadcast_budget_bytes``
+      (16 B/edge — 1 GiB ≈ 67M edges).
+    - ``"bucketed"``: the fully-distributed tier — no driver collect,
+      no broadcast: degrees attach via :func:`attach_degrees`'s
+      bucketed co-partition, wedges generate inside source-hash
+      buckets CARRYING THEIR CENTER (24 B/wedge vs triangle_count's
+      pre-aggregated 16 — the center is what per-edge credit needs),
+      close against the edge set in one pair-hash bucketed exchange
+      that emits locally pre-summed per-edge credits, and ONE
+      ``bucketed_sum`` folds credits + support-0 zeros.  No stage
+      holds more than one bucket; scale ``num_buckets`` with the
+      graph so a bucket's wedge slice fits a worker.
+
+    ``mode="auto"`` picks broadcast under the budget (fewer
+    exchanges), bucketed past it — the former hard ceiling is gone."""
+    B = int(num_buckets)
+    # materialize the canonical edge list ONCE: count(), the broadcast
+    # collection / degree attach, and the support-0 union below would
+    # otherwise each re-execute the upstream edge construction (a
+    # shuffle)
+    edges = (edges_ds if pre_canonical
+             else canonical_edges(edges_ds, a_col=a_col,
+                                  b_col=b_col)).materialize()
+    n_edges = edges.count()
+    if mode == "auto":
+        mode = ("broadcast"
+                if 16 * n_edges <= int(broadcast_budget_bytes)
+                else "bucketed")
+        plan_log("edge_triangle_support", mode,
+                 edge_bytes=16 * n_edges,
+                 budget_bytes=int(broadcast_budget_bytes))
+    if mode == "bucketed":
+        return _edge_support_bucketed(edges, n_edges, B)
+    if mode != "broadcast":
+        raise ValueError(f"edge_triangle_support: unknown mode {mode!r}")
+    return _edge_support_broadcast(edges, n_edges, B)
+
+
+def _edge_support_bucketed(edges, n_edges: int, B: int):
+    """Distributed per-edge support: the :func:`triangle_count`
+    bucketed wedge exchange extended to carry wedge CENTERS so closure
+    can credit all three member edges.  ``edges`` is canonical and
+    materialized; every exchange key is a single int hash bucket."""
+    import ray.data
+
+    from bqf_ray.functions.hashing import fmix64
+    from bqf_ray.stages.partition import bucketed_sum
+
+    if n_edges == 0:
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(
+            pa.table({"a": z, "b": z, "support": z}))
+    attached = attach_degrees(edges, num_buckets=B, mode="bucketed")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        da = np.asarray(batch.column("deg_a"), dtype=np.int64)
+        db = np.asarray(batch.column("deg_b"), dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "__bucket": pa.array(
+                             (fmix64(u.view(np.uint64)) % np.uint64(B))
+                             .astype(np.int64))})
+
+    def wedges_bucket(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("u"), dtype=np.int64)
+        v = np.asarray(g.column("v"), dtype=np.int64)
+        x, y, c = _segment_pairs_keyed(u, v)
+        wa, wb = np.minimum(x, y), np.maximum(x, y)
+        return pa.table({"a": pa.array(wa), "b": pa.array(wb),
+                         "c": pa.array(c),
+                         "__bucket": pa.array(
+                             (_pair_hash64(wa, wb) % np.uint64(B))
+                             .astype(np.int64)),
+                         "__side": pa.array(
+                             np.zeros(len(wa), dtype=np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        return pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                         "c": pa.array(np.zeros(len(a), dtype=np.int64)),
+                         "__bucket": pa.array(
+                             (_pair_hash64(a, b) % np.uint64(B))
+                             .astype(np.int64)),
+                         "__side": pa.array(
+                             np.ones(len(a), dtype=np.int8))})
+
+    def close_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        a = np.asarray(g.column("a"), dtype=np.int64)
+        b = np.asarray(g.column("b"), dtype=np.int64)
+        c = np.asarray(g.column("c"), dtype=np.int64)
+        ps = _packed_pair_set(a[side == 1], b[side == 1])
+        wm = side == 0
+        wa, wb, wc = a[wm], b[wm], c[wm]
+        hit = _packed_pair_probe(ps, wa, wb)
+        if not hit.any():
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "s": z})
+        cx, cy, cc = wa[hit], wb[hit], wc[hit]
+        ea = np.concatenate([np.minimum(cc, cx), np.minimum(cc, cy),
+                             np.minimum(cx, cy)])
+        eb = np.concatenate([np.maximum(cc, cx), np.maximum(cc, cy),
+                             np.maximum(cx, cy)])
+        # local pre-sum before the credit exchange
+        pairs = np.stack([ea, eb], axis=1)
+        upair, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({"a": pa.array(upair[:, 0]),
+                         "b": pa.array(upair[:, 1]),
+                         "s": pa.array(cnt.astype(np.int64))})
+
+    wedges = (attached.map_batches(orient, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(wedges_bucket, batch_format="pyarrow"))
+    partials = (wedges
+                .union(edges.map_batches(tag_edge,
+                                         batch_format="pyarrow"))
+                .groupby("__bucket")
+                .map_groups(close_bucket, batch_format="pyarrow"))
+    zeros = edges.map_batches(
+        lambda t: pa.table({"a": t.column("a"), "b": t.column("b"),
+                            "s": pa.array(np.zeros(t.num_rows,
+                                                   dtype=np.int64))}),
+        batch_format="pyarrow")
+    return bucketed_sum(partials.union(zeros), ["a", "b"],
+                        {"s": "support"}, num_buckets=B)
+
+
+def _edge_support_broadcast(edges, n_edges: int, B: int):
+    """Driver-collected broadcast plan (see
+    :func:`edge_triangle_support`); ``edges`` canonical+materialized,
+    list bounded by the caller's broadcast budget."""
     import ray
     import ray.data
 
     from bqf_ray.functions.hashing import fmix64
     from bqf_ray.stages.partition import bucketed_sum
 
-    B = int(num_buckets)
-    # materialize the canonical edge list ONCE: count(), the broadcast
-    # collection, and the support-0 union below would otherwise each
-    # re-execute the upstream edge construction (a shuffle); the list
-    # is bounded by broadcast_budget_bytes, so holding its blocks is
-    # within the same envelope the broadcast already commits to
-    edges = (edges_ds if pre_canonical
-             else canonical_edges(edges_ds, a_col=a_col,
-                                  b_col=b_col)).materialize()
-    n_edges = edges.count()
-    if n_edges * 16 > broadcast_budget_bytes:
-        raise ValueError(
-            f"edge_triangle_support: {n_edges} edges exceed the "
-            f"{broadcast_budget_bytes}-byte broadcast budget")
     blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
     a = (np.concatenate([np.asarray(t.column("a"), dtype=np.int64)
                          for t in blocks])
@@ -1884,7 +2005,8 @@ def edge_triangle_support(edges_ds, a_col: str = "a", b_col: str = "b",
 
 def clustering_components(edges_ds, a_col: str = "a", b_col: str = "b",
                           num_buckets: int = 64,
-                          broadcast_budget_bytes: int = 1 << 30):
+                          broadcast_budget_bytes: int = 1 << 30,
+                          mode: str = "auto"):
     """Per-NODE local-clustering-coefficient components: ``(node, deg,
     n_tri, n_wedges)`` with ``coefficient = n_tri / n_wedges``
     deriving downstream in float — the node-level cohesion profile
@@ -1897,7 +2019,7 @@ def clustering_components(edges_ds, a_col: str = "a", b_col: str = "b",
 
     sup = edge_triangle_support(
         edges_ds, a_col=a_col, b_col=b_col, num_buckets=num_buckets,
-        broadcast_budget_bytes=broadcast_budget_bytes)
+        broadcast_budget_bytes=broadcast_budget_bytes, mode=mode)
 
     def explode(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("a"), dtype=np.int64)
@@ -3195,7 +3317,7 @@ def sssp(edges_ds, seeds: "np.ndarray", rounds: int = 4,
 
 def ktruss(edges_ds, k: int, rounds: int = 3,
            a_col: str = "a", b_col: str = "b", num_buckets: int = 64,
-           broadcast_budget_bytes: int = 1 << 30):
+           broadcast_budget_bytes: int = 1 << 30, mode: str = "auto"):
     """Fixed-round k-truss peel: each round recomputes per-edge
     triangle support over the SURVIVING edges
     (:func:`edge_triangle_support`) and drops edges with support
@@ -3234,7 +3356,7 @@ def ktruss(edges_ds, k: int, rounds: int = 3,
         sup = edge_triangle_support(
             cur, num_buckets=num_buckets,
             broadcast_budget_bytes=broadcast_budget_bytes,
-            pre_canonical=True)
+            pre_canonical=True, mode=mode)
         cur = sup.map_batches(keep, batch_format="pyarrow") \
             .materialize()
         n_new = cur.count()
@@ -3491,7 +3613,8 @@ def random_walks(edges_ds, seeds: "np.ndarray", walk_len: int = 5,
 
 def clustering_coefficients(edges_ds, a_col: str = "a", b_col: str = "b",
                             num_buckets: int = 64,
-                            broadcast_budget_bytes: int = 1 << 30):
+                            broadcast_budget_bytes: int = 1 << 30,
+                            mode: str = "auto"):
     """Per-node local clustering coefficient — Watts–Strogatz
     ``c(v) = 2·t(v) / (d(v)·(d(v)−1))`` with ``t(v)`` the triangles
     through v, computed WITHOUT per-node neighbor sets: per-edge
@@ -3507,7 +3630,7 @@ def clustering_coefficients(edges_ds, a_col: str = "a", b_col: str = "b",
 
     sup = edge_triangle_support(
         edges_ds, a_col=a_col, b_col=b_col, num_buckets=num_buckets,
-        broadcast_budget_bytes=broadcast_budget_bytes)
+        broadcast_budget_bytes=broadcast_budget_bytes, mode=mode)
 
     def explode(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column(a_col), dtype=np.int64)

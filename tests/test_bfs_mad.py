@@ -111,13 +111,18 @@ def test_edge_triangle_support_brute(ray_session):
     assert got_d == {(x, y): len(adj[x] & adj[y]) for x, y in E}
 
 
-def test_edge_triangle_support_budget_raises(ray_session):
+def test_edge_triangle_support_past_budget_routes_bucketed(ray_session):
+    # the former hard ceiling: past the broadcast budget the op now
+    # routes to the fully-distributed bucketed tier instead of raising
     from bqf_ray.pipelines.graph import edge_triangle_support
+    from bqf_ray.plans import recent_plans
     tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
                     "b": pa.array([2, 3, 1], pa.int64())})
-    import pytest as _pt
-    with _pt.raises(ValueError):
-        edge_triangle_support(_ds(tbl), broadcast_budget_bytes=8)
+    got = edge_triangle_support(_ds(tbl), broadcast_budget_bytes=8) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert [p["plan"] for p in recent_plans()
+            if p["op"] == "edge_triangle_support"][-1] == "bucketed"
+    assert list(got["support"]) == [1, 1, 1]
 
 
 def test_clustering_components_brute(ray_session):
