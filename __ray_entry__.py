@@ -1766,6 +1766,59 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
               f"FROM r{int(iters)}")
 
 
+def _pagerank_parts_oracle_sql(iters: int = 6) -> str:
+    """Unrolled-CTE replay of ``pagerank_parts_sharded`` — the same
+    bit-exact integer scheme as :func:`_pagerank_oracle_sql`, over the
+    part co-purchase graph (w = distinct shared orders, both
+    directions).  Node position for the leftover respread =
+    ROW_NUMBER over partkey (numeric == numpy argsort)."""
+    parts = ["""pairs AS MATERIALIZED (
+      SELECT DISTINCT l1.l_orderkey AS o,
+             LEAST(l1.l_partkey, l2.l_partkey) AS a,
+             GREATEST(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey <> l2.l_partkey),
+    eu AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS w
+                        FROM pairs GROUP BY 1, 2),
+    edges AS MATERIALIZED (SELECT a AS s, b AS t, w FROM eu
+                           UNION ALL SELECT b, a, w FROM eu),
+    nodes AS MATERIALIZED (SELECT node,
+                    (ROW_NUMBER() OVER (ORDER BY node) - 1)::BIGINT AS pos
+             FROM (SELECT DISTINCT s AS node FROM edges)),
+    deg AS MATERIALIZED (SELECT s AS node, sum(w)::BIGINT AS deg
+                         FROM edges GROUP BY 1),
+    params AS MATERIALIZED (SELECT (SELECT count(*) FROM nodes)::BIGINT AS n,
+                      LEAST((1::BIGINT << 40),
+                            (1::BIGINT << 62)
+                              // ((SELECT count(*) FROM nodes)::BIGINT
+                                  * 17 * (SELECT max(w) FROM edges))) AS unit),
+    r0 AS MATERIALIZED (SELECT nd.node, nd.pos, p.unit AS r
+                        FROM nodes nd, params p)"""]
+    for k in range(int(iters)):
+        parts.append(f"""d{k} AS MATERIALIZED (
+      SELECT e.t AS node,
+             sum((r.r * 17 * e.w) // (20 * dg.deg))::BIGINT AS delivered
+      FROM edges e JOIN r{k} r ON r.node = e.s
+                   JOIN deg dg ON dg.node = e.s
+      GROUP BY 1)""")
+        parts.append(f"""l{k} AS MATERIALIZED (
+      SELECT p.n AS n,
+             p.n * p.unit
+               - COALESCE((SELECT sum(delivered) FROM d{k}), 0) AS leftover
+      FROM params p)""")
+        parts.append(f"""r{k + 1} AS MATERIALIZED (
+      SELECT nd.node, nd.pos,
+             COALESCE(d.delivered, 0)
+               + (SELECT leftover // n FROM l{k})
+               + CASE WHEN nd.pos < (SELECT leftover % n FROM l{k})
+                      THEN 1 ELSE 0 END AS r
+      FROM nodes nd LEFT JOIN d{k} d ON d.node = nd.node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node::BIGINT AS partkey, r::BIGINT AS rank_int "
+              f"FROM r{int(iters)}")
+
+
 def _walks_oracle_sql(walk_len: int = 4, walks_per_seed: int = 3,
                       salt: str = "r3") -> str:
     """Unrolled-CTE SQL equivalent of ``graph.random_walks`` over the
@@ -1925,6 +1978,48 @@ def w_pagerank_types(sf_dir):
                                weight_col="n")   # weighted: no edge blowup
     return pd.DataFrame({
         "event_type": [types[i] for i in nodes],
+        "rank_int": np.array([int(r) for r in ranks], dtype=np.int64)})
+
+
+def w_pagerank_parts_sharded(sf_dir):
+    """Weighted PageRank over the part co-purchase graph with the
+    SHARDED plan FORCED (``mode="sharded"`` — range-partitioned shard
+    actors, co-bucketed edge scans): the 100-TB scale path,
+    driver-oracled every round.  The sharded plan is bit-identical to
+    the broadcast plan (asserted in tests/test_pagerank_sharded.py),
+    so the same unrolled-CTE integer replay is EXACT.  Output
+    (partkey, rank_int)."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.graph import cooccurrence_edges, pagerank
+    from bqf_ray.stages.partition import bucketed_sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    und = bucketed_sum(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        .map_batches(one, batch_format="pyarrow"),
+        ["a", "b"], {"__one": "w"}, combine_local=True)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        w = np.asarray(b.column("w"), dtype=np.int64)
+        return pa.table({"s": pa.array(np.concatenate([a, bb])),
+                         "t": pa.array(np.concatenate([bb, a])),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    edges = und.map_batches(both_dirs, batch_format="pyarrow")
+    nodes, ranks, _ = pagerank(edges, "s", "t", iters=6,
+                               weight_col="w", mode="sharded")
+    return pd.DataFrame({
+        "partkey": np.asarray(nodes, dtype=np.int64),
         "rank_int": np.array([int(r) for r in ranks], dtype=np.int64)})
 
 
@@ -4556,8 +4651,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # that have never been driver-checked (all green in the local
     # driver-gate clone, tests/test_oracle_parity.py, at sf0.001).
     return {
-        # --- slots 1-50: round-4 driver window — never driver-checked,
-        #     oracle-backed (parity-suite green at sf0.001) ---
+        # --- slots 1-50: round-5 driver window — never driver-checked,
+        #     oracle-backed (parity-suite green at sf0.001), plus the
+        #     forced-sharded pagerank scale-path query ---
+        "pagerank_parts_sharded": w_pagerank_parts_sharded,
+        "ohlc_events": w_ohlc_events,
+        "dedup_weights": w_dedup_weights,
+        "dedup_keep_best": w_dedup_keep_best,
+        "chi2_source_lang": w_chi2_source_lang,
+        "quality_linear": w_quality_linear,
+        "kendall_types_binned": w_kendall_types_binned,
+        "media_decode_stats": w_media_decode_stats,
+        "media_audio_stats": w_media_audio_stats,
+        "pareto_orders": w_pareto_orders,
+        "user_mode_event": w_user_mode_event,
+        "autocorr_value": w_autocorr_value,
+        "mad_chars": w_mad_chars,
+        "bfs_parts": w_bfs_parts,
+        "scd2_events": w_scd2_events,
+        "value_relative_ranks": w_value_relative_ranks,
+        "source_purity": w_source_purity,
+        "trending_daily": w_trending_daily,
+        "edge_support_copurchase": w_edge_support,
+        "clustering_copurchase": w_clustering_copurchase,
+        "embedding_covariance": w_embedding_covariance,
+        "freq_directions_cov": w_freq_directions_cov,
+        "supplier_fanout": w_supplier_fanout,
+        "join_hot_users": w_join_hot_users,
+        "chars_hist_by_source": w_chars_hist_by_source,
+        "embedding_dim_quantiles": w_embedding_dim_quantiles,
+        "bm25_query": w_bm25_query,
+        "cont_quantiles_value": w_cont_quantiles_value,
+        "impute_value": w_impute_value,
+        "dup_lineitem_keys": w_dup_lineitem_keys,
+        "click_purchase_full": w_click_purchase_full,
+        "orders_checksum_by_status": w_orders_checksum_by_status,
+        "rolling_median_value": w_rolling_median_value,
+        "user_streaks": w_user_streaks,
+        "docs_all_terms": w_docs_all_terms,
+        "weighted_quantiles_price": w_weighted_quantiles_price,
+        "clustering_parts": w_clustering_parts,
+        "user_event_trail": w_user_event_trail,
+        "priority_sample_orders": w_priority_sample_orders,
+        "priority_sample_by_source": w_priority_sample_by_source,
+        "value_k_regression": w_value_k_regression,
+        "cosine_dups": w_cosine_dups,
+        "pca_embeddings": w_pca_embeddings,
+        "first_last_event": w_first_last_event,
+        "unpivot_lineitem": w_unpivot_lineitem,
+        "survivor_events": w_survivor_events,
+        "new_users_daily": w_new_users_daily,
+        "event_trigrams": w_event_trigrams,
+        "kcore_copurchase": w_kcore_copurchase,
+        "rrf_docs": w_rrf_docs,
+        # --- remaining never-driver-checked oracled queries ---
+        "event_transition_probs": w_transition_probs,
+        "lpa_copurchase": w_lpa_copurchase,
+        "user_activity_spans": w_user_activity_spans,
+        "twap_value": w_twap_value,
+        "decayed_user_value": w_decayed_user_value,
+        "cs_user_counts": w_cs_user_counts,
+        "last_touch": w_last_touch,
+        "daily_anomaly": w_daily_anomaly,
+        "dbscan_embeddings": w_dbscan_embeddings,
+        "spearman_user": w_spearman_user,
+        "snapshot_delta": w_snapshot_delta,
+        "hits_supplier_parts": w_hits_supplier_parts,
+        "rollup_orders": w_rollup_orders,
+        "link_pred_copurchase": w_link_pred_copurchase,
+        "late_events": w_late_events,
+        "purchases_pit_signup": w_purchases_pit_signup,
+        "quarantine_lineitem": w_quarantine_lineitem,
+        "benford_prices": w_benford_prices,
+        "inactive_customers": w_inactive_customers,
+        "event_ntiles": w_event_ntiles,
+        "sssp_parts": w_sssp_parts,
+        "nearest_click": w_nearest_click,
+        "ppr_types": w_ppr_types,
+        "ktruss_parts": w_ktruss_parts,
+        "walks_parts": w_walks_parts,
+        "kendall_user": w_kendall_user,
+        "resampled_value": w_resampled_value,
+        "cusum_user_value": w_cusum_user_value,
+        "fd_orders": w_fd_orders,
+        "cuckoo_parts_revoked": w_cuckoo_parts_revoked,
+        "phrase_docs": w_phrase_docs,
+        "ks_click_purchase": w_ks_click_purchase,
+        # --- driver-green in an earlier round (r1-r4 windows) / rest ---
         "region_nation_share": w_region_nation_share,
         "session_bounce": w_session_bounce,
         "gap_quantiles_by_user": w_gap_quantiles_by_user,
@@ -4608,90 +4788,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_chars": w_winsorize_chars,
         "zorder_orders": w_zorder_orders,
         "concurrent_sessions": w_concurrent_sessions,
-        # --- slots 51+: remaining never-driver-checked oracled queries
-        #     (rotate into the round-5 window) ---
-        "ohlc_events": w_ohlc_events,
-        "dedup_weights": w_dedup_weights,
-        "dedup_keep_best": w_dedup_keep_best,
-        "chi2_source_lang": w_chi2_source_lang,
-        "quality_linear": w_quality_linear,
-        "kendall_types_binned": w_kendall_types_binned,
-        "media_decode_stats": w_media_decode_stats,
-        "media_audio_stats": w_media_audio_stats,
-        "pareto_orders": w_pareto_orders,
-        "user_mode_event": w_user_mode_event,
-        "autocorr_value": w_autocorr_value,
-        "mad_chars": w_mad_chars,
-        "bfs_parts": w_bfs_parts,
-        "scd2_events": w_scd2_events,
-        "value_relative_ranks": w_value_relative_ranks,
-        "source_purity": w_source_purity,
-        "trending_daily": w_trending_daily,
-        "edge_support_copurchase": w_edge_support,
-        "clustering_copurchase": w_clustering_copurchase,
-        "embedding_covariance": w_embedding_covariance,
-        "freq_directions_cov": w_freq_directions_cov,
-        "supplier_fanout": w_supplier_fanout,
-        "join_hot_users": w_join_hot_users,
-        "chars_hist_by_source": w_chars_hist_by_source,
-        "embedding_dim_quantiles": w_embedding_dim_quantiles,
-        "bm25_query": w_bm25_query,
-        "cont_quantiles_value": w_cont_quantiles_value,
-        "impute_value": w_impute_value,
-        "dup_lineitem_keys": w_dup_lineitem_keys,
-        "click_purchase_full": w_click_purchase_full,
-        "orders_checksum_by_status": w_orders_checksum_by_status,
-        "rolling_median_value": w_rolling_median_value,
-        "user_streaks": w_user_streaks,
-        "docs_all_terms": w_docs_all_terms,
-        "weighted_quantiles_price": w_weighted_quantiles_price,
-        "clustering_parts": w_clustering_parts,
-        "user_event_trail": w_user_event_trail,
-        "priority_sample_orders": w_priority_sample_orders,
-        "priority_sample_by_source": w_priority_sample_by_source,
-        "value_k_regression": w_value_k_regression,
-        "cosine_dups": w_cosine_dups,
-        "pca_embeddings": w_pca_embeddings,
-        "first_last_event": w_first_last_event,
-        "unpivot_lineitem": w_unpivot_lineitem,
-        "survivor_events": w_survivor_events,
-        "new_users_daily": w_new_users_daily,
-        "event_trigrams": w_event_trigrams,
-        "kcore_copurchase": w_kcore_copurchase,
-        "rrf_docs": w_rrf_docs,
-        "event_transition_probs": w_transition_probs,
-        "lpa_copurchase": w_lpa_copurchase,
-        "user_activity_spans": w_user_activity_spans,
-        "twap_value": w_twap_value,
-        "decayed_user_value": w_decayed_user_value,
-        "cs_user_counts": w_cs_user_counts,
-        "last_touch": w_last_touch,
-        "daily_anomaly": w_daily_anomaly,
-        "dbscan_embeddings": w_dbscan_embeddings,
-        "spearman_user": w_spearman_user,
-        "snapshot_delta": w_snapshot_delta,
-        "hits_supplier_parts": w_hits_supplier_parts,
-        "rollup_orders": w_rollup_orders,
-        "link_pred_copurchase": w_link_pred_copurchase,
-        "late_events": w_late_events,
-        "purchases_pit_signup": w_purchases_pit_signup,
-        "quarantine_lineitem": w_quarantine_lineitem,
-        "benford_prices": w_benford_prices,
-        "inactive_customers": w_inactive_customers,
-        "event_ntiles": w_event_ntiles,
-        "sssp_parts": w_sssp_parts,
-        "nearest_click": w_nearest_click,
-        "ppr_types": w_ppr_types,
-        "ktruss_parts": w_ktruss_parts,
-        "walks_parts": w_walks_parts,
-        "kendall_user": w_kendall_user,
-        "resampled_value": w_resampled_value,
-        "cusum_user_value": w_cusum_user_value,
-        "fd_orders": w_fd_orders,
-        "cuckoo_parts_revoked": w_cuckoo_parts_revoked,
-        "phrase_docs": w_phrase_docs,
-        "ks_click_purchase": w_ks_click_purchase,
-        # --- driver-green in an earlier round (r1-r3 windows) ---
         "event_ranks": w_event_ranks,
         "table_checksum": w_table_checksum,
         "grouped_disc_quantiles": w_grouped_disc_quantiles,
@@ -4793,7 +4889,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": w_containment,
         "value_ranks": w_value_ranks,
         "url_canon": w_url_canon,
-        # --- genuinely no-oracle (rows-only; recall/stub variants) ---
         "knn_lsh": w_knn_lsh,
         "knn_ivf": w_knn_ivf,
         "knn_pq": w_knn_pq,
@@ -5832,6 +5927,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, count(*)::BIGINT AS n
             FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2""",
         "pagerank_types": _pagerank_oracle_sql(iters=8),
+        "pagerank_parts_sharded": _pagerank_parts_oracle_sql(iters=6),
         "ppr_types": _ppr_oracle_sql(iters=6, seed_type="click"),
         "ktruss_parts": _ktruss_oracle_sql(k=4, rounds=2),
         "walks_parts": _walks_oracle_sql(walk_len=4, walks_per_seed=3,

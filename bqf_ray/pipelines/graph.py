@@ -354,9 +354,9 @@ def pagerank(edges_ds, src_col: str, dst_col: str, d_num: int = 17,
         nd_ds = nd_ds.materialize()
         n_nodes = nd_ds.count()
         if mode == "sharded" or n_nodes > int(node_budget):
-            if mode == "auto":
-                plan_log("pagerank", "sharded", n_nodes=n_nodes,
-                         node_budget=int(node_budget))
+            plan_log("pagerank", "sharded", n_nodes=n_nodes,
+                     node_budget=int(node_budget),
+                     forced=int(mode == "sharded"))
             return _pagerank_sharded(
                 edges, nd_ds, n_nodes, d_num=d_num, d_den=d_den,
                 iters=iters, restart_nodes=restart_nodes,

@@ -27,6 +27,39 @@ import pyarrow as pa
 
 from bqf_ray.sources.media import decode_header, decode_payload
 
+# the complete decode-failure surface of decode_payload and the
+# stdlib codecs behind it (sources/codecs.py): foreign magic →
+# NotImplementedError, malformed container → ValueError/struct.error,
+# corrupt DEFLATE → zlib.error.  Anything else is a real bug and MUST
+# propagate — a bare Exception catch would mask codec defects as
+# ok=False rows.
+_DECODE_ERRORS = (NotImplementedError, ValueError,
+                  _zlib.error, _struct.error)
+
+
+def _binary_views(col):
+    """Zero-copy per-row ``memoryview`` iterator over a (large_)binary
+    column (None for nulls) — avoids ``to_pylist()``'s per-batch bytes
+    copies; the stdlib codecs accept any buffer object."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for ch in chunks:
+        valid = np.asarray(ch.is_valid()) if ch.null_count else None
+        bufs = ch.buffers()
+        width = (np.int64 if pa.types.is_large_binary(ch.type)
+                 else np.int32)
+        offs = np.frombuffer(bufs[1], dtype=width)[
+            ch.offset: ch.offset + len(ch) + 1]
+        # cast to unsigned: pyarrow buffers export format 'b' (signed),
+        # under which a slice never compares equal to a bytes literal
+        # containing values > 127 (e.g. the \x89 of PNG magic)
+        data = (memoryview(bufs[2]).cast("B") if bufs[2] is not None
+                else memoryview(b""))
+        for i in range(len(ch)):
+            if valid is not None and not valid[i]:
+                yield None
+            else:
+                yield data[offs[i]: offs[i + 1]]
+
 
 class DecodeMedia:
     """payload → (width, height, n_frames, n_bytes) metadata + validity.
@@ -39,15 +72,17 @@ class DecodeMedia:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, frames, nbytes, ok = [], [], [], [], []
-        for blob in batch.column(self.payload_col).to_pylist():
+        for blob in _binary_views(batch.column(self.payload_col)):
             try:
+                if blob is None:
+                    raise ValueError("null payload")
                 _, w, h, f, data = decode_payload(blob)
                 widths.append(w)
                 heights.append(h)
                 frames.append(f)
                 nbytes.append(int(data.nbytes))
                 ok.append(True)
-            except (NotImplementedError, Exception):
+            except _DECODE_ERRORS:
                 widths.append(0)
                 heights.append(0)
                 frames.append(0)
@@ -73,11 +108,10 @@ class ResizeImages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
-        for blob in batch.column(self.payload_col).to_pylist():
+        for blob in _binary_views(batch.column(self.payload_col)):
             try:
                 kind, w, h, f, img = decode_payload(blob)
-            except (NotImplementedError, ValueError, _zlib.error,
-                    _struct.error):
+            except _DECODE_ERRORS:
                 out.append(None)
                 continue
             if kind != 0:
@@ -102,11 +136,10 @@ class MediaFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
-        for blob in batch.column(self.payload_col).to_pylist():
+        for blob in _binary_views(batch.column(self.payload_col)):
             try:
                 _, w, h, f, data = decode_payload(blob)
-            except (NotImplementedError, ValueError, _zlib.error,
-                    _struct.error):
+            except _DECODE_ERRORS:
                 feats.append([0.0] * self.DIM)
                 continue
             data = data.reshape(-1).astype(np.float64)
@@ -139,7 +172,8 @@ class SampleFrames:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_no, frames_bin = [], [], []
         mids = batch.column(self.id_col).to_pylist()
-        for mid, blob in zip(mids, batch.column(self.payload_col).to_pylist()):
+        for mid, blob in zip(mids,
+                             _binary_views(batch.column(self.payload_col))):
             try:
                 kind, w, h, f, off = decode_header(blob)
             except NotImplementedError:
