@@ -4635,6 +4635,23 @@ def w_media_audio_stats(sf_dir):
     return wav_decode_stats(docs, max_id=2000)
 
 
+def w_media_jpeg_stats(sf_dir):
+    """REAL baseline-JPEG codec check with an EXACT SQL oracle: per doc
+    id < 1500 a block-constant even-valued grayscale image is encoded
+    (quality 50, cycling restart intervals) and decoded through the
+    full pure-stdlib Huffman+DCT path (``sources/jpeg.py``) — at these
+    parameters the roundtrip is mathematically lossless (see
+    ``multimodal.jpeg_decode_stats``), so the oracle recomputes pixel
+    stats from the block-value formula alone and any bitstream /
+    Huffman / DCT defect breaks value equality."""
+    import ray
+
+    from bqf_ray.pipelines.multimodal import jpeg_decode_stats
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return jpeg_decode_stats(docs, max_id=1500)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4705,6 +4722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": w_kcore_copurchase,
         "rrf_docs": w_rrf_docs,
         # --- remaining never-driver-checked oracled queries ---
+        "media_jpeg_stats": w_media_jpeg_stats,
         "event_transition_probs": w_transition_probs,
         "lpa_copurchase": w_lpa_copurchase,
         "user_activity_spans": w_user_activity_spans,
@@ -8136,6 +8154,25 @@ def oracle_sql() -> dict[str, str]:
                    MIN(p)::BIGINT AS px_min,
                    MAX(p)::BIGINT AS px_max
             FROM px GROUP BY doc_id, w, h""",
+        "media_jpeg_stats": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
+            blk AS (
+              SELECT d.doc_id,
+                     (2 + d.doc_id % 5)::BIGINT AS wb,
+                     (2 + d.doc_id % 4)::BIGINT AS hb,
+                     (2 * ((d.doc_id * 2654435761 + j.j * 40503) % 128))
+                       ::BIGINT AS v
+              FROM d,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, (2 + d.doc_id % 5) * (2 + d.doc_id % 4)
+                          - 1)) AS j) j)
+            SELECT doc_id,
+                   (8 * wb)::BIGINT AS width,
+                   (8 * hb)::BIGINT AS height,
+                   (64 * SUM(v))::BIGINT AS px_sum,
+                   MIN(v)::BIGINT AS px_min,
+                   MAX(v)::BIGINT AS px_max
+            FROM blk GROUP BY doc_id, wb, hb""",
         "media_audio_stats": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
             s AS (

@@ -12,9 +12,10 @@ The engineering contract for 100 TB multimodal pipelines:
   decode_payload` decodes the deterministic RAWM container plus REAL
   PNG and WAV PCM via the pure-stdlib codecs in
   :mod:`bqf_ray.sources.codecs` (zlib + scanline unfiltering / RIFF
-  parsing); entropy-coded formats (JPEG/MP3/H.264) still raise
-  ``NotImplementedError`` at that single point — swap PIL/ffmpeg in
-  there in production.
+  parsing) and baseline JPEG via :mod:`bqf_ray.sources.jpeg` (Huffman
+  + DCT, pure stdlib); the remaining formats (MP3/H.264) still raise
+  ``NotImplementedError`` at that single point — swap ffmpeg in there
+  in production.
 """
 
 from __future__ import annotations
@@ -350,6 +351,56 @@ def wav_decode_stats(docs, id_col: str = "doc_id", max_id: int = 2000,
                 out["s_sum"].append(int(back.astype(np.int64).sum()))
                 out["s_min"].append(int(back.min()))
                 out["s_max"].append(int(back.max()))
+            return pa.table({k: pa.array(v, pa.int64())
+                             for k, v in out.items()})
+
+    return docs.map_batches(EncodeDecode, batch_format="pyarrow",
+                            batch_size=256, concurrency=concurrency,
+                            num_cpus=0.5)
+
+
+def jpeg_decode_stats(docs, id_col: str = "doc_id", max_id: int = 1500,
+                      concurrency: int = 2):
+    """Oracle-checkable REAL-JPEG decode — the lossy-codec sibling of
+    :func:`png_decode_stats`, made EXACTLY SQL-replayable by encoding
+    block-constant images with even pixel values at quality 50:
+    the DC quantizer is then exactly 16 and the DCT DC coefficient of
+    a constant block v is exactly 8·(v−128) (divisible by 16 when v
+    is even), so quant → dequant → IDCT reconstructs v bit-exact
+    while the FULL baseline bitstream machinery (DC prediction
+    across blocks, Huffman categories, byte stuffing, restart
+    markers — interval cycles 1..4 per id) is exercised.
+
+    Per doc id < ``max_id``: a ``8·(2 + id mod 5) × 8·(2 + id mod 4)``
+    grayscale image with block j's value ``v(j) = 2·((id·2654435761 +
+    j·40503) mod 128)`` (row-major block index) is JPEG-encoded and
+    decoded with :mod:`bqf_ray.sources.jpeg`; emits ``(doc_id, width,
+    height, px_sum, px_min, px_max)`` which the DuckDB oracle
+    recomputes from the block-value formula alone (px_sum = 64·Σv)."""
+    from bqf_ray.sources.jpeg import jpeg_decode, jpeg_encode
+
+    class EncodeDecode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            ids = ids[ids < max_id]
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for did in ids:
+                wb = int(2 + did % 5)
+                hb = int(2 + did % 4)
+                j = np.arange(hb * wb, dtype=np.int64)
+                v = (2 * ((did * 2654435761 + j * 40503) % 128)
+                     ).astype(np.uint8).reshape(hb, wb)
+                img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                back = jpeg_decode(jpeg_encode(
+                    img, quality=50,
+                    restart_interval=int(1 + did % 4)))
+                out["doc_id"].append(int(did))
+                out["width"].append(int(back.shape[1]))
+                out["height"].append(int(back.shape[0]))
+                out["px_sum"].append(int(back.astype(np.int64).sum()))
+                out["px_min"].append(int(back.min()))
+                out["px_max"].append(int(back.max()))
             return pa.table({k: pa.array(v, pa.int64())
                              for k, v in out.items()})
 

@@ -2,10 +2,11 @@
 
 Real crawl pipelines carry images/audio/video as opaque ``binary`` columns
 with typed metadata.  Images and audio decode as REAL formats — PNG and
-WAV PCM via the pure-stdlib codecs in :mod:`bqf_ray.sources.codecs`
-(``generate_media(real_formats=True)`` emits them); entropy-coded
-formats (JPEG/MP3/video) stay behind the ``NotImplementedError``
-boundary in :func:`decode_header` (PIL/ffmpeg absent).  The default
+WAV PCM via the pure-stdlib codecs in :mod:`bqf_ray.sources.codecs`,
+and baseline JPEG via :mod:`bqf_ray.sources.jpeg` (Huffman + DCT,
+pure stdlib); the remaining entropy-coded formats (MP3/video) stay
+behind the ``NotImplementedError`` boundary in :func:`decode_header`
+(ffmpeg absent).  The default
 fixture format is the deterministic fake container "RAWM":
 
     RAWM | kind(1B: 0=img,1=audio,2=video) | w(u16) | h(u16) | frames(u16)
@@ -35,10 +36,11 @@ def decode_header(blob: bytes) -> tuple[int, int, int, int, int]:
     """→ (kind, w, h, frames, payload_offset); raises on foreign formats."""
     if blob[:4] != MAGIC:
         raise NotImplementedError(
-            "not a RAWM container — PNG/WAV go through decode_payload "
-            "(pure-stdlib codecs in sources/codecs.py); JPEG/MP3/video "
-            "codecs are not available in this environment (stub "
-            "boundary — swap in PIL/ffmpeg decoders here in production)")
+            "not a RAWM container — PNG/WAV/JPEG go through "
+            "decode_payload (pure-stdlib codecs in sources/codecs.py "
+            "and sources/jpeg.py); MP3/video codecs are not available "
+            "in this environment (stub boundary — swap in ffmpeg "
+            "decoders here in production)")
     kind, w, h, frames = struct.unpack("<BHHH", blob[4:11])
     return kind, w, h, frames, 11
 
@@ -49,9 +51,11 @@ def decode_payload(blob: bytes):
 
     Dispatches on magic bytes: RAWM (synthetic container), PNG
     (:func:`bqf_ray.sources.codecs.png_decode` — real zlib+filter
-    decode), WAV PCM (:func:`bqf_ray.sources.codecs.wav_decode`).
-    Anything else raises ``NotImplementedError`` (the documented
-    real-codec boundary for entropy-coded formats).
+    decode), baseline JPEG (:func:`bqf_ray.sources.jpeg.jpeg_decode`
+    — real Huffman+DCT decode), WAV PCM
+    (:func:`bqf_ray.sources.codecs.wav_decode`).  Anything else
+    raises ``NotImplementedError`` (the documented real-codec
+    boundary for the remaining entropy-coded formats).
 
     Shapes: image → (h, w) or (h, w, ch) uint8; audio → (n,) or
     (n, ch) int; video (RAWM only) → (frames, h, w) uint8."""
@@ -59,6 +63,11 @@ def decode_payload(blob: bytes):
 
     if blob[:8] == PNG_MAGIC:
         img = png_decode(blob)
+        h, w = img.shape[:2]
+        return 0, w, h, 1, img
+    if blob[:3] == b"\xff\xd8\xff":
+        from bqf_ray.sources.jpeg import jpeg_decode
+        img = jpeg_decode(blob)
         h, w = img.shape[:2]
         return 0, w, h, 1, img
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":

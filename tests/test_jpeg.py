@@ -1,0 +1,135 @@
+"""Pure-stdlib baseline JPEG codec (sources/jpeg.py): exact roundtrip
+on the block-constant class, bounded error on arbitrary images,
+restart markers, color, scope rejections, and the decode_payload
+dispatch."""
+import numpy as np
+import pytest
+
+from bqf_ray.sources.jpeg import (jpeg_decode, jpeg_encode,
+                                  quality_scale, QUANT_LUMA)
+
+
+def _const_blocks(rng, nby, nbx):
+    v = (rng.integers(0, 128, (nby, nbx)) * 2).astype(np.uint8)
+    return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+
+
+def test_block_constant_even_q50_is_lossless():
+    # DC quant at q50 = Annex K verbatim = 16; constant block v has
+    # DC = 8*(v-128), divisible by 16 for even v -> exact roundtrip
+    assert quality_scale(QUANT_LUMA, 50)[0] == 16
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        img = _const_blocks(rng, int(rng.integers(1, 7)),
+                            int(rng.integers(1, 7)))
+        assert (jpeg_decode(jpeg_encode(img, quality=50)) == img).all()
+
+
+def test_block_constant_cropped_dims():
+    # non-multiple-of-8 dims: encoder edge-pads, decoder crops back
+    rng = np.random.default_rng(5)
+    img = _const_blocks(rng, 4, 5)[:25, :33]
+    out = jpeg_decode(jpeg_encode(img, quality=50))
+    assert out.shape == (25, 33)
+    assert (out == img).all()
+
+
+def test_restart_markers_do_not_change_output():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 48)).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quality=75))
+    for ri in (1, 3, 7):
+        blob = jpeg_encode(img, quality=75, restart_interval=ri)
+        assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+        assert (jpeg_decode(blob) == base).all()
+
+
+def test_random_gray_bounded_error_and_deterministic():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (56, 72)).astype(np.uint8)
+    blob = jpeg_encode(img, quality=90)
+    out = jpeg_decode(blob)
+    assert out.shape == img.shape
+    # worst-case q90 error on white noise (every AC band active)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
+    assert (jpeg_decode(blob) == out).all()      # decode deterministic
+
+
+def test_smooth_gradients_small_error():
+    x = np.linspace(0, 1, 96)
+    img = (np.outer(x, x) * 255).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=85))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_color_roundtrip_shapes_and_error():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out.shape == img.shape
+    x = np.linspace(0, 1, 64)
+    smooth = (np.outer(x, x)[..., None]
+              * np.array([200.0, 120.0, 80.0])).astype(np.uint8)
+    sout = jpeg_decode(jpeg_encode(smooth, quality=90))
+    assert np.abs(sout.astype(int) - smooth.astype(int)).max() <= 16
+
+
+def test_high_frequency_content_exercises_ac_paths():
+    # sparse spikes -> long zero runs (ZRL) + many (run,size) symbols
+    img = np.zeros((32, 32), dtype=np.uint8)
+    img[::7, ::5] = 255
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 120
+
+
+def test_quality_extremes():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    for q in (1, 25, 100):
+        out = jpeg_decode(jpeg_encode(img, quality=q))
+        assert out.shape == img.shape
+    # q100 quant tables are all ones -> tight roundtrip
+    q100 = jpeg_decode(jpeg_encode(img, quality=100))
+    assert np.abs(q100.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_scope_rejections():
+    rng = np.random.default_rng(19)
+    blob = jpeg_encode(rng.integers(0, 256, (16, 16)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_decode(blob[:len(blob) // 2])       # truncated stream
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(prog)
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((4, 4), dtype=np.float64))  # wrong dtype
+
+
+def test_decode_payload_dispatch():
+    from bqf_ray.sources.media import decode_payload
+    rng = np.random.default_rng(23)
+    img = _const_blocks(rng, 3, 4)
+    kind, w, h, f, data = decode_payload(jpeg_encode(img, quality=50))
+    assert (kind, w, h, f) == (0, 32, 24, 1)
+    assert (data == img).all()
+
+
+def test_decode_media_stage_handles_jpeg(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from bqf_ray.pipelines.multimodal import DecodeMedia
+    rng = np.random.default_rng(29)
+    blobs = [jpeg_encode(_const_blocks(rng, 2, 2), quality=50)
+             for _ in range(10)] + [b"\xff\xd8\xffgarbage"]
+    tbl = pa.table({"media_id": pa.array(range(11), pa.int64()),
+                    "payload": pa.array(blobs, pa.binary())})
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(DecodeMedia(), batch_format="pyarrow")
+           .to_pandas().sort_values("media_id"))
+    assert list(out["ok"]) == [True] * 10 + [False]
+    assert (out["width"][:10] == 16).all()

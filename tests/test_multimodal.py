@@ -196,8 +196,12 @@ def test_decode_payload_dispatch(ray_session):
     raw = rng.randint(0, 256, 6 * 4).astype(np.uint8)
     k, w, h, f, data = decode_payload(encode_media(0, 6, 4, 1, raw.tobytes()))
     assert (k, w, h) == (0, 6, 4) and (data == raw.reshape(4, 6)).all()
-    with _pt.raises(NotImplementedError):
+    # JPEG is a real codec now: malformed JPEG bytes raise ValueError
+    with _pt.raises(ValueError):
         decode_payload(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # remaining stub boundary: entropy formats without a codec
+    with _pt.raises(NotImplementedError):
+        decode_payload(b"ID3\x04 mp3-ish")
 
 
 def test_phash_identical_for_png_and_rawm(ray_session):
