@@ -762,14 +762,19 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
             ray.get([a.n_seeds.remote() for a in actors]))
         n_seeds = int(per_shard.sum())
         seed_offsets = np.concatenate([[0], np.cumsum(per_shard)[:-1]])
-        base, rem = divmod(n * UNIT, n_seeds)
-        ray.get([actors[p].init_ranks.remote(
-            0, seed_base=base,
-            seed_plus1=int(np.clip(rem - seed_offsets[p], 0,
-                                   per_shard[p])))
-            for p in range(P)])
-    else:
-        ray.get([a.init_ranks.remote(UNIT) for a in actors])
+
+    def init_all_ranks():
+        if restart_nodes is not None:
+            base, rem = divmod(n * UNIT, n_seeds)
+            ray.get([actors[p].init_ranks.remote(
+                0, seed_base=base,
+                seed_plus1=int(np.clip(rem - seed_offsets[p], 0,
+                                       per_shard[p])))
+                for p in range(P)])
+        else:
+            ray.get([a.init_ranks.remote(UNIT) for a in actors])
+
+    init_all_ranks()
 
     # co-bucket edges by source range ONCE; every round's contribution
     # tasks then touch only the shard(s) their batch's bucket covers
@@ -795,6 +800,12 @@ def _pagerank_sharded(edges, nd_ds, n, *, d_num, d_den, iters,
                     for p in range(P)])
                 if all(loaded):
                     start_iter = int(meta["iter"])
+                elif any(loaded):
+                    # PARTIAL load (a shard's file lost/damaged): the
+                    # loaded shards now hold checkpointed ranks while
+                    # the rest hold the fresh init — re-init everything
+                    # so the from-scratch recompute starts consistent
+                    init_all_ranks()
 
     for it in range(start_iter, int(iters)):
         token = f"pr-{run_id}-{it}"
