@@ -1623,6 +1623,22 @@ def w_containment(sf_dir):
     return containment_pairs(docs, threshold=0.5, s=3)
 
 
+def w_containment_kmv(sf_dir):
+    """KMV-sketch containment estimate (``dedup.containment_pairs_kmv``)
+    — the scale path for the regime where the exact plan's Σdf²
+    candidate volume is unaffordable.  sf docs hold fewer than k=512
+    shingles, so every sketch IS its set and the estimator is EXACT
+    (is_exact all true, m == n_a): the oracle replays the exact
+    containment SQL with those two columns appended.  The truncated
+    (approximate) regime is covered by the calibration tests and the
+    1M-doc stress row in BASELINE.md."""
+    import ray
+    from bqf_ray.pipelines.dedup import containment_pairs_kmv
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return containment_pairs_kmv(docs, threshold=0.5, s=3, k=512)
+
+
 def w_dedup_within(sf_dir):
     """Intra-document segment dedup (keep-first within each doc) — a
     stateless one-pass map_batches, no shuffle; fixture docs are
@@ -4723,6 +4739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_docs": w_rrf_docs,
         # --- remaining never-driver-checked oracled queries ---
         "media_jpeg_stats": w_media_jpeg_stats,
+        "containment_kmv": w_containment_kmv,
         "event_transition_probs": w_transition_probs,
         "lpa_copurchase": w_lpa_copurchase,
         "user_activity_spans": w_user_activity_spans,
@@ -7141,6 +7158,29 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY 1, 2)
             SELECT da AS doc_a, db AS doc_b, m::BIGINT AS inter,
                    sa.n::BIGINT AS n_a, m::DOUBLE / sa.n AS containment
+            FROM inter JOIN sz sa ON sa.doc_id = da
+            WHERE m::DOUBLE / sa.n >= 0.5""",
+        "containment_kmv": """
+            WITH tok AS (
+              SELECT doc_id, i, toks[i] AS t
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i)),
+            sh AS (SELECT DISTINCT a.doc_id,
+                          a.t || ' ' || b.t || ' ' || c.t AS shingle
+                   FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                              JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS da, y.doc_id AS db,
+                             count(*) AS m
+                      FROM sh x JOIN sh y
+                        ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+                      GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b, m::BIGINT AS inter,
+                   sa.n::BIGINT AS n_a, m::DOUBLE / sa.n AS containment,
+                   sa.n::BIGINT AS m, TRUE AS is_exact
             FROM inter JOIN sz sa ON sa.doc_id = da
             WHERE m::DOUBLE / sa.n >= 0.5""",
         "dedup_within": """

@@ -140,6 +140,9 @@ def _doc_shingles(batch: pa.Table, text_col: str, id_col: str, s: int,
     did = np.repeat(doc_ids, lens)
     # distinct (doc, shingle)
     # dedupe (doc, shingle) pairs via a positional sort, not a combined hash
+    if not len(did):
+        z = pa.array([], pa.int64())
+        return pa.table({"doc_id": z, "shingle": z, "set_size": z})
     order = np.lexsort((sh, did))
     did_s, sh_s = did[order], sh[order]
     first = np.concatenate([[True], (did_s[1:] != did_s[:-1]) | (sh_s[1:] != sh_s[:-1])])
@@ -1795,6 +1798,283 @@ def containment_pairs(ds, threshold: float = 0.7, s: int = 3,
             .map_groups(pair_bucket, batch_format="pyarrow")
             .groupby("__pb")
             .map_groups(sum_finish, batch_format="pyarrow"))
+
+
+# sentinel for "sketch IS the set": max uint64 (sketch/tau order is the
+# UNSIGNED hash order _doc_shingles sorts by; stored as int64 -1)
+_KMV_TAU_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
+                          k: int = 512, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_buckets: int = 64, seed: int = 0):
+    """KMV-sketch containment estimate — the scale path for the regime
+    where :func:`containment_pairs`'s exact Σ_shingle df² candidate
+    volume is unaffordable and ``df_cap`` would bias hot shingles.
+
+    Per doc, keep the ``k`` smallest shingle hashes (bottom-k / KMV
+    sketch; hash order is a fixed total order, so "hashes below t" is
+    a uniform sample of the set) plus the EXACT set size.  For a pair
+    (A, B) with per-sketch thresholds τ = kth-smallest (or +∞ when the
+    doc has < k shingles, i.e. the sketch IS the set) and
+    ``t = min(τ_A, τ_B)``: every hash ≤ t of either set is present in
+    its sketch, so ``c = |Sk_A ∩ Sk_B|`` counts EXACTLY the shared
+    hashes below t and ``m_X = |Sk_X ≤ t|`` is an exact uniform-sample
+    size — the estimator ``ĉontainment(A→B) = c / m_A`` is a binomial
+    proportion with std ``≈ sqrt(c̄(1−c̄)/m_A)``.  When both docs have
+    < k shingles the estimate IS exact (``is_exact`` column true) —
+    the sf-scale oracle regime; at crawl scale the stress harness
+    reports observed error instead.
+
+    Plan (all exchanges 1-int hash buckets, nothing driver-resident):
+    1. one map_batches builds sketches (no shuffle);
+    2. candidate pairs from shared SAMPLED hashes — hash-bucketed
+       co-occurrence, pre-summed, ONE pair exchange folding exact
+       ``c`` (candidate volume is Σ df'² over sampled hashes,
+       ≈ (k/n̄)² of the exact plan's);
+    3. two doc-bucketed co-partitioned joins attach each side's
+       (sketch, n, τ) — the :func:`attach_degrees` pattern with a
+       list payload;
+    4. a stateless map derives both ordered containment estimates and
+       threshold-filters.
+
+    Output ``(doc_a, doc_b, inter, n_a, containment, m, is_exact)``:
+    ``inter`` = c (exact when is_exact), ``m`` = the sample size the
+    estimate divides by (= n_a when exact)."""
+    B = int(num_buckets)
+    K = int(k)
+
+    def doc_sketches(batch: pa.Table) -> pa.Table:
+        """One COMPLETE sketch row per doc — built inside the batch
+        where :func:`_doc_shingles` guarantees a doc's rows are never
+        split (re-batching downstream could split them, which is why
+        the doc assembly happens HERE, not after a materialize)."""
+        t = _doc_shingles(batch, text_col, id_col, s, seed=seed)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        sh = np.asarray(t.column("shingle"), dtype=np.int64)
+        n = np.asarray(t.column("set_size"), dtype=np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.list_(pa.int64())),
+                          "n": pa.array([], pa.int64()),
+                          "tau": pa.array([], pa.int64())})
+        if not len(did):
+            return empty
+        # rows arrive lexsorted (doc, shingle) with shingles in
+        # UNSIGNED hash order; per-doc rank < K keeps the bottom-K in
+        # that order (a fixed total order over uniform hashes — the
+        # uniform-sample semantics the estimator needs)
+        starts = np.concatenate([[True], did[1:] != did[:-1]])
+        run_off = np.repeat(np.flatnonzero(starts),
+                            np.diff(np.append(np.flatnonzero(starts),
+                                              len(did))))
+        rank = np.arange(len(did)) - run_off
+        keep = rank < K
+        did_k, sh_k = did[keep], sh[keep]
+        k_starts = np.concatenate([[True], did_k[1:] != did_k[:-1]])
+        offs = np.append(np.flatnonzero(k_starts), len(did_k))
+        last = offs[1:] - 1
+        # per-doc tau: the largest KEPT hash when truncated, else +inf
+        n_doc = n[starts]
+        # tau in the UNSIGNED hash order (what _doc_shingles sorts by)
+        tau_doc = np.where(n_doc > K, sh_k[last].view(np.uint64),
+                           _KMV_TAU_FULL)
+        sk = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)), pa.array(sh_k))
+        return pa.table({"doc_id": pa.array(did_k[offs[:-1]]),
+                         "sk": sk,
+                         "n": pa.array(n_doc),
+                         "tau": pa.array(tau_doc.view(np.int64))})
+
+    docs_tbl = ds.map_batches(doc_sketches,
+                              batch_format="pyarrow").materialize()
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        """doc sketch rows → exploded (doc_id, h) candidate rows."""
+        if batch.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "h": z, "__bucket": z})
+        lens = np.asarray(pc.list_value_length(batch.column("sk")),
+                          dtype=np.int64)
+        did = np.repeat(np.asarray(batch.column("doc_id"),
+                                   dtype=np.int64), lens)
+        h = np.asarray(pc.list_flatten(batch.column("sk")),
+                       dtype=np.int64)
+        return pa.table({"doc_id": pa.array(did), "h": pa.array(h),
+                         "__bucket": pa.array(
+                             (h.view(np.uint64) % np.uint64(B))
+                             .astype(np.int64))})
+
+    sketches = docs_tbl.map_batches(flatten, batch_format="pyarrow")
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        h = np.asarray(group.column("h"), dtype=np.int64)
+        did = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((did, h))
+        h_s, did_s = h[order], did[order]
+        from bqf_ray.pipelines.graph import _segment_pairs
+        x, y = _segment_pairs(h_s, did_s)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        if len(lo):
+            t = pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                          "one": pa.array(np.ones(len(lo),
+                                                  dtype=np.int64))})
+            t = (t.group_by(["lo", "hi"]).aggregate([("one", "sum")])
+                 .rename_columns(["lo", "hi", "c"]))
+        else:
+            z = pa.array([], pa.int64())
+            t = pa.table({"lo": z, "hi": z, "c": z})
+        pb = (fmix64(np.asarray(t.column("lo"), dtype=np.int64)
+                     .view(np.uint64)
+                     ^ fmix64(np.asarray(t.column("hi"),
+                                         dtype=np.int64)
+                             .view(np.uint64)))
+              % np.uint64(B)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb))
+
+    def pair_sum(group: pa.Table) -> pa.Table:
+        t = (group.select(["lo", "hi", "c"]).group_by(["lo", "hi"])
+             .aggregate([("c", "sum")])
+             .rename_columns(["lo", "hi", "c"]))
+        return t
+
+    pairs = (sketches.groupby("__bucket")
+             .map_groups(pair_bucket, batch_format="pyarrow")
+             .groupby("__pb")
+             .map_groups(pair_sum, batch_format="pyarrow")).materialize()
+    if pairs.count() == 0:
+        import ray.data
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "doc_a": z, "doc_b": z, "inter": z, "n_a": z,
+            "containment": pa.array([], pa.float64()),
+            "m": z, "is_exact": pa.array([], pa.bool_())}))
+
+    def _attach_side(pair_ds, key: str, suffix: str):
+        def tag_p(batch: pa.Table) -> pa.Table:
+            kv = np.asarray(batch.column(key), dtype=np.int64)
+            return batch.append_column("__ab", pa.array(
+                (fmix64(kv.view(np.uint64)) % np.uint64(B))
+                .astype(np.int64)))
+
+        def tag_d(batch: pa.Table) -> pa.Table:
+            kv = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return pa.table({
+                f"sk_{suffix}": batch.column("sk"),
+                f"n_{suffix}": batch.column("n"),
+                f"tau_{suffix}": batch.column("tau"),
+                "__docid": batch.column("doc_id"),
+                "__ab": pa.array((fmix64(kv.view(np.uint64))
+                                  % np.uint64(B)).astype(np.int64))})
+
+        def join_bucket(g: pa.Table) -> pa.Table:
+            is_doc = np.zeros(g.num_rows, dtype=bool)
+            dd = g.column("__docid")
+            is_doc = ~np.asarray(pc.is_null(dd))
+            docs = g.filter(pa.array(is_doc))
+            prs = g.filter(pa.array(~is_doc))
+            if prs.num_rows == 0:
+                return prs.drop_columns(["__ab", "__docid"])
+            dnode = np.asarray(docs.column("__docid"), dtype=np.int64)
+            order = np.argsort(dnode)
+            dnode = dnode[order]
+            docs = docs.take(pa.array(order))
+            pk = np.asarray(prs.column(key), dtype=np.int64)
+            pos = np.searchsorted(dnode, pk)
+            assert len(dnode) and (pos < len(dnode)).all() \
+                and (dnode[pos] == pk).all(), "sketch attach miss"
+            prs = prs.drop_columns(
+                ["__ab", "__docid", f"sk_{suffix}", f"n_{suffix}",
+                 f"tau_{suffix}"])
+            taken = docs.take(pa.array(pos))
+            for c in (f"sk_{suffix}", f"n_{suffix}", f"tau_{suffix}"):
+                prs = prs.append_column(c, taken.column(c))
+            return prs
+
+        def widen_p(batch: pa.Table) -> pa.Table:
+            nulls_sk = pa.nulls(batch.num_rows, pa.list_(pa.int64()))
+            nulls_i = pa.nulls(batch.num_rows, pa.int64())
+            return (tag_p(batch)
+                    .append_column(f"sk_{suffix}", nulls_sk)
+                    .append_column(f"n_{suffix}", nulls_i)
+                    .append_column(f"tau_{suffix}", nulls_i)
+                    .append_column("__docid", nulls_i))
+
+        def widen_d(batch: pa.Table) -> pa.Table:
+            t = tag_d(batch)
+            for c in pair_cols:
+                t = t.append_column(c, pa.nulls(batch.num_rows,
+                                                pair_types[c]))
+            return t.select(col_order)
+
+        probe = pair_ds.map_batches(widen_p, batch_format="pyarrow")
+        sch = probe.schema()
+        col_order = sch.names
+        pair_cols = [c for c in col_order
+                     if c not in (f"sk_{suffix}", f"n_{suffix}",
+                                  f"tau_{suffix}", "__docid", "__ab")]
+        pair_types = {c: sch.types[sch.names.index(c)]
+                      for c in pair_cols}
+        build = docs_tbl.map_batches(widen_d, batch_format="pyarrow")
+        return (probe.union(build).groupby("__ab")
+                .map_groups(join_bucket, batch_format="pyarrow"))
+
+    attached = _attach_side(_attach_side(pairs, "lo", "lo"),
+                            "hi", "hi")
+
+    thr = float(threshold)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64()),
+            "m": pa.array([], pa.int64()),
+            "is_exact": pa.array([], pa.bool_())})
+        if batch.num_rows == 0:
+            return empty
+        lo = np.asarray(batch.column("lo"), dtype=np.int64)
+        hi = np.asarray(batch.column("hi"), dtype=np.int64)
+        c = np.asarray(batch.column("c"), dtype=np.int64)
+        n_lo = np.asarray(batch.column("n_lo"), dtype=np.int64)
+        n_hi = np.asarray(batch.column("n_hi"), dtype=np.int64)
+        # all hash-order comparisons in the UNSIGNED domain
+        tau = np.minimum(np.asarray(batch.column("tau_lo"),
+                                    dtype=np.int64).view(np.uint64),
+                         np.asarray(batch.column("tau_hi"),
+                                    dtype=np.int64).view(np.uint64))
+        sk_lo = batch.column("sk_lo")
+        sk_hi = batch.column("sk_hi")
+
+        def m_below(col, i, t):
+            v = np.asarray(col[i].values, dtype=np.int64).view(np.uint64)
+            return int(np.searchsorted(v, t, side="right"))
+
+        m_lo = np.fromiter(
+            (m_below(sk_lo, i, tau[i]) for i in range(len(lo))),
+            dtype=np.int64, count=len(lo))
+        m_hi = np.fromiter(
+            (m_below(sk_hi, i, tau[i]) for i in range(len(hi))),
+            dtype=np.int64, count=len(hi))
+        exact = (n_lo <= K) & (n_hi <= K)
+        est_f = c / np.maximum(m_lo, 1)
+        est_r = c / np.maximum(m_hi, 1)
+        kf = est_f >= thr
+        kr = est_r >= thr
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([lo[kf], hi[kr]])),
+            "doc_b": pa.array(np.concatenate([hi[kf], lo[kr]])),
+            "inter": pa.array(np.concatenate([c[kf], c[kr]])),
+            "n_a": pa.array(np.concatenate([n_lo[kf], n_hi[kr]])),
+            "containment": pa.array(np.concatenate([est_f[kf],
+                                                    est_r[kr]])),
+            "m": pa.array(np.concatenate([m_lo[kf], m_hi[kr]])),
+            "is_exact": pa.array(np.concatenate([exact[kf],
+                                                 exact[kr]]))})
+
+    return attached.map_batches(finish, batch_format="pyarrow")
 
 
 def cosine_tf_pairs(ds, threshold: float = 0.8, text_col: str = "text",

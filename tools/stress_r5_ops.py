@@ -91,6 +91,53 @@ def do_clustering_bucketed():
                                    num_buckets=128).count()
 
 
+def do_kmv_containment_1m():
+    """1M synthetic docs (200 tokens, 40M-token vocab — formula-
+    generated per batch, nothing driver-resident), 20 planted pairs at
+    containment 0.7, KMV k=32: verifies recall on the planted pairs
+    and the estimator's error at crawl shape."""
+    from bqf_ray.pipelines.dedup import containment_pairs_kmv
+
+    N_DOCS, TOKS, VOCAB, PLANT = 1_000_000, 200, 40_000_000, 20
+    BASE = N_DOCS // 2
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id"), dtype=np.int64)
+        texts = []
+        for d in ids:
+            if BASE <= d < BASE + PLANT:
+                src = d - BASE
+                tok = (_h(src * np.int64(TOKS)
+                          + np.arange(140, dtype=np.int64))
+                       % np.uint64(VOCAB))
+                fresh = (_h(d * np.int64(TOKS)
+                            + np.arange(140, 200, dtype=np.int64))
+                         % np.uint64(VOCAB)) + np.uint64(VOCAB)
+                tok = np.concatenate([tok, fresh])
+            else:
+                tok = (_h(d * np.int64(TOKS)
+                          + np.arange(TOKS, dtype=np.int64))
+                       % np.uint64(VOCAB))
+            texts.append(" ".join(f"t{v}" for v in tok))
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(texts)})
+
+    docs = (ray.data.range(N_DOCS, override_num_blocks=CPUS * 4)
+            .map_batches(gen, batch_format="pyarrow", batch_size=4096))
+    km = containment_pairs_kmv(docs, threshold=0.3, s=1,
+                               k=32).to_pandas()
+    planted = {(BASE + i, i) for i in range(PLANT)}
+    hits = [r for r in km.itertuples()
+            if (r.doc_a, r.doc_b) in planted]
+    errs = [abs(r.containment - 0.7) for r in hits]
+    print(f"  kmv 1M: {len(km)} pairs out, planted recall "
+          f"{len(hits)}/{PLANT}, err mean "
+          f"{np.mean(errs):.3f} max {np.max(errs):.3f}", flush=True)
+    assert len(hits) == PLANT
+    return len(km)
+
+
+run("kmv_containment_1M_docs", do_kmv_containment_1m, 1_000_000)
 run("edge_support_broadcast", do_broadcast, N)
 run("edge_support_bucketed", do_bucketed, N)
 assert BC.equals(BK), "bucketed != broadcast at 2M edges"
