@@ -133,3 +133,75 @@ def test_decode_media_stage_handles_jpeg(ray_session):
            .to_pandas().sort_values("media_id"))
     assert list(out["ok"]) == [True] * 10 + [False]
     assert (out["width"][:10] == 16).all()
+
+
+import struct
+
+from bqf_ray.sources.jpeg import (_BitWriter, _canonical_codes, _dht_segment,
+                                  DC_LUMA_BITS, DC_LUMA_VALS, AC_LUMA_BITS,
+                                  AC_LUMA_VALS, DC_CHROMA_BITS, DC_CHROMA_VALS,
+                                  AC_CHROMA_BITS, AC_CHROMA_VALS, ZIGZAG,
+                                  QUANT_LUMA, QUANT_CHROMA, _category,
+                                  jpeg_decode)
+
+def _build_420(y_val=160, cb_val=145, cr_val=128, w=16, h=16):
+    ql, qc = QUANT_LUMA, QUANT_CHROMA
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in enumerate([ql, qc]):
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(qt[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x22, 0])   # Y 2x2
+    sof += bytes([2, 0x11, 1])   # Cb 1x1
+    sof += bytes([3, 0x11, 1])   # Cr 1x1
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    wbits = _BitWriter()
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    def dc_block(dcc, acc, diff):
+        size = _category(diff)
+        code, ln = dcc[size]; wbits.write(code, ln)
+        if size:
+            wbits.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        code, ln = acc[0x00]; wbits.write(code, ln)      # EOB
+    qy = round(8 * (y_val - 128) / ql[0])
+    qcb = round(8 * (cb_val - 128) / qc[0])
+    qcr = round(8 * (cr_val - 128) / qc[0])
+    # one MCU: 4 Y blocks (DC pred within component), then Cb, Cr
+    dc_block(dc_l, ac_l, qy)
+    for _ in range(3):
+        dc_block(dc_l, ac_l, 0)
+    dc_block(dc_c, ac_c, qcb)
+    dc_block(dc_c, ac_c, qcr)
+    wbits.flush()
+    out += wbits.out + b"\xff\xd9"
+    # expected decoded YCbCr values (exact integer path)
+    ey = qy * ql[0] / 8 + 128
+    ecb = qcb * qc[0] / 8 + 128
+    ecr = qcr * qc[0] / 8 + 128
+    return bytes(out), ey, ecb, ecr
+
+
+
+def test_420_subsampled_chroma_decode_exact():
+    """Hand-built 4:2:0 color JPEG (one 16x16 MCU: 2x2 Y blocks +
+    subsampled Cb/Cr) — constant DC-only blocks with quant-divisible
+    values make the decode exactly computable, exercising the
+    sampling-factor MCU loop and the replication upsample that the
+    4:4:4-only encoder never produces."""
+    blob, ey, ecb, ecr = _build_420()
+    img = jpeg_decode(blob)
+    r = ey + 1.402 * (ecr - 128)
+    g = ey - 0.344136 * (ecb - 128) - 0.714136 * (ecr - 128)
+    b = ey + 1.772 * (ecb - 128)
+    exp = np.clip(np.rint([r, g, b]), 0, 255).astype(np.uint8)
+    assert img.shape == (16, 16, 3)
+    assert (img == exp).all()
