@@ -5484,7 +5484,7 @@ def oracle_sql() -> dict[str, str]:
               FROM l, r)
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY s DESC, neighbor_id)::BIGINT
+                                      ORDER BY round(s, 8) DESC, neighbor_id)::BIGINT
                        AS rank
             FROM sims
             QUALIFY rank <= 10""",
@@ -5651,7 +5651,7 @@ def oracle_sql() -> dict[str, str]:
               FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY s DESC, neighbor_id)::BIGINT
+                                      ORDER BY round(s, 8) DESC, neighbor_id)::BIGINT
                        AS rank
             FROM sims
             QUALIFY rank <= 10""",

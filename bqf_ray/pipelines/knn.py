@@ -61,6 +61,18 @@ def _train_subspace_codebooks(x: np.ndarray, m: int, ks: int, seed: int,
     return books
 
 
+def _tie_round(c: np.ndarray) -> np.ndarray:
+    """Cosines quantized for ORDERING (8 decimals): numpy matmul and a
+    SQL engine's summation order disagree in the last ~1 ulp, so exact
+    float comparisons make ranks of near-tied neighbors
+    nondeterministic across engines (fuzz seed 424242 surfaced this in
+    knn_join).  Quantizing turns sub-1e-8 differences into exact ties
+    broken by neighbor id on BOTH sides — the oracles rank by
+    round(s, 8) to match.  Raw cosines still ride unrounded in every
+    output that carries them."""
+    return np.round(c, 8)
+
+
 def _global_topk_reducer(k: int):
     """The shared (query_id-grouped) final top-k reducer every ANN
     method funnels through: lexsort((neighbor_id, -cosine))[:k] with the
@@ -69,7 +81,7 @@ def _global_topk_reducer(k: int):
         qid = group.column("query_id")[0].as_py()
         cid = np.asarray(group.column("neighbor_id"))
         cos = np.asarray(group.column("cosine"))
-        order = np.lexsort((cid, -cos))[:k]
+        order = np.lexsort((cid, -_tie_round(cos)))[:k]
         return pa.table({
             "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
             "neighbor_id": pa.array(cid[order]),
@@ -106,7 +118,13 @@ def knn_bruteforce(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
                 same = self.qids[:, None] == cids[None, :]
                 cos[same] = -np.inf
             kk = min(k, cos.shape[1])
-            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            # local selection must use the SAME (-rounded, id) order as
+            # the global reducer, else a rounded-tie straddling the
+            # local-kk boundary drops the smaller-id neighbor
+            cr = _tie_round(cos)
+            idx = np.empty((cos.shape[0], kk), dtype=np.int64)
+            for qi in range(cos.shape[0]):
+                idx[qi] = np.lexsort((cids, -cr[qi]))[:kk]
             rows_q = np.repeat(self.qids, kk)
             rows_c = cids[idx.reshape(-1)]
             rows_s = np.take_along_axis(cos, idx, axis=1).reshape(-1)
@@ -338,7 +356,13 @@ def knn_lsh(ds, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             if exclude_self:
                 cos[self.qids[:, None] == cids[None, :]] = -np.inf
             kk = min(k, cos.shape[1])
-            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            # local selection must use the SAME (-rounded, id) order as
+            # the global reducer, else a rounded-tie straddling the
+            # local-kk boundary drops the smaller-id neighbor
+            cr = _tie_round(cos)
+            idx = np.empty((cos.shape[0], kk), dtype=np.int64)
+            for qi in range(cos.shape[0]):
+                idx[qi] = np.lexsort((cids, -cr[qi]))[:kk]
             rows_q = np.repeat(self.qids, kk)
             rows_c = cids[idx.reshape(-1)]
             rows_s = np.take_along_axis(cos, idx, axis=1).reshape(-1)
@@ -433,17 +457,19 @@ def knn_join(left_ds, right_ds, k: int = 10, n_cells: int = 64,
         ids = np.asarray(group.column(id_col), dtype=np.int64)
         lids, lm = ids[side == 0], vecs[side == 0]
         rids, rm = ids[side == 1], vecs[side == 1]
-        # right side sorted by id: a STABLE argsort of -cos then breaks
-        # exact-cosine ties by ascending neighbor id — the same
-        # composite order the global merge and knn_bruteforce use, so
-        # ties straddling the per-cell top-k boundary stay exact
+        # right side sorted by id: a STABLE argsort of -rounded-cos
+        # then breaks tie-rounded cosines by ascending neighbor id —
+        # the same composite order the global merge and knn_bruteforce
+        # use, so ties straddling the per-cell top-k boundary stay
+        # exact
         rorder = np.argsort(rids)
         rids, rm = rids[rorder], rm[rorder]
         kk = min(k, len(rids))
         qs, ns, cs = [], [], []
         for s in range(0, len(lids), int(chunk_rows)):
             cos = lm[s:s + chunk_rows] @ rm.T
-            part = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            part = np.argsort(-_tie_round(cos), axis=1,
+                              kind="stable")[:, :kk]
             rows = np.repeat(np.arange(cos.shape[0]), part.shape[1])
             qs.append(np.repeat(lids[s:s + chunk_rows], part.shape[1]))
             ns.append(rids[part.reshape(-1)])
@@ -457,12 +483,13 @@ def knn_join(left_ds, right_ds, k: int = 10, n_cells: int = 64,
         n = np.asarray(group.column("neighbor_id"), dtype=np.int64)
         c = np.asarray(group.column("cos"), dtype=np.float64)
         # a neighbor can reach a query via several probed cells — dedupe
-        order = np.lexsort((n, -c, q))
-        q, n, c = q[order], n[order], c[order]
+        cr = _tie_round(c)
+        order = np.lexsort((n, -cr, q))
+        q, n, cr = q[order], n[order], cr[order]
         first = np.concatenate([[True],
                                 (q[1:] != q[:-1]) | (n[1:] != n[:-1])])
-        q, n, c = q[first], n[first], c[first]
-        order = np.lexsort((n, -c, q))
+        q, n, cr = q[first], n[first], cr[first]
+        order = np.lexsort((n, -cr, q))
         q, n = q[order], n[order]
         new_q = np.concatenate([[True], q[1:] != q[:-1]])
         starts = np.flatnonzero(new_q)
