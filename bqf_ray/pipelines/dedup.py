@@ -1808,7 +1808,8 @@ _KMV_TAU_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
                           k: int = 512, text_col: str = "text",
                           id_col: str = "doc_id",
-                          num_buckets: int = 64, seed: int = 0):
+                          num_buckets: int = 64, seed: int = 0,
+                          min_m: int = 8):
     """KMV-sketch containment estimate — the scale path for the regime
     where :func:`containment_pairs`'s exact Σ_shingle df² candidate
     volume is unaffordable and ``df_cap`` would bias hot shingles.
@@ -1838,6 +1839,18 @@ def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
        list payload;
     4. a stateless map derives both ordered containment estimates and
        threshold-filters.
+
+    ``min_m`` is the sample-size floor for TRUNCATED pairs: a random
+    pair sharing one sampled hash can have m as low as 1 and a noise
+    estimate of c/m = 1.0, so directions with ``m < min_m`` (and not
+    exact) are dropped, and — since a truncated direction then needs
+    ``c ≥ threshold·min_m`` — candidates are pre-filtered to
+    ``c ≥ ceil(threshold · min(min_m, n_lo, n_hi))`` BEFORE the sketch
+    attach (exact-safe: an exact pair passing the containment
+    threshold with a smaller c must have a set smaller than min_m,
+    which the min() keeps).  At web scale this is what keeps the
+    candidate stream proportional to real near-duplicates instead of
+    hash-collision noise.
 
     Output ``(doc_a, doc_b, inter, n_a, containment, m, is_exact)``:
     ``inter`` = c (exact when is_exact), ``m`` = the sample size the
@@ -1898,9 +1911,12 @@ def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
                           dtype=np.int64)
         did = np.repeat(np.asarray(batch.column("doc_id"),
                                    dtype=np.int64), lens)
+        nn = np.repeat(np.asarray(batch.column("n"),
+                                  dtype=np.int64), lens)
         h = np.asarray(pc.list_flatten(batch.column("sk")),
                        dtype=np.int64)
         return pa.table({"doc_id": pa.array(did), "h": pa.array(h),
+                         "n": pa.array(nn),
                          "__bucket": pa.array(
                              (h.view(np.uint64) % np.uint64(B))
                              .astype(np.int64))})
@@ -1910,20 +1926,30 @@ def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
     def pair_bucket(group: pa.Table) -> pa.Table:
         h = np.asarray(group.column("h"), dtype=np.int64)
         did = np.asarray(group.column("doc_id"), dtype=np.int64)
+        nn = np.asarray(group.column("n"), dtype=np.int64)
         order = np.lexsort((did, h))
         h_s, did_s = h[order], did[order]
         from bqf_ray.pipelines.graph import _segment_pairs
         x, y = _segment_pairs(h_s, did_s)
         lo, hi = np.minimum(x, y), np.maximum(x, y)
         if len(lo):
+            u_docs = np.unique(did)
+            n_of = np.zeros(len(u_docs), dtype=np.int64)
+            n_of[np.searchsorted(u_docs, did)] = nn
             t = pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                          "n_lo": pa.array(
+                              n_of[np.searchsorted(u_docs, lo)]),
+                          "n_hi": pa.array(
+                              n_of[np.searchsorted(u_docs, hi)]),
                           "one": pa.array(np.ones(len(lo),
                                                   dtype=np.int64))})
-            t = (t.group_by(["lo", "hi"]).aggregate([("one", "sum")])
-                 .rename_columns(["lo", "hi", "c"]))
+            t = (t.group_by(["lo", "hi", "n_lo", "n_hi"])
+                 .aggregate([("one", "sum")])
+                 .rename_columns(["lo", "hi", "n_lo", "n_hi", "c"]))
         else:
             z = pa.array([], pa.int64())
-            t = pa.table({"lo": z, "hi": z, "c": z})
+            t = pa.table({"lo": z, "hi": z, "n_lo": z, "n_hi": z,
+                          "c": z})
         pb = (fmix64(np.asarray(t.column("lo"), dtype=np.int64)
                      .view(np.uint64)
                      ^ fmix64(np.asarray(t.column("hi"),
@@ -1932,11 +1958,22 @@ def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
               % np.uint64(B)).astype(np.int64)
         return t.append_column("__pb", pa.array(pb))
 
+    thr = float(threshold)
+    MM = int(min_m)
+
     def pair_sum(group: pa.Table) -> pa.Table:
-        t = (group.select(["lo", "hi", "c"]).group_by(["lo", "hi"])
+        t = (group.select(["lo", "hi", "n_lo", "n_hi", "c"])
+             .group_by(["lo", "hi", "n_lo", "n_hi"])
              .aggregate([("c", "sum")])
-             .rename_columns(["lo", "hi", "c"]))
-        return t
+             .rename_columns(["lo", "hi", "n_lo", "n_hi", "c"]))
+        # exact-safe noise prefilter (see docstring): the cheapest
+        # possible c for a threshold-passing direction
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        floor = np.ceil(thr * np.minimum(
+            MM, np.minimum(np.asarray(t.column("n_lo"), dtype=np.int64),
+                           np.asarray(t.column("n_hi"),
+                                      dtype=np.int64)))).astype(np.int64)
+        return t.filter(pa.array(c >= floor)).select(["lo", "hi", "c"])
 
     pairs = (sketches.groupby("__bucket")
              .map_groups(pair_bucket, batch_format="pyarrow")
@@ -2022,8 +2059,6 @@ def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
     attached = _attach_side(_attach_side(pairs, "lo", "lo"),
                             "hi", "hi")
 
-    thr = float(threshold)
-
     def finish(batch: pa.Table) -> pa.Table:
         empty = pa.table({
             "doc_a": pa.array([], pa.int64()),
@@ -2061,8 +2096,9 @@ def containment_pairs_kmv(ds, threshold: float = 0.7, s: int = 3,
         exact = (n_lo <= K) & (n_hi <= K)
         est_f = c / np.maximum(m_lo, 1)
         est_r = c / np.maximum(m_hi, 1)
-        kf = est_f >= thr
-        kr = est_r >= thr
+        # sample-size floor: truncated directions need m >= min_m
+        kf = (est_f >= thr) & (exact | (m_lo >= MM))
+        kr = (est_r >= thr) & (exact | (m_hi >= MM))
         return pa.table({
             "doc_a": pa.array(np.concatenate([lo[kf], hi[kr]])),
             "doc_b": pa.array(np.concatenate([hi[kf], lo[kr]])),

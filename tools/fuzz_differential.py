@@ -162,12 +162,11 @@ print(f"fuzz fixture at {OUT}: docs={N_DOC} events={N_EV} "
 
 env = dict(os.environ)
 env.setdefault("PAR_CPUS", "16")
-# knn's rank-k boundary compares raw float cosines across two engines
-# whose summation orders differ in the last ulps; on random data a
-# near-tie at the boundary can legitimately order either way (the
-# fixed fixture avoids it by construction, and the operator has its
-# own brute-force pytest checks), so the fuzz sweep skips it rather
-# than chase ulp-level rank flips.
+# knn is back in the sweep since r5: all ANN ranks order by
+# round(cos, 8) with the id tie-break on BOTH engines (knn.py
+# _tie_round), so the old ulp-level rank flips at the k boundary are
+# deterministic ties now — fuzz seed 424242 is the regression witness
+# (it caught knn_join before the fix).
 names = None
 if "PAR_ONLY" not in env:
     import re
@@ -175,7 +174,7 @@ if "PAR_ONLY" not in env:
     src = open(os.path.join(repo, "__ray_entry__.py")).read()
     osrc = src[src.index("def oracle_sql"):]
     names = sorted(set(re.findall(r'^        "([a-z0-9_]+)": ',
-                                  osrc, re.M)) - {"knn"})
+                                  osrc, re.M)))
     env["PAR_ONLY"] = ",".join(names)
 r = subprocess.run([sys.executable,
                     os.path.join(os.path.dirname(

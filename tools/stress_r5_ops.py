@@ -124,7 +124,7 @@ def do_kmv_containment_1m():
 
     docs = (ray.data.range(N_DOCS, override_num_blocks=CPUS * 4)
             .map_batches(gen, batch_format="pyarrow", batch_size=4096))
-    km = containment_pairs_kmv(docs, threshold=0.3, s=1,
+    km = containment_pairs_kmv(docs, threshold=0.4, s=1,
                                k=32).to_pandas()
     planted = {(BASE + i, i) for i in range(PLANT)}
     hits = [r for r in km.itertuples()
