@@ -200,7 +200,8 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LOW", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HIGH", "32"))
     scale_pages = os.environ.get("GRAFT_SCALING_PAGES", "1600000")
     os.environ["GRAFT_BENCH_PAGES"] = scale_pages
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
@@ -225,7 +226,8 @@ def run_scaling() -> dict:
         "all_sec_low": [r["value"] for r in runs_lo],
         "all_sec_high": [r["value"] for r in runs_hi],
     }
-    _update_baseline_md(result)
+    if not os.environ.get("GRAFT_SCALING_NO_MD"):
+        _update_baseline_md(result)
     return result
 
 
