@@ -4668,6 +4668,61 @@ def w_media_jpeg_stats(sf_dir):
     return jpeg_decode_stats(docs, max_id=1500)
 
 
+def w_frame_sample_stats(sf_dir):
+    """SQL-oracled video frame sampling (shrinks the no-oracle set):
+    per doc id < 1000 a RAWM video with formula payload
+    ``p(i) = (id·2654435761 + i·97) mod 256`` over ``2 + id mod 7``
+    frames of ``(4 + id mod 5)·(3 + id mod 4)`` bytes is built, pushed
+    through the ``SampleFrames`` actor-pool stage (stride 2, max 3)
+    and per-frame byte stats emitted; the DuckDB oracle recomputes
+    them from the formula alone, so any offset/stride/boundary defect
+    in the frame extraction breaks value equality."""
+    import ray
+
+    from bqf_ray.pipelines.multimodal import SampleFrames
+    from bqf_ray.sources.media import encode_media
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        ids = ids[ids < 1000]
+        blobs = []
+        for did in ids:
+            w = int(4 + did % 5)
+            h = int(3 + did % 4)
+            f = int(2 + did % 7)
+            i = np.arange(w * h * f, dtype=np.int64)
+            p = ((did * 2654435761 + i * 97) % 256).astype(np.uint8)
+            blobs.append(encode_media(2, w, h, f, p.tobytes()))
+        return pa.table({"media_id": pa.array(ids),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sums, mins, maxs = [], [], []
+        for fb in batch.column("frame").to_pylist():
+            a = np.frombuffer(fb, dtype=np.uint8).astype(np.int64)
+            sums.append(int(a.sum()))
+            mins.append(int(a.min()))
+            maxs.append(int(a.max()))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_no": pa.array(
+                np.asarray(batch.column("frame_no"),
+                           dtype=np.int64)),
+            "b_sum": pa.array(sums, pa.int64()),
+            "b_min": pa.array(mins, pa.int64()),
+            "b_max": pa.array(maxs, pa.int64())})
+
+    return (docs.map_batches(build, batch_format="pyarrow")
+            .map_batches(SampleFrames, batch_format="pyarrow",
+                         fn_constructor_kwargs=dict(stride=2,
+                                                    max_frames=3),
+                         batch_size=128, concurrency=2, num_cpus=0.5)
+            .map_batches(stats, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4740,6 +4795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- remaining never-driver-checked oracled queries ---
         "media_jpeg_stats": w_media_jpeg_stats,
         "containment_kmv": w_containment_kmv,
+        "frame_sample_stats": w_frame_sample_stats,
         "event_transition_probs": w_transition_probs,
         "lpa_copurchase": w_lpa_copurchase,
         "user_activity_spans": w_user_activity_spans,
@@ -8213,6 +8269,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(v)::BIGINT AS px_min,
                    MAX(v)::BIGINT AS px_max
             FROM blk GROUP BY doc_id, wb, hb""",
+        "frame_sample_stats": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+            dims AS (SELECT doc_id,
+                            ((4 + doc_id % 5) * (3 + doc_id % 4))::BIGINT
+                                AS fsize,
+                            (2 + doc_id % 7)::BIGINT AS frames
+                     FROM d),
+            fr AS (SELECT doc_id, fsize, f.f AS frame_no
+                   FROM dims,
+                        LATERAL (SELECT unnest(range(0, frames, 2)) AS f) f
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY f.f) <= 3),
+            b AS (SELECT doc_id, frame_no,
+                         ((doc_id * 2654435761
+                           + (frame_no * fsize + i.i) * 97) % 256)
+                             ::BIGINT AS v
+                  FROM fr,
+                       LATERAL (SELECT unnest(range(0, fsize)) AS i) i)
+            SELECT doc_id AS media_id, frame_no::BIGINT AS frame_no,
+                   SUM(v)::BIGINT AS b_sum, MIN(v)::BIGINT AS b_min,
+                   MAX(v)::BIGINT AS b_max
+            FROM b GROUP BY doc_id, frame_no""",
         "media_audio_stats": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
             s AS (
