@@ -111,3 +111,20 @@ def test_empty_and_degenerate(ray_session):
     ds = ray.data.from_arrow(tbl)
     out = containment_pairs_kmv(ds, threshold=0.5, s=3, k=16)
     assert out.count() == 0
+
+
+def test_partitioning_invariance(ray_session):
+    """KMV containment output must not depend on input partitioning
+    (per-doc sketches are batch-local and deterministic; candidate
+    gen, prefilter and attach are partition-free)."""
+    tbl = _corpus(13, n_docs=80, vocab=150, lo=10, hi=35)
+    outs = []
+    for parts in (1, 3, 9):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = containment_pairs_kmv(ds, threshold=0.2, s=2,
+                                   k=16, min_m=4).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
+    assert len(outs[0]) > 0

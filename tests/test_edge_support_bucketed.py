@@ -66,3 +66,17 @@ def test_clustering_coefficients_same_on_either_plan(ray_session):
         outs.append(df)
     assert outs[0].equals(outs[1])
     assert len(outs[0]) > 0
+
+
+def test_bucketed_partitioning_invariance(ray_session):
+    from bqf_ray.pipelines.graph import edge_triangle_support
+    tbl = _rand_graph(41, m=1200, n=60)
+    outs = []
+    for parts in (1, 4, 11):
+        df = edge_triangle_support(
+            ray.data.from_arrow(tbl).repartition(parts),
+            mode="bucketed", num_buckets=7).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+    assert len(outs[0]) > 0
