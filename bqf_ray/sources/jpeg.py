@@ -1,16 +1,21 @@
-"""Pure-stdlib baseline JPEG (ITU-T T.81) codec — the third real codec
-behind the :func:`bqf_ray.sources.media.decode_payload` boundary
-(PNG and WAV live in :mod:`bqf_ray.sources.codecs`).
+"""Pure-stdlib JPEG (ITU-T T.81) codec — the third real codec behind
+the :func:`bqf_ray.sources.media.decode_payload` boundary (PNG and WAV
+live in :mod:`bqf_ray.sources.codecs`).
 
 Scope (documented, loudly enforced):
 
-- **decode**: baseline sequential DCT (SOF0), 8-bit samples, grayscale
-  or YCbCr; any sampling factors (subsampled chroma is upsampled by
-  sample replication); restart markers honored; progressive (SOF2),
-  arithmetic coding, 12-bit and hierarchical modes raise ``ValueError``.
+- **decode**: baseline sequential DCT (SOF0/1) AND spectral-selection
+  progressive (SOF2, any scan script with Ah=Al=0, EOBn runs
+  included), 8-bit samples, grayscale or YCbCr; any sampling factors
+  (subsampled chroma is upsampled by sample replication); restart
+  markers honored; successive-approximation progressive, arithmetic
+  coding, 12-bit and hierarchical modes raise ``ValueError``.
 - **encode**: grayscale or RGB 4:4:4, Annex K quantization tables
   scaled by the conventional quality formula, Annex K Huffman tables,
-  optional restart interval.
+  optional restart interval; ``progressive=True`` emits a
+  spectral-selection scan script carrying the SAME quantized
+  coefficients as the baseline stream (both decode bit-identically —
+  the codec's differential self-check).
 
 Everything is numpy + ``struct`` — no image library.  The DCT/IDCT is
 the exact orthonormal 8×8 matrix form of the T.81 definition
@@ -331,9 +336,16 @@ def _dht_segment(tclass: int, tid: int, bits, vals) -> bytes:
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 50,
-                restart_interval: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes
-    (4:4:4, Annex K tables scaled to ``quality``)."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → JFIF bytes (4:4:4,
+    Annex K tables scaled to ``quality``).  ``progressive=True`` emits
+    spectral-selection progressive (SOF2): one interleaved DC scan,
+    then two AC band scans (1-20, 21-63) per component — the SAME
+    quantized coefficients as the baseline stream, so both decode to
+    bit-identical pixels (the differential test the progressive
+    decoder is held to).  Progressive + restart_interval is
+    unsupported (raise)."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("jpeg_encode: need uint8 (h,w) or (h,w,3)")
@@ -360,7 +372,11 @@ def jpeg_encode(img: np.ndarray, quality: int = 50,
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if progressive and restart_interval:
+        raise ValueError("jpeg_encode: progressive + restart_interval "
+                         "unsupported")
+    out += ((b"\xff\xc2" if progressive else b"\xff\xc0")
+            + struct.pack(">H", len(sof) + 2) + sof)
     out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if color:
@@ -369,12 +385,6 @@ def jpeg_encode(img: np.ndarray, quality: int = 50,
     if restart_interval:
         out += (b"\xff\xdd" + struct.pack(">H", 4)
                 + struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -383,24 +393,87 @@ def jpeg_encode(img: np.ndarray, quality: int = 50,
     for ci in range(ncomp):
         comp_coeffs.append(_fdct_quant(_blockify(planes[ci]), qtabs[ci]))
     nby, nbx = (h + 7) // 8, (w + 7) // 8
-    writer = _BitWriter()
-    preds = [0] * ncomp
-    rst = 0
-    mcu_since_rst = 0
-    for bi in range(nby * nbx):                # 4:4:4 → MCU == block
-        if restart_interval and mcu_since_rst == restart_interval:
-            writer.flush()
-            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            mcu_since_rst = 0
-            preds = [0] * ncomp
+
+    def sos_header(comp_ids, Ss, Se):
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([Ss, Se, 0])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    if not progressive:
+        out += sos_header(list(range(ncomp)), 0, 63)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        mcu_since_rst = 0
+        for bi in range(nby * nbx):            # 4:4:4 → MCU == block
+            if restart_interval and mcu_since_rst == restart_interval:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                mcu_since_rst = 0
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                dcc, acc = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                preds[ci] = _encode_block(writer, comp_coeffs[ci][bi],
+                                          preds[ci], dcc, acc)
+            mcu_since_rst += 1
+        writer.flush()
+        out += writer.out
+    else:
+        # scan 1: DC of every component, interleaved
+        out += sos_header(list(range(ncomp)), 0, 0)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for bi in range(nby * nbx):
+            for ci in range(ncomp):
+                dcc = dc_l if ci == 0 else dc_c
+                dc = int(comp_coeffs[ci][bi][0])
+                diff = dc - preds[ci]
+                size = _category(diff)
+                code, length = dcc[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(diff if diff >= 0
+                                 else diff + (1 << size) - 1, size)
+                preds[ci] = dc
+        writer.flush()
+        out += writer.out
+        # per component: two spectral AC bands (EOB flushed per block
+        # — eobrun stays 1 so the Annex K tables' 0x00 suffices)
         for ci in range(ncomp):
-            dcc, acc = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            preds[ci] = _encode_block(writer, comp_coeffs[ci][bi],
-                                      preds[ci], dcc, acc)
-        mcu_since_rst += 1
-    writer.flush()
-    out += writer.out
+            acc = ac_l if ci == 0 else ac_c
+            for lo, hi in ((1, 20), (21, 63)):
+                out += sos_header([ci], lo, hi)
+                writer = _BitWriter()
+                for bi in range(nby * nbx):
+                    band = comp_coeffs[ci][bi]
+                    run = 0
+                    last_nz = -1
+                    for k in range(lo, hi + 1):
+                        if band[k]:
+                            last_nz = k
+                    for k in range(lo, hi + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = acc[0xF0]
+                            writer.write(code, length)
+                            run -= 16
+                        size = _category(v)
+                        code, length = acc[(run << 4) | size]
+                        writer.write(code, length)
+                        writer.write(v if v >= 0
+                                     else v + (1 << size) - 1, size)
+                        run = 0
+                    if last_nz < hi:
+                        code, length = acc[0x00]   # EOB (run of 1)
+                        writer.write(code, length)
+                writer.flush()
+                out += writer.out
     out += b"\xff\xd9"                                  # EOI
     return bytes(out)
 
@@ -414,11 +487,147 @@ def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     return np.einsum("ki,nkl,lj->nij", _D, coeffs, _D) + 128.0
 
 
-def jpeg_decode(blob) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes → uint8 (h, w) gray or (h, w, 3) RGB.
+def _init_coef_storage(frame):
+    """Allocate per-component zigzag coefficient arrays sized to the
+    INTERLEAVED MCU grid (the superset); also records the
+    non-interleaved block dims used by single-component scans."""
+    comps = frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("jpeg_decode: bad sampling factors")
+    h, w = frame["h"], frame["w"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["hs"]
+        c["bh"] = mcuy * c["vs"]
+        cw = (w * c["hs"] + hmax - 1) // hmax
+        chh = (h * c["vs"] + vmax - 1) // vmax
+        c["nbw"] = (cw + 7) // 8
+        c["nbh"] = (chh + 7) // 8
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
 
-    Raises ``ValueError`` on truncated streams and on the documented
-    out-of-scope modes (progressive SOF2, arithmetic coding, 12-bit)."""
+
+def _decode_block_band(reader, zz, lo, hi, dct, act, pred, eobrun):
+    """Decode one block's coefficients in band [lo, hi] (zigzag
+    indices).  Returns (new_pred, new_eobrun).  ``eobrun`` counts
+    REMAINING all-zero-band blocks from a pending EOBn run (progressive
+    spectral selection); baseline EOB is the r=0 special case."""
+    k = lo
+    if lo == 0:
+        size = _huff_decode(reader, dct)
+        pred += _extend(reader.bits(size), size)
+        zz[0] = pred
+        k = 1
+    while k <= hi:
+        rs = _huff_decode(reader, act)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:                        # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            break                              # band ends (EOBn)
+        k += r
+        if k > hi:
+            raise ValueError("jpeg_decode: AC index overrun")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return pred, eobrun
+
+
+def _decode_scan(buf, pos, frame, scomps, Ss, Se, Ah, Al,
+                 dc_tabs, ac_tabs, restart_interval):
+    """Entropy-decode one scan starting at ``pos`` (first byte after
+    the SOS header), accumulating coefficients into each component's
+    ``coef`` array.  Returns the position of the next marker's 0xFF.
+
+    Interleaved (ns > 1) scans walk MCUs; single-component scans walk
+    the component's NON-interleaved block raster (T.81 A.2.2).
+    Spectral selection only — successive approximation (Ah/Al != 0)
+    raises."""
+    if Ah != 0 or Al != 0:
+        raise ValueError(
+            "jpeg_decode: successive-approximation progressive "
+            "(Ah/Al != 0) is out of scope — spectral-selection scans "
+            "only")
+    reader = _BitReader(buf, pos)
+    preds = {c["id"]: 0 for c in scomps}
+    eobrun = 0
+    units = 0                                  # MCUs or blocks
+    interleaved = len(scomps) > 1
+
+    def maybe_restart():
+        nonlocal eobrun
+        if restart_interval and units and units % restart_interval == 0:
+            m = reader.align_restart()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("jpeg_decode: missing restart marker")
+            for cid in preds:
+                preds[cid] = 0
+            eobrun = 0
+
+    if interleaved:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                maybe_restart()
+                for c in scomps:
+                    dct = c.get("dc_tab")
+                    act = c.get("ac_tab")
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            row = (my * c["vs"] + by) * c["bw"] \
+                                + (mx * c["hs"] + bx)
+                            zz = c["coef"][row]
+                            if eobrun > 0 and Ss > 0:
+                                eobrun -= 1
+                            else:
+                                preds[c["id"]], eobrun = \
+                                    _decode_block_band(
+                                        reader, zz, Ss, Se, dct, act,
+                                        preds[c["id"]], eobrun)
+                units += 1
+    else:
+        c = scomps[0]
+        dct = c.get("dc_tab")
+        act = c.get("ac_tab")
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                maybe_restart()
+                zz = c["coef"][by * c["bw"] + bx]
+                if eobrun > 0 and Ss > 0:
+                    eobrun -= 1
+                else:
+                    preds[c["id"]], eobrun = _decode_block_band(
+                        reader, zz, Ss, Se, dct, act,
+                        preds[c["id"]], eobrun)
+                units += 1
+    # locate the next marker (skip pad bits / stuffed bytes)
+    p = reader.pos
+    if reader.marker is not None:
+        return p - 2
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] != 0x00:
+            if 0xD0 <= buf[p + 1] <= 0xD7:     # stray RST
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("jpeg_decode: no marker after scan")
+
+
+def jpeg_decode(blob) -> np.ndarray:
+    """JFIF/JPEG bytes → uint8 (h, w) gray or (h, w, 3) RGB.
+
+    Baseline sequential (SOF0/1) and spectral-selection progressive
+    (SOF2, Ah=Al=0) are decoded; successive-approximation progressive,
+    arithmetic coding and 12-bit precision raise ``ValueError`` with a
+    clear message.  Raises on truncated streams."""
     buf = bytes(blob)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("jpeg_decode: not a JPEG (no SOI)")
@@ -428,8 +637,8 @@ def jpeg_decode(blob) -> np.ndarray:
     ac_tabs = {}
     frame = None
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(buf):
+    saw_scan = False
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("jpeg_decode: marker sync lost")
         marker = buf[pos + 1]
@@ -438,6 +647,8 @@ def jpeg_decode(blob) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue                           # parameterless
+        if pos + 2 > len(buf):
+            raise ValueError("jpeg_decode: truncated segment header")
         (seglen,) = struct.unpack(">H", buf[pos:pos + 2])
         seg = buf[pos + 2:pos + seglen]
         if len(seg) != seglen - 2:
@@ -463,7 +674,7 @@ def jpeg_decode(blob) -> np.ndarray:
                 tab = _decode_tables(bits, vals)
                 (dc_tabs if tclass == 0 else ac_tabs)[tid] = tab
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 + progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError("jpeg_decode: only 8-bit precision")
@@ -474,88 +685,53 @@ def jpeg_decode(blob) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "hs": samp >> 4,
                               "vs": samp & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            _init_coef_storage(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg_decode: only baseline sequential (SOF0/1) is "
-                f"supported, got SOF marker 0x{marker:02X} "
-                "(progressive/arithmetic/hierarchical out of scope)")
+                "jpeg_decode: only baseline sequential (SOF0/1) and "
+                "spectral-selection progressive (SOF2) are supported, "
+                f"got SOF marker 0x{marker:02X} "
+                "(arithmetic/hierarchical out of scope)")
         elif marker == 0xDD:                   # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                   # SOS
+            if frame is None:
+                raise ValueError("jpeg_decode: SOS before SOF")
             ns = seg[0]
-            scan = []
+            scomps = []
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
-                scan.append({"id": cs, "dc": tabs >> 4, "ac": tabs & 15})
-            pos += seglen
-            break
+                c = next(cc for cc in frame["comps"]
+                         if cc["id"] == cs)
+                if tabs >> 4 in dc_tabs:
+                    c["dc_tab"] = dc_tabs[tabs >> 4]
+                if tabs & 15 in ac_tabs:
+                    c["ac_tab"] = ac_tabs[tabs & 15]
+                scomps.append(c)
+            Ss, Se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            if not frame["progressive"] and (Ss, Se) != (0, 63):
+                raise ValueError("jpeg_decode: partial band in a "
+                                 "baseline scan")
+            saw_scan = True
+            pos = _decode_scan(buf, pos + seglen, frame, scomps,
+                               Ss, Se, ahal >> 4, ahal & 15,
+                               dc_tabs, ac_tabs, restart_interval)
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("jpeg_decode: missing SOF/SOS")
 
     comps = frame["comps"]
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    if hmax < 1 or vmax < 1:
-        raise ValueError("jpeg_decode: bad sampling factors")
+    hmax, vmax = frame["hmax"], frame["vmax"]
     h, w = frame["h"], frame["w"]
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    for c in comps:
-        sc = next(s for s in scan if s["id"] == c["id"])
-        c["dc_tab"] = dc_tabs[sc["dc"]]
-        c["ac_tab"] = ac_tabs[sc["ac"]]
-        c["q"] = qtables[c["tq"]]
-        c["bw"] = mcux * c["hs"]
-        c["bh"] = mcuy * c["vs"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-
-    reader = _BitReader(buf, pos)
-    preds = {c["id"]: 0 for c in comps}
-    mcu_since_rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_since_rst == restart_interval:
-                m = reader.align_restart()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("jpeg_decode: missing restart "
-                                     "marker")
-                preds = {c["id"]: 0 for c in comps}
-                mcu_since_rst = 0
-            for c in comps:
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(reader, c["dc_tab"])
-                        diff = _extend(reader.bits(s), s)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, c["ac_tab"])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16    # ZRL
-                                    continue
-                                break          # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "jpeg_decode: AC index overrun")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        row = (my * c["vs"] + by) * c["bw"] \
-                            + (mx * c["hs"] + bx)
-                        c["coef"][row] = zz
-            mcu_since_rst += 1
-
     planes = []
     for c in comps:
+        q = qtables[c["tq"]]
         deq = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
-        deq[:, ZIGZAG] = c["coef"] * c["q"].reshape(-1)[ZIGZAG]
+        deq[:, ZIGZAG] = c["coef"] * q.reshape(-1)[ZIGZAG]
         px = _idct_blocks(deq.reshape(-1, 8, 8))
         px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
         plane = (px.reshape(c["bh"], c["bw"], 8, 8).swapaxes(1, 2)

@@ -101,10 +101,14 @@ def test_scope_rejections():
         jpeg_decode(b"\x00\x01not a jpeg")
     with pytest.raises(ValueError):
         jpeg_decode(blob[:len(blob) // 2])       # truncated stream
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # SOF2 is supported now: a baseline stream relabeled progressive
+    # is a legal one-full-band-scan progressive file — same pixels
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_decode(prog)
+    assert (jpeg_decode(prog) == jpeg_decode(blob)).all()
+    # arithmetic coding (SOF9) stays out of scope
+    arith = blob.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode(arith)
     with pytest.raises(ValueError):
         jpeg_encode(np.zeros((4, 4), dtype=np.float64))  # wrong dtype
 
@@ -205,3 +209,100 @@ def test_420_subsampled_chroma_decode_exact():
     exp = np.clip(np.rint([r, g, b]), 0, 255).astype(np.uint8)
     assert img.shape == (16, 16, 3)
     assert (img == exp).all()
+
+
+def test_progressive_equals_baseline_decode():
+    """Spectral-selection progressive carries the SAME quantized
+    coefficients as the baseline stream — the two independent
+    bitstream paths must decode bit-identically."""
+    rng = np.random.default_rng(31)
+    for shape in [(16, 16), (40, 56), (25, 33), (24, 33, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = jpeg_decode(jpeg_encode(img, quality=80))
+        prog = jpeg_decode(jpeg_encode(img, quality=80,
+                                       progressive=True))
+        assert (base == prog).all(), shape
+
+
+def test_progressive_block_constant_lossless():
+    rng = np.random.default_rng(37)
+    img = _const_blocks(rng, 3, 5)
+    out = jpeg_decode(jpeg_encode(img, quality=50, progressive=True))
+    assert (out == img).all()
+
+
+def test_progressive_restart_unsupported():
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_encode(np.zeros((8, 8), dtype=np.uint8),
+                    progressive=True, restart_interval=2)
+
+
+def _hand_progressive(ahal=0):
+    """Minimal hand-built progressive gray JPEG: 4 blocks, DC scan +
+    one AC band scan whose tail is an EOBn run of 3 (r=1 + 1 extra
+    bit) — the progressive-only Huffman path the encoder (which
+    flushes per-block EOBs) never emits."""
+    from bqf_ray.sources.jpeg import (_BitWriter, _canonical_codes,
+                                      _dht_segment, DC_LUMA_BITS,
+                                      DC_LUMA_VALS, ZIGZAG, QUANT_LUMA,
+                                      _category)
+    w, h = 32, 8
+    ql = QUANT_LUMA
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+            + bytes(ql[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    AC_BITS = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    AC_VALS = [0x00, 0x10, 0x01]
+    out += _dht_segment(1, 0, AC_BITS, AC_VALS)
+    dc_codes = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    wb = _BitWriter()
+    pred = 0
+    for qdc in (4, 4, 4, 4):
+        diff = qdc - pred
+        size = _category(diff)
+        c, ln = dc_codes[size]
+        wb.write(c, ln)
+        if size:
+            wb.write(diff if diff >= 0 else diff + (1 << size) - 1,
+                     size)
+        pred = qdc
+    wb.flush()
+    sos = bytes([1, 1, 0x00, 0, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos + wb.out
+    wb = _BitWriter()
+    c, ln = ac_codes[0x01]
+    wb.write(c, ln)
+    wb.write(1, 1)                       # block0: zz[1] = +1
+    c, ln = ac_codes[0x00]
+    wb.write(c, ln)                      # EOB block0
+    c, ln = ac_codes[0x10]
+    wb.write(c, ln)
+    wb.write(1, 1)                       # EOBRUN = 3 (blocks 1-3)
+    wb.flush()
+    sos = bytes([1, 1, 0x00, 1, 63, ahal])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos + wb.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_eobrun_hand_built_exact():
+    from bqf_ray.sources.jpeg import _idct_blocks, ZIGZAG, QUANT_LUMA
+    img = jpeg_decode(_hand_progressive())
+    assert img.shape == (8, 32)
+    deq = np.zeros((2, 8, 8))
+    deq[0].flat[0] = 4 * 16              # flat block (DC only)
+    deq[1].flat[0] = 4 * 16
+    deq[1].flat[ZIGZAG[1]] = QUANT_LUMA[1]   # block0's AC ripple
+    exp = np.clip(np.rint(_idct_blocks(deq)), 0, 255).astype(np.uint8)
+    assert (img[:, 0:8] == exp[1]).all()
+    for x0 in (8, 16, 24):               # EOBRUN-skipped: flat
+        assert (img[:, x0:x0 + 8] == exp[0]).all()
+
+
+def test_successive_approximation_rejected():
+    with pytest.raises(ValueError, match="successive"):
+        jpeg_decode(_hand_progressive(ahal=0x01))
