@@ -64,6 +64,36 @@ def broadcast_join(ds, small_df, key: str, how: str = "inner",
                           concurrency=concurrency, num_cpus=0.5)
 
 
+def _arrow_field_types(ds) -> dict:
+    """{column: pa.DataType} from a Dataset's schema (arrow- or
+    numpy-backed blocks)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+        else:
+            dt = np.dtype(t)
+            out[n] = pa.string() if dt == object \
+                else pa.from_numpy_dtype(dt)
+    return out
+
+
+def _side_select(group: pa.Table, mask, cols, types) -> pa.Table:
+    """Select one side's columns from the masked group rows.  A bucket
+    whose blocks all came from ONE side can lack the other side's
+    columns entirely (union schema alignment is per-block) — degrade
+    to a TYPED empty table, never a KeyError (fuzz seed 2468 hit this
+    in pit_join when a hash bucket held only dimension rows)."""
+    sub = group.filter(pa.array(mask))
+    if any(c not in sub.schema.names for c in cols):
+        return pa.table({c: pa.array([], types[c]) for c in cols})
+    return sub.select(cols)
+
+
 def native_join(left_ds, right_ds, key: str, num_partitions: int = 16,
                 suffix: str = "_r"):
     """Ray Data's built-in hash-partitioned join (available in this Ray
@@ -94,6 +124,7 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
     if sch is None:        # fully-empty left: nothing to (anti-)join
         return left_ds
     left_cols = list(sch.names)
+    ltypes = _arrow_field_types(left_ds)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column(left_key), dtype=np.int64)
@@ -120,7 +151,7 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str | None = None,
             hit = ~hit
         keep = np.zeros(len(group), dtype=bool)
         keep[np.flatnonzero(lmask)[hit]] = True
-        return group.filter(pa.array(keep)).select(left_cols)
+        return _side_select(group, keep, left_cols, ltypes)
 
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -278,11 +309,15 @@ def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
 
     right_cols_final = [c + suffix for c in right_cols]
 
+    ltypes = _arrow_field_types(left_ds)
+    rt0 = _arrow_field_types(right_ds)
+    rtypes = {by: rt0[by], **{c + suffix: rt0[c] for c in right_cols}}
+
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        l_tbl = group.filter(pa.array(side == 0)).select(left_cols)
-        r_tbl = group.filter(pa.array(side == 1)).select(
-            [by] + right_cols_final)
+        l_tbl = _side_select(group, side == 0, left_cols, ltypes)
+        r_tbl = _side_select(group, side == 1,
+                             [by] + right_cols_final, rtypes)
         nl, nr = len(l_tbl), len(r_tbl)
         l_by = np.asarray(l_tbl.column(by), dtype=np.int64) if nl else \
             np.empty(0, dtype=np.int64)
@@ -1122,13 +1157,18 @@ def pit_join(left_ds, dim_ds, by: str, ts_col: str,
                 .append_column("__side", pa.array(
                     np.zeros(len(batch), dtype=np.int8))))
 
+    ltypes = _arrow_field_types(left_ds)
+    dt0 = _arrow_field_types(dim_ds)
+    dtypes = {(c + suffix if c in attr_cols else c): dt0[c]
+              for c in dim_names}
+
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        l_tbl = group.filter(pa.array(side == 1)).select(left_cols)
+        l_tbl = _side_select(group, side == 1, left_cols, ltypes)
         d_keep = [by, valid_from] + ([valid_to] if valid_to in dim_names
                                      else []) \
             + ([tie_col] if tie_col else []) + out_attrs
-        d_tbl = group.filter(pa.array(side == 0)).select(d_keep)
+        d_tbl = _side_select(group, side == 0, d_keep, dtypes)
         nl, nd = len(l_tbl), len(d_tbl)
         empty = np.empty(0, dtype=np.int64)
         l_by = np.asarray(l_tbl.column(by), dtype=np.int64) if nl else empty
@@ -1235,11 +1275,15 @@ def nearest_join(left_ds, right_ds, on: str, by: str,
 
     right_cols_final = [c + suffix for c in right_cols]
 
+    ltypes = _arrow_field_types(left_ds)
+    rt0 = _arrow_field_types(right_ds)
+    rtypes = {by: rt0[by], **{c + suffix: rt0[c] for c in right_cols}}
+
     def merge_bucket(group: pa.Table) -> pa.Table:
         side = np.asarray(group.column("__side"))
-        l_tbl = group.filter(pa.array(side == 0)).select(left_cols)
-        r_tbl = group.filter(pa.array(side == 1)).select(
-            [by] + right_cols_final)
+        l_tbl = _side_select(group, side == 0, left_cols, ltypes)
+        r_tbl = _side_select(group, side == 1,
+                             [by] + right_cols_final, rtypes)
         nl, nr = len(l_tbl), len(r_tbl)
         l_by = np.asarray(l_tbl.column(by), dtype=np.int64) if nl else \
             np.empty(0, dtype=np.int64)

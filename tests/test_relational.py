@@ -568,3 +568,40 @@ def test_join_hot_keys_exact_contributions(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True)[["key", "c_left", "c_right",
                                     "contribution"]], ref)
+
+
+def test_one_sided_bucket_joins_no_keyerror(ray_session):
+    """A hash bucket whose blocks all came from ONE side lacks the
+    other side's columns (per-block union schema alignment) — every
+    bucketed join must degrade to a typed empty side, not KeyError
+    (fuzz seed 2468 hit this in pit_join).  Keys chosen so bucket 1
+    (mod 2) holds ONLY right/dim rows."""
+    import pandas as pd
+    import ray
+
+    from bqf_ray.pipelines.relational import (asof_join, nearest_join,
+                                              pit_join, semi_join)
+    left = pa.table({"user_id": pa.array([0, 2, 4], pa.int64()),
+                     "ts": pa.array([10, 20, 30], pa.int64()),
+                     "event_id": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"user_id": pa.array([1, 3], pa.int64()),
+                      "ts": pa.array([5, 6], pa.int64()),
+                      "val": pa.array([7.0, 8.0])})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+    a = asof_join(lds, rds, on="ts", by="user_id",
+                  num_buckets=2).to_pandas()
+    assert len(a) == 0                   # inner semantics, no matches
+    n = nearest_join(lds, rds, on="ts", by="user_id", num_buckets=2,
+                     how="left").to_pandas()
+    assert len(n) == 3 and n["ts_r"].isna().all()
+    s = semi_join(lds, rds, "user_id", num_buckets=2).to_pandas()
+    assert len(s) == 0
+    dim = pa.table({"user_id": pa.array([1, 3], pa.int64()),
+                    "valid_from": pa.array([0, 0], pa.int64()),
+                    "tid": pa.array([1, 2], pa.int64()),
+                    "v": pa.array([9.0, 10.0])})
+    p = pit_join(lds, ray.data.from_arrow(dim).repartition(2),
+                 by="user_id", ts_col="ts", tie_col="tid",
+                 num_buckets=2, suffix="").to_pandas()
+    assert len(p) == 3 and pd.isna(p["v"]).all()
