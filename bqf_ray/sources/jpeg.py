@@ -4,18 +4,23 @@ live in :mod:`bqf_ray.sources.codecs`).
 
 Scope (documented, loudly enforced):
 
-- **decode**: baseline sequential DCT (SOF0/1) AND spectral-selection
-  progressive (SOF2, any scan script with Ah=Al=0, EOBn runs
-  included), 8-bit samples, grayscale or YCbCr; any sampling factors
-  (subsampled chroma is upsampled by sample replication); restart
-  markers honored; successive-approximation progressive, arithmetic
-  coding, 12-bit and hierarchical modes raise ``ValueError``.
+- **decode**: baseline sequential DCT (SOF0/1) AND full progressive
+  (SOF2): spectral selection with EOBn runs plus successive
+  approximation (first passes at any Al, DC/AC refinement scans per
+  T.81 G.1.2 — the scan scripts real encoders emit); 8-bit samples,
+  grayscale or YCbCr; any sampling factors (subsampled chroma is
+  upsampled by sample replication); restart markers honored;
+  arithmetic coding, 12-bit and hierarchical modes raise
+  ``ValueError``.
 - **encode**: grayscale or RGB 4:4:4, Annex K quantization tables
   scaled by the conventional quality formula, Annex K Huffman tables,
   optional restart interval; ``progressive=True`` emits a
-  spectral-selection scan script carrying the SAME quantized
-  coefficients as the baseline stream (both decode bit-identically —
-  the codec's differential self-check).
+  spectral-selection scan script and ``successive=N`` a full
+  successive-approximation script — every variant carries the SAME
+  quantized coefficients as the baseline stream and must decode
+  bit-identically (the codec's differential self-check; format
+  conformance against external decoders is untestable in this
+  container — no image library exists here by design).
 
 Everything is numpy + ``struct`` — no image library.  The DCT/IDCT is
 the exact orthonormal 8×8 matrix form of the T.81 definition
@@ -337,7 +342,8 @@ def _dht_segment(tclass: int, tid: int, bits, vals) -> bytes:
 
 def jpeg_encode(img: np.ndarray, quality: int = 50,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                successive: bool = False) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → JFIF bytes (4:4:4,
     Annex K tables scaled to ``quality``).  ``progressive=True`` emits
     spectral-selection progressive (SOF2): one interleaved DC scan,
@@ -372,6 +378,7 @@ def jpeg_encode(img: np.ndarray, quality: int = 50,
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    progressive = progressive or successive
     if progressive and restart_interval:
         raise ValueError("jpeg_encode: progressive + restart_interval "
                          "unsupported")
@@ -394,11 +401,11 @@ def jpeg_encode(img: np.ndarray, quality: int = 50,
         comp_coeffs.append(_fdct_quant(_blockify(planes[ci]), qtabs[ci]))
     nby, nbx = (h + 7) // 8, (w + 7) // 8
 
-    def sos_header(comp_ids, Ss, Se):
+    def sos_header(comp_ids, Ss, Se, ahal=0):
         sos = bytes([len(comp_ids)])
         for ci in comp_ids:
             sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-        sos += bytes([Ss, Se, 0])
+        sos += bytes([Ss, Se, ahal])
         return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     if not progressive:
@@ -422,58 +429,133 @@ def jpeg_encode(img: np.ndarray, quality: int = 50,
         writer.flush()
         out += writer.out
     else:
-        # scan 1: DC of every component, interleaved
-        out += sos_header(list(range(ncomp)), 0, 0)
-        writer = _BitWriter()
-        preds = [0] * ncomp
-        for bi in range(nby * nbx):
-            for ci in range(ncomp):
-                dcc = dc_l if ci == 0 else dc_c
-                dc = int(comp_coeffs[ci][bi][0])
-                diff = dc - preds[ci]
-                size = _category(diff)
-                code, length = dcc[size]
-                writer.write(code, length)
-                if size:
-                    writer.write(diff if diff >= 0
-                                 else diff + (1 << size) - 1, size)
-                preds[ci] = dc
-        writer.flush()
-        out += writer.out
-        # per component: two spectral AC bands (EOB flushed per block
-        # — eobrun stays 1 so the Annex K tables' 0x00 suffices)
-        for ci in range(ncomp):
+        AL = int(successive)               # levels of refinement
+
+        def dc_scan(al):
+            nonlocal out
+            out += sos_header(list(range(ncomp)), 0, 0, ahal=al)
+            writer = _BitWriter()
+            preds = [0] * ncomp
+            for bi in range(nby * nbx):
+                for ci in range(ncomp):
+                    dcc = dc_l if ci == 0 else dc_c
+                    dc = int(comp_coeffs[ci][bi][0]) >> al
+                    diff = dc - preds[ci]
+                    size = _category(diff)
+                    code, length = dcc[size]
+                    writer.write(code, length)
+                    if size:
+                        writer.write(diff if diff >= 0
+                                     else diff + (1 << size) - 1, size)
+                    preds[ci] = dc
+            writer.flush()
+            out += writer.out
+
+        def ac_first_scan(ci, lo, hi, al):
+            nonlocal out
             acc = ac_l if ci == 0 else ac_c
-            for lo, hi in ((1, 20), (21, 63)):
-                out += sos_header([ci], lo, hi)
-                writer = _BitWriter()
-                for bi in range(nby * nbx):
-                    band = comp_coeffs[ci][bi]
+            out += sos_header([ci], lo, hi, ahal=al)
+            writer = _BitWriter()
+            for bi in range(nby * nbx):
+                band = comp_coeffs[ci][bi]
+                run = 0
+                last_nz = -1
+                for k in range(lo, hi + 1):
+                    v = int(band[k])
+                    if (v if v >= 0 else -v) >> al:
+                        last_nz = k
+                for k in range(lo, hi + 1):
+                    v = int(band[k])
+                    a = (v >> al) if v >= 0 else -((-v) >> al)
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = acc[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size = _category(a)
+                    code, length = acc[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(a if a >= 0
+                                 else a + (1 << size) - 1, size)
                     run = 0
-                    last_nz = -1
-                    for k in range(lo, hi + 1):
-                        if band[k]:
-                            last_nz = k
-                    for k in range(lo, hi + 1):
-                        v = int(band[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            code, length = acc[0xF0]
-                            writer.write(code, length)
-                            run -= 16
-                        size = _category(v)
-                        code, length = acc[(run << 4) | size]
+                if last_nz < hi:
+                    code, length = acc[0x00]       # EOB (run of 1)
+                    writer.write(code, length)
+            writer.flush()
+            out += writer.out
+
+        def ac_refine_scan(ci, lo, hi, al):
+            """G.1.2.3 refinement encoder — the libjpeg walk: the ZRL
+            check runs at EVERY nonzero-temp position (so correction
+            bits flush in the order the decoder consumes them), and
+            ZRL never fires past the last newly-significant index."""
+            nonlocal out
+            acc = ac_l if ci == 0 else ac_c
+            out += sos_header([ci], lo, hi, ahal=(al + 1) << 4 | al)
+            writer = _BitWriter()
+            for bi in range(nby * nbx):
+                band = comp_coeffs[ci][bi]
+                temp = [(int(band[k]) if band[k] >= 0
+                         else -int(band[k])) >> al
+                        for k in range(lo, hi + 1)]
+                eob_idx = -1
+                for j, t in enumerate(temp):
+                    if t == 1:
+                        eob_idx = j
+                run = 0
+                br = []
+                for j, t in enumerate(temp):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and j <= eob_idx:
+                        code, length = acc[0xF0]
                         writer.write(code, length)
-                        writer.write(v if v >= 0
-                                     else v + (1 << size) - 1, size)
-                        run = 0
-                    if last_nz < hi:
-                        code, length = acc[0x00]   # EOB (run of 1)
-                        writer.write(code, length)
-                writer.flush()
-                out += writer.out
+                        run -= 16
+                        for b in br:
+                            writer.write(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    code, length = acc[(run << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if int(band[lo + j]) > 0 else 0, 1)
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    code, length = acc[0x00]       # EOB (run of 1)
+                    writer.write(code, length)
+                    for b in br:
+                        writer.write(b, 1)
+            writer.flush()
+            out += writer.out
+
+        def dc_refine_scan(al):
+            nonlocal out
+            out += sos_header(list(range(ncomp)), 0, 0,
+                              ahal=(al + 1) << 4 | al)
+            writer = _BitWriter()
+            for bi in range(nby * nbx):
+                for ci in range(ncomp):
+                    writer.write(
+                        (int(comp_coeffs[ci][bi][0]) >> al) & 1, 1)
+            writer.flush()
+            out += writer.out
+
+        dc_scan(AL)
+        for ci in range(ncomp):
+            for lo, hi in ((1, 20), (21, 63)):
+                ac_first_scan(ci, lo, hi, AL)
+        for al in range(AL - 1, -1, -1):
+            for ci in range(ncomp):
+                for lo, hi in ((1, 20), (21, 63)):
+                    ac_refine_scan(ci, lo, hi, al)
+            dc_refine_scan(al)
     out += b"\xff\xd9"                                  # EOI
     return bytes(out)
 
@@ -511,16 +593,18 @@ def _init_coef_storage(frame):
     frame["mcux"], frame["mcuy"] = mcux, mcuy
 
 
-def _decode_block_band(reader, zz, lo, hi, dct, act, pred, eobrun):
-    """Decode one block's coefficients in band [lo, hi] (zigzag
-    indices).  Returns (new_pred, new_eobrun).  ``eobrun`` counts
-    REMAINING all-zero-band blocks from a pending EOBn run (progressive
-    spectral selection); baseline EOB is the r=0 special case."""
+def _decode_block_band(reader, zz, lo, hi, dct, act, pred, eobrun,
+                       Al=0):
+    """Decode one block's FIRST-PASS coefficients in band [lo, hi]
+    (zigzag indices) at point-transform ``Al``.  Returns (new_pred,
+    new_eobrun).  ``eobrun`` counts REMAINING all-zero-band blocks from
+    a pending EOBn run (progressive spectral selection); baseline EOB
+    is the r=0 special case."""
     k = lo
     if lo == 0:
         size = _huff_decode(reader, dct)
         pred += _extend(reader.bits(size), size)
-        zz[0] = pred
+        zz[0] = pred << Al                     # two's-complement shift
         k = 1
     while k <= hi:
         rs = _huff_decode(reader, act)
@@ -536,9 +620,56 @@ def _decode_block_band(reader, zz, lo, hi, dct, act, pred, eobrun):
         k += r
         if k > hi:
             raise ValueError("jpeg_decode: AC index overrun")
-        zz[k] = _extend(reader.bits(size), size)
+        zz[k] = _extend(reader.bits(size), size) << Al
         k += 1
     return pred, eobrun
+
+
+def _refine_ac(reader, zz, lo, hi, act, Al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the classic decode_mcu_AC_refine walk): newly-significant
+    coefficients arrive as ±(1 << Al) after a run counted over
+    ZERO-history positions only; every nonzero-history position passed
+    (or remaining once the block enters an EOB run) reads one
+    correction bit that, when set, grows the magnitude by 1 << Al."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    k = lo
+    if eobrun == 0:
+        while k <= hi:
+            rs = _huff_decode(reader, act)
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.bits(r)
+                    break                      # EOB run starts HERE
+                val = 0                        # ZRL: 16 zero-history
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "jpeg_decode: AC refinement size must be 1")
+                val = p1 if reader.bit() else m1
+            while k <= hi:
+                if zz[k] != 0:
+                    if reader.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= hi:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= hi:                         # EOB-run correction pass
+            if zz[k] != 0 and reader.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_scan(buf, pos, frame, scomps, Ss, Se, Ah, Al,
@@ -549,18 +680,32 @@ def _decode_scan(buf, pos, frame, scomps, Ss, Se, Ah, Al,
 
     Interleaved (ns > 1) scans walk MCUs; single-component scans walk
     the component's NON-interleaved block raster (T.81 A.2.2).
-    Spectral selection only — successive approximation (Ah/Al != 0)
-    raises."""
-    if Ah != 0 or Al != 0:
-        raise ValueError(
-            "jpeg_decode: successive-approximation progressive "
-            "(Ah/Al != 0) is out of scope — spectral-selection scans "
-            "only")
+    Spectral selection AND successive approximation are supported:
+    Ah == 0 scans are first passes at point transform Al; Ah > 0 scans
+    refine (DC: one raw bit per block; AC: the G.1.2.3 walk)."""
+    refine = Ah != 0
     reader = _BitReader(buf, pos)
     preds = {c["id"]: 0 for c in scomps}
     eobrun = 0
     units = 0                                  # MCUs or blocks
     interleaved = len(scomps) > 1
+
+    def do_block(c, zz):
+        nonlocal eobrun
+        if refine:
+            if Ss == 0:                        # DC refinement bit
+                if reader.bit():
+                    zz[0] |= 1 << Al
+            else:
+                eobrun = _refine_ac(reader, zz, Ss, Se,
+                                    c.get("ac_tab"), Al, eobrun)
+        else:
+            if eobrun > 0 and Ss > 0:
+                eobrun -= 1
+            else:
+                preds[c["id"]], eobrun = _decode_block_band(
+                    reader, zz, Ss, Se, c.get("dc_tab"),
+                    c.get("ac_tab"), preds[c["id"]], eobrun, Al)
 
     def maybe_restart():
         nonlocal eobrun
@@ -577,35 +722,18 @@ def _decode_scan(buf, pos, frame, scomps, Ss, Se, Ah, Al,
             for mx in range(frame["mcux"]):
                 maybe_restart()
                 for c in scomps:
-                    dct = c.get("dc_tab")
-                    act = c.get("ac_tab")
                     for by in range(c["vs"]):
                         for bx in range(c["hs"]):
                             row = (my * c["vs"] + by) * c["bw"] \
                                 + (mx * c["hs"] + bx)
-                            zz = c["coef"][row]
-                            if eobrun > 0 and Ss > 0:
-                                eobrun -= 1
-                            else:
-                                preds[c["id"]], eobrun = \
-                                    _decode_block_band(
-                                        reader, zz, Ss, Se, dct, act,
-                                        preds[c["id"]], eobrun)
+                            do_block(c, c["coef"][row])
                 units += 1
     else:
         c = scomps[0]
-        dct = c.get("dc_tab")
-        act = c.get("ac_tab")
         for by in range(c["nbh"]):
             for bx in range(c["nbw"]):
                 maybe_restart()
-                zz = c["coef"][by * c["bw"] + bx]
-                if eobrun > 0 and Ss > 0:
-                    eobrun -= 1
-                else:
-                    preds[c["id"]], eobrun = _decode_block_band(
-                        reader, zz, Ss, Se, dct, act,
-                        preds[c["id"]], eobrun)
+                do_block(c, c["coef"][by * c["bw"] + bx])
                 units += 1
     # locate the next marker (skip pad bits / stuffed bytes)
     p = reader.pos

@@ -3,7 +3,7 @@
 Real crawl pipelines carry images/audio/video as opaque ``binary`` columns
 with typed metadata.  Images and audio decode as REAL formats — PNG and
 WAV PCM via the pure-stdlib codecs in :mod:`bqf_ray.sources.codecs`,
-and JPEG (baseline + spectral-selection progressive) via
+and JPEG (baseline + full progressive) via
 :mod:`bqf_ray.sources.jpeg` (Huffman + DCT, pure stdlib); the remaining entropy-coded formats (MP3/video) stay
 behind the ``NotImplementedError`` boundary in :func:`decode_header`
 (ffmpeg absent).  The default

@@ -303,6 +303,42 @@ def test_progressive_eobrun_hand_built_exact():
         assert (img[:, x0:x0 + 8] == exp[0]).all()
 
 
-def test_successive_approximation_rejected():
-    with pytest.raises(ValueError, match="successive"):
-        jpeg_decode(_hand_progressive(ahal=0x01))
+def test_first_pass_point_transform_shifts():
+    """An AC first pass at Al=1 (ahal=0x01) stores values << 1 — the
+    successive-approximation point transform the decoder now honors."""
+    from bqf_ray.sources.jpeg import _idct_blocks, ZIGZAG, QUANT_LUMA
+    img = jpeg_decode(_hand_progressive(ahal=0x01))
+    deq = np.zeros((2, 8, 8))
+    deq[0].flat[0] = 4 * 16
+    deq[1].flat[0] = 4 * 16
+    deq[1].flat[ZIGZAG[1]] = 2 * QUANT_LUMA[1]   # +1 shifted by Al=1
+    exp = np.clip(np.rint(_idct_blocks(deq)), 0, 255).astype(np.uint8)
+    assert (img[:, 0:8] == exp[1]).all()
+    assert (img[:, 8:16] == exp[0]).all()
+
+
+def test_successive_approximation_equals_baseline():
+    """Successive-approximation progressive (first passes at Al=N +
+    refinement chains down to Al=0) carries the same final quantized
+    coefficients as the baseline stream — bit-identical decodes, over
+    1-3 refinement levels, gray + color + pathological content."""
+    rng = np.random.default_rng(43)
+    imgs = [rng.integers(0, 256, (40, 56)).astype(np.uint8),
+            rng.integers(0, 256, (25, 34, 3)).astype(np.uint8),
+            _const_blocks(rng, 3, 4)]
+    spikes = np.zeros((32, 32), dtype=np.uint8)
+    spikes[::7, ::5] = 255                    # long runs + ZRL refines
+    imgs.append(spikes)
+    for img in imgs:
+        base = jpeg_decode(jpeg_encode(img, quality=85))
+        for levels in (1, 2, 3):
+            sa = jpeg_decode(jpeg_encode(img, quality=85,
+                                         successive=levels))
+            assert (base == sa).all(), (img.shape, levels)
+
+
+def test_successive_block_constant_q50_lossless():
+    rng = np.random.default_rng(47)
+    img = _const_blocks(rng, 4, 4)
+    out = jpeg_decode(jpeg_encode(img, quality=50, successive=2))
+    assert (out == img).all()
