@@ -392,9 +392,19 @@ def jpeg_decode_stats(docs, id_col: str = "doc_id", max_id: int = 1500,
                 v = (2 * ((did * 2654435761 + j * 40503) % 128)
                      ).astype(np.uint8).reshape(hb, wb)
                 img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
-                back = jpeg_decode(jpeg_encode(
-                    img, quality=50,
-                    restart_interval=int(1 + did % 4)))
+                # cycle the three bitstream modes per id so baseline,
+                # spectral-selection progressive AND successive-
+                # approximation progressive all sit under the oracle
+                mode = did % 3
+                if mode == 0:
+                    blob = jpeg_encode(img, quality=50,
+                                       restart_interval=int(1 + did % 4))
+                elif mode == 1:
+                    blob = jpeg_encode(img, quality=50, progressive=True)
+                else:
+                    blob = jpeg_encode(img, quality=50,
+                                       successive=int(1 + did % 3))
+                back = jpeg_decode(blob)
                 out["doc_id"].append(int(did))
                 out["width"].append(int(back.shape[1]))
                 out["height"].append(int(back.shape[0]))
