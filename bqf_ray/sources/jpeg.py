@@ -576,7 +576,7 @@ def _init_coef_storage(frame):
     comps = frame["comps"]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
-    if hmax < 1 or vmax < 1:
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise ValueError("jpeg_decode: bad sampling factors")
     h, w = frame["h"], frame["w"]
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -584,6 +584,10 @@ def _init_coef_storage(frame):
     for c in comps:
         c["bw"] = mcux * c["hs"]
         c["bh"] = mcuy * c["vs"]
+        if c["bh"] * c["bw"] > (1 << 22):
+            # corrupt dims would otherwise allocate a multi-GB
+            # coefficient array before any entropy byte is validated
+            raise ValueError("jpeg_decode: implausible dimensions")
         cw = (w * c["hs"] + hmax - 1) // hmax
         chh = (h * c["vs"] + vmax - 1) // vmax
         c["nbw"] = (cw + 7) // 8
@@ -750,6 +754,26 @@ def _decode_scan(buf, pos, frame, scomps, Ss, Se, Ah, Al,
 
 
 def jpeg_decode(blob) -> np.ndarray:
+    """JFIF/JPEG bytes → uint8 (h, w) gray or (h, w, 3) RGB.
+
+    The parser boundary is hardened for crawl data: any structural
+    corruption surfaces as ``ValueError`` — byte-level parsers hit
+    Index/Key/Attribute/Overflow errors on corrupt streams, and a
+    non-ValueError escaping here would kill a whole decode job instead
+    of one row (``DecodeMedia`` deliberately catches only the
+    enumerated decode errors)."""
+    try:
+        return _jpeg_decode(blob)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, StopIteration, AttributeError,
+            OverflowError, ZeroDivisionError, struct.error) as e:
+        raise ValueError(
+            f"jpeg_decode: malformed stream "
+            f"({type(e).__name__}: {e})") from e
+
+
+def _jpeg_decode(blob) -> np.ndarray:
     """JFIF/JPEG bytes → uint8 (h, w) gray or (h, w, 3) RGB.
 
     Baseline sequential (SOF0/1) and spectral-selection progressive

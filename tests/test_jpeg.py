@@ -342,3 +342,43 @@ def test_successive_block_constant_q50_lossless():
     img = _const_blocks(rng, 4, 4)
     out = jpeg_decode(jpeg_encode(img, quality=50, successive=2))
     assert (out == img).all()
+
+
+def test_corrupt_streams_always_raise_valueerror():
+    """Crawl-data hardening: ANY structural corruption must surface as
+    ValueError — a bare IndexError/KeyError escaping the parser would
+    kill a whole decode job instead of one row (DecodeMedia catches
+    only the enumerated decode errors).  Seeded byte flips + splices
+    over all bitstream modes."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    blobs = [jpeg_encode(img, 80),
+             jpeg_encode(img, 80, progressive=True),
+             jpeg_encode(img, 80, successive=2)]
+    for blob in blobs:
+        b = bytearray(blob)
+        for t in range(600):
+            if t % 5 == 0 and len(b) > 20:
+                i = int(rng.integers(2, len(b) - 8))
+                repl = bytes(rng.integers(0, 256,
+                                          int(rng.integers(1, 8))))
+                test = bytes(b[:i]) + repl + bytes(b[i + len(repl):])
+            else:
+                i = int(rng.integers(2, len(b)))
+                test = (bytes(b[:i])
+                        + bytes([int(rng.integers(0, 256))])
+                        + bytes(b[i + 1:]))
+            try:
+                out = jpeg_decode(test)
+                assert out.dtype == np.uint8      # or a valid image
+            except ValueError:
+                pass
+
+
+def test_implausible_dimensions_raise_not_allocate():
+    # corrupt 65535x65535 dims must raise before allocating GBs
+    blob = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+    i = blob.index(b"\xff\xc0") + 5
+    blob[i:i + 4] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="implausible"):
+        jpeg_decode(bytes(blob))
