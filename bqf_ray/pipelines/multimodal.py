@@ -12,10 +12,11 @@ The engineering contract for 100 TB multimodal pipelines:
   decode_payload` decodes the deterministic RAWM container plus REAL
   PNG and WAV PCM via the pure-stdlib codecs in
   :mod:`bqf_ray.sources.codecs` (zlib + scanline unfiltering / RIFF
-  parsing) and baseline JPEG via :mod:`bqf_ray.sources.jpeg` (Huffman
-  + DCT, pure stdlib); the remaining formats (MP3/H.264) still raise
-  ``NotImplementedError`` at that single point — swap ffmpeg in there
-  in production.
+  parsing) and full baseline+progressive JPEG via
+  :mod:`bqf_ray.sources.jpeg` (Huffman + DCT + successive
+  approximation, pure stdlib); the remaining formats (MP3/H.264)
+  still raise ``NotImplementedError`` at that single point — swap
+  ffmpeg in there in production.
 """
 
 from __future__ import annotations
